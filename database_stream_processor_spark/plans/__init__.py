@@ -1,0 +1,25 @@
+"""Incremental-view-maintenance layer: the step/clock driver and the
+incremental forms of each operator (reference: the DBSP calculus,
+SURVEY.md §2.8)."""
+
+from database_stream_processor_spark.plans.incremental import (
+    AggregateOp,
+    DifferentiateOp,
+    DistinctOp,
+    IntegrateOp,
+    JoinOp,
+    LinearOp,
+    StateTable,
+    UpsertOp,
+)
+
+__all__ = [
+    "AggregateOp",
+    "DifferentiateOp",
+    "DistinctOp",
+    "IntegrateOp",
+    "JoinOp",
+    "LinearOp",
+    "StateTable",
+    "UpsertOp",
+]

@@ -1,0 +1,266 @@
+"""Incremental operator forms — the DBSP calculus on Spark state tables.
+
+The reference engine makes every operator *incremental*: given a stream of
+input deltas it emits the stream of output deltas, with cost proportional to
+the delta, not the accumulated database (reference README.md:65-68).  The
+building blocks (SURVEY.md §2.8):
+
+- ``integrate`` — running sum of deltas = the current relation
+  (src/operator/integrate.rs:67);
+- ``differentiate`` — snapshots → deltas (src/operator/differentiate.rs:24);
+- ``z1``/``delay`` — previous step's value (src/operator/z1.rs);
+- traces — accumulated indexed state queried by joins/aggregates
+  (src/operator/trace.rs:173-238).
+
+Spark re-expression: each stateful operator owns one or more
+:class:`StateTable` objects (DataFrames materialized per step; at cluster
+scale these are partitioned Parquet/Delta tables MERGE'd by key so a step
+touches only the partitions its delta hits).  A "clock tick" = one call to
+``step()`` = one micro-batch.  The same operator objects are driven either
+by a batch loop (tests) or by Structured Streaming ``foreachBatch``
+(streaming/driver.py).
+
+Scale notes (100 TB design):
+
+- State is only ever accessed via *joins on the delta's keys* — with state
+  partitioned/bucketed by those keys this is a partition-pruned, shuffle-free
+  lookup of the touched partitions, never a full state scan.
+- All deltas and state are DataFrames; nothing collects to the driver.
+- ``StateTable.update`` consolidates (hash agg) — map-side partial
+  aggregation keeps shuffle volume ∝ |delta|.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_stream_processor_spark.zset import WEIGHT_COL, ZSetFrame
+
+
+class StateTable:
+    """Materialized Z-set state for one operator (DBSP trace / Spine analog,
+    src/trace/spine_fueled.rs:1-60).
+
+    Two backends:
+
+    - ``memory`` (default): keeps a cached DataFrame, re-materialized with
+      ``localCheckpoint`` each update so lineage doesn't grow unboundedly
+      across steps (the Spark analog of the Spine's background merge).
+    - ``parquet``: persists to a directory, alternating between two
+      subdirectories (read from one, write the other).  This is the
+      cluster-scale backend — state survives the session, reads are
+      partition-pruned when ``partition_by`` is set.
+    """
+
+    def __init__(self, empty: ZSetFrame, name: str = "state",
+                 path: str | None = None,
+                 partition_by: Sequence[str] | None = None):
+        self.name = name
+        self.path = path
+        self.partition_by = list(partition_by or [])
+        self._epoch = 0
+        self._spark = empty.df.sparkSession
+        self._schema = empty.df.schema
+        self._current: ZSetFrame = ZSetFrame(empty.df.limit(0))
+        if path:
+            os.makedirs(path, exist_ok=True)
+
+    @property
+    def current(self) -> ZSetFrame:
+        return self._current
+
+    def update(self, delta: ZSetFrame) -> ZSetFrame:
+        """state ← consolidate(state + delta); returns the new state."""
+        if set(delta.df.columns) != {f.name for f in self._schema.fields}:
+            raise ValueError(
+                f"state table `{self.name}` columns "
+                f"{sorted(f.name for f in self._schema.fields)} != delta columns "
+                f"{sorted(delta.df.columns)}")
+        merged = self._current.plus(delta).consolidate()
+        self._current = self._materialize(merged)
+        return self._current
+
+    def _materialize(self, z: ZSetFrame) -> ZSetFrame:
+        self._epoch += 1
+        if self.path:
+            out = os.path.join(self.path, f"epoch={self._epoch}")
+            writer = z.df.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(out)
+            df = self._spark.read.schema(self._schema).parquet(out)
+            return ZSetFrame(df)
+        # memory backend: cut lineage so N steps don't stack N plans
+        return ZSetFrame(z.df.localCheckpoint(eager=True))
+
+
+class LinearOp:
+    """Stateless incremental form of any linear operator: the delta passes
+    straight through ``f`` (reference: src/operator/filter_map.rs:1 — linear
+    operators are incremental as-is)."""
+
+    def __init__(self, f):
+        self.f = f
+
+    def step(self, delta: ZSetFrame) -> ZSetFrame:
+        return self.f(delta)
+
+
+class IntegrateOp:
+    """Running sum of deltas = current relation (integrate.rs:67)."""
+
+    def __init__(self, empty: ZSetFrame, **state_kw):
+        self.state = StateTable(empty, name="integral", **state_kw)
+
+    def step(self, delta: ZSetFrame) -> ZSetFrame:
+        return self.state.update(delta)
+
+
+class DifferentiateOp:
+    """Inverse of integrate: successive snapshots → deltas
+    (differentiate.rs:24,39).  delta_t = snapshot_t − snapshot_{t-1}."""
+
+    def __init__(self, empty: ZSetFrame, **state_kw):
+        self.prev = StateTable(empty, name="prev_snapshot", **state_kw)
+
+    def step(self, snapshot: ZSetFrame) -> ZSetFrame:
+        delta = snapshot.minus(self.prev.current).consolidate()
+        # z^-1: remember this snapshot for the next tick
+        self.prev._current = self.prev._materialize(snapshot.consolidate())
+        return delta
+
+
+class JoinOp:
+    """Incremental equi-join via the bilinear formula
+    Δ(A⋈B) = ΔA⋈B_old + A_old⋈ΔB + ΔA⋈ΔB = ΔA⋈B_new + A_old⋈ΔB
+    (reference: src/operator/join.rs:121-292, formula comment 226-264).
+
+    Cost per step ∝ |ΔA|·|matching B| + |A matching|·|ΔB| — never a full
+    A⋈B recompute.  With both state tables partitioned on the join key the
+    two delta-joins are partition-pruned lookups.
+    """
+
+    def __init__(self, empty_left: ZSetFrame, empty_right: ZSetFrame,
+                 on: Sequence[str], how: str = "inner", **state_kw):
+        self.on = list(on)
+        self.how = how
+        self.left = StateTable(empty_left, name="join_left", **state_kw)
+        self.right = StateTable(empty_right, name="join_right", **state_kw)
+
+    def step(self, delta_left: ZSetFrame, delta_right: ZSetFrame) -> ZSetFrame:
+        a_old = self.left.current
+        b_new = self.right.update(delta_right)
+        self.left.update(delta_left)
+        part1 = delta_left.join(b_new, on=self.on, how="inner")
+        part2 = a_old.join(delta_right, on=self.on, how="inner")
+        return part1.plus(part2).consolidate()
+
+
+class DistinctOp:
+    """Incremental set-distinct (src/operator/distinct.rs:64).
+
+    Maintains the integral of the input; per step, recomputes the distinct
+    of only the *rows touched by the delta* and emits new − old.  Touched
+    rows are found by a semi-join of state on the delta (partition-pruned
+    at scale).
+    """
+
+    def __init__(self, empty: ZSetFrame, **state_kw):
+        self.integral = StateTable(empty, name="distinct_integral", **state_kw)
+
+    def step(self, delta: ZSetFrame) -> ZSetFrame:
+        cols = delta.data_columns
+        old = self.integral.current
+        new = self.integral.update(delta)
+        touched = delta.df.select(*cols).dropDuplicates()
+        old_touched = ZSetFrame(old.df.join(touched, on=cols, how="left_semi"))
+        new_touched = ZSetFrame(new.df.join(touched, on=cols, how="left_semi"))
+        return new_touched.distinct().minus(old_touched.distinct()).consolidate()
+
+
+class AggregateOp:
+    """Incremental group-aggregate with retraction-correct non-linear
+    aggregates (reference: aggregate/mod.rs:204-244 — recompute only the
+    groups touched by the delta from the integrated trace, emit retraction
+    of the old aggregate row + insertion of the new one).
+
+    ``agg_fn(zset) -> ZSetFrame`` computes the batch aggregate keyed by
+    ``keys`` — e.g. ``lambda z: z.aggregate(keys, F.max("x").alias("mx"))``
+    or a linear ``z.aggregate_linear(keys, ...)``.
+
+    For *linear* aggregates this recompute could be replaced by pure
+    delta-summing (aggregate/mod.rs:253-273); we keep one code path because
+    the touched-group recompute is already ∝ |touched groups| and the state
+    join is partition-pruned at scale.
+    """
+
+    def __init__(self, empty_in: ZSetFrame, keys: Sequence[str], agg_fn,
+                 **state_kw):
+        self.keys = list(keys)
+        self.agg_fn = agg_fn
+        self.integral = StateTable(empty_in, name="agg_input", **state_kw)
+        self._out_state: StateTable | None = None
+
+    def step(self, delta: ZSetFrame) -> ZSetFrame:
+        new_in = self.integral.update(delta)
+        touched = delta.df.select(*self.keys).dropDuplicates()
+        new_touched = ZSetFrame(new_in.df.join(touched, on=self.keys, how="left_semi"))
+        new_out_rows = self.agg_fn(new_touched)  # weight-1 rows per surviving group
+
+        if self._out_state is None:
+            empty_out = ZSetFrame(new_out_rows.df.limit(0))
+            self._out_state = StateTable(empty_out, name="agg_output")
+            old_out_rows = ZSetFrame(new_out_rows.df.limit(0))
+        else:
+            old_out_rows = ZSetFrame(
+                self._out_state.current.df.join(touched, on=self.keys, how="left_semi")
+            )
+        out_delta = new_out_rows.minus(old_out_rows).consolidate()
+        self._out_state.update(out_delta)
+        return out_delta
+
+    @property
+    def current_output(self) -> ZSetFrame | None:
+        return None if self._out_state is None else self._out_state.current
+
+
+class UpsertOp:
+    """Key-value upsert commands → Z-set deltas
+    (reference: src/operator/upsert.rs:37; input semantics
+    src/operator/input.rs:293-303 ``add_input_map``).
+
+    Input per step: a DataFrame with the key columns, the value columns, a
+    boolean ``__delete`` column, and a ``__seq`` column ordering commands
+    within the batch (command order matters — input.rs:293-303: later
+    commands override earlier ones for the same key).
+
+    Emits retraction of the key's previous value (if any) + insertion of the
+    new value (unless the last command was a delete).  State = last value
+    per key.
+    """
+
+    def __init__(self, empty_values: ZSetFrame, keys: Sequence[str], **state_kw):
+        self.keys = list(keys)
+        self.state = StateTable(empty_values, name="upsert_state", **state_kw)
+
+    def step(self, commands: DataFrame) -> ZSetFrame:
+        from pyspark.sql import Window
+        w = Window.partitionBy(*self.keys).orderBy(F.col("__seq").desc())
+        last = (commands.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn", "__seq"))
+        value_cols = [c for c in last.columns if c not in (*self.keys, "__delete")]
+
+        old = self.state.current
+        touched = last.select(*self.keys).dropDuplicates()
+        old_touched = ZSetFrame(old.df.join(touched, on=self.keys, how="left_semi"))
+
+        inserts = ZSetFrame.from_df(
+            last.filter(~F.col("__delete")).select(*self.keys, *value_cols), 1
+        )
+        delta = inserts.plus(old_touched.neg()).consolidate()
+        self.state.update(delta)
+        return delta

@@ -1,0 +1,155 @@
+"""Incremental vs full-recompute equivalence — the reference's signature
+correctness oracle (SURVEY.md §5.2: e.g. distinct.rs:32-75 `distinct_inc_test`
+compares `op()` with `integrate().stream_op().differentiate()`).
+
+We feed K delta batches through the incremental operator and check, after
+every step, that the integrated output equals the batch operator applied to
+the integrated input.  Retraction rounds (FIXTURES.md §5.2) re-feed a prior
+batch negated and check outputs revert.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_stream_processor_spark.plans.incremental import (
+    AggregateOp,
+    DifferentiateOp,
+    DistinctOp,
+    IntegrateOp,
+    JoinOp,
+    UpsertOp,
+)
+from database_stream_processor_spark.zset import WEIGHT_COL, ZSetFrame
+from tests.conftest import zset_to_dict
+
+
+def zs(spark, rows, schema="k long, v string"):
+    return ZSetFrame(
+        spark.createDataFrame(rows, schema=schema + f", {WEIGHT_COL} long"))
+
+
+def test_integrate_differentiate_roundtrip(spark):
+    deltas = [
+        zs(spark, [(1, "a", 1), (2, "b", 1)]),
+        zs(spark, [(1, "a", -1), (3, "c", 2)]),
+        zs(spark, [(3, "c", -2)]),
+    ]
+    integ = IntegrateOp(deltas[0])
+    diff = DifferentiateOp(deltas[0])
+    for d in deltas:
+        snapshot = integ.step(d)
+        recovered = diff.step(snapshot)
+        assert zset_to_dict(recovered) == zset_to_dict(d.consolidate())
+
+
+def test_incremental_distinct_equals_batch(spark):
+    deltas = [
+        zs(spark, [(1, "a", 2), (2, "b", 1)]),
+        zs(spark, [(1, "a", -1), (2, "b", -1), (3, "c", 1)]),
+        zs(spark, [(1, "a", -1)]),          # k=1 weight drops to 0 → retract
+        zs(spark, [(2, "b", 5)]),           # k=2 reappears
+    ]
+    op = DistinctOp(deltas[0])
+    out_integral = None
+    in_integral = None
+    for d in deltas:
+        out_delta = op.step(d)
+        out_integral = out_delta if out_integral is None else out_integral.plus(out_delta)
+        in_integral = d if in_integral is None else in_integral.plus(d)
+        assert zset_to_dict(out_integral.consolidate()) == \
+            zset_to_dict(in_integral.distinct())
+
+
+def test_incremental_join_equals_batch(spark):
+    a_deltas = [
+        zs(spark, [(1, "x", 1), (2, "y", 2)], "k long, av string"),
+        zs(spark, [(1, "x", -1), (3, "z", 1)], "k long, av string"),
+    ]
+    b_deltas = [
+        zs(spark, [(1, "p", 1)], "k long, bv string"),
+        zs(spark, [(2, "q", 3), (1, "p", -1)], "k long, bv string"),
+    ]
+    op = JoinOp(a_deltas[0], b_deltas[0], on=["k"])
+    out_integral, a_int, b_int = None, None, None
+    for da, db in zip(a_deltas, b_deltas):
+        out = op.step(da, db)
+        out_integral = out if out_integral is None else out_integral.plus(out)
+        a_int = da if a_int is None else a_int.plus(da)
+        b_int = db if b_int is None else b_int.plus(db)
+        expected = a_int.consolidate().join(b_int.consolidate(), on=["k"])
+        assert zset_to_dict(out_integral.consolidate()) == zset_to_dict(expected)
+
+
+def test_incremental_aggregate_min_max_with_retraction(spark):
+    """Non-linear aggregate: min/max must recover the next-best value when
+    the current extreme is retracted (SURVEY §7 'hard parts')."""
+    schema = "g string, x long"
+    deltas = [
+        zs(spark, [("a", 10, 1), ("a", 5, 1), ("b", 7, 1)], schema),
+        zs(spark, [("a", 5, -1)], schema),     # retract current min of group a
+        zs(spark, [("b", 7, -1)], schema),     # group b disappears entirely
+        zs(spark, [("a", 20, 1), ("c", 1, 1)], schema),
+    ]
+    agg = lambda z: z.aggregate(["g"], F.min("x").alias("mn"), F.max("x").alias("mx"))
+    op = AggregateOp(deltas[0], ["g"], agg)
+    out_integral, in_integral = None, None
+    for d in deltas:
+        out = op.step(d)
+        out_integral = out if out_integral is None else out_integral.plus(out)
+        in_integral = d if in_integral is None else in_integral.plus(d)
+        expected = agg(in_integral.consolidate())
+        assert zset_to_dict(out_integral.consolidate()) == zset_to_dict(expected)
+
+
+def test_incremental_linear_aggregate_equals_batch(spark):
+    schema = "g string, x long"
+    deltas = [
+        zs(spark, [("a", 10, 2), ("b", 3, 1)], schema),
+        zs(spark, [("a", 10, -2), ("b", 4, 1)], schema),  # 'a' sums to zero rows
+    ]
+    agg = lambda z: z.aggregate_linear(["g"], cnt=F.lit(1), total=F.col("x"))
+    op = AggregateOp(deltas[0], ["g"], agg)
+    out_integral, in_integral = None, None
+    for d in deltas:
+        out = op.step(d)
+        out_integral = out if out_integral is None else out_integral.plus(out)
+        in_integral = d if in_integral is None else in_integral.plus(d)
+        got = zset_to_dict(out_integral.consolidate())
+        # drop groups with zero count (empty group) like the batch recompute does
+        exp = zset_to_dict(agg(in_integral.consolidate()))
+        exp = {k: w for k, w in exp.items() if k[1] != 0}
+        got = {k: w for k, w in got.items() if w != 0 and k[1] != 0}
+        assert got == exp
+
+
+def test_upsert_semantics(spark):
+    """add_input_map semantics (input.rs:293-303): last command per key wins
+    within a batch; emits retract-old + insert-new."""
+    op = UpsertOp(
+        zs(spark, [], "k long, v string"), keys=["k"])
+    cmds1 = spark.createDataFrame(
+        [(1, "a", False, 1), (1, "b", False, 2), (2, "x", False, 1)],
+        "k long, v string, __delete boolean, __seq long")
+    d1 = op.step(cmds1)
+    assert zset_to_dict(d1) == {(1, "b"): 1, (2, "x"): 1}
+
+    cmds2 = spark.createDataFrame(
+        [(1, "c", False, 1), (2, None, True, 1)],
+        "k long, v string, __delete boolean, __seq long")
+    d2 = op.step(cmds2)
+    assert zset_to_dict(d2) == {(1, "c"): 1, (1, "b"): -1, (2, "x"): -1}
+
+
+def test_retraction_round_reverts_output(spark):
+    """FIXTURES.md §5.2: re-feed a prior batch negated → output reverts."""
+    schema = "g string, x long"
+    batch = zs(spark, [("a", 10, 1), ("a", 5, 1), ("b", 7, 1)], schema)
+    agg = lambda z: z.aggregate(["g"], F.max("x").alias("mx"))
+    op = AggregateOp(batch, ["g"], agg)
+    first = op.step(batch)
+    assert zset_to_dict(first) == {("a", 10): 1, ("b", 7): 1}
+    second = op.step(batch.neg())
+    # all outputs retracted
+    assert zset_to_dict(first.plus(second).consolidate()) == {}
