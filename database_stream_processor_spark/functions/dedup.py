@@ -1,0 +1,153 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hashing is built from ``md5`` + integer arithmetic so the pipelines are
+(a) engine-portable — the DuckDB oracle reproduces them bit-for-bit — and
+(b) JVM-side (no Python UDFs): md5 / conv / array ops are codegen'd
+expressions, and every stage is a plain groupBy/join, so the shuffles are
+the only cost and they scale horizontally.
+
+Scale shape (100 TB corpus):
+- signatures: one scan + one groupBy(doc) — shuffle ∝ #shingles, heavily
+  combinable map-side (min() partial agg).
+- LSH: explode k/r band keys per doc (constant factor), groupBy band key;
+  candidate pairs come from within-bucket self-joins only — never an
+  all-pairs product.  Skewed buckets (boilerplate docs) are the classic
+  hazard: cap bucket size before pairing (``max_bucket`` arg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31 − 1 — all minhash arithmetic stays < 2^62, no overflow
+MERSENNE = 2_147_483_647
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 hex digits of md5 as an integer.
+    DuckDB equivalent: ``('0x' || substr(md5(s), 1, 8))::bigint``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal-hash functions
+    h_i(x) = (a_i·x + b_i) mod MERSENNE."""
+    return [((2 * i + 1) * 104_729 % MERSENNE, i * 97 + 1) for i in range(k)]
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (array<string>)."""
+    toks = F.split(F.trim(col), r"\s+")
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(0), F.size(toks) - n)
+                 ).otherwise(F.expr("array()").cast("array<int>"))
+    parts = lambda i: [F.element_at(toks, i + j + 1) for j in range(n)]
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: keeps the lowest-id doc
+    per identical text.  One groupBy + one semi-join — the hash-groupBy
+    pattern."""
+    from database_stream_processor_spark.functions.text import doc_fingerprint
+    fp = df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (fp.join(keep, on=[id_col, "__fp"], how="left_semi").drop("__fp"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 16, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per document: k universal hashes over 32-bit
+    word-shingle hashes.  Output: (id, h0..h{k-1}).
+
+    One explode + one groupBy(doc) with k min() aggregates — min() combines
+    map-side so shuffle volume is one row per (doc, partial)."""
+    sh = df.select(F.col(id_col),
+                   F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"))
+    x = (hash32(F.col("__sh")) % MERSENNE).alias("__x")
+    sh = sh.select(id_col, x)
+    aggs = [F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MERSENNE).alias(f"h{i}")
+            for i, (a, b) in enumerate(_minhash_coeffs(k))]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        k: int = 16, bands: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """LSH banding over minhash signatures → candidate near-dup pairs
+    (id_a < id_b).  Docs agreeing on all rows of any band collide.
+
+    ``max_bucket`` drops degenerate buckets (e.g. empty-text docs) before
+    the within-bucket self-join — the skew guard that keeps the pair stage
+    from going quadratic on boilerplate at scale."""
+    r = k // bands
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("-", *[F.col(f"h{b * r + j}") for j in range(r)])
+                 .alias("bkey"))
+        for b in range(bands)
+    ]
+    banded = (signatures
+              .select(id_col, F.explode(F.array(*band_structs)).alias("bb"))
+              .select(id_col, F.col("bb.band").alias("band"),
+                      F.col("bb.bkey").alias("bkey")))
+    counts = banded.groupBy("band", "bkey").count()
+    banded = (banded.join(counts.filter(F.col("count") <= max_bucket),
+                          on=["band", "bkey"], how="left_semi"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    return (a.join(b, on=["band", "bkey"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates())
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint per document over token 32-bit hashes: for each
+    bit position, sum ±1 contributions across tokens (with multiplicity);
+    the sign vector packs into an integer.  Hamming-near fingerprints =
+    near-dup texts.  Output: (id, simhash)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"))
+    x = hash32(F.col("__t"))
+    toks = toks.select(id_col, x.alias("__x"))
+    bit_sums = [
+        F.sum(2 * (F.shiftright(F.col("__x"), j).bitwiseAND(F.lit(1))) - 1)
+        .alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    packed = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+         for j in range(bits)),
+        F.lit(0),
+    )
+    return agg.select(id_col, packed.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    |A∩B| / |A∪B| ≥ threshold.  Output: (id_a, id_b, jaccard).
+
+    The shingle self-join only pairs docs that actually share a shingle —
+    at corpus scale you run :func:`lsh_candidate_pairs` first and verify
+    only candidates; this operator is the verifier."""
+    sh = df.select(F.col(id_col),
+                   F.explode(word_shingles(F.col(text_col), n)).alias("__sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "__sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "__sh")
+    shared = (a.join(b, on="__sh")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("__shared")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("__shared") /
+                                (F.col("__sza") + F.col("__szb") - F.col("__shared")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

