@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": dir}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count); a
+warm-up query first amortizes JVM/codegen startup so numbers reflect
+steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from database_stream_processor_spark.queries import REGISTRY
+from database_stream_processor_spark.session import get_spark
+
+#: headline set: one per operator family (scan-agg, join-agg, multi-join,
+#: range join, window, rolling, as-of, top-k, dedup pipeline, jaccard,
+#: ANN brute + LSH, text analysis, incremental engine, recursion)
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q05_supplier_volume",
+    "q10_signup_to_purchase",
+    "q15_topk_orders_per_priority",
+    "q20_hopping_window",
+    "q21_rolling_per_user",
+    "q22_asof_enrich",
+    "q27_lsh_near_dup_pairs",
+    "q29_ngram_jaccard_pairs",
+    "q30_cosine_topk",
+    "q31_lsh_ann_topk",
+    "q33_quality_score",
+    "q37_incremental_revenue",
+    "q39_transitive_closure",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 MERSENNE = 2_147_483_647
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a (possibly single-partition) input out to all cores before
+    CPU-heavy per-row expressions (md5/shingling).  Small tables arrive as
+    one parquet split, which would serialize the whole stage on one task;
+    at cluster scale inputs are already partitioned and the round-robin
+    shuffle cost is negligible vs the per-row work it parallelizes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def hash32(col: Column) -> Column:
     """Portable 32-bit string hash: first 8 hex digits of md5 as an integer.
     DuckDB equivalent: ``('0x' || substr(md5(s), 1, 8))::bigint``."""
@@ -36,14 +45,34 @@ def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return [((2 * i + 1) * 104_729 % MERSENNE, i * 97 + 1) for i in range(k)]
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a text column (array<string>)."""
-    toks = F.split(F.trim(col), r"\s+")
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a *materialized* token-array column.
+
+    ``toks`` must be a plain column reference (not an inline ``split``):
+    the transform lambda reads it ~3·len times, and an inlined expression
+    would be recomputed on every read — a silent quadratic blow-up."""
     idx = F.when(F.size(toks) >= n,
                  F.sequence(F.lit(0), F.size(toks) - n)
                  ).otherwise(F.expr("array()").cast("array<int>"))
     parts = lambda i: [F.element_at(toks, i + j + 1) for j in range(n)]
     return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (array<string>).
+    Prefer tokenizing into a separate projection + :func:`shingles_from_tokens`
+    in hot paths (see note there)."""
+    return shingles_from_tokens(F.split(F.trim(col), r"\s+"), n)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows with the token array materialized in its own
+    projection so it's computed once per document."""
+    toked = spread(df).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+    return toked.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("__sh"))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -63,8 +92,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     One explode + one groupBy(doc) with k min() aggregates — min() combines
     map-side so shuffle volume is one row per (doc, partial)."""
-    sh = df.select(F.col(id_col),
-                   F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"))
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
     x = (hash32(F.col("__sh")) % MERSENNE).alias("__x")
     sh = sh.select(id_col, x)
     aggs = [F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MERSENNE).alias(f"h{i}")
@@ -108,7 +136,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     bit position, sum ±1 contributions across tokens (with multiplicity);
     the sign vector packs into an integer.  Hamming-near fingerprints =
     near-dup texts.  Output: (id, simhash)."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"))
     x = hash32(F.col("__t"))
@@ -128,21 +156,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
-    |A∩B| / |A∪B| ≥ threshold.  Output: (id_a, id_b, jaccard).
+                        n: int = 3, threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity: |A∩B| / |A∪B| ≥ threshold.
+    Output: (id_a, id_b, jaccard).
 
-    The shingle self-join only pairs docs that actually share a shingle —
-    at corpus scale you run :func:`lsh_candidate_pairs` first and verify
-    only candidates; this operator is the verifier."""
-    sh = df.select(F.col(id_col),
-                   F.explode(word_shingles(F.col(text_col), n)).alias("__sh"))
+    With ``candidates`` (an (id_a, id_b) DataFrame, e.g. from
+    :func:`lsh_candidate_pairs`), only those pairs are verified — the
+    production shape at corpus scale: the shared-shingle self-join is
+    restricted by a semi-join on the candidate set, so cost ∝ candidates,
+    not ∝ pairs-sharing-a-shingle (which goes quadratic on a dense
+    vocabulary).  Without it, all pairs sharing ≥1 shingle are scored."""
+    sh = _shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "__sh")
     b = sh.select(F.col(id_col).alias("id_b"), "__sh")
+    if candidates is not None:
+        a = a.join(candidates.select("id_a").dropDuplicates(), "id_a", "left_semi")
+        b = b.join(candidates.select("id_b").dropDuplicates(), "id_b", "left_semi")
     shared = (a.join(b, on="__sh")
               .filter(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b").agg(F.count("*").alias("__shared")))
+    if candidates is not None:
+        shared = shared.join(candidates, on=["id_a", "id_b"], how="left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
     return (shared.join(sa, "id_a").join(sb, "id_b")

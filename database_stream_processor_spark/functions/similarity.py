@@ -17,22 +17,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from database_stream_processor_spark.functions.dedup import hash32
+from database_stream_processor_spark.functions.dedup import hash32, spread
 
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+#: accumulator type for order-independent float folds — per-element double
+#: products are IEEE-deterministic; accumulating them as decimals makes the
+#: SUM independent of evaluation order across engines/partitionings.
+#: precision ≤ 17 keeps Spark's Decimal long-backed (no BigDecimal allocs in
+#: the fold hot loop — ~10× faster); the 1e-13 per-element quantization is
+#: 7 orders of magnitude below the round-6 output precision.
+ACC = "decimal(17,13)"
+
+
 def dot(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i — sequential fold (deterministic order)."""
+    """Σ a_i·b_i with exact decimal accumulation (order-independent)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+                       F.lit(0).cast(ACC),
+                       lambda acc, v: (acc + v.cast(ACC)).cast(ACC)).cast("double")
 
 
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+                              F.lit(0).cast(ACC),
+                              lambda acc, v: (acc + v.cast(ACC)).cast(ACC)).cast("double"))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -52,8 +63,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("__cv"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              _as_double(F.col(vec_col)).alias("__cv"))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id",
@@ -81,7 +92,7 @@ def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
         proj = F.aggregate(
             F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
                        lambda x, i: x * hyperplane_component(p, i)),
-            F.lit(0.0), lambda acc, x: acc + x)
+            F.lit(0).cast(ACC), lambda acc, x: (acc + x.cast(ACC)).cast(ACC)).cast("double")
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0]).cast("long")
 
@@ -96,7 +107,8 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Output: (query_id, neighbor_id, cosine_sim) — top-k *within bucket*.
     """
-    sig = lambda df, n: df.withColumn("__bucket", lsh_signature(F.col(vec_col), n))
+    sig = lambda df, n: spread(df).withColumn(
+        "__bucket", lsh_signature(F.col(vec_col), n))
     q = sig(queries, n_planes).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"), "__bucket")

@@ -42,7 +42,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     collision); left rows with no match keep nulls.
     """
     on = list(on)
-    lcols = [c for c in left.columns]
+    lcols = list(left.columns)
+    carried = [c for c in lcols if c not in on and c != left_ts]
     rvals = [c for c in right.columns if c not in on and c != right_ts]
 
     renames = {c: (c + suffix if c in lcols else c) for c in rvals}
@@ -56,15 +57,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
-        *[F.col(c) for c in lcols if c not in on],
+        *carried,
         *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in rv],
     ).withColumn("__side", F.lit(0))
     # align column order for union
-    l = l.select(*on, "__ts", "__side", *[c for c in lcols if c not in on], *rv)
+    l = l.select(*on, "__ts", "__side", *carried, *rv)
     r_full = r.select(
         *on, "__ts", "__side",
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in lcols if c not in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carried],
         *rv,
     )
     u = l.unionByName(r_full)

@@ -58,10 +58,12 @@ class StateTable:
 
     def __init__(self, empty: ZSetFrame, name: str = "state",
                  path: str | None = None,
-                 partition_by: Sequence[str] | None = None):
+                 partition_by: Sequence[str] | None = None,
+                 materialize_every: int = 1):
         self.name = name
         self.path = path
         self.partition_by = list(partition_by or [])
+        self.materialize_every = materialize_every
         self._epoch = 0
         self._spark = empty.df.sparkSession
         self._schema = empty.df.schema
@@ -94,8 +96,12 @@ class StateTable:
             writer.parquet(out)
             df = self._spark.read.schema(self._schema).parquet(out)
             return ZSetFrame(df)
-        # memory backend: cut lineage so N steps don't stack N plans
-        return ZSetFrame(z.df.localCheckpoint(eager=True))
+        # memory backend: cut lineage so N steps don't stack N plans.
+        # materialize_every > 1 trades lineage depth for fewer Spark jobs —
+        # right for short incremental runs where each state is read once.
+        if self._epoch % self.materialize_every == 0:
+            return ZSetFrame(z.df.localCheckpoint(eager=True))
+        return z
 
 
 class LinearOp:
@@ -202,6 +208,7 @@ class AggregateOp:
                  **state_kw):
         self.keys = list(keys)
         self.agg_fn = agg_fn
+        self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="agg_input", **state_kw)
         self._out_state: StateTable | None = None
 
@@ -213,7 +220,8 @@ class AggregateOp:
 
         if self._out_state is None:
             empty_out = ZSetFrame(new_out_rows.df.limit(0))
-            self._out_state = StateTable(empty_out, name="agg_output")
+            self._out_state = StateTable(empty_out, name="agg_output",
+                                         **self._state_kw)
             old_out_rows = ZSetFrame(new_out_rows.df.limit(0))
         else:
             old_out_rows = ZSetFrame(

@@ -489,3 +489,564 @@ def q18_event_type_pivot(spark, sf_dir):
             .pivot("event_type", types)
             .agg(F.count(F.lit(1)))
             .na.fill(0, types))
+
+
+# --------------------------------------------------------------------- #
+# Time-series / windowing (SURVEY §2.9)
+# --------------------------------------------------------------------- #
+
+@register("q19_tumbling_window", oracle=f"""
+SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {ORACLE_DSUM.format(x='value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def q19_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window (reference: tumbling windows from
+    watermark + rounding, nexmark q5.rs:76-118; window.rs:75)."""
+    from database_stream_processor_spark.operators.windows import tumbling_window
+    e = load_events(spark, sf_dir)
+    return tumbling_window(
+        e.withColumn("__epoch", epoch_seconds(F.col("ts"))),
+        "ts", 3600, ["event_type"],
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "total_value"))
+
+
+@register("q20_hopping_window", oracle=f"""
+WITH e AS (SELECT *, epoch_us(ts) // 1000000 AS ep FROM events)
+SELECT ws AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {ORACLE_DSUM.format(x='value')} AS total_value
+FROM e, unnest(generate_series(
+        GREATEST(((ep - 3600) // 1800 + 1) * 1800, 0),
+        (ep // 1800) * 1800, 1800)) AS t(ws)
+GROUP BY 1, 2
+""")
+def q20_hopping_window(spark, sf_dir):
+    """Hopping window 1h size / 30min hop (nexmark q5 pattern) — explode
+    into overlapping buckets JVM-side, then one groupBy."""
+    from database_stream_processor_spark.operators.windows import hopping_window
+    e = load_events(spark, sf_dir)
+    return hopping_window(e, "ts", 3600, 1800, ["event_type"],
+                          F.count(F.lit(1)).alias("n_events"),
+                          dsum(F.col("value"), "total_value"))
+
+
+@register("q21_rolling_per_user", oracle="""
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+       CAST(SUM(CAST(value AS DECIMAL(25,8))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""")
+def q21_rolling_per_user(spark, sf_dir):
+    """Partitioned rolling aggregate over a relative time range — the
+    reference's partitioned_rolling_aggregate with RelRange(-3600, 0)
+    (time_series/rolling_aggregate.rs:235).  RANGE frame (not ROWS) so
+    equal timestamps are handled identically everywhere."""
+    e = load_events(spark, sf_dir)
+    w = (Window.partitionBy("user_id")
+         .orderBy(epoch_seconds(F.col("ts")))
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        F.sum(F.col("value").cast("decimal(25,8)")).over(w)
+        .cast("double").alias("sum_1h"))
+
+
+@register("q22_asof_enrich", oracle="""
+SELECT p.event_id, p.user_id, c.value AS last_click_value,
+       c.event_id AS last_click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""")
+def q22_asof_enrich(spark, sf_dir):
+    """As-of join: enrich each purchase with the user's most recent click
+    (reference does time-series enrichment via range joins — SURVEY §2.4;
+    we provide a first-class scalable as-of via the union+window trick)."""
+    from database_stream_processor_spark.operators.asof import asof_join
+    e = load_events(spark, sf_dir)
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.col("value").alias("last_click_value"),
+                      F.col("event_id").alias("last_click_id")))
+    out = asof_join(purchases, clicks, on=["user_id"],
+                    left_ts="ts", right_ts="ts")
+    return out.select("event_id", "user_id", "last_click_value", "last_click_id")
+
+
+@register("q23_watermark_window", oracle="""
+WITH wm AS (SELECT MAX(ts) AS w FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_recent
+FROM events, wm
+WHERE ts >= w - INTERVAL 24 HOUR AND ts < w
+GROUP BY event_type
+""")
+def q23_watermark_window(spark, sf_dir):
+    """watermark_monotonic (watermark.rs:33) + window(bounds) (window.rs:75):
+    contents of the last 24h below the watermark."""
+    from database_stream_processor_spark.operators.windows import (
+        watermark_monotonic, window_range)
+    e = load_events(spark, sf_dir)
+    wm = watermark_monotonic(e, "ts")
+    bounded = (e.crossJoin(F.broadcast(wm))
+               .filter((F.col("ts") >= F.col("watermark") - F.expr("INTERVAL 24 HOUR")) &
+                       (F.col("ts") < F.col("watermark"))))
+    return bounded.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_recent"))
+
+
+@register("q24_latest_state_per_key", oracle="""
+SELECT user_id, event_type, value AS last_value, event_id AS last_event_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+""")
+def q24_latest_state_per_key(spark, sf_dir):
+    """Upsert view: last value per key in command order — batch form of
+    add_input_map/upsert semantics (input.rs:293-303, upsert.rs:37)."""
+    e = load_events(spark, sf_dir)
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type",
+                    F.col("value").alias("last_value"),
+                    F.col("event_id").alias("last_event_id")))
+
+
+@register("q25_json_props_extract", oracle="""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events GROUP BY 1
+""")
+def q25_json_props_extract(spark, sf_dir):
+    """Semi-structured access: JSON property extraction (Spark
+    get_json_object, JVM-side)."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.groupBy((k % 10).alias("k_mod"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("k_sum")))
+
+
+# --------------------------------------------------------------------- #
+# LLM-data-pipeline operators (BASELINE.json north_star)
+# --------------------------------------------------------------------- #
+
+from database_stream_processor_spark.functions.dedup import (  # noqa: E402
+    MERSENNE, _minhash_coeffs)
+
+_SHINGLE2_CTE = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] AS s
+       FROM toks, unnest(generate_series(0, len(t)-2)) AS u(i)
+       WHERE len(t) >= 2)"""
+
+_SHINGLE3_CTE = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+       FROM toks, unnest(generate_series(0, len(t)-3)) AS u(i)
+       WHERE len(t) >= 3)"""
+
+_MINHASH_K = 16
+_MINHASH_EXPRS = ",\n       ".join(
+    f"CAST(MIN(({a} * x + {b}) % {MERSENNE}) AS BIGINT) AS h{i}"
+    for i, (a, b) in enumerate(_minhash_coeffs(_MINHASH_K)))
+
+_SIG_CTE = f"""WITH {_SHINGLE3_CTE},
+x AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {MERSENNE} AS x
+      FROM sh),
+sig AS (SELECT doc_id,
+       {_MINHASH_EXPRS}
+FROM x GROUP BY doc_id)"""
+
+
+@register("q26_minhash_signatures", oracle=f"""
+{_SIG_CTE}
+SELECT * FROM sig
+""")
+def q26_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=16 universal hashes over 3-word shingles) —
+    dedup building block; one explode + one combinable groupBy."""
+    from database_stream_processor_spark.functions.dedup import minhash_signatures
+    d = load(spark, sf_dir, "documents")
+    return minhash_signatures(d, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('-', h{b*4}, h{b*4+1}, h{b*4+2}, h{b*4+3}) AS bkey FROM sig"
+    for b in range(4))
+
+
+@register("q27_lsh_near_dup_pairs", oracle=f"""
+{_SIG_CTE},
+bands AS ({_BANDS_SQL}),
+ok AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 1000)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN ok USING (band, bkey)
+JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+""")
+def q27_lsh_near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH banding (4 bands × 4 rows) → candidate near-dup pairs.
+    The within-bucket join replaces the all-pairs product; bucket-size cap
+    guards skew."""
+    from database_stream_processor_spark.functions.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    return lsh_candidate_pairs(sig, "doc_id", k=_MINHASH_K, bands=4)
+
+
+_SIMHASH_BITS = 16
+_BITSUM_EXPRS = ",\n       ".join(
+    f"SUM(2 * ((x >> {j}) & 1) - 1) AS b{j}" for j in range(_SIMHASH_BITS))
+_PACK_EXPR = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+
+
+@register("q28_simhash", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+             FROM documents),
+x AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS x FROM tok),
+bs AS (SELECT doc_id,
+       {_BITSUM_EXPRS}
+FROM x GROUP BY doc_id)
+SELECT doc_id, CAST({_PACK_EXPR} AS BIGINT) AS simhash FROM bs
+""")
+def q28_simhash(spark, sf_dir):
+    """SimHash fingerprints (16-bit) over token hashes — hamming-near
+    fingerprints = near-dup docs."""
+    from database_stream_processor_spark.functions.dedup import simhash
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+
+
+@register("q29_ngram_jaccard_pairs", oracle=f"""
+{_SIG_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+           GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(cnt / (sa.sz + sb.sz - cnt), 6) AS jaccard
+FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE ROUND(cnt / (sa.sz + sb.sz - cnt), 6) >= 0.5
+""")
+def q29_ngram_jaccard_pairs(spark, sf_dir):
+    """The production near-dup pipeline: MinHash-LSH candidates → exact
+    trigram-Jaccard verification restricted to the candidate set.  Cost ∝
+    |candidates|, never the quadratic all-pairs shingle join — this is the
+    shape that survives a 100 TB corpus."""
+    from database_stream_processor_spark.functions.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs)
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=_MINHASH_K, bands=4)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5,
+                               candidates=cand)
+
+
+_DOT = ("CAST(SUM(CAST(CAST({a}.embedding[i+1] AS DOUBLE) * "
+        "CAST({b}.embedding[i+1] AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)")
+
+
+@register("q30_cosine_topk", oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='q', b='c')} AS dp,
+         {_DOT.format(a='q', b='q')} AS nq,
+         {_DOT.format(a='c', b='c')} AS nc
+  FROM q, embeddings c, unnest(generate_series(0, 63)) t(i)
+  WHERE q.vec_id != c.vec_id
+  GROUP BY 1, 2),
+scored AS (SELECT query_id, neighbor_id,
+                  ROUND(dp / (sqrt(nq) * sqrt(nc)), 6) AS cosine_sim
+           FROM pairs)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine_sim DESC, neighbor_id) AS rk FROM scored) t
+WHERE rk <= 10
+""")
+def q30_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 ANN baseline: broadcast queries ×
+    corpus, JVM-side zip_with/aggregate dot products (exact decimal
+    accumulation → engine-portable scores)."""
+    from database_stream_processor_spark.functions.similarity import cosine_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=10)
+
+
+_COMP = ("((('0x' || substr(md5('plane' || p || '_' || i), 1, 8))::BIGINT"
+         " % 2001 - 1000) / 1000.0)")
+
+
+@register("q31_lsh_ann_topk", oracle=f"""
+WITH comps AS (
+  SELECT p, i, {_COMP} AS comp
+  FROM unnest(generate_series(0, 7)) tp(p),
+       unnest(generate_series(0, 63)) ti(i)),
+projs AS (
+  SELECT e.vec_id, c.p,
+         CAST(SUM(CAST(CAST(e.embedding[c.i+1] AS DOUBLE) * c.comp
+                       AS DECIMAL(38,20))) AS DOUBLE) AS proj
+  FROM embeddings e, comps c GROUP BY 1, 2),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM projs GROUP BY 1),
+q AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e
+      JOIN sigs s USING (vec_id) WHERE e.vec_id < 20),
+c AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e
+      JOIN sigs s USING (vec_id)),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='q', b='c')} AS dp,
+         {_DOT.format(a='q', b='q')} AS nq,
+         {_DOT.format(a='c', b='c')} AS nc
+  FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id != c.vec_id,
+       unnest(generate_series(0, 63)) t(i)
+  GROUP BY 1, 2),
+scored AS (SELECT query_id, neighbor_id,
+                  ROUND(dp / (sqrt(nq) * sqrt(nc)), 6) AS cosine_sim
+           FROM pairs)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine_sim DESC, neighbor_id) AS rk FROM scored) t
+WHERE rk <= 10
+""")
+def q31_lsh_ann_topk(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH bucketing turns the crossJoin
+    into an equi-join on the 8-bit signature (deterministic hash-derived
+    hyperplanes, reproducible in any engine)."""
+    from database_stream_processor_spark.functions.similarity import lsh_bucketed_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 20),
+                             k=10, n_planes=8)
+
+
+from database_stream_processor_spark.functions.text import (  # noqa: E402
+    LANG_MARKERS, QUALITY_STOPWORDS)
+
+
+def _occ_sql(needle: str, col: str = "p") -> str:
+    return (f"CAST((length({col}) - length(replace({col}, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+_LANG_SCORES = {lang: " + ".join(_occ_sql(m) for m in marks)
+                for lang, marks in LANG_MARKERS.items()}
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN s_{lang} = g AND g > 0 THEN '{lang}'" for lang in LANG_MARKERS
+) + " ELSE 'und' END"
+
+
+@register("q32_language_id", oracle=f"""
+WITH base AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scores AS (SELECT doc_id,
+  {', '.join(f'{expr} AS s_{lang}' for lang, expr in _LANG_SCORES.items())}
+FROM base),
+best AS (SELECT *, GREATEST({', '.join('s_' + l for l in LANG_MARKERS)}) AS g
+         FROM scores)
+SELECT doc_id, {_LANG_CASE} AS lang_guess FROM best
+""")
+def q32_language_id(spark, sf_dir):
+    """Heuristic language ID (stopword-marker profile) — scan-stage column
+    expressions, zero shuffles."""
+    from database_stream_processor_spark.functions.text import language_id
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+
+
+_STOP_HITS = " + ".join(_occ_sql(f" {w} ") for w in QUALITY_STOPWORDS)
+
+
+@register("q33_quality_score", oracle=f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         ' ' || lower(text) || ' ' AS p
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         len(list_distinct(toks)) AS nd,
+         {_STOP_HITS} AS stophits,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+         length(text) AS chars
+  FROM base)
+SELECT doc_id, ROUND(0.25 * (
+    LEAST(n / 200.0, 1.0)
+  + nd / GREATEST(n, 1.0)
+  + 1.0 - LEAST(ABS(CAST(stophits AS DOUBLE) / GREATEST(CAST(n AS BIGINT), 1) - 0.4) / 0.4, 1.0)
+  + 1.0 - LEAST(CAST(punct AS DOUBLE) / GREATEST(chars, 1) * 4.0, 1.0)
+), 6) AS quality FROM c
+""")
+def q33_quality_score(spark, sf_dir):
+    """Composite quality score (length saturation, lexical diversity,
+    stopword ratio, punctuation sanity) — C4/Gopher-style signals as pure
+    column arithmetic."""
+    from database_stream_processor_spark.functions.text import quality_score
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register("q34_token_counts", oracle="""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords
+FROM documents
+""")
+def q34_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex token estimate."""
+    from database_stream_processor_spark.functions.text import (
+        subword_count, token_count)
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    token_count(F.col("text")).alias("n_tokens"),
+                    subword_count(F.col("text")).alias("n_subwords"))
+
+
+@register("q35_fingerprint_dedup", oracle="""
+WITH fp AS (SELECT doc_id, lang,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents)
+SELECT f.doc_id, f.lang, f.fingerprint
+FROM fp f JOIN (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp GROUP BY 1) k
+  ON f.fingerprint = k.fingerprint AND f.doc_id = k.doc_id
+""")
+def q35_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup via normalized-text fingerprint: keep lowest doc_id per
+    identical text (hash-groupBy dedup)."""
+    from database_stream_processor_spark.functions.dedup import exact_dedup
+    from database_stream_processor_spark.functions.text import doc_fingerprint
+    d = load(spark, sf_dir, "documents")
+    kept = exact_dedup(d, "doc_id", "text")
+    return kept.select("doc_id", "lang",
+                       doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register("q36_multimodal_features", oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
+       substr(sha256(text), 1, 16) AS sha_prefix
+FROM documents
+""")
+def q36_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads → Arrow-batched
+    mapInPandas feature extraction (deterministic stub decode; real
+    decoder drops in behind the same batch shape)."""
+    from database_stream_processor_spark.functions.multimodal import extract_features
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.col("text").cast("binary").alias("payload")))
+    feats = extract_features(d, "doc_id", "payload")
+    return feats.select("doc_id", "size_bytes", "sha_prefix")
+
+
+# --------------------------------------------------------------------- #
+# Incremental engine + recursion (SURVEY §2.8; the DBSP calculus itself)
+# --------------------------------------------------------------------- #
+
+@register("q37_incremental_revenue", oracle=f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {ORACLE_DSUM.format(x='o.o_totalprice')} AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q37_incremental_revenue(spark, sf_dir):
+    """The IVM flagship: revenue-by-nation maintained across 3 delta
+    batches through JoinOp + AggregateOp (bilinear delta-join
+    join.rs:226-264; touched-group recompute aggregate/mod.rs:204-244).
+    The integrated output must equal the one-shot SQL — the reference's
+    own `inc == batch` oracle idiom (distinct.rs:32-75)."""
+    from database_stream_processor_spark.plans import AggregateOp, JoinOp
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    cust = ZSetFrame.from_df(
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name"))
+    empty_orders = ZSetFrame.from_df(
+        orders.limit(0).select(F.col("o_custkey").alias("c_custkey"),
+                               "o_totalprice"))
+    join_op = JoinOp(empty_orders, cust, on=["c_custkey"],
+                     materialize_every=8)
+    agg_op = AggregateOp(
+        ZSetFrame.from_df(
+            spark.createDataFrame([], "n_name string, o_totalprice double")),
+        ["n_name"],
+        lambda z: z.aggregate_linear(
+            ["n_name"], n_orders=F.lit(1),
+            total_revenue=F.col("o_totalprice").cast("decimal(25,8)")),
+        materialize_every=8,
+    )
+    out = None
+    for step in range(3):
+        batch = orders.filter(F.col("o_orderkey") % 3 == step)
+        dz = ZSetFrame.from_df(
+            batch.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"))
+        joined = join_op.step(
+            dz, cust if step == 0 else ZSetFrame.empty_like(cust))
+        delta = agg_op.step(joined.map("n_name", "o_totalprice"))
+        out = delta if out is None else out.plus(delta)
+    final = out.consolidate().df
+    return final.select("n_name", "n_orders",
+                        F.col("total_revenue").cast("double").alias("total_revenue"))
+
+
+@register("q38_incremental_distinct", oracle="""
+SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+""")
+def q38_incremental_distinct(spark, sf_dir):
+    """Incremental set-distinct across 3 delta batches (DistinctOp,
+    distinct.rs:64): integrated output deltas == one-shot DISTINCT."""
+    from database_stream_processor_spark.plans import DistinctOp
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    op = DistinctOp(ZSetFrame.from_df(li.limit(0)), materialize_every=8)
+    out = None
+    for step in range(3):
+        batch = li.filter(F.col("l_orderkey") % 3 == step)
+        delta = op.step(ZSetFrame.from_df(batch))
+        out = delta if out is None else out.plus(delta)
+    return out.consolidate().df.select("l_orderkey", "l_suppkey")
+
+
+@register("q39_transitive_closure", oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 1 AND 255),
+paths AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT p.src, e.dst FROM paths p JOIN edges e ON p.dst = e.src)
+SELECT src, dst FROM paths
+""")
+def q39_transitive_closure(spark, sf_dir):
+    """Fixpoint recursion (recursive.rs:255): transitive closure of the
+    custkey//2 ancestor graph via semi-naive iteration — per-round cost ∝
+    |new paths| like the reference's nested-clock recursion."""
+    from database_stream_processor_spark.operators.recursive import transitive_closure
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey").between(1, 255))
+    edges = c.select(F.col("c_custkey").alias("src"),
+                     F.expr("c_custkey div 2").alias("dst"))
+    return transitive_closure(edges, "src", "dst")
