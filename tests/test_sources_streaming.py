@@ -1,0 +1,119 @@
+"""Tests for sources/ (input handles, file transports, output handle) and
+streaming/ (foreachBatch step driver) — reference semantics from
+crates/dbsp/src/operator/input.rs tables and dbsp_handle.rs step loop."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from database_stream_processor_spark.plans.incremental import AggregateOp
+from database_stream_processor_spark.sources import (
+    MapInput,
+    OutputHandle,
+    SetInput,
+    read_csv,
+    read_zset,
+    write_zset,
+    zset_input,
+)
+from database_stream_processor_spark.streaming import StepDriver, foreach_batch_driver
+from database_stream_processor_spark.zset import ZSetFrame
+
+from tests.conftest import zset_to_dict
+
+
+def _cmd_df(spark, rows):
+    """rows: (x, insert, seq)"""
+    return spark.createDataFrame(rows, "x int, __insert boolean, __seq long")
+
+
+def test_set_input_semantics(spark):
+    """input.rs:214-223: insert-of-present / delete-of-absent are no-ops;
+    last command per element in a batch wins."""
+    empty = ZSetFrame.from_df(spark.createDataFrame([], "x int"))
+    s = SetInput(empty)
+
+    d1 = s.step(_cmd_df(spark, [(1, True, 0), (1, True, 1), (2, True, 2),
+                                (3, False, 3)]))
+    assert zset_to_dict(d1) == {(1,): 1, (2,): 1}  # dup insert deduped; del-absent noop
+
+    # delete 1; insert-then-delete 4 (last wins → absent); re-insert 2 (noop)
+    d2 = s.step(_cmd_df(spark, [(1, False, 0), (4, True, 1), (4, False, 2),
+                                (2, True, 3)]))
+    assert zset_to_dict(d2) == {(1,): -1}
+    assert zset_to_dict(s.state.current) == {(2,): 1}
+
+
+def test_map_input_upsert(spark):
+    empty = ZSetFrame.from_df(spark.createDataFrame([], "k int, v string"))
+    m = MapInput(empty, keys=["k"])
+    d1 = m.step(spark.createDataFrame([(1, "a", False, 0), (2, "b", False, 1)],
+                                      "k int, v string, __delete boolean, __seq long"))
+    assert zset_to_dict(d1) == {(1, "a"): 1, (2, "b"): 1}
+    # overwrite k=1 → retraction of old + insert of new (input.rs:293-303)
+    d2 = m.step(spark.createDataFrame([(1, "z", False, 0)],
+                                      "k int, v string, __delete boolean, __seq long"))
+    assert zset_to_dict(d2) == {(1, "a"): -1, (1, "z"): 1}
+
+
+def test_csv_roundtrip_and_zset_persistence(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "id int, s string")
+    csv_dir = os.path.join(tmp_path, "csv")
+    df.write.option("header", True).csv(csv_dir)
+    z = read_csv(spark, csv_dir, schema="id int, s string")
+    assert zset_to_dict(z) == {(1, "a"): 1, (2, "b"): 2}
+
+    zdir = os.path.join(tmp_path, "zset")
+    write_zset(z.neg(), zdir)
+    back = read_zset(spark, zdir)
+    assert zset_to_dict(back) == {(1, "a"): -1, (2, "b"): -2}
+
+
+def test_step_driver_with_output_handle(spark):
+    """Three ticks of an incremental count-per-key circuit through the step
+    driver; the output handle's consolidation equals a full recompute."""
+    empty = ZSetFrame.from_df(spark.createDataFrame([], "k int, v int"))
+    agg = AggregateOp(empty, ["k"], lambda z: z.aggregate_linear(
+        ["k"], cnt=F.lit(1), total=F.col("v")))
+    out = OutputHandle()
+    driver = StepDriver(lambda dz: agg.step(dz), output_handle=out)
+
+    batches = [[(1, 10), (2, 20)], [(1, 5)], [(2, -20), (3, 7)]]
+    for b in batches:
+        driver.step(spark.createDataFrame(b, "k int, v int"))
+    assert driver.ticks == 3
+    assert zset_to_dict(out.consolidate()) == {
+        (1, 2, 15): 1, (2, 2, 0): 1, (3, 1, 7): 1}
+
+
+def test_foreach_batch_driver_on_file_stream(spark, tmp_path):
+    """End-to-end Structured Streaming: parquet file source → foreachBatch
+    ticking the incremental aggregate → collected deltas integrate to the
+    same result as a batch recompute (the adapters-controller wiring,
+    crates/adapters/src/lib.rs:12-40)."""
+    in_dir = os.path.join(tmp_path, "in")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    os.makedirs(in_dir)
+    spark.createDataFrame([(1, 10), (2, 20)], "k int, v int") \
+        .write.parquet(os.path.join(in_dir, "b0.parquet"))
+    spark.createDataFrame([(1, 5), (3, 1)], "k int, v int") \
+        .write.parquet(os.path.join(in_dir, "b1.parquet"))
+
+    empty = ZSetFrame.from_df(spark.createDataFrame([], "k int, v int"))
+    agg = AggregateOp(empty, ["k"], lambda z: z.aggregate_linear(
+        ["k"], total=F.col("v")))
+    out = OutputHandle()
+    driver = StepDriver(lambda dz: agg.step(dz), output_handle=out)
+
+    stream = (spark.readStream.schema("k int, v int")
+              .option("recursiveFileLookup", True)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream.writeStream.foreachBatch(foreach_batch_driver(driver))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert driver.ticks >= 1
+    assert zset_to_dict(out.consolidate()) == {(1, 15): 1, (2, 20): 1, (3, 1): 1}
