@@ -39,6 +39,8 @@ HEADLINE = [
     "q33_quality_score",
     "q37_incremental_revenue",
     "q39_transitive_closure",
+    "nx_q05_hot_items",
+    "nx_q09_winning_bids",
 ]
 
 

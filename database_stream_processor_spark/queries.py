@@ -1050,3 +1050,8 @@ def q39_transitive_closure(spark, sf_dir):
     edges = c.select(F.col("c_custkey").alias("src"),
                      F.expr("c_custkey div 2").alias("dst"))
     return transitive_closure(edges, "src", "dst")
+
+
+# Nexmark-style suite (the reference's own 22 test queries) registers itself
+# on import; placed at module end so `register` exists when it loads.
+from database_stream_processor_spark import nexmark  # noqa: E402,F401
