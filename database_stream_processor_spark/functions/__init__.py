@@ -7,7 +7,14 @@ built as column expressions / DataFrame compositions so they run JVM-side
 and scale like any other operator.
 """
 
-from database_stream_processor_spark.functions import dedup, similarity, text
+from database_stream_processor_spark.functions import dedup, scalar, similarity, text
+from database_stream_processor_spark.functions.scalar import (
+    haversine_km,
+    register_sql_macros,
+    split_index,
+    st_distance,
+    st_point,
+)
 from database_stream_processor_spark.functions.dedup import (
     exact_dedup,
     minhash_signatures,
@@ -28,6 +35,12 @@ from database_stream_processor_spark.functions.text import (
 
 __all__ = [
     "cosine_topk",
+    "haversine_km",
+    "register_sql_macros",
+    "scalar",
+    "split_index",
+    "st_distance",
+    "st_point",
     "dedup",
     "doc_fingerprint",
     "exact_dedup",

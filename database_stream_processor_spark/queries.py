@@ -1052,6 +1052,43 @@ def q39_transitive_closure(spark, sf_dir):
     return transitive_closure(edges, "src", "dst")
 
 
+@register("q40_scalar_functions", oracle="""
+SELECT event_id,
+       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,
+       CAST(isodow(ts) AS INT) AS iso_dow,
+       round(sqrt(pow(CAST(user_id % 90 AS DOUBLE) - 20.0, 2)
+                  + pow(CAST(user_id % 180 AS DOUBLE) - 40.0, 2)), 6) AS dist_planar,
+       round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(20.0 - (user_id % 90)) / 2), 2)
+           + cos(radians(CAST(user_id % 90 AS DOUBLE))) * cos(radians(20.0))
+             * pow(sin(radians(40.0 - (user_id % 180)) / 2), 2))), 4) AS dist_km,
+       split_part('geo/' || event_type || '/' || CAST(user_id AS VARCHAR), '/', 2)
+           AS url_part
+FROM events""")
+def q40_scalar_functions(spark, sf_dir):
+    """Scalar-function surface (SURVEY §2.10): EXTRACT(EPOCH), ISODOW,
+    planar ST_DISTANCE, haversine, SPLIT_INDEX — all JVM-side expressions
+    (functions/scalar.py; reference demo SQL FraudDetection project.sql:33,
+    GreenTrip project.sql:15-29, nexmark q22.rs:36)."""
+    from database_stream_processor_spark.functions.scalar import (
+        haversine_km, isodow, split_index, st_distance, st_point)
+    e = load_events(spark, sf_dir)
+    lat = (F.col("user_id") % 90).cast("double")
+    lon = (F.col("user_id") % 180).cast("double")
+    url = F.concat(F.lit("geo/"), F.col("event_type"), F.lit("/"),
+                   F.col("user_id").cast("string"))
+    return e.select(
+        "event_id",
+        epoch_seconds(F.col("ts")).alias("ep"),
+        isodow(F.col("ts")).cast("int").alias("iso_dow"),
+        F.round(st_distance(st_point(lat, lon), st_point(F.lit(20.0), F.lit(40.0))),
+                6).alias("dist_planar"),
+        F.round(haversine_km(lat, lon, F.lit(20.0), F.lit(40.0)), 4).alias("dist_km"),
+        split_index(url, "/", 1).alias("url_part"),
+    )
+
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
