@@ -59,11 +59,17 @@ class StateTable:
     def __init__(self, empty: ZSetFrame, name: str = "state",
                  path: str | None = None,
                  partition_by: Sequence[str] | None = None,
-                 materialize_every: int = 1):
+                 materialize_every: int = 1,
+                 consolidate_every: int = 1):
         self.name = name
         self.path = path
         self.partition_by = list(partition_by or [])
         self.materialize_every = materialize_every
+        #: Spine-style fueled merge (spine_fueled.rs:1-60): appended deltas
+        #: are NOT hash-consolidated on every update — weights are additive,
+        #: so readers (joins/linear aggregates/distinct) are correct on the
+        #: unmerged union; we pay the groupBy only every Nth update.
+        self.consolidate_every = consolidate_every
         self._epoch = 0
         self._spark = empty.df.sparkSession
         self._schema = empty.df.schema
@@ -76,13 +82,15 @@ class StateTable:
         return self._current
 
     def update(self, delta: ZSetFrame) -> ZSetFrame:
-        """state ← consolidate(state + delta); returns the new state."""
+        """state ← state + delta (merged lazily); returns the new state."""
         if set(delta.df.columns) != {f.name for f in self._schema.fields}:
             raise ValueError(
                 f"state table `{self.name}` columns "
                 f"{sorted(f.name for f in self._schema.fields)} != delta columns "
                 f"{sorted(delta.df.columns)}")
-        merged = self._current.plus(delta).consolidate()
+        merged = self._current.plus(delta)
+        if (self._epoch + 1) % self.consolidate_every == 0:
+            merged = merged.consolidate()
         self._current = self._materialize(merged)
         return self._current
 
@@ -154,6 +162,8 @@ class JoinOp:
                  on: Sequence[str], how: str = "inner", **state_kw):
         self.on = list(on)
         self.how = how
+        # bilinear delta-join is weight-additive → spine-style lazy merge
+        state_kw.setdefault("consolidate_every", 4)
         self.left = StateTable(empty_left, name="join_left", **state_kw)
         self.right = StateTable(empty_right, name="join_right", **state_kw)
 
@@ -176,6 +186,8 @@ class DistinctOp:
     """
 
     def __init__(self, empty: ZSetFrame, **state_kw):
+        # distinct() re-consolidates per group internally → lazy merge is safe
+        state_kw.setdefault("consolidate_every", 4)
         self.integral = StateTable(empty, name="distinct_integral", **state_kw)
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
@@ -208,6 +220,10 @@ class AggregateOp:
                  **state_kw):
         self.keys = list(keys)
         self.agg_fn = agg_fn
+        # input integral merges lazily; step() consolidates the *touched*
+        # subset before agg_fn so non-linear aggregates (rows() expansion)
+        # see merged weights — cost ∝ touched groups, not state
+        state_kw.setdefault("consolidate_every", 4)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="agg_input", **state_kw)
         self._out_state: StateTable | None = None
@@ -215,7 +231,8 @@ class AggregateOp:
     def step(self, delta: ZSetFrame) -> ZSetFrame:
         new_in = self.integral.update(delta)
         touched = delta.df.select(*self.keys).dropDuplicates()
-        new_touched = ZSetFrame(new_in.df.join(touched, on=self.keys, how="left_semi"))
+        new_touched = ZSetFrame(
+            new_in.df.join(touched, on=self.keys, how="left_semi")).consolidate()
         new_out_rows = self.agg_fn(new_touched)  # weight-1 rows per surviving group
 
         if self._out_state is None:

@@ -1089,6 +1089,33 @@ def q40_scalar_functions(spark, sf_dir):
 
 
 
+@register("q41_full_outer_default", oracle="""
+WITH oc AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+ec AS (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1)
+SELECT COALESCE(oc.k, ec.k) AS k,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_events, 0) AS n_events
+FROM oc FULL OUTER JOIN ec ON oc.k = ec.k""")
+def q41_full_outer_default(spark, sf_dir):
+    """Full outer join with default padding for the unmatched side —
+    the reference's ``outer_join`` (join + two antijoins, join.rs:338-361)
+    and ``outer_join_default`` (join.rs:365-386), expressed through the
+    Z-set layer's full_outer + coalesce."""
+    from database_stream_processor_spark.zset import ZSetFrame
+    orders = load(spark, sf_dir, "orders")
+    events = load(spark, sf_dir, "events")
+    oc = ZSetFrame.from_df(orders.select(F.col("o_custkey").alias("k"))) \
+        .aggregate_linear(["k"], n_orders=F.lit(1))
+    ec = ZSetFrame.from_df(events.select(F.col("user_id").alias("k"))) \
+        .aggregate_linear(["k"], n_events=F.lit(1))
+    j = oc.join(ec, on=["k"], how="full_outer")
+    return j.df.select(
+        "k",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"))
+
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
