@@ -296,11 +296,19 @@ class ZSetFrame:
         ``WeightedCount``).
 
         The output is a Z-set of (key, aggregate...) rows at weight 1.
+        Groups whose every aggregate sums to zero are dropped: the linear
+        aggregate vector *is* the weight in the output ring, and zero
+        weights are never stored (src/algebra/mod.rs HasZero; a fully
+        cancelled group is indistinguishable from an absent one).
         """
         w = F.col(WEIGHT_COL)
         exprs = [F.sum(expr * w).alias(name) for name, expr in aggs.items()]
         out = self.df.groupBy(*keys).agg(*exprs)
-        return ZSetFrame.from_df(out, 1)
+        nonzero = None
+        for name in aggs:
+            cond = F.coalesce(F.col(name), F.lit(0)) != 0
+            nonzero = cond if nonzero is None else (nonzero | cond)
+        return ZSetFrame.from_df(out.filter(nonzero), 1)
 
     def aggregate(self, keys: Sequence[str], *aggs: Column) -> "ZSetFrame":
         """General (non-linear) aggregate over the *bag* expansion — min/max/
