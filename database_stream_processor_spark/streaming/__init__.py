@@ -13,5 +13,10 @@ from database_stream_processor_spark.streaming.driver import (
     StepDriver,
     foreach_batch_driver,
 )
+from database_stream_processor_spark.streaming.stateful import (
+    latest_per_key,
+    running_linear_agg,
+)
 
-__all__ = ["StepDriver", "foreach_batch_driver"]
+__all__ = ["StepDriver", "foreach_batch_driver", "latest_per_key",
+           "running_linear_agg"]

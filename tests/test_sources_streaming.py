@@ -117,3 +117,71 @@ def test_foreach_batch_driver_on_file_stream(spark, tmp_path):
 
     assert driver.ticks >= 1
     assert zset_to_dict(out.consolidate()) == {(1, 15): 1, (2, 20): 1, (3, 1): 1}
+
+
+def test_applyinpandaswithstate_running_agg(spark, tmp_path):
+    """Native streaming stateful aggregate: state-store-backed running sums
+    across two micro-batches match a batch recompute, including a
+    retraction (weighted) row."""
+    import os
+    from database_stream_processor_spark.streaming.stateful import (
+        running_linear_agg)
+
+    in_dir = os.path.join(tmp_path, "in")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    os.makedirs(in_dir)
+    spark.createDataFrame([(1, 10.0, 1), (1, 20.0, 1), (2, 5.0, 1)],
+                          "k int, v double, __weight long") \
+        .coalesce(1).write.parquet(os.path.join(in_dir, "b0.parquet"))
+    spark.createDataFrame([(1, 10.0, -1), (3, 7.0, 1)],
+                          "k int, v double, __weight long") \
+        .coalesce(1).write.parquet(os.path.join(in_dir, "b1.parquet"))
+
+    stream = (spark.readStream.schema("k int, v double, __weight long")
+              .option("recursiveFileLookup", True)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = running_linear_agg(stream, ["k"], ["v"], weight_col="__weight")
+
+    emitted = []
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(lambda df, epoch: emitted.append(
+             {tuple(r)[:1]: tuple(r)[1:] for r in df.collect()}))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    final = {}
+    for batch in emitted:
+        final.update(batch)
+    assert final == {(1,): (1, 20.0), (2,): (1, 5.0), (3,): (1, 7.0)}
+
+
+def test_applyinpandaswithstate_latest_per_key(spark, tmp_path):
+    import os
+    from database_stream_processor_spark.streaming.stateful import latest_per_key
+
+    in_dir = os.path.join(tmp_path, "in")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    os.makedirs(in_dir)
+    spark.createDataFrame([(1, 100, "a"), (2, 100, "x")], "k int, ts int, s string") \
+        .coalesce(1).write.parquet(os.path.join(in_dir, "b0.parquet"))
+    spark.createDataFrame([(1, 300, "c"), (1, 200, "b")], "k int, ts int, s string") \
+        .coalesce(1).write.parquet(os.path.join(in_dir, "b1.parquet"))
+
+    stream = (spark.readStream.schema("k int, ts int, s string")
+              .option("recursiveFileLookup", True)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    out = latest_per_key(stream, ["k"], "ts")
+
+    emitted = []
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(lambda df, epoch: emitted.append(
+             {r["k"]: (r["ts"], r["s"]) for r in df.collect()}))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    final = {}
+    for batch in emitted:
+        final.update(batch)
+    assert final == {1: (300, "c"), 2: (100, "x")}
