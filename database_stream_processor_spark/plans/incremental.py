@@ -289,3 +289,82 @@ class UpsertOp:
         delta = inserts.plus(old_touched.neg()).consolidate()
         self.state.update(delta)
         return delta
+
+
+class PartitionedRollingAggregateOp:
+    """Incremental per-partition rolling aggregate over a relative time
+    range, with out-of-order correction (reference:
+    time_series/rolling_aggregate.rs:235 ``partitioned_rolling_aggregate``;
+    late rows retract and correct previously-emitted outputs,
+    rolling_aggregate.rs:119-143).
+
+    ``aggs`` maps output column → aggregate Column; each input row gets the
+    aggregate over its partition's rows in ``[ts - before, ts + after]``.
+    Per step: recompute only the partitions touched by the delta from the
+    integrated input (the touched-group idiom, aggregate/mod.rs:204-244) and
+    emit retraction of their old output rows + insertion of the new — so a
+    late-arriving row automatically corrects every output row whose frame it
+    falls into.
+
+    With ``watermark_delay`` set (``partitioned_rolling_aggregate_with_
+    watermark``, rolling_aggregate.rs:155-200), the watermark wm = max seen
+    ts − delay bounds both lateness and state:
+
+    - input rows below wm are dropped (late-data policy, watermark.rs:33-46);
+    - outputs are *live* only for rows ≥ wm; once a row falls below wm its
+      output is frozen — never recomputed, never retracted;
+    - input state below ``wm − before`` is truncated (the trace bound
+      ``truncate_values_below``, trace/mod.rs:152-165): live rows' frames
+      reach at most ``before`` back, so truncated history can never affect a
+      live frame.  State stays finite on unbounded streams.
+    """
+
+    def __init__(self, empty_in: ZSetFrame, partition_by: str, ts_col: str,
+                 before: int, after: int, aggs: dict,
+                 watermark_delay: int | None = None, **state_kw):
+        from database_stream_processor_spark.operators.windows import (
+            rolling_aggregate)
+        self.pk = partition_by
+        self.ts = ts_col
+        self.before = before
+        self.watermark_delay = watermark_delay
+        self._wm: list[int | None] = [None]  # mutable holder read by agg_fn
+        wm = self._wm
+
+        def agg_fn(z: ZSetFrame) -> ZSetFrame:
+            out = rolling_aggregate(z.rows(), [partition_by], ts_col,
+                                    before, after, **aggs)
+            if wm[0] is not None:
+                # only rows at/above the watermark are live outputs
+                out = out.filter(F.unix_timestamp(F.col(ts_col)) >= wm[0])
+            return ZSetFrame.from_df(out, 1)
+
+        self._op = AggregateOp(empty_in, [partition_by], agg_fn, **state_kw)
+
+    def _ts_sec(self):
+        return F.unix_timestamp(F.col(self.ts))
+
+    def step(self, delta: ZSetFrame) -> ZSetFrame:
+        if self.watermark_delay is not None:
+            row = delta.df.select(F.max(self._ts_sec()).alias("m")).collect()[0]
+            if row["m"] is not None:
+                new_wm = int(row["m"]) - self.watermark_delay
+                if self._wm[0] is None or new_wm > self._wm[0]:
+                    self._wm[0] = new_wm
+            if self._wm[0] is not None:
+                delta = delta.filter(self._ts_sec() >= self._wm[0])
+                # trace bounds BEFORE the step: frozen outputs leave the
+                # output state (so the diff never retracts them) and dead
+                # input history leaves the input state
+                st = self._op.integral
+                st._current = ZSetFrame(st.current.df.filter(
+                    self._ts_sec() >= self._wm[0] - self.before))
+                if self._op._out_state is not None:
+                    out_st = self._op._out_state
+                    out_st._current = ZSetFrame(out_st.current.df.filter(
+                        self._ts_sec() >= self._wm[0]))
+        return self._op.step(delta)
+
+    @property
+    def current_output(self):
+        return self._op.current_output

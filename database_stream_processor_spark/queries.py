@@ -1116,6 +1116,36 @@ def q41_full_outer_default(spark, sf_dir):
 
 
 
+@register("q42_incremental_rolling", oracle="""
+SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep, value,
+       ROUND(SUM(value) OVER w, 2) AS roll_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")
+def q42_incremental_rolling(spark, sf_dir):
+    """Incremental partitioned rolling aggregate maintained across two delta
+    batches whose interleaved event times force out-of-order corrections
+    (rolling_aggregate.rs:119-143); the integrated output must equal the
+    one-shot SQL window — the reference's inc == batch oracle idiom."""
+    from database_stream_processor_spark.plans.incremental import (
+        PartitionedRollingAggregateOp)
+    e = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    empty = ZSetFrame.from_df(e.limit(0).drop("event_id"))
+    op = PartitionedRollingAggregateOp(
+        empty, "user_id", "ts", before=3600, after=0,
+        aggs={"roll_sum": F.sum("value"), "roll_cnt": F.count(F.lit(1))})
+    for step in range(2):
+        batch = e.filter(F.col("event_id") % 2 == step).drop("event_id")
+        op.step(ZSetFrame.from_df(batch))
+    out = op.current_output.consolidate().rows()
+    return out.select(
+        "user_id", epoch_seconds(F.col("ts")).alias("ep"), "value",
+        F.round("roll_sum", 2).alias("roll_sum"),
+        F.col("roll_cnt").cast("long").alias("roll_cnt"))
+
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -1,0 +1,82 @@
+"""Incremental partitioned rolling aggregate — the reference's
+out-of-order-correction contract (rolling_aggregate.rs:119-143: a late row
+retracts and corrects every previously-emitted output whose frame contains
+it) and the watermark variant's state bounds (rolling_aggregate.rs:155-200,
+trace/mod.rs:152-165)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from database_stream_processor_spark.operators.windows import rolling_aggregate
+from database_stream_processor_spark.plans.incremental import (
+    PartitionedRollingAggregateOp,
+)
+from database_stream_processor_spark.zset import ZSetFrame
+from tests.conftest import zset_to_dict
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [(k, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s), float(v))
+         for k, s, v in rows],
+        "k int, ts timestamp, v double")
+
+
+def _mk_op(spark, **kw):
+    empty = ZSetFrame.from_df(_rows(spark, []).limit(0))
+    return PartitionedRollingAggregateOp(
+        empty, "k", "ts", before=100, after=0,
+        aggs={"s": F.sum("v"), "n": F.count(F.lit(1))}, **kw)
+
+
+def test_out_of_order_row_corrects_prior_outputs(spark):
+    op = _mk_op(spark)
+    out = op.step(ZSetFrame.from_df(_rows(spark, [(1, 0, 10), (1, 50, 20)])))
+    d1 = zset_to_dict(out)
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    assert d1 == {(1, t(0), 10.0, 10.0, 1): 1, (1, t(50), 20.0, 30.0, 2): 1}
+
+    # late row at ts=30 lands inside the frame of the ts=50 row →
+    # its old output is retracted and corrected (and ts=30 gets an output)
+    d2 = zset_to_dict(op.step(ZSetFrame.from_df(_rows(spark, [(1, 30, 5)]))))
+    assert d2 == {
+        (1, t(30), 5.0, 15.0, 2): 1,
+        (1, t(50), 20.0, 30.0, 2): -1,
+        (1, t(50), 20.0, 35.0, 3): 1,
+    }
+
+    # integrated output equals a one-shot batch rolling aggregate
+    batch = rolling_aggregate(
+        _rows(spark, [(1, 0, 10), (1, 50, 20), (1, 30, 5)]),
+        ["k"], "ts", 100, 0, s=F.sum("v"), n=F.count(F.lit(1)))
+    want = {tuple(r): 1 for r in batch.collect()}
+    assert zset_to_dict(op.current_output.consolidate()) == want
+
+
+def test_untouched_partitions_emit_nothing(spark):
+    op = _mk_op(spark)
+    op.step(ZSetFrame.from_df(_rows(spark, [(1, 0, 10), (2, 0, 7)])))
+    d = zset_to_dict(op.step(ZSetFrame.from_df(_rows(spark, [(2, 10, 1)]))))
+    assert all(k == 2 for (k, *_rest) in d)  # partition 1 untouched → silent
+
+
+def test_watermark_drops_late_and_bounds_state(spark):
+    op = _mk_op(spark, watermark_delay=50)
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+    op.step(ZSetFrame.from_df(_rows(spark, [(1, 0, 10), (1, 200, 20)])))
+    # wm = 200 - 50 = 150; a row at ts=100 (< wm) is late → dropped, no output
+    d = zset_to_dict(op.step(ZSetFrame.from_df(_rows(spark, [(1, 100, 99)]))))
+    assert d == {}
+
+    # a row at ts=260 advances wm to 210; the frozen ts=200 output must NOT
+    # be retracted even though 260's arrival touches its partition
+    d = zset_to_dict(op.step(ZSetFrame.from_df(_rows(spark, [(1, 260, 1)]))))
+    assert d == {(1, t(260), 1.0, 21.0, 2): 1}  # frame [160,260]: 20+1
+
+    # input state truncated below wm − before = 110 → ts=0 row evicted
+    state_ts = sorted(r["ts"] for r in op._op.integral.current.df.collect())
+    assert state_ts == [t(200), t(260)]
