@@ -7,7 +7,11 @@ multimodal decode stubs live in functions/multimodal.py).
 """
 
 from database_stream_processor_spark.operators.asof import asof_join
-from database_stream_processor_spark.operators.recursive import fixpoint, transitive_closure
+from database_stream_processor_spark.operators.recursive import (
+    fixpoint,
+    iterate_until,
+    transitive_closure,
+)
 from database_stream_processor_spark.operators.windows import (
     hopping_window,
     rolling_aggregate,
@@ -20,6 +24,7 @@ from database_stream_processor_spark.operators.windows import (
 __all__ = [
     "asof_join",
     "fixpoint",
+    "iterate_until",
     "hopping_window",
     "rolling_aggregate",
     "topk_per_group",

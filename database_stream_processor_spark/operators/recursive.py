@@ -68,3 +68,18 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
             return acc
         acc = acc.unionByName(frontier).localCheckpoint(eager=True)
     raise RuntimeError(f"transitive_closure did not converge in {max_iterations} iterations")
+
+
+def iterate_until(seed: DataFrame, step: Callable[[DataFrame], DataFrame],
+                  condition: Callable[[DataFrame], bool],
+                  max_iterations: int = 100) -> DataFrame:
+    """``iterate_with_condition`` (src/operator/condition.rs:22-100): apply
+    ``step`` repeatedly until ``condition(current)`` holds.  The general
+    form of :func:`fixpoint` for non-monotone iterations (e.g. numeric
+    convergence); the caller's condition is responsible for termination."""
+    acc = seed.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        if condition(acc):
+            return acc
+        acc = step(acc).localCheckpoint(eager=True)
+    raise RuntimeError(f"iterate_until did not converge in {max_iterations} iterations")

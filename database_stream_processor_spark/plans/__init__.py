@@ -4,22 +4,30 @@ SURVEY.md §2.8)."""
 
 from database_stream_processor_spark.plans.incremental import (
     AggregateOp,
+    Apply2Op,
     DifferentiateOp,
     DistinctOp,
     IntegrateOp,
     JoinOp,
     LinearOp,
+    PartitionedRollingAggregateOp,
     StateTable,
+    StreamFoldOp,
     UpsertOp,
+    Z1Op,
 )
 
 __all__ = [
     "AggregateOp",
+    "Apply2Op",
     "DifferentiateOp",
     "DistinctOp",
     "IntegrateOp",
     "JoinOp",
     "LinearOp",
+    "PartitionedRollingAggregateOp",
     "StateTable",
+    "StreamFoldOp",
     "UpsertOp",
+    "Z1Op",
 ]

@@ -368,3 +368,46 @@ class PartitionedRollingAggregateOp:
     @property
     def current_output(self):
         return self._op.current_output
+
+
+class Z1Op:
+    """``z^-1`` — delay a stream by one tick: emits the *previous* step's
+    value, initially empty (src/operator/z1.rs; the feedback edge of every
+    DBSP cycle).  The Spark analog of "previous micro-batch's table
+    version"."""
+
+    def __init__(self, empty: ZSetFrame, **state_kw):
+        self.state = StateTable(empty, name="z1", **state_kw)
+
+    def step(self, value: ZSetFrame) -> ZSetFrame:
+        prev = self.state.current
+        self.state._current = self.state._materialize(value)
+        return prev
+
+
+class StreamFoldOp:
+    """Running fold over the stream of batches with an arbitrary
+    accumulator DataFrame (src/operator/stream_fold.rs:21).
+
+    ``fold(acc_df, batch) -> acc_df`` — e.g. a running global min/max/
+    count; the accumulator is a (small) DataFrame, kept distributed."""
+
+    def __init__(self, init: DataFrame, fold):
+        self.acc = init
+        self.fold = fold
+
+    def step(self, batch: ZSetFrame) -> DataFrame:
+        self.acc = self.fold(self.acc, batch).localCheckpoint(eager=True)
+        return self.acc
+
+
+class Apply2Op:
+    """Arbitrary binary batch function applied per tick
+    (src/operator/apply2.rs:17) — the two-input counterpart of
+    :class:`LinearOp`.  Stateless; incremental only if ``f`` is bilinear."""
+
+    def __init__(self, f):
+        self.f = f
+
+    def step(self, a: ZSetFrame, b: ZSetFrame) -> ZSetFrame:
+        return self.f(a, b)

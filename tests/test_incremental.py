@@ -153,3 +153,42 @@ def test_retraction_round_reverts_output(spark):
     second = op.step(batch.neg())
     # all outputs retracted
     assert zset_to_dict(first.plus(second).consolidate()) == {}
+
+
+def test_z1_delays_one_tick(spark):
+    from database_stream_processor_spark.plans import Z1Op
+    empty = ZSetFrame.from_df(spark.createDataFrame([], "x int"))
+    z1 = Z1Op(empty)
+    a = ZSetFrame.from_df(spark.createDataFrame([(1,)], "x int"))
+    b = ZSetFrame.from_df(spark.createDataFrame([(2,)], "x int"))
+    assert zset_to_dict(z1.step(a)) == {}            # initial: empty
+    assert zset_to_dict(z1.step(b)) == {(1,): 1}     # previous value
+    assert zset_to_dict(z1.state.current) == {(2,): 1}
+
+
+def test_stream_fold_running_scalar(spark):
+    from database_stream_processor_spark.plans import StreamFoldOp
+    init = spark.createDataFrame([(0,)], "total long")
+    fold = StreamFoldOp(init, lambda acc, batch: acc.crossJoin(
+        batch.weighted_count().withColumnRenamed("count", "c"))
+        .selectExpr("total + c AS total"))
+    b1 = ZSetFrame.from_df(spark.createDataFrame([(1,), (2,)], "x int"))
+    b2 = ZSetFrame.from_df(spark.createDataFrame([(3,)], "x int"), weight=2)
+    assert fold.step(b1).collect()[0]["total"] == 2
+    assert fold.step(b2).collect()[0]["total"] == 4
+
+
+def test_apply2_and_iterate_until(spark):
+    from database_stream_processor_spark.operators import iterate_until
+    from database_stream_processor_spark.plans import Apply2Op
+    op = Apply2Op(lambda a, b: a.join(b, on=["k"]))
+    a = ZSetFrame.from_df(spark.createDataFrame([(1, "x")], "k int, v string"))
+    b = ZSetFrame.from_df(spark.createDataFrame([(1, 9)], "k int, n int"))
+    assert zset_to_dict(op.step(a, b)) == {(1, "x", 9): 1}
+
+    # numeric doubling until threshold — condition-driven iteration
+    seed = spark.createDataFrame([(1.0,)], "x double")
+    out = iterate_until(
+        seed, lambda df: df.selectExpr("x * 2 AS x"),
+        lambda df: df.collect()[0]["x"] >= 8)
+    assert out.collect()[0]["x"] == 8.0
