@@ -109,3 +109,70 @@ def decode_image(df: DataFrame, binary_col: str) -> DataFrame:
             "image decode requires PIL; use extract_features() for the "
             "deterministic-stub pipeline")
     raise NotImplementedError("real decoder wiring lands with codec support")
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(df: DataFrame, id_col: str, binary_col: str,
+                  width: int, height: int) -> DataFrame:
+    """Image resize over Arrow batches (``mapInPandas``).
+
+    STUB compute: without codecs the "resized" payload is a deterministic
+    sha-derived placeholder of bounded size; the batch shape, schema, and
+    partition behavior are the production ones — swap the inner lambda for
+    a PIL ``Image.resize`` when codecs exist.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "payload": pdf[binary_col].map(
+                    lambda b: hashlib.sha256(bytes(b)).digest()),
+                "width": width,
+                "height": height,
+            })
+
+    prepared = df.select(F.col(id_col), F.col(binary_col).cast("binary"))
+    return prepared.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, id_col: str, binary_col: str,
+                  every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (``mapInPandas`` UDTF shape — the flat_map of SURVEY §2.2 over media).
+
+    STUB compute: frame count is derived from payload size and each "frame"
+    is a deterministic slice-hash; a real build decodes with ffmpeg/pyav.
+    Explosion happens inside the Arrow batch (no driver involvement), so
+    output row count scales with frames, not tasks.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                payload = bytes(payload)
+                n = min(max(len(payload) // (every_n * 16), 1), max_frames)
+                for i in range(n):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame"].append(
+                        hashlib.sha256(payload + bytes([i])).digest())
+            yield pd.DataFrame(out)
+
+    prepared = df.select(F.col(id_col), F.col(binary_col).cast("binary"))
+    return prepared.mapInPandas(run, schema=FRAME_SCHEMA)

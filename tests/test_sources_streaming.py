@@ -185,3 +185,21 @@ def test_applyinpandaswithstate_latest_per_key(spark, tmp_path):
     for batch in emitted:
         final.update(batch)
     assert final == {1: (300, "c"), 2: (100, "x")}
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Multimodal plumbing: mapInPandas resize + frame-sample UDTF shapes
+    (stub compute, real schemas/batching) over binary payloads."""
+    from database_stream_processor_spark.functions.multimodal import (
+        resize_images, sample_frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 400)), (2, bytearray(b"y" * 4000))],
+        "doc_id long, payload binary")
+    r = resize_images(df, "doc_id", "payload", 32, 32)
+    rows = {x["doc_id"]: x for x in r.collect()}
+    assert rows[1]["width"] == 32 and len(rows[1]["payload"]) == 32
+    fr = sample_frames(df, "doc_id", "payload", every_n=10, max_frames=8)
+    per_doc = fr.groupBy("doc_id").count().collect()
+    counts = {x["doc_id"]: x["count"] for x in per_doc}
+    assert counts[1] == 2 and counts[2] == 8  # size-derived frame counts
+    assert fr.select("frame_idx").distinct().count() == 8
