@@ -75,7 +75,10 @@ class StateTable:
         self._schema = empty.df.schema
         self._current: ZSetFrame = ZSetFrame(empty.df.limit(0))
         if path:
-            os.makedirs(path, exist_ok=True)
+            # namespace by table name: one operator owns several tables and
+            # may pass them all the same base path
+            self.path = os.path.join(path, name)
+            os.makedirs(self.path, exist_ok=True)
 
     @property
     def current(self) -> ZSetFrame:
@@ -102,7 +105,12 @@ class StateTable:
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(out)
-            df = self._spark.read.schema(self._schema).parquet(out)
+            # read back WITHOUT a forced schema (partition columns are
+            # appended by the reader), then rebind by name to the declared
+            # column order/types
+            df = self._spark.read.parquet(out)
+            df = df.select(*[F.col(f.name).cast(f.dataType)
+                             for f in self._schema.fields])
             return ZSetFrame(df)
         # memory backend: cut lineage so N steps don't stack N plans.
         # materialize_every > 1 trades lineage depth for fewer Spark jobs —
