@@ -120,6 +120,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
               .select(id_col, F.explode(F.array(*band_structs)).alias("bb"))
               .select(id_col, F.col("bb.band").alias("band"),
                       F.col("bb.bkey").alias("bkey")))
+    # referenced 3× below (skew counts + both sides of the self-join):
+    # without persist each reference recomputes the minhash signatures
+    banded = banded.persist()
     counts = banded.groupBy("band", "bkey").count()
     banded = (banded.join(counts.filter(F.col("count") <= max_bucket),
                           on=["band", "bkey"], how="left_semi"))
@@ -167,7 +170,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     restricted by a semi-join on the candidate set, so cost ∝ candidates,
     not ∝ pairs-sharing-a-shingle (which goes quadratic on a dense
     vocabulary).  Without it, all pairs sharing ≥1 shingle are scored."""
-    sh = _shingle_rows(df, id_col, text_col, n)
+    # shingle rows feed sizes + both join sides; candidates (often a whole
+    # LSH pipeline) gates three joins — persist both so the expensive
+    # upstream stages run once (at corpus scale these would be staged to a
+    # parquet temp table; persist is the in-session equivalent)
+    sh = _shingle_rows(df, id_col, text_col, n).persist()
+    if candidates is not None:
+        candidates = candidates.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "__sh")
     b = sh.select(F.col(id_col).alias("id_b"), "__sh")

@@ -9,6 +9,7 @@ from database_stream_processor_spark.plans.incremental import (
     DistinctOp,
     IntegrateOp,
     JoinOp,
+    LinearAggregateOp,
     LinearOp,
     PartitionedRollingAggregateOp,
     StateTable,
@@ -24,6 +25,7 @@ __all__ = [
     "DistinctOp",
     "IntegrateOp",
     "JoinOp",
+    "LinearAggregateOp",
     "LinearOp",
     "PartitionedRollingAggregateOp",
     "StateTable",

@@ -978,7 +978,7 @@ def q37_incremental_revenue(spark, sf_dir):
     join.rs:226-264; touched-group recompute aggregate/mod.rs:204-244).
     The integrated output must equal the one-shot SQL — the reference's
     own `inc == batch` oracle idiom (distinct.rs:32-75)."""
-    from database_stream_processor_spark.plans import AggregateOp, JoinOp
+    from database_stream_processor_spark.plans import JoinOp, LinearAggregateOp
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -989,27 +989,33 @@ def q37_incremental_revenue(spark, sf_dir):
     empty_orders = ZSetFrame.from_df(
         orders.limit(0).select(F.col("o_custkey").alias("c_custkey"),
                                "o_totalprice"))
+    # dim side is broadcast-small and static after step 0 (None delta →
+    # that leg of the bilinear formula is skipped entirely)
+    # right (dim) state is materialized eagerly so the broadcast side isn't
+    # re-derived from the customer×nation join on every step; the big left
+    # integral stays lazy (it's never re-read while the dim side is static)
     join_op = JoinOp(empty_orders, cust, on=["c_custkey"],
-                     materialize_every=8)
-    agg_op = AggregateOp(
+                     broadcast="right", materialize_every=8,
+                     right_state_kw={"materialize_every": 1})
+    agg_op = LinearAggregateOp(
         ZSetFrame.from_df(
             spark.createDataFrame([], "n_name string, o_totalprice double")),
         ["n_name"],
-        lambda z: z.aggregate_linear(
-            ["n_name"], n_orders=F.lit(1),
-            total_revenue=F.col("o_totalprice").cast("decimal(25,8)")),
-        materialize_every=8,
+        {"n_orders": F.lit(1),
+         "total_revenue": F.col("o_totalprice").cast("decimal(25,8)")},
+        # output state is ~|groups| rows; eager materialization per step
+        # keeps each step's plan shallow instead of nesting all prior steps
+        materialize_every=1,
     )
-    out = None
     for step in range(3):
         batch = orders.filter(F.col("o_orderkey") % 3 == step)
         dz = ZSetFrame.from_df(
             batch.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"))
-        joined = join_op.step(
-            dz, cust if step == 0 else ZSetFrame.empty_like(cust))
-        delta = agg_op.step(joined.map("n_name", "o_totalprice"))
-        out = delta if out is None else out.plus(delta)
-    final = out.consolidate().df
+        joined = join_op.step(dz, cust if step == 0 else None)
+        agg_op.step(joined.map("n_name", "o_totalprice"))
+    # the maintained view IS the integral of the emitted deltas (the
+    # delta==batch equivalence itself is asserted in tests/test_incremental)
+    final = agg_op.current_output.consolidate().df
     return final.select("n_name", "n_orders",
                         F.col("total_revenue").cast("double").alias("total_revenue"))
 

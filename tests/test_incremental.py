@@ -220,3 +220,48 @@ def test_parquet_state_backend_partitioned(spark, tmp_path):
     epochs = sorted(os.listdir(base))
     assert epochs, "no state epochs written"
     assert any(d.startswith("k=") for d in os.listdir(base / epochs[-1]))
+
+
+def test_linear_aggregate_op_equals_batch(spark):
+    """LinearAggregateOp (O(|delta|), no input integral) matches the batch
+    linear aggregate of the integrated input after every step, including a
+    full-retraction round that must empty the touched group."""
+    from database_stream_processor_spark.plans import LinearAggregateOp
+
+    deltas = [
+        zs(spark, [(1, 10, 1), (1, 20, 2), (2, 5, 1)], "k long, v long"),
+        zs(spark, [(1, 20, -1), (3, 7, 1)], "k long, v long"),
+        zs(spark, [(2, 5, -1)], "k long, v long"),   # group 2 cancels out
+        zs(spark, [(2, 9, 4)], "k long, v long"),    # group 2 reappears
+    ]
+    op = LinearAggregateOp(deltas[0], ["k"],
+                           {"cnt": F.lit(1), "total": F.col("v")})
+    out_int, in_int = None, None
+    for d in deltas:
+        out = op.step(d)
+        out_int = out if out_int is None else out_int.plus(out)
+        in_int = d if in_int is None else in_int.plus(d)
+        expected = in_int.aggregate_linear(
+            ["k"], cnt=F.lit(1), total=F.col("v"))
+        assert zset_to_dict(out_int.consolidate()) == zset_to_dict(expected)
+    assert zset_to_dict(op.current_output) == zset_to_dict(
+        in_int.aggregate_linear(["k"], cnt=F.lit(1), total=F.col("v")))
+
+
+def test_join_op_none_delta_skips_leg(spark):
+    """JoinOp.step with None for a side = "no changes": output matches the
+    two-sided call with an explicit empty delta, and a static dim side never
+    contributes a join leg."""
+    a0 = zs(spark, [(1, "x", 1), (2, "y", 1)], "k long, av string")
+    b0 = zs(spark, [(1, "p", 1), (2, "q", 1)], "k long, bv string")
+    a1 = zs(spark, [(3, "z", 1), (1, "x", -1)], "k long, av string")
+
+    op_none = JoinOp(a0, b0, on=["k"])
+    op_empty = JoinOp(a0, b0, on=["k"])
+    outs_none = [op_none.step(a0, b0), op_none.step(a1, None)]
+    outs_empty = [op_empty.step(a0, b0),
+                  op_empty.step(a1, ZSetFrame.empty_like(b0))]
+    for zn, ze in zip(outs_none, outs_empty):
+        assert zset_to_dict(zn) == zset_to_dict(ze)
+    with pytest.raises(ValueError):
+        op_none.step(None, None)
