@@ -120,9 +120,6 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
               .select(id_col, F.explode(F.array(*band_structs)).alias("bb"))
               .select(id_col, F.col("bb.band").alias("band"),
                       F.col("bb.bkey").alias("bkey")))
-    # referenced 3× below (skew counts + both sides of the self-join):
-    # without persist each reference recomputes the minhash signatures
-    banded = banded.persist()
     counts = banded.groupBy("band", "bkey").count()
     banded = (banded.join(counts.filter(F.col("count") <= max_bucket),
                           on=["band", "bkey"], how="left_semi"))
@@ -166,28 +163,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     With ``candidates`` (an (id_a, id_b) DataFrame, e.g. from
     :func:`lsh_candidate_pairs`), only those pairs are verified — the
-    production shape at corpus scale: the shared-shingle self-join is
-    restricted by a semi-join on the candidate set, so cost ∝ candidates,
-    not ∝ pairs-sharing-a-shingle (which goes quadratic on a dense
-    vocabulary).  Without it, all pairs sharing ≥1 shingle are scored."""
-    # shingle rows feed sizes + both join sides; candidates (often a whole
-    # LSH pipeline) gates three joins — persist both so the expensive
-    # upstream stages run once (at corpus scale these would be staged to a
-    # parquet temp table; persist is the in-session equivalent)
-    sh = _shingle_rows(df, id_col, text_col, n).persist()
+    production shape at corpus scale.  Each doc's distinct shingle set is
+    kept as an array column (a pure projection — no explode, no shuffle)
+    and joined onto the pair list twice; the intersection is a JVM-side
+    ``array_intersect`` per pair.  The (expensive) candidate plan is
+    referenced exactly once, and cost ∝ |candidates|, not
+    ∝ pairs-sharing-a-shingle (which goes quadratic on a dense
+    vocabulary).  Without ``candidates``, all pairs sharing ≥1 shingle are
+    scored via the exploded shared-shingle self-join."""
     if candidates is not None:
-        candidates = candidates.persist()
+        toked = spread(df).select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+        sets = toked.select(
+            F.col(id_col),
+            shingles_from_tokens(F.col("__toks"), n).alias("__set"))
+        sa = sets.select(F.col(id_col).alias("id_a"),
+                         F.col("__set").alias("__seta"))
+        sb = sets.select(F.col(id_col).alias("id_b"),
+                         F.col("__set").alias("__setb"))
+        inter = F.size(F.array_intersect(F.col("__seta"), F.col("__setb")))
+        return (candidates.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("__shared", inter)
+                .withColumn(
+                    "jaccard",
+                    F.round(F.col("__shared") /
+                            (F.size(F.col("__seta")) + F.size(F.col("__setb"))
+                             - F.col("__shared")), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+    sh = _shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "__sh")
     b = sh.select(F.col(id_col).alias("id_b"), "__sh")
-    if candidates is not None:
-        a = a.join(candidates.select("id_a").dropDuplicates(), "id_a", "left_semi")
-        b = b.join(candidates.select("id_b").dropDuplicates(), "id_b", "left_semi")
     shared = (a.join(b, on="__sh")
               .filter(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b").agg(F.count("*").alias("__shared")))
-    if candidates is not None:
-        shared = shared.join(candidates, on=["id_a", "id_b"], how="left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
     return (shared.join(sa, "id_a").join(sb, "id_b")
