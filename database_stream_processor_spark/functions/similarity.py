@@ -97,6 +97,80 @@ def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
     return sum(bits[1:], bits[0]).cast("long")
 
 
+def cosine_near_dup_pairs(df: DataFrame, threshold: float,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine_sim ≥
+    threshold), restricted to pairs colliding in a random-hyperplane LSH
+    bucket — the all-pairs O(n²) product becomes an equi-join on the
+    signature, the same shape MinHash-LSH gives text dedup.
+
+    Recall trades against bucket count: cosine-similar vectors collide on
+    all ``n_planes`` sign bits with probability (1 − θ/π)^planes.  At
+    corpus scale, run multiple independent plane sets (band OR) to raise
+    recall; one set keeps the oracle tractable here.
+    """
+    sig = spread(df).withColumn("__bucket",
+                                lsh_signature(F.col(vec_col), n_planes))
+    a = sig.select(F.col(id_col).alias("id_a"),
+                   _as_double(F.col(vec_col)).alias("__va"), "__bucket")
+    b = sig.select(F.col(id_col).alias("id_b"),
+                   _as_double(F.col(vec_col)).alias("__vb"), "__bucket")
+    pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"))
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    to their nearest centroid's posting list; each query probes only the
+    ``n_probe`` nearest lists.  The scoring join is an equi-join on the
+    list id — shuffle ∝ corpus + probed candidates, never the crossJoin.
+
+    Centroid "training" is deterministic here — the ``n_centroids``
+    lowest-id vectors serve as centroids (a k-means step would slot in
+    unchanged: both produce a small centroid table that is broadcast).
+    Assignment and probing rank by round-6 cosine with centroid-id
+    tie-break, so any engine reproduces the partition exactly.
+    """
+    cents = (corpus.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("__cent_id"),
+                     _as_double(F.col(vec_col)).alias("__cent")))
+
+    def nearest(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        scored = (spread(df)
+                  .select(F.col(id_col).alias(out_id),
+                          _as_double(F.col(vec_col)).alias("__v"))
+                  .crossJoin(F.broadcast(cents))
+                  .select(out_id, "__v", "__cent_id",
+                          F.round(cosine(F.col("__v"), F.col("__cent")), 6)
+                          .alias("__cs")))
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__cs").desc(), F.col("__cent_id").asc())
+        return (scored.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= n)
+                .select(out_id, "__v", "__cent_id"))
+
+    assigned = nearest(corpus, "neighbor_id", 1)
+    probes = nearest(queries, "query_id", n_probe)
+    pairs = (probes.withColumnRenamed("__v", "__qv")
+             .join(assigned.withColumnRenamed("__v", "__cv"), on="__cent_id")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    # each corpus vector lives in exactly one posting list, so (query,
+    # neighbor) pairs are already unique — no dedup shuffle needed
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_planes: int = 8) -> DataFrame:
