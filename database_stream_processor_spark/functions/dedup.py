@@ -25,12 +25,18 @@ MERSENNE = 2_147_483_647
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Fan a (possibly single-partition) input out to all cores before
+    """Fan a single-partition/underpartitioned input out to all cores before
     CPU-heavy per-row expressions (md5/shingling).  Small tables arrive as
-    one parquet split, which would serialize the whole stage on one task;
-    at cluster scale inputs are already partitioned and the round-robin
-    shuffle cost is negligible vs the per-row work it parallelizes."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    one parquet split, which would serialize the whole stage on one task.
+
+    CONDITIONAL: only repartitions when the input has fewer than half the
+    default parallelism in partitions.  At cluster scale inputs are already
+    well-partitioned and an unconditional round-robin repartition would be
+    a full shuffle of the corpus — the dominant cost at 100 TB."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, parallelism // 2):
+        return df
+    return df.repartition(parallelism)
 
 
 def hash32(col: Column) -> Column:

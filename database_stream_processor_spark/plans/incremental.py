@@ -111,6 +111,21 @@ class StateTable:
             df = self._spark.read.parquet(out)
             df = df.select(*[F.col(f.name).cast(f.dataType)
                              for f in self._schema.fields])
+            # GC epochs older than N-1: the previous epoch must survive one
+            # step (readers like DistinctOp hold the old snapshot), anything
+            # older is dead — without this, long streaming runs grow disk
+            # without bound (the reference's persistent trace compacts,
+            # src/trace/persistent/mod.rs:2-89).
+            import shutil
+            for d in os.listdir(self.path):
+                if d.startswith("epoch="):
+                    try:
+                        n = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if n < self._epoch - 1:
+                        shutil.rmtree(os.path.join(self.path, d),
+                                      ignore_errors=True)
             return ZSetFrame(df)
         # memory backend: cut lineage so N steps don't stack N plans.
         # materialize_every > 1 trades lineage depth for fewer Spark jobs —
@@ -171,8 +186,20 @@ class JoinOp:
                  broadcast: str | None = None,
                  left_state_kw: dict | None = None,
                  right_state_kw: dict | None = None, **state_kw):
+        if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+            raise ValueError(f"JoinOp: unsupported how={how!r}")
         self.on = list(on)
         self.how = how
+        # outer joins are NOT bilinear (the null-padded rows appear/vanish
+        # as the other side's key support changes), so they use the
+        # touched-key recompute idiom instead of the delta-join formula:
+        # restrict both integrals to keys touched by either delta, recompute
+        # the outer join there, diff against the old output restricted to
+        # the same keys (reference builds outer join as inner join + two
+        # antijoins, join.rs:338-361; the antijoin legs are what breaks
+        # bilinearity).  Cost ∝ touched keys' data, partition-pruned at
+        # scale.
+        self._out_state: StateTable | None = None
         #: 'left' | 'right' — hint that one side's *state* is small enough to
         #: broadcast (dimension-table pattern); Catalyst then plans the delta
         #: joins shuffle-free.  AQE would often discover this, but state built
@@ -190,6 +217,8 @@ class JoinOp:
         """Advance one tick.  ``None`` for a side means "no changes": that
         leg of the bilinear formula is skipped entirely — no join, no state
         write — so a static dimension side costs nothing per step."""
+        if self.how != "inner":
+            return self._step_outer(delta_left, delta_right)
         a_old = self.left.current
         if delta_right is not None:
             b_new = self.right.update(delta_right)
@@ -213,6 +242,36 @@ class JoinOp:
         for p in parts[1:]:
             out = out.plus(p)
         return out.consolidate()
+
+    def _step_outer(self, delta_left: ZSetFrame | None,
+                    delta_right: ZSetFrame | None) -> ZSetFrame:
+        if delta_left is None and delta_right is None:
+            raise ValueError("JoinOp.step: both deltas are None")
+        a_new = (self.left.update(delta_left) if delta_left is not None
+                 else self.left.current)
+        b_new = (self.right.update(delta_right) if delta_right is not None
+                 else self.right.current)
+        touched_dfs = [d.df.select(*self.on) for d in
+                       (delta_left, delta_right) if d is not None]
+        touched = touched_dfs[0]
+        for t in touched_dfs[1:]:
+            touched = touched.unionByName(t)
+        touched = touched.dropDuplicates()
+
+        a_t = ZSetFrame(a_new.df.join(touched, on=self.on, how="left_semi"))
+        b_t = ZSetFrame(b_new.df.join(touched, on=self.on, how="left_semi"))
+        new_out = a_t.join(b_t, on=self.on, how=self.how)
+
+        if self._out_state is None:
+            self._out_state = StateTable(ZSetFrame(new_out.df.limit(0)),
+                                         name="outer_join_output")
+            old_out = ZSetFrame(new_out.df.limit(0))
+        else:
+            old_out = ZSetFrame(self._out_state.current.df.join(
+                touched, on=self.on, how="left_semi"))
+        out_delta = new_out.minus(old_out).consolidate()
+        self._out_state.update(out_delta)
+        return out_delta
 
 
 class DistinctOp:
@@ -320,6 +379,9 @@ class LinearAggregateOp:
                  aggs: dict[str, Column] | None = None, **state_kw):
         self.keys = list(keys)
         self.aggs = dict(aggs or {})
+        if not self.aggs:
+            raise ValueError("LinearAggregateOp requires at least one "
+                             "aggregate expression")
         w = F.col(WEIGHT_COL)
         self._delta_exprs = [F.sum(expr * w).alias(name)
                              for name, expr in self.aggs.items()]
@@ -425,52 +487,105 @@ class PartitionedRollingAggregateOp:
     def __init__(self, empty_in: ZSetFrame, partition_by: str, ts_col: str,
                  before: int, after: int, aggs: dict,
                  watermark_delay: int | None = None, **state_kw):
-        from database_stream_processor_spark.operators.windows import (
-            rolling_aggregate)
         self.pk = partition_by
         self.ts = ts_col
         self.before = before
+        self.after = after
+        self.aggs = dict(aggs)
         self.watermark_delay = watermark_delay
-        self._wm: list[int | None] = [None]  # mutable holder read by agg_fn
-        wm = self._wm
-
-        def agg_fn(z: ZSetFrame) -> ZSetFrame:
-            out = rolling_aggregate(z.rows(), [partition_by], ts_col,
-                                    before, after, **aggs)
-            if wm[0] is not None:
-                # only rows at/above the watermark are live outputs
-                out = out.filter(F.unix_timestamp(F.col(ts_col)) >= wm[0])
-            return ZSetFrame.from_df(out, 1)
-
-        self._op = AggregateOp(empty_in, [partition_by], agg_fn, **state_kw)
+        state_kw.setdefault("consolidate_every", 4)
+        self._state_kw = dict(state_kw)
+        self.integral = StateTable(empty_in, name="rolling_input", **state_kw)
+        self._out_state: StateTable | None = None
 
     def _ts_sec(self):
         return F.unix_timestamp(F.col(self.ts))
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
+        """Bounded recompute (rolling_aggregate.rs:119-143 semantics): a
+        delta row at time s only affects output rows t with
+        t ∈ [s − after, s + before], and recomputing those needs input rows
+        in [t − before, t + after].  So per touched partition we recompute
+        only the frame range
+
+            outputs: [min(Δts) − after,          max(Δts) + before]
+            inputs:  [min(Δts) − after − before, max(Δts) + before + after]
+
+        — cost ∝ delta time-spread per key, never the key's full history.
+        The watermark (max seen event time − delay) is derived *inside the
+        step's plan* as a broadcast 1-row DataFrame — no driver round-trip
+        per tick.  Max-seen equals max over (kept state ∪ delta): dropped
+        late rows are below wm ≤ max-seen, and state truncation at
+        wm − before never removes the max row.
+        """
+        from database_stream_processor_spark.operators.windows import (
+            rolling_aggregate)
+        ts_sec = self._ts_sec()
+        wmb = None
         if self.watermark_delay is not None:
-            row = delta.df.select(F.max(self._ts_sec()).alias("m")).collect()[0]
-            if row["m"] is not None:
-                new_wm = int(row["m"]) - self.watermark_delay
-                if self._wm[0] is None or new_wm > self._wm[0]:
-                    self._wm[0] = new_wm
-            if self._wm[0] is not None:
-                delta = delta.filter(self._ts_sec() >= self._wm[0])
-                # trace bounds BEFORE the step: frozen outputs leave the
-                # output state (so the diff never retracts them) and dead
-                # input history leaves the input state
-                st = self._op.integral
-                st._current = ZSetFrame(st.current.df.filter(
-                    self._ts_sec() >= self._wm[0] - self.before))
-                if self._op._out_state is not None:
-                    out_st = self._op._out_state
-                    out_st._current = ZSetFrame(out_st.current.df.filter(
-                        self._ts_sec() >= self._wm[0]))
-        return self._op.step(delta)
+            wm_df = (self.integral.current.df.select(ts_sec.alias("__t"))
+                     .unionByName(delta.df.select(ts_sec.alias("__t")))
+                     .agg((F.max("__t") - F.lit(self.watermark_delay))
+                          .alias("__wm")))
+            wmb = F.broadcast(wm_df)
+            # late-data policy (watermark.rs:33-46): rows below wm dropped
+            delta = ZSetFrame(delta.df.crossJoin(wmb)
+                              .filter(ts_sec >= F.col("__wm")).drop("__wm"))
+            # trace bound (trace/mod.rs:152-165): live frames reach at most
+            # `before` back, so input history below wm − before is dead
+            self.integral._current = ZSetFrame(
+                self.integral.current.df.crossJoin(wmb)
+                .filter(ts_sec >= F.col("__wm") - self.before).drop("__wm"))
+            if self._out_state is not None:
+                # outputs below wm are frozen: leave live state so the diff
+                # can never retract them
+                self._out_state._current = ZSetFrame(
+                    self._out_state.current.df.crossJoin(wmb)
+                    .filter(ts_sec >= F.col("__wm")).drop("__wm"))
+
+        bounds = (delta.df.groupBy(self.pk)
+                  .agg(F.min(ts_sec).alias("__dmin"),
+                       F.max(ts_sec).alias("__dmax")))
+        new_in = self.integral.update(delta)
+
+        reach = self.before + self.after
+        in_lo = F.col("__dmin") - reach
+        in_hi = F.col("__dmax") + reach
+        out_lo = F.col("__dmin") - self.after
+        out_hi = F.col("__dmax") + self.before
+
+        sliced = ZSetFrame(
+            new_in.df.join(bounds, on=self.pk, how="inner")
+            .filter(ts_sec.between(in_lo, in_hi))
+            .drop("__dmin", "__dmax")).consolidate()
+        new_rows = rolling_aggregate(sliced.rows(), [self.pk], self.ts,
+                                     self.before, self.after, **self.aggs)
+        new_rows = (new_rows.join(bounds, on=self.pk, how="inner")
+                    .filter(ts_sec.between(out_lo, out_hi))
+                    .drop("__dmin", "__dmax"))
+        if wmb is not None:
+            new_rows = (new_rows.crossJoin(wmb)
+                        .filter(ts_sec >= F.col("__wm")).drop("__wm"))
+        new_out = ZSetFrame.from_df(new_rows, 1)
+
+        if self._out_state is None:
+            self._out_state = StateTable(ZSetFrame(new_out.df.limit(0)),
+                                         name="rolling_output",
+                                         **self._state_kw)
+            old_out = ZSetFrame(new_out.df.limit(0))
+        else:
+            old_out = ZSetFrame(
+                self._out_state.current.df.join(bounds, on=self.pk,
+                                                how="inner")
+                .filter(ts_sec.between(out_lo, out_hi))
+                .drop("__dmin", "__dmax"))
+        out_delta = new_out.minus(old_out).consolidate()
+        self._out_state.update(out_delta)
+        return out_delta
 
     @property
     def current_output(self):
-        return self._op.current_output
+        return None if self._out_state is None else self._out_state.current
 
 
 class Z1Op:

@@ -50,6 +50,14 @@ def register(name: str, oracle: str | None):
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet is written with TIMESTAMP(NANOS), which Spark rejects
+    # by default.  Set the legacy read conf at *read time* so the queries
+    # work on any caller-supplied SparkSession (the __spark_entry__ driver
+    # contract), not only sessions built by session.get_spark().  The conf
+    # is runtime-settable and only affects NANOS columns; all other tables
+    # are unaffected.  `ts` then arrives as a raw nanosecond long --
+    # load_events() converts it to a proper timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

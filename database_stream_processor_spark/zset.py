@@ -251,9 +251,13 @@ class ZSetFrame:
                 support = support.select(*on).dropDuplicates()
             return ZSetFrame(self.df.join(support, on=on, how=how))
         if how in ("left_outer", "right_outer", "full_outer"):
+            # Matched/unmatched is decided per physical row, so both sides
+            # must be consolidated first: a key whose weights cancel to zero
+            # would otherwise suppress the null-padded row Z-set semantics
+            # require (join.rs:338-361 antijoins see consolidated traces).
             lw, rw = "__w_l", "__w_r"
-            ldf = self.df.withColumnRenamed(WEIGHT_COL, lw)
-            rdf = other.df.withColumnRenamed(WEIGHT_COL, rw)
+            ldf = self.consolidate().df.withColumnRenamed(WEIGHT_COL, lw)
+            rdf = other.consolidate().df.withColumnRenamed(WEIGHT_COL, rw)
             joined = ldf.join(rdf, on=on, how=how)
             # unmatched side contributes weight as if multiplied by 1
             w = (F.coalesce(F.col(lw), F.lit(1)) * F.coalesce(F.col(rw), F.lit(1)))
@@ -301,6 +305,9 @@ class ZSetFrame:
         weights are never stored (src/algebra/mod.rs HasZero; a fully
         cancelled group is indistinguishable from an absent one).
         """
+        if not aggs:
+            raise ValueError("aggregate_linear requires at least one "
+                             "aggregate expression")
         w = F.col(WEIGHT_COL)
         exprs = [F.sum(expr * w).alias(name) for name, expr in aggs.items()]
         out = self.df.groupBy(*keys).agg(*exprs)

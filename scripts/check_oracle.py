@@ -52,13 +52,19 @@ def main():
             args = [x for x in args if x != sf]
 
     import __spark_entry__ as entry_mod
-    from database_stream_processor_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = args or list(queries)
 
-    spark = get_spark(app_name="oracle_check")
+    # Deliberately a PLAIN session (no session.get_spark() extras) so this
+    # harness replicates the driver's environment — round 1 shipped a bug
+    # that only reproduced on a plain session.
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("oracle_check")
+             .config("spark.sql.shuffle.partitions", "32")
+             .getOrCreate())
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:

@@ -82,6 +82,42 @@ def test_incremental_join_equals_batch(spark):
         assert zset_to_dict(out_integral.consolidate()) == zset_to_dict(expected)
 
 
+@pytest.mark.parametrize("how", ["left_outer", "right_outer", "full_outer"])
+def test_incremental_outer_join_equals_batch(spark, how):
+    """Outer joins aren't bilinear (null-padded rows appear/vanish with the
+    other side's key support) — JoinOp uses touched-key recompute
+    (join.rs:338-361 decomposition).  Includes a retraction that makes a
+    previously-matched key unmatched, flipping a joined row back to a
+    null-padded one."""
+    a_deltas = [
+        zs(spark, [(1, "x", 1), (2, "y", 1)], "k long, av string"),
+        zs(spark, [(4, "w", 1)], "k long, av string"),
+        zs(spark, [(2, "y", -1)], "k long, av string"),  # unmatched b side appears
+    ]
+    b_deltas = [
+        zs(spark, [(1, "p", 1), (3, "r", 1)], "k long, bv string"),
+        zs(spark, [(2, "q", 1)], "k long, bv string"),
+        zs(spark, [(1, "p", -1)], "k long, bv string"),  # k=1 flips to null-padded
+    ]
+    op = JoinOp(a_deltas[0], b_deltas[0], on=["k"], how=how)
+    out_integral, a_int, b_int = None, None, None
+    for da, db in zip(a_deltas, b_deltas):
+        out = op.step(da, db)
+        out_integral = out if out_integral is None else out_integral.plus(out)
+        a_int = da if a_int is None else a_int.plus(da)
+        b_int = db if b_int is None else b_int.plus(db)
+        expected = a_int.consolidate().join(b_int.consolidate(), on=["k"],
+                                            how=how)
+        assert zset_to_dict(out_integral.consolidate()) == \
+            zset_to_dict(expected.consolidate())
+
+
+def test_join_op_rejects_unknown_how(spark):
+    z = zs(spark, [(1, "x", 1)], "k long, av string")
+    with pytest.raises(ValueError):
+        JoinOp(z, z, on=["k"], how="left_semi")
+
+
 def test_incremental_aggregate_min_max_with_retraction(spark):
     """Non-linear aggregate: min/max must recover the next-best value when
     the current extreme is retracted (SURVEY §7 'hard parts')."""

@@ -78,5 +78,33 @@ def test_watermark_drops_late_and_bounds_state(spark):
     assert d == {(1, t(260), 1.0, 21.0, 2): 1}  # frame [160,260]: 20+1
 
     # input state truncated below wm − before = 110 → ts=0 row evicted
-    state_ts = sorted(r["ts"] for r in op._op.integral.current.df.collect())
+    state_ts = sorted(r["ts"] for r in op.integral.current.df.collect())
     assert state_ts == [t(200), t(260)]
+
+
+def test_recompute_is_frame_bounded(spark):
+    """The per-step recompute must touch only the affected frame range
+    [min(Δts)−after−before, max(Δts)+before+after] of a touched partition
+    (rolling_aggregate.rs:119-143), not its full history."""
+    op = _mk_op(spark)
+    # history far in the past of the same partition (ts=0..50), then a
+    # delta at ts=10000 — outside every old row's frame reach
+    op.step(ZSetFrame.from_df(_rows(spark, [(1, 0, 10), (1, 50, 20)])))
+    out = op.step(ZSetFrame.from_df(_rows(spark, [(1, 10000, 1)])))
+
+    # structurally: the recompute plan carries the frame-bound filter
+    plan = out.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__dmin" in plan and "__dmax" in plan
+
+    # behaviorally: only the new row's output is emitted; the old rows'
+    # outputs are neither recomputed nor retracted
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    assert zset_to_dict(out) == {(1, t(10000), 1.0, 1.0, 1): 1}
+
+    # and a late row correcting across the bound still works end-to-end
+    op.step(ZSetFrame.from_df(_rows(spark, [(1, 9950, 5)])))
+    batch = rolling_aggregate(
+        _rows(spark, [(1, 0, 10), (1, 50, 20), (1, 10000, 1), (1, 9950, 5)]),
+        ["k"], "ts", 100, 0, s=F.sum("v"), n=F.count(F.lit(1)))
+    want = {tuple(r): 1 for r in batch.collect()}
+    assert zset_to_dict(op.current_output.consolidate()) == want
