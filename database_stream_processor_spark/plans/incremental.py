@@ -588,6 +588,129 @@ class PartitionedRollingAggregateOp:
         return None if self._out_state is None else self._out_state.current
 
 
+class TumblingWindowOp:
+    """Maintained tumbling-window aggregate: deltas in → per-window
+    aggregate deltas out (reference builds tumbling windows from
+    watermark + rounding + window, nexmark q5.rs:76-118; window-content
+    changes are emitted as deltas, time_series/window.rs:75).
+
+    The window bucket is a *derived grouping column* — flooring ts to the
+    window start is linear, so the whole operator reduces to the O(Δ)
+    :class:`LinearAggregateOp` keyed by (bucket, *keys): per step, cost ∝
+    |delta|, never the number of open windows.  Late rows simply land in
+    their (old) bucket and emit a correction delta for that window — the
+    out-of-order story falls out of the Z-set algebra for free.
+
+    ``aggs`` maps output column → *linear* expression (COUNT(*) =
+    ``F.lit(1)``, SUM(x) = ``F.col("x")``).  For non-linear per-window
+    aggregates compose :class:`AggregateOp` with the same bucket column.
+    The bucket is emitted as epoch seconds (``long``, engine-portable).
+    """
+
+    def __init__(self, empty_in: ZSetFrame, ts_col: str, size_seconds: int,
+                 keys: Sequence[str], aggs: dict[str, Column],
+                 bucket_col: str = "window_start", **state_kw):
+        self.ts = ts_col
+        self.size = size_seconds
+        self.bucket_col = bucket_col
+        self.keys = list(keys)
+        empty_b = ZSetFrame(self._with_bucket(empty_in.df))
+        self._agg = LinearAggregateOp(empty_b, [bucket_col, *self.keys],
+                                      aggs, **state_kw)
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        b = (F.floor(F.unix_timestamp(F.col(self.ts)) / self.size)
+             * self.size).cast("long")
+        return df.withColumn(self.bucket_col, b)
+
+    def step(self, delta: ZSetFrame) -> ZSetFrame:
+        return self._agg.step(ZSetFrame(self._with_bucket(delta.df)))
+
+    @property
+    def current_output(self) -> ZSetFrame:
+        return self._agg.current_output
+
+
+class HoppingWindowOp:
+    """Maintained hopping (sliding) window aggregate (q5.rs:76-118 10s/2s
+    hops).  Exploding a row into its size/hop overlapping window starts is
+    linear (a flat_map), so this too reduces to :class:`LinearAggregateOp`
+    keyed by (window_start, *keys) — O(Δ · size/hop) per step."""
+
+    def __init__(self, empty_in: ZSetFrame, ts_col: str, size_seconds: int,
+                 hop_seconds: int, keys: Sequence[str],
+                 aggs: dict[str, Column],
+                 bucket_col: str = "window_start", **state_kw):
+        self.ts = ts_col
+        self.size = size_seconds
+        self.hop = hop_seconds
+        self.bucket_col = bucket_col
+        self.keys = list(keys)
+        empty_b = ZSetFrame(self._explode_buckets(empty_in.df))
+        self._agg = LinearAggregateOp(empty_b, [bucket_col, *self.keys],
+                                      aggs, **state_kw)
+
+    def _explode_buckets(self, df: DataFrame) -> DataFrame:
+        ts = F.unix_timestamp(F.col(self.ts))
+        first = (F.floor((ts - self.size) / self.hop) + 1) * self.hop
+        last = F.floor(ts / self.hop) * self.hop
+        starts = F.sequence(F.greatest(first, F.lit(0)).cast("long"),
+                            last.cast("long"),
+                            F.lit(self.hop).cast("long"))
+        return df.withColumn(self.bucket_col, F.explode(starts))
+
+    def step(self, delta: ZSetFrame) -> ZSetFrame:
+        return self._agg.step(ZSetFrame(self._explode_buckets(delta.df)))
+
+    @property
+    def current_output(self) -> ZSetFrame:
+        return self._agg.current_output
+
+
+class WindowOp:
+    """Moving window over a time-indexed stream: emits *changes to window
+    contents* as the bounds advance (time_series/window.rs:75 — the window
+    operator outputs deltas: rows entering as the upper bound advances or
+    arriving inside the bounds, retractions as rows fall below the lower
+    bound).
+
+    Per step the caller supplies the new ``(lo, hi)`` bounds (epoch
+    seconds, half-open ``[lo, hi)``); typically lo/hi derive from a
+    waterline.  The emitted delta is computed from *range filters only* —
+    never a full-contents diff:
+
+    - delta rows landing inside the new bounds (+);
+    - pre-existing state rows in new∖old bounds (+, entering);
+    - pre-existing state rows in old∖new bounds (−, leaving).
+
+    With the input integral partitioned on time these are partition-pruned
+    range scans ∝ the bound movement, the reference's cost model.
+    """
+
+    def __init__(self, empty_in: ZSetFrame, ts_col: str, **state_kw):
+        self.ts = ts_col
+        self.integral = StateTable(empty_in, name="window_input", **state_kw)
+        self._bounds: tuple[int, int] | None = None
+
+    def _in(self, lo: int, hi: int) -> Column:
+        t = F.unix_timestamp(F.col(self.ts))
+        return (t >= lo) & (t < hi)
+
+    def step(self, delta: ZSetFrame, bounds: tuple[int, int]) -> ZSetFrame:
+        lo, hi = bounds
+        old = self.integral.current
+        parts = [delta.filter(self._in(lo, hi))]
+        if self._bounds is not None:
+            olo, ohi = self._bounds
+            entering = self._in(lo, hi) & ~self._in(olo, ohi)
+            leaving = self._in(olo, ohi) & ~self._in(lo, hi)
+            parts.append(old.filter(entering))
+            parts.append(old.filter(leaving).neg())
+        self._bounds = (lo, hi)
+        self.integral.update(delta)
+        return ZSetFrame.sum(parts).consolidate()
+
+
 class Z1Op:
     """``z^-1`` — delay a stream by one tick: emits the *previous* step's
     value, initially empty (src/operator/z1.rs; the feedback edge of every

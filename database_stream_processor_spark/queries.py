@@ -1160,6 +1160,196 @@ def q42_incremental_rolling(spark, sf_dir):
 
 
 
+@register("q43_incremental_tumbling", oracle=f"""
+SELECT event_type,
+       CAST(epoch_us(ts) // 1000000 // 600 * 600 AS BIGINT) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {ORACLE_DSUM.format(x='value')} AS sum_value
+FROM events
+GROUP BY 1, 2""")
+def q43_incremental_tumbling(spark, sf_dir):
+    """Maintained tumbling-window aggregate across 3 delta batches
+    (TumblingWindowOp: window bucket as derived grouping column →
+    O(Δ) LinearAggregateOp; reference emits window-content deltas,
+    time_series/window.rs:75, tumbling construction q5.rs:76-118).
+    Batches interleave event times, so windows receive late rows and
+    emit correction deltas; the integrated output must equal the
+    one-shot SQL."""
+    from database_stream_processor_spark.plans.incremental import (
+        TumblingWindowOp)
+    e = load_events(spark, sf_dir).select("event_id", "event_type", "ts",
+                                          "value")
+    empty = ZSetFrame.from_df(e.limit(0).drop("event_id"))
+    op = TumblingWindowOp(
+        empty, "ts", 600, ["event_type"],
+        {"n_events": F.lit(1),
+         "sum_value": F.col("value").cast("decimal(25,8)")},
+        materialize_every=1)
+    for step in range(3):
+        batch = e.filter(F.col("event_id") % 3 == step).drop("event_id")
+        op.step(ZSetFrame.from_df(batch))
+    out = op.current_output.consolidate().df
+    return out.select(
+        "event_type", "window_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"))
+
+
+@register("q44_incremental_closure", oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 1 AND 200),
+paths AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT p.src, e.dst FROM paths p JOIN edges e ON p.dst = e.src)
+SELECT src, dst FROM paths
+""")
+def q44_incremental_closure(spark, sf_dir):
+    """Incremental recursion: transitive closure maintained under edge
+    deltas (recursive.rs:255 incremental recursion export; nested clock
+    src/time/mod.rs:20-48).  Two insert batches exercise the O(Δ)
+    frontier path (new paths route through inserted edges), a third
+    deletion batch exercises retraction; the integrated output deltas
+    must equal the WITH RECURSIVE oracle over the final edge set."""
+    from database_stream_processor_spark.operators.recursive import (
+        IncrementalTransitiveClosureOp)
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").between(1, 255))
+    edges = c.select(F.col("c_custkey").alias("src"),
+                     F.expr("c_custkey div 2").alias("dst"))
+    op = IncrementalTransitiveClosureOp(spark)
+    out = None
+    for parity in (0, 1):
+        d = ZSetFrame.from_df(edges.filter(F.col("src") % 2 == parity), 1)
+        delta = op.step(d)
+        out = delta if out is None else out.plus(delta)
+    # retract the high-key edges → closure shrinks to src ≤ 200 reachability
+    d = ZSetFrame.from_df(edges.filter(F.col("src") > 200), -1)
+    out = out.plus(op.step(d))
+    return out.consolidate().df.select("src", "dst")
+
+
+@register("q45_fold_latest_event", oracle="""
+SELECT user_id, ep, event_id, value FROM (
+  SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,
+         event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts) // 1000000 DESC, event_id DESC,
+                      value DESC) AS rn
+  FROM events) t WHERE rn = 1
+""")
+def q45_fold_latest_event(spark, sf_dir):
+    """Fold/UDAF surface (aggregate/fold.rs:25-101): "latest event per
+    user" via the max-by fold (nexmark q18.rs:37-50 idiom), maintained
+    incrementally by AggregateOp's touched-group recompute across 2
+    delta batches."""
+    from database_stream_processor_spark.functions.fold import fold_latest
+    from database_stream_processor_spark.plans.incremental import AggregateOp
+    e = load_events(spark, sf_dir).select(
+        "user_id", epoch_seconds(F.col("ts")).alias("ep"), "event_id",
+        "value")
+    row = F.struct(F.col("ep"), F.col("event_id"), F.col("value"))
+    agg_fn = lambda z: z.aggregate(["user_id"],
+                                   fold_latest(row).alias("__latest"))
+    op = AggregateOp(ZSetFrame.from_df(e.limit(0)), ["user_id"], agg_fn)
+    for step in range(2):
+        op.step(ZSetFrame.from_df(e.filter(F.col("event_id") % 2 == step)))
+    out = op.current_output.consolidate().rows()
+    return out.select("user_id", F.col("__latest.ep").alias("ep"),
+                      F.col("__latest.event_id").alias("event_id"),
+                      F.col("__latest.value").alias("value"))
+
+
+@register("q46_ivf_topk", oracle=f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+               WHERE vec_id < 16),
+vc AS (
+  SELECT e.vec_id, c.cent_id,
+         ROUND({_DOT.format(a='e', b='c')}
+               / (sqrt({_DOT.format(a='e', b='e')})
+                  * sqrt({_DOT.format(a='c', b='c')})), 6) AS cs
+  FROM embeddings e, cents c, unnest(generate_series(0, 63)) t(i)
+  GROUP BY 1, 2),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cent_id) AS rk FROM vc) t WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cs DESC, cent_id) AS rk FROM vc
+    WHERE vec_id < 20) t WHERE rk <= 4),
+pairs AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_DOT.format(a='q', b='c')} AS dp,
+         {_DOT.format(a='q', b='q')} AS nq,
+         {_DOT.format(a='c', b='c')} AS nc
+  FROM probes p JOIN assigned a USING (cent_id)
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = a.neighbor_id,
+  unnest(generate_series(0, 63)) t(i)
+  WHERE p.query_id != a.neighbor_id
+  GROUP BY 1, 2),
+scored AS (SELECT query_id, neighbor_id,
+                  ROUND(dp / (sqrt(nq) * sqrt(nc)), 6) AS cosine_sim
+           FROM pairs)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine_sim DESC, neighbor_id) AS rk FROM scored) t
+WHERE rk <= 10
+""")
+def q46_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: corpus bucketed into 16 posting lists by
+    nearest centroid (broadcast centroid table), queries probe their 4
+    nearest lists — the scoring join is an equi-join on list id, shuffle
+    ∝ corpus + probed candidates, never a crossJoin."""
+    from database_stream_processor_spark.functions.similarity import ivf_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20),
+                    k=10, n_centroids=16, n_probe=4)
+
+
+@register("q47_cosine_near_dup", oracle=f"""
+WITH comps AS (
+  SELECT p, i, {_COMP} AS comp
+  FROM unnest(generate_series(0, 7)) tp(p),
+       unnest(generate_series(0, 63)) ti(i)),
+projs AS (
+  SELECT e.vec_id, c.p,
+         CAST(SUM(CAST(CAST(e.embedding[c.i+1] AS DOUBLE) * c.comp
+                       AS DECIMAL(38,20))) AS DOUBLE) AS proj
+  FROM embeddings e, comps c GROUP BY 1, 2),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM projs GROUP BY 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT.format(a='ea', b='eb')} AS dp,
+         {_DOT.format(a='ea', b='ea')} AS na,
+         {_DOT.format(a='eb', b='eb')} AS nb
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id,
+  unnest(generate_series(0, 63)) t(i)
+  GROUP BY 1, 2)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT id_a, id_b, ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine_sim
+  FROM pairs) t
+WHERE cosine_sim >= 0.1
+""")
+def q47_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
+    pairs come only from vectors sharing an 8-bit hyperplane signature —
+    an equi-join on the bucket, never the O(n²) all-pairs product."""
+    from database_stream_processor_spark.functions.similarity import (
+        cosine_near_dup_pairs)
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.1, n_planes=8)
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -1,0 +1,149 @@
+"""Maintained window operators and incremental recursion — the reference's
+window-content-delta contract (time_series/window.rs:75), tumbling/hopping
+construction (nexmark q5.rs:76-118), and incremental recursion
+(recursive.rs:255) checked with the inc == batch oracle idiom."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from database_stream_processor_spark.operators.recursive import (
+    IncrementalTransitiveClosureOp,
+    transitive_closure,
+)
+from database_stream_processor_spark.operators.windows import (
+    hopping_window,
+    tumbling_window,
+)
+from database_stream_processor_spark.plans.incremental import (
+    HoppingWindowOp,
+    TumblingWindowOp,
+    WindowOp,
+)
+from database_stream_processor_spark.zset import ZSetFrame
+from tests.conftest import zset_to_dict
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(k, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s), float(v))
+         for k, s, v in rows],
+        "k string, ts timestamp, v double")
+
+
+BATCHES = [
+    [("a", 5, 1), ("a", 15, 2), ("b", 5, 3)],
+    [("a", 7, 10), ("b", 25, 4)],       # late row lands in window 0
+    [("a", 15, -0)],                     # no-op-ish tick
+]
+
+
+def test_tumbling_window_incremental_equals_batch(spark):
+    empty = ZSetFrame.from_df(_events(spark, []).limit(0))
+    op = TumblingWindowOp(empty, "ts", 10, ["k"],
+                          {"n": F.lit(1), "s": F.col("v")})
+    seen = []
+    for rows in BATCHES:
+        seen.extend(rows)
+        op.step(ZSetFrame.from_df(_events(spark, rows)))
+        batch = tumbling_window(_events(spark, seen), "ts", 10, ["k"],
+                                F.count(F.lit(1)).alias("n"),
+                                F.sum("v").alias("s"))
+        want = {tuple(r): 1 for r in batch.collect()}
+        assert zset_to_dict(op.current_output.consolidate()) == want
+
+
+def test_tumbling_late_row_emits_correction_delta_only(spark):
+    empty = ZSetFrame.from_df(_events(spark, []).limit(0))
+    op = TumblingWindowOp(empty, "ts", 10, ["k"],
+                          {"n": F.lit(1), "s": F.col("v")})
+    op.step(ZSetFrame.from_df(_events(spark, BATCHES[0])))
+    d = zset_to_dict(op.step(ZSetFrame.from_df(_events(spark, BATCHES[1]))))
+    # only windows (a,0) [late row] and (b,20) [new] change; (a,10)/(b,0) silent
+    base = int(dt.datetime(2026, 1, 1).timestamp())
+    assert d == {(base + 0, "a", 1, 1.0): -1, (base + 0, "a", 2, 11.0): 1,
+                 (base + 20, "b", 1, 4.0): 1}
+
+
+def test_hopping_window_incremental_equals_batch(spark):
+    empty = ZSetFrame.from_df(_events(spark, []).limit(0))
+    op = HoppingWindowOp(empty, "ts", 10, 5, ["k"],
+                         {"n": F.lit(1), "s": F.col("v")})
+    seen = []
+    for rows in BATCHES[:2]:
+        seen.extend(rows)
+        op.step(ZSetFrame.from_df(_events(spark, rows)))
+        batch = hopping_window(_events(spark, seen), "ts", 10, 5, ["k"],
+                               F.count(F.lit(1)).alias("n"),
+                               F.sum("v").alias("s"))
+        want = {tuple(r): 1 for r in batch.collect()}
+        assert zset_to_dict(op.current_output.consolidate()) == want
+
+
+def test_window_op_emits_content_deltas_as_bounds_advance(spark):
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    empty = ZSetFrame.from_df(_events(spark, []).limit(0))
+    op = WindowOp(empty, "ts")
+    base = int(dt.datetime(2026, 1, 1).timestamp())
+
+    # tick 1: bounds [0, 20) — rows at 5 and 15 are inside
+    d1 = zset_to_dict(op.step(
+        ZSetFrame.from_df(_events(spark, [("a", 5, 1), ("a", 15, 2),
+                                          ("a", 30, 3)])),
+        (base + 0, base + 20)))
+    assert d1 == {("a", t(5), 1.0): 1, ("a", t(15), 2.0): 1}
+
+    # tick 2: bounds advance to [10, 40) — row 5 leaves (retraction),
+    # state row 30 enters, and a new delta row 35 lands inside
+    d2 = zset_to_dict(op.step(
+        ZSetFrame.from_df(_events(spark, [("a", 35, 4)])),
+        (base + 10, base + 40)))
+    assert d2 == {("a", t(5), 1.0): -1, ("a", t(30), 3.0): 1,
+                  ("a", t(35), 4.0): 1}
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_incremental_closure_insert_and_delete(spark):
+    op = IncrementalTransitiveClosureOp(spark)
+    acc = None
+    # chain 1→2→3, then bridge 3→4 (new paths must cross the new edge),
+    # then delete 2→3 (splits the chain)
+    steps = [
+        (1, [(1, 2), (2, 3)]),
+        (1, [(3, 4)]),
+        (-1, [(2, 3)]),
+    ]
+    edge_sets = [[(1, 2), (2, 3)], [(1, 2), (2, 3), (3, 4)],
+                 [(1, 2), (3, 4)]]
+    for (w, pairs), final_edges in zip(steps, edge_sets):
+        delta = op.step(ZSetFrame.from_df(_edges(spark, pairs), w))
+        acc = delta if acc is None else acc.plus(delta)
+        want = {tuple(r): 1 for r in
+                transitive_closure(_edges(spark, final_edges)).collect()}
+        assert zset_to_dict(acc.consolidate()) == want
+        assert {tuple(r) for r in op.current.collect()} == set(want)
+
+
+def test_fold_helpers(spark):
+    from database_stream_processor_spark.functions.fold import (
+        fold, fold_latest, fold_topk)
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 5.0), ("a", 3, 7.0), ("b", 9, 1.0)],
+        "g string, seq long, x double")
+    row = F.struct("seq", "x")
+    out = df.groupBy("g").agg(
+        fold(row, F.lit(0.0),
+             lambda acc, r: acc + r["x"]).alias("fsum"),
+        fold_latest(row).alias("latest"),
+        fold_topk(row, 2).alias("top2"),
+    ).collect()
+    by_g = {r["g"]: r for r in out}
+    assert by_g["a"]["fsum"] == 22.0
+    assert tuple(by_g["a"]["latest"]) == (3, 7.0)
+    assert [tuple(r) for r in by_g["a"]["top2"]] == [(3, 7.0), (2, 5.0)]
+    assert by_g["b"]["fsum"] == 1.0
