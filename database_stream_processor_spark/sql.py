@@ -85,6 +85,39 @@ _CREATE_TABLE = re.compile(r"^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*$",
 _CREATE_VIEW = re.compile(r"^CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*)$",
                           re.IGNORECASE | re.DOTALL)
 
+# ------------------------------------------------------------------ #
+# view-shape recognizers for incremental lowering (SURVEY §3.2: lower
+# simple views onto the operator layer instead of snapshot-diffing)
+# ------------------------------------------------------------------ #
+
+_BLOCKERS = re.compile(
+    r"\b(GROUP\s+BY|DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING|ORDER\s+BY"
+    r"|LIMIT|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
+
+_AGG_BLOCKERS = re.compile(
+    r"\b(DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING|ORDER\s+BY|LIMIT|JOIN"
+    r"|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
+
+_PROJECT_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<alias>\w+))?(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_JOIN_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<la>\w+))?\s+JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>\w+))?"
+    r"\s+ON\s+(?P<cond>.+?)(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_AGG_ITEM = re.compile(
+    r"^(?:(?P<key>\w+)|SUM\s*\((?P<sum>[^()]+)\)\s+AS\s+(?P<sname>\w+)"
+    r"|COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<cname>\w+))$", re.IGNORECASE)
+
 
 def _parse_columns(body: str) -> T.StructType:
     """Parse a CREATE TABLE column list (name TYPE [NOT NULL], ...)."""
@@ -114,6 +147,225 @@ def _parse_columns(body: str) -> T.StructType:
     return T.StructType(fields)
 
 
+def _split_parts(z: ZSetFrame) -> tuple[DataFrame, DataFrame]:
+    """(positive rows expanded, |negative| rows expanded) — lets plain SQL
+    evaluate weight-carrying deltas: run the view SQL on each part, emit
+    the results at weight +1 / −1."""
+    c = z.consolidate()
+    return c.rows(), c.neg().rows()
+
+
+class _ViewMaintainer:
+    """Base: generic snapshot-diff fallback (any SQL Catalyst accepts);
+    per-step cost ∝ full recompute.  Subclasses lower recognized shapes
+    onto delta plans with per-step cost ∝ Δ — the Spark analog of handing
+    the view to the incremental operator layer."""
+
+    kind = "differentiate"
+
+    def __init__(self, eng: "Engine", name: str, sql: str):
+        self.name = name
+        self.sql = sql
+        snapshot = eng.spark.sql(sql)
+        self.state = StateTable(ZSetFrame.from_df(snapshot.limit(0)),
+                                name=f"view_{name}")
+
+    def step(self, eng: "Engine", combined: Mapping[str, ZSetFrame],
+             old: Mapping[str, ZSetFrame]) -> ZSetFrame:
+        snapshot = ZSetFrame.from_df(eng.spark.sql(self.sql)).consolidate()
+        delta = snapshot.minus(self.state.current).consolidate()
+        self.state._current = self.state._materialize(snapshot)
+        return delta
+
+    def _empty(self) -> ZSetFrame:
+        return ZSetFrame(self.state.current.df.limit(0))
+
+    def apply_delta(self, delta: ZSetFrame) -> None:
+        self.state.update(delta)
+
+
+class _ProjectMaintainer(_ViewMaintainer):
+    """SELECT <exprs> FROM t [WHERE p] — linear (filter_map.rs:1): the
+    view SQL runs over the *delta only*; the table integral is never
+    rescanned."""
+
+    kind = "project"
+
+    def __init__(self, eng, name, sql, table):
+        super().__init__(eng, name, sql)
+        self.table = table
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        pos, neg = _split_parts(z)
+        out = ZSetFrame.from_df(eng.eval_on(self.sql, {self.table: pos}), 1)
+        out = out.plus(ZSetFrame.from_df(
+            eng.eval_on(self.sql, {self.table: neg}), -1))
+        delta = out.consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+class _JoinMaintainer(_ViewMaintainer):
+    """SELECT … FROM a JOIN b ON cond [WHERE p] — bilinear
+    (join.rs:226-264): Δ = ΔA⋈B_new + A_old⋈ΔB.  Each leg evaluates the
+    original SQL with one side rebound to the delta, so only delta-driven
+    work runs; a tick that changes neither table does nothing."""
+
+    kind = "join"
+
+    def __init__(self, eng, name, sql, left, right):
+        super().__init__(eng, name, sql)
+        self.left, self.right = left, right
+
+    def step(self, eng, combined, old):
+        da, db = combined.get(self.left), combined.get(self.right)
+        if da is None and db is None:
+            return self._empty()
+        parts = []
+        if da is not None:
+            b_new = eng.tables[self.right].current.rows()
+            pos, neg = _split_parts(da)
+            parts.append(ZSetFrame.from_df(
+                eng.eval_on(self.sql, {self.left: pos,
+                                       self.right: b_new}), 1))
+            parts.append(ZSetFrame.from_df(
+                eng.eval_on(self.sql, {self.left: neg,
+                                       self.right: b_new}), -1))
+        if db is not None:
+            a_old = old[self.left].rows()
+            pos, neg = _split_parts(db)
+            parts.append(ZSetFrame.from_df(
+                eng.eval_on(self.sql, {self.left: a_old,
+                                       self.right: pos}), 1))
+            parts.append(ZSetFrame.from_df(
+                eng.eval_on(self.sql, {self.left: a_old,
+                                       self.right: neg}), -1))
+        delta = ZSetFrame.sum(parts).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+class _LinearAggMaintainer(_ViewMaintainer):
+    """SELECT keys, SUM(e) AS s, COUNT(*) AS c FROM t [WHERE p] GROUP BY
+    keys — linear aggregates (aggregate/mod.rs:253-273): per step the
+    GROUP BY runs over the delta alone, then merges with the stored
+    per-group output joined on *touched keys only*.  The input integral
+    is never scanned — not even kept.  A hidden COUNT(*) tracks group
+    liveness so fully-retracted groups emit a retraction."""
+
+    kind = "linear_agg"
+
+    _CNT = "__live_cnt"
+
+    def __init__(self, eng, name, sql, table, keys, agg_names):
+        super().__init__(eng, name, sql)
+        self.table = table
+        self.keys = keys
+        self.agg_names = agg_names  # public agg output columns
+        # delta-side SQL: original select + hidden liveness count
+        m = _AGG_RE.match(sql)
+        sel, pred = m.group("sel"), m.group("pred")
+        where = f" WHERE {pred}" if pred else ""
+        self._delta_sql = (f"SELECT {sel}, COUNT(*) AS {self._CNT} "
+                           f"FROM {table}{where} GROUP BY {m.group('keys')}")
+        first = eng.eval_on(self._delta_sql, {
+            table: eng.tables[table].current.rows().limit(0)})
+        self._out = StateTable(ZSetFrame.from_df(first.limit(0)),
+                               name=f"view_{name}_groups")
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        pos, neg = _split_parts(z)
+        dp = eng.eval_on(self._delta_sql, {self.table: pos})
+        dn = eng.eval_on(self._delta_sql, {self.table: neg})
+        vals = [*self.agg_names, self._CNT]
+        rn = lambda df, tag: df.select(
+            *self.keys, *[F.col(v).alias(f"{tag}{v}") for v in vals])
+        merged = rn(dp, "__p_").join(rn(dn, "__n_"), on=self.keys,
+                                     how="full_outer")
+        touched = merged.select(*self.keys)
+        old_groups = self._out.current.df.join(touched, on=self.keys,
+                                               how="left_semi")
+        old_rn = old_groups.select(
+            *self.keys, *[F.col(v).alias(f"__o_{v}") for v in vals])
+        all_m = merged.join(old_rn, on=self.keys, how="full_outer")
+        zero = F.lit(0)
+        new_rows = all_m.select(
+            *self.keys,
+            *[(F.coalesce(F.col(f"__o_{v}"), zero)
+               + F.coalesce(F.col(f"__p_{v}"), zero)
+               - F.coalesce(F.col(f"__n_{v}"), zero)).alias(v)
+              for v in vals])
+        live = new_rows.filter(F.col(self._CNT) > 0)
+        group_delta = (ZSetFrame.from_df(live, 1)
+                       .minus(ZSetFrame.from_df(old_groups, 1)).consolidate())
+        self._out.update(group_delta)
+        delta = ZSetFrame(group_delta.df.drop(self._CNT)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
+    """Pick the cheapest maintainer whose shape matches; fall back to
+    snapshot-diff for anything unrecognized."""
+    flat = " ".join(sql.split())
+    if not _BLOCKERS.search(flat):
+        m = _JOIN_RE.match(flat)
+        if m and m.group("lt").lower() in eng.tables \
+                and m.group("rt").lower() in eng.tables \
+                and m.group("lt").lower() != m.group("rt").lower():
+            return _JoinMaintainer(eng, name, flat, m.group("lt").lower(),
+                                   m.group("rt").lower())
+        m = _PROJECT_RE.match(flat)
+        if m and m.group("tbl").lower() in eng.tables:
+            return _ProjectMaintainer(eng, name, flat,
+                                      m.group("tbl").lower())
+    m = _AGG_RE.match(flat)
+    if (m and m.group("tbl").lower() in eng.tables
+            and not _AGG_BLOCKERS.search(flat)):
+        items = [i.strip() for i in _split_top_level(m.group("sel"))]
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        agg_names, ok = [], True
+        for it in items:
+            im = _AGG_ITEM.match(it)
+            if not im:
+                ok = False
+                break
+            if im.group("key") and im.group("key") not in keys:
+                ok = False
+                break
+            if im.group("sname"):
+                agg_names.append(im.group("sname"))
+            if im.group("cname"):
+                agg_names.append(im.group("cname"))
+        if ok and agg_names:
+            return _LinearAggMaintainer(eng, name, flat,
+                                        m.group("tbl").lower(), keys,
+                                        agg_names)
+    return _ViewMaintainer(eng, name, sql)
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, buf = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
 class Engine:
     """SQL pipeline engine: DDL in, maintained views out.
 
@@ -131,9 +383,23 @@ class Engine:
         self.spark = spark
         self.tables: dict[str, StateTable] = {}
         self.views: dict[str, str] = {}
-        self._view_prev: dict[str, StateTable] = {}
+        self._maintainers: dict[str, _ViewMaintainer] = {}
         self._pending: dict[str, list[ZSetFrame]] = {}
         register_sql_macros(spark)
+
+    def eval_on(self, sql: str, bindings: Mapping[str, DataFrame]) -> DataFrame:
+        """Evaluate ``sql`` with some table names temporarily rebound to
+        other DataFrames (e.g. the tick's delta).  ``spark.sql`` analyzes
+        eagerly, so the returned plan keeps the rebinding after the temp
+        views are restored to their canonical state."""
+        for t, df in bindings.items():
+            df.createOrReplaceTempView(t)
+        try:
+            return self.spark.sql(sql)
+        finally:
+            for t in bindings:
+                if t in self.tables:
+                    self._refresh_table_view(t)
 
     # -------------------------------------------------------------- #
     # DDL / query execution
@@ -162,10 +428,8 @@ class Engine:
 
     def _create_view(self, name: str, select_sql: str) -> None:
         self.views[name] = select_sql
-        snapshot = self.spark.sql(select_sql)
-        self._view_prev[name] = StateTable(
-            ZSetFrame.from_df(snapshot.limit(0)), name=f"view_{name}")
-        snapshot.limit(0).createOrReplaceTempView(name)
+        self._maintainers[name] = _lower_view(self, name, select_sql)
+        self.spark.sql(select_sql).limit(0).createOrReplaceTempView(name)
 
     def _refresh_table_view(self, name: str) -> None:
         self.tables[name].current.rows().createOrReplaceTempView(name)
@@ -183,25 +447,33 @@ class Engine:
 
     def step(self) -> dict[str, ZSetFrame]:
         """One clock tick (dbsp_handle.rs:246 ``step``): apply pending
-        deltas, re-evaluate views, emit per-view output deltas."""
+        deltas, run each view's maintainer (delta plan for lowered views,
+        snapshot-diff for the fallback), emit per-view output deltas."""
+        combined: dict[str, ZSetFrame] = {}
+        old: dict[str, ZSetFrame] = {n: t.current
+                                     for n, t in self.tables.items()}
         for name, deltas in self._pending.items():
             if deltas:
-                self.tables[name].update(ZSetFrame.sum(deltas))
-                self._refresh_table_view(name)
+                combined[name] = ZSetFrame.sum(deltas)
             self._pending[name] = []
+        for name, z in combined.items():
+            self.tables[name].update(z)
+            self._refresh_table_view(name)
 
         out: dict[str, ZSetFrame] = {}
-        for name, sql in self.views.items():
-            snapshot = ZSetFrame.from_df(self.spark.sql(sql)).consolidate()
-            prev = self._view_prev[name]
-            delta = snapshot.minus(prev.current).consolidate()
-            prev._current = prev._materialize(snapshot)
-            snapshot.rows().createOrReplaceTempView(name)
+        for name, m in self._maintainers.items():
+            delta = m.step(self, combined, old)
+            m.state.current.rows().createOrReplaceTempView(name)
             out[name] = delta
         return out
 
     def view(self, name: str) -> DataFrame:
         """Current snapshot of a maintained view."""
         if name in self.views:
-            return self._view_prev[name].current.rows()
+            return self._maintainers[name].state.current.rows()
         return self.tables[name].current.rows()
+
+    def view_strategy(self, name: str) -> str:
+        """'project' | 'join' | 'linear_agg' | 'differentiate' — which
+        maintenance path a view was lowered to."""
+        return self._maintainers[name].kind

@@ -127,6 +127,88 @@ def test_view_over_view(spark):
     assert zset_to_dict(out["agg"]) == {(1, 8.0): 1, (2, 2.0): 1}
 
 
+def test_view_lowering_strategies(spark, engine):
+    """Simple shapes lower onto delta plans (SURVEY §3.2); window-function
+    views keep the snapshot-diff fallback."""
+    assert engine.view_strategy("enriched") == "join"
+    assert engine.view_strategy("features") == "differentiate"
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW pv as SELECT k, v * 2 AS v2 FROM t WHERE v > 0;
+        CREATE VIEW av as SELECT k, SUM(v) AS s, COUNT(*) AS n
+            FROM t WHERE v > 0 GROUP BY k;
+    """)
+    assert eng.view_strategy("pv") == "project"
+    assert eng.view_strategy("av") == "linear_agg"
+
+
+def test_lowered_views_match_recompute_with_retractions(spark):
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW pv as SELECT k, v * 2 AS v2 FROM t WHERE v > 0;
+        CREATE VIEW av as SELECT k, SUM(v) AS s, COUNT(*) AS n
+            FROM t WHERE v > 0 GROUP BY k;
+    """)
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    batches = [
+        (mk([(1, 1.0), (1, 2.0), (2, 3.0), (2, -9.0)]), 1),
+        (mk([(3, 4.0)]), 1),
+        (mk([(1, 1.0)]), -1),          # partial retraction
+        (mk([(3, 4.0)]), -1),          # group 3 dies entirely
+    ]
+    for batch, w in batches:
+        eng.push("t", batch, weight=w)
+        eng.step()
+        # maintained state == full recompute over the table's current rows
+        t_rows = eng.view("t")
+        want_pv = {tuple(r) for r in
+                   t_rows.filter("v > 0")
+                   .selectExpr("k", "v * 2 AS v2").collect()}
+        assert {tuple(r) for r in eng.view("pv").collect()} == want_pv
+        want_av = {tuple(r) for r in
+                   t_rows.filter("v > 0").groupBy("k")
+                   .agg(F.sum("v").alias("s"),
+                        F.count(F.lit(1)).alias("n")).collect()}
+        assert {tuple(r) for r in eng.view("av").collect()} == want_av
+
+
+def test_lowered_view_plan_does_not_rescan_integral(spark, tmp_path):
+    """The per-step delta plan for project and linear-agg views must read
+    only the tick's delta (plus, for aggs, the per-group output state) —
+    never the table integral.  Deltas are fed from parquet so they appear
+    as parquet relations in the plan; any LogicalRDD is then
+    checkpointed *state*."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW pv as SELECT k, v * 2 AS v2 FROM t WHERE v > 0;
+        CREATE VIEW av as SELECT k, SUM(v) AS s FROM t GROUP BY k;
+    """)
+
+    def mk(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, "k int, v double").write.parquet(p)
+        return spark.read.parquet(p)
+
+    eng.push("t", mk("b1", [(1, 1.0), (2, 3.0)]))
+    eng.step()    # integral state now exists (checkpointed → LogicalRDD)
+
+    eng.push("t", mk("b2", [(1, 5.0)]))
+    deltas = eng.step()
+    pv_plan = (deltas["pv"].df._jdf.queryExecution().optimizedPlan()
+               .toString())
+    assert "LogicalRDD" not in pv_plan        # delta-only: no state at all
+    # the agg delta may read its *output* group state (∝ |groups|, joined
+    # on touched keys) but never the input integral: the group state is
+    # one checkpointed DataFrame, referenced at most twice (merge join +
+    # touched-key semi-join)
+    av_plan = (deltas["av"].df._jdf.queryExecution().optimizedPlan()
+               .toString())
+    assert av_plan.count("LogicalRDD") <= 2
+
+
 REFERENCE_DEMOS = [
     "/root/reference/demo/project_demo00-SimpleSelect/project.sql",
     "/root/reference/demo/project_demo01-TimeSeriesEnrich/project.sql",
