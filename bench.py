@@ -39,6 +39,10 @@ HEADLINE = [
     "q33_quality_score",
     "q37_incremental_revenue",
     "q39_transitive_closure",
+    "q42_incremental_rolling",
+    "q43_incremental_tumbling",
+    "q44_incremental_closure",
+    "q46_ivf_topk",
     "nx_q05_hot_items",
     "nx_q09_winning_bids",
 ]

@@ -7,14 +7,18 @@ from database_stream_processor_spark.plans.incremental import (
     Apply2Op,
     DifferentiateOp,
     DistinctOp,
+    HoppingWindowOp,
     IntegrateOp,
     JoinOp,
     LinearAggregateOp,
     LinearOp,
+    MonotonicStreamJoinOp,
     PartitionedRollingAggregateOp,
     StateTable,
     StreamFoldOp,
+    TumblingWindowOp,
     UpsertOp,
+    WindowOp,
     Z1Op,
 )
 
@@ -23,13 +27,17 @@ __all__ = [
     "Apply2Op",
     "DifferentiateOp",
     "DistinctOp",
+    "HoppingWindowOp",
     "IntegrateOp",
     "JoinOp",
     "LinearAggregateOp",
     "LinearOp",
+    "MonotonicStreamJoinOp",
     "PartitionedRollingAggregateOp",
     "StateTable",
     "StreamFoldOp",
+    "TumblingWindowOp",
     "UpsertOp",
+    "WindowOp",
     "Z1Op",
 ]

@@ -60,7 +60,8 @@ class StateTable:
                  path: str | None = None,
                  partition_by: Sequence[str] | None = None,
                  materialize_every: int = 1,
-                 consolidate_every: int = 1):
+                 consolidate_every: int = 1,
+                 recover: bool = False):
         self.name = name
         self.path = path
         self.partition_by = list(partition_by or [])
@@ -79,6 +80,28 @@ class StateTable:
             # may pass them all the same base path
             self.path = os.path.join(path, name)
             os.makedirs(self.path, exist_ok=True)
+            if recover:
+                self._recover()
+
+    def _recover(self) -> None:
+        """Resume from the latest persisted epoch — the reference's
+        persistent-trace recovery (src/trace/persistent/mod.rs:2-89: traces
+        reopen from storage and the circuit continues stepping).  Works
+        from any session: the parquet layout is self-describing."""
+        epochs = []
+        for d in os.listdir(self.path):
+            if d.startswith("epoch="):
+                try:
+                    epochs.append(int(d.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        if not epochs:
+            return
+        self._epoch = max(epochs)
+        df = self._spark.read.parquet(
+            os.path.join(self.path, f"epoch={self._epoch}"))
+        self._current = ZSetFrame(df.select(
+            *[F.col(f.name).cast(f.dataType) for f in self._schema.fields]))
 
     @property
     def current(self) -> ZSetFrame:
@@ -272,6 +295,98 @@ class JoinOp:
         out_delta = new_out.minus(old_out).consolidate()
         self._out_state.update(out_delta)
         return out_delta
+
+
+class MonotonicStreamJoinOp:
+    """Stream-stream equi-join specialized for *monotonic* (append-only)
+    inputs (reference: join.rs:87 ``monotonic_stream_join`` — no
+    retractions can arrive, so no output consolidation is needed and,
+    given a time-bound match window, state ages out).
+
+    Matches are restricted to ``|left_ts − right_ts| ≤ window_seconds``.
+    The watermark (max event time seen across both inputs − delay) is
+    derived inside the step's plan; each side's state below
+    ``wm − window`` is evicted — those rows can never match a future row,
+    the exact state-cleanup contract of Spark's native stream-stream join
+    (streaming/joins.py is the ``readStream`` binding of this operator).
+
+    ``left_ts``/``right_ts`` must be distinct column names (both survive
+    into the output).  Per-step output = ΔA⋈B + A⋈ΔB within the window —
+    weight-1 rows, emitted without a consolidation shuffle.
+    """
+
+    def __init__(self, empty_left: ZSetFrame, empty_right: ZSetFrame,
+                 on: Sequence[str], left_ts: str, right_ts: str,
+                 window_seconds: int, watermark_delay: int | None = None,
+                 **state_kw):
+        if left_ts == right_ts:
+            raise ValueError("left_ts and right_ts must be distinct names")
+        self.on = list(on)
+        self.lts, self.rts = left_ts, right_ts
+        self.window = window_seconds
+        self.delay = watermark_delay
+        self.left = StateTable(empty_left, name="mono_join_left", **state_kw)
+        self.right = StateTable(empty_right, name="mono_join_right",
+                                **state_kw)
+
+    def _wm_df(self):
+        """Watermark = max event time in *state* − delay, as a broadcast
+        1-row DataFrame (no driver round-trip).  Derived from state only,
+        so it lags one step — exactly Spark's streaming watermark, which
+        advances at batch boundaries; NULL (empty state) disables both
+        late-drop and eviction via the coalesce guard."""
+        def ts(df, col):
+            return df.select(F.unix_timestamp(F.col(col)).alias("__t"))
+        u = ts(self.left.current.df, self.lts).unionByName(
+            ts(self.right.current.df, self.rts))
+        wm = F.coalesce(F.max("__t") - self.delay, F.lit(-(1 << 60)))
+        return F.broadcast(u.agg(wm.alias("__wm")))
+
+    def _evict(self, state: StateTable, ts_col: str, wmb) -> None:
+        t = F.unix_timestamp(F.col(ts_col))
+        state._current = ZSetFrame(
+            state.current.df.crossJoin(wmb)
+            .filter(t >= F.col("__wm") - self.window).drop("__wm"))
+
+    def _drop_late(self, delta: ZSetFrame | None, ts_col: str,
+                   wmb) -> ZSetFrame | None:
+        if delta is None:
+            return None
+        t = F.unix_timestamp(F.col(ts_col))
+        return ZSetFrame(delta.df.crossJoin(wmb)
+                         .filter(t >= F.col("__wm")).drop("__wm"))
+
+    def step(self, delta_left: ZSetFrame | None,
+             delta_right: ZSetFrame | None) -> ZSetFrame:
+        # watermarking is opt-in: with delay=None the join is exact and
+        # state is unbounded (the caller accepts arbitrarily late rows)
+        if self.delay is not None:
+            wmb = self._wm_df()
+            delta_left = self._drop_late(delta_left, self.lts, wmb)
+            delta_right = self._drop_late(delta_right, self.rts, wmb)
+            self._evict(self.left, self.lts, wmb)
+            self._evict(self.right, self.rts, wmb)
+
+        a_old = self.left.current
+        b_new = (self.right.update(delta_right) if delta_right is not None
+                 else self.right.current)
+        if delta_left is not None:
+            self.left.update(delta_left)
+
+        in_window = (
+            F.abs(F.unix_timestamp(F.col(self.lts))
+                  - F.unix_timestamp(F.col(self.rts))) <= self.window)
+        parts = []
+        if delta_left is not None:
+            parts.append(delta_left.join(b_new, on=self.on, how="inner")
+                         .filter(in_window))
+        if delta_right is not None:
+            parts.append(a_old.join(delta_right, on=self.on, how="inner")
+                         .filter(in_window))
+        if not parts:
+            raise ValueError("MonotonicStreamJoinOp.step: both deltas None")
+        # append-only inputs → weight-1 outputs, no consolidation shuffle
+        return ZSetFrame.sum(parts)
 
 
 class DistinctOp:

@@ -7,6 +7,8 @@
   (src/operator/csv.rs, output.rs; adapters/src/transport/file.rs).
 - :mod:`kafka` — Kafka transport binding over Spark's built-in
   ``format("kafka")`` (adapters/src/transport/kafka/).
+- :mod:`http` — HTTP ingress poll-source / egress POST sink
+  (adapters/src/transport/http/).
 """
 
 from database_stream_processor_spark.sources.files import (
@@ -18,15 +20,25 @@ from database_stream_processor_spark.sources.files import (
     write_zset,
 )
 from database_stream_processor_spark.sources.handles import (
+    Generator,
     MapInput,
     SetInput,
+    StreamInput,
     zset_input,
+)
+from database_stream_processor_spark.sources.http import (
+    HttpOutput,
+    http_poll_source,
 )
 
 __all__ = [
+    "Generator",
+    "HttpOutput",
     "MapInput",
     "OutputHandle",
     "SetInput",
+    "StreamInput",
+    "http_poll_source",
     "read_csv",
     "read_json",
     "read_parquet",

@@ -41,6 +41,44 @@ def zset_input(df: DataFrame, weight: int = 1) -> ZSetFrame:
     return ZSetFrame.from_df(df, weight)
 
 
+class StreamInput:
+    """``add_input_stream`` (input.rs:49): plain per-step batches of rows
+    entering the circuit at weight +1 — the weightless cousin of
+    ``add_input_zset``.  Push any number of DataFrames between ticks;
+    ``step()`` drains them as one delta."""
+
+    def __init__(self, empty: DataFrame):
+        self._empty = empty.limit(0)
+        self._pending: list[DataFrame] = []
+
+    def push(self, df: DataFrame) -> None:
+        self._pending.append(df)
+
+    def step(self) -> ZSetFrame:
+        dfs = self._pending or [self._empty]
+        self._pending = []
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return ZSetFrame.from_df(out, 1)
+
+
+class Generator:
+    """``Generator`` source (src/operator/generator.rs): one batch per
+    tick from a caller-supplied ``fn(t) -> DataFrame`` over the tick
+    counter — test/demo data without an external feed.  The nested
+    variant (GeneratorNested) is ``fn`` closing over outer-loop state."""
+
+    def __init__(self, fn):
+        self.fn = fn
+        self._t = 0
+
+    def step(self) -> ZSetFrame:
+        df = self.fn(self._t)
+        self._t += 1
+        return ZSetFrame.from_df(df, 1)
+
+
 class SetInput:
     """``add_input_set`` semantics (input.rs:230; table at input.rs:214-223).
 

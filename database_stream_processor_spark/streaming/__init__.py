@@ -13,10 +13,13 @@ from database_stream_processor_spark.streaming.driver import (
     StepDriver,
     foreach_batch_driver,
 )
+from database_stream_processor_spark.streaming.joins import (
+    stream_stream_join,
+)
 from database_stream_processor_spark.streaming.stateful import (
     latest_per_key,
     running_linear_agg,
 )
 
 __all__ = ["StepDriver", "foreach_batch_driver", "latest_per_key",
-           "running_linear_agg"]
+           "running_linear_agg", "stream_stream_join"]

@@ -335,6 +335,22 @@ class ZSetFrame:
     # misc
     # ------------------------------------------------------------------ #
 
+    def inspect(self, fn) -> "ZSetFrame":
+        """Debugging tap (src/operator/inspect.rs:36): invoke ``fn`` on the
+        underlying DataFrame and pass the stream through unchanged.  ``fn``
+        decides whether to trigger evaluation (e.g. ``df.count()``) or just
+        examine the plan — the reference's inspect likewise runs an
+        arbitrary callback per batch."""
+        fn(self.df)
+        return self
+
+    def gather(self) -> "ZSetFrame":
+        """Collect all shards into a single partition
+        (src/operator/communication/gather.rs:41 — gather to worker 0,
+        e.g. ahead of a single-writer sink or a driver-side inspect).
+        ``coalesce`` merges partitions without a shuffle."""
+        return ZSetFrame(self.df.coalesce(1))
+
     def cache(self) -> "ZSetFrame":
         return ZSetFrame(self.df.cache())
 

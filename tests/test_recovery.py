@@ -1,0 +1,98 @@
+"""State recovery (reference persistent traces, src/trace/persistent/
+mod.rs:2-89: reopen storage-backed state and continue stepping) and the
+small source/utility operators (inspect.rs:36, communication/gather.rs:41,
+generator.rs, input.rs:49)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_stream_processor_spark.plans.incremental import (
+    DistinctOp,
+    LinearAggregateOp,
+)
+from database_stream_processor_spark.sources.handles import (
+    Generator,
+    StreamInput,
+)
+from database_stream_processor_spark.zset import WEIGHT_COL, ZSetFrame
+from tests.conftest import zset_to_dict
+
+
+def _z(spark, rows):
+    return ZSetFrame(spark.createDataFrame(
+        rows, f"k string, x long, {WEIGHT_COL} long"))
+
+
+BATCHES = [
+    [("a", 1, 1), ("b", 2, 1)],
+    [("a", 3, 1), ("b", 2, -1)],
+    [("c", 5, 1), ("a", 1, -1)],
+]
+
+
+def test_linear_agg_state_recovers_in_fresh_session(spark, tmp_path):
+    aggs = {"s": F.col("x"), "n": F.lit(1)}
+    empty = _z(spark, [])
+
+    # uninterrupted run over all 3 batches
+    ref = LinearAggregateOp(empty, ["k"], aggs)
+    for rows in BATCHES:
+        ref_out3 = ref.step(_z(spark, rows))
+
+    # interrupted run: steps 1-2 persist to parquet, then the operator is
+    # rebuilt in a fresh session with recover=True and continues at step 3
+    path = str(tmp_path / "st")
+    op_a = LinearAggregateOp(empty, ["k"], aggs, path=path)
+    for rows in BATCHES[:2]:
+        op_a.step(_z(spark, rows))
+    del op_a
+
+    fresh = spark.newSession()
+    empty_b = _z(fresh, [])
+    op_b = LinearAggregateOp(empty_b, ["k"], aggs, path=path, recover=True)
+    out3 = op_b.step(_z(fresh, BATCHES[2]))
+
+    assert zset_to_dict(out3) == zset_to_dict(ref_out3)
+    assert zset_to_dict(op_b.current_output.consolidate()) == \
+        zset_to_dict(ref.current_output.consolidate())
+
+
+def test_distinct_state_recovers(spark, tmp_path):
+    path = str(tmp_path / "st")
+    empty = _z(spark, [])
+    ref = DistinctOp(empty, consolidate_every=1)
+    op_a = DistinctOp(empty, path=path, consolidate_every=1)
+    for rows in BATCHES[:2]:
+        ref.step(_z(spark, rows))
+        op_a.step(_z(spark, rows))
+    del op_a
+    op_b = DistinctOp(_z(spark.newSession(), []), path=path,
+                      consolidate_every=1, recover=True)
+    assert zset_to_dict(op_b.step(_z(spark, BATCHES[2]))) == \
+        zset_to_dict(ref.step(_z(spark, BATCHES[2])))
+
+
+def test_stream_input_drains_pushed_batches(spark):
+    empty = spark.createDataFrame([], "k string, x long")
+    h = StreamInput(empty)
+    h.push(spark.createDataFrame([("a", 1)], "k string, x long"))
+    h.push(spark.createDataFrame([("b", 2)], "k string, x long"))
+    assert zset_to_dict(h.step()) == {("a", 1): 1, ("b", 2): 1}
+    assert zset_to_dict(h.step()) == {}          # drained
+
+
+def test_generator_emits_per_tick_batches(spark):
+    gen = Generator(lambda t: spark.createDataFrame([(t, t * 10)],
+                                                    "tick long, v long"))
+    assert zset_to_dict(gen.step()) == {(0, 0): 1}
+    assert zset_to_dict(gen.step()) == {(1, 10): 1}
+
+
+def test_inspect_taps_and_gather_single_partition(spark):
+    z = _z(spark, BATCHES[0])
+    seen = []
+    out = z.inspect(lambda df: seen.append(df.count()))
+    assert seen == [2] and out is z
+    assert z.gather().df.rdd.getNumPartitions() == 1
+    assert zset_to_dict(z.gather()) == zset_to_dict(z)
