@@ -17,9 +17,40 @@ DBSP makes for its nested-clock recursion.
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+
+#: target rows per shuffle partition inside fixpoint loops
+_ROWS_PER_PARTITION = 50_000
+
+
+@contextlib.contextmanager
+def _loop_shuffle_partitions(df: DataFrame):
+    """Size shuffle partitions to a fixpoint loop's working set.
+
+    ``localCheckpoint`` materializes through ``.rdd``, which bypasses AQE's
+    partition coalescing — so without this, every round of a fixpoint over
+    a few thousand rows pays full-width (e.g. 32-task) shuffles, and the
+    per-round fixed cost dominates.  Yields ``resize(n_rows)``: call it
+    with the current accumulator size each round.  Scale-adaptive: a
+    billion-row closure keeps its parallelism (capped at the session's
+    configured width), a small one runs 1-task rounds.  The session conf
+    is restored on exit.
+    """
+    sess = df.sparkSession
+    old = sess.conf.get("spark.sql.shuffle.partitions")
+    cap = int(old) if old.isdigit() else 2 ** 30
+
+    def resize(n_rows: int) -> None:
+        want = max(1, n_rows // _ROWS_PER_PARTITION + 1)
+        sess.conf.set("spark.sql.shuffle.partitions", str(min(cap, want)))
+
+    try:
+        yield resize
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def fixpoint(seed: DataFrame, step: Callable[[DataFrame], DataFrame],
@@ -42,31 +73,59 @@ def fixpoint(seed: DataFrame, step: Callable[[DataFrame], DataFrame],
 
 
 def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
-                       max_iterations: int = 100) -> DataFrame:
+                       max_iterations: int = 100,
+                       method: str = "doubling") -> DataFrame:
     """All (src, dst) pairs connected by a directed path — the reference's
     canonical recursion workload (benches/path.rs transitive closure;
     examples/degrees.rs).
 
-    Semi-naive: per round, join only the *frontier* (paths found last round)
-    with the edge relation, then subtract already-known paths.  Iterations =
-    graph diameter; each is one join + one distinct (two shuffles) on the
-    cluster, never driver-side.
+    Two iteration schemes (both distributed joins, never driver-side):
+
+    - ``doubling`` (default): acc ← acc ∪ acc∘acc — **log₂(diameter)**
+      rounds.  Each Spark round carries fixed scheduling/shuffle overhead,
+      so on high-diameter graphs halving the round count dominates; the
+      per-round join is |acc|⋈|acc| on the midpoint.
+    - ``seminaive``: frontier ∘ edges per round — **diameter** rounds,
+      but per-round cost ∝ |new paths| only (the reference's nested-clock
+      cost claim, recursive.rs:14-21).  Prefer it when the closure is
+      huge and the diameter is small.
     """
     edges = edges.select(src, dst).dropDuplicates().localCheckpoint(eager=True)
     acc = edges
+
+    def compose(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (left.withColumnRenamed(dst, "__mid")
+                .join(right.withColumnRenamed(src, "__mid"), on="__mid")
+                .select(src, dst).dropDuplicates())
+
+    if method == "doubling":
+        # one materialization per round; termination by |acc| growth (a
+        # count on just-checkpointed data is nearly free) — 2 jobs/round,
+        # log₂(diameter) rounds
+        n = acc.count()
+        with _loop_shuffle_partitions(edges) as resize:
+            for _ in range(max_iterations):
+                resize(n)
+                acc2 = (compose(acc, acc).unionByName(acc).dropDuplicates()
+                        .localCheckpoint(eager=True))
+                n2 = acc2.count()
+                if n2 == n:
+                    return acc
+                acc, n = acc2, n2
+        raise RuntimeError(
+            f"transitive_closure did not converge in {max_iterations} rounds")
+
     frontier = edges
-    for _ in range(max_iterations):
-        # frontier(src, mid) ⋈ edges(mid, dst) → new paths
-        stepped = (
-            frontier.withColumnRenamed(dst, "__mid")
-            .join(edges.withColumnRenamed(src, "__mid"), on="__mid")
-            .select(src, dst)
-            .dropDuplicates()
-        )
-        frontier = stepped.exceptAll(acc).localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            return acc
-        acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+    n = edges.count()
+    with _loop_shuffle_partitions(edges) as resize:
+        for _ in range(max_iterations):
+            resize(n)
+            stepped = compose(frontier, edges)
+            frontier = stepped.exceptAll(acc).localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                return acc
+            acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+            n += frontier.count()
     raise RuntimeError(f"transitive_closure did not converge in {max_iterations} iterations")
 
 
@@ -91,12 +150,17 @@ class IncrementalTransitiveClosureOp:
     """
 
     def __init__(self, spark, src: str = "src", dst: str = "dst",
-                 max_iterations: int = 100):
+                 max_iterations: int = 100, method: str = "doubling"):
         self.src, self.dst = src, dst
         self.max_iterations = max_iterations
+        #: 'doubling' (log-diameter rounds, acc∘acc per round — wins when
+        #: Spark's per-round overhead dominates) or 'seminaive' (diameter
+        #: rounds, per-round cost ∝ new paths — wins on huge closures).
+        self.method = method
         schema = f"{src} long, {dst} long"
         self._edges = spark.createDataFrame([], schema)
         self._tc = spark.createDataFrame([], schema)
+        self._n = 0  # last known |closure|, sizes the loop's shuffles
 
     def _compose(self, left: DataFrame, right: DataFrame) -> DataFrame:
         src, dst = self.src, self.dst
@@ -123,23 +187,49 @@ class IncrementalTransitiveClosureOp:
             pre = self._compose(self._tc, added).unionByName(added)
             # … ∘ (I ∪ TC_old) — suffix continues from the new edge's dst
             seed = self._compose(pre, self._tc).unionByName(pre)
-            frontier = (seed.dropDuplicates().exceptAll(self._tc)
-                        .localCheckpoint(eager=True))
-            acc = self._tc
-            new_pairs = frontier
-            for _ in range(self.max_iterations):
-                if frontier.isEmpty():
-                    break
-                acc = acc.unionByName(frontier).localCheckpoint(eager=True)
-                stepped = (self._compose(frontier, acc)
-                           .unionByName(self._compose(acc, frontier))
-                           .dropDuplicates())
-                frontier = (stepped.exceptAll(acc)
-                            .localCheckpoint(eager=True))
-                new_pairs = new_pairs.unionByName(frontier)
-            else:
-                raise RuntimeError("incremental TC did not converge")
+            tc_old = self._tc
+            with _loop_shuffle_partitions(added) as resize:
+                if self.method == "doubling":
+                    # acc ← acc ∪ acc∘acc until |acc| stops growing: one
+                    # materialization + one cheap count per round, log
+                    # rounds; the emitted delta is one exceptAll at the end
+                    resize(self._n + 1)
+                    acc = (tc_old.unionByName(seed).dropDuplicates()
+                           .localCheckpoint(eager=True))
+                    n = acc.count()
+                    for _ in range(self.max_iterations):
+                        resize(n)
+                        acc2 = (self._compose(acc, acc).unionByName(acc)
+                                .dropDuplicates()
+                                .localCheckpoint(eager=True))
+                        n2 = acc2.count()
+                        if n2 == n:
+                            break
+                        acc, n = acc2, n2
+                    else:
+                        raise RuntimeError(
+                            "incremental TC did not converge")
+                else:
+                    frontier = (seed.dropDuplicates().exceptAll(tc_old)
+                                .localCheckpoint(eager=True))
+                    acc = tc_old
+                    for _ in range(self.max_iterations):
+                        if frontier.isEmpty():
+                            break
+                        acc = (acc.unionByName(frontier)
+                               .localCheckpoint(eager=True))
+                        stepped = (self._compose(frontier, acc)
+                                   .unionByName(
+                                       self._compose(acc, frontier))
+                                   .dropDuplicates())
+                        frontier = (stepped.exceptAll(acc)
+                                    .localCheckpoint(eager=True))
+                    else:
+                        raise RuntimeError(
+                            "incremental TC did not converge")
+            new_pairs = acc.exceptAll(tc_old)
             self._tc = acc
+            self._n = n if self.method == "doubling" else self._n
             return ZSetFrame.from_df(new_pairs.dropDuplicates(), 1)
 
         # deletion path: recompute-and-diff fallback

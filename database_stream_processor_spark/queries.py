@@ -50,14 +50,19 @@ def register(name: str, oracle: str | None):
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet is written with TIMESTAMP(NANOS), which Spark rejects
-    # by default.  Set the legacy read conf at *read time* so the queries
-    # work on any caller-supplied SparkSession (the __spark_entry__ driver
-    # contract), not only sessions built by session.get_spark().  The conf
-    # is runtime-settable and only affects NANOS columns; all other tables
-    # are unaffected.  `ts` then arrives as a raw nanosecond long --
-    # load_events() converts it to a proper timestamp.
+    # Engine execution confs, applied at read time so queries behave the
+    # same on any caller-supplied SparkSession (the __spark_entry__ driver
+    # contract), not only sessions built by session.get_spark().  All are
+    # runtime-settable SQL confs:
+    # - nanosAsLong: events.parquet is TIMESTAMP(NANOS), which Spark
+    #   rejects by default; read as long, load_events() converts.
+    # - AQE + coalescing + skew-join: the scale story — runtime re-planning
+    #   sizes shuffles to the data (a 100 TB join keeps its parallelism, a
+    #   tiny fixpoint round coalesces to a handful of tasks).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

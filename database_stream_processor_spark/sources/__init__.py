@@ -24,6 +24,7 @@ from database_stream_processor_spark.sources.handles import (
     MapInput,
     SetInput,
     StreamInput,
+    indexed_zset_input,
     zset_input,
 )
 from database_stream_processor_spark.sources.http import (
@@ -39,6 +40,7 @@ __all__ = [
     "SetInput",
     "StreamInput",
     "http_poll_source",
+    "indexed_zset_input",
     "read_csv",
     "read_json",
     "read_parquet",

@@ -41,6 +41,17 @@ def zset_input(df: DataFrame, weight: int = 1) -> ZSetFrame:
     return ZSetFrame.from_df(df, weight)
 
 
+def indexed_zset_input(df: DataFrame, keys: Sequence[str],
+                       weight: int = 1) -> ZSetFrame:
+    """``add_input_indexed_zset`` (input.rs:120 ``IndexedZSetHandle``):
+    ``(key, value, w)`` pushes entering the circuit pre-indexed.  The
+    Spark analog of "indexed" is *hash-partitioned on the key columns* —
+    downstream joins/aggregates on the same key then reuse the shuffle
+    (EnsureRequirements sees the existing HashPartitioning)."""
+    return ZSetFrame.from_df(df.repartition(*[F.col(k) for k in keys]),
+                             weight)
+
+
 class StreamInput:
     """``add_input_stream`` (input.rs:49): plain per-step batches of rows
     entering the circuit at weight +1 — the weightless cousin of

@@ -89,6 +89,19 @@ def test_generator_emits_per_tick_batches(spark):
     assert zset_to_dict(gen.step()) == {(1, 10): 1}
 
 
+def test_indexed_zset_input_shuffle_reused_by_keyed_agg(spark):
+    """add_input_indexed_zset: hash-partitioning on the key is the index;
+    a downstream groupBy on the same key must NOT add a second exchange."""
+    from database_stream_processor_spark.sources.handles import (
+        indexed_zset_input)
+    df = spark.createDataFrame([(i % 5, i) for i in range(100)],
+                               "k int, v int")
+    z = indexed_zset_input(df, ["k"])
+    agg = z.aggregate_linear(["k"], s=F.col("v"))
+    phys = agg.df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1  # only the input repartition
+
+
 def test_inspect_taps_and_gather_single_partition(spark):
     z = _z(spark, BATCHES[0])
     seen = []
