@@ -234,6 +234,17 @@ class JoinOp:
         right_kw = {**state_kw, **(right_state_kw or {})}
         self.left = StateTable(empty_left, name="join_left", **left_kw)
         self.right = StateTable(empty_right, name="join_right", **right_kw)
+        # deferred state writes: a side's integral is only READ when the
+        # *other* side delivers a delta, so deltas queue here and fold in
+        # just before that read.  A fact stream joining a forever-static
+        # dimension never materializes its (huge) integral at all.
+        self._left_pending: list[ZSetFrame] = []
+        self._right_pending: list[ZSetFrame] = []
+
+    def _flush(self, state: StateTable, pending: list[ZSetFrame]) -> None:
+        if pending:
+            state.update(ZSetFrame.sum(pending).consolidate())
+            pending.clear()
 
     def step(self, delta_left: ZSetFrame | None,
              delta_right: ZSetFrame | None) -> ZSetFrame:
@@ -242,18 +253,22 @@ class JoinOp:
         write — so a static dimension side costs nothing per step."""
         if self.how != "inner":
             return self._step_outer(delta_left, delta_right)
-        a_old = self.left.current
-        if delta_right is not None:
-            b_new = self.right.update(delta_right)
-        else:
-            b_new = self.right.current
         parts = []
+        if delta_right is not None:
+            # a_old (pre-dl left integral) is about to be read: flush
+            self._flush(self.left, self._left_pending)
+            a_old = self.left.current
         if delta_left is not None:
-            self.left.update(delta_left)
+            self._flush(self.right, self._right_pending)
+            b_new = (self.right.update(delta_right)
+                     if delta_right is not None else self.right.current)
+            self._left_pending.append(delta_left)
             rhs = b_new
             if self.broadcast == "right":
                 rhs = ZSetFrame(F.broadcast(b_new.df))
             parts.append(delta_left.join(rhs, on=self.on, how="inner"))
+        elif delta_right is not None:
+            self._right_pending.append(delta_right)
         if delta_right is not None:
             lhs = a_old
             if self.broadcast == "left":
@@ -270,6 +285,9 @@ class JoinOp:
                     delta_right: ZSetFrame | None) -> ZSetFrame:
         if delta_left is None and delta_right is None:
             raise ValueError("JoinOp.step: both deltas are None")
+        # outer recompute reads both integrals every step
+        self._flush(self.left, self._left_pending)
+        self._flush(self.right, self._right_pending)
         a_new = (self.left.update(delta_left) if delta_left is not None
                  else self.left.current)
         b_new = (self.right.update(delta_right) if delta_right is not None
