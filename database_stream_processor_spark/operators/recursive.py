@@ -248,6 +248,50 @@ class IncrementalTransitiveClosureOp:
         return self._tc
 
 
+class IncrementalFixpointOp:
+    """Generic incremental maintenance of a monotone recursive view
+    ``fix(acc ∪ step(acc))`` under input deltas (the reference exports any
+    recursive view for incremental maintenance, recursive.rs:255).
+
+    This is the *generic* form: per tick it re-runs the fixpoint over the
+    integrated input and emits the diff against the previous output —
+    correct for any monotone ``step``, cost ∝ a full fixpoint per tick.
+    :class:`IncrementalTransitiveClosureOp` is the delta-bounded
+    specialization for closure; write one per rule system where the tick
+    cost must be ∝ Δ.
+
+    ``step(input_rows, acc) -> DataFrame`` derives new rows from the
+    current input relation and the accumulated view.
+    """
+
+    def __init__(self, empty_input, step, max_iterations: int = 100):
+        from database_stream_processor_spark.plans.incremental import (
+            StateTable)
+        from database_stream_processor_spark.zset import ZSetFrame
+        self.step_fn = step
+        self.max_iterations = max_iterations
+        self.integral = StateTable(empty_input, name="fixpoint_input")
+        self._prev: DataFrame | None = None
+
+    def step(self, delta) -> "object":
+        from database_stream_processor_spark.zset import ZSetFrame
+        rows = self.integral.update(delta).consolidate().rows() \
+            .localCheckpoint(eager=True)
+        out = fixpoint(rows, lambda acc: self.step_fn(rows, acc),
+                       max_iterations=self.max_iterations)
+        if self._prev is None:
+            diff = ZSetFrame.from_df(out, 1)
+        else:
+            diff = (ZSetFrame.from_df(out.exceptAll(self._prev), 1)
+                    .plus(ZSetFrame.from_df(self._prev.exceptAll(out), -1)))
+        self._prev = out.localCheckpoint(eager=True)
+        return diff.consolidate()
+
+    @property
+    def current(self) -> DataFrame | None:
+        return self._prev
+
+
 def iterate_until(seed: DataFrame, step: Callable[[DataFrame], DataFrame],
                   condition: Callable[[DataFrame], bool],
                   max_iterations: int = 100) -> DataFrame:

@@ -129,6 +129,32 @@ def test_incremental_closure_insert_and_delete(spark):
         assert {tuple(r) for r in op.current.collect()} == set(want)
 
 
+def test_incremental_fixpoint_generic(spark):
+    """Generic recursive-view maintenance (recompute-and-diff fallback,
+    recursive.rs:255 export semantics): a closure rule written as an
+    arbitrary step function, maintained under edge inserts and a delete."""
+    from database_stream_processor_spark.operators.recursive import (
+        IncrementalFixpointOp)
+
+    empty_e = ZSetFrame.from_df(_edges(spark, []).limit(0))
+    op = IncrementalFixpointOp(
+        empty_e,
+        lambda edges, acc: (acc.withColumnRenamed("dst", "__mid")
+                            .join(edges.withColumnRenamed("src", "__mid"),
+                                  on="__mid")
+                            .select("src", "dst")))
+    acc_out = None
+    batches = [(1, [(1, 2), (2, 3)]), (1, [(3, 4)]), (-1, [(2, 3)])]
+    edge_sets = [[(1, 2), (2, 3)], [(1, 2), (2, 3), (3, 4)],
+                 [(1, 2), (3, 4)]]
+    for (w, pairs), final_edges in zip(batches, edge_sets):
+        d = op.step(ZSetFrame.from_df(_edges(spark, pairs), w))
+        acc_out = d if acc_out is None else acc_out.plus(d)
+        want = {tuple(r): 1 for r in
+                transitive_closure(_edges(spark, final_edges)).collect()}
+        assert zset_to_dict(acc_out.consolidate()) == want
+
+
 def test_fold_helpers(spark):
     from database_stream_processor_spark.functions.fold import (
         fold, fold_latest, fold_topk)
