@@ -40,6 +40,7 @@ HEADLINE = [
     "q37_incremental_revenue",
     "q39_transitive_closure",
     "q42_incremental_rolling",
+    "q48_rolling_linear",
     "q43_incremental_tumbling",
     "q44_incremental_closure",
     "q46_ivf_topk",

@@ -844,6 +844,128 @@ class WindowOp:
         return ZSetFrame.sum(parts).consolidate()
 
 
+class PartitionedRollingAggregateLinearOp:
+    """O(Δ) incremental rolling aggregate for *linear* aggregates
+    (reference: rolling_aggregate.rs:367 ``partitioned_rolling_aggregate_
+    linear`` — linearity lets outputs be *adjusted* by delta
+    contributions instead of recomputed from the input slice).
+
+    ``aggs`` maps output column → linear expression (COUNT(*) =
+    ``F.lit(1)``, SUM(x) = ``F.col("x")``); each output row carries, per
+    agg, Σ over its frame ``[t − before, t + after]`` of expr·weight.
+
+    Per step, two range joins bounded by the delta's frame reach:
+
+    a) existing output rows whose frame overlaps a delta row get
+       retracted and re-emitted with value + Σ contributions — an inner
+       range join, so untouched rows cost nothing;
+    b) the delta rows' own outputs are computed fresh against the updated
+       integral (left join — an empty frame yields zero sums).
+
+    The two legs emit the same value for the same row, so weight algebra
+    consolidates them: an existing row's weight bump merges, a full
+    retraction cancels to zero.  Cost ∝ |Δ| × frame density — never the
+    partition history (contrast the general
+    :class:`PartitionedRollingAggregateOp`, which recomputes the bounded
+    slice to support non-linear aggregates).
+    """
+
+    def __init__(self, empty_in: ZSetFrame, partition_by: str, ts_col: str,
+                 before: int, after: int, aggs: dict[str, Column],
+                 **state_kw):
+        self.pk = partition_by
+        self.ts = ts_col
+        self.before = before
+        self.after = after
+        self.aggs = dict(aggs)
+        if not self.aggs:
+            raise ValueError("aggs must not be empty")
+        state_kw.setdefault("consolidate_every", 4)
+        self._state_kw = dict(state_kw)
+        self.integral = StateTable(empty_in, name="rolling_lin_input",
+                                   **state_kw)
+        self._in_cols = empty_in.data_columns
+        # exact decimal accumulators: legs (a) and (b) must produce
+        # BIT-IDENTICAL values for the same row so the Z-set consolidation
+        # merges them — float addition isn't associative, decimal is
+        self._acc_type = "decimal(25,8)"
+        out_df = empty_in.df
+        for n in self.aggs:
+            out_df = out_df.withColumn(n, F.lit(None).cast(self._acc_type))
+        self.out = StateTable(ZSetFrame(out_df.limit(0)),
+                              name="rolling_lin_output", **self._state_kw)
+
+    def _sec(self, col: Column) -> Column:
+        return F.unix_timestamp(col)
+
+    def step(self, delta: ZSetFrame) -> ZSetFrame:
+        names = list(self.aggs)
+        d = delta.consolidate()
+        new_in = self.integral.update(d)
+        ts = self._sec(F.col(self.ts))
+        w = F.col(WEIGHT_COL)
+
+        # per-(pk, s) delta contributions: Σ expr·w at each delta time
+        contrib = (d.df.groupBy(self.pk, ts.alias("__s"))
+                   .agg(*[F.sum((expr * w).cast(self._acc_type))
+                          .alias(f"__c_{n}")
+                          for n, expr in self.aggs.items()]))
+
+        # (a) adjust existing outputs whose frame covers a delta time:
+        # t ∈ [s − after, s + before]  ⇔  s ∈ [t − before, t + after].
+        # The state is lazily merged (may hold duplicate physical rows),
+        # so consolidate just the frame-bounded slice first — the groupBy
+        # below then sees each output row exactly once and the range join
+        # can't double-count contributions.
+        bounds = contrib.groupBy(self.pk).agg(
+            F.min("__s").alias("__dmin"), F.max("__s").alias("__dmax"))
+        sl = (self.out.current.df.join(bounds, on=self.pk, how="inner")
+              .filter(ts.between(F.col("__dmin") - self.after,
+                                 F.col("__dmax") + self.before))
+              .drop("__dmin", "__dmax"))
+        sl = ZSetFrame(sl).consolidate().df
+        overlap = ((F.col("__s") >= ts - self.before)
+                   & (F.col("__s") <= ts + self.after))
+        adj = (sl.join(contrib, on=self.pk, how="inner")
+               .filter(overlap)
+               .groupBy(*sl.columns)
+               .agg(*[F.sum(f"__c_{n}").alias(f"__a_{n}") for n in names]))
+        minus_old = ZSetFrame(adj.select(*sl.columns)).neg()
+        plus_adj = ZSetFrame(adj.select(
+            *[c for c in sl.columns if c not in names],
+            *[(F.col(n) + F.col(f"__a_{n}")).cast(self._acc_type).alias(n)
+              for n in names]
+        ).select(*sl.columns))
+
+        # (b) fresh outputs for the delta rows from the updated integral
+        in_df = new_in.df
+        d_keyed = d.df.select(
+            *[F.col(c).alias(f"__d_{c}") for c in d.df.columns])
+        frame = ((self._sec(F.col(f"__d_{self.ts}")) - self.before <= ts)
+                 & (ts <= self._sec(F.col(f"__d_{self.ts}")) + self.after))
+        joined = d_keyed.join(
+            in_df, on=(F.col(f"__d_{self.pk}") == F.col(self.pk)) & frame,
+            how="left")
+        fresh = (joined.groupBy(*[f"__d_{c}" for c in d.df.columns])
+                 .agg(*[F.coalesce(
+                     F.sum((expr * w).cast(self._acc_type)),
+                     F.lit(0)).cast(self._acc_type).alias(n)
+                     for n, expr in self.aggs.items()]))
+        plus_fresh = ZSetFrame(fresh.select(
+            *[F.col(f"__d_{c}").alias(c) for c in self._in_cols],
+            *names,
+            F.col(f"__d_{WEIGHT_COL}").alias(WEIGHT_COL)))
+
+        out_delta = ZSetFrame.sum(
+            [minus_old, plus_adj, plus_fresh]).consolidate()
+        self.out.update(out_delta)
+        return out_delta
+
+    @property
+    def current_output(self) -> ZSetFrame:
+        return self.out.current
+
+
 class Z1Op:
     """``z^-1`` — delay a stream by one tick: emits the *previous* step's
     value, initially empty (src/operator/z1.rs; the feedback edge of every

@@ -1355,6 +1355,36 @@ def q47_cosine_near_dup(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.1, n_planes=8)
 
 
+@register("q48_rolling_linear", oracle="""
+SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep, value,
+       ROUND(SUM(value) OVER w, 2) AS roll_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")
+def q48_rolling_linear(spark, sf_dir):
+    """O(Δ) linear rolling aggregate (rolling_aggregate.rs:367): existing
+    outputs are *adjusted* by the delta's contributions via a bounded
+    range join — no window recompute at all — across two interleaved
+    delta batches; integrated output must equal the one-shot SQL window."""
+    from database_stream_processor_spark.plans.incremental import (
+        PartitionedRollingAggregateLinearOp)
+    e = load_events(spark, sf_dir).select("event_id", "user_id", "ts",
+                                          "value")
+    empty = ZSetFrame.from_df(e.limit(0).drop("event_id"))
+    op = PartitionedRollingAggregateLinearOp(
+        empty, "user_id", "ts", before=3600, after=0,
+        aggs={"roll_sum": F.col("value"), "roll_cnt": F.lit(1)})
+    for step in range(2):
+        batch = e.filter(F.col("event_id") % 2 == step).drop("event_id")
+        op.step(ZSetFrame.from_df(batch))
+    out = op.current_output.consolidate().rows()
+    return out.select(
+        "user_id", epoch_seconds(F.col("ts")).alias("ep"), "value",
+        F.round(F.col("roll_sum").cast("double"), 2).alias("roll_sum"),
+        F.col("roll_cnt").cast("long").alias("roll_cnt"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -82,6 +82,41 @@ def test_watermark_drops_late_and_bounds_state(spark):
     assert state_ts == [t(200), t(260)]
 
 
+def test_linear_rolling_matches_batch_through_retraction(spark):
+    """O(Δ) linear rolling (rolling_aggregate.rs:367): adjusted outputs
+    must exactly equal a one-shot batch rolling aggregate after inserts,
+    a late out-of-order row, and a retraction."""
+    from database_stream_processor_spark.plans.incremental import (
+        PartitionedRollingAggregateLinearOp)
+    empty = ZSetFrame.from_df(_rows(spark, []).limit(0))
+    op = PartitionedRollingAggregateLinearOp(
+        empty, "k", "ts", before=100, after=0,
+        aggs={"s": F.col("v"), "n": F.lit(1)})
+
+    batches = [
+        ([(1, 0, 10), (1, 50, 20), (2, 5, 7)], 1),
+        ([(1, 30, 5)], 1),                  # late row corrects ts=50
+        ([(1, 0, 10)], -1),                 # retraction corrects 0..100
+    ]
+    live = []
+    for rows, w in batches:
+        if w > 0:
+            live.extend(rows)
+        else:
+            for r in rows:
+                live.remove(r)
+        op.step(ZSetFrame.from_df(_rows(spark, rows), w))
+        batch = rolling_aggregate(
+            _rows(spark, live), ["k"], "ts", 100, 0,
+            s=F.sum("v"), n=F.count(F.lit(1)))
+        want = {(k, t, v, float(s), int(n)): 1
+                for k, t, v, s, n in (tuple(r) for r in batch.collect())}
+        got = {(k, t, v, float(s), int(n)): wt
+               for (k, t, v, s, n), wt in
+               zset_to_dict(op.current_output.consolidate()).items()}
+        assert got == want
+
+
 def test_recompute_is_frame_bounded(spark):
     """The per-step recompute must touch only the affected frame range
     [min(Δts)−after−before, max(Δts)+before+after] of a touched partition
