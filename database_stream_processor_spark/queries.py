@@ -1385,6 +1385,190 @@ def q48_rolling_linear(spark, sf_dir):
         F.col("roll_cnt").cast("long").alias("roll_cnt"))
 
 
+# epoch-second constants (UTC) for the window-content query — events span
+# 2024-01-01 .. 2024-01-31 at every SF
+_T_0105 = 1704412800
+_T_0110 = 1704844800
+_T_0115 = 1705276800
+_T_0120 = 1705708800
+
+
+@register("q49_window_contents", oracle=f"""
+SELECT event_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,
+       user_id, value
+FROM events
+WHERE epoch_us(ts) // 1000000 >= {_T_0110}
+  AND epoch_us(ts) // 1000000 < {_T_0120}
+""")
+def q49_window_contents(spark, sf_dir):
+    """Moving window over a time-indexed stream (WindowOp,
+    time_series/window.rs:75): two ticks with advancing bounds emit
+    content deltas (rows entering as the upper bound advances, leaving as
+    the lower bound rises); the integrated deltas must equal the final
+    window contents."""
+    from database_stream_processor_spark.plans.incremental import WindowOp
+    e = load_events(spark, sf_dir).select("event_id", "ts", "user_id",
+                                          "value")
+    op = WindowOp(ZSetFrame.from_df(e.limit(0)), "ts")
+    out = None
+    ticks = [(0, (_T_0105, _T_0115)), (1, (_T_0110, _T_0120))]
+    for parity, bounds in ticks:
+        d = op.step(ZSetFrame.from_df(
+            e.filter(F.col("event_id") % 2 == parity)), bounds)
+        out = d if out is None else out.plus(d)
+    return out.consolidate().rows().select(
+        "event_id", epoch_seconds(F.col("ts")).alias("ep"), "user_id",
+        "value")
+
+
+@register("q50_stream_fold", oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       {ORACLE_DSUM.format(x='l_quantity')} AS sum_qty
+FROM lineitem
+""")
+def q50_stream_fold(spark, sf_dir):
+    """Running fold over the stream of batches (StreamFoldOp,
+    stream_fold.rs:21): a distributed 1-row accumulator folded across 3
+    delta batches equals the one-shot aggregate."""
+    from database_stream_processor_spark.plans.incremental import (
+        StreamFoldOp)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    init = spark.createDataFrame([(0, 0.0)], "n long, sum_qty double") \
+        .select("n", F.col("sum_qty").cast("decimal(25,8)").alias("sum_qty"))
+
+    def fold(acc, batch):
+        b = batch.rows().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("l_quantity").cast("decimal(25,8)")),
+                       F.lit(0).cast("decimal(25,8)")).alias("sum_qty"))
+        return acc.unionByName(b).agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_qty").cast("decimal(25,8)").alias("sum_qty"))
+
+    op = StreamFoldOp(init, fold)
+    for step in range(3):
+        acc = op.step(ZSetFrame.from_df(
+            li.filter(F.col("l_orderkey") % 3 == step)))
+    return acc.select("n", F.col("sum_qty").cast("double").alias("sum_qty"))
+
+
+@register("q51_monotonic_stream_join", oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id, v.event_id AS view_id,
+       CAST(epoch_us(c.ts) // 1000000 AS BIGINT) AS click_ep,
+       CAST(epoch_us(v.ts) // 1000000 AS BIGINT) AS view_ep
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND abs(epoch_us(c.ts) // 1000000 - epoch_us(v.ts) // 1000000) <= 600
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+""")
+def q51_monotonic_stream_join(spark, sf_dir):
+    """Append-only stream-stream join (MonotonicStreamJoinOp, join.rs:87):
+    clicks joined to views of the same user within ±600 s, maintained
+    across 2 delta batches per side; integrated deltas equal the batch
+    join with the same window condition."""
+    from database_stream_processor_spark.plans.incremental import (
+        MonotonicStreamJoinOp)
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    op = MonotonicStreamJoinOp(
+        ZSetFrame.from_df(clicks.limit(0)), ZSetFrame.from_df(views.limit(0)),
+        on=["user_id"], left_ts="click_ts", right_ts="view_ts",
+        window_seconds=600)
+    out = None
+    for parity in (0, 1):
+        d = op.step(
+            ZSetFrame.from_df(clicks.filter(F.col("click_id") % 2 == parity)),
+            ZSetFrame.from_df(views.filter(F.col("view_id") % 2 == parity)))
+        out = d if out is None else out.plus(d)
+    return out.consolidate().rows().select(
+        "user_id", "click_id", "view_id",
+        epoch_seconds(F.col("click_ts")).alias("click_ep"),
+        epoch_seconds(F.col("view_ts")).alias("view_ep"))
+
+
+@register("q52_set_input", oracle="""
+SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+""")
+def q52_set_input(spark, sf_dir):
+    """add_input_set command semantics (input.rs:214-223): insert all
+    order keys (duplicates deduped by set semantics), then delete the odd
+    ones; the integrated membership deltas equal the surviving set."""
+    from database_stream_processor_spark.sources.handles import SetInput
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    h = SetInput(ZSetFrame.from_df(o.limit(0)))
+    ins = o.select("o_orderkey", F.lit(True).alias("__insert"),
+                   F.lit(0).cast("long").alias("__seq"))
+    d1 = h.step(ins)
+    dels = (o.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", F.lit(False).alias("__insert"),
+                    F.lit(0).cast("long").alias("__seq")))
+    d2 = h.step(dels)
+    return d1.plus(d2).consolidate().rows().select("o_orderkey")
+
+
+@register("q53_differentiate_snapshots", oracle="""
+SELECT o_orderkey, o_custkey FROM orders
+""")
+def q53_differentiate_snapshots(spark, sf_dir):
+    """differentiate (differentiate.rs:24): successive growing snapshots
+    in, deltas out; the integrated deltas reconstruct the final snapshot
+    exactly (z^-1 holds the previous snapshot between ticks)."""
+    from database_stream_processor_spark.plans.incremental import (
+        DifferentiateOp)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    op = DifferentiateOp(ZSetFrame.from_df(o.limit(0)))
+    out = None
+    for step in range(3):
+        snap = ZSetFrame.from_df(o.filter(F.col("o_orderkey") % 3 <= step))
+        d = op.step(snap)
+        out = d if out is None else out.plus(d)
+    return out.consolidate().rows().select("o_orderkey", "o_custkey")
+
+
+@register("q54_incremental_outer_enrich", oracle="""
+WITH oc AS (SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT)
+            AS n_orders FROM orders GROUP BY 1)
+SELECT c.c_custkey, COALESCE(oc.n_orders, 0) AS n_orders
+FROM customer c LEFT JOIN oc USING (c_custkey)
+""")
+def q54_incremental_outer_enrich(spark, sf_dir):
+    """Chained incremental circuit: LinearAggregateOp (order counts per
+    customer) feeding JoinOp(how='left_outer') against the customer
+    dimension — the maintained form of outer_join_default
+    (join.rs:338-386).  Customers without orders keep their null-padded
+    row until an order-count delta arrives, then flip — all via Z-set
+    retractions across 3 ticks."""
+    from database_stream_processor_spark.plans.incremental import (
+        JoinOp, LinearAggregateOp)
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+
+    agg = LinearAggregateOp(
+        ZSetFrame.from_df(orders.limit(0)), ["c_custkey"],
+        {"n_orders": F.lit(1)})
+    join = JoinOp(ZSetFrame.from_df(customer.limit(0)),
+                  ZSetFrame.from_df(agg.current_output.df.limit(0)),
+                  on=["c_custkey"], how="left_outer")
+    out = None
+    for step in range(3):
+        cust_delta = ZSetFrame.from_df(customer) if step == 0 else None
+        agg_delta = agg.step(ZSetFrame.from_df(
+            orders.filter(F.col("c_custkey") % 3 == step)))
+        d = join.step(cust_delta, agg_delta)
+        out = d if out is None else out.plus(d)
+    return out.consolidate().rows().select(
+        "c_custkey",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long")
+        .alias("n_orders"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
