@@ -1569,6 +1569,40 @@ def q54_incremental_outer_enrich(spark, sf_dir):
         .alias("n_orders"))
 
 
+@register("q55_upsert_commands", oracle="""
+SELECT user_id, value AS last_value FROM (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""")
+def q55_upsert_commands(spark, sf_dir):
+    """add_input_map / upsert semantics through the incremental op
+    (UpsertOp, upsert.rs:37; command table input.rs:293-303): events
+    replayed as keyed upsert commands in two event_id-ordered batches;
+    integrated deltas (old value retracted, new inserted) equal the
+    latest value per user."""
+    from database_stream_processor_spark.plans.incremental import UpsertOp
+    e = load_events(spark, sf_dir).select("user_id", "value", "event_id")
+    mid = e.agg(F.max("event_id")).collect()[0][0] // 2  # batch split only
+    op = UpsertOp(ZSetFrame.from_df(
+        e.limit(0).select("user_id", F.col("value").alias("last_value"))),
+        keys=["user_id"])
+    out = None
+    for lo, hi in ((None, mid), (mid, None)):
+        batch = e
+        if lo is not None:
+            batch = batch.filter(F.col("event_id") > lo)
+        if hi is not None:
+            batch = batch.filter(F.col("event_id") <= hi)
+        cmds = batch.select("user_id", F.col("value").alias("last_value"),
+                            F.lit(False).alias("__delete"),
+                            F.col("event_id").alias("__seq"))
+        d = op.step(cmds)
+        out = d if out is None else out.plus(d)
+    return out.consolidate().rows().select("user_id", "last_value")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
