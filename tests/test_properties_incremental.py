@@ -1,0 +1,146 @@
+"""Property-based inc == batch checks for the round-2 operators — the
+reference's proptest idiom (distinct.rs:164-220, rolling_aggregate.rs:
+826-960) applied to maintained windows, linear rolling aggregates, and
+incremental closure: hypothesis-generated delta sequences (including
+retractions and cancellations) fed step-by-step; after every step the
+integrated output must equal the batch operator over the integrated
+input."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from database_stream_processor_spark.operators.recursive import (
+    IncrementalTransitiveClosureOp,
+    transitive_closure,
+)
+from database_stream_processor_spark.operators.windows import (
+    rolling_aggregate,
+    tumbling_window,
+)
+from database_stream_processor_spark.plans.incremental import (
+    PartitionedRollingAggregateLinearOp,
+    TumblingWindowOp,
+)
+from database_stream_processor_spark.zset import WEIGHT_COL, ZSetFrame
+from tests.conftest import zset_to_dict
+
+SETTINGS = settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+# (key, ts-seconds, value, weight) — small domains force collisions,
+# retractions, and weight cancellations
+ev = st.tuples(st.integers(0, 1), st.integers(0, 40), st.integers(0, 2),
+               st.integers(-2, 2))
+batches = st.lists(st.lists(ev, min_size=0, max_size=6),
+                   min_size=1, max_size=3)
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+def _zset(spark, rows):
+    return ZSetFrame(spark.createDataFrame(
+        [(k, T0 + dt.timedelta(seconds=s), float(v), w)
+         for k, s, v, w in rows],
+        f"k int, ts timestamp, v double, {WEIGHT_COL} long"))
+
+
+def _net(rows):
+    m = defaultdict(int)
+    for k, s, v, w in rows:
+        m[(k, s, v)] += w
+    return m
+
+
+def _bag_df(spark, net):
+    rows = [(k, T0 + dt.timedelta(seconds=s), float(v))
+            for (k, s, v), w in net.items() for _ in range(max(w, 0))]
+    return spark.createDataFrame(rows, "k int, ts timestamp, v double")
+
+
+@given(bs=batches)
+@SETTINGS
+def test_tumbling_inc_equals_batch(spark, bs):
+    empty = ZSetFrame(_zset(spark, []).df.limit(0))
+    op = TumblingWindowOp(empty, "ts", 10, ["k"],
+                          {"n": F.lit(1), "s": F.col("v")})
+    seen = []
+    for rows in bs:
+        seen.extend(rows)
+        op.step(_zset(spark, rows))
+        net = _net(seen)
+        if any(w < 0 for w in net.values()):
+            return  # negative net multiplicity: batch bag undefined
+        batch = tumbling_window(_bag_df(spark, net), "ts", 10, ["k"],
+                                F.count(F.lit(1)).alias("n"),
+                                F.sum("v").alias("s"))
+        want = {tuple(r): 1 for r in batch.collect()}
+        assert zset_to_dict(op.current_output.consolidate()) == want
+
+
+@given(bs=batches)
+@SETTINGS
+def test_linear_rolling_inc_equals_batch(spark, bs):
+    empty = ZSetFrame(_zset(spark, []).df.limit(0))
+    op = PartitionedRollingAggregateLinearOp(
+        empty, "k", "ts", before=15, after=5,
+        aggs={"s": F.col("v"), "n": F.lit(1)})
+    seen = []
+    for rows in bs:
+        seen.extend(rows)
+        op.step(_zset(spark, rows))
+        net = _net(seen)
+        if any(w < 0 for w in net.values()):
+            return
+        batch = rolling_aggregate(_bag_df(spark, net), ["k"], "ts", 15, 5,
+                                  s=F.sum("v"), n=F.count(F.lit(1)))
+        want = defaultdict(int)
+        for r in batch.collect():
+            k, ts, v, s, n = tuple(r)
+            want[(k, ts, v, float(s), int(n))] += 1
+        got = {(k, ts, v, float(s), int(n)): w
+               for (k, ts, v, s, n), w in
+               zset_to_dict(op.current_output.consolidate()).items()}
+        assert got == dict(want)
+
+
+edge = st.tuples(st.integers(0, 4), st.integers(0, 4))
+edge_batches = st.lists(
+    st.tuples(st.sampled_from([1, -1]),
+              st.lists(edge, min_size=0, max_size=4)),
+    min_size=1, max_size=3)
+
+
+@given(bs=edge_batches)
+@SETTINGS
+def test_incremental_closure_equals_batch(spark, bs):
+    op = IncrementalTransitiveClosureOp(spark, max_iterations=30)
+    acc = None
+    edges: set = set()
+    for w, pairs in bs:
+        pairs = [p for p in pairs if p[0] != p[1]]  # no self-loops
+        if w > 0:
+            eff = [p for p in pairs if p not in edges]
+            edges |= set(eff)
+        else:
+            eff = [p for p in pairs if p in edges]
+            edges -= set(eff)
+        if not eff:
+            continue
+        df = spark.createDataFrame(eff, "src long, dst long")
+        d = op.step(ZSetFrame.from_df(df, w))
+        acc = d if acc is None else acc.plus(d)
+        if edges:
+            e_df = spark.createDataFrame(sorted(edges), "src long, dst long")
+            want = {tuple(r): 1 for r in
+                    transitive_closure(e_df, max_iterations=30).collect()}
+        else:
+            want = {}
+        assert zset_to_dict(acc.consolidate()) == want
+        assert {tuple(r) for r in op.current.collect()} == set(want)
