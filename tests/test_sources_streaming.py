@@ -88,6 +88,50 @@ def test_step_driver_with_output_handle(spark):
         (1, 2, 15): 1, (2, 2, 0): 1, (3, 1, 7): 1}
 
 
+def test_tumbling_window_op_under_structured_streaming(spark, tmp_path):
+    """Maintained tumbling windows driven by a real file stream through
+    foreachBatch: integrated window deltas equal a batch recompute even
+    when a late row lands in an earlier micro-batch's window."""
+    import datetime as dt
+
+    from database_stream_processor_spark.operators.windows import (
+        tumbling_window)
+    from database_stream_processor_spark.plans.incremental import (
+        TumblingWindowOp)
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    in_dir = os.path.join(tmp_path, "in")
+    os.makedirs(in_dir)
+    rows = [[("a", t(5), 1.0), ("a", t(15), 2.0)],
+            [("a", t(7), 10.0), ("b", t(25), 4.0)]]  # t(7) is late
+    for i, b in enumerate(rows):
+        spark.createDataFrame(b, "k string, ts timestamp, v double") \
+            .write.parquet(os.path.join(in_dir, f"b{i}.parquet"))
+
+    empty = ZSetFrame.from_df(
+        spark.createDataFrame([], "k string, ts timestamp, v double"))
+    op = TumblingWindowOp(empty, "ts", 10, ["k"],
+                          {"n": F.lit(1), "s": F.col("v")})
+    out = OutputHandle()
+    driver = StepDriver(lambda dz: op.step(dz), output_handle=out)
+
+    stream = (spark.readStream.schema("k string, ts timestamp, v double")
+              .option("recursiveFileLookup", True)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream.writeStream.foreachBatch(foreach_batch_driver(driver))
+         .option("checkpointLocation", os.path.join(tmp_path, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert driver.ticks >= 1
+    batch = tumbling_window(
+        spark.createDataFrame(rows[0] + rows[1],
+                              "k string, ts timestamp, v double"),
+        "ts", 10, ["k"], F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"))
+    assert zset_to_dict(out.consolidate()) == \
+        {tuple(r): 1 for r in batch.collect()}
+
+
 def test_foreach_batch_driver_on_file_stream(spark, tmp_path):
     """End-to-end Structured Streaming: parquet file source → foreachBatch
     ticking the incremental aggregate → collected deltas integrate to the
