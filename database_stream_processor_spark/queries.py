@@ -1603,6 +1603,85 @@ def q55_upsert_commands(spark, sf_dir):
     return out.consolidate().rows().select("user_id", "last_value")
 
 
+@register("q56_incremental_hot_items", oracle="""
+WITH bid AS (
+  SELECT event_id % 199 AS auction,
+         epoch_us(ts) // 1000000 AS b_ts
+  FROM events),
+wb AS (
+  SELECT b.auction, 900 * w AS window_start
+  FROM bid b,
+       UNNEST(generate_series((b.b_ts - 3600) // 900 + 1, b.b_ts // 900))
+       AS t(w)
+  WHERE 900 * w >= 0),
+counts AS (
+  SELECT window_start, auction, CAST(COUNT(*) AS BIGINT) AS bid_count
+  FROM wb GROUP BY window_start, auction)
+SELECT window_start, auction, bid_count
+FROM (SELECT *, MAX(bid_count) OVER (PARTITION BY window_start) AS mx
+      FROM counts)
+WHERE bid_count = mx""")
+def q56_incremental_hot_items(spark, sf_dir):
+    """Nexmark q5 (hot items, q5.rs:76-118) as a *maintained* two-op
+    circuit: HoppingWindowOp (O(Δ) per-window bid counts via the linear
+    aggregate) feeding AggregateOp (per-window argmax with ties,
+    retraction-correct via touched-window recompute) across 3 bid
+    batches; the integrated output equals the one-shot hopping-window
+    SQL."""
+    from database_stream_processor_spark.nexmark import bids
+    from database_stream_processor_spark.plans.incremental import (
+        AggregateOp, HoppingWindowOp)
+    b = (bids(spark, sf_dir)
+         .select("auction", F.timestamp_seconds(F.col("b_ts")).alias("ts"),
+                 "b_id"))
+
+    hop = HoppingWindowOp(
+        ZSetFrame.from_df(b.limit(0).drop("b_id")), "ts", 3600, 900,
+        ["auction"], {"bid_count": F.lit(1)}, materialize_every=1)
+
+    def argmax(z: ZSetFrame) -> ZSetFrame:
+        rows = z.rows()
+        mx = F.max("bid_count").over(Window.partitionBy("window_start"))
+        out = (rows.withColumn("__mx", mx)
+               .filter(F.col("bid_count") == F.col("__mx")).drop("__mx"))
+        return ZSetFrame.from_df(out, 1)
+
+    top = AggregateOp(
+        ZSetFrame.from_df(hop.current_output.df.drop("__weight").limit(0)),
+        ["window_start"], argmax, materialize_every=1)
+
+    out = None
+    for step in range(3):
+        counts_delta = hop.step(ZSetFrame.from_df(
+            b.filter(F.col("b_id") % 3 == step).drop("b_id")))
+        d = top.step(counts_delta)
+        out = d if out is None else out.plus(d)
+    return out.consolidate().rows().select(
+        "window_start", "auction", F.col("bid_count").cast("long")
+        .alias("bid_count"))
+
+
+@register("q57_fold_topk_prices", oracle="""
+SELECT o_custkey,
+       (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3]
+           AS top_prices
+FROM orders GROUP BY o_custkey
+""")
+def q57_fold_topk_prices(spark, sf_dir):
+    """Capped-vec fold (fold.rs:25-101; nexmark q19.rs:40-55 idiom): top-3
+    order prices per customer kept as a bounded array by fold_topk —
+    sort_array + slice caps the accumulator immediately, the reference's
+    bounded Fold."""
+    from database_stream_processor_spark.functions.fold import fold_topk
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice",
+                                             "o_orderkey")
+    row = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (o.groupBy("o_custkey")
+            .agg(F.transform(fold_topk(row, 3),
+                             lambda s: s["o_totalprice"])
+                 .alias("top_prices")))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
