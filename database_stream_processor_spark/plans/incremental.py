@@ -831,6 +831,14 @@ class WindowOp:
 
     def step(self, delta: ZSetFrame, bounds: tuple[int, int]) -> ZSetFrame:
         lo, hi = bounds
+        if self._bounds is not None and lo < self._bounds[0]:
+            # the reference requires a monotone window start
+            # (window.rs:155 panics on a retreating lower bound): rows
+            # below a previous lower bound may already be evicted, so a
+            # retreat would silently miss re-entries
+            raise ValueError(
+                f"window lower bound must be monotone: {lo} < "
+                f"{self._bounds[0]}")
         old = self.integral.current
         parts = [delta.filter(self._in(lo, hi))]
         if self._bounds is not None:

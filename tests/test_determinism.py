@@ -59,6 +59,47 @@ def test_incremental_pipeline_partition_invariant(spark, sf_dir, partitions):
         assert got == want
 
 
+def _windows_result(spark, sf_dir):
+    """Maintained tumbling window + linear rolling over real events."""
+    from database_stream_processor_spark.plans.incremental import (
+        PartitionedRollingAggregateLinearOp,
+        TumblingWindowOp,
+    )
+    from database_stream_processor_spark.queries import load_events
+    e = load_events(spark, sf_dir).select("event_id", "user_id", "ts",
+                                          "value")
+    tw = TumblingWindowOp(
+        ZSetFrame.from_df(e.limit(0).drop("event_id")), "ts", 3600,
+        ["user_id"],
+        {"n": F.lit(1), "s": F.col("value").cast("decimal(25,8)")})
+    rl = PartitionedRollingAggregateLinearOp(
+        ZSetFrame.from_df(e.limit(0).drop("event_id")), "user_id", "ts",
+        before=3600, after=0, aggs={"s": F.col("value"), "n": F.lit(1)})
+    for step in range(2):
+        dz = ZSetFrame.from_df(
+            e.filter(F.col("event_id") % 2 == step).drop("event_id"))
+        tw.step(dz)
+        rl.step(dz)
+    t = zset_to_dict(tw.current_output.consolidate())
+    r = zset_to_dict(rl.current_output.consolidate())
+    return t, r
+
+
+@pytest.mark.parametrize("partitions", [1, 8])
+def test_window_ops_partition_invariant(spark, sf_dir, partitions):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        got = _windows_result(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    want = getattr(test_window_ops_partition_invariant, "_ref", None)
+    if want is None:
+        test_window_ops_partition_invariant._ref = got
+    else:
+        assert got == want
+
+
 @pytest.mark.parametrize("partitions", [1, 8])
 def test_distinct_and_topk_partition_invariant(spark, sf_dir, partitions):
     """Batch operators: distinct + rank-based top-k are partition-count
