@@ -24,9 +24,10 @@ strategies (broadcast vs shuffle joins, partial aggregation, skew handling);
 no driver-side row loops anywhere in the hot path.
 """
 
+from database_stream_processor_spark.circuit import Circuit
 from database_stream_processor_spark.session import get_spark
 from database_stream_processor_spark.zset import WEIGHT_COL, ZSetFrame
 
-__all__ = ["WEIGHT_COL", "ZSetFrame", "get_spark"]
+__all__ = ["Circuit", "WEIGHT_COL", "ZSetFrame", "get_spark"]
 
 __version__ = "0.1.0"

@@ -1,0 +1,236 @@
+"""Circuit builder — the reference's top-level user API on Spark
+(reference: crates/dbsp/src/circuit/dbsp_handle.rs ``Runtime::init_circuit``
++ ``DBSPHandle::step``; input handles src/operator/input.rs:75,230,313;
+output handles src/operator/output.rs:29).
+
+A user of the reference builds a dataflow of operators over input
+streams, then drives it: push deltas into input handles, ``step()`` the
+circuit, drain output handles.  This module gives the same shape over the
+incremental operator layer::
+
+    c = Circuit(spark)
+    orders = c.add_input_zset("o_custkey long, o_totalprice double")
+    cust   = c.add_input_zset("c_custkey long, n_name string")
+    joined = c.join(orders.map_named(o_custkey="c_custkey"), cust,
+                    on=["c_custkey"])
+    rev    = c.aggregate_linear(joined, ["n_name"],
+                                total=F.col("o_totalprice"))
+    out    = c.output(rev)
+
+    orders.push(batch_df)          # any number of pushes per tick
+    c.step()                       # one clock tick through the DAG
+    out.consolidate()              # integrated view so far
+
+Each ``step()`` evaluates nodes in topological order; a node whose inputs
+all produced empty/no deltas is skipped entirely (the reference
+scheduler's "no work" fast path).  All data stays in DataFrames — the
+circuit object only holds the wiring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (convenience re-export)
+
+from database_stream_processor_spark.plans.incremental import (
+    AggregateOp,
+    DistinctOp,
+    JoinOp,
+    LinearAggregateOp,
+    LinearOp,
+)
+from database_stream_processor_spark.sources.files import OutputHandle
+from database_stream_processor_spark.zset import ZSetFrame
+
+
+class Stream:
+    """A named edge in the circuit DAG (reference ``Stream``)."""
+
+    __slots__ = ("circuit", "node_id")
+
+    def __init__(self, circuit: "Circuit", node_id: int):
+        self.circuit = circuit
+        self.node_id = node_id
+
+    # sugar: linear transforms build LinearOp nodes
+    def filter(self, predicate: Column | str) -> "Stream":
+        return self.circuit.apply(self, lambda z: z.filter(predicate))
+
+    def map(self, *cols: str | Column) -> "Stream":
+        return self.circuit.apply(self, lambda z: z.map(*cols))
+
+    def map_named(self, **renames: str) -> "Stream":
+        """Rename columns (e.g. align join keys): map_named(a="b")."""
+        def f(z: ZSetFrame) -> ZSetFrame:
+            df = z.df
+            for old, new in renames.items():
+                df = df.withColumnRenamed(old, new)
+            return ZSetFrame(df)
+        return self.circuit.apply(self, f)
+
+    def neg(self) -> "Stream":
+        return self.circuit.apply(self, lambda z: z.neg())
+
+
+class InputHandle(Stream):
+    """``add_input_zset`` handle (input.rs:75): queue deltas between
+    ticks; ``step()`` drains them as one delta."""
+
+    __slots__ = ("_schema", "_pending")
+
+    def __init__(self, circuit: "Circuit", node_id: int, schema: str):
+        super().__init__(circuit, node_id)
+        self._schema = schema
+        self._pending: list[ZSetFrame] = []
+
+    def push(self, df: DataFrame | ZSetFrame, weight: int = 1) -> None:
+        z = df if isinstance(df, ZSetFrame) else ZSetFrame.from_df(df, weight)
+        self._pending.append(z)
+
+    def _drain(self) -> ZSetFrame | None:
+        if not self._pending:
+            return None
+        out = ZSetFrame.sum(self._pending)
+        self._pending = []
+        return out
+
+
+class _Node:
+    __slots__ = ("parents", "run")
+
+    def __init__(self, parents: Sequence[int],
+                 run: Callable[[list[ZSetFrame | None]], ZSetFrame | None]):
+        self.parents = list(parents)
+        self.run = run
+
+
+class Circuit:
+    """The wiring + clock (dbsp_handle.rs ``DBSPHandle``).  Nodes are
+    incremental operator objects; ``step()`` is one tick."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._nodes: list[_Node] = []
+        self._inputs: list[InputHandle] = []
+        self.ticks = 0
+
+    # ------------------------------------------------------------- #
+    # inputs
+    # ------------------------------------------------------------- #
+
+    def add_input_zset(self, schema: str) -> InputHandle:
+        nid = len(self._nodes)
+        handle = InputHandle(self, nid, schema)
+        self._nodes.append(_Node([], lambda deltas, h=handle: h._drain()))
+        self._inputs.append(handle)
+        return handle
+
+    def _empty(self, schema: str) -> ZSetFrame:
+        return ZSetFrame.from_df(self.spark.createDataFrame([], schema))
+
+    # ------------------------------------------------------------- #
+    # operators (each returns a new Stream)
+    # ------------------------------------------------------------- #
+
+    def _add(self, parents: Sequence[Stream], run) -> Stream:
+        nid = len(self._nodes)
+        self._nodes.append(_Node([p.node_id for p in parents], run))
+        return Stream(self, nid)
+
+    def apply(self, src: Stream, f: Callable[[ZSetFrame], ZSetFrame]) -> Stream:
+        """Any linear per-batch transform (LinearOp, filter_map.rs:1)."""
+        op = LinearOp(f)
+
+        def run(deltas):
+            d = deltas[0]
+            return None if d is None else op.step(d)
+        return self._add([src], run)
+
+    def join(self, left: Stream, right: Stream, *, empty_left: str,
+             empty_right: str, on: Sequence[str], how: str = "inner",
+             **op_kw) -> Stream:
+        """Incremental join node (join.rs:121-292).  ``empty_left`` /
+        ``empty_right`` are the delta schemas (DDL strings) of each side.
+        """
+        op = JoinOp(self._empty(empty_left), self._empty(empty_right),
+                    on=on, how=how, **op_kw)
+
+        def run(deltas):
+            dl, dr = deltas
+            if dl is None and dr is None:
+                return None
+            return op.step(dl, dr)
+        return self._add([left, right], run)
+
+    def aggregate_linear(self, src: Stream, keys: Sequence[str],
+                         empty_in: str, **aggs: Column) -> Stream:
+        """O(Δ) linear aggregate node (aggregate/mod.rs:253-273)."""
+        op = LinearAggregateOp(self._empty(empty_in), keys, dict(aggs))
+
+        def run(deltas):
+            d = deltas[0]
+            return None if d is None else op.step(d)
+        return self._add([src], run)
+
+    def aggregate(self, src: Stream, keys: Sequence[str], empty_in: str,
+                  agg_fn) -> Stream:
+        """Retraction-correct general aggregate node
+        (aggregate/mod.rs:204-244)."""
+        op = AggregateOp(self._empty(empty_in), keys, agg_fn)
+
+        def run(deltas):
+            d = deltas[0]
+            return None if d is None else op.step(d)
+        return self._add([src], run)
+
+    def distinct(self, src: Stream, empty_in: str) -> Stream:
+        op = DistinctOp(self._empty(empty_in))
+
+        def run(deltas):
+            d = deltas[0]
+            return None if d is None else op.step(d)
+        return self._add([src], run)
+
+    def plus(self, a: Stream, b: Stream) -> Stream:
+        def run(deltas):
+            da, db = deltas
+            if da is None:
+                return db
+            if db is None:
+                return da
+            return da.plus(db)
+        return self._add([a, b], run)
+
+    def output(self, src: Stream) -> OutputHandle:
+        """Attach an output handle (output.rs:29): every tick's delta for
+        ``src`` is appended; ``consolidate()`` gives the integrated view."""
+        handle = OutputHandle()
+
+        def run(deltas):
+            d = deltas[0]
+            if d is not None:
+                handle.push(d)
+            return d
+        self._add([src], run)
+        return handle
+
+    # ------------------------------------------------------------- #
+    # the clock
+    # ------------------------------------------------------------- #
+
+    def step(self) -> None:
+        """One tick: evaluate every node in topological (insertion) order,
+        passing parent deltas.  Nodes with no work are skipped; per-node
+        deltas are checkpointed once so downstream fan-out doesn't
+        recompute them."""
+        results: list[ZSetFrame | None] = [None] * len(self._nodes)
+        for i, node in enumerate(self._nodes):
+            parent_deltas = [results[p] for p in node.parents]
+            out = node.run(parent_deltas)
+            if out is not None and len(
+                    [n for n in self._nodes if i in n.parents]) > 1:
+                out = ZSetFrame(out.df.localCheckpoint(eager=True))
+            results[i] = out
+        self.ticks += 1

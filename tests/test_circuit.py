@@ -1,0 +1,79 @@
+"""Circuit builder — the reference's top-level API shape
+(dbsp_handle.rs Runtime::init_circuit / step; tutorial & degrees.rs
+examples): wire inputs → operators → outputs, push deltas, tick."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_stream_processor_spark.circuit import Circuit
+from tests.conftest import zset_to_dict
+
+
+def test_join_aggregate_circuit_with_static_dimension(spark):
+    c = Circuit(spark)
+    orders = c.add_input_zset("c_custkey long, amount double")
+    cust = c.add_input_zset("c_custkey long, nation string")
+    joined = c.join(orders, cust,
+                    empty_left="c_custkey long, amount double",
+                    empty_right="c_custkey long, nation string",
+                    on=["c_custkey"])
+    rev = c.aggregate_linear(joined, ["nation"],
+                             empty_in="c_custkey long, amount double, "
+                                      "nation string",
+                             n=F.lit(1), total=F.col("amount"))
+    out = c.output(rev)
+
+    cust.push(spark.createDataFrame(
+        [(1, "PERU"), (2, "JAPAN")], "c_custkey long, nation string"))
+    orders.push(spark.createDataFrame(
+        [(1, 10.0), (2, 5.0)], "c_custkey long, amount double"))
+    c.step()
+    assert zset_to_dict(out.consolidate()) == {
+        ("PERU", 1, 10.0): 1, ("JAPAN", 1, 5.0): 1}
+
+    # tick 2: only an order delta — the dimension side does no work
+    orders.push(spark.createDataFrame(
+        [(1, 2.0)], "c_custkey long, amount double"))
+    c.step()
+    assert c.ticks == 2
+    assert zset_to_dict(out.consolidate()) == {
+        ("PERU", 2, 12.0): 1, ("JAPAN", 1, 5.0): 1}
+
+    # tick 3: a retraction flows through join and aggregate
+    orders.push(spark.createDataFrame(
+        [(2, 5.0)], "c_custkey long, amount double"), weight=-1)
+    c.step()
+    assert zset_to_dict(out.consolidate()) == {("PERU", 2, 12.0): 1}
+
+
+def test_stream_sugar_and_distinct(spark):
+    c = Circuit(spark)
+    ev = c.add_input_zset("user long, kind string")
+    clicks = ev.filter(F.col("kind") == "click").map("user")
+    uniq = c.distinct(clicks, empty_in="user long")
+    out = c.output(uniq)
+
+    ev.push(spark.createDataFrame(
+        [(1, "click"), (1, "click"), (2, "view"), (3, "click")],
+        "user long, kind string"))
+    c.step()
+    assert zset_to_dict(out.consolidate()) == {(1,): 1, (3,): 1}
+
+    ev.push(spark.createDataFrame([(1, "click")], "user long, kind string"),
+            weight=-1)
+    ev.push(spark.createDataFrame([(4, "click")], "user long, kind string"))
+    c.step()
+    # user 1 still has one click left → stays distinct-present
+    assert zset_to_dict(out.consolidate()) == {(1,): 1, (3,): 1, (4,): 1}
+
+
+def test_empty_tick_does_no_work(spark):
+    c = Circuit(spark)
+    a = c.add_input_zset("k long")
+    out = c.output(c.distinct(a, empty_in="k long"))
+    a.push(spark.createDataFrame([(1,)], "k long"))
+    c.step()
+    c.step()   # nothing pending: every node skips
+    assert c.ticks == 2
+    assert zset_to_dict(out.consolidate()) == {(1,): 1}
