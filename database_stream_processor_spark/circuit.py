@@ -165,9 +165,12 @@ class Circuit:
         return self._add([left, right], run)
 
     def aggregate_linear(self, src: Stream, keys: Sequence[str],
-                         empty_in: str, **aggs: Column) -> Stream:
-        """O(Δ) linear aggregate node (aggregate/mod.rs:253-273)."""
-        op = LinearAggregateOp(self._empty(empty_in), keys, dict(aggs))
+                         empty_in: str, op_kw: dict | None = None,
+                         **aggs: Column) -> Stream:
+        """O(Δ) linear aggregate node (aggregate/mod.rs:253-273).
+        ``op_kw`` tunes the state table (materialize_every, path, …)."""
+        op = LinearAggregateOp(self._empty(empty_in), keys, dict(aggs),
+                               **(op_kw or {}))
 
         def run(deltas):
             d = deltas[0]
@@ -175,18 +178,18 @@ class Circuit:
         return self._add([src], run)
 
     def aggregate(self, src: Stream, keys: Sequence[str], empty_in: str,
-                  agg_fn) -> Stream:
+                  agg_fn, **op_kw) -> Stream:
         """Retraction-correct general aggregate node
         (aggregate/mod.rs:204-244)."""
-        op = AggregateOp(self._empty(empty_in), keys, agg_fn)
+        op = AggregateOp(self._empty(empty_in), keys, agg_fn, **op_kw)
 
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
         return self._add([src], run)
 
-    def distinct(self, src: Stream, empty_in: str) -> Stream:
-        op = DistinctOp(self._empty(empty_in))
+    def distinct(self, src: Stream, empty_in: str, **op_kw) -> Stream:
+        op = DistinctOp(self._empty(empty_in), **op_kw)
 
         def run(deltas):
             d = deltas[0]

@@ -1682,6 +1682,54 @@ def q57_fold_topk_prices(spark, sf_dir):
                  .alias("top_prices")))
 
 
+@register("q58_circuit_revenue", oracle=f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {ORACLE_DSUM.format(x='o.o_totalprice')} AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q58_circuit_revenue(spark, sf_dir):
+    """The q37 pipeline expressed through the Circuit builder — the
+    reference's wire/push/step user API (dbsp_handle.rs
+    Runtime::init_circuit + step): two input handles, a join node against
+    the static dimension, an O(Δ) linear aggregate node, an output
+    handle, three clock ticks."""
+    from database_stream_processor_spark.circuit import Circuit
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dim = (customer.join(nation,
+                         customer.c_nationkey == nation.n_nationkey)
+           .select("c_custkey", "n_name"))
+
+    c = Circuit(spark)
+    fact_in = c.add_input_zset("c_custkey long, o_totalprice double")
+    dim_in = c.add_input_zset("c_custkey long, n_name string")
+    joined = c.join(fact_in, dim_in,
+                    empty_left="c_custkey long, o_totalprice double",
+                    empty_right="c_custkey long, n_name string",
+                    on=["c_custkey"], broadcast="right")
+    rev = c.aggregate_linear(
+        joined, ["n_name"],
+        empty_in="c_custkey long, o_totalprice double, n_name string",
+        n_orders=F.lit(1),
+        total_revenue=F.col("o_totalprice").cast("decimal(25,8)"))
+    out = c.output(rev)
+
+    dim_in.push(dim)
+    for step in range(3):
+        fact_in.push(orders.filter(F.col("o_orderkey") % 3 == step)
+                     .select(F.col("o_custkey").alias("c_custkey"),
+                             "o_totalprice"))
+        c.step()
+    final = out.consolidate().df
+    return final.select(
+        "n_name", F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_revenue").cast("double").alias("total_revenue"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
