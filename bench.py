@@ -34,6 +34,7 @@ HEADLINE = [
     "q22_asof_enrich",
     "q27_lsh_near_dup_pairs",
     "q29_ngram_jaccard_pairs",
+    "q59_corpus_dedup",
     "q30_cosine_topk",
     "q31_lsh_ann_topk",
     "q33_quality_score",

@@ -1730,6 +1730,56 @@ def q58_circuit_revenue(spark, sf_dir):
         F.col("total_revenue").cast("double").alias("total_revenue"))
 
 
+@register("q59_corpus_dedup", oracle=f"""
+{_SIG_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+           GROUP BY 1, 2),
+near_drop AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM shared JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+  WHERE ROUND(cnt / (sa.sz + sb.sz - cnt), 6) >= 0.5),
+fp AS (SELECT doc_id,
+              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+       FROM documents),
+exact_keep AS (
+  SELECT f.doc_id FROM fp f
+  JOIN (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY 1) k
+    ON f.f = k.f AND f.doc_id = k.doc_id)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN exact_keep USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+""")
+def q59_corpus_dedup(spark, sf_dir):
+    """End-to-end corpus deduplication — the full training-data pipeline:
+    exact dedup (normalized fingerprint, keep lowest id) ∩ near-dup
+    removal (MinHash-LSH candidates → trigram-Jaccard ≥ 0.5 → drop the
+    higher id of each verified pair).  Every stage is bucketed/grouped —
+    no all-pairs product anywhere; survivors are found with two
+    anti/semi-joins."""
+    from database_stream_processor_spark.functions.dedup import (
+        exact_dedup, lsh_candidate_pairs, minhash_signatures,
+        ngram_jaccard_pairs)
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", k=_MINHASH_K, bands=4)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5,
+                                candidates=cand)
+    near_drop = pairs.select(F.col("id_b").alias("doc_id")).dropDuplicates()
+    exact_keep = exact_dedup(d, "doc_id", "text").select("doc_id")
+    return (d.join(exact_keep, on="doc_id", how="left_semi")
+            .join(near_drop, on="doc_id", how="left_anti")
+            .select("doc_id", "lang"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
