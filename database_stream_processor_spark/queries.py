@@ -1780,6 +1780,47 @@ def q59_corpus_dedup(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+@register("q60_multimodal_resize", oracle="""
+SELECT doc_id, lower(sha256(text)) AS payload_hex,
+       CAST(64 AS INT) AS width, CAST(48 AS INT) AS height
+FROM documents
+""")
+def q60_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (Arrow-batched mapInPandas over opaque
+    binary): the deterministic stub payload is hash-derived, so the whole
+    distributed pipeline — schema, batching, partitioning — is checked
+    end-to-end against the oracle; a real PIL resize drops in behind the
+    same batch shape."""
+    from database_stream_processor_spark.functions.multimodal import (
+        resize_images)
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.col("text").cast("binary").alias("payload")))
+    out = resize_images(d, "doc_id", "payload", width=64, height=48)
+    return out.select("doc_id",
+                      F.lower(F.hex("payload")).alias("payload_hex"),
+                      "width", "height")
+
+
+@register("q61_multimodal_frames", oracle="""
+SELECT d.doc_id, CAST(t.i AS INT) AS frame_idx
+FROM documents d,
+     UNNEST(generate_series(0,
+         CAST(least(greatest(octet_length(CAST(d.text AS BLOB)) // 160, 1),
+                    8) AS BIGINT) - 1)) AS t(i)
+""")
+def q61_multimodal_frames(spark, sf_dir):
+    """Video frame sampling (the UDTF/flat_map shape over media payloads,
+    mapInPandas exploding inside the Arrow batch): one row per sampled
+    frame, frame count derived from payload size — count and indexes are
+    oracle-checked; frame bytes are covered by unit tests."""
+    from database_stream_processor_spark.functions.multimodal import (
+        sample_frames)
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.col("text").cast("binary").alias("payload")))
+    out = sample_frames(d, "doc_id", "payload", every_n=10, max_frames=8)
+    return out.select("doc_id", "frame_idx")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
