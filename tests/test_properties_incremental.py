@@ -110,6 +110,35 @@ def test_linear_rolling_inc_equals_batch(spark, bs):
         assert got == dict(want)
 
 
+bounds_seq = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).map(
+        lambda p: (min(p), max(p) + 1)),
+    min_size=1, max_size=3).map(
+    lambda bs: sorted(bs, key=lambda b: b[0]))  # monotone lower bound
+
+
+@given(bs=batches, bnds=bounds_seq)
+@SETTINGS
+def test_window_op_contents_equal_batch_filter(spark, bs, bnds):
+    """WindowOp's integrated content deltas == a plain range filter over
+    the integrated input at the final bounds (window.rs:75)."""
+    from database_stream_processor_spark.plans.incremental import WindowOp
+    empty = ZSetFrame(_zset(spark, []).df.limit(0))
+    op = WindowOp(empty, "ts")
+    base = int(T0.timestamp())
+    out, seen = None, []
+    for rows, (lo, hi) in zip(bs, bnds):
+        seen.extend(rows)
+        d = op.step(_zset(spark, rows), (base + lo, base + hi))
+        out = d if out is None else out.plus(d)
+    lo, hi = bnds[min(len(bs), len(bnds)) - 1]
+    want = {(k, s, v): w for (k, s, v), w in _net(seen).items()
+            if w != 0 and lo <= s < hi}
+    got = {(k, int((ts - T0).total_seconds()), v): w
+           for (k, ts, v), w in zset_to_dict(out.consolidate()).items()}
+    assert got == want
+
+
 edge = st.tuples(st.integers(0, 4), st.integers(0, 4))
 edge_batches = st.lists(
     st.tuples(st.sampled_from([1, -1]),

@@ -73,6 +73,29 @@ def test_distinct_state_recovers(spark, tmp_path):
         zset_to_dict(ref.step(_z(spark, BATCHES[2])))
 
 
+def test_parquet_state_epochs_are_garbage_collected(spark, tmp_path):
+    """Only the current and previous epoch may remain on disk (the
+    previous must survive one step for readers holding the old snapshot);
+    anything older is removed — unbounded epoch growth was a round-1
+    defect."""
+    import os
+
+    from database_stream_processor_spark.plans.incremental import StateTable
+    st = StateTable(_z(spark, []), name="t", path=str(tmp_path))
+    for rows in BATCHES * 2:
+        st.update(_z(spark, rows))
+    epochs = sorted(int(d.split("=")[1]) for d in os.listdir(st.path)
+                    if d.startswith("epoch="))
+    assert epochs == [st._epoch - 1, st._epoch]
+    # the surviving state is still readable and correct
+    total = {}
+    for rows in BATCHES * 2:
+        for k, x, w in rows:
+            total[(k, x)] = total.get((k, x), 0) + w
+    want = {kv: w for kv, w in total.items() if w != 0}
+    assert zset_to_dict(st.current.consolidate()) == want
+
+
 def test_stream_input_drains_pushed_batches(spark):
     empty = spark.createDataFrame([], "k string, x long")
     h = StreamInput(empty)
