@@ -98,6 +98,10 @@ _AGG_BLOCKERS = re.compile(
     r"\b(DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING|ORDER\s+BY|LIMIT|JOIN"
     r"|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
 
+_JOIN_AGG_BLOCKERS = re.compile(
+    r"\b(DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING|ORDER\s+BY|LIMIT"
+    r"|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
+
 _PROJECT_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)(?:\s+(?:AS\s+)?"
     r"(?P<alias>\w+))?(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
@@ -111,12 +115,34 @@ _JOIN_RE = re.compile(
 
 _AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*$",
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+(?P<keys>[\w\s,.]+?)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+# SELECT keys, SUM/COUNT FROM a JOIN b ON cond [WHERE p] GROUP BY keys —
+# the reference demo02 fraud-feature shape
+# (demo/project_demo02-FraudDetection/project.sql:29-57 modulo windows):
+# compiles to the bilinear join delta feeding a linear aggregate merge.
+_JOIN_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<la>\w+))?\s+JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>\w+))?"
+    r"\s+ON\s+(?P<cond>.+?)(?:\s+WHERE\s+(?P<pred>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<keys>[\w\s,.]+?)\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _AGG_ITEM = re.compile(
-    r"^(?:(?P<key>\w+)|SUM\s*\((?P<sum>[^()]+)\)\s+AS\s+(?P<sname>\w+)"
+    r"^(?:(?P<key>\w+(?:\.\w+)?)|SUM\s*\((?P<sum>[^()]+)\)\s+AS\s+(?P<sname>\w+)"
     r"|COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<cname>\w+))$", re.IGNORECASE)
+
+
+def _analyzed_has_aggregate(eng: "Engine", sql: str) -> bool:
+    """True if Catalyst's analyzed plan for ``sql`` contains an Aggregate
+    node anywhere (including inside referenced views).  Gates the linear
+    project/join maintainers: a GROUP-BY-less aggregate (``SELECT COUNT(*)
+    FROM t``) is NOT linear — evaluating it per-delta would emit per-tick
+    counts instead of maintaining the total, so such views must keep the
+    snapshot-diff fallback."""
+    plan = eng.spark.sql(sql)._jdf.queryExecution().analyzed().toString()
+    return bool(re.search(r"\bAggregate \[", plan))
 
 
 def _parse_columns(body: str) -> T.StructType:
@@ -248,17 +274,86 @@ class _JoinMaintainer(_ViewMaintainer):
         return delta
 
 
-class _LinearAggMaintainer(_ViewMaintainer):
-    """SELECT keys, SUM(e) AS s, COUNT(*) AS c FROM t [WHERE p] GROUP BY
-    keys — linear aggregates (aggregate/mod.rs:253-273): per step the
-    GROUP BY runs over the delta alone, then merges with the stored
-    per-group output joined on *touched keys only*.  The input integral
-    is never scanned — not even kept.  A hidden COUNT(*) tracks group
-    liveness so fully-retracted groups emit a retraction."""
+def _ns_join(left: DataFrame, right: DataFrame, keys: list[str],
+             how: str) -> DataFrame:
+    """Join on ``keys`` with null-safe equality (``<=>``) and coalesce the
+    key columns into one set — SQL GROUP BY treats NULL as a real group,
+    so the per-group merge joins must too (plain ``on=[cols]`` equality
+    would silently drop NULL-keyed groups)."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r[f"__r_{k}"])
+        cond = c if cond is None else (cond & c)
+    j = left.join(r, cond, how)
+    if how == "left_semi":
+        return j
+    other = [c for c in j.columns
+             if c not in keys and not c.startswith("__r_")]
+    return j.select(
+        *[F.coalesce(j[k], j[f"__r_{k}"]).alias(k) for k in keys], *other)
 
-    kind = "linear_agg"
+
+class _GroupMergeMaintainer(_ViewMaintainer):
+    """Shared core for linear GROUP BY maintenance
+    (aggregate/mod.rs:253-273): subclasses produce *signed partial
+    aggregates* from the tick's delta (each: per-group SUM/COUNT rows plus
+    a hidden liveness COUNT); this base merges them with the stored
+    per-group output joined on *touched keys only*.  The input integral is
+    never scanned — not even kept.  The hidden count tracks group liveness
+    so fully-retracted groups emit a retraction."""
 
     _CNT = "__live_cnt"
+
+    keys: list[str]
+    agg_names: list[str]
+
+    def _init_out(self, eng, name, first_df: DataFrame) -> None:
+        self._out = StateTable(ZSetFrame.from_df(first_df.limit(0)),
+                               name=f"view_{name}_groups")
+
+    def _merge(self, contribs: list[tuple[DataFrame, int]]) -> ZSetFrame:
+        """contribs: (per-group partial-agg DataFrame, ±1 sign).  Sums the
+        signed contributions per group, folds them into the stored group
+        state (touched keys only), returns the view's output delta."""
+        vals = [*self.agg_names, self._CNT]
+        parts = [df.select(*self.keys,
+                           *[(F.col(v) * F.lit(sign)).alias(v) for v in vals])
+                 for df, sign in contribs]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        delta_groups = u.groupBy(*self.keys).agg(
+            *[F.sum(v).alias(f"__d_{v}") for v in vals])
+        touched = delta_groups.select(*self.keys)
+        old_groups = _ns_join(self._out.current.df, touched, self.keys,
+                              "left_semi")
+        old_rn = old_groups.select(
+            *self.keys, *[F.col(v).alias(f"__o_{v}") for v in vals])
+        all_m = _ns_join(delta_groups, old_rn, self.keys, "full_outer")
+        zero = F.lit(0)
+        new_rows = all_m.select(
+            *self.keys,
+            *[(F.coalesce(F.col(f"__o_{v}"), zero)
+               + F.coalesce(F.col(f"__d_{v}"), zero)).alias(v)
+              for v in vals])
+        live = new_rows.filter(F.col(self._CNT) > 0)
+        group_delta = (ZSetFrame.from_df(live, 1)
+                       .minus(ZSetFrame.from_df(old_groups, 1)).consolidate())
+        self._out.update(group_delta)
+        delta = ZSetFrame(group_delta.df.drop(self._CNT)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+class _LinearAggMaintainer(_GroupMergeMaintainer):
+    """SELECT keys, SUM(e) AS s, COUNT(*) AS c FROM t [WHERE p] GROUP BY
+    keys — the GROUP BY runs over the delta alone, then merges via
+    :class:`_GroupMergeMaintainer`."""
+
+    kind = "linear_agg"
 
     def __init__(self, eng, name, sql, table, keys, agg_names):
         super().__init__(eng, name, sql)
@@ -273,8 +368,7 @@ class _LinearAggMaintainer(_ViewMaintainer):
                            f"FROM {table}{where} GROUP BY {m.group('keys')}")
         first = eng.eval_on(self._delta_sql, {
             table: eng.tables[table].current.rows().limit(0)})
-        self._out = StateTable(ZSetFrame.from_df(first.limit(0)),
-                               name=f"view_{name}_groups")
+        self._init_out(eng, name, first)
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -283,38 +377,83 @@ class _LinearAggMaintainer(_ViewMaintainer):
         pos, neg = _split_parts(z)
         dp = eng.eval_on(self._delta_sql, {self.table: pos})
         dn = eng.eval_on(self._delta_sql, {self.table: neg})
-        vals = [*self.agg_names, self._CNT]
-        rn = lambda df, tag: df.select(
-            *self.keys, *[F.col(v).alias(f"{tag}{v}") for v in vals])
-        merged = rn(dp, "__p_").join(rn(dn, "__n_"), on=self.keys,
-                                     how="full_outer")
-        touched = merged.select(*self.keys)
-        old_groups = self._out.current.df.join(touched, on=self.keys,
-                                               how="left_semi")
-        old_rn = old_groups.select(
-            *self.keys, *[F.col(v).alias(f"__o_{v}") for v in vals])
-        all_m = merged.join(old_rn, on=self.keys, how="full_outer")
-        zero = F.lit(0)
-        new_rows = all_m.select(
-            *self.keys,
-            *[(F.coalesce(F.col(f"__o_{v}"), zero)
-               + F.coalesce(F.col(f"__p_{v}"), zero)
-               - F.coalesce(F.col(f"__n_{v}"), zero)).alias(v)
-              for v in vals])
-        live = new_rows.filter(F.col(self._CNT) > 0)
-        group_delta = (ZSetFrame.from_df(live, 1)
-                       .minus(ZSetFrame.from_df(old_groups, 1)).consolidate())
-        self._out.update(group_delta)
-        delta = ZSetFrame(group_delta.df.drop(self._CNT)).consolidate()
-        self.apply_delta(delta)
-        return delta
+        return self._merge([(dp, 1), (dn, -1)])
+
+
+class _JoinAggMaintainer(_GroupMergeMaintainer):
+    """SELECT keys, SUM/COUNT FROM a JOIN b ON cond [WHERE p] GROUP BY keys
+    — bilinear join delta feeding a linear aggregate merge: each tick
+    evaluates the grouped view SQL over ΔA⋈B_new and A_old⋈ΔB only
+    (SUM/COUNT are linear, so per-leg partial aggregates sum), then merges
+    with stored per-group output on touched keys.  Per-tick cost ∝ Δ —
+    the reference compiles the demo02 fraud features to exactly this
+    join→aggregate circuit (sql-to-dbsp; demo02/project.sql:29-57)."""
+
+    kind = "join_agg"
+
+    def __init__(self, eng, name, sql, left, right, keys, agg_names):
+        super().__init__(eng, name, sql)
+        self.left, self.right = left, right
+        # output (unqualified) key column names for the merge
+        self.keys = [k.split(".")[-1] for k in keys]
+        self.agg_names = agg_names
+        m = _JOIN_AGG_RE.match(sql)
+        where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+        la = f" {m.group('la')}" if m.group("la") else ""
+        ra = f" {m.group('ra')}" if m.group("ra") else ""
+        self._delta_sql = (
+            f"SELECT {m.group('sel')}, COUNT(*) AS {self._CNT} "
+            f"FROM {left}{la} JOIN {right}{ra} ON {m.group('cond')}"
+            f"{where} GROUP BY {m.group('keys')}")
+        first = eng.eval_on(self._delta_sql, {
+            left: eng.tables[left].current.rows().limit(0),
+            right: eng.tables[right].current.rows().limit(0)})
+        self._init_out(eng, name, first)
+
+    def step(self, eng, combined, old):
+        da, db = combined.get(self.left), combined.get(self.right)
+        if da is None and db is None:
+            return self._empty()
+        contribs: list[tuple[DataFrame, int]] = []
+        if da is not None:
+            b_new = eng.tables[self.right].current.rows()
+            pos, neg = _split_parts(da)
+            contribs.append((eng.eval_on(self._delta_sql, {
+                self.left: pos, self.right: b_new}), 1))
+            contribs.append((eng.eval_on(self._delta_sql, {
+                self.left: neg, self.right: b_new}), -1))
+        if db is not None:
+            a_old = old[self.left].rows()
+            pos, neg = _split_parts(db)
+            contribs.append((eng.eval_on(self._delta_sql, {
+                self.left: a_old, self.right: pos}), 1))
+            contribs.append((eng.eval_on(self._delta_sql, {
+                self.left: a_old, self.right: neg}), -1))
+        return self._merge(contribs)
+
+
+def _match_agg_items(sel: str, keys: list[str]) -> list[str] | None:
+    """If every select item is a grouping key or SUM(..)/COUNT(*) AS name,
+    return the agg output names; else None."""
+    agg_names = []
+    for it in (i.strip() for i in _split_top_level(sel)):
+        im = _AGG_ITEM.match(it)
+        if not im:
+            return None
+        if im.group("key") and im.group("key") not in keys:
+            return None
+        if im.group("sname"):
+            agg_names.append(im.group("sname"))
+        if im.group("cname"):
+            agg_names.append(im.group("cname"))
+    return agg_names if agg_names else None
 
 
 def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     """Pick the cheapest maintainer whose shape matches; fall back to
     snapshot-diff for anything unrecognized."""
     flat = " ".join(sql.split())
-    if not _BLOCKERS.search(flat):
+    if not _BLOCKERS.search(flat) and not _analyzed_has_aggregate(eng, flat):
         m = _JOIN_RE.match(flat)
         if m and m.group("lt").lower() in eng.tables \
                 and m.group("rt").lower() in eng.tables \
@@ -328,25 +467,22 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     m = _AGG_RE.match(flat)
     if (m and m.group("tbl").lower() in eng.tables
             and not _AGG_BLOCKERS.search(flat)):
-        items = [i.strip() for i in _split_top_level(m.group("sel"))]
         keys = [k.strip() for k in m.group("keys").split(",")]
-        agg_names, ok = [], True
-        for it in items:
-            im = _AGG_ITEM.match(it)
-            if not im:
-                ok = False
-                break
-            if im.group("key") and im.group("key") not in keys:
-                ok = False
-                break
-            if im.group("sname"):
-                agg_names.append(im.group("sname"))
-            if im.group("cname"):
-                agg_names.append(im.group("cname"))
-        if ok and agg_names:
+        agg_names = _match_agg_items(m.group("sel"), keys)
+        if agg_names:
             return _LinearAggMaintainer(eng, name, flat,
                                         m.group("tbl").lower(), keys,
                                         agg_names)
+    m = _JOIN_AGG_RE.match(flat)
+    if (m and m.group("lt").lower() in eng.tables
+            and m.group("rt").lower() in eng.tables
+            and m.group("lt").lower() != m.group("rt").lower()
+            and not _JOIN_AGG_BLOCKERS.search(flat)):
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        agg_names = _match_agg_items(m.group("sel"), keys)
+        if agg_names:
+            return _JoinAggMaintainer(eng, name, flat, m.group("lt").lower(),
+                                      m.group("rt").lower(), keys, agg_names)
     return _ViewMaintainer(eng, name, sql)
 
 
@@ -384,6 +520,7 @@ class Engine:
         self.tables: dict[str, StateTable] = {}
         self.views: dict[str, str] = {}
         self._maintainers: dict[str, _ViewMaintainer] = {}
+        self._sources: dict[str, set[str]] = {}
         self._pending: dict[str, list[ZSetFrame]] = {}
         register_sql_macros(spark)
 
@@ -429,6 +566,11 @@ class Engine:
     def _create_view(self, name: str, select_sql: str) -> None:
         self.views[name] = select_sql
         self._maintainers[name] = _lower_view(self, name, select_sql)
+        # structural dependency set (tables + earlier views referenced by
+        # name) — lets step() skip views whose inputs saw no delta
+        words = {w.lower() for w in re.findall(r"\b\w+\b", select_sql)}
+        self._sources[name] = {w for w in words
+                               if w in self.tables or w in self.views}
         self.spark.sql(select_sql).limit(0).createOrReplaceTempView(name)
 
     def _refresh_table_view(self, name: str) -> None:
@@ -461,10 +603,19 @@ class Engine:
             self._refresh_table_view(name)
 
         out: dict[str, ZSetFrame] = {}
+        # a view is touched iff any source table got a delta this tick, or
+        # any source view is itself touched (views are created in
+        # dependency order).  Untouched views skip their maintainer step
+        # AND the temp-view rebinding — zero per-tick cost for idle views.
+        touched: set[str] = set(combined)
         for name, m in self._maintainers.items():
+            if not (self._sources[name] & touched):
+                out[name] = m._empty()
+                continue
             delta = m.step(self, combined, old)
             m.state.current.rows().createOrReplaceTempView(name)
             out[name] = delta
+            touched.add(name)
         return out
 
     def view(self, name: str) -> DataFrame:

@@ -233,3 +233,132 @@ def test_reference_demo_scripts_execute_verbatim(spark, path):
     assert eng.views, path
     for v in eng.views:
         assert eng.view(v).count() == 0  # analyzable & runnable while empty
+
+
+def test_groupbyless_aggregate_keeps_snapshot_diff(spark):
+    """Regression: SELECT COUNT(*)/SUM(x) FROM t (no GROUP BY) is NOT
+    linear — it must fall back to snapshot-diff, not be evaluated per
+    delta (which would emit per-tick counts instead of the total)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW total as SELECT COUNT(*) AS c FROM t;
+        CREATE VIEW tsum as SELECT SUM(v) AS s FROM t;
+    """)
+    assert eng.view_strategy("total") == "differentiate"
+    assert eng.view_strategy("tsum") == "differentiate"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    eng.push("t", mk([(1, 1.0), (2, 2.0)]))
+    eng.step()
+    eng.push("t", mk([(3, 4.0)]))
+    eng.step()
+    assert [tuple(r) for r in eng.view("total").collect()] == [(3,)]
+    assert [tuple(r) for r in eng.view("tsum").collect()] == [(7.0,)]
+
+
+def test_join_aggregate_over_join_keeps_snapshot_diff(spark):
+    """Aggregate over a JOIN without GROUP BY must also stay on the
+    snapshot-diff path (the Catalyst-plan gate catches it even though the
+    shape matches the join regex)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k INTEGER NOT NULL, v FLOAT64);
+        CREATE TABLE b (k INTEGER NOT NULL, w FLOAT64);
+        CREATE VIEW j as SELECT SUM(a.v) AS s FROM a JOIN b ON a.k = b.k;
+    """)
+    assert eng.view_strategy("j") == "differentiate"
+    mk = lambda rows, s: spark.createDataFrame(rows, s)
+    eng.push("a", mk([(1, 1.0)], "k int, v double"))
+    eng.push("b", mk([(1, 10.0)], "k int, w double"))
+    eng.step()
+    eng.push("a", mk([(1, 2.0)], "k int, v double"))
+    eng.step()
+    assert [tuple(r) for r in eng.view("j").collect()] == [(3.0,)]
+
+
+def test_join_group_by_lowers_to_join_agg(spark):
+    """demo02 fraud-feature shape (join → GROUP BY with SUM/COUNT) lowers
+    to the bilinear join-delta + linear-agg-merge maintainer; maintained
+    state matches a full recompute through inserts and retractions."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE tx (cc INTEGER NOT NULL, amt FLOAT64);
+        CREATE TABLE dem (cc INTEGER NOT NULL, city varchar);
+        CREATE VIEW spend as
+            SELECT d.city, SUM(t.amt) AS total, COUNT(*) AS n
+            FROM tx t JOIN dem d ON t.cc = d.cc
+            WHERE t.amt > 0
+            GROUP BY d.city;
+    """)
+    assert eng.view_strategy("spend") == "join_agg"
+    mk_tx = lambda rows: spark.createDataFrame(rows, "cc int, amt double")
+    mk_dem = lambda rows: spark.createDataFrame(rows, "cc int, city string")
+    batches = [
+        ("dem", mk_dem([(1, "pdx"), (2, "pdx"), (3, "sea")]), 1),
+        ("tx", mk_tx([(1, 10.0), (2, 5.0), (3, 7.0), (3, -1.0)]), 1),
+        ("tx", mk_tx([(1, 2.0)]), 1),
+        ("tx", mk_tx([(1, 10.0)]), -1),      # partial retraction
+        ("dem", mk_dem([(3, "sea")]), -1),   # city 'sea' dies entirely
+    ]
+    for tbl, batch, w in batches:
+        eng.push(tbl, batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("tx").alias("t")
+                .join(eng.view("dem").alias("d"), F.col("t.cc") == F.col("d.cc"))
+                .filter("amt > 0").groupBy("city")
+                .agg(F.sum("amt").alias("total"),
+                     F.count(F.lit(1)).alias("n")).collect()}
+        got = {tuple(r) for r in eng.view("spend").collect()}
+        assert got == want, (tbl, w)
+
+
+def test_linear_agg_null_group_key(spark):
+    """SQL GROUP BY treats NULL as a real group — the per-group merge
+    joins are null-safe, so NULL-keyed groups are maintained too."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER, v FLOAT64);
+        CREATE VIEW av as SELECT k, SUM(v) AS s FROM t GROUP BY k;
+    """)
+    assert eng.view_strategy("av") == "linear_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    eng.push("t", mk([(None, 1.0), (1, 2.0)]))
+    eng.step()
+    eng.push("t", mk([(None, 3.0)]))
+    eng.step()
+    got = {tuple(r) for r in eng.view("av").collect()}
+    assert got == {(None, 4.0), (1, 2.0)}
+    eng.push("t", mk([(None, 1.0), (None, 3.0)]), weight=-1)
+    eng.step()
+    got = {tuple(r) for r in eng.view("av").collect()}
+    assert got == {(1, 2.0)}
+
+
+def test_untouched_views_skip_maintainer_step(spark, monkeypatch):
+    """A tick that touches none of a view's source tables must not run the
+    view's maintainer at all (sql.py Engine.step skip) — per-tick cost for
+    idle views is zero Spark jobs."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE TABLE u (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW vt as SELECT k, v FROM t;
+        CREATE VIEW wu as SELECT u.k, COUNT(*) AS c FROM u GROUP BY u.k;
+    """)
+    calls = {"vt": 0, "wu": 0}
+    for name in calls:
+        m = eng._maintainers[name]
+        orig = m.step
+        def counted(e, c, o, _n=name, _o=orig):
+            calls[_n] += 1
+            return _o(e, c, o)
+        monkeypatch.setattr(m, "step", counted)
+    eng.push("t", spark.createDataFrame([(1, 1.0)], "k int, v double"))
+    out = eng.step()
+    assert calls == {"vt": 1, "wu": 0}
+    assert out["wu"].df.count() == 0
+    # and a tick with no pushes at all steps nothing
+    out = eng.step()
+    assert calls == {"vt": 1, "wu": 0}
+    assert out["vt"].df.count() == 0
