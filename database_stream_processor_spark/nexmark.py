@@ -522,3 +522,133 @@ def nx_q22_get_url_directories(spark, sf_dir):
     return b.select("auction", "bidder", "price",
                     parts.getItem(3).alias("dir1"),
                     parts.getItem(4).alias("dir2"))
+
+
+# --------------------------------------------------------------------- #
+# Incremental variants — the reference runs the Nexmark suite through its
+# incremental circuit (crates/nexmark/src/queries/q4.rs, q7.rs, q18.rs run
+# under `Circuit` with input deltas); these drive the same semantics
+# through the Z-set operator layer across 3 delta batches and check the
+# integrated output against the identical one-shot oracle (the q56 idiom).
+# --------------------------------------------------------------------- #
+
+
+@register("nx_q04_inc_avg_closing", oracle=NX + "," + WINNING_SQL + f"""
+SELECT category, {AVG_PRICE.replace('price', 'final_price')} AS avg_final
+FROM winning GROUP BY category""")
+def nx_q04_inc_avg_closing(spark, sf_dir):
+    """q4 incrementally (q4.rs:60-101): JoinOp (bid deltas against the
+    static auction dim, broadcast) → range filter → AggregateOp (per-
+    auction MAX, touched-group recompute) → LinearAggregateOp (per-category
+    SUM/COUNT in O(Δ)) across 3 bid batches; avg derived from the
+    integrated (sum, count) pairs."""
+    from database_stream_processor_spark.plans.incremental import (
+        AggregateOp, JoinOp, LinearAggregateOp)
+    from database_stream_processor_spark.zset import ZSetFrame
+
+    a = auctions(spark, sf_dir).select("a_id", "category", "a_start",
+                                       "expires")
+    b = bids(spark, sf_dir).select(F.col("auction").alias("a_id"), "price",
+                                   "b_ts", "b_id")
+
+    join_op = JoinOp(ZSetFrame.from_df(b.limit(0).drop("b_id")),
+                     ZSetFrame.from_df(a.limit(0)), on=["a_id"],
+                     broadcast="right")
+    win_schema = "a_id bigint, category bigint, final_price bigint"
+    win_op = AggregateOp(
+        ZSetFrame.from_df(
+            spark.createDataFrame([], "a_id bigint, category bigint, "
+                                      "price bigint")),
+        ["a_id"],
+        lambda z: ZSetFrame.from_df(
+            z.rows().groupBy("a_id", "category")
+            .agg(F.max("price").alias("final_price")), 1),
+        materialize_every=1)
+    cat_op = LinearAggregateOp(
+        ZSetFrame.from_df(
+            spark.createDataFrame([], win_schema).drop("a_id")),
+        ["category"], {"s": F.col("final_price"), "n": F.lit(1)},
+        materialize_every=1)
+
+    az = ZSetFrame.from_df(a)
+    out = None
+    for step in range(3):
+        db = ZSetFrame.from_df(
+            b.filter(F.col("b_id") % 3 == step).drop("b_id"))
+        joined = join_op.step(db, az if step == 0 else None)
+        in_range = joined.filter(
+            F.col("b_ts").between(F.col("a_start"), F.col("expires")))
+        win_delta = win_op.step(in_range.map("a_id", "category", "price"))
+        d = cat_op.step(win_delta.map("category", "final_price"))
+        out = d if out is None else out.plus(d)
+    final = out.consolidate().rows()
+    return final.select(
+        "category", (F.col("s").cast("double") / F.col("n")).alias("avg_final"))
+
+
+@register("nx_q07_inc_highest_bid", oracle=NX + """
+SELECT window_start, auction, bidder, price FROM (
+  SELECT (b_ts // 3600) * 3600 AS window_start, auction, bidder, price,
+         ROW_NUMBER() OVER (PARTITION BY (b_ts // 3600)
+                            ORDER BY price DESC, b_id ASC) AS rn
+  FROM bid) WHERE rn = 1""")
+def nx_q07_inc_highest_bid(spark, sf_dir):
+    """q7 incrementally (q7.rs): tumbling-window assignment is a linear
+    map on the bid delta; the per-window top-1 (non-linear) is an
+    AggregateOp keyed by window_start — each tick recomputes only windows
+    touched by the delta from the integrated trace."""
+    from database_stream_processor_spark.plans.incremental import AggregateOp
+    from database_stream_processor_spark.zset import ZSetFrame
+
+    b = bids(spark, sf_dir).select(
+        (F.expr("b_ts div 3600") * 3600).alias("window_start"),
+        "auction", "bidder", "price", "b_id")
+
+    def top1(z):
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("price").desc(), F.col("b_id").asc())
+        rows = z.rows().withColumn("rn", F.row_number().over(w))
+        return ZSetFrame.from_df(
+            rows.filter(F.col("rn") == 1).drop("rn"), 1)
+
+    op = AggregateOp(ZSetFrame.from_df(b.limit(0)), ["window_start"], top1,
+                     materialize_every=1)
+    out = None
+    for step in range(3):
+        d = op.step(ZSetFrame.from_df(b.filter(F.col("b_id") % 3 == step)))
+        out = d if out is None else out.plus(d)
+    return (out.consolidate().rows()
+            .select("window_start", "auction", "bidder", "price"))
+
+
+@register("nx_q18_inc_last_bid", oracle=NX + """
+SELECT b_id, auction, bidder, price, b_ts FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bidder, auction
+                               ORDER BY b_ts DESC, b_id DESC) AS rn
+  FROM bid) WHERE rn = 1""")
+def nx_q18_inc_last_bid(spark, sf_dir):
+    """q18 incrementally (q18.rs:37-50 — the reference's max-by Fold):
+    AggregateOp keyed by (bidder, auction) recomputes each touched
+    bidder×auction group's latest bid from the integrated trace; cost per
+    tick ∝ touched groups, not the bid history."""
+    from database_stream_processor_spark.plans.incremental import AggregateOp
+    from database_stream_processor_spark.zset import ZSetFrame
+
+    b = bids(spark, sf_dir).select("b_id", "auction", "bidder", "price",
+                                   "b_ts")
+
+    def latest(z):
+        w = Window.partitionBy("bidder", "auction").orderBy(
+            F.col("b_ts").desc(), F.col("b_id").desc())
+        rows = z.rows().withColumn("rn", F.row_number().over(w))
+        return ZSetFrame.from_df(
+            rows.filter(F.col("rn") == 1).drop("rn"), 1)
+
+    op = AggregateOp(ZSetFrame.from_df(b.limit(0)), ["bidder", "auction"],
+                     latest, materialize_every=1)
+    out = None
+    for step in range(3):
+        d = op.step(ZSetFrame.from_df(b.filter(F.col("b_id") % 3 == step)))
+        out = d if out is None else out.plus(d)
+    return (out.consolidate().rows()
+            .select("b_id", "auction", "bidder", "price", "b_ts"))
