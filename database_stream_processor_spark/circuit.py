@@ -12,7 +12,7 @@ incremental operator layer::
     orders = c.add_input_zset("o_custkey long, o_totalprice double")
     cust   = c.add_input_zset("c_custkey long, n_name string")
     joined = c.join(orders.map_named(o_custkey="c_custkey"), cust,
-                    on=["c_custkey"])
+                    on=["c_custkey"])          # delta schemas derived
     rev    = c.aggregate_linear(joined, ["n_name"],
                                 total=F.col("o_totalprice"))
     out    = c.output(rev)
@@ -113,6 +113,10 @@ class Circuit:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._nodes: list[_Node] = []
+        #: per-node empty ZSetFrame carrying the node's output schema —
+        #: lets operator nodes derive their delta schemas from their
+        #: parents instead of requiring DDL strings at every call site
+        self._empties: list[ZSetFrame | None] = []
         self._inputs: list[InputHandle] = []
         self.ticks = 0
 
@@ -124,19 +128,34 @@ class Circuit:
         nid = len(self._nodes)
         handle = InputHandle(self, nid, schema)
         self._nodes.append(_Node([], lambda deltas, h=handle: h._drain()))
+        self._empties.append(self._empty(schema))
         self._inputs.append(handle)
         return handle
 
     def _empty(self, schema: str) -> ZSetFrame:
         return ZSetFrame.from_df(self.spark.createDataFrame([], schema))
 
+    def _resolve_empty(self, given: str | None, src: Stream) -> ZSetFrame:
+        """Delta schema for an operator input: an explicit DDL string wins;
+        otherwise derive it from the parent node's tracked output schema."""
+        if given is not None:
+            return self._empty(given)
+        e = self._empties[src.node_id]
+        if e is None:
+            raise ValueError(
+                "cannot derive the delta schema for this stream — pass the "
+                "empty_* DDL string explicitly")
+        return e
+
     # ------------------------------------------------------------- #
     # operators (each returns a new Stream)
     # ------------------------------------------------------------- #
 
-    def _add(self, parents: Sequence[Stream], run) -> Stream:
+    def _add(self, parents: Sequence[Stream], run,
+             empty: ZSetFrame | None = None) -> Stream:
         nid = len(self._nodes)
         self._nodes.append(_Node([p.node_id for p in parents], run))
+        self._empties.append(empty)
         return Stream(self, nid)
 
     def apply(self, src: Stream, f: Callable[[ZSetFrame], ZSetFrame]) -> Stream:
@@ -146,55 +165,64 @@ class Circuit:
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run)
+        parent_empty = self._empties[src.node_id]
+        out_empty = None if parent_empty is None else f(parent_empty)
+        return self._add([src], run, empty=out_empty)
 
-    def join(self, left: Stream, right: Stream, *, empty_left: str,
-             empty_right: str, on: Sequence[str], how: str = "inner",
+    def join(self, left: Stream, right: Stream, *,
+             on: Sequence[str], how: str = "inner",
+             empty_left: str | None = None, empty_right: str | None = None,
              **op_kw) -> Stream:
-        """Incremental join node (join.rs:121-292).  ``empty_left`` /
-        ``empty_right`` are the delta schemas (DDL strings) of each side.
-        """
-        op = JoinOp(self._empty(empty_left), self._empty(empty_right),
-                    on=on, how=how, **op_kw)
+        """Incremental join node (join.rs:121-292).  Delta schemas are
+        derived from the parent streams; pass ``empty_left`` /
+        ``empty_right`` DDL strings only to override."""
+        el = self._resolve_empty(empty_left, left)
+        er = self._resolve_empty(empty_right, right)
+        op = JoinOp(el, er, on=on, how=how, **op_kw)
 
         def run(deltas):
             dl, dr = deltas
             if dl is None and dr is None:
                 return None
             return op.step(dl, dr)
-        return self._add([left, right], run)
+        return self._add([left, right], run,
+                         empty=el.join(er, on=list(on), how="inner"))
 
     def aggregate_linear(self, src: Stream, keys: Sequence[str],
-                         empty_in: str, op_kw: dict | None = None,
+                         empty_in: str | None = None,
+                         op_kw: dict | None = None,
                          **aggs: Column) -> Stream:
         """O(Δ) linear aggregate node (aggregate/mod.rs:253-273).
         ``op_kw`` tunes the state table (materialize_every, path, …)."""
-        op = LinearAggregateOp(self._empty(empty_in), keys, dict(aggs),
-                               **(op_kw or {}))
+        op = LinearAggregateOp(self._resolve_empty(empty_in, src), keys,
+                               dict(aggs), **(op_kw or {}))
 
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run)
+        return self._add([src], run, empty=op.state.current)
 
-    def aggregate(self, src: Stream, keys: Sequence[str], empty_in: str,
-                  agg_fn, **op_kw) -> Stream:
+    def aggregate(self, src: Stream, keys: Sequence[str], agg_fn,
+                  empty_in: str | None = None, **op_kw) -> Stream:
         """Retraction-correct general aggregate node
         (aggregate/mod.rs:204-244)."""
-        op = AggregateOp(self._empty(empty_in), keys, agg_fn, **op_kw)
+        ein = self._resolve_empty(empty_in, src)
+        op = AggregateOp(ein, keys, agg_fn, **op_kw)
 
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run)
+        return self._add([src], run, empty=agg_fn(ein))
 
-    def distinct(self, src: Stream, empty_in: str, **op_kw) -> Stream:
-        op = DistinctOp(self._empty(empty_in), **op_kw)
+    def distinct(self, src: Stream, empty_in: str | None = None,
+                 **op_kw) -> Stream:
+        ein = self._resolve_empty(empty_in, src)
+        op = DistinctOp(ein, **op_kw)
 
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run)
+        return self._add([src], run, empty=ein)
 
     def plus(self, a: Stream, b: Stream) -> Stream:
         def run(deltas):
@@ -204,7 +232,7 @@ class Circuit:
             if db is None:
                 return da
             return da.plus(db)
-        return self._add([a, b], run)
+        return self._add([a, b], run, empty=self._empties[a.node_id])
 
     def output(self, src: Stream) -> OutputHandle:
         """Attach an output handle (output.rs:29): every tick's delta for
@@ -216,7 +244,7 @@ class Circuit:
             if d is not None:
                 handle.push(d)
             return d
-        self._add([src], run)
+        self._add([src], run, empty=self._empties[src.node_id])
         return handle
 
     # ------------------------------------------------------------- #

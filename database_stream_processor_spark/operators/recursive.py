@@ -139,14 +139,30 @@ class IncrementalTransitiveClosureOp:
     through at least one inserted edge, so the seed is
     ``(I ∪ TC_old) ∘ ΔE ∘ (I ∪ TC_old)`` and the semi-naive loop closes it
     against the growing closure — per-tick cost ∝ |new paths|, never a
-    full recompute.  Edge deletions fall back to recomputing the closure
-    of the updated edge set and diffing (DRed-style over-delete/re-derive
-    would bound that too; the fallback is correct and the common
-    insert-only path stays O(Δ)).
+    full recompute.
+
+    Edge deletions use **DRed** (delete-and-rederive — the bounded
+    deletion strategy the reference gets from nested clocks,
+    recursive.rs:255 + src/time/mod.rs:20-48):
+
+    1. *over-delete*: the suspect set ``D = (I ∪ TC) ∘ ΔE⁻ ∘ (I ∪ TC)`` —
+       exactly the pairs with some path through a deleted edge (the
+       mirror image of the insertion seed; one shot, no iteration,
+       because TC already holds all prefix/suffix connectivity);
+    2. *re-derive*: semi-naive right-linear fixpoint restricted to ``D``
+       over the surviving edges — suspects with an alternate path come
+       back;
+    3. retract ``D − rederived``.
+
+    Per-tick deletion cost ∝ |D| (paths actually affected), never the
+    closure size.  ``last_delete_stats`` exposes (suspects, rounds) so
+    tests can assert the bound.
 
     ``step`` takes a Z-set edge delta (weights +1 insert / −1 delete) and
     returns the Z-set delta of closure pairs.  State (edge set + closure
     set) lives in DataFrames materialized per tick, never on the driver.
+    A tick carrying both signs applies deletions (DRed) first, then
+    insertions (frontier) against the post-deletion closure.
     """
 
     def __init__(self, spark, src: str = "src", dst: str = "dst",

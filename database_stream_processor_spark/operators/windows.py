@@ -53,7 +53,11 @@ def hopping_window(df: DataFrame, ts_col: str, size_seconds: int,
     ts = F.unix_timestamp(F.col(ts_col))
     first = (F.floor((ts - size_seconds) / hop_seconds) + 1) * hop_seconds
     last = F.floor(ts / hop_seconds) * hop_seconds
-    starts = F.sequence(F.greatest(first, F.lit(0)).cast("long"),
+    # no 0-clamp: negative window starts are legal (pre-epoch timestamps),
+    # matching the tumbling op's pure floor semantics — a clamp would both
+    # drop the earliest overlapping windows for ts < size and make
+    # sequence(start > stop) throw on pre-epoch rows
+    starts = F.sequence(first.cast("long"),
                         last.cast("long"), F.lit(hop_seconds).cast("long"))
     exploded = df.withColumn(bucket_col, F.explode(starts))
     return exploded.groupBy(bucket_col, *keys).agg(*aggs)

@@ -32,7 +32,6 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -78,28 +77,47 @@ class StateTable:
         if path:
             # namespace by table name: one operator owns several tables and
             # may pass them all the same base path
-            self.path = os.path.join(path, name)
-            os.makedirs(self.path, exist_ok=True)
+            self.path = path.rstrip("/") + "/" + name
+            fs, jvm = self._hadoop_fs()
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self.path))
             if recover:
                 self._recover()
+
+    def _hadoop_fs(self):
+        """Hadoop FileSystem for ``self.path`` — state may live on any DFS
+        (S3/HDFS/local); driver-local ``os``/``shutil`` would silently
+        corrupt GC the moment the path isn't a local directory."""
+        jvm = self._spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        return jpath.getFileSystem(
+            self._spark._jsc.hadoopConfiguration()), jvm
+
+    def _list_epochs(self) -> list[int]:
+        fs, jvm = self._hadoop_fs()
+        base = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(base):
+            return []
+        epochs = []
+        for st in fs.listStatus(base):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                try:
+                    epochs.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return epochs
 
     def _recover(self) -> None:
         """Resume from the latest persisted epoch — the reference's
         persistent-trace recovery (src/trace/persistent/mod.rs:2-89: traces
         reopen from storage and the circuit continues stepping).  Works
         from any session: the parquet layout is self-describing."""
-        epochs = []
-        for d in os.listdir(self.path):
-            if d.startswith("epoch="):
-                try:
-                    epochs.append(int(d.split("=", 1)[1]))
-                except ValueError:
-                    pass
+        epochs = self._list_epochs()
         if not epochs:
             return
         self._epoch = max(epochs)
         df = self._spark.read.parquet(
-            os.path.join(self.path, f"epoch={self._epoch}"))
+            f"{self.path}/epoch={self._epoch}")
         self._current = ZSetFrame(df.select(
             *[F.col(f.name).cast(f.dataType) for f in self._schema.fields]))
 
@@ -123,7 +141,7 @@ class StateTable:
     def _materialize(self, z: ZSetFrame) -> ZSetFrame:
         self._epoch += 1
         if self.path:
-            out = os.path.join(self.path, f"epoch={self._epoch}")
+            out = f"{self.path}/epoch={self._epoch}"
             writer = z.df.write.mode("overwrite")
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
@@ -138,17 +156,13 @@ class StateTable:
             # step (readers like DistinctOp hold the old snapshot), anything
             # older is dead — without this, long streaming runs grow disk
             # without bound (the reference's persistent trace compacts,
-            # src/trace/persistent/mod.rs:2-89).
-            import shutil
-            for d in os.listdir(self.path):
-                if d.startswith("epoch="):
-                    try:
-                        n = int(d.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if n < self._epoch - 1:
-                        shutil.rmtree(os.path.join(self.path, d),
-                                      ignore_errors=True)
+            # src/trace/persistent/mod.rs:2-89).  Deletion goes through the
+            # Hadoop FS API so the path may be S3/HDFS, not just local.
+            fs, jvm = self._hadoop_fs()
+            for n in self._list_epochs():
+                if n < self._epoch - 1:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/epoch={n}"), True)
             return ZSetFrame(df)
         # memory backend: cut lineage so N steps don't stack N plans.
         # materialize_every > 1 trades lineage depth for fewer Spark jobs —
@@ -299,8 +313,21 @@ class JoinOp:
             touched = touched.unionByName(t)
         touched = touched.dropDuplicates()
 
-        a_t = ZSetFrame(a_new.df.join(touched, on=self.on, how="left_semi"))
-        b_t = ZSetFrame(b_new.df.join(touched, on=self.on, how="left_semi"))
+        # null-safe touched-key restriction: a plain equi semi-join would
+        # drop rows whose join key is NULL, so their null-padded outer rows
+        # would never be emitted or retracted (plain Spark outer joins DO
+        # preserve null-key rows — they just never match the other side).
+        def semi(df):
+            probe = touched.select(
+                *[F.col(c).alias(f"__t_{c}") for c in self.on])
+            cond = None
+            for c in self.on:
+                e = df[c].eqNullSafe(F.col(f"__t_{c}"))
+                cond = e if cond is None else (cond & e)
+            return df.join(probe, on=cond, how="left_semi")
+
+        a_t = ZSetFrame(semi(a_new.df))
+        b_t = ZSetFrame(semi(b_new.df))
         new_out = a_t.join(b_t, on=self.on, how=self.how)
 
         if self._out_state is None:
@@ -308,8 +335,7 @@ class JoinOp:
                                          name="outer_join_output")
             old_out = ZSetFrame(new_out.df.limit(0))
         else:
-            old_out = ZSetFrame(self._out_state.current.df.join(
-                touched, on=self.on, how="left_semi"))
+            old_out = ZSetFrame(semi(self._out_state.current.df))
         out_delta = new_out.minus(old_out).consolidate()
         self._out_state.update(out_delta)
         return out_delta
@@ -346,6 +372,7 @@ class MonotonicStreamJoinOp:
         self.left = StateTable(empty_left, name="mono_join_left", **state_kw)
         self.right = StateTable(empty_right, name="mono_join_right",
                                 **state_kw)
+        self._evict_count = 0
 
     def _wm_df(self):
         """Watermark = max event time in *state* − delay, as a broadcast
@@ -362,9 +389,16 @@ class MonotonicStreamJoinOp:
 
     def _evict(self, state: StateTable, ts_col: str, wmb) -> None:
         t = F.unix_timestamp(F.col(ts_col))
-        state._current = ZSetFrame(
+        evicted = ZSetFrame(
             state.current.df.crossJoin(wmb)
             .filter(t >= F.col("__wm") - self.window).drop("__wm"))
+        # a side that receives no deltas never passes through
+        # StateTable._materialize, so this filter-on-filter plan would grow
+        # one layer per tick; cut lineage periodically even without updates
+        self._evict_count += 1
+        if self._evict_count % 8 == 0:
+            evicted = state._materialize(evicted)
+        state._current = evicted
 
     def _drop_late(self, delta: ZSetFrame | None, ts_col: str,
                    wmb) -> ZSetFrame | None:
@@ -787,7 +821,9 @@ class HoppingWindowOp:
         ts = F.unix_timestamp(F.col(self.ts))
         first = (F.floor((ts - self.size) / self.hop) + 1) * self.hop
         last = F.floor(ts / self.hop) * self.hop
-        starts = F.sequence(F.greatest(first, F.lit(0)).cast("long"),
+        # no 0-clamp — see operators/windows.py hopping_window: negative
+        # window starts are legal, and a clamp breaks pre-epoch timestamps
+        starts = F.sequence(first.cast("long"),
                             last.cast("long"),
                             F.lit(self.hop).cast("long"))
         return df.withColumn(self.bucket_col, F.explode(starts))

@@ -26,6 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from database_stream_processor_spark.zset import ZSetFrame
 
@@ -89,11 +90,16 @@ def epoch_seconds(col: F.Column) -> F.Column:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with `ts` converted from raw nanosecond longs (see session.py
-    nanosAsLong note) to a microsecond timestamp via exact integer division
-    — same truncation DuckDB applies when reading TIMESTAMP(NANOS)."""
+    """events with `ts` normalized to a microsecond timestamp.
+
+    Handles both generator vintages: TIMESTAMP(NANOS) files surface as raw
+    nanosecond longs under ``nanosAsLong`` and are truncated to micros via
+    exact integer division (same truncation DuckDB applies); TIMESTAMP(MICROS)
+    files read as a timestamp already and pass through unchanged."""
     e = load(spark, sf_dir, "events")
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(e.schema["ts"].dataType, LongType):
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
 
 
 # --------------------------------------------------------------------- #
@@ -533,7 +539,7 @@ SELECT ws AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        {ORACLE_DSUM.format(x='value')} AS total_value
 FROM e, unnest(generate_series(
-        GREATEST(((ep - 3600) // 1800 + 1) * 1800, 0),
+        ((ep - 3600) // 1800 + 1) * 1800,
         (ep // 1800) * 1800, 1800)) AS t(ws)
 GROUP BY 1, 2
 """)

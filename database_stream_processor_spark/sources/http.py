@@ -61,19 +61,38 @@ class HttpOutput:
     output likewise funnels through one connection)."""
 
     def __init__(self, url: str, headers: dict | None = None,
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, rows_per_post: int = 10_000):
         self.url = url
         self.headers = {"Content-Type": "application/x-ndjson",
                         **(headers or {})}
         self.timeout = timeout
+        self.rows_per_post = rows_per_post
         self.posts = 0
 
     def send(self, df: DataFrame) -> None:
-        payload = "\n".join(
-            r["j"] for r in
-            df.select(F.to_json(F.struct(*df.columns)).alias("j")).collect())
+        """POST the delta in bounded chunks of ``rows_per_post`` rows.
+
+        Rows stream through the driver via ``toLocalIterator`` — one
+        partition resident at a time — so an unbounded delta can't OOM the
+        driver the way a full ``collect()`` would."""
+        rows = df.select(
+            F.to_json(F.struct(*df.columns)).alias("j")).toLocalIterator()
+        chunk: list[str] = []
+        sent_any = False
+        for r in rows:
+            chunk.append(r["j"])
+            if len(chunk) >= self.rows_per_post:
+                self._post(chunk)
+                sent_any = True
+                chunk = []
+        if chunk or not sent_any:
+            # empty delta still posts once (a tick heartbeat, matching the
+            # pre-chunking behavior)
+            self._post(chunk)
+
+    def _post(self, lines: list[str]) -> None:
         req = urllib.request.Request(
-            self.url, data=payload.encode("utf-8"),
+            self.url, data="\n".join(lines).encode("utf-8"),
             headers=self.headers, method="POST")
         with urllib.request.urlopen(req, timeout=self.timeout):
             self.posts += 1

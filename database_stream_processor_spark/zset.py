@@ -97,8 +97,17 @@ class ZSetFrame:
         JVM-side).
         """
         pos = self.df.filter(F.col(WEIGHT_COL) > 0)
+        # array_repeat takes an int count: a weight beyond int32 would wrap
+        # silently, so fail loudly instead (a 2^31-row multiplicity for one
+        # value is a modeling bug, not a real bag)
+        guarded = F.when(
+            F.col(WEIGHT_COL) > F.lit(2**31 - 1),
+            F.raise_error(F.concat(
+                F.lit("ZSetFrame.rows(): weight exceeds int32: "),
+                F.col(WEIGHT_COL).cast("string"))).cast("int"),
+        ).otherwise(F.col(WEIGHT_COL).cast("int"))
         expanded = pos.withColumn(
-            "__rep", F.explode(F.array_repeat(F.lit(1), F.col(WEIGHT_COL).cast("int")))
+            "__rep", F.explode(F.array_repeat(F.lit(1), guarded))
         )
         return expanded.select(*self.data_columns)
 

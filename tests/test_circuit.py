@@ -77,3 +77,27 @@ def test_empty_tick_does_no_work(spark):
     c.step()   # nothing pending: every node skips
     assert c.ticks == 2
     assert zset_to_dict(out.consolidate()) == {(1,): 1}
+
+
+def test_derived_delta_schemas(spark):
+    """The module-docstring example verbatim: no empty_* DDL strings —
+    delta schemas derive from the parent streams (through map_named,
+    join, and aggregate_linear)."""
+    c = Circuit(spark)
+    orders = c.add_input_zset("o_custkey long, o_totalprice double")
+    cust = c.add_input_zset("c_custkey long, n_name string")
+    joined = c.join(orders.map_named(o_custkey="c_custkey"), cust,
+                    on=["c_custkey"])
+    rev = c.aggregate_linear(joined, ["n_name"],
+                             total=F.col("o_totalprice"))
+    out = c.output(rev)
+
+    cust.push(spark.createDataFrame(
+        [(1, "PERU")], "c_custkey long, n_name string"))
+    orders.push(spark.createDataFrame(
+        [(1, 10.0), (1, 2.5)], "o_custkey long, o_totalprice double"))
+    c.step()
+    assert zset_to_dict(out.consolidate()) == {("PERU", 12.5): 1}
+
+    uniq = c.distinct(cust)  # derived through an input handle
+    assert uniq.node_id > rev.node_id

@@ -65,3 +65,19 @@ def test_http_output_posts_jsonl(spark, server):
             _Handler.received[0].decode().splitlines()]
     assert sorted(rows, key=lambda r: r["k"]) == [
         {"k": 1, "v": "a"}, {"k": 2, "v": "b"}]
+
+
+def test_http_output_chunks_bound_driver_memory(spark, server):
+    """A multi-partition delta larger than rows_per_post goes out as
+    several bounded POSTs, not one driver-resident payload."""
+    out = HttpOutput(server, rows_per_post=7)
+    df = spark.range(0, 20, numPartitions=4).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS v")
+    out.send(df)
+    assert out.posts == 3  # ceil(20 / 7)
+    got = []
+    for body in _Handler.received:
+        lines = body.decode().splitlines()
+        assert len(lines) <= 7  # cap honored on every POST
+        got.extend(json.loads(ln)["k"] for ln in lines)
+    assert sorted(got) == list(range(20))

@@ -3,6 +3,7 @@ tests (SURVEY.md §5.1) on small hand-built Z-sets with mixed-sign weights."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from database_stream_processor_spark.zset import WEIGHT_COL, ZSetFrame
@@ -96,3 +97,9 @@ def test_flat_map(spark):
     z = ZSetFrame(df)
     out = z.flat_map(F.col("xs"), "x", keep=["k"])
     assert zset_to_dict(out) == {(1, 10): 2, (1, 20): 2}
+
+
+def test_rows_rejects_weight_beyond_int32(spark):
+    z = zs(spark, [(1, "a", 2**31)])
+    with pytest.raises(Exception, match="weight exceeds int32"):
+        z.rows().collect()
