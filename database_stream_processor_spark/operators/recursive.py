@@ -177,6 +177,9 @@ class IncrementalTransitiveClosureOp:
         self._edges = spark.createDataFrame([], schema)
         self._tc = spark.createDataFrame([], schema)
         self._n = 0  # last known |closure|, sizes the loop's shuffles
+        #: (suspects, rederive_rounds) of the latest deletion tick — lets
+        #: tests assert deletion cost ∝ affected paths, not closure size
+        self.last_delete_stats: dict | None = None
 
     def _compose(self, left: DataFrame, right: DataFrame) -> DataFrame:
         src, dst = self.src, self.dst
@@ -185,7 +188,6 @@ class IncrementalTransitiveClosureOp:
                 .select(src, dst).dropDuplicates())
 
     def step(self, edge_delta) -> "object":
-        from database_stream_processor_spark.zset import ZSetFrame
         src, dst = self.src, self.dst
         d = edge_delta.consolidate()
         inserts = (d.df.filter(d.weight > 0).select(src, dst)
@@ -193,70 +195,135 @@ class IncrementalTransitiveClosureOp:
         deletes = (d.df.filter(d.weight < 0).select(src, dst)
                    .intersect(self._edges))
 
-        if deletes.isEmpty():
-            added = inserts.localCheckpoint(eager=True)
-            self._edges = (self._edges.unionByName(added)
-                           .localCheckpoint(eager=True))
-            # seed: every path using exactly one new edge (old-path prefix/
-            # suffix); multi-new-edge paths emerge from the closure loop
-            # (I ∪ TC_old) ∘ ΔE — prefix reaches a new edge's source
-            pre = self._compose(self._tc, added).unionByName(added)
-            # … ∘ (I ∪ TC_old) — suffix continues from the new edge's dst
-            seed = self._compose(pre, self._tc).unionByName(pre)
-            tc_old = self._tc
-            with _loop_shuffle_partitions(added) as resize:
-                if self.method == "doubling":
-                    # acc ← acc ∪ acc∘acc until |acc| stops growing: one
-                    # materialization + one cheap count per round, log
-                    # rounds; the emitted delta is one exceptAll at the end
-                    resize(self._n + 1)
-                    acc = (tc_old.unionByName(seed).dropDuplicates()
-                           .localCheckpoint(eager=True))
-                    n = acc.count()
-                    for _ in range(self.max_iterations):
-                        resize(n)
-                        acc2 = (self._compose(acc, acc).unionByName(acc)
-                                .dropDuplicates()
-                                .localCheckpoint(eager=True))
-                        n2 = acc2.count()
-                        if n2 == n:
-                            break
-                        acc, n = acc2, n2
-                    else:
-                        raise RuntimeError(
-                            "incremental TC did not converge")
-                else:
-                    frontier = (seed.dropDuplicates().exceptAll(tc_old)
-                                .localCheckpoint(eager=True))
-                    acc = tc_old
-                    for _ in range(self.max_iterations):
-                        if frontier.isEmpty():
-                            break
-                        acc = (acc.unionByName(frontier)
-                               .localCheckpoint(eager=True))
-                        stepped = (self._compose(frontier, acc)
-                                   .unionByName(
-                                       self._compose(acc, frontier))
-                                   .dropDuplicates())
-                        frontier = (stepped.exceptAll(acc)
-                                    .localCheckpoint(eager=True))
-                    else:
-                        raise RuntimeError(
-                            "incremental TC did not converge")
-            new_pairs = acc.exceptAll(tc_old)
-            self._tc = acc
-            self._n = n if self.method == "doubling" else self._n
-            return ZSetFrame.from_df(new_pairs.dropDuplicates(), 1)
-
-        # deletion path: recompute-and-diff fallback
-        self._edges = (self._edges.exceptAll(deletes).unionByName(inserts)
-                       .dropDuplicates().localCheckpoint(eager=True))
-        new_tc = transitive_closure(self._edges, src, dst,
-                                    self.max_iterations)
-        out = (ZSetFrame.from_df(new_tc.exceptAll(self._tc), 1)
-               .plus(ZSetFrame.from_df(self._tc.exceptAll(new_tc), -1)))
-        self._tc = new_tc.localCheckpoint(eager=True)
+        out = None
+        if not deletes.isEmpty():
+            out = self._delete(deletes.localCheckpoint(eager=True))
+        if out is None or not inserts.isEmpty():
+            ins = self._insert(inserts.localCheckpoint(eager=True))
+            out = ins if out is None else out.plus(ins)
         return out.consolidate()
+
+    def _insert(self, added: DataFrame) -> "object":
+        """Frontier insertion: close the seed of one-new-edge paths
+        against the (post-deletion) closure."""
+        from database_stream_processor_spark.zset import ZSetFrame
+        self._edges = (self._edges.unionByName(added)
+                       .localCheckpoint(eager=True))
+        # seed: every path using exactly one new edge (old-path prefix/
+        # suffix); multi-new-edge paths emerge from the closure loop
+        # (I ∪ TC_old) ∘ ΔE — prefix reaches a new edge's source
+        pre = self._compose(self._tc, added).unionByName(added)
+        # … ∘ (I ∪ TC_old) — suffix continues from the new edge's dst
+        seed = self._compose(pre, self._tc).unionByName(pre)
+        tc_old = self._tc
+        with _loop_shuffle_partitions(added) as resize:
+            if self.method == "doubling":
+                # acc ← acc ∪ acc∘acc until |acc| stops growing: one
+                # materialization + one cheap count per round, log
+                # rounds; the emitted delta is one exceptAll at the end
+                resize(self._n + 1)
+                acc = (tc_old.unionByName(seed).dropDuplicates()
+                       .localCheckpoint(eager=True))
+                n = acc.count()
+                for _ in range(self.max_iterations):
+                    resize(n)
+                    acc2 = (self._compose(acc, acc).unionByName(acc)
+                            .dropDuplicates()
+                            .localCheckpoint(eager=True))
+                    n2 = acc2.count()
+                    if n2 == n:
+                        break
+                    acc, n = acc2, n2
+                else:
+                    raise RuntimeError(
+                        "incremental TC did not converge")
+            else:
+                frontier = (seed.dropDuplicates().exceptAll(tc_old)
+                            .localCheckpoint(eager=True))
+                acc = tc_old
+                for _ in range(self.max_iterations):
+                    if frontier.isEmpty():
+                        break
+                    acc = (acc.unionByName(frontier)
+                           .localCheckpoint(eager=True))
+                    stepped = (self._compose(frontier, acc)
+                               .unionByName(
+                                   self._compose(acc, frontier))
+                               .dropDuplicates())
+                    frontier = (stepped.exceptAll(acc)
+                                .localCheckpoint(eager=True))
+                else:
+                    raise RuntimeError(
+                        "incremental TC did not converge")
+        new_pairs = acc.exceptAll(tc_old)
+        self._tc = acc
+        self._n = n if self.method == "doubling" else self._n
+        return ZSetFrame.from_df(new_pairs.dropDuplicates(), 1)
+
+    def _delete(self, deleted: DataFrame) -> "object":
+        """DRed deletion: over-delete the suspect set, re-derive within
+        it over the surviving edges, retract what stays dead.  Cost ∝
+        |suspects|, never |closure| — the bound the reference gets from
+        nested-clock incremental recursion (time/mod.rs:20-48)."""
+        from database_stream_processor_spark.zset import ZSetFrame
+        tc_old = self._tc
+        e_new = self._edges.exceptAll(deleted).localCheckpoint(eager=True)
+        self._edges = e_new
+
+        # 1. over-delete (one shot): pairs with some path through a
+        # deleted edge = (I ∪ TC) ∘ ΔE⁻ ∘ (I ∪ TC) — TC_old already holds
+        # every prefix/suffix, so no iteration is needed here
+        pre = self._compose(tc_old, deleted).unionByName(deleted)
+        suspects = (self._compose(pre, tc_old).unionByName(pre)
+                    .dropDuplicates().localCheckpoint(eager=True))
+        n_d = suspects.count()
+        keep = tc_old.exceptAll(suspects).localCheckpoint(eager=True)
+
+        # 2. re-derive: right-linear semi-naive fixpoint restricted to the
+        # suspect set.  Every surviving path decomposes into prefixes; a
+        # suspect prefix re-derives either from a kept prefix + one edge
+        # (the base) or from an earlier re-derived prefix + one edge (the
+        # frontier rounds) — so this finds exactly the suspects with an
+        # alternate path, in ≤ diameter rounds over ≤ |suspects| rows.
+        rounds = 0
+        src, dst = self.src, self.dst
+        with _loop_shuffle_partitions(deleted) as resize:
+            resize(n_d)
+            # restrict the re-derivation join inputs to rows that can even
+            # produce a suspect (shared src / dst endpoints) — keeps the
+            # kept-closure and edge scans ∝ |suspects|-adjacent data, not
+            # ∝ |closure|
+            keep_r = (keep.join(suspects.select(src).dropDuplicates(),
+                                on=src, how="left_semi")
+                      .select(src, dst))  # join(on=) reorders columns
+            e_r = (e_new.join(suspects.select(dst).dropDuplicates(),
+                              on=dst, how="left_semi")
+                   .select(src, dst)
+                   .localCheckpoint(eager=True))
+            base = (e_r.intersect(suspects)
+                    .unionByName(
+                        self._compose(keep_r, e_r).intersect(suspects))
+                    .dropDuplicates().localCheckpoint(eager=True))
+            rederived = base
+            frontier = base
+            for _ in range(self.max_iterations):
+                if frontier.isEmpty():
+                    break
+                rounds += 1
+                stepped = self._compose(frontier, e_r).intersect(suspects)
+                frontier = (stepped.exceptAll(rederived)
+                            .localCheckpoint(eager=True))
+                rederived = (rederived.unionByName(frontier)
+                             .localCheckpoint(eager=True))
+            else:
+                raise RuntimeError("DRed re-derivation did not converge")
+
+        # 3. retract suspects that stayed dead
+        dead = suspects.exceptAll(rederived).localCheckpoint(eager=True)
+        self._tc = keep.unionByName(rederived).localCheckpoint(eager=True)
+        self._n = max(1, self._n - dead.count())
+        self.last_delete_stats = {"suspects": n_d, "rounds": rounds}
+        return ZSetFrame.from_df(dead, -1)
 
     @property
     def current(self) -> DataFrame:

@@ -173,3 +173,43 @@ def test_fold_helpers(spark):
     assert tuple(by_g["a"]["latest"]) == (3, 7.0)
     assert [tuple(r) for r in by_g["a"]["top2"]] == [(3, 7.0), (2, 5.0)]
     assert by_g["b"]["fsum"] == 1.0
+
+
+def test_closure_deletion_is_bounded_dred(spark):
+    """DRed deletion cost ∝ affected paths: deleting an edge in a small
+    component must not touch the big component's closure (suspect set
+    stays tiny, re-derivation converges in ≤ a couple of rounds), and an
+    alternate path re-derives the surviving suspect."""
+    op = IncrementalTransitiveClosureOp(spark)
+    big = [(i, i + 1) for i in range(100, 125)]          # 25-edge chain
+    small = [(1, 2), (2, 3), (1, 3)]                     # 1→3 has a bypass
+    op.step(ZSetFrame.from_df(_edges(spark, big + small), 1))
+    n_closure = op.current.count()
+    assert n_closure > 300  # big component dominates
+
+    delta = op.step(ZSetFrame.from_df(_edges(spark, [(2, 3)]), -1))
+    stats = op.last_delete_stats
+    # suspects = paths through 2→3 only: (2,3) and (1,3)
+    assert stats["suspects"] == 2
+    assert stats["suspects"] < n_closure // 100
+    assert stats["rounds"] <= 2
+    # (1,3) re-derives via the direct edge; only (2,3) is retracted
+    assert zset_to_dict(delta) == {(2, 3): -1}
+    want = {tuple(r) for r in
+            transitive_closure(_edges(spark, big + [(1, 2), (1, 3)]))
+            .collect()}
+    assert {tuple(r) for r in op.current.collect()} == want
+
+
+def test_closure_mixed_sign_single_tick(spark):
+    """One tick carrying both an insert and a delete: deletions apply
+    first (DRed), then insertions close against the post-deletion TC."""
+    op = IncrementalTransitiveClosureOp(spark)
+    acc = op.step(ZSetFrame.from_df(_edges(spark, [(1, 2), (2, 3)]), 1))
+    mixed = ZSetFrame.from_df(_edges(spark, [(3, 4)]), 1).plus(
+        ZSetFrame.from_df(_edges(spark, [(2, 3)]), -1))
+    acc = acc.plus(op.step(mixed))
+    want = {tuple(r): 1 for r in
+            transitive_closure(_edges(spark, [(1, 2), (3, 4)])).collect()}
+    assert zset_to_dict(acc.consolidate()) == want
+    assert {tuple(r) for r in op.current.collect()} == set(want)
