@@ -540,12 +540,21 @@ class LinearAggregateOp:
     difference between rereading a 100 TB fact integral and not.
 
     Keys must be non-null (same contract as the reference's indexed Z-sets).
+
+    ``n_salts``: when a single group is hot enough that even map-side
+    partial aggregation leaves one overwhelmed reducer (a key holding a
+    large fraction of every delta), set ``n_salts`` to spread the delta
+    aggregate over (keys, salt) sub-groups first, then merge per key —
+    two shuffles of tiny partial rows instead of one skewed one.  All
+    linear aggregates are sums, so the two-phase split is exact.
     """
 
     def __init__(self, empty_in: ZSetFrame, keys: Sequence[str],
-                 aggs: dict[str, Column] | None = None, **state_kw):
+                 aggs: dict[str, Column] | None = None,
+                 n_salts: int | None = None, **state_kw):
         self.keys = list(keys)
         self.aggs = dict(aggs or {})
+        self.n_salts = n_salts
         if not self.aggs:
             raise ValueError("LinearAggregateOp requires at least one "
                              "aggregate expression")
@@ -557,9 +566,18 @@ class LinearAggregateOp:
         self.state = StateTable(ZSetFrame(out_schema.limit(0)),
                                 name="linear_agg_output", **state_kw)
 
+    def _delta_agg(self, df: DataFrame) -> DataFrame:
+        """Per-key sums of one delta — salted two-phase when configured."""
+        if self.n_salts:
+            from database_stream_processor_spark.functions.skew import (
+                salted_aggregate)
+            return salted_aggregate(df, self.keys, self.n_salts,
+                                    *self._delta_exprs)
+        return df.groupBy(*self.keys).agg(*self._delta_exprs)
+
     def step(self, delta: ZSetFrame) -> ZSetFrame:
         names = list(self.aggs)
-        d = delta.df.groupBy(*self.keys).agg(*self._delta_exprs)
+        d = self._delta_agg(delta.df)
         old = self.state.current.df
         old_touched = old.join(d.select(*self.keys), on=self.keys,
                                how="left_semi")
@@ -776,14 +794,15 @@ class TumblingWindowOp:
 
     def __init__(self, empty_in: ZSetFrame, ts_col: str, size_seconds: int,
                  keys: Sequence[str], aggs: dict[str, Column],
-                 bucket_col: str = "window_start", **state_kw):
+                 bucket_col: str = "window_start",
+                 n_salts: int | None = None, **state_kw):
         self.ts = ts_col
         self.size = size_seconds
         self.bucket_col = bucket_col
         self.keys = list(keys)
         empty_b = ZSetFrame(self._with_bucket(empty_in.df))
         self._agg = LinearAggregateOp(empty_b, [bucket_col, *self.keys],
-                                      aggs, **state_kw)
+                                      aggs, n_salts=n_salts, **state_kw)
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         b = (F.floor(F.unix_timestamp(F.col(self.ts)) / self.size)
@@ -807,7 +826,8 @@ class HoppingWindowOp:
     def __init__(self, empty_in: ZSetFrame, ts_col: str, size_seconds: int,
                  hop_seconds: int, keys: Sequence[str],
                  aggs: dict[str, Column],
-                 bucket_col: str = "window_start", **state_kw):
+                 bucket_col: str = "window_start",
+                 n_salts: int | None = None, **state_kw):
         self.ts = ts_col
         self.size = size_seconds
         self.hop = hop_seconds
@@ -815,7 +835,7 @@ class HoppingWindowOp:
         self.keys = list(keys)
         empty_b = ZSetFrame(self._explode_buckets(empty_in.df))
         self._agg = LinearAggregateOp(empty_b, [bucket_col, *self.keys],
-                                      aggs, **state_kw)
+                                      aggs, n_salts=n_salts, **state_kw)
 
     def _explode_buckets(self, df: DataFrame) -> DataFrame:
         ts = F.unix_timestamp(F.col(self.ts))

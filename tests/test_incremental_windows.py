@@ -213,3 +213,33 @@ def test_closure_mixed_sign_single_tick(spark):
             transitive_closure(_edges(spark, [(1, 2), (3, 4)])).collect()}
     assert zset_to_dict(acc.consolidate()) == want
     assert {tuple(r) for r in op.current.collect()} == set(want)
+
+
+def test_salted_window_aggregate_matches_plain(spark):
+    """Skewed hot key: the salted two-phase delta aggregate produces the
+    same maintained output as the plain path, and the physical plan shows
+    the two-stage (keys, salt) → (keys) aggregate."""
+    hot = [("hot", s % 40, s % 7) for s in range(300)]  # one dominant key
+    cold = [("c%d" % i, i % 40, 1) for i in range(20)]
+    batches = [hot[:150] + cold[:10], hot[150:] + cold[10:]]
+
+    def run(n_salts):
+        empty = ZSetFrame.from_df(_events(spark, []).limit(0))
+        op = TumblingWindowOp(empty, "ts", 10, ["k"],
+                              {"n": F.lit(1), "s": F.col("v")},
+                              n_salts=n_salts)
+        for rows in batches:
+            op.step(ZSetFrame.from_df(_events(spark, rows)))
+        return op, zset_to_dict(op.current_output.consolidate())
+
+    op_plain, plain = run(None)
+    op_salted, salted = run(8)
+    assert salted == plain and len(plain) > 0
+
+    delta = ZSetFrame.from_df(_events(spark, hot[:50]))
+    with_bucket = op_salted._agg
+    plan = with_bucket._delta_agg(
+        ZSetFrame(op_salted._with_bucket(delta.df)).df)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert plan.count("HashAggregate") >= 2

@@ -247,3 +247,52 @@ def test_multimodal_resize_and_frame_sample(spark):
     counts = {x["doc_id"]: x["count"] for x in per_doc}
     assert counts[1] == 2 and counts[2] == 8  # size-derived frame counts
     assert fr.select("frame_idx").distinct().count() == 8
+
+
+# ------------------------------------------------------------------ #
+# Kafka transport: option mapping + value decode (env waiver: no
+# spark-sql-kafka jar on this classpath, so .load()/.start() cannot run
+# here — see README "Environment waiver")
+# ------------------------------------------------------------------ #
+
+def test_kafka_reader_option_mapping(spark):
+    from database_stream_processor_spark.sources.kafka import (
+        kafka_stream_reader)
+    r = kafka_stream_reader(spark, "broker:9092", "events",
+                            starting_offsets="earliest",
+                            maxOffsetsPerTrigger="1000")
+    # the reader is a configured DataStreamReader for format("kafka");
+    # pull its accumulated options through the py4j handle
+    opts = {}
+    jreader = r._jreader
+    # extraOptions is a CaseInsensitiveMap[String]
+    m = jreader.getClass().getDeclaredField("extraOptions")
+    m.setAccessible(True)
+    it = m.get(jreader).iterator()
+    while it.hasNext():
+        kv = it.next()
+        opts[kv._1()] = kv._2()
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingoffsets"] == "earliest"
+    assert opts["maxoffsetspertrigger"] == "1000"
+
+
+def test_kafka_value_decode_roundtrip(spark):
+    """decode_json_values over a frame with the exact schema Spark's Kafka
+    source produces (key/value binary + topic/partition/offset/timestamp)."""
+    import json
+    from database_stream_processor_spark.sources.kafka import (
+        decode_json_values, kafka_stream_writer)
+    rows = [(None, json.dumps({"k": i, "v": f"x{i}"}).encode(), "events",
+             0, i, None, 0) for i in range(3)]
+    raw = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, "
+              "offset long, timestamp timestamp, timestampType int")
+    out = decode_json_values(raw, "k int, v string")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        (0, "x0"), (1, "x1"), (2, "x2")]
+    # writer path: a typed delta gains a JSON `value` column
+    typed = spark.createDataFrame([(1, "a")], "k int, v string")
+    enc = typed.select(F.to_json(F.struct(*typed.columns)).alias("value"))
+    assert json.loads(enc.collect()[0]["value"]) == {"k": 1, "v": "a"}
