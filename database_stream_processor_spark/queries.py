@@ -1827,6 +1827,85 @@ def q61_multimodal_frames(spark, sf_dir):
     return out.select("doc_id", "frame_idx")
 
 
+@register("q62_sql_engine_view", oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+""")
+def q62_sql_engine_view(spark, sf_dir):
+    """SQL front door end-to-end (SURVEY §3.2; the reference's production
+    path: DDL script → maintained views, demo/project_demo01): CREATE
+    TABLE + CREATE VIEW through Engine, three insert ticks plus a
+    retract/re-insert round; the view lowers to the linear GROUP BY
+    maintainer (per-tick cost ∝ Δ, sql.py _LinearAggMaintainer) and its
+    final maintained state must equal the one-shot SQL."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_orderstatus VARCHAR,
+                               price_c BIGINT);
+        CREATE VIEW status_rev as
+            SELECT o_orderstatus, SUM(price_c) AS total_c, COUNT(*) AS n
+            FROM orders_t GROUP BY o_orderstatus;
+    """)
+    assert eng.view_strategy("status_rev") == "linear_agg"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"))
+    for i in range(3):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 3 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 3 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return (eng.view("status_rev")
+            .select("o_orderstatus", "total_c", F.col("n").cast("long")
+                    .alias("n")))
+
+
+@register("q63_sql_engine_minmax_view", oracle="""
+SELECT o_orderstatus,
+       CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS lo,
+       CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS hi
+FROM orders GROUP BY o_orderstatus
+""")
+def q63_sql_engine_minmax_view(spark, sf_dir):
+    """Non-linear aggregate view through the SQL front door: MIN/MAX
+    GROUP BY lowers onto AggregateOp's touched-group recompute
+    (aggregate/mod.rs:204-244 via sql.py _NonLinearAggMaintainer) — the
+    retraction tick removes rows that include some groups' current
+    extremes, so the runner-up values must resurface."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_orderstatus VARCHAR,
+                               price_c BIGINT);
+        CREATE VIEW extremes as
+            SELECT o_orderstatus, MIN(price_c) AS lo, MAX(price_c) AS hi
+            FROM orders_t GROUP BY o_orderstatus;
+    """)
+    assert eng.view_strategy("extremes") == "nonlinear_agg"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"))
+    eng.push("orders_t", o)          # everything in…
+    eng.step()
+    hi = o.filter(F.col("price_c") > 30_000_00)
+    eng.push("orders_t", hi, weight=-1)   # …retract the top slice…
+    eng.step()
+    eng.push("orders_t", hi)              # …and put it back
+    eng.step()
+    return eng.view("extremes").select("o_orderstatus", "lo", "hi")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -1875,7 +1954,7 @@ _WINDOW_ORDER = [
     "q38_incremental_distinct",
     "q40_scalar_functions",
     "q41_full_outer_default",
-    "q42_incremental_rolling",
+    "q62_sql_engine_view",          # SQL front door, linear-agg lowering
     "q43_incremental_tumbling",
     "q44_incremental_closure",
     "q48_rolling_linear",

@@ -38,7 +38,10 @@ from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
 from pyspark.sql import types as T
 
 from database_stream_processor_spark.functions.scalar import register_sql_macros
-from database_stream_processor_spark.plans.incremental import StateTable
+from database_stream_processor_spark.plans.incremental import (
+    AggregateOp,
+    StateTable,
+)
 from database_stream_processor_spark.zset import ZSetFrame
 
 _TYPE_MAP = {
@@ -432,6 +435,73 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
         return self._merge(contribs)
 
 
+class _NonLinearAggMaintainer(_ViewMaintainer):
+    """SELECT keys, MIN/MAX/AVG (+ SUM/COUNT) aggregates FROM t [WHERE p]
+    GROUP BY keys — non-linear aggregates can't be maintained by delta
+    sums, so this lowers onto :class:`AggregateOp`
+    (aggregate/mod.rs:204-244): the table delta integrates, and per tick
+    only the groups *touched by the delta* are re-aggregated from the
+    integrated input — retraction-correct MIN/MAX without rescanning
+    untouched groups, per-tick cost ∝ touched-group data."""
+
+    kind = "nonlinear_agg"
+
+    def __init__(self, eng, name, sql, table, keys):
+        super().__init__(eng, name, sql)
+        self.table = table
+        self.keys = [k.strip().split(".")[-1] for k in keys]
+        m = _AGG_RE.match(sql)
+        pred = m.group("pred")
+        # select items → Column expressions (no temp-view rebinding in the
+        # recompute closure: a plan captured over a replaced temp view can
+        # carry stale attribute ids)
+        exprs = []
+        for it in (i.strip() for i in _split_top_level(m.group("sel"))):
+            im = _NONLIN_ITEM.match(it)
+            if im.group("name"):
+                exprs.append(F.expr(im.group("agg")).alias(im.group("name")))
+        empty_in = ZSetFrame(eng.tables[table].current.df.limit(0))
+
+        def agg_fn(z: ZSetFrame) -> ZSetFrame:
+            rows = z.rows()
+            if pred:
+                rows = rows.filter(F.expr(pred))
+            return ZSetFrame.from_df(
+                rows.groupBy(*self.keys).agg(*exprs), 1)
+
+        self._op = AggregateOp(empty_in, self.keys, agg_fn)
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        delta = self._op.step(z.consolidate())
+        self.apply_delta(delta)
+        return delta
+
+
+#: select item for the non-linear maintainer: a grouping key or any
+#: SUM/MIN/MAX/AVG/COUNT(expr) AS name (COUNT(*) included)
+_NONLIN_ITEM = re.compile(
+    r"^(?:(?P<key>\w+(?:\.\w+)?)"
+    r"|(?P<agg>(?:SUM|MIN|MAX|AVG|COUNT)\s*\((?:[^()]|\([^()]*\))*\))"
+    r"\s+AS\s+(?P<name>\w+))$",
+    re.IGNORECASE)
+
+
+def _match_nonlinear_items(sel: str, keys: list[str]) -> bool:
+    saw_agg = False
+    for it in (i.strip() for i in _split_top_level(sel)):
+        im = _NONLIN_ITEM.match(it)
+        if not im:
+            return False
+        if im.group("key") and im.group("key") not in keys:
+            return False
+        if im.group("name"):
+            saw_agg = True
+    return saw_agg
+
+
 def _match_agg_items(sel: str, keys: list[str]) -> list[str] | None:
     """If every select item is a grouping key or SUM(..)/COUNT(*) AS name,
     return the agg output names; else None."""
@@ -473,6 +543,9 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             return _LinearAggMaintainer(eng, name, flat,
                                         m.group("tbl").lower(), keys,
                                         agg_names)
+        if _match_nonlinear_items(m.group("sel"), keys):
+            return _NonLinearAggMaintainer(eng, name, flat,
+                                           m.group("tbl").lower(), keys)
     m = _JOIN_AGG_RE.match(flat)
     if (m and m.group("lt").lower() in eng.tables
             and m.group("rt").lower() in eng.tables

@@ -362,3 +362,33 @@ def test_untouched_views_skip_maintainer_step(spark, monkeypatch):
     out = eng.step()
     assert calls == {"vt": 1, "wu": 0}
     assert out["vt"].df.count() == 0
+
+
+def test_min_max_group_by_lowers_to_nonlinear_agg(spark):
+    """MIN/MAX/AVG GROUP BY views lower onto AggregateOp (touched-group
+    recompute, aggregate/mod.rs:204-244) instead of snapshot-diff, and
+    stay retraction-correct: retracting the current max resurrects the
+    runner-up."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW ext as SELECT k, MIN(v) AS lo, MAX(v) AS hi,
+            AVG(v) AS mean, COUNT(*) AS n FROM t GROUP BY k;
+    """)
+    assert eng.view_strategy("ext") == "nonlinear_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    batches = [
+        (mk([(1, 1.0), (1, 5.0), (2, 3.0)]), 1),
+        (mk([(1, 9.0)]), 1),
+        (mk([(1, 9.0)]), -1),   # retract the max → 5.0 must come back
+        (mk([(2, 3.0)]), -1),   # group 2 dies entirely
+    ]
+    for batch, w in batches:
+        eng.push("t", batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("t").groupBy("k")
+                .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                     F.avg("v").alias("mean"),
+                     F.count(F.lit(1)).alias("n")).collect()}
+        assert {tuple(r) for r in eng.view("ext").collect()} == want
