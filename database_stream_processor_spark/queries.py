@@ -1906,6 +1906,113 @@ def q63_sql_engine_minmax_view(spark, sf_dir):
     return eng.view("extremes").select("o_orderstatus", "lo", "hi")
 
 
+@register("q64_weigh_weighted_count", oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wcount
+FROM lineitem GROUP BY l_returnflag
+""")
+def q64_weigh_weighted_count(spark, sf_dir):
+    """weigh (linear pre-aggregation into weights, aggregate/mod.rs:287)
+    + WeightedCount (mod.rs:127-156): scale each row's weight by its
+    quantity, then the weighted count per flag IS the quantity sum."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q"))
+    z = ZSetFrame.from_df(li, 1).weigh(F.col("q"))
+    out = z.aggregate_linear(["l_returnflag"], wcount=F.lit(1))
+    return out.df.select("l_returnflag", "wcount")
+
+
+@register("q65_z1_delay", oracle="""
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 < 2
+""")
+def q65_z1_delay(spark, sf_dir):
+    """z^-1 (src/operator/z1.rs — the feedback-edge delay): three input
+    ticks through Z1Op emit (∅, b0, b1); their integral is the first two
+    batches — the stream delayed by one tick."""
+    from database_stream_processor_spark.plans.incremental import Z1Op
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    op = Z1Op(ZSetFrame.from_df(o.limit(0)))
+    outs = [op.step(ZSetFrame.from_df(
+        o.filter(F.col("o_orderkey") % 3 == i))) for i in range(3)]
+    return ZSetFrame.sum(outs).consolidate().rows()
+
+
+@register("q66_apply2_except", oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+EXCEPT
+SELECT c.c_custkey, c.c_mktsegment FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderkey % 8 = 0
+""")
+def q66_apply2_except(spark, sf_dir):
+    """apply2 (arbitrary binary batch function, src/operator/apply2.rs:17):
+    f(a, b) = distinct(a − b) over two input streams — customers minus
+    customers with an order in a sampled subset (sampled so the
+    difference is non-empty)."""
+    from database_stream_processor_spark.plans.incremental import Apply2Op
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    op = Apply2Op(lambda a, b: a.minus(b).distinct())
+    out = op.step(ZSetFrame.from_df(c, 1), ZSetFrame.from_df(with_orders, 1))
+    return out.rows()
+
+
+@register("q67_gather_inspect", oracle="""
+SELECT n_nationkey, n_name FROM nation
+""")
+def q67_gather_inspect(spark, sf_dir):
+    """gather (communication/gather.rs:41: collect shards onto one worker
+    ahead of a single-writer sink) + inspect (inspect.rs:36: side-effect
+    tap).  The inspect callback checks gather really produced a single
+    partition; rows pass through unchanged."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seen: dict[str, int] = {}
+    z = (ZSetFrame.from_df(n.repartition(8), 1)
+         .gather()
+         .inspect(lambda df: seen.__setitem__(
+             "parts", df.rdd.getNumPartitions())))
+    out = z.rows()
+    assert seen["parts"] == 1
+    return out
+
+
+@register("q68_iterate_until_depth", oracle="""
+WITH RECURSIVE p(src, dst, d) AS (
+    SELECT src, dst, 1 FROM (
+        SELECT c_custkey AS src, c_custkey // 2 AS dst FROM customer
+        WHERE c_custkey BETWEEN 2 AND 128) e
+    UNION
+    SELECT p.src, e.dst, p.d + 1
+    FROM p JOIN (
+        SELECT c_custkey AS src, c_custkey // 2 AS dst FROM customer
+        WHERE c_custkey BETWEEN 2 AND 128) e ON p.dst = e.src
+    WHERE p.d < 4
+)
+SELECT DISTINCT src, dst FROM p
+""")
+def q68_iterate_until_depth(spark, sf_dir):
+    """condition / iterate_with_condition (src/operator/condition.rs:22-100):
+    iterate a non-fixpoint loop under a caller-supplied stopping
+    condition — here, paths of ≤ 4 edges (3 expansion rounds), checked
+    against the depth-bounded WITH RECURSIVE oracle."""
+    from database_stream_processor_spark.operators.recursive import (
+        iterate_until)
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").between(2, 128))
+    edges = c.select(F.col("c_custkey").alias("src"),
+                     F.expr("c_custkey div 2").alias("dst"))
+    rounds = iter(range(10))
+
+    def expand(acc):
+        step = (acc.withColumnRenamed("dst", "__mid")
+                .join(edges.withColumnRenamed("src", "__mid"), on="__mid")
+                .select("src", "dst"))
+        return acc.unionByName(step).dropDuplicates()
+
+    return iterate_until(edges.dropDuplicates(), expand,
+                         condition=lambda df: next(rounds) >= 3)
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
