@@ -2013,6 +2013,126 @@ def q68_iterate_until_depth(spark, sf_dir):
                          condition=lambda df: next(rounds) >= 3)
 
 
+@register("q69_csv_source_roundtrip", oracle="""
+SELECT r_regionkey, r_name FROM region
+""")
+def q69_csv_source_roundtrip(spark, sf_dir):
+    """CsvSource (src/operator/csv.rs:1-138) + the adapters' CSV codec
+    (format/csv.rs:17-170) under the oracle gate: region written to CSV,
+    read back as a Z-set through read_csv with an explicit schema."""
+    import tempfile
+    from database_stream_processor_spark.sources.files import read_csv
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = tempfile.mkdtemp(prefix="dbsp_csv_") + "/region"
+    r.write.mode("overwrite").option("header", True).csv(path)
+    z = read_csv(spark, path, schema="r_regionkey int, r_name string")
+    return z.rows()
+
+
+@register("q70_generator_stream_input", oracle="""
+SELECT CAST(t.i // 100 AS BIGINT) AS tick, CAST(t.i AS BIGINT) AS k,
+       CAST(t.i % 7 AS BIGINT) AS v
+FROM generate_series(0, 299) AS t(i)
+""")
+def q70_generator_stream_input(spark, sf_dir):
+    """Generator source (src/operator/generator.rs: one batch per tick
+    from fn(t)) feeding an add_input_stream-style accumulation across 3
+    ticks; the integrated output must equal the closed-form series."""
+    from database_stream_processor_spark.sources.files import OutputHandle
+    from database_stream_processor_spark.sources.handles import Generator
+
+    def fn(t):
+        return (spark.range(t * 100, (t + 1) * 100)
+                .select(F.lit(t).cast("long").alias("tick"),
+                        F.col("id").alias("k"),
+                        (F.col("id") % 7).alias("v")))
+
+    gen = Generator(fn)
+    out = OutputHandle()
+    for _ in range(3):
+        out.push(gen.step())
+    return out.to_rows()
+
+
+@register("q71_http_transport_roundtrip", oracle="""
+SELECT n_nationkey, n_name FROM nation
+""")
+def q71_http_transport_roundtrip(spark, sf_dir):
+    """HTTP transport (crates/adapters/src/transport/http/) end-to-end
+    against a real in-process server: nation rows served as JSONL are
+    polled into a typed delta by http_poll_source; the sink leg POSTs the
+    delta back and the echoed payload must round-trip."""
+    import http.server
+    import json as _json
+    import threading
+    from database_stream_processor_spark.sources.http import (
+        HttpOutput,
+        http_poll_source,
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    payload = "\n".join(
+        _json.dumps({"n_nationkey": r["n_nationkey"], "n_name": r["n_name"]})
+        for r in n.collect()).encode()
+    received: list[bytes] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_POST(self):
+            received.append(
+                self.rfile.read(int(self.headers.get("Content-Length", 0))))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        delta = http_poll_source(spark, url,
+                                 "n_nationkey int, n_name string")
+        HttpOutput(url, rows_per_post=10).send(delta)
+        echoed = [ln for body in received
+                  for ln in body.decode().splitlines() if ln]
+        assert len(echoed) == delta.count()
+        return delta
+    finally:
+        srv.shutdown()
+
+
+@register("q72_indexed_input_shard", oracle="""
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS bal_c
+FROM supplier GROUP BY s_nationkey
+""")
+def q72_indexed_input_shard(spark, sf_dir):
+    """add_input_indexed_zset (input.rs:120) + shard
+    (communication/shard.rs:89): a keyed changefeed enters pre-partitioned
+    on its key; the downstream per-key aggregate reuses that exchange
+    (asserted: no second shuffle between the input repartition and the
+    aggregate), and the result matches the per-key oracle."""
+    from database_stream_processor_spark.sources.handles import (
+        indexed_zset_input)
+    s = load(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100).cast("long").alias("bal_c"))
+    z = indexed_zset_input(s, ["s_nationkey"])
+    out = z.aggregate_linear(["s_nationkey"], n=F.lit(1),
+                             bal_c=F.col("bal_c"))
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    # the input's hash-partitioning must satisfy the aggregate: exactly
+    # the one exchange from indexed_zset_input, none added for the groupBy
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    return out.df.select("s_nationkey", "n", "bal_c")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
