@@ -134,7 +134,8 @@ _JOIN_AGG_RE = re.compile(
 
 _AGG_ITEM = re.compile(
     r"^(?:(?P<key>\w+(?:\.\w+)?)|SUM\s*\((?P<sum>[^()]+)\)\s+AS\s+(?P<sname>\w+)"
-    r"|COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<cname>\w+))$", re.IGNORECASE)
+    r"|COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<cname>\w+)"
+    r"|AVG\s*\((?P<avg>[^()]+)\)\s+AS\s+(?P<aname>\w+))$", re.IGNORECASE)
 
 
 def _analyzed_has_aggregate(eng: "Engine", sql: str) -> bool:
@@ -346,32 +347,46 @@ class _GroupMergeMaintainer(_ViewMaintainer):
         group_delta = (ZSetFrame.from_df(live, 1)
                        .minus(ZSetFrame.from_df(old_groups, 1)).consolidate())
         self._out.update(group_delta)
-        delta = ZSetFrame(group_delta.df.drop(self._CNT)).consolidate()
+        # finalize projection (row-wise) then consolidate: ± rows that
+        # agree post-projection cancel, so diff-then-project ≡
+        # project-then-diff
+        delta = ZSetFrame(self._finalize(group_delta.df)).consolidate()
         self.apply_delta(delta)
         return delta
 
+    def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
+        """Group-state delta rows → view output rows (default: drop the
+        hidden liveness count).  Overridden where stored partials differ
+        from the view's output columns (AVG = sum/count partials)."""
+        return group_delta_df.drop(self._CNT)
+
 
 class _LinearAggMaintainer(_GroupMergeMaintainer):
-    """SELECT keys, SUM(e) AS s, COUNT(*) AS c FROM t [WHERE p] GROUP BY
+    """SELECT keys, SUM(e)/COUNT(*)/AVG(e) AS … FROM t [WHERE p] GROUP BY
     keys — the GROUP BY runs over the delta alone, then merges via
-    :class:`_GroupMergeMaintainer`."""
+    :class:`_GroupMergeMaintainer`; AVG is maintained as (sum, count)
+    partials and finalized on emission."""
 
     kind = "linear_agg"
 
-    def __init__(self, eng, name, sql, table, keys, agg_names):
+    def __init__(self, eng, name, sql, table, keys, spec):
         super().__init__(eng, name, sql)
         self.table = table
         self.keys = keys
-        self.agg_names = agg_names  # public agg output columns
-        # delta-side SQL: original select + hidden liveness count
+        self.agg_names = spec["val_names"]  # merged partial columns
+        self._out_spec = spec["out"]
         m = _AGG_RE.match(sql)
-        sel, pred = m.group("sel"), m.group("pred")
+        pred = m.group("pred")
         where = f" WHERE {pred}" if pred else ""
-        self._delta_sql = (f"SELECT {sel}, COUNT(*) AS {self._CNT} "
-                           f"FROM {table}{where} GROUP BY {m.group('keys')}")
+        self._delta_sql = (
+            f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
+            f"FROM {table}{where} GROUP BY {m.group('keys')}")
         first = eng.eval_on(self._delta_sql, {
             table: eng.tables[table].current.rows().limit(0)})
         self._init_out(eng, name, first)
+
+    def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
+        return _finalize_spec(group_delta_df, self._out_spec)
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -394,24 +409,28 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
 
     kind = "join_agg"
 
-    def __init__(self, eng, name, sql, left, right, keys, agg_names):
+    def __init__(self, eng, name, sql, left, right, keys, spec):
         super().__init__(eng, name, sql)
         self.left, self.right = left, right
         # output (unqualified) key column names for the merge
         self.keys = [k.split(".")[-1] for k in keys]
-        self.agg_names = agg_names
+        self.agg_names = spec["val_names"]
+        self._out_spec = spec["out"]
         m = _JOIN_AGG_RE.match(sql)
         where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
         la = f" {m.group('la')}" if m.group("la") else ""
         ra = f" {m.group('ra')}" if m.group("ra") else ""
         self._delta_sql = (
-            f"SELECT {m.group('sel')}, COUNT(*) AS {self._CNT} "
+            f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
             f"FROM {left}{la} JOIN {right}{ra} ON {m.group('cond')}"
             f"{where} GROUP BY {m.group('keys')}")
         first = eng.eval_on(self._delta_sql, {
             left: eng.tables[left].current.rows().limit(0),
             right: eng.tables[right].current.rows().limit(0)})
         self._init_out(eng, name, first)
+
+    def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
+        return _finalize_spec(group_delta_df, self._out_spec)
 
     def step(self, eng, combined, old):
         da, db = combined.get(self.left), combined.get(self.right)
@@ -502,21 +521,58 @@ def _match_nonlinear_items(sel: str, keys: list[str]) -> bool:
     return saw_agg
 
 
-def _match_agg_items(sel: str, keys: list[str]) -> list[str] | None:
-    """If every select item is a grouping key or SUM(..)/COUNT(*) AS name,
-    return the agg output names; else None."""
-    agg_names = []
+def _finalize_spec(df: DataFrame, out_spec: list[tuple[str, str]]) -> DataFrame:
+    """Project stored group partials to the view's output columns (keeping
+    the weight column): avg = s/c, NULL when its non-null count is 0 —
+    exactly SQL AVG over an all-NULL or empty group."""
+    from database_stream_processor_spark.zset import WEIGHT_COL
+    cols = []
+    for kind, n in out_spec:
+        if kind == "avg":
+            c = F.col(f"__avg_{n}_c")
+            cols.append(F.when(c != 0, F.col(f"__avg_{n}_s") / c).alias(n))
+        else:
+            cols.append(F.col(n))
+    return df.select(*cols, F.col(WEIGHT_COL))
+
+
+def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
+    """If every select item is a grouping key or SUM(e)/COUNT(*)/AVG(e)
+    AS name, return the linear-lowering spec:
+
+    - ``delta_sel``: select list for the per-delta partial aggregate —
+      AVG(e) is decomposed into SUM(e)/COUNT(e) partials (both linear;
+      AVG itself is not, but its components are — the reference's Avg
+      (sum, count) semigroup, aggregate/average.rs:26-65);
+    - ``val_names``: the partial columns the group merge sums;
+    - ``out``: (kind, name) output spec in original select order, kind ∈
+      {key, col, avg} — drives the finalize projection (avg = s/c).
+    """
+    delta_items, val_names, out = [], [], []
     for it in (i.strip() for i in _split_top_level(sel)):
         im = _AGG_ITEM.match(it)
         if not im:
             return None
-        if im.group("key") and im.group("key") not in keys:
-            return None
-        if im.group("sname"):
-            agg_names.append(im.group("sname"))
-        if im.group("cname"):
-            agg_names.append(im.group("cname"))
-    return agg_names if agg_names else None
+        if im.group("key"):
+            if im.group("key") not in keys:
+                return None
+            delta_items.append(it)
+            out.append(("key", im.group("key").split(".")[-1]))
+        elif im.group("sname") or im.group("cname"):
+            n = im.group("sname") or im.group("cname")
+            delta_items.append(it)
+            val_names.append(n)
+            out.append(("col", n))
+        else:
+            n, e = im.group("aname"), im.group("avg")
+            delta_items.append(f"SUM({e}) AS __avg_{n}_s")
+            delta_items.append(f"COUNT({e}) AS __avg_{n}_c")
+            val_names += [f"__avg_{n}_s", f"__avg_{n}_c"]
+            out.append(("avg", n))
+    if not val_names:
+        return None
+    return {"delta_sel": ", ".join(delta_items), "val_names": val_names,
+            "out": out}
 
 
 def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
@@ -538,11 +594,10 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     if (m and m.group("tbl").lower() in eng.tables
             and not _AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
-        agg_names = _match_agg_items(m.group("sel"), keys)
-        if agg_names:
+        spec = _match_agg_items(m.group("sel"), keys)
+        if spec:
             return _LinearAggMaintainer(eng, name, flat,
-                                        m.group("tbl").lower(), keys,
-                                        agg_names)
+                                        m.group("tbl").lower(), keys, spec)
         if _match_nonlinear_items(m.group("sel"), keys):
             return _NonLinearAggMaintainer(eng, name, flat,
                                            m.group("tbl").lower(), keys)
@@ -552,10 +607,10 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and m.group("lt").lower() != m.group("rt").lower()
             and not _JOIN_AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
-        agg_names = _match_agg_items(m.group("sel"), keys)
-        if agg_names:
+        spec = _match_agg_items(m.group("sel"), keys)
+        if spec:
             return _JoinAggMaintainer(eng, name, flat, m.group("lt").lower(),
-                                      m.group("rt").lower(), keys, agg_names)
+                                      m.group("rt").lower(), keys, spec)
     return _ViewMaintainer(eng, name, sql)
 
 

@@ -392,3 +392,33 @@ def test_min_max_group_by_lowers_to_nonlinear_agg(spark):
                      F.avg("v").alias("mean"),
                      F.count(F.lit(1)).alias("n")).collect()}
         assert {tuple(r) for r in eng.view("ext").collect()} == want
+
+
+def test_avg_group_by_lowers_linear(spark):
+    """AVG GROUP BY lowers to the linear maintainer via (sum, count)
+    partials (the reference's Avg semigroup, aggregate/average.rs:26-65)
+    finalized on emission — including NULL handling (AVG ignores NULLs;
+    all-NULL group yields NULL) and full-group retraction."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW m as SELECT k, AVG(v) AS mean, COUNT(*) AS n
+            FROM t GROUP BY k;
+    """)
+    assert eng.view_strategy("m") == "linear_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    batches = [
+        (mk([(1, 1.0), (1, 3.0), (2, None), (3, 6.0)]), 1),
+        (mk([(1, 5.0), (2, 4.0)]), 1),
+        (mk([(1, 1.0)]), -1),     # mean shifts
+        (mk([(3, 6.0)]), -1),     # group 3 dies
+        (mk([(2, 4.0)]), -1),     # group 2 back to all-NULL → mean NULL
+    ]
+    for batch, w in batches:
+        eng.push("t", batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("t").groupBy("k")
+                .agg(F.avg("v").alias("mean"),
+                     F.count(F.lit(1)).alias("n")).collect()}
+        assert {tuple(r) for r in eng.view("m").collect()} == want
