@@ -98,11 +98,11 @@ _BLOCKERS = re.compile(
     r"|LIMIT|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
 
 _AGG_BLOCKERS = re.compile(
-    r"\b(DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING|ORDER\s+BY|LIMIT|JOIN"
+    r"\b(DISTINCT|UNION|INTERSECT|EXCEPT|OVER|ORDER\s+BY|LIMIT|JOIN"
     r"|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
 
 _JOIN_AGG_BLOCKERS = re.compile(
-    r"\b(DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING|ORDER\s+BY|LIMIT"
+    r"\b(DISTINCT|UNION|INTERSECT|EXCEPT|OVER|ORDER\s+BY|LIMIT"
     r"|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
 
 _PROJECT_RE = re.compile(
@@ -118,7 +118,8 @@ _JOIN_RE = re.compile(
 
 _AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+(?P<keys>[\w\s,.]+?)\s*$",
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+(?P<keys>[\w\s,.]+?)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 # SELECT keys, SUM/COUNT FROM a JOIN b ON cond [WHERE p] GROUP BY keys —
@@ -129,7 +130,8 @@ _JOIN_AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
     r"(?P<la>\w+))?\s+JOIN\s+(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>\w+))?"
     r"\s+ON\s+(?P<cond>.+?)(?:\s+WHERE\s+(?P<pred>.+?))?"
-    r"\s+GROUP\s+BY\s+(?P<keys>[\w\s,.]+?)\s*$",
+    r"\s+GROUP\s+BY\s+(?P<keys>[\w\s,.]+?)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _AGG_ITEM = re.compile(
@@ -377,6 +379,11 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
         self._out_spec = spec["out"]
         m = _AGG_RE.match(sql)
         pred = m.group("pred")
+        # HAVING is a finalize-time filter: group state keeps ALL groups
+        # (a group failing the predicate must re-emerge when a later delta
+        # pushes it back over the boundary), and filtering the ± emission
+        # rows row-wise yields exactly the boundary-crossing deltas
+        self._having = _rewrite_having(m.group("having"), spec)
         where = f" WHERE {pred}" if pred else ""
         self._delta_sql = (
             f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
@@ -384,9 +391,14 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
         first = eng.eval_on(self._delta_sql, {
             table: eng.tables[table].current.rows().limit(0)})
         self._init_out(eng, name, first)
+        # force analysis of the finalize projection (incl. HAVING) now so
+        # an unsupported predicate falls back to snapshot-diff at lowering
+        # time, not at the first step
+        _ = self._finalize(self._out.current.df).schema
 
     def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
-        return _finalize_spec(group_delta_df, self._out_spec)
+        out = _finalize_spec(group_delta_df, self._out_spec)
+        return out.filter(F.expr(self._having)) if self._having else out
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -417,6 +429,8 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
         self.agg_names = spec["val_names"]
         self._out_spec = spec["out"]
         m = _JOIN_AGG_RE.match(sql)
+        self._having = _rewrite_having(m.group("having"), spec)
+        # finalize-time filter — _LinearAggMaintainer: state keeps all groups
         where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
         la = f" {m.group('la')}" if m.group("la") else ""
         ra = f" {m.group('ra')}" if m.group("ra") else ""
@@ -428,9 +442,11 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
             left: eng.tables[left].current.rows().limit(0),
             right: eng.tables[right].current.rows().limit(0)})
         self._init_out(eng, name, first)
+        _ = self._finalize(self._out.current.df).schema  # validate HAVING
 
     def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
-        return _finalize_spec(group_delta_df, self._out_spec)
+        out = _finalize_spec(group_delta_df, self._out_spec)
+        return out.filter(F.expr(self._having)) if self._having else out
 
     def step(self, eng, combined, old):
         da, db = combined.get(self.left), combined.get(self.right)
@@ -470,7 +486,7 @@ class _NonLinearAggMaintainer(_ViewMaintainer):
         self.table = table
         self.keys = [k.strip().split(".")[-1] for k in keys]
         m = _AGG_RE.match(sql)
-        pred = m.group("pred")
+        pred, having = m.group("pred"), m.group("having")
         # select items → Column expressions (no temp-view rebinding in the
         # recompute closure: a plan captured over a replaced temp view can
         # carry stale attribute ids)
@@ -485,10 +501,15 @@ class _NonLinearAggMaintainer(_ViewMaintainer):
             rows = z.rows()
             if pred:
                 rows = rows.filter(F.expr(pred))
-            return ZSetFrame.from_df(
-                rows.groupBy(*self.keys).agg(*exprs), 1)
+            out = rows.groupBy(*self.keys).agg(*exprs)
+            if having:
+                # a recomputed group failing HAVING is simply absent from
+                # the new output — the touched-group diff retracts it
+                out = out.filter(F.expr(having))
+            return ZSetFrame.from_df(out, 1)
 
         self._op = AggregateOp(empty_in, self.keys, agg_fn)
+        _ = agg_fn(empty_in).df.schema  # validate exprs/HAVING eagerly
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -548,7 +569,7 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
     - ``out``: (kind, name) output spec in original select order, kind ∈
       {key, col, avg} — drives the finalize projection (avg = s/c).
     """
-    delta_items, val_names, out = [], [], []
+    delta_items, val_names, out, alias_map = [], [], [], []
     for it in (i.strip() for i in _split_top_level(sel)):
         im = _AGG_ITEM.match(it)
         if not im:
@@ -563,16 +584,33 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
             delta_items.append(it)
             val_names.append(n)
             out.append(("col", n))
+            alias_map.append((f"SUM({im.group('sum')})" if im.group("sname")
+                              else "COUNT(*)", n))
         else:
             n, e = im.group("aname"), im.group("avg")
             delta_items.append(f"SUM({e}) AS __avg_{n}_s")
             delta_items.append(f"COUNT({e}) AS __avg_{n}_c")
             val_names += [f"__avg_{n}_s", f"__avg_{n}_c"]
             out.append(("avg", n))
+            alias_map.append((f"AVG({e})", n))
     if not val_names:
         return None
     return {"delta_sel": ", ".join(delta_items), "val_names": val_names,
-            "out": out}
+            "out": out, "alias_map": alias_map}
+
+
+def _rewrite_having(having: str | None, spec: dict) -> str | None:
+    """Replace aggregate expressions in a HAVING predicate with their
+    output aliases (SQL lets HAVING repeat the aggregate; the finalize
+    frame only carries the named outputs).  Whitespace-insensitive text
+    match; anything left unresolved fails the eager finalize probe and
+    the view falls back to snapshot-diff."""
+    if not having:
+        return having
+    for expr_text, name in spec["alias_map"]:
+        pat = r"\s*".join(re.escape(c) for c in re.sub(r"\s+", "", expr_text))
+        having = re.sub(pat, name, having, flags=re.IGNORECASE)
+    return having
 
 
 def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
@@ -595,12 +633,17 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and not _AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_agg_items(m.group("sel"), keys)
-        if spec:
-            return _LinearAggMaintainer(eng, name, flat,
-                                        m.group("tbl").lower(), keys, spec)
-        if _match_nonlinear_items(m.group("sel"), keys):
-            return _NonLinearAggMaintainer(eng, name, flat,
-                                           m.group("tbl").lower(), keys)
+        try:
+            if spec:
+                return _LinearAggMaintainer(
+                    eng, name, flat, m.group("tbl").lower(), keys, spec)
+            if _match_nonlinear_items(m.group("sel"), keys):
+                return _NonLinearAggMaintainer(
+                    eng, name, flat, m.group("tbl").lower(), keys)
+        except Exception:
+            # e.g. a HAVING predicate over expressions the finalize frame
+            # doesn't carry — correctness first: snapshot-diff it
+            pass
     m = _JOIN_AGG_RE.match(flat)
     if (m and m.group("lt").lower() in eng.tables
             and m.group("rt").lower() in eng.tables
@@ -608,9 +651,13 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and not _JOIN_AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_agg_items(m.group("sel"), keys)
-        if spec:
-            return _JoinAggMaintainer(eng, name, flat, m.group("lt").lower(),
-                                      m.group("rt").lower(), keys, spec)
+        try:
+            if spec:
+                return _JoinAggMaintainer(
+                    eng, name, flat, m.group("lt").lower(),
+                    m.group("rt").lower(), keys, spec)
+        except Exception:
+            pass
     return _ViewMaintainer(eng, name, sql)
 
 

@@ -422,3 +422,47 @@ def test_avg_group_by_lowers_linear(spark):
                 .agg(F.avg("v").alias("mean"),
                      F.count(F.lit(1)).alias("n")).collect()}
         assert {tuple(r) for r in eng.view("m").collect()} == want
+
+
+def test_having_lowers_with_boundary_crossings(spark):
+    """HAVING views stay on the linear maintainer: group state keeps all
+    groups, the predicate filters emissions — a group crossing the HAVING
+    boundary in either direction emits the right insert/retract."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW big as SELECT k, SUM(v) AS s, COUNT(*) AS n
+            FROM t GROUP BY k HAVING SUM(v) > 10;
+    """)
+    assert eng.view_strategy("big") == "linear_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    batches = [
+        (mk([(1, 6.0), (2, 5.0), (2, 15.0)]), 1),   # only k=2 passes
+        (mk([(1, 7.0)]), 1),               # k=1 crosses INTO the view
+        (mk([(2, 15.0)]), -1),             # k=2 drops back out (s=5)
+    ]
+    for batch, w in batches:
+        eng.push("t", batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("t").groupBy("k")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .filter("s > 10").collect()}
+        assert {tuple(r) for r in eng.view("big").collect()} == want
+
+
+def test_unsupported_having_falls_back(spark):
+    """A HAVING over an aggregate that is not an output column cannot be
+    finalize-filtered — the view must fall back to snapshot-diff and still
+    be correct."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW odd as SELECT k, COUNT(*) AS n
+            FROM t GROUP BY k HAVING MAX(v) > 5;
+    """)
+    assert eng.view_strategy("odd") == "differentiate"
+    eng.push("t", spark.createDataFrame(
+        [(1, 2.0), (1, 9.0), (2, 3.0)], "k int, v double"))
+    eng.step()
+    assert {tuple(r) for r in eng.view("odd").collect()} == {(1, 2)}
