@@ -179,6 +179,14 @@ def _parse_columns(body: str) -> T.StructType:
     return T.StructType(fields)
 
 
+def _source_rows0(eng: "Engine", name: str) -> DataFrame:
+    """Empty rows frame (schema probe) for a maintainer input — a base
+    table or an upstream maintained view."""
+    if name in eng.tables:
+        return eng.tables[name].current.rows().limit(0)
+    return eng._maintainers[name].state.current.rows().limit(0)
+
+
 def _split_parts(z: ZSetFrame) -> tuple[DataFrame, DataFrame]:
     """(positive rows expanded, |negative| rows expanded) — lets plain SQL
     evaluate weight-carrying deltas: run the view SQL on each part, emit
@@ -198,8 +206,13 @@ class _ViewMaintainer:
     def __init__(self, eng: "Engine", name: str, sql: str):
         self.name = name
         self.sql = sql
+        # schema-only empty (LocalRelation), NOT snapshot.limit(0): the
+        # empty state must not carry the view's SQL plan — downstream
+        # views analyze against this binding, and a dormant Aggregate
+        # node would wrongly block their linear lowering
         snapshot = eng.spark.sql(sql)
-        self.state = StateTable(ZSetFrame.from_df(snapshot.limit(0)),
+        empty = eng.spark.createDataFrame([], snapshot.schema)
+        self.state = StateTable(ZSetFrame.from_df(empty),
                                 name=f"view_{name}")
 
     def step(self, eng: "Engine", combined: Mapping[str, ZSetFrame],
@@ -389,7 +402,7 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
             f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
             f"FROM {table}{where} GROUP BY {m.group('keys')}")
         first = eng.eval_on(self._delta_sql, {
-            table: eng.tables[table].current.rows().limit(0)})
+            table: _source_rows0(eng, table)})
         self._init_out(eng, name, first)
         # force analysis of the finalize projection (incl. HAVING) now so
         # an unsupported predicate falls back to snapshot-diff at lowering
@@ -625,11 +638,17 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             return _JoinMaintainer(eng, name, flat, m.group("lt").lower(),
                                    m.group("rt").lower())
         m = _PROJECT_RE.match(flat)
-        if m and m.group("tbl").lower() in eng.tables:
+        # project/filter composes over another *maintained view* too: the
+        # upstream maintainer's per-tick output delta is this view's input
+        # delta (linear ∘ anything = incremental), so layered view scripts
+        # (demo02-style feature stacks) stay O(Δ) end to end
+        if m and (m.group("tbl").lower() in eng.tables
+                  or m.group("tbl").lower() in eng.views):
             return _ProjectMaintainer(eng, name, flat,
                                       m.group("tbl").lower())
     m = _AGG_RE.match(flat)
-    if (m and m.group("tbl").lower() in eng.tables
+    if (m and (m.group("tbl").lower() in eng.tables
+               or m.group("tbl").lower() in eng.views)
             and not _AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_agg_items(m.group("sel"), keys)
@@ -637,7 +656,8 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             if spec:
                 return _LinearAggMaintainer(
                     eng, name, flat, m.group("tbl").lower(), keys, spec)
-            if _match_nonlinear_items(m.group("sel"), keys):
+            if (_match_nonlinear_items(m.group("sel"), keys)
+                    and m.group("tbl").lower() in eng.tables):
                 return _NonLinearAggMaintainer(
                     eng, name, flat, m.group("tbl").lower(), keys)
         except Exception:
@@ -712,6 +732,10 @@ class Engine:
             for t in bindings:
                 if t in self.tables:
                     self._refresh_table_view(t)
+                elif t in self.views:
+                    # restore a maintained view's canonical binding
+                    self._maintainers[t].state.current.rows() \
+                        .createOrReplaceTempView(t)
 
     # -------------------------------------------------------------- #
     # DDL / query execution
@@ -746,7 +770,12 @@ class Engine:
         words = {w.lower() for w in re.findall(r"\b\w+\b", select_sql)}
         self._sources[name] = {w for w in words
                                if w in self.tables or w in self.views}
-        self.spark.sql(select_sql).limit(0).createOrReplaceTempView(name)
+        # canonical binding = the maintainer's (initially empty) state
+        # rows, matching the post-step binding — downstream views then
+        # analyze against materialized rows, not this view's SQL plan
+        # (whose Aggregate node would wrongly block their linear lowering)
+        self._maintainers[name].state.current.rows() \
+            .createOrReplaceTempView(name)
 
     def _refresh_table_view(self, name: str) -> None:
         self.tables[name].current.rows().createOrReplaceTempView(name)
@@ -791,6 +820,10 @@ class Engine:
             m.state.current.rows().createOrReplaceTempView(name)
             out[name] = delta
             touched.add(name)
+            # downstream lowered views consume this view's delta the same
+            # way they consume table deltas (views step in creation =
+            # dependency order)
+            combined[name] = delta
         return out
 
     def view(self, name: str) -> DataFrame:

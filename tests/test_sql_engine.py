@@ -466,3 +466,38 @@ def test_unsupported_having_falls_back(spark):
         [(1, 2.0), (1, 9.0), (2, 3.0)], "k int, v double"))
     eng.step()
     assert {tuple(r) for r in eng.view("odd").collect()} == {(1, 2)}
+
+
+def test_layered_views_lower_end_to_end(spark):
+    """View-over-view lowering: a linear GROUP BY over a project view
+    consumes the upstream maintainer's per-tick delta — both stay O(Δ)
+    (no snapshot-diff anywhere in the stack) and match full recompute
+    through inserts and retractions."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW doubled as SELECT k, v * 2 AS v2 FROM t WHERE v > 0;
+        CREATE VIEW per_k as SELECT k, SUM(v2) AS s, COUNT(*) AS n
+            FROM doubled GROUP BY k;
+        CREATE VIEW big_k as SELECT k, s FROM per_k WHERE s > 10;
+    """)
+    assert eng.view_strategy("doubled") == "project"
+    assert eng.view_strategy("per_k") == "linear_agg"
+    assert eng.view_strategy("big_k") == "project"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    batches = [
+        (mk([(1, 2.0), (1, 4.0), (2, 1.0), (2, -5.0)]), 1),
+        (mk([(2, 9.0)]), 1),
+        (mk([(1, 4.0)]), -1),
+    ]
+    for batch, w in batches:
+        eng.push("t", batch, weight=w)
+        eng.step()
+        base = eng.view("t").filter("v > 0").selectExpr("k", "v * 2 AS v2")
+        want_pk = {tuple(r) for r in
+                   base.groupBy("k").agg(F.sum("v2").alias("s"),
+                                         F.count(F.lit(1)).alias("n"))
+                   .collect()}
+        assert {tuple(r) for r in eng.view("per_k").collect()} == want_pk
+        want_big = {(k, s) for k, s, n in want_pk if s > 10}
+        assert {tuple(r) for r in eng.view("big_k").collect()} == want_big
