@@ -106,3 +106,27 @@ def test_native_stream_stream_join(spark, tmp_path):
             (3, T0 + dt.timedelta(seconds=100),
              T0 + dt.timedelta(seconds=95))}
     assert set(rows) == want
+
+
+def test_eviction_materializes_delta_less_side(spark):
+    """A side receiving no deltas for many ticks still gets its state
+    materialized periodically: _evict layers a filter plan per tick, and
+    without the periodic localCheckpoint the lineage (and per-tick
+    re-scan) grows without bound on long runs."""
+    empty_l = ZSetFrame.from_df(_clicks(spark, []).limit(0))
+    empty_r = ZSetFrame.from_df(_views(spark, []).limit(0))
+    op = MonotonicStreamJoinOp(empty_l, empty_r, on=["k"],
+                               left_ts="click_ts", right_ts="view_ts",
+                               window_seconds=5, watermark_delay=0)
+    op.step(None, ZSetFrame.from_df(_views(spark, [(1, 0)])))
+    right_epoch_after_seed = op.right._epoch
+    plan_lens = []
+    for s in range(1, 10):
+        # left-only ticks: the right side never goes through update()
+        op.step(ZSetFrame.from_df(_clicks(spark, [(1, s)])), None)
+        plan_lens.append(len(op.right.current.df._jdf.queryExecution()
+                             .optimizedPlan().toString()))
+    # epoch advanced → _materialize ran at least once during eviction
+    assert op.right._epoch > right_epoch_after_seed
+    # and the plan shrank back after the cut instead of only growing
+    assert min(plan_lens[-3:]) < max(plan_lens[:6])
