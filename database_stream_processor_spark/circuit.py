@@ -224,6 +224,40 @@ class Circuit:
             return None if d is None else op.step(d)
         return self._add([src], run, empty=ein)
 
+    def tumbling_window(self, src: Stream, ts_col: str, size_seconds: int,
+                        keys: Sequence[str], empty_in: str | None = None,
+                        op_kw: dict | None = None,
+                        **aggs: Column) -> Stream:
+        """Maintained tumbling-window aggregate node (nexmark q5.rs
+        pattern; window-content deltas per time_series/window.rs:75)."""
+        from database_stream_processor_spark.plans.incremental import (
+            TumblingWindowOp)
+        op = TumblingWindowOp(self._resolve_empty(empty_in, src), ts_col,
+                              size_seconds, keys, dict(aggs),
+                              **(op_kw or {}))
+
+        def run(deltas):
+            d = deltas[0]
+            return None if d is None else op.step(d)
+        return self._add([src], run, empty=op._agg.state.current)
+
+    def hopping_window(self, src: Stream, ts_col: str, size_seconds: int,
+                       hop_seconds: int, keys: Sequence[str],
+                       empty_in: str | None = None,
+                       op_kw: dict | None = None,
+                       **aggs: Column) -> Stream:
+        """Maintained hopping-window aggregate node (q5.rs:76-118)."""
+        from database_stream_processor_spark.plans.incremental import (
+            HoppingWindowOp)
+        op = HoppingWindowOp(self._resolve_empty(empty_in, src), ts_col,
+                             size_seconds, hop_seconds, keys, dict(aggs),
+                             **(op_kw or {}))
+
+        def run(deltas):
+            d = deltas[0]
+            return None if d is None else op.step(d)
+        return self._add([src], run, empty=op._agg.state.current)
+
     def plus(self, a: Stream, b: Stream) -> Stream:
         def run(deltas):
             da, db = deltas

@@ -101,3 +101,25 @@ def test_derived_delta_schemas(spark):
 
     uniq = c.distinct(cust)  # derived through an input handle
     assert uniq.node_id > rev.node_id
+
+
+def test_tumbling_window_node(spark):
+    """Window operators wired as circuit nodes: tumbling aggregate deltas
+    flow to the output handle, late rows emit corrections."""
+    import datetime as dt
+    c = Circuit(spark)
+    ev = c.add_input_zset("k string, ts timestamp, v double")
+    win = c.tumbling_window(ev, "ts", 10, ["k"],
+                            n=F.lit(1), s=F.col("v"))
+    out = c.output(win)
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda rows: spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=sec), float(v)) for k, sec, v in rows],
+        "k string, ts timestamp, v double")
+    ev.push(mk([("a", 5, 1), ("a", 15, 2)]))
+    c.step()
+    ev.push(mk([("a", 7, 10)]))   # late row → correction for window 0
+    c.step()
+    base = int(t0.timestamp()) // 10 * 10
+    assert zset_to_dict(out.consolidate()) == {
+        (base, "a", 2, 11.0): 1, (base + 10, "a", 1, 2.0): 1}
