@@ -2133,6 +2133,54 @@ def q72_indexed_input_shard(spark, sf_dir):
     return out.df.select("s_nationkey", "n", "bal_c")
 
 
+@register("q73_sql_engine_layered_having", oracle="""
+WITH priced AS (
+    SELECT o_orderstatus,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders WHERE o_totalprice > 1000
+)
+SELECT o_orderstatus,
+       CAST(SUM(price_c) AS BIGINT) AS total_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM priced GROUP BY o_orderstatus HAVING COUNT(*) > 5000
+""")
+def q73_sql_engine_layered_having(spark, sf_dir):
+    """Layered maintained views through the SQL front door: a filter/
+    project view feeds a linear GROUP BY + HAVING view — every layer
+    lowers (no snapshot-diff anywhere), downstream consuming the
+    upstream maintainer's per-tick delta; final state across insert and
+    retract/re-insert ticks must equal the one-shot CTE oracle."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_orderstatus VARCHAR,
+                               o_totalprice FLOAT64);
+        CREATE VIEW priced as
+            SELECT o_orderstatus,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders_t WHERE o_totalprice > 1000;
+        CREATE VIEW status_rev as
+            SELECT o_orderstatus, SUM(price_c) AS total_c, COUNT(*) AS n
+            FROM priced GROUP BY o_orderstatus HAVING COUNT(*) > 5000;
+    """)
+    assert eng.view_strategy("priced") == "project"
+    assert eng.view_strategy("status_rev") == "linear_agg"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return (eng.view("status_rev")
+            .select("o_orderstatus", "total_c",
+                    F.col("n").cast("long").alias("n")))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
