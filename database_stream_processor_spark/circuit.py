@@ -166,7 +166,16 @@ class Circuit:
             d = deltas[0]
             return None if d is None else op.step(d)
         parent_empty = self._empties[src.node_id]
-        out_empty = None if parent_empty is None else f(parent_empty)
+        # schema derivation probes f on the parent's empty frame at wiring
+        # time; a side-effecting or non-empty-only callable must not break
+        # construction (nor run its side effects twice), so any probe
+        # failure just means "schema unknown — pass DDL downstream"
+        out_empty = None
+        if parent_empty is not None:
+            try:
+                out_empty = f(parent_empty)
+            except Exception:
+                out_empty = None
         return self._add([src], run, empty=out_empty)
 
     def join(self, left: Stream, right: Stream, *,
@@ -266,7 +275,12 @@ class Circuit:
             if db is None:
                 return da
             return da.plus(db)
-        return self._add([a, b], run, empty=self._empties[a.node_id])
+        # either side may lack a derived schema (e.g. an apply() whose
+        # probe failed); the sum's schema is whichever side knows it
+        empty = self._empties[a.node_id]
+        if empty is None:
+            empty = self._empties[b.node_id]
+        return self._add([a, b], run, empty=empty)
 
     def output(self, src: Stream) -> OutputHandle:
         """Attach an output handle (output.rs:29): every tick's delta for

@@ -40,6 +40,21 @@ from pyspark.sql import functions as F
 from database_stream_processor_spark.zset import WEIGHT_COL, ZSetFrame
 
 
+def _ns_semi(df: DataFrame, touched: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Null-safe left-semi join of ``df`` on ``touched``'s key columns.
+
+    SQL GROUP BY (and outer joins) treat NULL as a real key value; Spark's
+    column-list equi-join drops NULL matches, so touched-group restriction
+    through a plain semi-join would silently never maintain the NULL group.
+    """
+    probe = touched.select(*[F.col(c).alias(f"__t_{c}") for c in keys])
+    cond = None
+    for c in keys:
+        e = df[c].eqNullSafe(F.col(f"__t_{c}"))
+        cond = e if cond is None else (cond & e)
+    return df.join(probe, on=cond, how="left_semi")
+
+
 class StateTable:
     """Materialized Z-set state for one operator (DBSP trace / Spine analog,
     src/trace/spine_fueled.rs:1-60).
@@ -318,13 +333,7 @@ class JoinOp:
         # would never be emitted or retracted (plain Spark outer joins DO
         # preserve null-key rows — they just never match the other side).
         def semi(df):
-            probe = touched.select(
-                *[F.col(c).alias(f"__t_{c}") for c in self.on])
-            cond = None
-            for c in self.on:
-                e = df[c].eqNullSafe(F.col(f"__t_{c}"))
-                cond = e if cond is None else (cond & e)
-            return df.join(probe, on=cond, how="left_semi")
+            return _ns_semi(df, touched, self.on)
 
         a_t = ZSetFrame(semi(a_new.df))
         b_t = ZSetFrame(semi(b_new.df))
@@ -372,7 +381,10 @@ class MonotonicStreamJoinOp:
         self.left = StateTable(empty_left, name="mono_join_left", **state_kw)
         self.right = StateTable(empty_right, name="mono_join_right",
                                 **state_kw)
-        self._evict_count = 0
+        # per-side eviction counters: a shared counter incremented once per
+        # side per step would only ever hit the %-period on one side, so a
+        # delta-less side would never have its filter-on-filter lineage cut
+        self._evict_count: dict[int, int] = {}
 
     def _wm_df(self):
         """Watermark = max event time in *state* − delay, as a broadcast
@@ -395,8 +407,9 @@ class MonotonicStreamJoinOp:
         # a side that receives no deltas never passes through
         # StateTable._materialize, so this filter-on-filter plan would grow
         # one layer per tick; cut lineage periodically even without updates
-        self._evict_count += 1
-        if self._evict_count % 8 == 0:
+        key = id(state)
+        self._evict_count[key] = self._evict_count.get(key, 0) + 1
+        if self._evict_count[key] % 4 == 0:
             evicted = state._materialize(evicted)
         state._current = evicted
 
@@ -460,8 +473,10 @@ class DistinctOp:
         old = self.integral.current
         new = self.integral.update(delta)
         touched = delta.df.select(*cols).dropDuplicates()
-        old_touched = ZSetFrame(old.df.join(touched, on=cols, how="left_semi"))
-        new_touched = ZSetFrame(new.df.join(touched, on=cols, how="left_semi"))
+        # null-safe: a state row containing NULL would never be marked
+        # touched by a plain equi semi-join when the same row re-arrives
+        old_touched = ZSetFrame(_ns_semi(old.df, touched, cols))
+        new_touched = ZSetFrame(_ns_semi(new.df, touched, cols))
         return new_touched.distinct().minus(old_touched.distinct()).consolidate()
 
 
@@ -496,8 +511,10 @@ class AggregateOp:
     def step(self, delta: ZSetFrame) -> ZSetFrame:
         new_in = self.integral.update(delta)
         touched = delta.df.select(*self.keys).dropDuplicates()
+        # null-safe restriction: SQL GROUP BY keeps a NULL group, and a
+        # plain equi semi-join would never mark it touched
         new_touched = ZSetFrame(
-            new_in.df.join(touched, on=self.keys, how="left_semi")).consolidate()
+            _ns_semi(new_in.df, touched, self.keys)).consolidate()
         new_out_rows = self.agg_fn(new_touched)  # weight-1 rows per surviving group
 
         if self._out_state is None:
@@ -507,8 +524,7 @@ class AggregateOp:
             old_out_rows = ZSetFrame(new_out_rows.df.limit(0))
         else:
             old_out_rows = ZSetFrame(
-                self._out_state.current.df.join(touched, on=self.keys, how="left_semi")
-            )
+                _ns_semi(self._out_state.current.df, touched, self.keys))
         out_delta = new_out_rows.minus(old_out_rows).consolidate()
         self._out_state.update(out_delta)
         return out_delta

@@ -617,13 +617,25 @@ def _rewrite_having(having: str | None, spec: dict) -> str | None:
     output aliases (SQL lets HAVING repeat the aggregate; the finalize
     frame only carries the named outputs).  Whitespace-insensitive text
     match; anything left unresolved fails the eager finalize probe and
-    the view falls back to snapshot-diff."""
+    the view falls back to snapshot-diff.
+
+    Substitution never reaches inside single-quoted string literals — a
+    predicate like ``k <> 'COUNT(*)'`` must keep its literal intact (the
+    rewritten form would still analyze cleanly, so the finalize probe
+    could not catch the silent change).
+    """
     if not having:
         return having
+    # split into alternating [code, 'literal', code, ...] segments; SQL
+    # escapes a quote inside a literal by doubling it, which this pattern
+    # treats as two adjacent literals — safe, since neither is rewritten
+    segments = re.split(r"('(?:[^']*)')", having)
     for expr_text, name in spec["alias_map"]:
         pat = r"\s*".join(re.escape(c) for c in re.sub(r"\s+", "", expr_text))
-        having = re.sub(pat, name, having, flags=re.IGNORECASE)
-    return having
+        segments = [seg if seg.startswith("'")
+                    else re.sub(pat, name, seg, flags=re.IGNORECASE)
+                    for seg in segments]
+    return "".join(segments)
 
 
 def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:

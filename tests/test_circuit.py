@@ -123,3 +123,42 @@ def test_tumbling_window_node(spark):
     base = int(t0.timestamp()) // 10 * 10
     assert zset_to_dict(out.consolidate()) == {
         (base, "a", 2, 11.0): 1, (base + 10, "a", 1, 2.0): 1}
+
+
+def test_apply_schema_probe_tolerates_fragile_callables(spark):
+    """apply() derives the output schema by probing f on the parent's
+    empty frame at wiring time; a callable that only works on non-empty
+    input (or side-effects) must not break construction — the probe
+    failure just leaves the schema underivable, and an explicit DDL
+    downstream (or a schema-bearing sibling in plus()) covers it."""
+    from database_stream_processor_spark.zset import ZSetFrame
+
+    c = Circuit(spark)
+    src = c.add_input_zset("k int, v double")
+
+    probe_calls = []
+
+    def fragile(z: ZSetFrame) -> ZSetFrame:
+        probe_calls.append(1)
+        first = z.df.orderBy("k").first()  # data-dependent: None on empty
+        return z.filter(F.col("v") >= first["v"])
+
+    s = c.apply(src, fragile)
+    # wiring survived; the probe ran exactly once and failed gracefully
+    assert c._empties[s.node_id] is None
+
+    # plus() falls back to the *other* side's schema when one is unknown
+    known = c.add_input_zset("k int, v double")
+    summed = c.plus(s, known)
+    assert c._empties[summed.node_id] is not None
+    summed_rev = c.plus(known, s)
+    assert c._empties[summed_rev.node_id] is not None
+
+    out = c.output(summed)
+    wiring_probes = len(probe_calls)
+    src.push(spark.createDataFrame([(1, 2.0), (2, 1.0)], "k int, v double"))
+    known.push(spark.createDataFrame([(3, 9.0)], "k int, v double"))
+    c.step()
+    assert len(probe_calls) == wiring_probes + 1   # ran once at step time
+    got = zset_to_dict(out.consolidate())
+    assert got == {(1, 2.0): 1, (3, 9.0): 1}

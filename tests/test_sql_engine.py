@@ -501,3 +501,57 @@ def test_layered_views_lower_end_to_end(spark):
         assert {tuple(r) for r in eng.view("per_k").collect()} == want_pk
         want_big = {(k, s) for k, s, n in want_pk if s > 10}
         assert {tuple(r) for r in eng.view("big_k").collect()} == want_big
+
+
+def test_nonlinear_agg_null_group_key(spark):
+    """MIN/MAX GROUP BY with a nullable key: AggregateOp's touched-group
+    restriction is null-safe, so the NULL group (a real SQL group) is
+    maintained like any other."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER, v FLOAT64);
+        CREATE VIEW ext as SELECT k, MIN(v) AS lo, MAX(v) AS hi
+            FROM t GROUP BY k;
+    """)
+    assert eng.view_strategy("ext") == "nonlinear_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    batches = [
+        (mk([(None, 1.0), (None, 5.0), (1, 3.0)]), 1),
+        (mk([(None, 9.0)]), 1),        # NULL group's max moves
+        (mk([(None, 9.0)]), -1),       # retract it → 5.0 resurrects
+        (mk([(None, 1.0), (None, 5.0)]), -1),  # NULL group dies
+    ]
+    for batch, w in batches:
+        eng.push("t", batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("t").groupBy("k")
+                .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+                .collect()}
+        assert {tuple(r) for r in eng.view("ext").collect()} == want
+
+
+def test_having_string_literal_survives_rewrite(spark):
+    """A HAVING predicate whose string literal *textually contains* an
+    aggregate expression must keep the literal intact — substitution only
+    applies outside quoted regions."""
+    from database_stream_processor_spark.sql import _rewrite_having
+    spec = {"alias_map": [("COUNT(*)", "n"), ("SUM(v)", "s")]}
+    got = _rewrite_having("COUNT(*) > 1 AND k <> 'COUNT(*)'", spec)
+    assert got == "n > 1 AND k <> 'COUNT(*)'"
+    got = _rewrite_having("SUM( v ) > 2 AND k = 'has SUM(v) inside'", spec)
+    assert got == "s > 2 AND k = 'has SUM(v) inside'"
+    # end-to-end: the literal filter still compares against the raw string
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k VARCHAR NOT NULL, v FLOAT64);
+        CREATE VIEW big as SELECT k, SUM(v) AS s, COUNT(*) AS n
+            FROM t GROUP BY k HAVING COUNT(*) > 1 AND k <> 'COUNT(*)';
+    """)
+    assert eng.view_strategy("big") == "linear_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v double")
+    eng.push("t", mk([("a", 1.0), ("a", 2.0),
+                      ("COUNT(*)", 3.0), ("COUNT(*)", 4.0)]))
+    eng.step()
+    got = {tuple(r) for r in eng.view("big").collect()}
+    assert got == {("a", 3.0, 2)}

@@ -130,3 +130,25 @@ def test_eviction_materializes_delta_less_side(spark):
     assert op.right._epoch > right_epoch_after_seed
     # and the plan shrank back after the cut instead of only growing
     assert min(plan_lens[-3:]) < max(plan_lens[:6])
+
+
+def test_eviction_materializes_delta_less_left_side(spark):
+    """Mirror of the test above for a delta-less LEFT side (right-only
+    stream).  With a single shared eviction counter, step() incrementing
+    it once per side meant the %-period only ever fired for the right
+    side, so the left side's lineage was never cut."""
+    empty_l = ZSetFrame.from_df(_clicks(spark, []).limit(0))
+    empty_r = ZSetFrame.from_df(_views(spark, []).limit(0))
+    op = MonotonicStreamJoinOp(empty_l, empty_r, on=["k"],
+                               left_ts="click_ts", right_ts="view_ts",
+                               window_seconds=5, watermark_delay=0)
+    op.step(ZSetFrame.from_df(_clicks(spark, [(1, 0)])), None)
+    left_epoch_after_seed = op.left._epoch
+    plan_lens = []
+    for s in range(1, 10):
+        # right-only ticks: the left side never goes through update()
+        op.step(None, ZSetFrame.from_df(_views(spark, [(1, s)])))
+        plan_lens.append(len(op.left.current.df._jdf.queryExecution()
+                             .optimizedPlan().toString()))
+    assert op.left._epoch > left_epoch_after_seed
+    assert min(plan_lens[-3:]) < max(plan_lens[:6])
