@@ -1668,24 +1668,33 @@ def q56_incremental_hot_items(spark, sf_dir):
 
 
 @register("q57_fold_topk_prices", oracle="""
-SELECT o_custkey,
-       (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3]
-           AS top_prices
-FROM orders GROUP BY o_custkey
+SELECT o_custkey, CAST(rn AS BIGINT) AS price_rank, o_totalprice AS price
+FROM (SELECT o_custkey, o_totalprice, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn <= 3
 """)
 def q57_fold_topk_prices(spark, sf_dir):
     """Capped-vec fold (fold.rs:25-101; nexmark q19.rs:40-55 idiom): top-3
     order prices per customer kept as a bounded array by fold_topk —
     sort_array + slice caps the accumulator immediately, the reference's
-    bounded Fold."""
+    bounded Fold.  The capped array is exploded to one (custkey, rank,
+    price) row per element so the result is scalar-typed end to end (the
+    array surface itself is covered by q45/pytest)."""
     from database_stream_processor_spark.functions.fold import fold_topk
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice",
                                              "o_orderkey")
     row = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
-    return (o.groupBy("o_custkey")
-            .agg(F.transform(fold_topk(row, 3),
-                             lambda s: s["o_totalprice"])
-                 .alias("top_prices")))
+    top = (o.groupBy("o_custkey")
+           .agg(F.transform(fold_topk(row, 3),
+                            lambda s: s["o_totalprice"])
+                .alias("top_prices")))
+    return (top.select("o_custkey",
+                       F.posexplode("top_prices").alias("pos", "price"))
+            .select("o_custkey",
+                    (F.col("pos") + 1).cast("long").alias("price_rank"),
+                    "price"))
 
 
 @register("q58_circuit_revenue", oracle=f"""
