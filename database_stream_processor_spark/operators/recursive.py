@@ -21,6 +21,7 @@ import contextlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: target rows per shuffle partition inside fixpoint loops
 _ROWS_PER_PARTITION = 50_000
@@ -129,6 +130,97 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
     raise RuntimeError(f"transitive_closure did not converge in {max_iterations} iterations")
 
 
+class _PartitionedPairStore:
+    """A (src, dst) pair set persisted as parquet partitioned by the
+    hash-bucket of ONE endpoint column — the Spark analog of the
+    reference's indexed Z-set trace sharded by key
+    (src/operator/communication/shard.rs:89).
+
+    ``read_buckets`` is pruned *by construction*: the reader is handed the
+    explicit partition subdirectories, so unrelated buckets are never
+    listed, opened, or scanned.  ``overwrite_buckets`` replaces only the
+    target buckets (delete dir + append) — a delta tick rewrites ∝
+    affected buckets, not ∝ store size.  All filesystem access goes
+    through the Hadoop FS API so the path may be S3/HDFS, not just local.
+
+    Bucket ids are ``pmod(hash(col), n)`` — Murmur3, deterministic across
+    sessions, so partition layout is stable for the store's lifetime.
+    """
+
+    def __init__(self, spark, path: str, key: str, columns: list[str],
+                 schema: str, n_buckets: int):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.key = key                 # the endpoint column bucketed on
+        self.columns = list(columns)   # data columns, in declared order
+        self.schema = schema
+        self.n = n_buckets
+        #: cumulative buckets handed to readers — the test/stats hook that
+        #: proves deletion ticks scan « n_buckets partitions
+        self.scanned_buckets = 0
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        return jpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()), jvm
+
+    def bucket_expr(self, col: str):
+        return F.pmod(F.hash(F.col(col)), F.lit(self.n)).cast("int")
+
+    def buckets_of(self, df: DataFrame, col: str) -> list[int]:
+        """Distinct bucket ids of ``df[col]`` — partition-*selection*
+        metadata (≤ n_buckets small ints), the one place a driver collect
+        is the right tool: it chooses which directories to read, it never
+        moves data."""
+        rows = (df.select(self.bucket_expr(col).alias("__b"))
+                .distinct().collect())
+        return sorted(r["__b"] for r in rows)
+
+    def _existing(self, buckets: list[int]) -> list[int]:
+        fs, jvm = self._fs()
+        P = jvm.org.apache.hadoop.fs.Path
+        return [b for b in buckets
+                if fs.exists(P(f"{self.path}/__b={b}"))]
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], self.schema)
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        live = self._existing(buckets)
+        self.scanned_buckets += len(live)
+        if not live:
+            return self._empty()
+        return (self.spark.read.option("basePath", self.path)
+                .parquet(*[f"{self.path}/__b={b}" for b in live])
+                .select(*self.columns))
+
+    def read_all(self) -> DataFrame:
+        fs, jvm = self._fs()
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(self.path)):
+            return self._empty()
+        return (self.spark.read.option("basePath", self.path)
+                .parquet(self.path).select(*self.columns))
+
+    def write_full(self, df: DataFrame) -> None:
+        (df.withColumn("__b", self.bucket_expr(self.key))
+         .write.mode("overwrite").partitionBy("__b").parquet(self.path))
+
+    def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
+        """Replace exactly ``buckets`` with ``df`` (which must contain the
+        buckets' full new content, and ONLY rows belonging to them).
+
+        The caller must eagerly materialize ``df`` first if it derives
+        from this store's files — the target directories are deleted
+        before the write."""
+        fs, jvm = self._fs()
+        P = jvm.org.apache.hadoop.fs.Path
+        for b in buckets:
+            fs.delete(P(f"{self.path}/__b={b}"), True)
+        (df.withColumn("__b", self.bucket_expr(self.key))
+         .write.mode("append").partitionBy("__b").parquet(self.path))
+
+
 class IncrementalTransitiveClosureOp:
     """Maintain a transitive closure under edge *deltas* — the reference's
     incremental recursion (recursive.rs:255 exports the recursive view for
@@ -166,20 +258,45 @@ class IncrementalTransitiveClosureOp:
     """
 
     def __init__(self, spark, src: str = "src", dst: str = "dst",
-                 max_iterations: int = 100, method: str = "doubling"):
+                 max_iterations: int = 100, method: str = "doubling",
+                 n_buckets: int | None = None, path: str | None = None):
         self.src, self.dst = src, dst
         self.max_iterations = max_iterations
         #: 'doubling' (log-diameter rounds, acc∘acc per round — wins when
         #: Spark's per-round overhead dominates) or 'seminaive' (diameter
         #: rounds, per-round cost ∝ new paths — wins on huge closures).
         self.method = method
+        self.spark = spark
         schema = f"{src} long, {dst} long"
+        self._schema = schema
         self._edges = spark.createDataFrame([], schema)
         self._tc = spark.createDataFrame([], schema)
         self._n = 0  # last known |closure|, sizes the loop's shuffles
-        #: (suspects, rederive_rounds) of the latest deletion tick — lets
-        #: tests assert deletion cost ∝ affected paths, not closure size
+        #: (suspects, rederive_rounds[, *_buckets_scanned, n_buckets]) of
+        #: the latest deletion tick — lets tests assert deletion cost ∝
+        #: affected paths/partitions, not closure size
         self.last_delete_stats: dict | None = None
+        #: bucketed backend: the closure is persisted as TWO parquet
+        #: copies, partitioned by hash-bucket of src and of dst (the
+        #: reference keeps its recursive trace as indexed Z-sets sharded
+        #: by key, shard.rs:89 + recursive.rs:255).  Every per-tick read —
+        #: suspect generation, keep-split, frontier closure — is pruned to
+        #: the buckets adjacent to the delta's endpoints, so a deletion
+        #: tick on a 10⁹-pair closure touches only the affected
+        #: partitions.  Insertion in this mode is always semi-naive
+        #: (doubling's acc∘acc needs the whole closure by definition).
+        self._bucketed = n_buckets is not None
+        if self._bucketed:
+            if not path:
+                raise ValueError("bucketed closure needs a state path")
+            cols = [src, dst]
+            self._s_src = _PartitionedPairStore(
+                spark, path.rstrip("/") + "/by_src", src, cols, schema,
+                n_buckets)
+            self._s_dst = _PartitionedPairStore(
+                spark, path.rstrip("/") + "/by_dst", dst, cols, schema,
+                n_buckets)
+            self._initialized = False
 
     def _compose(self, left: DataFrame, right: DataFrame) -> DataFrame:
         src, dst = self.src, self.dst
@@ -207,6 +324,8 @@ class IncrementalTransitiveClosureOp:
         """Frontier insertion: close the seed of one-new-edge paths
         against the (post-deletion) closure."""
         from database_stream_processor_spark.zset import ZSetFrame
+        if self._bucketed:
+            return self._insert_bucketed(added)
         self._edges = (self._edges.unionByName(added)
                        .localCheckpoint(eager=True))
         # seed: every path using exactly one new edge (old-path prefix/
@@ -266,6 +385,8 @@ class IncrementalTransitiveClosureOp:
         |suspects|, never |closure| — the bound the reference gets from
         nested-clock incremental recursion (time/mod.rs:20-48)."""
         from database_stream_processor_spark.zset import ZSetFrame
+        if self._bucketed:
+            return self._delete_bucketed(deleted)
         tc_old = self._tc
         e_new = self._edges.exceptAll(deleted).localCheckpoint(eager=True)
         self._edges = e_new
@@ -277,7 +398,18 @@ class IncrementalTransitiveClosureOp:
         suspects = (self._compose(pre, tc_old).unionByName(pre)
                     .dropDuplicates().localCheckpoint(eager=True))
         n_d = suspects.count()
-        keep = tc_old.exceptAll(suspects).localCheckpoint(eager=True)
+        # split the closure on suspect *sources* with broadcast semi/anti
+        # joins (the suspect-src set is tiny and broadcastable): the
+        # unaffected slice passes through untouched, and the pair-level
+        # exceptAll — the only shuffle — runs over the affected slice
+        # only, never the whole closure
+        src = self.src
+        s_srcs = F.broadcast(suspects.select(src).dropDuplicates())
+        unaffected = tc_old.join(s_srcs, on=src, how="left_anti")
+        affected = (tc_old.join(s_srcs, on=src, how="left_semi")
+                    .select(src, self.dst))
+        keep = (affected.exceptAll(suspects)
+                .localCheckpoint(eager=True))
 
         # 2. re-derive: right-linear semi-naive fixpoint restricted to the
         # suspect set.  Every surviving path decomposes into prefixes; a
@@ -320,14 +452,180 @@ class IncrementalTransitiveClosureOp:
 
         # 3. retract suspects that stayed dead
         dead = suspects.exceptAll(rederived).localCheckpoint(eager=True)
-        self._tc = keep.unionByName(rederived).localCheckpoint(eager=True)
+        self._tc = (unaffected.unionByName(keep).unionByName(rederived)
+                    .localCheckpoint(eager=True))
         self._n = max(1, self._n - dead.count())
         self.last_delete_stats = {"suspects": n_d, "rounds": rounds}
+        return ZSetFrame.from_df(dead, -1)
+
+    # ------------------------------------------------------------- #
+    # bucketed backend: every read pruned to delta-adjacent buckets
+    # ------------------------------------------------------------- #
+
+    def _insert_bucketed(self, added: DataFrame) -> "object":
+        """Frontier insertion over the partitioned stores: all closure
+        reads are pruned to the buckets adjacent to the new edges /
+        current frontier; only the buckets receiving new pairs are
+        rewritten."""
+        from database_stream_processor_spark.zset import ZSetFrame
+        src, dst = self.src, self.dst
+        self._edges = (self._edges.unionByName(added)
+                       .localCheckpoint(eager=True))
+        added = added.localCheckpoint(eager=True)
+
+        if not self._initialized:
+            # first tick: full fixpoint (everything is new), write both
+            # partitioned copies once
+            tc = transitive_closure(self._edges, src, dst,
+                                    self.max_iterations, method="doubling")
+            self._s_src.write_full(tc)
+            self._s_dst.write_full(tc)
+            self._initialized = True
+            self._n = tc.count()
+            return ZSetFrame.from_df(tc, 1)
+
+        if added.isEmpty():
+            return ZSetFrame.from_df(
+                self.spark.createDataFrame([], self._schema), 1)
+
+        # seed = (I ∪ TC) ∘ ΔE ∘ (I ∪ TC), with each TC read pruned:
+        # prefixes end at a new edge's source (dst-store buckets of
+        # added.src), suffixes start at a new edge's dst (src-store
+        # buckets of added.dst)
+        tc_pre = self._s_dst.read_buckets(
+            self._s_dst.buckets_of(added, src))
+        pre = (self._compose(tc_pre, added).unionByName(added)
+               .dropDuplicates().localCheckpoint(eager=True))
+        tc_mid = self._s_src.read_buckets(
+            self._s_src.buckets_of(pre, dst))
+        seed = (self._compose(pre, tc_mid).unionByName(pre)
+                .dropDuplicates().localCheckpoint(eager=True))
+
+        # Close the seed by doubling over the seed set ALONE — no TC reads
+        # inside the loop.  Sound because every new path factors into seed
+        # paths: split it at its new edges into (old* new old*) segments,
+        # each of which is a seed element (seed = (I ∪ TC)∘ΔE∘(I ∪ TC)
+        # covers every maximal-old-prefix/suffix single-new-edge segment),
+        # so ⌈log₂(new edges per path)⌉ rounds of acc∘acc reach them all.
+        acc = seed
+        n = acc.count()
+        with _loop_shuffle_partitions(added) as resize:
+            for _ in range(self.max_iterations):
+                resize(n)
+                acc2 = (self._compose(acc, acc).unionByName(acc)
+                        .dropDuplicates().localCheckpoint(eager=True))
+                n2 = acc2.count()
+                if n2 == n:
+                    break
+                acc, n = acc2, n2
+            else:
+                raise RuntimeError("incremental TC did not converge")
+        # pairs already reachable through old edges are not new — one
+        # pruned exceptAll against the src-store buckets acc touches
+        have = self._s_src.read_buckets(self._s_src.buckets_of(acc, src))
+        new = acc.exceptAll(have).localCheckpoint(eager=True)
+        if new.isEmpty():
+            return ZSetFrame.from_df(
+                self.spark.createDataFrame([], self._schema), 1)
+
+        # rewrite only the buckets that received new pairs, in each copy
+        sb = self._s_src.buckets_of(new, src)
+        content = (self._s_src.read_buckets(sb).unionByName(new)
+                   .localCheckpoint(eager=True))
+        self._s_src.overwrite_buckets(content, sb)
+        db = self._s_dst.buckets_of(new, dst)
+        content = (self._s_dst.read_buckets(db).unionByName(new)
+                   .localCheckpoint(eager=True))
+        self._s_dst.overwrite_buckets(content, db)
+        self._n += new.count()
+        return ZSetFrame.from_df(new, 1)
+
+    def _delete_bucketed(self, deleted: DataFrame) -> "object":
+        """DRed over the partitioned stores: suspect generation, the
+        keep-split, and re-derivation all read ONLY the buckets adjacent
+        to the deleted edges' endpoints — the closure-wide scan + shuffle
+        of the in-memory path disappears entirely (the reference's
+        deletion cost ∝ affected derivations, time/mod.rs:20-48)."""
+        from database_stream_processor_spark.zset import ZSetFrame
+        src, dst = self.src, self.dst
+        scanned0 = (self._s_src.scanned_buckets,
+                    self._s_dst.scanned_buckets)
+        e_new = self._edges.exceptAll(deleted).localCheckpoint(eager=True)
+        self._edges = e_new
+
+        # 1. over-delete: (I ∪ TC) ∘ ΔE⁻ ∘ (I ∪ TC); prefixes live in the
+        # dst-store buckets of the deleted srcs, the mid-compose reads the
+        # src-store buckets of the deleted dsts
+        tc_pre = self._s_dst.read_buckets(
+            self._s_dst.buckets_of(deleted, src))
+        pre = (self._compose(tc_pre, deleted).unionByName(deleted)
+               .dropDuplicates().localCheckpoint(eager=True))
+        tc_mid = self._s_src.read_buckets(
+            self._s_src.buckets_of(pre, dst))
+        suspects = (self._compose(pre, tc_mid).unionByName(pre)
+                    .dropDuplicates().localCheckpoint(eager=True))
+        n_d = suspects.count()
+
+        # 2. keep-split + re-derivation, all inside the suspects' src
+        # buckets: unaffected buckets are never read, let alone shuffled
+        sb = self._s_src.buckets_of(suspects, src)
+        affected = self._s_src.read_buckets(sb)
+        keep = affected.exceptAll(suspects).localCheckpoint(eager=True)
+        rounds = 0
+        with _loop_shuffle_partitions(deleted) as resize:
+            resize(n_d)
+            keep_r = (keep.join(suspects.select(src).dropDuplicates(),
+                                on=src, how="left_semi")
+                      .select(src, dst))
+            e_r = (e_new.join(suspects.select(dst).dropDuplicates(),
+                              on=dst, how="left_semi")
+                   .select(src, dst).localCheckpoint(eager=True))
+            base = (e_r.intersect(suspects)
+                    .unionByName(
+                        self._compose(keep_r, e_r).intersect(suspects))
+                    .dropDuplicates().localCheckpoint(eager=True))
+            rederived = base
+            frontier = base
+            for _ in range(self.max_iterations):
+                if frontier.isEmpty():
+                    break
+                rounds += 1
+                stepped = self._compose(frontier, e_r).intersect(suspects)
+                frontier = (stepped.exceptAll(rederived)
+                            .localCheckpoint(eager=True))
+                rederived = (rederived.unionByName(frontier)
+                             .localCheckpoint(eager=True))
+            else:
+                raise RuntimeError("DRed re-derivation did not converge")
+
+        # 3. retract the still-dead suspects; rewrite only the affected
+        # buckets of each copy (keep ∪ rederived all live in sb; the dead
+        # pairs' dst buckets bound the dst-store rewrite)
+        dead = suspects.exceptAll(rederived).localCheckpoint(eager=True)
+        new_affected = (keep.unionByName(rederived)
+                        .localCheckpoint(eager=True))
+        self._s_src.overwrite_buckets(new_affected, sb)
+        db = self._s_dst.buckets_of(dead, dst)
+        content = (self._s_dst.read_buckets(db).exceptAll(dead)
+                   .localCheckpoint(eager=True))
+        self._s_dst.overwrite_buckets(content, db)
+        self._n = max(1, self._n - dead.count())
+        self.last_delete_stats = {
+            "suspects": n_d, "rounds": rounds,
+            "src_buckets_scanned":
+                self._s_src.scanned_buckets - scanned0[0],
+            "dst_buckets_scanned":
+                self._s_dst.scanned_buckets - scanned0[1],
+            "n_buckets": self._s_src.n,
+        }
         return ZSetFrame.from_df(dead, -1)
 
     @property
     def current(self) -> DataFrame:
         """The maintained closure (set semantics)."""
+        if self._bucketed:
+            return self._s_src.read_all() if self._initialized \
+                else self.spark.createDataFrame([], self._schema)
         return self._tc
 
 

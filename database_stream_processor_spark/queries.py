@@ -1225,11 +1225,16 @@ def q44_incremental_closure(spark, sf_dir):
     must equal the WITH RECURSIVE oracle over the final edge set."""
     from database_stream_processor_spark.operators.recursive import (
         IncrementalTransitiveClosureOp)
+    import tempfile
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_custkey").between(1, 255))
     edges = c.select(F.col("c_custkey").alias("src"),
                      F.expr("c_custkey div 2").alias("dst"))
-    op = IncrementalTransitiveClosureOp(spark)
+    # bucketed backend: the closure lives in src/dst hash-partitioned
+    # parquet stores and every tick's reads are pruned to delta-adjacent
+    # buckets — the 100 TB shape (deletion cost ∝ affected partitions)
+    op = IncrementalTransitiveClosureOp(
+        spark, n_buckets=8, path=tempfile.mkdtemp(prefix="dbsp_tc_"))
     out = None
     for parity in (0, 1):
         d = ZSetFrame.from_df(edges.filter(F.col("src") % 2 == parity), 1)

@@ -243,3 +243,38 @@ def test_salted_window_aggregate_matches_plain(spark):
         .queryExecution().executedPlan().toString()
     assert "__salt" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_closure_prunes_deletion_scan(spark, tmp_path):
+    """Partition-restricted DRed: with the closure kept as src/dst
+    hash-partitioned parquet stores, a deletion tick reads ONLY the
+    buckets adjacent to the deleted edges' endpoints — asserted via the
+    stores' scanned-bucket counters — and the maintained closure still
+    matches the batch recompute."""
+    n_buckets = 32
+    op = IncrementalTransitiveClosureOp(
+        spark, n_buckets=n_buckets, path=str(tmp_path / "tc"))
+    big = [(i, i + 1) for i in range(100, 125)]          # 25-edge chain
+    small = [(1, 2), (2, 3), (1, 3)]                     # 1→3 has a bypass
+    acc = op.step(ZSetFrame.from_df(_edges(spark, big + small), 1))
+    n_closure = op.current.count()
+    assert n_closure > 300
+
+    delta = op.step(ZSetFrame.from_df(_edges(spark, [(2, 3)]), -1))
+    acc = acc.plus(delta)
+    stats = op.last_delete_stats
+    assert stats["suspects"] == 2
+    assert zset_to_dict(delta) == {(2, 3): -1}
+    # the deletion only concerns srcs {1, 2} / dsts {3}: a handful of
+    # buckets per store, far below the partition count
+    assert stats["n_buckets"] == n_buckets
+    assert stats["src_buckets_scanned"] <= 6 < n_buckets
+    assert stats["dst_buckets_scanned"] <= 4 < n_buckets
+
+    # insertions stay green through the bucketed path too
+    acc = acc.plus(op.step(ZSetFrame.from_df(_edges(spark, [(3, 4)]), 1)))
+    want = {tuple(r): 1 for r in
+            transitive_closure(
+                _edges(spark, big + [(1, 2), (1, 3), (3, 4)])).collect()}
+    assert zset_to_dict(acc.consolidate()) == want
+    assert {tuple(r) for r in op.current.collect()} == set(want)
