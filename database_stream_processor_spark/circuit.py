@@ -97,6 +97,74 @@ class InputHandle(Stream):
         return out
 
 
+class CommandInputHandle(Stream):
+    """Input handle for *command-frame* inputs (set / map inputs,
+    input.rs:230,313): pushes are raw DataFrames of commands, drained per
+    tick and fed through the owning op's ``step``.
+
+    ``insert(df)`` / ``delete(df)`` stamp the command columns; commands
+    pushed later in the same tick win (monotone ``__seq``).  A frame that
+    already carries the command columns can be pushed verbatim with
+    ``push_commands``.
+    """
+
+    __slots__ = ("_pending", "_seq", "_flag_col")
+
+    def __init__(self, circuit: "Circuit", node_id: int, flag_col: str):
+        super().__init__(circuit, node_id)
+        self._pending: list[DataFrame] = []
+        self._seq = 0
+        self._flag_col = flag_col  # __insert (set) or __delete (map)
+
+    def _stamp(self, df: DataFrame, flag: bool) -> None:
+        self._seq += 1
+        self._pending.append(
+            df.withColumn(self._flag_col, F.lit(flag))
+            .withColumn("__seq", F.lit(self._seq)))
+
+    def push_commands(self, df: DataFrame) -> None:
+        self._pending.append(df)
+
+    def _drain(self) -> DataFrame | None:
+        if not self._pending:
+            return None
+        out = self._pending[0]
+        for d in self._pending[1:]:
+            out = out.unionByName(d)
+        self._pending = []
+        return out
+
+
+class SetInputHandle(CommandInputHandle):
+    """``add_input_set`` handle (input.rs:230): insert/delete element
+    commands with set semantics (re-insert of a present element and
+    delete of an absent one are no-ops)."""
+
+    def insert(self, df: DataFrame) -> None:
+        self._stamp(df, True)
+
+    def delete(self, df: DataFrame) -> None:
+        self._stamp(df, False)
+
+
+class MapInputHandle(CommandInputHandle):
+    """``add_input_map`` handle (input.rs:313): keyed upserts — a push
+    for an existing key retracts its previous value."""
+
+    __slots__ = ("_value_fields",)
+
+    def upsert(self, df: DataFrame) -> None:
+        self._stamp(df, False)
+
+    def delete(self, df: DataFrame) -> None:
+        """Keys-only frame allowed: missing value columns are filled with
+        typed NULLs (a delete command carries no value)."""
+        for f in self._value_fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        self._stamp(df, True)
+
+
 class _Node:
     __slots__ = ("parents", "run")
 
@@ -124,7 +192,9 @@ class Circuit:
     # inputs
     # ------------------------------------------------------------- #
 
-    def add_input_zset(self, schema: str) -> InputHandle:
+    def add_input_zset(self, schema: str | DataFrame) -> InputHandle:
+        """``schema`` is a DDL string, or an example DataFrame whose
+        schema to copy (no data is read from it)."""
         nid = len(self._nodes)
         handle = InputHandle(self, nid, schema)
         self._nodes.append(_Node([], lambda deltas, h=handle: h._drain()))
@@ -132,8 +202,49 @@ class Circuit:
         self._inputs.append(handle)
         return handle
 
-    def _empty(self, schema: str) -> ZSetFrame:
+    def _empty(self, schema: str | DataFrame) -> ZSetFrame:
+        if isinstance(schema, DataFrame):
+            return ZSetFrame.from_df(schema.limit(0))
         return ZSetFrame.from_df(self.spark.createDataFrame([], schema))
+
+    def add_input_set(self, schema: str | DataFrame,
+                      **op_kw) -> SetInputHandle:
+        """``add_input_set`` node (input.rs:230; semantics table
+        input.rs:214-223): insert/delete commands maintained with set
+        semantics; the node's per-tick output is the membership delta."""
+        from database_stream_processor_spark.sources.handles import SetInput
+        empty = self._empty(schema)
+        op = SetInput(empty, **op_kw)
+        nid = len(self._nodes)
+        handle = SetInputHandle(self, nid, "__insert")
+
+        def run(deltas, h=handle, o=op):
+            cmds = h._drain()
+            return None if cmds is None else o.step(cmds)
+        self._nodes.append(_Node([], run))
+        self._empties.append(empty)
+        return handle
+
+    def add_input_map(self, schema: str | DataFrame, keys: Sequence[str],
+                      **op_kw) -> MapInputHandle:
+        """``add_input_map`` node (input.rs:313; semantics
+        input.rs:293-303): keyed upsert commands — each tick emits
+        retraction of replaced values + insertion of new ones."""
+        from database_stream_processor_spark.sources.handles import MapInput
+        empty = self._empty(schema)
+        op = MapInput(empty, keys, **op_kw)
+        nid = len(self._nodes)
+        handle = MapInputHandle(self, nid, "__delete")
+        handle._value_fields = [
+            f for f in empty.df.schema.fields
+            if f.name not in set(keys) and f.name != "__weight"]
+
+        def run(deltas, h=handle, o=op):
+            cmds = h._drain()
+            return None if cmds is None else o.step(cmds)
+        self._nodes.append(_Node([], run))
+        self._empties.append(empty)
+        return handle
 
     def _resolve_empty(self, given: str | None, src: Stream) -> ZSetFrame:
         """Delta schema for an operator input: an explicit DDL string wins;
@@ -196,6 +307,80 @@ class Circuit:
             return op.step(dl, dr)
         return self._add([left, right], run,
                          empty=el.join(er, on=list(on), how="inner"))
+
+    def monotonic_join(self, left: Stream, right: Stream, *,
+                       on: Sequence[str], left_ts: str, right_ts: str,
+                       window_seconds: int,
+                       watermark_delay: int | None = None,
+                       empty_left: str | None = None,
+                       empty_right: str | None = None,
+                       **op_kw) -> Stream:
+        """Monotonic (append-only) stream-stream join node with a time
+        match window and watermark state eviction (join.rs:87
+        ``monotonic_stream_join``)."""
+        from database_stream_processor_spark.plans.incremental import (
+            MonotonicStreamJoinOp)
+        el = self._resolve_empty(empty_left, left)
+        er = self._resolve_empty(empty_right, right)
+        op = MonotonicStreamJoinOp(el, er, on=on, left_ts=left_ts,
+                                   right_ts=right_ts,
+                                   window_seconds=window_seconds,
+                                   watermark_delay=watermark_delay,
+                                   **op_kw)
+
+        def run(deltas):
+            dl, dr = deltas
+            if dl is None and dr is None:
+                return None
+            return op.step(dl, dr)
+        return self._add([left, right], run,
+                         empty=el.join(er, on=list(on), how="inner"))
+
+    def rolling_aggregate(self, src: Stream, partition_by: str,
+                          ts_col: str, before: int, after: int,
+                          aggs: dict[str, Column],
+                          watermark_delay: int | None = None,
+                          empty_in: str | None = None,
+                          **op_kw) -> Stream:
+        """Per-partition rolling aggregate node over a relative time
+        range, with out-of-order correction and optional watermark
+        (rolling_aggregate.rs:235; …_with_watermark rs:155-200)."""
+        from database_stream_processor_spark.operators.windows import (
+            rolling_aggregate)
+        from database_stream_processor_spark.plans.incremental import (
+            PartitionedRollingAggregateOp)
+        ein = self._resolve_empty(empty_in, src)
+        op = PartitionedRollingAggregateOp(
+            ein, partition_by, ts_col, before, after, dict(aggs),
+            watermark_delay=watermark_delay, **op_kw)
+        out_empty = ZSetFrame.from_df(
+            rolling_aggregate(ein.rows(), [partition_by], ts_col,
+                              before, after, **dict(aggs)))
+
+        def run(deltas):
+            d = deltas[0]
+            return None if d is None else op.step(d)
+        return self._add([src], run, empty=out_empty)
+
+    def rolling_aggregate_linear(self, src: Stream, partition_by: str,
+                                 ts_col: str, before: int, after: int,
+                                 aggs: dict[str, Column],
+                                 empty_in: str | None = None,
+                                 **op_kw) -> Stream:
+        """O(Δ) linear rolling aggregate node — outputs are adjusted by
+        delta contributions instead of recomputed
+        (rolling_aggregate.rs:277 ``partitioned_rolling_aggregate_
+        linear``)."""
+        from database_stream_processor_spark.plans.incremental import (
+            PartitionedRollingAggregateLinearOp)
+        ein = self._resolve_empty(empty_in, src)
+        op = PartitionedRollingAggregateLinearOp(ein, partition_by, ts_col, before,
+                                      after, dict(aggs), **op_kw)
+
+        def run(deltas):
+            d = deltas[0]
+            return None if d is None else op.step(d)
+        return self._add([src], run, empty=op.out.current)
 
     def aggregate_linear(self, src: Stream, keys: Sequence[str],
                          empty_in: str | None = None,

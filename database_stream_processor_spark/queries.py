@@ -1153,18 +1153,18 @@ def q42_incremental_rolling(spark, sf_dir):
     batches whose interleaved event times force out-of-order corrections
     (rolling_aggregate.rs:119-143); the integrated output must equal the
     one-shot SQL window — the reference's inc == batch oracle idiom."""
-    from database_stream_processor_spark.plans.incremental import (
-        PartitionedRollingAggregateOp)
+    from database_stream_processor_spark.circuit import Circuit
     e = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
-    empty = ZSetFrame.from_df(e.limit(0).drop("event_id"))
-    op = PartitionedRollingAggregateOp(
-        empty, "user_id", "ts", before=3600, after=0,
+    c = Circuit(spark)
+    ev = c.add_input_zset(e.limit(0).drop("event_id"))
+    roll = c.rolling_aggregate(
+        ev, "user_id", "ts", before=3600, after=0,
         aggs={"roll_sum": F.sum("value"), "roll_cnt": F.count(F.lit(1))})
+    out = c.output(roll)
     for step in range(2):
-        batch = e.filter(F.col("event_id") % 2 == step).drop("event_id")
-        op.step(ZSetFrame.from_df(batch))
-    out = op.current_output.consolidate().rows()
-    return out.select(
+        ev.push(e.filter(F.col("event_id") % 2 == step).drop("event_id"))
+        c.step()
+    return out.consolidate().rows().select(
         "user_id", epoch_seconds(F.col("ts")).alias("ep"), "value",
         F.round("roll_sum", 2).alias("roll_sum"),
         F.col("roll_cnt").cast("long").alias("roll_cnt"))
@@ -1474,12 +1474,12 @@ FROM events c JOIN events v
 WHERE c.event_type = 'click' AND v.event_type = 'view'
 """)
 def q51_monotonic_stream_join(spark, sf_dir):
-    """Append-only stream-stream join (MonotonicStreamJoinOp, join.rs:87):
-    clicks joined to views of the same user within ±600 s, maintained
-    across 2 delta batches per side; integrated deltas equal the batch
-    join with the same window condition."""
-    from database_stream_processor_spark.plans.incremental import (
-        MonotonicStreamJoinOp)
+    """Append-only stream-stream join (MonotonicStreamJoinOp, join.rs:87)
+    driven through the Circuit builder's ``monotonic_join`` node
+    (dbsp_handle.rs user API): clicks joined to views of the same user
+    within ±600 s, maintained across 2 delta batches per side; integrated
+    deltas equal the batch join with the same window condition."""
+    from database_stream_processor_spark.circuit import Circuit
     e = load_events(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"),
@@ -1487,16 +1487,16 @@ def q51_monotonic_stream_join(spark, sf_dir):
     views = e.filter(F.col("event_type") == "view").select(
         "user_id", F.col("event_id").alias("view_id"),
         F.col("ts").alias("view_ts"))
-    op = MonotonicStreamJoinOp(
-        ZSetFrame.from_df(clicks.limit(0)), ZSetFrame.from_df(views.limit(0)),
-        on=["user_id"], left_ts="click_ts", right_ts="view_ts",
-        window_seconds=600)
-    out = None
+    c = Circuit(spark)
+    cl_in = c.add_input_zset(clicks)
+    v_in = c.add_input_zset(views)
+    j = c.monotonic_join(cl_in, v_in, on=["user_id"], left_ts="click_ts",
+                         right_ts="view_ts", window_seconds=600)
+    out = c.output(j)
     for parity in (0, 1):
-        d = op.step(
-            ZSetFrame.from_df(clicks.filter(F.col("click_id") % 2 == parity)),
-            ZSetFrame.from_df(views.filter(F.col("view_id") % 2 == parity)))
-        out = d if out is None else out.plus(d)
+        cl_in.push(clicks.filter(F.col("click_id") % 2 == parity))
+        v_in.push(views.filter(F.col("view_id") % 2 == parity))
+        c.step()
     return out.consolidate().rows().select(
         "user_id", "click_id", "view_id",
         epoch_seconds(F.col("click_ts")).alias("click_ep"),
@@ -1507,20 +1507,20 @@ def q51_monotonic_stream_join(spark, sf_dir):
 SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
 """)
 def q52_set_input(spark, sf_dir):
-    """add_input_set command semantics (input.rs:214-223): insert all
-    order keys (duplicates deduped by set semantics), then delete the odd
-    ones; the integrated membership deltas equal the surviving set."""
-    from database_stream_processor_spark.sources.handles import SetInput
+    """add_input_set command semantics (input.rs:214-223) through the
+    Circuit builder's set-input node: insert all order keys (duplicates
+    deduped by set semantics), then delete the odd ones; the integrated
+    membership deltas equal the surviving set."""
+    from database_stream_processor_spark.circuit import Circuit
     o = load(spark, sf_dir, "orders").select("o_orderkey")
-    h = SetInput(ZSetFrame.from_df(o.limit(0)))
-    ins = o.select("o_orderkey", F.lit(True).alias("__insert"),
-                   F.lit(0).cast("long").alias("__seq"))
-    d1 = h.step(ins)
-    dels = (o.filter(F.col("o_orderkey") % 2 == 1)
-            .select("o_orderkey", F.lit(False).alias("__insert"),
-                    F.lit(0).cast("long").alias("__seq")))
-    d2 = h.step(dels)
-    return d1.plus(d2).consolidate().rows().select("o_orderkey")
+    c = Circuit(spark)
+    h = c.add_input_set(o)
+    out = c.output(h)
+    h.insert(o)
+    c.step()
+    h.delete(o.filter(F.col("o_orderkey") % 2 == 1))
+    c.step()
+    return out.consolidate().rows().select("o_orderkey")
 
 
 @register("q53_differentiate_snapshots", oracle="""
@@ -1593,24 +1593,27 @@ def q55_upsert_commands(spark, sf_dir):
     replayed as keyed upsert commands in two event_id-ordered batches;
     integrated deltas (old value retracted, new inserted) equal the
     latest value per user."""
-    from database_stream_processor_spark.plans.incremental import UpsertOp
+    from database_stream_processor_spark.circuit import Circuit
     e = load_events(spark, sf_dir).select("user_id", "value", "event_id")
     mid = e.agg(F.max("event_id")).collect()[0][0] // 2  # batch split only
-    op = UpsertOp(ZSetFrame.from_df(
-        e.limit(0).select("user_id", F.col("value").alias("last_value"))),
+    c = Circuit(spark)
+    h = c.add_input_map(
+        e.limit(0).select("user_id", F.col("value").alias("last_value")),
         keys=["user_id"])
-    out = None
+    out = c.output(h)
     for lo, hi in ((None, mid), (mid, None)):
         batch = e
         if lo is not None:
             batch = batch.filter(F.col("event_id") > lo)
         if hi is not None:
             batch = batch.filter(F.col("event_id") <= hi)
-        cmds = batch.select("user_id", F.col("value").alias("last_value"),
-                            F.lit(False).alias("__delete"),
-                            F.col("event_id").alias("__seq"))
-        d = op.step(cmds)
-        out = d if out is None else out.plus(d)
+        # commands carry their own per-row ordering (event_id as __seq:
+        # within a batch, later events win), so push the frame verbatim
+        h.push_commands(
+            batch.select("user_id", F.col("value").alias("last_value"),
+                         F.lit(False).alias("__delete"),
+                         F.col("event_id").alias("__seq")))
+        c.step()
     return out.consolidate().rows().select("user_id", "last_value")
 
 

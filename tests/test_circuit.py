@@ -162,3 +162,52 @@ def test_apply_schema_probe_tolerates_fragile_callables(spark):
     assert len(probe_calls) == wiring_probes + 1   # ran once at step time
     got = zset_to_dict(out.consolidate())
     assert got == {(1, 2.0): 1, (3, 9.0): 1}
+
+
+def test_set_and_map_input_nodes(spark):
+    """Circuit-level set/map inputs (input.rs:230,313): set semantics
+    dedupe re-inserts and ignore absent deletes; map upserts retract the
+    replaced value."""
+    c = Circuit(spark)
+    s = c.add_input_set("k long")
+    m = c.add_input_map("k long, v string", keys=["k"])
+    s_out = c.output(s)
+    m_out = c.output(m)
+
+    mk = lambda rows, ddl: spark.createDataFrame(rows, ddl)
+    s.insert(mk([(1,), (2,), (2,)], "k long"))   # dup deduped
+    m.upsert(mk([(1, "a"), (2, "b")], "k long, v string"))
+    c.step()
+    s.insert(mk([(1,)], "k long"))               # already present: no-op
+    s.delete(mk([(9,)], "k long"))               # absent: no-op
+    s.delete(mk([(2,)], "k long"))
+    m.upsert(mk([(1, "a2")], "k long, v string"))  # replaces "a"
+    m.delete(mk([(2,)], "k long"))                  # keys-only delete
+    c.step()
+    assert zset_to_dict(s_out.consolidate()) == {(1,): 1}
+    assert zset_to_dict(m_out.consolidate()) == {(1, "a2"): 1}
+
+
+def test_rolling_linear_node(spark):
+    """O(Δ) rolling linear aggregate as a circuit node: integrated
+    deltas across out-of-order batches equal the one-shot window SQL."""
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda rows: spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), float(v)) for k, s, v in rows],
+        "k string, ts timestamp, v double")
+    c = Circuit(spark)
+    ev = c.add_input_zset("k string, ts timestamp, v double")
+    roll = c.rolling_aggregate_linear(
+        ev, "k", "ts", before=10, after=0, aggs={"s": F.col("v")})
+    out = c.output(roll)
+    ev.push(mk([("a", 0, 1), ("a", 20, 4)]))
+    c.step()
+    ev.push(mk([("a", 15, 2)]))   # late row corrects the t=20 frame
+    c.step()
+    got = {(k, ts, v, float(s)): w for (k, ts, v, s), w in
+           zset_to_dict(out.consolidate()).items()}
+    want = {("a", t0, 1.0, 1.0): 1,
+            ("a", t0 + dt.timedelta(seconds=15), 2.0, 2.0): 1,
+            ("a", t0 + dt.timedelta(seconds=20), 4.0, 6.0): 1}
+    assert got == want
