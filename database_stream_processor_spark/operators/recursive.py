@@ -631,34 +631,72 @@ class IncrementalTransitiveClosureOp:
 
 class IncrementalFixpointOp:
     """Generic incremental maintenance of a monotone recursive view
-    ``fix(acc ∪ step(acc))`` under input deltas (the reference exports any
-    recursive view for incremental maintenance, recursive.rs:255).
+    ``fix(base(I) ∪ step(I, acc))`` under input deltas (the reference
+    exports any recursive view for incremental maintenance,
+    recursive.rs:255; nested clocks time/mod.rs:20-48 make the tick cost
+    ∝ affected derivations).
 
-    This is the *generic* form: per tick it re-runs the fixpoint over the
-    integrated input and emits the diff against the previous output —
-    correct for any monotone ``step``, cost ∝ a full fixpoint per tick.
-    :class:`IncrementalTransitiveClosureOp` is the delta-bounded
-    specialization for closure; write one per rule system where the tick
-    cost must be ∝ Δ.
+    Two execution paths per tick:
+
+    - **Semi-naive insert** (when the tick is insert-only and the caller
+      supplied the delta rules): the classic Datalog delta evaluation —
+
+          F₀  = (Δbase(I', ΔI) ∪ Δstep(I', ΔI, O_old)) − O_old
+          F_k = step(I', F_{k-1}) − (O_old ∪ F_<k)        until empty
+
+      Only derivations that involve a new input atom (round 0) or a new
+      output row (later rounds) are ever computed — the reference's
+      nested-clock cost bound, without re-deriving anything already
+      known.  ``delta_base(I', ΔI)`` / ``delta_step(I', ΔI, O_old)``
+      must return every derivation using ≥1 atom of ΔI (over-approximating
+      is fine — dedup removes the rest); they are the rule's manual delta
+      form, e.g. for a body with two input atoms,
+      ``join(ΔI, …, I') ∪ join(I', …, ΔI)``.  The per-round dedup joins
+      the (small) frontier against the accumulated output — at scale,
+      keep the output bucketed on the dedup keys (the
+      :class:`IncrementalTransitiveClosureOp` pattern) so the anti-join
+      prunes.
+
+    - **Recompute-and-diff fallback** (deletions, or no delta rules):
+      re-run the fixpoint over the integrated input and diff against the
+      previous output — correct for any monotone ``step``, cost ∝ a full
+      fixpoint per tick.
+
+    ``last_stats`` records ``{"mode", "rounds", "new_rows"}`` of the last
+    tick so tests can assert an insert tick's work was ∝ Δ.
 
     ``step(input_rows, acc) -> DataFrame`` derives new rows from the
-    current input relation and the accumulated view.
+    current input relation and the accumulated view; ``base(input_rows)``
+    produces the seed (default: the input itself, matching the
+    seed-with-input convention of :func:`fixpoint`).
     """
 
-    def __init__(self, empty_input, step, max_iterations: int = 100):
+    def __init__(self, empty_input, step, base=None, delta_base=None,
+                 delta_step=None, max_iterations: int = 100):
         from database_stream_processor_spark.plans.incremental import (
             StateTable)
-        from database_stream_processor_spark.zset import ZSetFrame
         self.step_fn = step
+        self.base_fn = base if base is not None else (lambda rows: rows)
+        self.delta_base = delta_base if delta_base is not None else (
+            None if base is not None else (lambda full, d: d))
+        self.delta_step = delta_step
         self.max_iterations = max_iterations
         self.integral = StateTable(empty_input, name="fixpoint_input")
         self._prev: DataFrame | None = None
+        self.last_stats: dict | None = None
 
     def step(self, delta) -> "object":
         from database_stream_processor_spark.zset import ZSetFrame
-        rows = self.integral.update(delta).consolidate().rows() \
+        d = delta.consolidate()
+        insert_only = d.df.filter(d.weight < 0).isEmpty()
+        if (insert_only and self._prev is not None
+                and self.delta_step is not None
+                and self.delta_base is not None):
+            return self._step_seminaive(d)
+        rows = self.integral.update(d).consolidate().rows() \
             .localCheckpoint(eager=True)
-        out = fixpoint(rows, lambda acc: self.step_fn(rows, acc),
+        out = fixpoint(self.base_fn(rows),
+                       lambda acc: self.step_fn(rows, acc),
                        max_iterations=self.max_iterations)
         if self._prev is None:
             diff = ZSetFrame.from_df(out, 1)
@@ -666,7 +704,41 @@ class IncrementalFixpointOp:
             diff = (ZSetFrame.from_df(out.exceptAll(self._prev), 1)
                     .plus(ZSetFrame.from_df(self._prev.exceptAll(out), -1)))
         self._prev = out.localCheckpoint(eager=True)
+        self.last_stats = {"mode": "recompute", "rounds": None,
+                           "new_rows": None}
         return diff.consolidate()
+
+    def _step_seminaive(self, d) -> "object":
+        from database_stream_processor_spark.zset import ZSetFrame
+        d_rows = d.rows().localCheckpoint(eager=True)
+        full = self.integral.update(d).consolidate().rows() \
+            .localCheckpoint(eager=True)
+        acc = self._prev
+        seed = (self.delta_base(full, d_rows)
+                .unionByName(self.delta_step(full, d_rows, acc))
+                .dropDuplicates())
+        frontier = seed.exceptAll(acc).localCheckpoint(eager=True)
+        new = frontier
+        rounds = 0
+        with _loop_shuffle_partitions(d_rows) as resize:
+            for _ in range(self.max_iterations):
+                if frontier.isEmpty():
+                    break
+                rounds += 1
+                acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+                resize(frontier.count())
+                stepped = (self.step_fn(full, frontier).dropDuplicates())
+                frontier = (stepped.exceptAll(acc)
+                            .localCheckpoint(eager=True))
+                new = new.unionByName(frontier)
+            else:
+                raise RuntimeError(
+                    "semi-naive fixpoint did not converge")
+        new = new.localCheckpoint(eager=True)
+        self._prev = acc
+        self.last_stats = {"mode": "seminaive", "rounds": rounds,
+                           "new_rows": new.count()}
+        return ZSetFrame.from_df(new, 1).consolidate()
 
     @property
     def current(self) -> DataFrame | None:

@@ -1246,6 +1246,83 @@ def q44_incremental_closure(spark, sf_dir):
     return out.consolidate().df.select("src", "dst")
 
 
+@register("q74_same_generation", oracle="""
+WITH RECURSIVE par AS (
+  SELECT c_custkey AS child, c_custkey // 2 AS parent
+  FROM customer WHERE c_custkey BETWEEN 2 AND 200),
+sg AS (
+  SELECT a.child AS x, b.child AS y
+  FROM par a JOIN par b ON a.parent = b.parent
+  UNION
+  SELECT ax.child AS x, by.child AS y
+  FROM par ax JOIN sg ON ax.parent = sg.x
+  JOIN par by ON by.parent = sg.y)
+SELECT x, y FROM sg
+""")
+def q74_same_generation(spark, sf_dir):
+    """Non-closure recursive rule system (the galen-bench shape,
+    crates/dbsp/benches/galen.rs; recursive.rs:255 export semantics):
+    same-generation pairs over the custkey-halving tree, maintained by
+    the *generic* incremental fixpoint with user-supplied delta rules —
+    insert ticks run semi-naive (only derivations touching a new edge or
+    a new pair are computed, nested-clock cost per time/mod.rs:20-48),
+    never a per-tick full recompute."""
+    from database_stream_processor_spark.operators.recursive import (
+        IncrementalFixpointOp)
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").between(2, 200))
+    par = c.select(F.col("c_custkey").alias("child"),
+                   F.expr("c_custkey div 2").alias("parent"))
+
+    def up(rows, out_name):
+        return rows.select(F.col("child").alias(f"__c_{out_name}"),
+                           F.col("parent").alias(out_name))
+
+    def base2(a_rows, b_rows):
+        a = up(a_rows, "p").withColumnRenamed("__c_p", "x")
+        b = (b_rows.select(F.col("child").alias("y"),
+                           F.col("parent").alias("p")))
+        return a.join(b, on="p").select("x", "y")
+
+    def stepf(rows, acc):
+        return (acc.join(up(rows, "x"), on="x")
+                .join(up(rows, "y"), on="y")
+                .select(F.col("__c_x").alias("x"),
+                        F.col("__c_y").alias("y")))
+
+    def delta_step(full, d_rows, acc):
+        # every derivation using ≥1 new edge atom in the recursive body
+        return (acc.join(up(d_rows, "x"), on="x")
+                .join(up(full, "y"), on="y")
+                .select(F.col("__c_x").alias("x"),
+                        F.col("__c_y").alias("y"))
+                .unionByName(
+                    acc.join(up(full, "x"), on="x")
+                    .join(up(d_rows, "y"), on="y")
+                    .select(F.col("__c_x").alias("x"),
+                            F.col("__c_y").alias("y"))))
+
+    op = IncrementalFixpointOp(
+        ZSetFrame.from_df(par.limit(0)),
+        stepf,
+        base=lambda rows: base2(rows, rows),
+        delta_base=lambda full, d: base2(d, full).unionByName(
+            base2(full, d)),
+        delta_step=delta_step)
+
+    out = None
+    for hi, lo in ((120, None), (None, 120)):
+        batch = par
+        if hi is not None:
+            batch = batch.filter(F.col("child") <= hi)
+        if lo is not None:
+            batch = batch.filter(F.col("child") > lo)
+        d = op.step(ZSetFrame.from_df(batch))
+        out = d if out is None else out.plus(d)
+    assert op.last_stats["mode"] == "seminaive", op.last_stats
+    return out.consolidate().rows().select("x", "y")
+
+
 @register("q45_fold_latest_event", oracle="""
 SELECT user_id, ep, event_id, value FROM (
   SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep,

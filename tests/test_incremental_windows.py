@@ -278,3 +278,57 @@ def test_bucketed_closure_prunes_deletion_scan(spark, tmp_path):
                 _edges(spark, big + [(1, 2), (1, 3), (3, 4)])).collect()}
     assert zset_to_dict(acc.consolidate()) == want
     assert {tuple(r) for r in op.current.collect()} == set(want)
+
+
+def test_generic_fixpoint_seminaive_insert(spark):
+    """Generic incremental fixpoint with delta rules: an insert tick runs
+    semi-naive — work ∝ the delta's derivations (step invocations ∝
+    frontier rounds, emitted rows ∝ new pairs), never a full re-fixpoint
+    over the integrated input."""
+    from database_stream_processor_spark.operators.recursive import (
+        IncrementalFixpointOp)
+
+    calls = {"step": 0}
+
+    def compose(left, right):
+        return (left.withColumnRenamed("dst", "__m")
+                .join(right.withColumnRenamed("src", "__m"), on="__m")
+                .select("src", "dst"))
+
+    def stepf(rows, acc):
+        calls["step"] += 1
+        return compose(acc, rows)
+
+    op = IncrementalFixpointOp(
+        ZSetFrame.from_df(_edges(spark, []).limit(0)),
+        stepf,
+        delta_step=lambda full, d, acc: compose(acc, d))
+
+    # tick 1: a 30-edge chain — first tick is the full fixpoint
+    chain = [(i, i + 1) for i in range(30)]
+    acc = op.step(ZSetFrame.from_df(_edges(spark, chain)))
+    assert op.last_stats["mode"] == "recompute"
+    n_out = op.current.count()
+    assert n_out == 30 * 31 // 2
+
+    # tick 2: ONE appended edge — semi-naive: the only new pairs are the
+    # 31 paths ending at the new node, found in one frontier round
+    calls["step"] = 0
+    d = op.step(ZSetFrame.from_df(_edges(spark, [(30, 31)])))
+    acc = acc.plus(d)
+    stats = op.last_stats
+    assert stats["mode"] == "seminaive"
+    assert stats["new_rows"] == 31
+    assert stats["rounds"] <= 2
+    assert calls["step"] <= 2          # vs ~30 rounds for a recompute
+    want = {tuple(r): 1 for r in
+            transitive_closure(_edges(spark, chain + [(30, 31)])).collect()}
+    assert zset_to_dict(acc.consolidate()) == want
+
+    # a deletion tick falls back to recompute-and-diff (documented)
+    d = op.step(ZSetFrame.from_df(_edges(spark, [(30, 31)]), -1))
+    acc = acc.plus(d)
+    assert op.last_stats["mode"] == "recompute"
+    want = {tuple(r): 1 for r in
+            transitive_closure(_edges(spark, chain)).collect()}
+    assert zset_to_dict(acc.consolidate()) == want
