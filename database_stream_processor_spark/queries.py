@@ -2275,6 +2275,101 @@ def q73_sql_engine_layered_having(spark, sf_dir):
                     F.col("n").cast("long").alias("n")))
 
 
+@register("q75_sql_engine_left_join", oracle="""
+WITH big_orders AS (
+    SELECT o_custkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders WHERE o_totalprice > 1000)
+SELECT c.c_custkey, c.c_name, b.price_c
+FROM customer c LEFT JOIN big_orders b ON c.c_custkey = b.o_custkey
+""")
+def q75_sql_engine_left_join(spark, sf_dir):
+    """LEFT JOIN view lowered to touched-key incremental maintenance
+    (join.rs:338-361 outer-join semantics through the SQL front door),
+    layered over a maintained projection view: customers keep their
+    null-padded row until a qualifying order arrives, and get it back
+    when the orders retract — across insert and retract/re-insert
+    ticks."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_custkey BIGINT,
+                               o_totalprice FLOAT64);
+        CREATE TABLE cust_t (c_custkey BIGINT NOT NULL, c_name VARCHAR);
+        CREATE VIEW big_orders as
+            SELECT o_custkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders_t WHERE o_totalprice > 1000;
+        CREATE VIEW cust_orders as
+            SELECT c.c_custkey, c.c_name, b.price_c
+            FROM cust_t c LEFT JOIN big_orders b
+              ON c.c_custkey = b.o_custkey;
+    """)
+    assert eng.view_strategy("big_orders") == "project"
+    assert eng.view_strategy("cust_orders") == "left_join"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("cust_t", load(spark, sf_dir, "customer")
+             .select("c_custkey", "c_name"))
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return eng.view("cust_orders").select("c_custkey", "c_name", "price_c")
+
+
+@register("q76_sql_engine_join_agg_view", oracle="""
+WITH big_orders AS (
+    SELECT o_custkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders WHERE o_totalprice > 1000)
+SELECT c.c_name, CAST(SUM(b.price_c) AS BIGINT) AS total_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+GROUP BY c.c_name
+""")
+def q76_sql_engine_join_agg_view(spark, sf_dir):
+    """join→GROUP BY where the LEFT side is a *maintained view* (demo02
+    layered-feature shape, project.sql:29-57): the upstream projection's
+    per-tick output delta feeds the bilinear join_agg maintainer — O(Δ)
+    end to end, no snapshot-diff anywhere."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_custkey BIGINT,
+                               o_totalprice FLOAT64);
+        CREATE TABLE cust_t (c_custkey BIGINT NOT NULL, c_name VARCHAR);
+        CREATE VIEW big_orders as
+            SELECT o_custkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders_t WHERE o_totalprice > 1000;
+        CREATE VIEW cust_spend as
+            SELECT c.c_name, SUM(b.price_c) AS total_c, COUNT(*) AS n
+            FROM big_orders b JOIN cust_t c ON b.o_custkey = c.c_custkey
+            GROUP BY c.c_name;
+    """)
+    assert eng.view_strategy("big_orders") == "project"
+    assert eng.view_strategy("cust_spend") == "join_agg"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("cust_t", load(spark, sf_dir, "customer")
+             .select("c_custkey", "c_name"))
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return (eng.view("cust_spend")
+            .select("c_name", "total_c", F.col("n").cast("long").alias("n")))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

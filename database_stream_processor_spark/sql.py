@@ -187,6 +187,16 @@ def _source_rows0(eng: "Engine", name: str) -> DataFrame:
     return eng._maintainers[name].state.current.rows().limit(0)
 
 
+def _current_rows(eng: "Engine", name: str) -> DataFrame:
+    """Current (post-update-this-tick) rows of a base table or an
+    upstream maintained view — maintainers step in dependency order, so
+    an upstream view's state is already new when a downstream maintainer
+    reads it."""
+    if name in eng.tables:
+        return eng.tables[name].current.rows()
+    return eng._maintainers[name].state.current.rows()
+
+
 def _split_parts(z: ZSetFrame) -> tuple[DataFrame, DataFrame]:
     """(positive rows expanded, |negative| rows expanded) — lets plain SQL
     evaluate weight-carrying deltas: run the view SQL on each part, emit
@@ -271,7 +281,7 @@ class _JoinMaintainer(_ViewMaintainer):
             return self._empty()
         parts = []
         if da is not None:
-            b_new = eng.tables[self.right].current.rows()
+            b_new = _current_rows(eng, self.right)
             pos, neg = _split_parts(da)
             parts.append(ZSetFrame.from_df(
                 eng.eval_on(self.sql, {self.left: pos,
@@ -289,6 +299,143 @@ class _JoinMaintainer(_ViewMaintainer):
                 eng.eval_on(self.sql, {self.left: a_old,
                                        self.right: neg}), -1))
         delta = ZSetFrame.sum(parts).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+#: SELECT … FROM a LEFT [OUTER] JOIN b ON cond [WHERE p]
+_LEFT_JOIN_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<la>\w+))?\s+LEFT\s+(?:OUTER\s+)?JOIN\s+(?P<rt>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<ra>\w+))?"
+    r"\s+ON\s+(?P<cond>.+?)(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_LEFT_JOIN_BLOCKERS = re.compile(
+    r"\b(GROUP\s+BY|DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING"
+    r"|ORDER\s+BY|LIMIT|RIGHT|FULL|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
+
+_EQ_PAIR = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
+
+
+def _parse_equi_cond(cond: str, lquals: set[str],
+                     rquals: set[str]) -> list[tuple[str, str]] | None:
+    """Parse a pure conjunction of qualified column equalities into
+    (left_col, right_col) pairs; None for anything else (θ-join terms,
+    unqualified refs) — those shapes keep the snapshot-diff fallback."""
+    pairs = []
+    for term in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        m = _EQ_PAIR.match(term.strip())
+        if not m:
+            return None
+        q1, c1, q2, c2 = m.groups()
+        if q1.lower() in lquals and q2.lower() in rquals:
+            pairs.append((c1, c2))
+        elif q2.lower() in lquals and q1.lower() in rquals:
+            pairs.append((c2, c1))
+        else:
+            return None
+    return pairs or None
+
+
+class _UnloweredLeftJoin(Exception):
+    """Raised when a LEFT JOIN view's shape can't be lowered (falls back
+    to snapshot-diff)."""
+
+
+class _LeftJoinMaintainer(_ViewMaintainer):
+    """SELECT … FROM a LEFT [OUTER] JOIN b ON <equi-cond> [WHERE p] —
+    incremental outer join by *touched-key recompute* (the OuterJoinOp
+    idiom, plans/incremental.py; reference join.rs:338-361): per tick,
+    only the join-key groups appearing in either delta are re-evaluated
+    through the original SQL and diffed against the stored output
+    restricted (null-safely) to the same keys, so a null-padded row
+    appears/retracts exactly when its key's match-set flips.
+
+    The internal output state carries the left join keys as hidden
+    ``__k_i`` columns, so the restriction works even when the SELECT list
+    drops the key; the emitted view delta projects them away.  At scale
+    the touched-key semi-joins are broadcast lookups (the touched set is
+    delta-sized) and the stored-state restriction is partition-pruned
+    when the state table is keyed on the hidden columns.
+    """
+
+    kind = "left_join"
+
+    def __init__(self, eng, name, sql, left, right, m):
+        la = (m.group("la") or m.group("lt")).lower()
+        ra = (m.group("ra") or m.group("rt")).lower()
+        pairs = _parse_equi_cond(m.group("cond"), {la}, {ra})
+        if not pairs:
+            raise _UnloweredLeftJoin(m.group("cond"))
+        super().__init__(eng, name, sql)
+        self.left, self.right = left, right
+        self.lkeys = [p[0] for p in pairs]
+        self.rkeys = [p[1] for p in pairs]
+        where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+        la_txt = f" {m.group('la')}" if m.group("la") else ""
+        ra_txt = f" {m.group('ra')}" if m.group("ra") else ""
+        hidden = ", ".join(f"{la}.{c} AS __k_{i}"
+                           for i, c in enumerate(self.lkeys))
+        self._delta_sql = (
+            f"SELECT {m.group('sel')}, {hidden} FROM {left}{la_txt} "
+            f"LEFT JOIN {right}{ra_txt} ON {m.group('cond')}{where}")
+        first = eng.eval_on(self._delta_sql, {
+            left: _source_rows0(eng, left),
+            right: _source_rows0(eng, right)})
+        # schema-only empty (LocalRelation) — limit(0) over the analyzed
+        # SQL plan would carry its attribute ids into every state union
+        empty = eng.spark.createDataFrame([], first.schema)
+        self._out = StateTable(ZSetFrame.from_df(empty),
+                               name=f"view_{name}_keyed")
+
+    @staticmethod
+    def _ns_semi_pos(df: DataFrame, touched: DataFrame,
+                     cols: list[str]) -> DataFrame:
+        """Null-safe semi-join of ``df[cols]`` against touched's
+        positional ``__t_i`` columns (NULL keys form real outer-join
+        groups: a left row with a NULL key still emits a padded row)."""
+        cond = None
+        for i, c in enumerate(cols):
+            e = df[c].eqNullSafe(F.col(f"__t_{i}"))
+            cond = e if cond is None else (cond & e)
+        return df.join(touched, on=cond, how="left_semi")
+
+    def step(self, eng, combined, old):
+        da, db = combined.get(self.left), combined.get(self.right)
+        if da is None and db is None:
+            return self._empty()
+        parts = []
+        if da is not None:
+            parts.append(da.df.select(
+                *[F.col(c).alias(f"__t_{i}")
+                  for i, c in enumerate(self.lkeys)]))
+        if db is not None:
+            parts.append(db.df.select(
+                *[F.col(c).alias(f"__t_{i}")
+                  for i, c in enumerate(self.rkeys)]))
+        touched = parts[0]
+        for p in parts[1:]:
+            touched = touched.unionByName(p)
+        touched = touched.dropDuplicates().localCheckpoint(eager=True)
+
+        a_t = self._ns_semi_pos(_current_rows(eng, self.left), touched,
+                                self.lkeys)
+        b_t = self._ns_semi_pos(_current_rows(eng, self.right), touched,
+                                self.rkeys)
+        # materialize the recomputed slice before any union: Catalyst's
+        # Union constraint rewrite chokes on the raw LEFT JOIN plan as a
+        # union child (attribute-map lookup on the padded side)
+        new_out = ZSetFrame.from_df(
+            eng.eval_on(self._delta_sql,
+                        {self.left: a_t, self.right: b_t})
+            .localCheckpoint(eager=True), 1)
+        hidden = [f"__k_{i}" for i in range(len(self.lkeys))]
+        old_t = ZSetFrame(self._ns_semi_pos(self._out.current.df, touched,
+                                            hidden))
+        keyed_delta = new_out.minus(old_t).consolidate()
+        self._out.update(keyed_delta)
+        delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
         self.apply_delta(delta)
         return delta
 
@@ -452,8 +599,8 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
             f"FROM {left}{la} JOIN {right}{ra} ON {m.group('cond')}"
             f"{where} GROUP BY {m.group('keys')}")
         first = eng.eval_on(self._delta_sql, {
-            left: eng.tables[left].current.rows().limit(0),
-            right: eng.tables[right].current.rows().limit(0)})
+            left: _source_rows0(eng, left),
+            right: _source_rows0(eng, right)})
         self._init_out(eng, name, first)
         _ = self._finalize(self._out.current.df).schema  # validate HAVING
 
@@ -467,7 +614,7 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
             return self._empty()
         contribs: list[tuple[DataFrame, int]] = []
         if da is not None:
-            b_new = eng.tables[self.right].current.rows()
+            b_new = _current_rows(eng, self.right)
             pos, neg = _split_parts(da)
             contribs.append((eng.eval_on(self._delta_sql, {
                 self.left: pos, self.right: b_new}), 1))
@@ -642,10 +789,13 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     """Pick the cheapest maintainer whose shape matches; fall back to
     snapshot-diff for anything unrecognized."""
     flat = " ".join(sql.split())
+    known = lambda t: t in eng.tables or t in eng.views
     if not _BLOCKERS.search(flat) and not _analyzed_has_aggregate(eng, flat):
         m = _JOIN_RE.match(flat)
-        if m and m.group("lt").lower() in eng.tables \
-                and m.group("rt").lower() in eng.tables \
+        # either side may be an upstream *maintained view*: its per-tick
+        # output delta flows through `combined` exactly like a table delta
+        if m and known(m.group("lt").lower()) \
+                and known(m.group("rt").lower()) \
                 and m.group("lt").lower() != m.group("rt").lower():
             return _JoinMaintainer(eng, name, flat, m.group("lt").lower(),
                                    m.group("rt").lower())
@@ -677,8 +827,8 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             # doesn't carry — correctness first: snapshot-diff it
             pass
     m = _JOIN_AGG_RE.match(flat)
-    if (m and m.group("lt").lower() in eng.tables
-            and m.group("rt").lower() in eng.tables
+    if (m and known(m.group("lt").lower())
+            and known(m.group("rt").lower())
             and m.group("lt").lower() != m.group("rt").lower()
             and not _JOIN_AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
@@ -688,6 +838,22 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                 return _JoinAggMaintainer(
                     eng, name, flat, m.group("lt").lower(),
                     m.group("rt").lower(), keys, spec)
+        except Exception:
+            pass
+    m = _LEFT_JOIN_RE.match(flat)
+    if (m and known(m.group("lt").lower())
+            and known(m.group("rt").lower())
+            and m.group("lt").lower() != m.group("rt").lower()
+            and not _LEFT_JOIN_BLOCKERS.search(flat)
+            and not _analyzed_has_aggregate(eng, flat)):
+        try:
+            lj = _LeftJoinMaintainer(eng, name, flat,
+                                     m.group("lt").lower(),
+                                     m.group("rt").lower(), m)
+            if lj is not None:
+                return lj
+        except _UnloweredLeftJoin:
+            pass
         except Exception:
             pass
     return _ViewMaintainer(eng, name, sql)
@@ -810,6 +976,11 @@ class Engine:
         combined: dict[str, ZSetFrame] = {}
         old: dict[str, ZSetFrame] = {n: t.current
                                      for n, t in self.tables.items()}
+        # pre-tick snapshots of maintained views too: a bilinear
+        # maintainer whose LEFT side is an upstream view needs A_old for
+        # the A_old ⋈ ΔB leg (the view's state is updated in-loop)
+        old.update({n: m.state.current
+                    for n, m in self._maintainers.items()})
         for name, deltas in self._pending.items():
             if deltas:
                 combined[name] = ZSetFrame.sum(deltas)

@@ -555,3 +555,78 @@ def test_having_string_literal_survives_rewrite(spark):
     eng.step()
     got = {tuple(r) for r in eng.view("big").collect()}
     assert got == {("a", 3.0, 2)}
+
+
+def test_left_join_view_lowers_incrementally(spark):
+    """Two-table LEFT JOIN views lower onto touched-key recompute
+    (join.rs:338-361 outer-join semantics): null-padded rows appear and
+    retract as the match-set flips, through inserts and retractions, and
+    the maintained snapshot always equals the batch recompute."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cust (ck INTEGER NOT NULL, name VARCHAR);
+        CREATE TABLE ord (ok INTEGER NOT NULL, ck INTEGER, amt FLOAT64);
+        CREATE VIEW enriched as
+            SELECT c.name, o.ok, o.amt
+            FROM cust c LEFT JOIN ord o ON c.ck = o.ck;
+    """)
+    assert eng.view_strategy("enriched") == "left_join"
+    mkc = lambda rows: spark.createDataFrame(rows, "ck int, name string")
+    mko = lambda rows: spark.createDataFrame(rows, "ok int, ck int, amt double")
+    batches = [
+        ("cust", mkc([(1, "ann"), (2, "bob")]), 1),
+        ("ord", mko([(10, 1, 5.0)]), 1),       # ann's pad row retracts
+        ("ord", mko([(11, 2, 7.0), (12, 2, 8.0)]), 1),
+        ("ord", mko([(10, 1, 5.0)]), -1),      # ann's pad row returns
+        ("cust", mkc([(2, "bob")]), -1),       # bob's rows all retract
+    ]
+    for tbl, batch, w in batches:
+        eng.push(tbl, batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("cust").alias("c")
+                .join(eng.view("ord").alias("o"), on=[F.expr("c.ck = o.ck")],
+                      how="left")
+                .select("c.name", "o.ok", "o.amt").collect()}
+        got = {tuple(r) for r in eng.view("enriched").collect()}
+        assert got == want, (tbl, w)
+
+
+def test_join_agg_over_maintained_view(spark):
+    """demo02-layered shape (project.sql:29-57): a projection view
+    feeding a join→GROUP BY view — the downstream lowers to the bilinear
+    join_agg maintainer with the upstream's output delta as its input
+    delta, staying O(Δ) end to end."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE tx (ck INTEGER NOT NULL, amt FLOAT64);
+        CREATE TABLE dem (ck INTEGER NOT NULL, city VARCHAR);
+        CREATE VIEW big_tx as SELECT ck, amt * 2 AS amt2 FROM tx
+            WHERE amt > 0;
+        CREATE VIEW spend as
+            SELECT d.city, SUM(b.amt2) AS total, COUNT(*) AS n
+            FROM big_tx b JOIN dem d ON b.ck = d.ck
+            GROUP BY d.city;
+    """)
+    assert eng.view_strategy("big_tx") == "project"
+    assert eng.view_strategy("spend") == "join_agg"
+    mkt = lambda rows: spark.createDataFrame(rows, "ck int, amt double")
+    mkd = lambda rows: spark.createDataFrame(rows, "ck int, city string")
+    batches = [
+        ("dem", mkd([(1, "lima"), (2, "oslo")]), 1),
+        ("tx", mkt([(1, 3.0), (1, -9.0), (2, 4.0)]), 1),
+        ("tx", mkt([(2, 5.0)]), 1),
+        ("tx", mkt([(1, 3.0)]), -1),    # lima's only tx → group dies
+    ]
+    for tbl, batch, w in batches:
+        eng.push(tbl, batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("tx").filter("amt > 0")
+                .selectExpr("ck", "amt * 2 AS amt2").alias("b")
+                .join(eng.view("dem").alias("d"), on=[F.expr("b.ck = d.ck")])
+                .groupBy("d.city")
+                .agg(F.sum("amt2").alias("total"),
+                     F.count(F.lit(1)).alias("n")).collect()}
+        got = {tuple(r) for r in eng.view("spend").collect()}
+        assert got == want, (tbl, w)
