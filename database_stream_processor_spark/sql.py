@@ -480,6 +480,26 @@ class _GroupMergeMaintainer(_ViewMaintainer):
         self._out = StateTable(ZSetFrame.from_df(first_df.limit(0)),
                                name=f"view_{name}_groups")
 
+    def _maybe_salt(self, eng, delta_sql: str) -> str:
+        """Wrap the per-delta partial aggregate in a two-stage
+        (keys, salt) → (keys) split when the engine declares hot keys
+        (``Engine(agg_salts=N)``) — the SQL-path plumbing of
+        ``LinearAggregateOp(n_salts=...)`` (plans/incremental.py): a key
+        hot enough that map-side partial aggregation still overwhelms
+        one reducer is spread over N sub-groups first, then merged.
+        All partial columns are sums, so the split is exact for
+        integer/decimal aggregates (double sums may differ in low bits —
+        SQL never guaranteed their addition order anyway)."""
+        n = getattr(eng, "agg_salts", None)
+        if not n:
+            return delta_sql
+        out_keys = ", ".join(k.split(".")[-1] for k in self.keys)
+        vals = ", ".join(f"SUM({v}) AS {v}"
+                         for v in [*self.agg_names, self._CNT])
+        inner = f"{delta_sql}, floor(rand() * {n})"
+        return (f"SELECT {out_keys}, {vals} FROM ({inner}) "
+                f"GROUP BY {out_keys}")
+
     def _merge(self, contribs: list[tuple[DataFrame, int]]) -> ZSetFrame:
         """contribs: (per-group partial-agg DataFrame, ±1 sign).  Sums the
         signed contributions per group, folds them into the stored group
@@ -545,9 +565,9 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
         # rows row-wise yields exactly the boundary-crossing deltas
         self._having = _rewrite_having(m.group("having"), spec)
         where = f" WHERE {pred}" if pred else ""
-        self._delta_sql = (
+        self._delta_sql = self._maybe_salt(eng, (
             f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
-            f"FROM {table}{where} GROUP BY {m.group('keys')}")
+            f"FROM {table}{where} GROUP BY {m.group('keys')}"))
         first = eng.eval_on(self._delta_sql, {
             table: _source_rows0(eng, table)})
         self._init_out(eng, name, first)
@@ -594,10 +614,10 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
         where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
         la = f" {m.group('la')}" if m.group("la") else ""
         ra = f" {m.group('ra')}" if m.group("ra") else ""
-        self._delta_sql = (
+        self._delta_sql = self._maybe_salt(eng, (
             f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
             f"FROM {left}{la} JOIN {right}{ra} ON {m.group('cond')}"
-            f"{where} GROUP BY {m.group('keys')}")
+            f"{where} GROUP BY {m.group('keys')}"))
         first = eng.eval_on(self._delta_sql, {
             left: _source_rows0(eng, left),
             right: _source_rows0(eng, right)})
@@ -888,8 +908,13 @@ class Engine:
         eng.view("transactions_with_demographics") # current snapshot
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, agg_salts: int | None = None):
         self.spark = spark
+        #: declared-hot-key salting for the GROUP BY maintainers: when
+        #: set, every linear/join-agg view's per-delta partial aggregate
+        #: runs two-stage — GROUP BY (keys, salt) then GROUP BY keys —
+        #: spreading a skewed key over N reducers (skew.py rationale)
+        self.agg_salts = agg_salts
         self.tables: dict[str, StateTable] = {}
         self.views: dict[str, str] = {}
         self._maintainers: dict[str, _ViewMaintainer] = {}

@@ -630,3 +630,56 @@ def test_join_agg_over_maintained_view(spark):
                      F.count(F.lit(1)).alias("n")).collect()}
         got = {tuple(r) for r in eng.view("spend").collect()}
         assert got == want, (tbl, w)
+
+
+def test_engine_agg_salts_two_stage_identical_output(spark):
+    """Engine(agg_salts=N): the GROUP BY maintainers' per-delta partial
+    aggregate runs two-stage — GROUP BY (keys, salt) then GROUP BY keys —
+    and the maintained output is identical to the unsalted engine through
+    inserts and retractions (exact for integer/decimal sums)."""
+    def build(**kw):
+        eng = Engine(spark, **kw)
+        eng.execute("""
+            CREATE TABLE t (k VARCHAR NOT NULL, v BIGINT);
+            CREATE TABLE d (k VARCHAR NOT NULL, grp VARCHAR);
+            CREATE VIEW per_k as SELECT k, SUM(v) AS s, COUNT(*) AS n
+                FROM t GROUP BY k;
+            CREATE VIEW per_grp as
+                SELECT d.grp, SUM(t.v) AS s, COUNT(*) AS n
+                FROM t JOIN d ON t.k = d.k GROUP BY d.grp;
+        """)
+        assert eng.view_strategy("per_k") == "linear_agg"
+        assert eng.view_strategy("per_grp") == "join_agg"
+        return eng
+
+    salted, plain = build(agg_salts=4), build()
+    # the salted maintainer's delta SQL is the two-stage split
+    m = salted._maintainers["per_k"]
+    assert "floor(rand() * 4)" in m._delta_sql
+    assert m._delta_sql.upper().startswith("SELECT K, SUM(")
+    assert "floor(rand() * 4)" in salted._maintainers["per_grp"]._delta_sql
+    # and the bound physical plan aggregates twice (salted then merged)
+    probe = spark.createDataFrame([("hot", 1)] * 8, "k string, v long")
+    plan = (salted.eval_on(m._delta_sql, {"t": probe})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("HashAggregate") >= 4  # 2 aggregates x partial/final
+
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    hot = [("hot", i % 5) for i in range(60)]
+    batches = [
+        (mk(hot[:40] + [("cold", 7)]), 1),
+        (mk(hot[40:]), 1),
+        (mk(hot[:40]), -1),
+    ]
+    for eng in (salted, plain):
+        eng.push("d", spark.createDataFrame(
+            [("hot", "g1"), ("cold", "g2")], "k string, grp string"))
+        eng.step()
+    for batch, w in batches:
+        for eng in (salted, plain):
+            eng.push("t", batch, weight=w)
+            eng.step()
+        for view in ("per_k", "per_grp"):
+            got = {tuple(r) for r in salted.view(view).collect()}
+            want = {tuple(r) for r in plain.view(view).collect()}
+            assert got == want, view
