@@ -480,6 +480,22 @@ class Circuit:
         self._add([src], run, empty=self._empties[src.node_id])
         return handle
 
+    def step_fn(self, handle: InputHandle, out: OutputHandle | None = None):
+        """Bridge to the streaming layer: a ``(ZSetFrame) -> ZSetFrame``
+        callable for :class:`streaming.driver.StepDriver` — each
+        micro-batch is pushed into ``handle``, the circuit ticks once,
+        and the tick's delta on ``out`` (if given) is returned.  This is
+        the adapters-controller wiring (crates/adapters/src/lib.rs:12-40:
+        transport → input handle → circuit step → output)."""
+        def tick(dz: ZSetFrame) -> ZSetFrame:
+            handle.push(dz)
+            n_before = 0 if out is None else len(out._deltas)
+            self.step()
+            if out is not None and len(out._deltas) > n_before:
+                return out.last_delta
+            return dz  # passthrough when no tapped output delta emerged
+        return tick
+
     # ------------------------------------------------------------- #
     # the clock
     # ------------------------------------------------------------- #

@@ -1830,6 +1830,71 @@ def q58_circuit_revenue(spark, sf_dir):
         F.col("total_revenue").cast("double").alias("total_revenue"))
 
 
+@register("q77_streaming_circuit_revenue", oracle=f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {ORACLE_DSUM.format(x='o.o_totalprice')} AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q77_streaming_circuit_revenue(spark, sf_dir):
+    """The q58 circuit driven by Structured Streaming end to end — the
+    reference's production path (adapters controller, crates/adapters/
+    src/lib.rs:12-40: transport → input handle → circuit → output): a
+    real parquet ``readStream`` file source feeds the fact input through
+    ``foreachBatch`` (streaming/driver.py), one micro-batch per file =
+    one clock tick, and the output handle's integrated state equals the
+    batch SQL."""
+    import os
+    import tempfile
+
+    from database_stream_processor_spark.circuit import Circuit
+    from database_stream_processor_spark.streaming import (
+        StepDriver, foreach_batch_driver)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dim = (customer.join(nation,
+                         customer.c_nationkey == nation.n_nationkey)
+           .select("c_custkey", "n_name"))
+
+    c = Circuit(spark)
+    fact_in = c.add_input_zset("c_custkey long, o_totalprice double")
+    dim_in = c.add_input_zset("c_custkey long, n_name string")
+    joined = c.join(fact_in, dim_in, on=["c_custkey"], broadcast="right")
+    rev = c.aggregate_linear(
+        joined, ["n_name"], n_orders=F.lit(1),
+        total_revenue=F.col("o_totalprice").cast("decimal(25,8)"))
+    out = c.output(rev)
+    dim_in.push(dim)
+
+    # transport: one parquet file per micro-batch (maxFilesPerTrigger=1)
+    base = tempfile.mkdtemp(prefix="dbsp_stream_")
+    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+    for step in range(3):
+        (orders.filter(F.col("o_orderkey") % 3 == step)
+         .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+         .write.parquet(os.path.join(in_dir, f"b{step}.parquet")))
+
+    driver = StepDriver(c.step_fn(fact_in, out))
+    stream = (spark.readStream
+              .schema("c_custkey long, o_totalprice double")
+              .option("recursiveFileLookup", True)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream.writeStream.foreachBatch(foreach_batch_driver(driver))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert driver.ticks >= 1
+
+    final = out.consolidate().df
+    return final.select(
+        "n_name", F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_revenue").cast("double").alias("total_revenue"))
+
+
 @register("q59_corpus_dedup", oracle=f"""
 {_SIG_CTE},
 bands AS ({_BANDS_SQL}),
@@ -2431,7 +2496,7 @@ _WINDOW_ORDER = [
     "q55_upsert_commands",
     "q56_incremental_hot_items",    # nexmark q5 incrementally
     "q57_fold_topk_prices",
-    "q58_circuit_revenue",
+    "q77_streaming_circuit_revenue",  # Circuit + readStream/foreachBatch
     # nexmark representatives (reference's own test set)
     "nx_q04_inc_avg_closing",
     "nx_q07_inc_highest_bid",

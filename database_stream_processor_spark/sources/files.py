@@ -91,6 +91,11 @@ class OutputHandle:
             raise ValueError("no output pushed")
         return ZSetFrame.sum(self._deltas).consolidate()
 
+    @property
+    def last_delta(self) -> ZSetFrame | None:
+        """The most recent per-step delta (None before the first push)."""
+        return self._deltas[-1] if self._deltas else None
+
     def to_rows(self) -> DataFrame:
         """Positive-weight bag expansion of the integrated output."""
         return self.consolidate().rows()
