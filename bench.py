@@ -3,9 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": dir}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count); a
-warm-up query first amortizes JVM/codegen startup so numbers reflect
-steady-state throughput.
+Stability: a tiny-SF warm-up pass first compiles every query's plan and
+fills JVM/codegen/parquet-footer caches, then each query is timed
+$SPARK_GRAFT_BENCH_RUNS times (default 2) and the per-query MINIMUM is
+reported — the min is the least-noise estimator for a fixed workload on
+a shared box (run-to-run swings here are scheduler/GC noise, not code).
+The per-query spread ((max-min)/min) is emitted alongside so
+round-over-round regressions are attributable to code, not variance.
 """
 
 from __future__ import annotations
@@ -49,29 +53,46 @@ HEADLINE = [
     "nx_q09_winning_bids",
 ]
 
+WARMUP_SF = "/root/testdata/sf0.001"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     spark = get_spark(app_name="bench")
 
-    # warm-up: JVM, codegen, parquet footer caches
+    # warm-up: JVM, codegen, parquet footer caches — every headline plan
+    # compiles and executes once at the tiny SF before any timing starts
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-
-    timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        try:
+            REGISTRY[name].fn(spark, WARMUP_SF).count()
+        except Exception as e:  # a warm-up failure must not kill the bench
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for r in range(n_runs):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            took = round(time.time() - t0, 3)
+            runs[name].append(took)
+            print(f"# run{r} {name}: {took}s ({n} rows)", file=sys.stderr)
+
+    timings = {name: min(ts) for name, ts in runs.items()}
+    spread = {name: (round((max(ts) - min(ts)) / min(ts), 3)
+                     if min(ts) > 0 else 0.0)
+              for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "runs": n_runs,
         "sf": sf_dir,
     }))
 

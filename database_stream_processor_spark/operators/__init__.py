@@ -8,6 +8,7 @@ multimodal decode stubs live in functions/multimodal.py).
 
 from database_stream_processor_spark.operators.asof import asof_join
 from database_stream_processor_spark.operators.recursive import (
+    Delta0,
     fixpoint,
     iterate_until,
     transitive_closure,
@@ -22,6 +23,7 @@ from database_stream_processor_spark.operators.windows import (
 )
 
 __all__ = [
+    "Delta0",
     "asof_join",
     "fixpoint",
     "iterate_until",

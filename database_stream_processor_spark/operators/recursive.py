@@ -54,6 +54,49 @@ def _loop_shuffle_partitions(df: DataFrame):
         sess.conf.set("spark.sql.shuffle.partitions", old)
 
 
+class Delta0:
+    """``delta0`` (src/operator/delta0.rs:21): import a parent-scope
+    stream into a child (nested-clock) scope — the imported value appears
+    on the child clock's FIRST tick and is empty on every later tick, so
+    the inner fixpoint sees the outer delta exactly once per outer tick.
+
+    Our fixpoint loops (:func:`fixpoint`,
+    :class:`IncrementalTransitiveClosureOp`) seed implicitly, which is
+    why this stayed cosmetic; ``Delta0`` makes the import point explicit
+    for user-built nested iterations (:func:`iterate_until` bodies that
+    consume an outer delta)::
+
+        d0 = Delta0(outer_delta)
+        acc = seed
+        while ...:
+            acc = step(acc, d0.tick())   # outer delta only on tick 0
+
+    ``reset()`` rearms it for the next outer tick (the child clock
+    restarting, time/mod.rs:20-48).
+    """
+
+    def __init__(self, value: "object"):
+        from database_stream_processor_spark.zset import ZSetFrame
+        self._value = value
+        self._empty = (ZSetFrame(value.df.limit(0))
+                       if isinstance(value, ZSetFrame)
+                       else value.limit(0))
+        self._ticked = False
+
+    def tick(self) -> "object":
+        if self._ticked:
+            return self._empty
+        self._ticked = True
+        return self._value
+
+    def reset(self, value: "object" | None = None) -> None:
+        """Rearm for the next outer tick; optionally swap the imported
+        value (the next outer delta)."""
+        if value is not None:
+            self._value = value
+        self._ticked = False
+
+
 def fixpoint(seed: DataFrame, step: Callable[[DataFrame], DataFrame],
              max_iterations: int = 100) -> DataFrame:
     """Iterate ``acc ∪ distinct(step(acc))`` until fixpoint.

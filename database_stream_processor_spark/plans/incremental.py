@@ -557,6 +557,15 @@ class LinearAggregateOp:
 
     Keys must be non-null (same contract as the reference's indexed Z-sets).
 
+    **Zero-sum groups are absent** — faithful to the reference's Z-set
+    ``aggregate_linear`` (a group whose aggregate vector is all zeros has
+    weight 0 = absent, aggregate/mod.rs:253-273).  This diverges from SQL
+    GROUP BY, where a live group summing to 0 still emits a row: if you
+    need SQL semantics, include a ``COUNT(*)``-style aggregate
+    (``n=F.lit(1)``) so live groups always carry a non-zero column — the
+    SQL engine's lowering does exactly this with its hidden ``__live_cnt``
+    (sql.py ``_GroupMergeMaintainer``).
+
     ``n_salts``: when a single group is hot enough that even map-side
     partial aggregation leaves one overwhelmed reducer (a key holding a
     large fraction of every delta), set ``n_salts`` to spread the delta

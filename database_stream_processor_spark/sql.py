@@ -926,7 +926,14 @@ class Engine:
         """Evaluate ``sql`` with some table names temporarily rebound to
         other DataFrames (e.g. the tick's delta).  ``spark.sql`` analyzes
         eagerly, so the returned plan keeps the rebinding after the temp
-        views are restored to their canonical state."""
+        views are restored to their canonical state.
+
+        Temp views are session-global, so this rebind-restore is safe
+        only single-threaded within one Engine per SparkSession: two
+        Engines sharing a session (or a concurrent query during a step)
+        would race on the bindings.  Give each Engine its own session
+        (``spark.newSession()`` shares the JVM but isolates the temp-view
+        catalog) to run several pipelines concurrently."""
         for t, df in bindings.items():
             df.createOrReplaceTempView(t)
         try:

@@ -332,3 +332,42 @@ def test_generic_fixpoint_seminaive_insert(spark):
     want = {tuple(r): 1 for r in
             transitive_closure(_edges(spark, chain)).collect()}
     assert zset_to_dict(acc.consolidate()) == want
+
+
+def test_delta0_imports_outer_delta_once(spark):
+    """delta0 (src/operator/delta0.rs:21): the parent-scope value enters
+    the child scope on the child clock's first tick only; reset() rearms
+    it for the next outer tick."""
+    from database_stream_processor_spark.operators.recursive import Delta0
+
+    outer = ZSetFrame.from_df(_edges(spark, [(1, 2)]))
+    d0 = Delta0(outer)
+    assert zset_to_dict(d0.tick()) == {(1, 2): 1}
+    assert d0.tick().df.isEmpty()
+    assert d0.tick().df.isEmpty()
+    d0.reset(ZSetFrame.from_df(_edges(spark, [(3, 4)])))
+    assert zset_to_dict(d0.tick()) == {(3, 4): 1}
+    assert d0.tick().df.isEmpty()
+
+    # the explicit form of the implicit loop seed: an iterate_until body
+    # consuming the outer delta exactly once converges to the closure of
+    # seed ∪ delta
+    from database_stream_processor_spark.operators.recursive import (
+        iterate_until, transitive_closure)
+    d0.reset(ZSetFrame.from_df(_edges(spark, [(2, 3)])))
+    seed = _edges(spark, [(1, 2)])
+
+    def step(acc):
+        imported = d0.tick()
+        e = acc.unionByName(imported.rows()).dropDuplicates()
+        more = (e.withColumnRenamed("dst", "__m")
+                .join(e.withColumnRenamed("src", "__m"), on="__m")
+                .select("src", "dst"))
+        return e.unionByName(more).dropDuplicates()
+
+    out = iterate_until(
+        seed, step,
+        condition=lambda acc: acc.count() == 3)
+    want = {tuple(r) for r in
+            transitive_closure(_edges(spark, [(1, 2), (2, 3)])).collect()}
+    assert {tuple(r) for r in out.collect()} == want
