@@ -5,7 +5,7 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Stability: a tiny-SF warm-up pass first compiles every query's plan and
 fills JVM/codegen/parquet-footer caches, then each query is timed
-$SPARK_GRAFT_BENCH_RUNS times (default 2) and the per-query MINIMUM is
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and the per-query MINIMUM is
 reported — the min is the least-noise estimator for a fixed workload on
 a shared box (run-to-run swings here are scheduler/GC noise, not code).
 The per-query spread ((max-min)/min) is emitted alongside so
@@ -58,7 +58,7 @@ WARMUP_SF = "/root/testdata/sf0.001"
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark(app_name="bench")
 
     # warm-up: JVM, codegen, parquet footer caches — every headline plan
