@@ -2435,6 +2435,53 @@ def q76_sql_engine_join_agg_view(spark, sf_dir):
             .select("c_name", "total_c", F.col("n").cast("long").alias("n")))
 
 
+@register("q78_sql_engine_distinct_full_join", oracle="""
+WITH statuses AS (
+  SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+  WHERE o_totalprice > 1000),
+prio AS (SELECT DISTINCT o_orderpriority FROM orders)
+SELECT s.o_orderstatus, p.o_orderpriority
+FROM statuses s FULL OUTER JOIN prio p
+  ON s.o_orderpriority = p.o_orderpriority
+""")
+def q78_sql_engine_distinct_full_join(spark, sf_dir):
+    """DISTINCT views (DistinctOp lowering) feeding a FULL OUTER JOIN
+    view (touched-key recompute) — formerly snapshot-diff-only shapes,
+    now maintained O(Δ) through the SQL front door across insert and
+    retract/re-insert ticks."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_orderstatus VARCHAR,
+                               o_orderpriority VARCHAR,
+                               o_totalprice FLOAT64);
+        CREATE VIEW statuses as
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders_t
+            WHERE o_totalprice > 1000;
+        CREATE VIEW prio as
+            SELECT DISTINCT o_orderpriority FROM orders_t;
+        CREATE VIEW joined as
+            SELECT s.o_orderstatus, p.o_orderpriority
+            FROM statuses s FULL OUTER JOIN prio p
+              ON s.o_orderpriority = p.o_orderpriority;
+    """)
+    assert eng.view_strategy("statuses") == "distinct"
+    assert eng.view_strategy("prio") == "distinct"
+    assert eng.view_strategy("joined") == "full_join"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return eng.view("joined").select("o_orderstatus", "o_orderpriority")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

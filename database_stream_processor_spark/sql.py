@@ -303,17 +303,17 @@ class _JoinMaintainer(_ViewMaintainer):
         return delta
 
 
-#: SELECT … FROM a LEFT [OUTER] JOIN b ON cond [WHERE p]
+#: SELECT … FROM a LEFT|RIGHT|FULL [OUTER] JOIN b ON cond [WHERE p]
 _LEFT_JOIN_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
-    r"(?P<la>\w+))?\s+LEFT\s+(?:OUTER\s+)?JOIN\s+(?P<rt>\w+)"
-    r"(?:\s+(?:AS\s+)?(?P<ra>\w+))?"
+    r"(?P<la>\w+))?\s+(?P<kind>LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\s+"
+    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?P<ra>\w+))?"
     r"\s+ON\s+(?P<cond>.+?)(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _LEFT_JOIN_BLOCKERS = re.compile(
     r"\b(GROUP\s+BY|DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING"
-    r"|ORDER\s+BY|LIMIT|RIGHT|FULL|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
+    r"|ORDER\s+BY|LIMIT|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
 
 _EQ_PAIR = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
 
@@ -343,24 +343,70 @@ class _UnloweredLeftJoin(Exception):
     to snapshot-diff)."""
 
 
-class _LeftJoinMaintainer(_ViewMaintainer):
-    """SELECT … FROM a LEFT [OUTER] JOIN b ON <equi-cond> [WHERE p] —
-    incremental outer join by *touched-key recompute* (the OuterJoinOp
-    idiom, plans/incremental.py; reference join.rs:338-361): per tick,
-    only the join-key groups appearing in either delta are re-evaluated
-    through the original SQL and diffed against the stored output
-    restricted (null-safely) to the same keys, so a null-padded row
-    appears/retracts exactly when its key's match-set flips.
+#: SELECT DISTINCT <exprs> FROM t [WHERE p]
+_DISTINCT_RE = re.compile(
+    r"^SELECT\s+DISTINCT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>\w+))?(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
 
-    The internal output state carries the left join keys as hidden
-    ``__k_i`` columns, so the restriction works even when the SELECT list
-    drops the key; the emitted view delta projects them away.  At scale
-    the touched-key semi-joins are broadcast lookups (the touched set is
+_DISTINCT_BLOCKERS = re.compile(
+    r"\b(GROUP\s+BY|UNION|INTERSECT|EXCEPT|OVER|HAVING|ORDER\s+BY|LIMIT"
+    r"|JOIN|LEFT|RIGHT|FULL|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
+
+
+class _DistinctMaintainer(_ViewMaintainer):
+    """SELECT DISTINCT <exprs> FROM t [WHERE p] — the projection is
+    linear (runs over the delta alone), and the set-semantics layer is
+    :class:`~database_stream_processor_spark.plans.incremental.DistinctOp`
+    (distinct.rs:64): per tick, only rows touched by the projected delta
+    are re-examined against the maintained multiplicity integral, so a
+    row's distinct-presence flips exactly when its total weight crosses
+    zero — no snapshot diffing, cost ∝ Δ."""
+
+    kind = "distinct"
+
+    def __init__(self, eng, name, sql, table, inner_sql):
+        from database_stream_processor_spark.plans.incremental import (
+            DistinctOp)
+        super().__init__(eng, name, sql)
+        self.table = table
+        self._inner_sql = inner_sql
+        probe = eng.eval_on(inner_sql, {table: _source_rows0(eng, table)})
+        empty = eng.spark.createDataFrame([], probe.schema)
+        self._op = DistinctOp(ZSetFrame.from_df(empty))
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        pos, neg = _split_parts(z)
+        projected = ZSetFrame.from_df(
+            eng.eval_on(self._inner_sql, {self.table: pos}), 1)
+        projected = projected.plus(ZSetFrame.from_df(
+            eng.eval_on(self._inner_sql, {self.table: neg}), -1))
+        delta = self._op.step(projected.consolidate())
+        self.apply_delta(delta)
+        return delta
+
+
+class _LeftJoinMaintainer(_ViewMaintainer):
+    """SELECT … FROM a LEFT|RIGHT|FULL [OUTER] JOIN b ON <equi-cond>
+    [WHERE p] — incremental outer join by *touched-key recompute* (the
+    OuterJoinOp idiom, plans/incremental.py; reference join.rs:338-361):
+    per tick, only the join-key groups appearing in either delta are
+    re-evaluated through the original SQL and diffed against the stored
+    output restricted (null-safely) to the same keys, so a null-padded
+    row appears/retracts exactly when its key's match-set flips.
+
+    The internal output state carries the join keys as hidden ``__k_i``
+    columns (``COALESCE(left_key, right_key)`` — the row's key whichever
+    side it survives from, covering right-only and left-only padded
+    rows), so the restriction works even when the SELECT list drops the
+    key; the emitted view delta projects them away.  At scale the
+    touched-key semi-joins are broadcast lookups (the touched set is
     delta-sized) and the stored-state restriction is partition-pruned
     when the state table is keyed on the hidden columns.
     """
-
-    kind = "left_join"
 
     def __init__(self, eng, name, sql, left, right, m):
         la = (m.group("la") or m.group("lt")).lower()
@@ -369,17 +415,20 @@ class _LeftJoinMaintainer(_ViewMaintainer):
         if not pairs:
             raise _UnloweredLeftJoin(m.group("cond"))
         super().__init__(eng, name, sql)
+        join_kw = m.group("kind").upper()
+        self.kind = f"{join_kw.lower()}_join"
         self.left, self.right = left, right
         self.lkeys = [p[0] for p in pairs]
         self.rkeys = [p[1] for p in pairs]
         where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
         la_txt = f" {m.group('la')}" if m.group("la") else ""
         ra_txt = f" {m.group('ra')}" if m.group("ra") else ""
-        hidden = ", ".join(f"{la}.{c} AS __k_{i}"
-                           for i, c in enumerate(self.lkeys))
+        hidden = ", ".join(
+            f"COALESCE({la}.{lc}, {ra}.{rc}) AS __k_{i}"
+            for i, (lc, rc) in enumerate(zip(self.lkeys, self.rkeys)))
         self._delta_sql = (
             f"SELECT {m.group('sel')}, {hidden} FROM {left}{la_txt} "
-            f"LEFT JOIN {right}{ra_txt} ON {m.group('cond')}{where}")
+            f"{join_kw} JOIN {right}{ra_txt} ON {m.group('cond')}{where}")
         first = eng.eval_on(self._delta_sql, {
             left: _source_rows0(eng, left),
             right: _source_rows0(eng, right)})
@@ -828,6 +877,17 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                   or m.group("tbl").lower() in eng.views):
             return _ProjectMaintainer(eng, name, flat,
                                       m.group("tbl").lower())
+    m = _DISTINCT_RE.match(flat)
+    inner = re.sub(r"^\s*SELECT\s+DISTINCT\b", "SELECT", flat, count=1,
+                   flags=re.IGNORECASE)
+    if (m and known(m.group("tbl").lower())
+            and not _DISTINCT_BLOCKERS.search(inner)
+            and not _analyzed_has_aggregate(eng, flat)):
+        try:
+            return _DistinctMaintainer(eng, name, flat,
+                                       m.group("tbl").lower(), inner)
+        except Exception:
+            pass
     m = _AGG_RE.match(flat)
     if (m and (m.group("tbl").lower() in eng.tables
                or m.group("tbl").lower() in eng.views)

@@ -683,3 +683,67 @@ def test_engine_agg_salts_two_stage_identical_output(spark):
             got = {tuple(r) for r in salted.view(view).collect()}
             want = {tuple(r) for r in plain.view(view).collect()}
             assert got == want, view
+
+
+def test_distinct_view_lowers_to_distinct_op(spark):
+    """SELECT DISTINCT views lower onto DistinctOp (distinct.rs:64): a
+    row's presence flips exactly when its total multiplicity crosses
+    zero, through duplicate inserts and partial/total retractions."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, tag VARCHAR);
+        CREATE VIEW tags as SELECT DISTINCT tag, k * 2 AS k2 FROM t
+            WHERE k < 100;
+    """)
+    assert eng.view_strategy("tags") == "distinct"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, tag string")
+    batches = [
+        (mk([(1, "a"), (1, "a"), (2, "b"), (500, "z")]), 1),
+        (mk([(1, "a")]), -1),    # multiplicity 2 → 1: stays present
+        (mk([(1, "a")]), -1),    # 1 → 0: retracts
+        (mk([(2, "b")]), 1),     # 1 → 2: no delta
+    ]
+    for batch, w in batches:
+        eng.push("t", batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("t").filter("k < 100")
+                .selectExpr("tag", "k * 2 AS k2").distinct().collect()}
+        assert {tuple(r) for r in eng.view("tags").collect()} == want
+
+
+def test_full_and_right_outer_join_views_lower(spark):
+    """RIGHT and FULL OUTER JOIN views lower to the same touched-key
+    recompute as LEFT (hidden key = COALESCE of both sides), padding and
+    unpadding either side as its match-set flips."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k INTEGER NOT NULL, av VARCHAR);
+        CREATE TABLE b (k INTEGER NOT NULL, bv VARCHAR);
+        CREATE VIEW fj as SELECT x.av, y.bv
+            FROM a x FULL OUTER JOIN b y ON x.k = y.k;
+        CREATE VIEW rj as SELECT x.av, y.bv
+            FROM a x RIGHT JOIN b y ON x.k = y.k;
+    """)
+    assert eng.view_strategy("fj") == "full_join"
+    assert eng.view_strategy("rj") == "right_join"
+    mka = lambda rows: spark.createDataFrame(rows, "k int, av string")
+    mkb = lambda rows: spark.createDataFrame(rows, "k int, bv string")
+    batches = [
+        ("a", mka([(1, "a1"), (2, "a2")]), 1),
+        ("b", mkb([(2, "b2"), (3, "b3")]), 1),
+        ("a", mka([(3, "a3")]), 1),       # b3's padded row retracts
+        ("b", mkb([(2, "b2")]), -1),      # a2 goes back to padded
+        ("a", mka([(1, "a1")]), -1),
+    ]
+    for tbl, batch, w in batches:
+        eng.push(tbl, batch, weight=w)
+        eng.step()
+        for view, how in (("fj", "full"), ("rj", "right")):
+            want = {tuple(r) for r in
+                    eng.view("a").alias("x")
+                    .join(eng.view("b").alias("y"),
+                          on=[F.expr("x.k = y.k")], how=how)
+                    .select("x.av", "y.bv").collect()}
+            got = {tuple(r) for r in eng.view(view).collect()}
+            assert got == want, (view, tbl, w)
