@@ -145,8 +145,9 @@ def _analyzed_has_aggregate(eng: "Engine", sql: str) -> bool:
     node anywhere (including inside referenced views).  Gates the linear
     project/join maintainers: a GROUP-BY-less aggregate (``SELECT COUNT(*)
     FROM t``) is NOT linear — evaluating it per-delta would emit per-tick
-    counts instead of maintaining the total, so such views must keep the
-    snapshot-diff fallback."""
+    counts instead of maintaining the total.  (Such views themselves now
+    lower via :class:`_GlobalAggMaintainer`; this gate just keeps them
+    out of the per-delta-evaluating maintainers.)"""
     plan = eng.spark.sql(sql)._jdf.queryExecution().analyzed().toString()
     return bool(re.search(r"\bAggregate \[", plan))
 
@@ -338,9 +339,9 @@ def _parse_equi_cond(cond: str, lquals: set[str],
     return pairs or None
 
 
-class _UnloweredLeftJoin(Exception):
-    """Raised when a LEFT JOIN view's shape can't be lowered (falls back
-    to snapshot-diff)."""
+class _UnloweredShape(Exception):
+    """Raised when a recognized statement's fine shape can't be lowered
+    after all (falls back to snapshot-diff)."""
 
 
 #: SELECT DISTINCT <exprs> FROM t [WHERE p]
@@ -352,6 +353,97 @@ _DISTINCT_RE = re.compile(
 _DISTINCT_BLOCKERS = re.compile(
     r"\b(GROUP\s+BY|UNION|INTERSECT|EXCEPT|OVER|HAVING|ORDER\s+BY|LIMIT"
     r"|JOIN|LEFT|RIGHT|FULL|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
+
+
+def _split_union(flat: str) -> tuple[list[str], bool] | None:
+    """Split on top-level ``UNION [ALL]`` (outside parens and string
+    literals).  Returns (branches, is_all), or None when there is no
+    top-level union or the separators mix ALL with distinct (left-assoc
+    mixed semantics — not worth lowering)."""
+    spans, kinds = [], []
+    depth, in_str = 0, False
+    i, n = 0, len(flat)
+    while i < n:
+        ch = flat[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = re.match(r"\bUNION(\s+ALL)?\b", flat[i:], re.IGNORECASE)
+                if m and (i == 0 or not flat[i - 1].isalnum()):
+                    spans.append((i, i + m.end()))
+                    kinds.append(bool(m.group(1)))
+                    i += m.end()
+                    continue
+        i += 1
+    if not spans or len(set(kinds)) != 1:
+        return None
+    branches, prev = [], 0
+    for lo, hi in spans:
+        branches.append(flat[prev:lo].strip())
+        prev = hi
+    branches.append(flat[prev:].strip())
+    return branches, kinds[0]
+
+
+class _UnionMaintainer(_ViewMaintainer):
+    """``SELECT … FROM a UNION [ALL] SELECT … FROM b [UNION …]`` where
+    every branch is a linear projection over a known source — plus() of
+    the per-branch deltas (sum.rs semantics: addition of Z-sets is the
+    UNION ALL of their deltas), optionally fed through
+    :class:`DistinctOp` for set-semantics UNION.  Each branch evaluates
+    over its source's delta only; a tick touching one source runs one
+    branch."""
+
+    def __init__(self, eng, name, sql, branches, is_all):
+        from database_stream_processor_spark.plans.incremental import (
+            DistinctOp)
+        self.kind = "union_all" if is_all else "union"
+        parsed = []
+        for b in branches:
+            m = _PROJECT_RE.match(b)
+            if (not m or _BLOCKERS.search(b)
+                    or _analyzed_has_aggregate(eng, b)):
+                raise _UnloweredShape(b)
+            tbl = m.group("tbl").lower()
+            if tbl not in eng.tables and tbl not in eng.views:
+                raise _UnloweredShape(tbl)
+            parsed.append((b, tbl))
+        super().__init__(eng, name, sql)
+        self.branches = parsed
+        probes = [eng.eval_on(b, {t: _source_rows0(eng, t)})
+                  for b, t in parsed]
+        #: positional rename to the first branch's names (SQL union rule)
+        self._names = probes[0].columns
+        u = probes[0]
+        for p in probes[1:]:  # eager type-compat validation
+            u = u.unionByName(p.toDF(*self._names))
+        _ = u.schema
+        self._op = None if is_all else DistinctOp(
+            ZSetFrame.from_df(eng.spark.createDataFrame([], u.schema)))
+
+    def step(self, eng, combined, old):
+        parts = []
+        for branch_sql, tbl in self.branches:
+            z = combined.get(tbl)
+            if z is None:
+                continue
+            pos, neg = _split_parts(z)
+            parts.append(ZSetFrame.from_df(
+                eng.eval_on(branch_sql, {tbl: pos}).toDF(*self._names), 1))
+            parts.append(ZSetFrame.from_df(
+                eng.eval_on(branch_sql, {tbl: neg}).toDF(*self._names), -1))
+        if not parts:
+            return self._empty()
+        delta = ZSetFrame.sum(parts).consolidate()
+        if self._op is not None:
+            delta = self._op.step(delta)
+        self.apply_delta(delta)
+        return delta
 
 
 class _DistinctMaintainer(_ViewMaintainer):
@@ -413,7 +505,7 @@ class _LeftJoinMaintainer(_ViewMaintainer):
         ra = (m.group("ra") or m.group("rt")).lower()
         pairs = _parse_equi_cond(m.group("cond"), {la}, {ra})
         if not pairs:
-            raise _UnloweredLeftJoin(m.group("cond"))
+            raise _UnloweredShape(m.group("cond"))
         super().__init__(eng, name, sql)
         join_kw = m.group("kind").upper()
         self.kind = f"{join_kw.lower()}_join"
@@ -699,6 +791,104 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
         return self._merge(contribs)
 
 
+#: SELECT <only aggregate items> FROM t [WHERE p] — no GROUP BY
+_GLOBAL_AGG_BLOCKERS = re.compile(
+    r"\b(GROUP\s+BY|DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING"
+    r"|ORDER\s+BY|LIMIT|JOIN|LEFT|RIGHT|FULL|CROSS)\b|\(\s*SELECT",
+    re.IGNORECASE)
+
+_GLOBAL_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+class _GlobalAggMaintainer(_ViewMaintainer):
+    """``SELECT SUM/COUNT/AVG(...) FROM t [WHERE p]`` (no GROUP BY) —
+    the single global group, maintained as running (sum, non-null count)
+    partials merged with each tick's per-delta partial aggregate.  SQL's
+    empty-group semantics are preserved exactly: the view always holds
+    ONE row once the table has been touched, with COUNT = 0 and
+    SUM/AVG = NULL when everything retracts — the case the keyed Z-set
+    maintainers express as group absence (which is why the generic
+    lowering used to refuse this shape and snapshot-diff it)."""
+
+    kind = "global_agg"
+
+    def __init__(self, eng, name, sql, table):
+        m = _GLOBAL_AGG_RE.match(sql)
+        # every select item must be SUM(e)/COUNT(*)/AVG(e) AS name
+        partials, self._out_spec = [], []
+        for it in (i.strip() for i in _split_top_level(m.group("sel"))):
+            im = _AGG_ITEM.match(it)
+            if not im or im.group("key"):
+                raise _UnloweredShape(it)  # shape gate; fallback
+            if im.group("sname"):
+                nm, e = im.group("sname"), im.group("sum")
+                partials += [f"SUM({e}) AS __s_{nm}",
+                             f"COUNT({e}) AS __c_{nm}"]
+                self._out_spec.append(("sum", nm))
+            elif im.group("cname"):
+                nm = im.group("cname")
+                partials.append(f"COUNT(*) AS __n_{nm}")
+                self._out_spec.append(("cnt", nm))
+            else:
+                nm, e = im.group("aname"), im.group("avg")
+                partials += [f"SUM({e}) AS __s_{nm}",
+                             f"COUNT({e}) AS __c_{nm}"]
+                self._out_spec.append(("avg", nm))
+        super().__init__(eng, name, sql)
+        self.table = table
+        where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+        self._delta_sql = (f"SELECT {', '.join(partials)} "
+                           f"FROM {table}{where}")
+        zero = eng.eval_on(self._delta_sql,
+                           {table: _source_rows0(eng, table)})
+        self._pcols = zero.columns
+        # running partials: exactly one row, all sums coalesced to 0
+        self._partials = self._zeroed(zero).localCheckpoint(eager=True)
+        self._emitted = False
+        _ = self._finalize_row(self._partials).schema  # eager validation
+
+    def _zeroed(self, df: DataFrame) -> DataFrame:
+        return df.select(*[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                           for c in self._pcols])
+
+    def _finalize_row(self, partials: DataFrame) -> DataFrame:
+        cols = []
+        for kind, nm in self._out_spec:
+            if kind == "cnt":
+                cols.append(F.col(f"__n_{nm}").alias(nm))
+            else:
+                c, s = F.col(f"__c_{nm}"), F.col(f"__s_{nm}")
+                v = s / c if kind == "avg" else s
+                cols.append(F.when(c != 0, v).alias(nm))
+        return partials.select(*cols)
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        pos, neg = _split_parts(z)
+        p = self._zeroed(eng.eval_on(self._delta_sql, {self.table: pos}))
+        n = self._zeroed(eng.eval_on(self._delta_sql, {self.table: neg}))
+        u = (self._partials
+             .unionByName(p)
+             .unionByName(n.select(*[(-F.col(c)).alias(c)
+                                     for c in self._pcols])))
+        new_partials = (u.agg(*[F.sum(c).alias(c) for c in self._pcols])
+                        .localCheckpoint(eager=True))
+        delta = ZSetFrame.from_df(self._finalize_row(new_partials), 1)
+        if self._emitted:
+            delta = delta.plus(ZSetFrame.from_df(
+                self._finalize_row(self._partials), -1))
+        self._partials = new_partials
+        self._emitted = True
+        delta = delta.consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
 class _NonLinearAggMaintainer(_ViewMaintainer):
     """SELECT keys, MIN/MAX/AVG (+ SUM/COUNT) aggregates FROM t [WHERE p]
     GROUP BY keys — non-linear aggregates can't be maintained by delta
@@ -877,6 +1067,12 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                   or m.group("tbl").lower() in eng.views):
             return _ProjectMaintainer(eng, name, flat,
                                       m.group("tbl").lower())
+    u = _split_union(flat)
+    if u is not None:
+        try:
+            return _UnionMaintainer(eng, name, flat, u[0], u[1])
+        except Exception:
+            pass
     m = _DISTINCT_RE.match(flat)
     inner = re.sub(r"^\s*SELECT\s+DISTINCT\b", "SELECT", flat, count=1,
                    flags=re.IGNORECASE)
@@ -886,6 +1082,15 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         try:
             return _DistinctMaintainer(eng, name, flat,
                                        m.group("tbl").lower(), inner)
+        except Exception:
+            pass
+    m = _GLOBAL_AGG_RE.match(flat)
+    if (m and known(m.group("tbl").lower())
+            and not _GLOBAL_AGG_BLOCKERS.search(flat)
+            and _analyzed_has_aggregate(eng, flat)):
+        try:
+            return _GlobalAggMaintainer(eng, name, flat,
+                                        m.group("tbl").lower())
         except Exception:
             pass
     m = _AGG_RE.match(flat)
@@ -932,7 +1137,7 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                                      m.group("rt").lower(), m)
             if lj is not None:
                 return lj
-        except _UnloweredLeftJoin:
+        except _UnloweredShape:
             pass
         except Exception:
             pass

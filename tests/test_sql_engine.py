@@ -235,18 +235,19 @@ def test_reference_demo_scripts_execute_verbatim(spark, path):
         assert eng.view(v).count() == 0  # analyzable & runnable while empty
 
 
-def test_groupbyless_aggregate_keeps_snapshot_diff(spark):
-    """Regression: SELECT COUNT(*)/SUM(x) FROM t (no GROUP BY) is NOT
-    linear — it must fall back to snapshot-diff, not be evaluated per
-    delta (which would emit per-tick counts instead of the total)."""
+def test_groupbyless_aggregate_never_evaluates_per_delta(spark):
+    """SELECT COUNT(*)/SUM(x) FROM t (no GROUP BY) is NOT linear — it
+    must never be evaluated per delta (which would emit per-tick counts
+    instead of the total).  It lowers to the global running-partials
+    maintainer, whose output matches the full recompute."""
     eng = Engine(spark)
     eng.execute("""
         CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
         CREATE VIEW total as SELECT COUNT(*) AS c FROM t;
         CREATE VIEW tsum as SELECT SUM(v) AS s FROM t;
     """)
-    assert eng.view_strategy("total") == "differentiate"
-    assert eng.view_strategy("tsum") == "differentiate"
+    assert eng.view_strategy("total") == "global_agg"
+    assert eng.view_strategy("tsum") == "global_agg"
     mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
     eng.push("t", mk([(1, 1.0), (2, 2.0)]))
     eng.step()
@@ -747,3 +748,68 @@ def test_full_and_right_outer_join_views_lower(spark):
                     .select("x.av", "y.bv").collect()}
             got = {tuple(r) for r in eng.view(view).collect()}
             assert got == want, (view, tbl, w)
+
+
+def test_global_aggregate_lowers(spark):
+    """SELECT COUNT(*)/SUM/AVG FROM t (no GROUP BY) lowers to running
+    partials with SQL's empty-group semantics: exactly one row once
+    touched, COUNT = 0 and SUM/AVG = NULL after everything retracts."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
+        CREATE VIEW totals as SELECT COUNT(*) AS n, SUM(v) AS s,
+            AVG(v) AS mean FROM t WHERE k < 100;
+    """)
+    assert eng.view_strategy("totals") == "global_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")
+    batches = [
+        (mk([(1, 2.0), (2, 4.0), (500, 99.0)]), 1),
+        (mk([(3, None)]), 1),          # NULL v: counts for n, not s/mean
+        (mk([(1, 2.0), (2, 4.0)]), -1),
+        (mk([(3, None)]), -1),         # table (under pred) now empty
+    ]
+    for batch, w in batches:
+        eng.push("t", batch, weight=w)
+        eng.step()
+        want = {tuple(r) for r in
+                eng.view("t").filter("k < 100")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                     F.avg("v").alias("mean")).collect()}
+        assert {tuple(r) for r in eng.view("totals").collect()} == want
+    # final state: the empty-group row, present with n=0, s/mean NULL
+    assert {tuple(r) for r in eng.view("totals").collect()} == \
+        {(0, None, None)}
+
+
+def test_union_views_lower(spark):
+    """UNION ALL = plus() of per-branch deltas; UNION adds DistinctOp.
+    A tick touching one source runs only that branch."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k INTEGER NOT NULL, v VARCHAR);
+        CREATE TABLE b (k INTEGER NOT NULL, v VARCHAR);
+        CREATE VIEW ua as SELECT k, v FROM a WHERE k > 0
+            UNION ALL SELECT k * 10 AS k, v FROM b;
+        CREATE VIEW ud as SELECT k, v FROM a UNION SELECT k, v FROM b;
+    """)
+    assert eng.view_strategy("ua") == "union_all"
+    assert eng.view_strategy("ud") == "union"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v string")
+    batches = [
+        ("a", mk([(1, "x"), (2, "y")]), 1),
+        ("b", mk([(1, "x"), (3, "z")]), 1),   # ud dedupes (1, x)
+        ("a", mk([(1, "x")]), -1),            # ud keeps it via b's copy
+        ("b", mk([(1, "x")]), -1),            # now it's gone
+    ]
+    for tbl, batch, w in batches:
+        eng.push(tbl, batch, weight=w)
+        eng.step()
+        va, vb = eng.view("a"), eng.view("b")
+        want_ua = (va.filter("k > 0").select("k", "v")
+                   .unionAll(vb.selectExpr("k * 10 AS k", "v")))
+        assert sorted(tuple(r) for r in eng.view("ua").collect()) == \
+            sorted(tuple(r) for r in want_ua.collect())
+        want_ud = {tuple(r) for r in
+                   va.select("k", "v").union(vb.select("k", "v"))
+                   .distinct().collect()}
+        assert {tuple(r) for r in eng.view("ud").collect()} == want_ud
