@@ -2482,6 +2482,107 @@ def q78_sql_engine_distinct_full_join(spark, sf_dir):
     return eng.view("joined").select("o_orderstatus", "o_orderpriority")
 
 
+@register("q79_sql_engine_exists_filter", oracle="""
+SELECT 'has' AS tag, c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+UNION ALL
+SELECT 'none' AS tag, c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q79_sql_engine_exists_filter(spark, sf_dir):
+    """Correlated [NOT] EXISTS filter views lowered to touched-key
+    semi/anti-join maintenance through the SQL front door (the reference
+    compiles these shapes onto join_index/antijoin, join.rs:338 +
+    semijoin path; SURVEY §2.4): only correlation-key groups present in
+    a tick's delta are re-evaluated, across insert and
+    retract/re-insert ticks."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_custkey BIGINT,
+                               o_totalprice FLOAT64);
+        CREATE TABLE cust_t (c_custkey BIGINT NOT NULL, c_name VARCHAR);
+        CREATE VIEW has_big as
+            SELECT c.c_custkey, c.c_name FROM cust_t c
+            WHERE EXISTS (SELECT 1 FROM orders_t o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 150000);
+        CREATE VIEW has_none as
+            SELECT c.c_custkey, c.c_name FROM cust_t c
+            WHERE NOT EXISTS (SELECT 1 FROM orders_t o
+                              WHERE o.o_custkey = c.c_custkey);
+    """)
+    assert eng.view_strategy("has_big") == "exists"
+    assert eng.view_strategy("has_none") == "not_exists"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("cust_t", load(spark, sf_dir, "customer")
+             .select("c_custkey", "c_name"))
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return (eng.view("has_big").select(F.lit("has").alias("tag"),
+                                       "c_custkey", "c_name")
+            .unionByName(eng.view("has_none")
+                         .select(F.lit("none").alias("tag"),
+                                 "c_custkey", "c_name")))
+
+
+@register("q80_sql_engine_topk_view", oracle="""
+SELECT o_orderpriority, o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) x
+WHERE rn <= 3
+""")
+def q80_sql_engine_topk_view(spark, sf_dir):
+    """Per-group top-k view (ROW_NUMBER … <= k, the nexmark q18/q19
+    idiom; reference topk operator, SURVEY §2.6) lowered to
+    touched-partition recompute through the SQL front door: a tick
+    re-ranks only the priorities whose orders changed, and Spark
+    executes each re-rank as WindowGroupLimit — across insert and
+    retract/re-insert ticks."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_orderpriority VARCHAR,
+                               o_totalprice FLOAT64);
+        CREATE VIEW top3 as
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders_t) x
+            WHERE rn <= 3;
+    """)
+    assert eng.view_strategy("top3") == "group_topk"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return eng.view("top3").select("o_orderpriority", "o_orderkey",
+                                   "price_c")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Mapping
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
@@ -533,14 +534,7 @@ class _LeftJoinMaintainer(_ViewMaintainer):
     @staticmethod
     def _ns_semi_pos(df: DataFrame, touched: DataFrame,
                      cols: list[str]) -> DataFrame:
-        """Null-safe semi-join of ``df[cols]`` against touched's
-        positional ``__t_i`` columns (NULL keys form real outer-join
-        groups: a left row with a NULL key still emits a padded row)."""
-        cond = None
-        for i, c in enumerate(cols):
-            e = df[c].eqNullSafe(F.col(f"__t_{i}"))
-            cond = e if cond is None else (cond & e)
-        return df.join(touched, on=cond, how="left_semi")
+        return _ns_semi_pos(df, touched, cols)
 
     def step(self, eng, combined, old):
         da, db = combined.get(self.left), combined.get(self.right)
@@ -575,6 +569,414 @@ class _LeftJoinMaintainer(_ViewMaintainer):
         old_t = ZSetFrame(self._ns_semi_pos(self._out.current.df, touched,
                                             hidden))
         keyed_delta = new_out.minus(old_t).consolidate()
+        self._out.update(keyed_delta)
+        delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+@_contextmanager
+def _no_constraint_propagation(spark: SparkSession):
+    """Scoped workaround for a Spark 4 optimizer crash: ``localCheckpoint``
+    over a plan that went through ``DeduplicateRelations`` captures origin
+    constraints carrying remapped attribute ids; when that LogicalRDD is
+    later unioned with the state, constraint propagation dies with
+    ``key not found: <attr>``.  With propagation off, the checkpoint
+    captures no constraints and the resulting LogicalRDD is permanently
+    clean — the loss (inferred IsNotNull/transitive filters) only affects
+    the delta-sized maintenance plans inside the guard."""
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _ns_semi_pos(df: DataFrame, touched: DataFrame,
+                 cols: list[str]) -> DataFrame:
+    """Null-safe semi-join of ``df[cols]`` against touched's positional
+    ``__t_i`` columns (NULL keys form real groups: an outer-join row or
+    GROUP BY group with a NULL key must still be maintained)."""
+    cond = None
+    for i, c in enumerate(cols):
+        e = df[c].eqNullSafe(F.col(f"__t_{i}"))
+        cond = e if cond is None else (cond & e)
+    return df.join(touched, on=cond, how="left_semi")
+
+
+def _split_top_and(s: str) -> list[str]:
+    """Split a predicate on top-level ``AND`` (outside parens and string
+    literals) — subquery bodies and function args stay intact."""
+    out, buf = [], []
+    depth, in_str, i, n = 0, False, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (depth == 0 and s[i:i + 3].upper() == "AND"
+                  and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                  and (i + 3 >= n or not (s[i + 3].isalnum()
+                                          or s[i + 3] == "_"))):
+                out.append("".join(buf))
+                buf = []
+                i += 3
+                continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return [t.strip() for t in out if t.strip()]
+
+
+#: one top-level-AND term of the form ``[NOT] EXISTS (SELECT …)``
+_EXISTS_TERM = re.compile(r"^(?P<neg>NOT\s+)?EXISTS\s*\((?P<inner>.+)\)\s*$",
+                          re.IGNORECASE | re.DOTALL)
+#: one top-level-AND term of the form ``col IN (SELECT …)``
+_IN_TERM = re.compile(r"^(?P<col>[\w.]+)\s+IN\s*\(\s*(?P<inner>SELECT\b.+)\)\s*$",
+                      re.IGNORECASE | re.DOTALL)
+#: outer query around a subquery filter
+_SUBQ_OUTER_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<ot>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<oa>\w+))?\s+WHERE\s+(?P<body>.+)$", re.IGNORECASE | re.DOTALL)
+#: EXISTS subquery body (correlated WHERE required)
+_SUBQ_INNER_RE = re.compile(
+    r"^SELECT\s+.+?\s+FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?(?P<ia>\w+))?"
+    r"\s+WHERE\s+(?P<icond>.+)$", re.IGNORECASE | re.DOTALL)
+#: IN subquery body (single select item; WHERE optional, inner-only)
+_IN_INNER_RE = re.compile(
+    r"^SELECT\s+(?P<icol>[\w.]+)\s+FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<ia>\w+))?(?:\s+WHERE\s+(?P<ipred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_SUBQ_BLOCKERS = re.compile(
+    r"\b(GROUP\s+BY|DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING"
+    r"|ORDER\s+BY|LIMIT|JOIN|LEFT|RIGHT|FULL|OUTER|CROSS)\b",
+    re.IGNORECASE)
+
+
+def _refs_only(term: str, allowed_quals: set[str],
+               allowed_cols: set[str]) -> bool:
+    """True iff every identifier in ``term`` is either ``q.col`` with
+    ``q`` in *allowed_quals*, a bare column in *allowed_cols*, or a
+    non-column token (literal/function/keyword — anything followed by
+    ``(`` or not matching a known column)."""
+    no_str = re.sub(r"'[^']*'", "''", term)
+    for m in re.finditer(r"(\w+)\s*\.\s*(\w+)|\b([A-Za-z_]\w*)\b(\s*\()?",
+                         no_str):
+        if m.group(1):
+            if m.group(1).lower() not in allowed_quals:
+                return False
+        elif m.group(4):
+            continue  # function call
+        else:
+            tok = m.group(3)
+            if (tok.lower() in allowed_cols
+                    or tok.upper() in {"AND", "OR", "NOT", "NULL", "TRUE",
+                                       "FALSE", "IS", "IN", "LIKE", "BETWEEN",
+                                       "CASE", "WHEN", "THEN", "ELSE", "END"}
+                    or tok.isdigit()):
+                continue
+            return False
+    return True
+
+
+def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
+    """Recognize ``SELECT … FROM outer WHERE [pre AND] [NOT] EXISTS
+    (SELECT … FROM inner WHERE corr [AND ipred]) [AND post]`` and the
+    ``col IN (SELECT col FROM inner [WHERE ipred])`` equivalent; return
+    the pieces for :class:`_SubqueryFilterMaintainer`, or None."""
+    m = _SUBQ_OUTER_RE.match(flat)
+    if not m:
+        return None
+    ot = m.group("ot").lower()
+    if not (ot in eng.tables or ot in eng.views):
+        return None
+    oa = (m.group("oa") or m.group("ot")).lower()
+    try:
+        ocols = {f.name.lower()
+                 for f in _source_rows0(eng, ot).schema.fields}
+    except Exception:
+        return None
+    terms = _split_top_and(m.group("body"))
+    subq, outer_pred, kind = None, [], None
+    for t in terms:
+        em = _EXISTS_TERM.match(t)
+        im = _IN_TERM.match(t)
+        if em or im:
+            if subq is not None:
+                return None  # exactly one subquery term
+            subq, kind = (em, "exists") if em else (im, "in")
+        else:
+            if "(" in t and re.search(r"\(\s*SELECT", t, re.IGNORECASE):
+                return None
+            if not _refs_only(t, {oa}, ocols):
+                return None
+            outer_pred.append(t)
+    if subq is None:
+        return None
+    inner_sql = subq.group("inner").strip()
+    if _SUBQ_BLOCKERS.search(inner_sql) or \
+            re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE):
+        return None
+    okeys, ikeys = [], []
+    if kind == "exists":
+        negated = bool(subq.group("neg"))
+        sm = _SUBQ_INNER_RE.match(inner_sql)
+        if not sm:
+            return None
+        it = sm.group("it").lower()
+        ia = (sm.group("ia") or sm.group("it")).lower()
+        if not (it in eng.tables or it in eng.views) or it == ot:
+            return None
+        try:
+            icols = {f.name.lower()
+                     for f in _source_rows0(eng, it).schema.fields}
+        except Exception:
+            return None
+        for term in _split_top_and(sm.group("icond")):
+            pm = _EQ_PAIR.match(term)
+            if pm:
+                q1, c1, q2, c2 = pm.groups()
+                q1, q2 = q1.lower(), q2.lower()
+                if q1 == ia and q2 == oa:
+                    ikeys.append(c1)
+                    okeys.append(c2)
+                    continue
+                if q1 == oa and q2 == ia:
+                    okeys.append(c1)
+                    ikeys.append(c2)
+                    continue
+            # a non-correlation term must be inner-only
+            if not _refs_only(term, {ia}, icols):
+                return None
+    else:
+        negated = False  # NOT IN has three-valued NULL semantics; fallback
+        sm = _IN_INNER_RE.match(inner_sql)
+        if not sm:
+            return None
+        it = sm.group("it").lower()
+        ia = (sm.group("ia") or sm.group("it")).lower()
+        if not (it in eng.tables or it in eng.views) or it == ot:
+            return None
+        try:
+            icols = {f.name.lower()
+                     for f in _source_rows0(eng, it).schema.fields}
+        except Exception:
+            return None
+        ocol = subq.group("col")
+        oc = ocol.split(".")[-1]
+        if "." in ocol and ocol.split(".")[0].lower() != oa:
+            return None
+        if oc.lower() not in ocols:
+            return None
+        icol = sm.group("icol")
+        ic = icol.split(".")[-1]
+        if "." in icol and icol.split(".")[0].lower() != ia:
+            return None
+        if ic.lower() not in icols:
+            return None
+        if sm.group("ipred") and not _refs_only(sm.group("ipred"), {ia},
+                                                icols):
+            return None
+        okeys, ikeys = [oc], [ic]
+    if not okeys:
+        return None  # uncorrelated subquery flips globally; keep fallback
+    from_clause = m.group("ot") + (f" {m.group('oa')}" if m.group("oa")
+                                   else "")
+    return {"outer": ot, "oa": oa, "inner": it, "okeys": okeys,
+            "ikeys": ikeys, "sel": m.group("sel"),
+            "from_clause": from_clause,
+            "body": m.group("body"), "negated": negated, "kind": kind}
+
+
+class _SubqueryFilterMaintainer(_ViewMaintainer):
+    """``SELECT … FROM a WHERE [NOT] EXISTS (SELECT … FROM b WHERE
+    b.k = a.j [AND ipred]) [AND opred]`` (and the ``IN (SELECT …)``
+    form) — incremental semi/anti-join maintenance by touched-key
+    recompute (the reference lowers these to ``join_index``/``antijoin``,
+    semijoin.rs / join.rs:338; SURVEY §2.4).
+
+    Per tick, the correlation-key groups appearing in either delta are
+    re-evaluated through the original SQL with both tables restricted
+    (null-safely) to those keys, and diffed against the stored output
+    restricted the same way.  Restricting the *inner* side is exact: an
+    outer row with key k only probes inner rows with key k, and k is in
+    the touched set whenever either side of that group changed.  Hidden
+    ``__k_i`` columns carry the outer correlation keys through the state
+    so the restriction works even when the SELECT list drops them.  At
+    scale both restrictions are broadcast semi-joins (the touched set is
+    delta-sized) and re-evaluation cost ∝ rows in touched groups."""
+
+    def __init__(self, eng, name, sql, spec):
+        super().__init__(eng, name, sql)
+        self.kind = ("not_exists" if spec["negated"]
+                     else spec["kind"])  # 'exists' | 'not_exists' | 'in'
+        self.outer, self.inner = spec["outer"], spec["inner"]
+        self.okeys = spec["okeys"]  # bare outer column names
+        self.ikeys = spec["ikeys"]  # bare inner column names
+        oa = spec["oa"]
+        hidden = ", ".join(f"{oa}.{k} AS __k_{i}"
+                           for i, k in enumerate(self.okeys))
+        self._delta_sql = (
+            f"SELECT {spec['sel']}, {hidden} FROM {spec['from_clause']} "
+            f"WHERE {spec['body']}")
+        first = eng.eval_on(self._delta_sql, {
+            self.outer: _source_rows0(eng, self.outer),
+            self.inner: _source_rows0(eng, self.inner)})
+        empty = eng.spark.createDataFrame([], first.schema)
+        self._out = StateTable(ZSetFrame.from_df(empty),
+                               name=f"view_{name}_keyed")
+
+    def step(self, eng, combined, old):
+        da, db = combined.get(self.outer), combined.get(self.inner)
+        if da is None and db is None:
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, da, db)
+
+    def _step_guarded(self, eng, da, db):
+        parts = []
+        if da is not None:
+            parts.append(da.df.select(
+                *[F.col(c).alias(f"__t_{i}")
+                  for i, c in enumerate(self.okeys)]))
+        if db is not None:
+            parts.append(db.df.select(
+                *[F.col(c).alias(f"__t_{i}")
+                  for i, c in enumerate(self.ikeys)]))
+        touched = parts[0]
+        for p in parts[1:]:
+            touched = touched.unionByName(p)
+        touched = touched.dropDuplicates().localCheckpoint(eager=True)
+
+        # materialize the restricted slices (delta-sized) before rebinding:
+        # Catalyst's subquery decorrelation chokes on semi-join lineage as
+        # a subquery child (attribute-map lookup), and the checkpoint also
+        # keeps re-evaluation from re-running the restriction twice
+        o_t = _ns_semi_pos(_current_rows(eng, self.outer), touched,
+                           self.okeys).localCheckpoint(eager=True)
+        i_t = _ns_semi_pos(_current_rows(eng, self.inner), touched,
+                           self.ikeys).localCheckpoint(eager=True)
+        new_out = ZSetFrame.from_df(
+            eng.eval_on(self._delta_sql,
+                        {self.outer: o_t, self.inner: i_t})
+            .localCheckpoint(eager=True), 1)
+        hidden = [f"__k_{i}" for i in range(len(self.okeys))]
+        old_t = ZSetFrame(_ns_semi_pos(self._out.current.df, touched,
+                                       hidden))
+        # checkpoint the (delta-sized) keyed diff before it joins the
+        # state union: the un-cut plan embeds the state twice (once as a
+        # union branch, once under the semi-join) and Catalyst's attribute
+        # dedup trips over the self-reference during optimization
+        keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
+                                .df.localCheckpoint(eager=True))
+        self._out.update(keyed_delta)
+        delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+#: SELECT … FROM (SELECT …, ROW_NUMBER() OVER (PARTITION BY … ORDER BY …)
+#: AS rn FROM t [WHERE p]) [x] WHERE rn <= k  — the nexmark q18/q19 idiom
+_TOPK_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+\(\s*SELECT\s+(?P<isel>.+?),\s*"
+    r"(?P<fn>ROW_NUMBER|RANK|DENSE_RANK)\s*\(\s*\)\s+OVER\s*\("
+    r"\s*PARTITION\s+BY\s+(?P<pks>.+?)\s+ORDER\s+BY\s+(?P<ord>.+?)\s*\)"
+    r"\s+AS\s+(?P<rn>\w+)\s+FROM\s+(?P<tbl>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<ia>\w+))?(?:\s+WHERE\s+(?P<ipred>.+?))?\s*\)\s*"
+    r"(?:(?:AS\s+)?(?P<sa>\w+)\s+)?WHERE\s+(?P<cond>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_TOPK_COND = re.compile(r"^(?:(?P<q>\w+)\.)?(?P<rn>\w+)\s*(?:<=|<|=)\s*\d+$")
+
+
+class _GroupTopKMaintainer(_ViewMaintainer):
+    """Per-group top-k view (``ROW_NUMBER()/RANK() OVER (PARTITION BY g
+    ORDER BY s) <= k``) — the reference's ``topk`` operator surfaced
+    through SQL (nexmark q18/q19; SURVEY §2.6 WindowGroupLimit).
+
+    Rank is a per-partition property, so maintenance is touched-group
+    recompute: only partitions whose rows changed this tick re-rank, the
+    rest of the state is untouched.  The inner select carries the
+    partition keys as hidden ``__k_i`` columns into the stored output so
+    the diff restriction works when the outer SELECT drops them.  Cost
+    per tick ∝ rows in touched partitions; at scale the touched
+    restriction is a broadcast semi-join and Spark executes the re-rank
+    as WindowGroupLimit (top-k pushdown, no full sort)."""
+
+    kind = "group_topk"
+
+    def __init__(self, eng, name, sql, m):
+        cond = " ".join(m.group("cond").split())
+        cm = _TOPK_COND.match(cond)
+        if not cm or cm.group("rn").lower() != m.group("rn").lower():
+            raise _UnloweredShape(cond)
+        tbl = m.group("tbl").lower()
+        ia = (m.group("ia") or m.group("tbl")).lower()
+        pks = [k.strip() for k in _split_top_level(m.group("pks"))]
+        keys = []
+        for k in pks:
+            kk = k.split(".")[-1]
+            if not re.match(r"^\w+$", kk) or \
+                    ("." in k and k.split(".")[0].lower() != ia):
+                raise _UnloweredShape(k)
+            keys.append(kk)
+        icols = {f.name.lower() for f in _source_rows0(eng, tbl).schema.fields}
+        if any(k.lower() not in icols for k in keys):
+            raise _UnloweredShape(m.group("pks"))
+        super().__init__(eng, name, sql)
+        self.table = tbl
+        self.keys = keys
+        hidden_in = ", ".join(f"{k} AS __k_{i}" for i, k in enumerate(pks))
+        hidden_out = ", ".join(f"__k_{i}" for i in range(len(keys)))
+        ia_txt = f" {m.group('ia')}" if m.group("ia") else ""
+        ipred = f" WHERE {m.group('ipred')}" if m.group("ipred") else ""
+        sa_txt = f" {m.group('sa')}" if m.group("sa") else ""
+        outer_sel = m.group("sel").strip()
+        outer_sel = (outer_sel if outer_sel == "*"
+                     else f"{outer_sel}, {hidden_out}")
+        self._delta_sql = (
+            f"SELECT {outer_sel} FROM (SELECT {m.group('isel')}, "
+            f"{hidden_in}, {m.group('fn')}() OVER (PARTITION BY "
+            f"{m.group('pks')} ORDER BY {m.group('ord')}) AS "
+            f"{m.group('rn')} FROM {tbl}{ia_txt}{ipred}){sa_txt} "
+            f"WHERE {cond}")
+        first = eng.eval_on(self._delta_sql,
+                            {tbl: _source_rows0(eng, tbl)})
+        empty = eng.spark.createDataFrame([], first.schema)
+        self._out = StateTable(ZSetFrame.from_df(empty),
+                               name=f"view_{name}_keyed")
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, z)
+
+    def _step_guarded(self, eng, z):
+        touched = z.df.select(
+            *[F.col(c).alias(f"__t_{i}")
+              for i, c in enumerate(self.keys)]) \
+            .dropDuplicates().localCheckpoint(eager=True)
+        t_rows = _ns_semi_pos(_current_rows(eng, self.table), touched,
+                              self.keys).localCheckpoint(eager=True)
+        new_out = ZSetFrame.from_df(
+            eng.eval_on(self._delta_sql, {self.table: t_rows})
+            .localCheckpoint(eager=True), 1)
+        hidden = [f"__k_{i}" for i in range(len(self.keys))]
+        old_t = ZSetFrame(_ns_semi_pos(self._out.current.df, touched,
+                                       hidden))
+        # checkpoint the (delta-sized) keyed diff before the state union —
+        # see _SubqueryFilterMaintainer.step for the self-reference rationale
+        keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
+                                .df.localCheckpoint(eager=True))
         self._out.update(keyed_delta)
         delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
         self.apply_delta(delta)
@@ -1125,6 +1527,22 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                     m.group("rt").lower(), keys, spec)
         except Exception:
             pass
+    m = _TOPK_RE.match(flat)
+    if m and known(m.group("tbl").lower()):
+        try:
+            return _GroupTopKMaintainer(eng, name, flat, m)
+        except _UnloweredShape:
+            pass
+        except Exception:
+            pass
+    if re.search(r"\(\s*SELECT", flat, re.IGNORECASE) \
+            and not _analyzed_has_aggregate(eng, flat):
+        spec = _match_subquery_filter(eng, flat)
+        if spec is not None:
+            try:
+                return _SubqueryFilterMaintainer(eng, name, flat, spec)
+            except Exception:
+                pass
     m = _LEFT_JOIN_RE.match(flat)
     if (m and known(m.group("lt").lower())
             and known(m.group("rt").lower())

@@ -813,3 +813,136 @@ def test_union_views_lower(spark):
                    va.select("k", "v").union(vb.select("k", "v"))
                    .distinct().collect()}
         assert {tuple(r) for r in eng.view("ud").collect()} == want_ud
+
+
+def test_subquery_filter_views_lower(spark):
+    """[NOT] EXISTS / IN (SELECT …) filters lower onto touched-key
+    semi/anti maintenance (the reference compiles these to join_index/
+    antijoin, join.rs:338 + semijoin path): across inserts, retractions,
+    and NULL correlation keys the maintained snapshot always equals the
+    batch recompute."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cust (ck INTEGER NOT NULL, name VARCHAR, nat INTEGER);
+        CREATE TABLE ord (ok INTEGER NOT NULL, ck INTEGER, amt FLOAT64);
+        CREATE VIEW with_ord as
+            SELECT c.ck, c.name FROM cust c
+            WHERE EXISTS (SELECT 1 FROM ord o
+                          WHERE o.ck = c.ck AND o.amt > 5) AND c.nat < 9;
+        CREATE VIEW no_ord as
+            SELECT c.name FROM cust c
+            WHERE NOT EXISTS (SELECT 1 FROM ord o WHERE o.ck = c.ck);
+        CREATE VIEW in_ord as
+            SELECT c.name FROM cust c
+            WHERE ck IN (SELECT ck FROM ord WHERE amt > 5);
+    """)
+    assert eng.view_strategy("with_ord") == "exists"
+    assert eng.view_strategy("no_ord") == "not_exists"
+    assert eng.view_strategy("in_ord") == "in"
+    mkc = lambda rows: spark.createDataFrame(rows, "ck int, name string, nat int")
+    mko = lambda rows: spark.createDataFrame(rows, "ok int, ck int, amt double")
+    batches = [
+        ("cust", mkc([(1, "ann", 1), (2, "bob", 2), (None, "nil", 3)]), 1),
+        ("ord", mko([(10, 1, 9.0), (11, 2, 1.0)]), 1),   # ann in, bob out
+        ("ord", mko([(12, 2, 7.0), (13, None, 8.0)]), 1),  # bob joins
+        ("ord", mko([(10, 1, 9.0)]), -1),                # ann drops out
+        ("cust", mkc([(2, "bob", 2)]), -1),              # bob retracts
+    ]
+    checks = {
+        "with_ord": """SELECT c.ck, c.name FROM cust c
+            WHERE EXISTS (SELECT 1 FROM ord o
+                          WHERE o.ck = c.ck AND o.amt > 5) AND c.nat < 9""",
+        "no_ord": """SELECT c.name FROM cust c
+            WHERE NOT EXISTS (SELECT 1 FROM ord o WHERE o.ck = c.ck)""",
+        "in_ord": """SELECT c.name FROM cust c
+            WHERE ck IN (SELECT ck FROM ord WHERE amt > 5)""",
+    }
+    for tbl, batch, w in batches:
+        eng.push(tbl, batch, weight=w)
+        eng.step()
+        for view, sql in checks.items():
+            want = sorted(tuple(r) for r in spark.sql(sql).collect())
+            got = sorted(tuple(r) for r in eng.view(view).collect())
+            assert got == want, (view, tbl, w)
+
+
+def test_not_in_subquery_keeps_fallback(spark):
+    """NOT IN has three-valued NULL semantics (one NULL in the subquery
+    empties the result) that touched-key restriction cannot preserve —
+    the shape must stay on snapshot-diff."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cust (ck INTEGER NOT NULL, name VARCHAR);
+        CREATE TABLE ord (ok INTEGER NOT NULL, ck INTEGER);
+        CREATE VIEW not_in_ord as
+            SELECT c.name FROM cust c
+            WHERE ck NOT IN (SELECT ck FROM ord);
+    """)
+    assert eng.view_strategy("not_in_ord") == "differentiate"
+    eng.push("cust", spark.createDataFrame([(1, "ann")], "ck int, name string"))
+    eng.push("ord", spark.createDataFrame([(10, None)], "ok int, ck int"))
+    eng.step()
+    assert eng.view("not_in_ord").count() == 0  # NULL in subquery: empty
+
+
+def test_group_topk_view_lowers(spark):
+    """ROW_NUMBER() OVER (PARTITION BY … ORDER BY …) <= k views lower
+    onto touched-partition recompute (the reference's topk operator,
+    nexmark q18/q19): only partitions whose rows changed re-rank, and
+    the snapshot equals batch recompute across inserts/retractions and
+    a NULL partition key."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ord (ok INTEGER NOT NULL, prio VARCHAR, amt FLOAT64);
+        CREATE VIEW top2 as
+            SELECT ok, prio, amt FROM (
+                SELECT ok, prio, amt,
+                       ROW_NUMBER() OVER (PARTITION BY prio
+                                          ORDER BY amt DESC, ok) AS rn
+                FROM ord) x WHERE rn <= 2;
+    """)
+    assert eng.view_strategy("top2") == "group_topk"
+    mk = lambda rows: spark.createDataFrame(rows, "ok int, prio string, amt double")
+    batches = [
+        (mk([(1, "A", 5.0), (2, "A", 9.0), (3, "B", 1.0)]), 1),
+        (mk([(4, "A", 7.0), (5, None, 2.0)]), 1),   # A re-ranks; NULL group
+        (mk([(2, "A", 9.0)]), -1),                  # A's top retracts
+        (mk([(6, None, 3.0), (7, "B", 0.5)]), 1),
+    ]
+    batch_sql = """SELECT ok, prio, amt FROM (
+        SELECT ok, prio, amt,
+               ROW_NUMBER() OVER (PARTITION BY prio
+                                  ORDER BY amt DESC, ok) AS rn
+        FROM ord) x WHERE rn <= 2"""
+    for batch, w in batches:
+        eng.push("ord", batch, weight=w)
+        eng.step()
+        want = sorted(tuple(r) for r in spark.sql(batch_sql).collect())
+        got = sorted(tuple(r) for r in eng.view("top2").collect())
+        assert got == want, (w,)
+
+
+def test_group_topk_over_rank_and_fallback_shapes(spark):
+    """RANK() lowers too; a non-rank outer predicate or a top-level
+    ORDER BY keeps the snapshot-diff fallback."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ord (ok INTEGER NOT NULL, prio VARCHAR, amt FLOAT64);
+        CREATE VIEW r1 as
+            SELECT ok FROM (
+                SELECT ok, RANK() OVER (PARTITION BY prio
+                                        ORDER BY amt DESC) AS rk
+                FROM ord) x WHERE rk = 1;
+        CREATE VIEW not_topk as
+            SELECT ok FROM (
+                SELECT ok, amt, ROW_NUMBER() OVER (PARTITION BY prio
+                                              ORDER BY amt DESC) AS rn
+                FROM ord) x WHERE amt > 3;
+    """)
+    assert eng.view_strategy("r1") == "group_topk"
+    assert eng.view_strategy("not_topk") == "differentiate"
+    mk = lambda rows: spark.createDataFrame(rows, "ok int, prio string, amt double")
+    eng.push("ord", mk([(1, "A", 5.0), (2, "A", 5.0), (3, "B", 1.0)]))
+    eng.step()
+    # RANK ties: both rank-1 rows of A survive
+    assert {r.ok for r in eng.view("r1").collect()} == {1, 2, 3}
