@@ -213,3 +213,81 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                 (F.col("__sza") + F.col("__szb") - F.col("__shared")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         nodes: DataFrame | None = None,
+                         id_col: str = "id",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster
+    step of near-dup corpus dedup (LSH pairs → duplicate clusters →
+    one canonical doc per cluster).  Output: (``id_col``, component)
+    with component = the smallest node id in the component; every node
+    of ``nodes`` (if given) appears, singletons labeled by themselves.
+
+    The reference computes components with its recursive operator basis
+    (recursive.rs:255, transitive-closure family); materializing full
+    reachability is quadratic in component size, so here each round
+    alternates the two O(|E|)-shaped steps of the classic MapReduce CC
+    algorithm instead:
+
+    - *propagate*: every node takes the min label over itself and its
+      neighbors (one equi-join on the symmetrized edges + one combinable
+      min-groupBy — both shuffle on node id);
+    - *pointer-jump*: every node replaces its label with its label's
+      label (one self-join of the label table), halving label-chain
+      depth so convergence is ~O(log diameter) rounds, not O(diameter).
+
+    Labels only ever decrease, so the sum of labels is a strictly
+    decreasing convergence measure — the loop exits on the first round
+    with an unchanged sum (one cheap global agg per round; no
+    row-by-row diffing).  Each round's label table is delta-small state
+    checkpointed to cut lineage, the per-round driver work is two
+    scalars, and every join key is the node id — at 100 TB the rounds
+    are plain co-partitioned shuffles with no all-pairs stage."""
+    sym = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    sym = (sym.union(sym.select(F.col("__b").alias("__a"),
+                                F.col("__a").alias("__b")))
+           .dropDuplicates().localCheckpoint(eager=True))
+    verts = sym.select(F.col("__a").alias(id_col))
+    if nodes is not None:
+        verts = verts.union(nodes.select(F.col(nodes.columns[0])
+                                         .alias(id_col)))
+    labels = (verts.dropDuplicates()
+              .select(id_col, F.col(id_col).alias("component"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym["__a"] == labels[id_col])
+               .select(F.col("__b").alias(id_col), "component"))
+        new = (labels.unionByName(nbr)
+               .groupBy(id_col).agg(F.min("component").alias("component")))
+        l2 = new.select(F.col(id_col).alias("__cid"),
+                        F.col("component").alias("__cc"))
+        new = (new.join(l2, new["component"] == l2["__cid"], "left")
+               .select(F.col(id_col),
+                       F.coalesce(F.col("__cc"), F.col("component"))
+                       .alias("component"))
+               .localCheckpoint(eager=True))
+        cur_sum = new.agg(F.sum("component")).collect()[0][0]
+        labels = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 16, bands: int = 4,
+                   shingle_n: int = 3) -> DataFrame:
+    """Near-dup cluster assignment for a document corpus: MinHash →
+    LSH banding → connected components over the candidate-pair graph.
+    Output: (``id_col``, component); docs sharing a component are
+    near-dup candidates of each other (transitively), and
+    ``component`` doubles as the canonical (lowest) doc id to keep."""
+    sig = minhash_signatures(df, id_col, text_col, k=k,
+                             shingle_n=shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, k=k, bands=bands)
+    return connected_components(cand, "id_a", "id_b",
+                                nodes=df.select(id_col), id_col=id_col)

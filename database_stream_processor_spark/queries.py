@@ -2583,6 +2583,41 @@ def q80_sql_engine_topk_view(spark, sf_dir):
                                    "price_c")
 
 
+@register("q81_dedup_cluster_assignment", oracle=f"""
+{_SIG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+bands AS ({_BANDS_SQL}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+""")
+def q81_dedup_cluster_assignment(spark, sf_dir):
+    """Near-dup cluster assignment — MinHash → LSH banding →
+    connected components over the candidate-pair graph (the reference's
+    recursive operator domain, recursive.rs:255, applied to the
+    training-data dedup pipeline): every doc labeled with the smallest
+    doc id in its near-dup component, singletons labeling themselves.
+    The component step is min-label propagation + pointer jumping —
+    O(|E|) equi-joins per round, ~log(diameter) rounds, no reachability
+    materialization (which the recursive oracle does do; that's exactly
+    the quadratic blowup the Spark path avoids at scale)."""
+    from database_stream_processor_spark.functions.dedup import (
+        dedup_clusters)
+    d = load(spark, sf_dir, "documents")
+    return (dedup_clusters(d, "doc_id", "text", k=_MINHASH_K, bands=4,
+                           shingle_n=3)
+            .select("doc_id", "component"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -61,3 +61,29 @@ def test_salted_aggregate_matches_plain(spark):
                                F.sum("v").alias("s"),
                                F.count(F.lit(1)).alias("n")).collect()}
     assert salted == plain
+
+
+def test_connected_components_chains_rings_singletons(spark):
+    """Min-label propagation + pointer jumping finds exact components
+    on shapes that stress it: a long chain (deep label chains — the
+    pointer-jump payoff), a ring, a star, and isolated nodes supplied
+    only via ``nodes``."""
+    from database_stream_processor_spark.functions.dedup import (
+        connected_components)
+    chain = [(i, i + 1) for i in range(10, 25)]          # comp -> 10
+    ring = [(30, 31), (31, 32), (32, 33), (33, 30)]      # comp -> 30
+    star = [(40, j) for j in range(41, 46)]              # comp -> 40
+    edges = spark.createDataFrame(chain + ring + star,
+                                  "id_a int, id_b int")
+    nodes = spark.createDataFrame([(n,) for n in range(10, 50)] +
+                                  [(99,)], "id int")
+    got = {(r.id, r.component)
+           for r in connected_components(edges, "id_a", "id_b",
+                                         nodes=nodes, id_col="id")
+           .collect()}
+    want = {(n, 10) for n in range(10, 26)}
+    want |= {(n, 30) for n in range(30, 34)}
+    want |= {(n, 40) for n in range(40, 46)}
+    want |= {(n, n) for n in list(range(26, 30)) +
+             list(range(34, 40)) + list(range(46, 50)) + [99]}
+    assert got == want
