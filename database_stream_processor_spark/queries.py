@@ -2618,6 +2618,55 @@ def q81_dedup_cluster_assignment(spark, sf_dir):
             .select("doc_id", "component"))
 
 
+@register("q82_sql_engine_multijoin", oracle="""
+SELECT o.o_orderkey, c.c_name, n.n_name,
+       CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_totalprice > 100000
+""")
+def q82_sql_engine_multijoin(spark, sf_dir):
+    """Three-table JOIN chain view (the TPC-H enrichment star:
+    orders⋈customer⋈nation) lowered onto the multilinear delta rule
+    through the SQL front door (join.rs:226-264 applied pairwise): each
+    tick evaluates one leg per changed table with a delta-sized side
+    for Catalyst to broadcast — across insert and retract/re-insert
+    ticks of the fact table."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_custkey BIGINT,
+                               o_totalprice FLOAT64);
+        CREATE TABLE cust_t (c_custkey BIGINT NOT NULL,
+                             c_nationkey BIGINT, c_name VARCHAR);
+        CREATE TABLE nat_t (n_nationkey BIGINT NOT NULL, n_name VARCHAR);
+        CREATE VIEW enriched as
+            SELECT o.o_orderkey, c.c_name, n.n_name,
+                   CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders_t o JOIN cust_t c ON o.o_custkey = c.c_custkey
+                            JOIN nat_t n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_totalprice > 100000;
+    """)
+    assert eng.view_strategy("enriched") == "multi_join"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("cust_t", load(spark, sf_dir, "customer")
+             .select("c_custkey", "c_nationkey", "c_name"))
+    eng.push("nat_t", load(spark, sf_dir, "nation")
+             .select("n_nationkey", "n_name"))
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return eng.view("enriched").select("o_orderkey", "c_name", "n_name",
+                                       "price_c")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -305,6 +305,86 @@ class _JoinMaintainer(_ViewMaintainer):
         return delta
 
 
+_TBL_ALIAS_RE = re.compile(r"^(\w+)(?:\s+(?:AS\s+)?(\w+))?$", re.IGNORECASE)
+
+
+def _parse_join_chain(flat: str) -> tuple[str, list[str]] | None:
+    """Parse ``SELECT … FROM t1 [a1] JOIN t2 [a2] ON c2 JOIN t3 [a3] ON
+    c3 … [WHERE p]`` → (select list, [table names]); None if the FROM
+    clause isn't a pure INNER-JOIN chain of ≥3 distinct named tables."""
+    m = re.match(r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<rest>.+)$", flat,
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    rest = m.group("rest")
+    pred_m = re.search(r"\s+WHERE\s+", rest, re.IGNORECASE)
+    if pred_m:
+        rest = rest[:pred_m.start()]
+    segs = re.split(r"\bJOIN\b", rest, flags=re.IGNORECASE)
+    # len(segs) = 1 + number of JOINs; ≥3 tables ⇒ ≥2 JOINs ⇒ ≥3 segments
+    if len(segs) < 3:
+        return None
+    tables = []
+    tm = _TBL_ALIAS_RE.match(segs[0].strip())
+    if not tm:
+        return None
+    tables.append(tm.group(1).lower())
+    for seg in segs[1:]:
+        parts = re.split(r"\bON\b", seg, maxsplit=1, flags=re.IGNORECASE)
+        if len(parts) != 2:
+            return None
+        tm = _TBL_ALIAS_RE.match(parts[0].strip())
+        if not tm:
+            return None
+        tables.append(tm.group(1).lower())
+    if len(tables) < 3 or len(set(tables)) != len(tables):
+        return None
+    return m.group("sel"), tables
+
+
+class _MultiJoinMaintainer(_ViewMaintainer):
+    """SELECT … FROM t1 JOIN t2 ON … JOIN t3 ON … [WHERE p] — the N-way
+    multilinear delta rule (join.rs:226-264 applied pairwise over the
+    chain): Δout = Σ_i  T1_old ⋈ … ⋈ ΔT_i ⋈ … ⋈ TN_new.  Each leg
+    evaluates the original SQL with table i rebound to its delta, tables
+    before it to their pre-tick snapshots, and tables after it to their
+    post-tick snapshots — the standard telescoping expansion whose legs
+    sum exactly to new−old.  Only tables with a delta contribute a leg,
+    and each leg's plan has a delta-sized side for Catalyst to broadcast;
+    a TPC-H-style star view (orders⋈customer⋈nation) costs per tick
+    ∝ Δ⋈dims, never a full re-join."""
+
+    kind = "multi_join"
+
+    def __init__(self, eng, name, sql, tables):
+        super().__init__(eng, name, sql)
+        self.tables = tables
+
+    def step(self, eng, combined, old):
+        deltas = {t: combined.get(t) for t in self.tables}
+        if all(z is None for z in deltas.values()):
+            return self._empty()
+        parts = []
+        for i, t in enumerate(self.tables):
+            z = deltas[t]
+            if z is None:
+                continue
+            bind = {}
+            for j, u in enumerate(self.tables):
+                if j < i:
+                    bind[u] = old[u].rows()
+                elif j > i:
+                    bind[u] = _current_rows(eng, u)
+            pos, neg = _split_parts(z)
+            parts.append(ZSetFrame.from_df(
+                eng.eval_on(self.sql, {**bind, t: pos}), 1))
+            parts.append(ZSetFrame.from_df(
+                eng.eval_on(self.sql, {**bind, t: neg}), -1))
+        delta = ZSetFrame.sum(parts).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
 #: SELECT … FROM a LEFT|RIGHT|FULL [OUTER] JOIN b ON cond [WHERE p]
 _LEFT_JOIN_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
@@ -1455,7 +1535,21 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         m = _JOIN_RE.match(flat)
         # either side may be an upstream *maintained view*: its per-tick
         # output delta flows through `combined` exactly like a table delta
-        if m and known(m.group("lt").lower()) \
+        # ≥3-table chains FIRST: the two-table regex would greedily
+        # swallow the extra JOINs into its ON-condition group and build a
+        # maintainer blind to the third table's deltas (silent wrong
+        # results, not just a missed lowering)
+        chain = _parse_join_chain(flat)
+        if chain is not None and all(known(t) for t in chain[1]):
+            try:
+                return _MultiJoinMaintainer(eng, name, flat, chain[1])
+            except Exception:
+                pass
+        # the 2-table path additionally requires exactly one JOIN keyword:
+        # a chain that failed to parse (e.g. repeated table names) must
+        # fall through to snapshot-diff, not lower to a blind 2-table plan
+        if m and len(re.findall(r"\bJOIN\b", flat, re.IGNORECASE)) == 1 \
+                and known(m.group("lt").lower()) \
                 and known(m.group("rt").lower()) \
                 and m.group("lt").lower() != m.group("rt").lower():
             return _JoinMaintainer(eng, name, flat, m.group("lt").lower(),

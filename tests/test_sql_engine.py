@@ -946,3 +946,49 @@ def test_group_topk_over_rank_and_fallback_shapes(spark):
     eng.step()
     # RANK ties: both rank-1 rows of A survive
     assert {r.ok for r in eng.view("r1").collect()} == {1, 2, 3}
+
+
+def test_multiway_join_view_lowers(spark):
+    """≥3-table INNER JOIN chains lower onto the multilinear delta rule
+    (join.rs:226-264 applied pairwise): each tick evaluates one leg per
+    changed table (old tables before it, new after it), and the
+    maintained snapshot equals batch recompute across inserts and
+    retractions of every table.  A chain with a repeated table name must
+    NOT lower to a blind 2-table join plan."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE nat (nk INTEGER NOT NULL, nname VARCHAR);
+        CREATE TABLE cust (ck INTEGER NOT NULL, nk INTEGER, cname VARCHAR);
+        CREATE TABLE ord (ok INTEGER NOT NULL, ck INTEGER, amt FLOAT64);
+        CREATE VIEW enr as
+            SELECT o.ok, c.cname, n.nname, o.amt
+            FROM ord o JOIN cust c ON o.ck = c.ck
+                       JOIN nat n ON c.nk = n.nk
+            WHERE o.amt > 1;
+        CREATE VIEW selfish as
+            SELECT a.ck FROM cust a JOIN cust b ON a.ck = b.nk
+                        JOIN ord o ON o.ck = a.ck;
+    """)
+    assert eng.view_strategy("enr") == "multi_join"
+    assert eng.view_strategy("selfish") == "differentiate"
+    mkn = lambda r: spark.createDataFrame(r, "nk int, nname string")
+    mkc = lambda r: spark.createDataFrame(r, "ck int, nk int, cname string")
+    mko = lambda r: spark.createDataFrame(r, "ok int, ck int, amt double")
+    batches = [
+        ("nat", mkn([(0, "n0"), (1, "n1")]), 1),
+        ("cust", mkc([(1, 0, "ann"), (2, 1, "bob"), (3, 2, "cyd")]), 1),
+        ("ord", mko([(10, 1, 5.0), (11, 2, 0.5), (12, 3, 7.0)]), 1),
+        ("nat", mkn([(2, "n2")]), 1),       # cyd's order appears
+        ("ord", mko([(10, 1, 5.0)]), -1),   # ann's order retracts
+        ("cust", mkc([(2, 1, "bob")]), -1),
+    ]
+    for tbl, b, w in batches:
+        eng.push(tbl, b, weight=w)
+        eng.step()
+        want = sorted(tuple(r) for r in spark.sql(
+            """SELECT o.ok, c.cname, n.nname, o.amt
+               FROM ord o JOIN cust c ON o.ck = c.ck
+                          JOIN nat n ON c.nk = n.nk
+               WHERE o.amt > 1""").collect())
+        got = sorted(tuple(r) for r in eng.view("enr").collect())
+        assert got == want, (tbl, w)
