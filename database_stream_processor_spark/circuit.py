@@ -186,6 +186,9 @@ class Circuit:
         #: parents instead of requiring DDL strings at every call site
         self._empties: list[ZSetFrame | None] = []
         self._inputs: list[InputHandle] = []
+        #: node_id → () -> integrated-output ZSetFrame (or None before the
+        #: first tick) for stateful nodes; see _add(snapshot=…)
+        self._snapshots: dict[int, Callable[[], ZSetFrame | None]] = {}
         self.ticks = 0
 
     # ------------------------------------------------------------- #
@@ -263,10 +266,17 @@ class Circuit:
     # ------------------------------------------------------------- #
 
     def _add(self, parents: Sequence[Stream], run,
-             empty: ZSetFrame | None = None) -> Stream:
+             empty: ZSetFrame | None = None,
+             snapshot: Callable[[], ZSetFrame | None] | None = None) -> Stream:
         nid = len(self._nodes)
         self._nodes.append(_Node([p.node_id for p in parents], run))
         self._empties.append(empty)
+        # stateful nodes register a snapshot of their maintained output —
+        # an OutputHandle on such a node reads the trace directly instead
+        # of re-merging every per-tick delta (output.rs:130-219 reads the
+        # integrated batch, not the delta log)
+        if snapshot is not None:
+            self._snapshots[nid] = snapshot
         return Stream(self, nid)
 
     def apply(self, src: Stream, f: Callable[[ZSetFrame], ZSetFrame]) -> Stream:
@@ -360,7 +370,8 @@ class Circuit:
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run, empty=out_empty)
+        return self._add([src], run, empty=out_empty,
+                         snapshot=lambda: op.current_output)
 
     def rolling_aggregate_linear(self, src: Stream, partition_by: str,
                                  ts_col: str, before: int, after: int,
@@ -380,7 +391,8 @@ class Circuit:
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run, empty=op.out.current)
+        return self._add([src], run, empty=op.out.current,
+                         snapshot=lambda: op.current_output)
 
     def aggregate_linear(self, src: Stream, keys: Sequence[str],
                          empty_in: str | None = None,
@@ -394,7 +406,8 @@ class Circuit:
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run, empty=op.state.current)
+        return self._add([src], run, empty=op.state.current,
+                         snapshot=lambda: op.current_output)
 
     def aggregate(self, src: Stream, keys: Sequence[str], agg_fn,
                   empty_in: str | None = None, **op_kw) -> Stream:
@@ -406,7 +419,8 @@ class Circuit:
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run, empty=agg_fn(ein))
+        return self._add([src], run, empty=agg_fn(ein),
+                         snapshot=lambda: op.current_output)
 
     def distinct(self, src: Stream, empty_in: str | None = None,
                  **op_kw) -> Stream:
@@ -433,7 +447,8 @@ class Circuit:
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run, empty=op._agg.state.current)
+        return self._add([src], run, empty=op._agg.state.current,
+                         snapshot=lambda: op.current_output)
 
     def hopping_window(self, src: Stream, ts_col: str, size_seconds: int,
                        hop_seconds: int, keys: Sequence[str],
@@ -450,7 +465,8 @@ class Circuit:
         def run(deltas):
             d = deltas[0]
             return None if d is None else op.step(d)
-        return self._add([src], run, empty=op._agg.state.current)
+        return self._add([src], run, empty=op._agg.state.current,
+                         snapshot=lambda: op.current_output)
 
     def plus(self, a: Stream, b: Stream) -> Stream:
         def run(deltas):
@@ -469,8 +485,10 @@ class Circuit:
 
     def output(self, src: Stream) -> OutputHandle:
         """Attach an output handle (output.rs:29): every tick's delta for
-        ``src`` is appended; ``consolidate()`` gives the integrated view."""
-        handle = OutputHandle()
+        ``src`` is appended; ``consolidate()`` gives the integrated view —
+        read directly from the node's maintained state when the node is
+        stateful (no delta-log re-merge)."""
+        handle = OutputHandle(snapshot_fn=self._snapshots.get(src.node_id))
 
         def run(deltas):
             d = deltas[0]

@@ -80,13 +80,21 @@ class OutputHandle:
     output — the reference's merge of per-worker batches, expressed as one
     hash aggregation."""
 
-    def __init__(self):
+    def __init__(self, snapshot_fn=None):
         self._deltas: list[ZSetFrame] = []
+        #: stateful circuit nodes provide a snapshot of their integrated
+        #: output (the trace); reading it beats re-merging the delta log
+        #: (output.rs:130-219 consolidates from the integrated batch)
+        self._snapshot_fn = snapshot_fn
 
     def push(self, delta: ZSetFrame) -> None:
         self._deltas.append(delta)
 
     def consolidate(self) -> ZSetFrame:
+        if self._snapshot_fn is not None:
+            snap = self._snapshot_fn()
+            if snap is not None:
+                return snap.consolidate()
         if not self._deltas:
             raise ValueError("no output pushed")
         return ZSetFrame.sum(self._deltas).consolidate()

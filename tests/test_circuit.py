@@ -211,3 +211,25 @@ def test_rolling_linear_node(spark):
             ("a", t0 + dt.timedelta(seconds=15), 2.0, 2.0): 1,
             ("a", t0 + dt.timedelta(seconds=20), 4.0, 6.0): 1}
     assert got == want
+
+
+def test_output_handle_reads_stateful_node_snapshot(spark):
+    """An OutputHandle on a stateful node consolidates from the node's
+    maintained state (the trace) instead of re-merging the delta log
+    (output.rs:130-219) — and the two views agree, including a group
+    cancelled to zero weight."""
+    from database_stream_processor_spark.zset import ZSetFrame
+    c = Circuit(spark)
+    h = c.add_input_zset("k int, v long")
+    agg = c.aggregate_linear(h, ["k"], s=F.col("v"))
+    out = c.output(agg)
+    assert out._snapshot_fn is not None  # snapshot path wired
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v long")
+    h.push(mk([(1, 5), (2, 3)]))
+    c.step()
+    h.push(mk([(1, 5)]), weight=-1)   # k=1 cancels to zero -> absent
+    c.step()
+    snap = sorted(tuple(r) for r in out.consolidate().rows().collect())
+    merged = sorted(tuple(r) for r in
+                    ZSetFrame.sum(out._deltas).consolidate().rows().collect())
+    assert snap == merged == [(2, 3)]
