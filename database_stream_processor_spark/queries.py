@@ -2667,6 +2667,50 @@ def q82_sql_engine_multijoin(spark, sf_dir):
                                        "price_c")
 
 
+@register("q83_sql_engine_distinct_agg", oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_totalprice > 50000
+GROUP BY o_orderpriority
+""")
+def q83_sql_engine_distinct_agg(spark, sf_dir):
+    """COUNT(DISTINCT …) GROUP BY view — the reference's DISTINCT
+    aggregates (sql-to-dbsp distinct stage + aggregate,
+    distinct.rs:64 / aggregate/mod.rs:253) through the SQL front door:
+    a DistinctOp maintains (priority, customer) presence and its
+    set-delta feeds linear partial merges, across insert and
+    retract/re-insert ticks that add and remove duplicate arrivals."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_custkey BIGINT,
+                               o_orderpriority VARCHAR,
+                               o_totalprice FLOAT64);
+        CREATE VIEW cust_per_prio as
+            SELECT o_orderpriority,
+                   COUNT(DISTINCT o_custkey) AS n_cust,
+                   COUNT(*) AS n_orders
+            FROM orders_t WHERE o_totalprice > 50000
+            GROUP BY o_orderpriority;
+    """)
+    assert eng.view_strategy("cust_per_prio") == "distinct_agg"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return eng.view("cust_per_prio").select(
+        "o_orderpriority", F.col("n_cust").cast("long").alias("n_cust"),
+        F.col("n_orders").cast("long").alias("n_orders"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

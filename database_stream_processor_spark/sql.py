@@ -1285,6 +1285,177 @@ _GLOBAL_AGG_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+#: one SELECT item of a DISTINCT-aggregate GROUP BY view
+_DISTINCT_AGG_ITEM = re.compile(
+    r"^(?:(?P<key>\w+)"
+    r"|COUNT\s*\(\s*DISTINCT\s+(?P<ce>.+?)\s*\)\s+AS\s+(?P<cn>\w+)"
+    r"|SUM\s*\(\s*DISTINCT\s+(?P<se>.+?)\s*\)\s+AS\s+(?P<sn>\w+)"
+    r"|COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<starn>\w+))$",
+    re.IGNORECASE | re.DOTALL)
+
+_DISTINCT_AGG_BLOCKERS = re.compile(
+    r"\b(UNION|INTERSECT|EXCEPT|OVER|ORDER\s+BY|LIMIT|JOIN"
+    r"|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT"
+    r"|^\s*SELECT\s+DISTINCT\b", re.IGNORECASE)
+
+
+def _match_distinct_agg_items(sel: str, keys: list[str]) -> dict | None:
+    """Recognize a SELECT list of bare group keys + COUNT/SUM(DISTINCT e)
+    aggregates (all over the SAME expression e) + optional COUNT(*).
+    Returns {expr, items, out} or None; multiple distinct expressions
+    would need one distinct-state per expression — those keep the
+    snapshot-diff fallback."""
+    expr, items, out = None, [], []
+    for it in (i.strip() for i in _split_top_level(sel)):
+        m = _DISTINCT_AGG_ITEM.match(it)
+        if not m:
+            return None
+        if m.group("key"):
+            if m.group("key") not in keys:
+                return None
+            out.append(("key", m.group("key")))
+            continue
+        if m.group("starn"):
+            items.append(("cnt_star", m.group("starn")))
+            out.append(("col", m.group("starn")))
+            continue
+        e = " ".join((m.group("ce") or m.group("se")).split())
+        if expr is None:
+            expr = e
+        elif expr != e:
+            return None
+        if m.group("cn"):
+            items.append(("cntd", m.group("cn")))
+            out.append(("cntd", m.group("cn")))
+        else:
+            items.append(("sumd", m.group("sn")))
+            out.append(("sumd", m.group("sn")))
+    if expr is None or any(not re.match(r"^\w+$", k) for k in keys):
+        return None
+    return {"expr": expr, "items": items, "out": out}
+
+
+class _DistinctAggMaintainer(_GroupMergeMaintainer):
+    """SELECT keys, COUNT(DISTINCT e)/SUM(DISTINCT e) [, COUNT(*)] FROM t
+    [WHERE p] GROUP BY keys [HAVING …] — the reference's DISTINCT
+    aggregates (sql-to-dbsp lowers them to a distinct stage feeding the
+    aggregation; distinct.rs:64 + aggregate/mod.rs:253).
+
+    Pipeline per tick: the delta projected to (keys, e) (NULLs dropped —
+    SQL DISTINCT aggregates ignore them) flows through a
+    :class:`DistinctOp`, whose set-delta is linear — grouped partials
+    over it (±1-weighted count / Σe) merge exactly like SUM/COUNT
+    partials.  Plain COUNT(*) items and the hidden liveness count come
+    from the raw delta; both contribution kinds pad each other's columns
+    with 0 and share one :class:`_GroupMergeMaintainer` merge.  Cost per
+    tick ∝ Δ plus the distinct-state rows of touched (keys, e) groups."""
+
+    kind = "distinct_agg"
+
+    def __init__(self, eng, name, sql, table, keys, spec):
+        from database_stream_processor_spark.plans.incremental import (
+            DistinctOp)
+        super().__init__(eng, name, sql)
+        self.table = table
+        self.keys = keys
+        self._items = spec["items"]
+        self._out_spec2 = spec["out"]
+        self._dist_vals = ["__dcnt"] + [f"__ds_{n}"
+                                        for k, n in spec["items"]
+                                        if k == "sumd"]
+        self._raw_vals = [n for k, n in spec["items"] if k == "cnt_star"]
+        self.agg_names = self._dist_vals + self._raw_vals
+        m = _AGG_RE.match(sql)
+        alias_map = [(f"COUNT(DISTINCT {spec['expr']})", n)
+                     for k, n in spec["items"] if k == "cntd"]
+        alias_map += [(f"SUM(DISTINCT {spec['expr']})", n)
+                      for k, n in spec["items"] if k == "sumd"]
+        alias_map += [("COUNT(*)", n) for k, n in spec["items"]
+                      if k == "cnt_star"]
+        self._having = _rewrite_having(m.group("having"),
+                                       {"alias_map": alias_map})
+        where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+        stars = "".join(f"COUNT(*) AS {n}, " for n in self._raw_vals)
+        self._raw_sql = (
+            f"SELECT {', '.join(keys)}, {stars}COUNT(*) AS {self._CNT} "
+            f"FROM {table}{where} GROUP BY {m.group('keys')}")
+        nn = f"({spec['expr']}) IS NOT NULL"
+        pw = (f" WHERE ({m.group('pred')}) AND {nn}" if m.group("pred")
+              else f" WHERE {nn}")
+        self._proj_sql = (f"SELECT {', '.join(keys)}, "
+                          f"{spec['expr']} AS __v FROM {table}{pw}")
+        probe = eng.eval_on(self._proj_sql,
+                            {table: _source_rows0(eng, table)})
+        self._dop = DistinctOp(ZSetFrame.from_df(
+            eng.spark.createDataFrame([], probe.schema)))
+        #: Σe partials carry SUM's widened type (int→long, decimal grows)
+        #: so the group state schema is stable from the first tick
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        self._vtype = (ZSetFrame.from_df(probe, 1).df
+                       .groupBy(*keys)
+                       .agg(F.sum(F.col("__v") * F.col(WEIGHT_COL))
+                            .alias("__s"))
+                       .schema["__s"].dataType.simpleString())
+        first = eng.eval_on(self._raw_sql,
+                            {table: _source_rows0(eng, table)})
+        zero = [F.lit(0).cast(self._val_type(v)).alias(v)
+                for v in self._dist_vals]
+        self._init_out(eng, name, first.select(*keys, *zero,
+                                               *self._raw_vals, self._CNT))
+        _ = self._finalize(self._out.current.df).schema  # validate HAVING
+
+    def _val_type(self, v: str) -> str:
+        return "long" if v == "__dcnt" else self._vtype
+
+    def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        cols = []
+        for kind, n in self._out_spec2:
+            if kind == "key" or kind == "col":
+                cols.append(F.col(n))
+            elif kind == "cntd":
+                cols.append(F.col("__dcnt").alias(n))
+            else:  # sumd: SQL SUM over zero non-null values is NULL
+                cols.append(F.when(F.col("__dcnt") != 0,
+                                   F.col(f"__ds_{n}")).alias(n))
+        out = group_delta_df.select(*cols, F.col(WEIGHT_COL))
+        return out.filter(F.expr(self._having)) if self._having else out
+
+    def _pad(self, df: DataFrame, have: list[str]) -> DataFrame:
+        missing = [v for v in [*self.agg_names, self._CNT]
+                   if v not in have]
+        return df.select(*self.keys, *have,
+                         *[F.lit(0).cast("long" if v == self._CNT
+                                         else self._val_type(v)).alias(v)
+                           for v in missing])
+
+    def step(self, eng, combined, old):
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        pos, neg = _split_parts(z)
+        raw_have = [*self._raw_vals, self._CNT]
+        raw_p = self._pad(eng.eval_on(self._raw_sql, {self.table: pos}),
+                          raw_have)
+        raw_n = self._pad(eng.eval_on(self._raw_sql, {self.table: neg}),
+                          raw_have)
+        dz = (ZSetFrame.from_df(
+            eng.eval_on(self._proj_sql, {self.table: pos}), 1)
+            .plus(ZSetFrame.from_df(
+                eng.eval_on(self._proj_sql, {self.table: neg}), -1))
+            .consolidate())
+        sd = self._dop.step(dz)  # set-delta of (keys, __v), weights ±1
+        w = F.col(WEIGHT_COL)
+        aggs = [F.sum(w).alias("__dcnt")]
+        aggs += [F.sum(F.col("__v") * w).alias(f"__ds_{n}")
+                 for k, n in self._items if k == "sumd"]
+        dd = self._pad(sd.df.groupBy(*self.keys).agg(*aggs),
+                       self._dist_vals)
+        # distinct contributions carry their sign in the weights already
+        return self._merge([(raw_p, 1), (raw_n, -1), (dd, 1)])
+
+
 class _GlobalAggMaintainer(_ViewMaintainer):
     """``SELECT SUM/COUNT/AVG(...) FROM t [WHERE p]`` (no GROUP BY) —
     the single global group, maintained as running (sum, non-null count)
@@ -1607,6 +1778,17 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             # e.g. a HAVING predicate over expressions the finalize frame
             # doesn't carry — correctness first: snapshot-diff it
             pass
+    m = _AGG_RE.match(flat)
+    if (m and m.group("tbl").lower() in eng.tables
+            and not _DISTINCT_AGG_BLOCKERS.search(flat)):
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        spec = _match_distinct_agg_items(m.group("sel"), keys)
+        if spec:
+            try:
+                return _DistinctAggMaintainer(
+                    eng, name, flat, m.group("tbl").lower(), keys, spec)
+            except Exception:
+                pass
     m = _JOIN_AGG_RE.match(flat)
     if (m and known(m.group("lt").lower())
             and known(m.group("rt").lower())

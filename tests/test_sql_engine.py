@@ -992,3 +992,52 @@ def test_multiway_join_view_lowers(spark):
                WHERE o.amt > 1""").collect())
         got = sorted(tuple(r) for r in eng.view("enr").collect())
         assert got == want, (tbl, w)
+
+
+def test_distinct_agg_views_lower(spark):
+    """COUNT/SUM(DISTINCT e) GROUP BY views lower onto a DistinctOp
+    stage feeding linear partial merges (distinct.rs:64 +
+    aggregate/mod.rs:253): across duplicate arrivals, partial and full
+    retractions, NULL values (ignored by SQL DISTINCT aggregates), and a
+    drained group, the snapshot equals batch recompute; HAVING over the
+    distinct aggregate filters at finalize time."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (u INTEGER, g VARCHAR, amt FLOAT64);
+        CREATE VIEW per_g as
+            SELECT g, COUNT(DISTINCT u) AS users, SUM(DISTINCT u) AS su,
+                   COUNT(*) AS n
+            FROM ev WHERE amt > 0 GROUP BY g;
+        CREATE VIEW hv as
+            SELECT g, COUNT(DISTINCT u) AS users
+            FROM ev GROUP BY g HAVING COUNT(DISTINCT u) > 1;
+        CREATE VIEW two_exprs as
+            SELECT g, COUNT(DISTINCT u) AS cu, COUNT(DISTINCT amt) AS ca
+            FROM ev GROUP BY g;
+    """)
+    assert eng.view_strategy("per_g") == "distinct_agg"
+    assert eng.view_strategy("hv") == "distinct_agg"
+    # two different DISTINCT expressions need two distinct states — falls back
+    assert eng.view_strategy("two_exprs") == "differentiate"
+    mk = lambda rows: spark.createDataFrame(rows, "u int, g string, amt double")
+    batches = [
+        (mk([(1, "a", 5.0), (1, "a", 2.0), (2, "a", 1.0), (1, "b", 3.0),
+             (None, "b", 1.0)]), 1),
+        (mk([(3, "a", 4.0), (2, "b", 2.0)]), 1),
+        (mk([(1, "a", 5.0), (1, "a", 2.0)]), -1),  # u=1 fully leaves a
+        (mk([(2, "a", 1.0), (3, "a", 4.0)]), -1),  # group a drains
+    ]
+    checks = {
+        "per_g": """SELECT g, COUNT(DISTINCT u) AS users,
+                           SUM(DISTINCT u) AS su, COUNT(*) AS n
+                    FROM ev WHERE amt > 0 GROUP BY g""",
+        "hv": """SELECT g, COUNT(DISTINCT u) AS users FROM ev
+                 GROUP BY g HAVING COUNT(DISTINCT u) > 1""",
+    }
+    for i, (b, w) in enumerate(batches):
+        eng.push("ev", b, weight=w)
+        eng.step()
+        for view, sql in checks.items():
+            want = sorted(tuple(r) for r in spark.sql(sql).collect())
+            got = sorted(tuple(r) for r in eng.view(view).collect())
+            assert got == want, (i, view)
