@@ -2711,6 +2711,99 @@ def q83_sql_engine_distinct_agg(spark, sf_dir):
         F.col("n_orders").cast("long").alias("n_orders"))
 
 
+@register("q84_sql_engine_star_agg", oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_totalprice > 1000
+GROUP BY n.n_name
+""")
+def q84_sql_engine_star_agg(spark, sf_dir):
+    """TPC-H Q5-shaped star aggregate (orders⋈customer⋈nation → GROUP
+    BY nation) maintained through the SQL front door: multilinear join
+    legs per changed table feed the group-merge core — a tick of new
+    orders costs Δ⋈dims + touched-group merge, never a star re-join —
+    across insert and retract/re-insert ticks of the fact table."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_custkey BIGINT,
+                               o_totalprice FLOAT64);
+        CREATE TABLE cust_t (c_custkey BIGINT NOT NULL,
+                             c_nationkey BIGINT);
+        CREATE TABLE nat_t (n_nationkey BIGINT NOT NULL, n_name VARCHAR);
+        CREATE VIEW revenue as
+            SELECT n.n_name,
+                   SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                       AS revenue_c,
+                   COUNT(*) AS n_orders
+            FROM orders_t o JOIN cust_t c ON o.o_custkey = c.c_custkey
+                            JOIN nat_t n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_totalprice > 1000
+            GROUP BY n.n_name;
+    """)
+    assert eng.view_strategy("revenue") == "multi_join_agg"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("cust_t", load(spark, sf_dir, "customer")
+             .select("c_custkey", "c_nationkey"))
+    eng.push("nat_t", load(spark, sf_dir, "nation")
+             .select("n_nationkey", "n_name"))
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return eng.view("revenue").select(
+        "n_name", F.col("revenue_c").cast("long").alias("revenue_c"),
+        F.col("n_orders").cast("long").alias("n_orders"))
+
+
+@register("q85_sql_engine_global_topk", oracle="""
+SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+FROM orders WHERE o_orderstatus = 'O'
+ORDER BY price_c DESC, o_orderkey LIMIT 10
+""")
+def q85_sql_engine_global_topk(spark, sf_dir):
+    """Global ORDER BY … LIMIT view (topk family, SURVEY §2.6) through
+    the SQL front door: ticks strictly below the stored boundary emit
+    nothing without touching the table; boundary-beating inserts and
+    stored-row retractions re-fill via TakeOrderedAndProject
+    (per-partition partial top-k, no full sort) — across insert and
+    retract/re-insert ticks."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_orderstatus VARCHAR,
+                               o_totalprice FLOAT64);
+        CREATE VIEW top10 as
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+            FROM orders_t WHERE o_orderstatus = 'O'
+            ORDER BY price_c DESC, o_orderkey LIMIT 10;
+    """)
+    assert eng.view_strategy("top10") == "global_topk"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return eng.view("top10").select("o_orderkey", "price_c")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -135,10 +135,16 @@ _JOIN_AGG_RE = re.compile(
     r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+#: an aggregate argument: any chars with ≤2 levels of nested parens
+#: (SUM(CAST(FLOOR(x * 100) AS BIGINT)) — enough for cast/round/floor
+#: function stacks; deeper nesting keeps the snapshot-diff fallback)
+_NEST2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))+"
+
 _AGG_ITEM = re.compile(
-    r"^(?:(?P<key>\w+(?:\.\w+)?)|SUM\s*\((?P<sum>[^()]+)\)\s+AS\s+(?P<sname>\w+)"
+    r"^(?:(?P<key>\w+(?:\.\w+)?)"
+    rf"|SUM\s*\((?P<sum>{_NEST2})\)\s+AS\s+(?P<sname>\w+)"
     r"|COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<cname>\w+)"
-    r"|AVG\s*\((?P<avg>[^()]+)\)\s+AS\s+(?P<aname>\w+))$", re.IGNORECASE)
+    rf"|AVG\s*\((?P<avg>{_NEST2})\)\s+AS\s+(?P<aname>\w+))$", re.IGNORECASE)
 
 
 def _analyzed_has_aggregate(eng: "Engine", sql: str) -> bool:
@@ -320,26 +326,8 @@ def _parse_join_chain(flat: str) -> tuple[str, list[str]] | None:
     pred_m = re.search(r"\s+WHERE\s+", rest, re.IGNORECASE)
     if pred_m:
         rest = rest[:pred_m.start()]
-    segs = re.split(r"\bJOIN\b", rest, flags=re.IGNORECASE)
-    # len(segs) = 1 + number of JOINs; ≥3 tables ⇒ ≥2 JOINs ⇒ ≥3 segments
-    if len(segs) < 3:
-        return None
-    tables = []
-    tm = _TBL_ALIAS_RE.match(segs[0].strip())
-    if not tm:
-        return None
-    tables.append(tm.group(1).lower())
-    for seg in segs[1:]:
-        parts = re.split(r"\bON\b", seg, maxsplit=1, flags=re.IGNORECASE)
-        if len(parts) != 2:
-            return None
-        tm = _TBL_ALIAS_RE.match(parts[0].strip())
-        if not tm:
-            return None
-        tables.append(tm.group(1).lower())
-    if len(tables) < 3 or len(set(tables)) != len(tables):
-        return None
-    return m.group("sel"), tables
+    tables = _parse_from_chain(rest)
+    return (m.group("sel"), tables) if tables else None
 
 
 class _MultiJoinMaintainer(_ViewMaintainer):
@@ -1063,6 +1051,107 @@ class _GroupTopKMaintainer(_ViewMaintainer):
         return delta
 
 
+#: SELECT … FROM t [WHERE p] ORDER BY … LIMIT k — global top-k view
+_GLOBAL_TOPK_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<alias>\w+))?(?:\s+WHERE\s+(?P<pred>.+?))?\s+ORDER\s+BY\s+"
+    r"(?P<ord>.+?)\s+LIMIT\s+(?P<k>\d+)\s*$", re.IGNORECASE | re.DOTALL)
+
+_GLOBAL_TOPK_BLOCKERS = re.compile(
+    r"\b(GROUP\s+BY|DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING|JOIN"
+    r"|LEFT|RIGHT|FULL|OUTER|CROSS)\b|\(\s*SELECT", re.IGNORECASE)
+
+_ORD_ITEM = re.compile(r"^(?:\w+\.)?(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?$",
+                       re.IGNORECASE)
+
+
+class _GlobalTopKMaintainer(_ViewMaintainer):
+    """``SELECT … FROM t [WHERE p] ORDER BY s [DESC][, …] LIMIT k`` —
+    global top-k (topk.rs family; SURVEY §2.6) with a delta short-circuit:
+
+    Most ticks cost O(Δ): the projected delta is checked against the
+    stored top-k — a retraction hitting a stored row, an insert whose
+    first sort key is better-or-equal to the stored k-th (non-strict, so
+    boundary ties over-trigger rather than under-trigger), or a stored
+    set still under k rows invalidate; only then does the view recompute,
+    and that recompute is Spark's TakeOrderedAndProject (per-partition
+    partial top-k, no full sort).  Ticks that cannot change the result
+    emit nothing without touching the table."""
+
+    kind = "global_topk"
+
+    def __init__(self, eng, name, sql, m):
+        ords = [o.strip() for o in _split_top_level(m.group("ord"))]
+        om = _ORD_ITEM.match(ords[0])
+        if not om:
+            raise _UnloweredShape(m.group("ord"))
+        tbl = m.group("tbl").lower()
+        super().__init__(eng, name, sql)
+        self.table = tbl
+        self._first_col = om.group("col")
+        self._desc = (om.group("dir") or "ASC").upper() == "DESC"
+        self.k = int(m.group("k"))
+        if self._first_col not in self.state.current.df.columns:
+            # the boundary check needs the first sort key in the output
+            raise _UnloweredShape(self._first_col)
+        alias = f" {m.group('alias')}" if m.group("alias") else ""
+        where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+        #: delta projection — the rows of Δt that survive SELECT/WHERE
+        self._proj_sql = (f"SELECT {m.group('sel')} FROM {tbl}{alias}"
+                          f"{where}")
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, z)
+
+    def _step_guarded(self, eng, z):
+        pos, neg = _split_parts(z)
+        dp = eng.eval_on(self._proj_sql, {self.table: pos})
+        dn = eng.eval_on(self._proj_sql, {self.table: neg})
+        cur = self.state.current
+        cur_rows = cur.rows()
+        invalidated = cur_rows.count() < self.k
+        if not invalidated and not dn.isEmpty():
+            # a retraction touching a stored row forces a re-fill
+            cond = None
+            for c in dn.columns:
+                e = dn[c].eqNullSafe(cur_rows[c])
+                cond = e if cond is None else (cond & e)
+            invalidated = not dn.join(cur_rows, on=cond,
+                                      how="left_semi").isEmpty()
+        if not invalidated and not dp.isEmpty():
+            fc = self._first_col
+            has_null = not cur_rows.filter(F.col(fc).isNull()).isEmpty()
+            kth = (cur_rows.agg(
+                (F.min if self._desc else F.max)(fc)
+                .alias("__kth")).collect()[0]["__kth"])
+            if kth is None or has_null:
+                # a NULL boundary key defeats the scalar comparison
+                # (Spark: NULLS FIRST under ASC, LAST under DESC) —
+                # over-trigger rather than reason about NULL ordering
+                invalidated = True
+            else:
+                c = F.col(fc)
+                if self._desc:
+                    beats = c >= F.lit(kth)  # DESC: NULLs last, can't win
+                else:
+                    # ASC puts NULLs first — a NULL insert displaces
+                    beats = (c <= F.lit(kth)) | c.isNull()
+                invalidated = not dp.filter(beats).isEmpty()
+        if not invalidated:
+            return self._empty()
+        new_top = ZSetFrame.from_df(
+            eng.eval_on(self.sql, {self.table: _current_rows(
+                eng, self.table)}).localCheckpoint(eager=True), 1)
+        delta = ZSetFrame(new_top.minus(cur).consolidate()
+                          .df.localCheckpoint(eager=True))
+        self.apply_delta(delta)
+        return delta
+
+
 def _ns_join(left: DataFrame, right: DataFrame, keys: list[str],
              how: str) -> DataFrame:
     """Join on ``keys`` with null-safe equality (``<=>``) and coalesce the
@@ -1283,6 +1372,94 @@ _GLOBAL_AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
+
+
+#: SELECT … FROM <join chain> [WHERE p] GROUP BY keys [HAVING h]
+_MJ_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<from>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+(?P<keys>[\w\s,.]+?)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _parse_from_chain(from_clause: str, min_tables: int = 3) -> list[str] | None:
+    """``t1 [a1] JOIN t2 [a2] ON c2 JOIN t3 [a3] ON c3 …`` → distinct
+    table names (≥ *min_tables*), else None."""
+    segs = re.split(r"\bJOIN\b", from_clause, flags=re.IGNORECASE)
+    if len(segs) < min_tables:
+        return None
+    tables = []
+    tm = _TBL_ALIAS_RE.match(segs[0].strip())
+    if not tm:
+        return None
+    tables.append(tm.group(1).lower())
+    for seg in segs[1:]:
+        parts = re.split(r"\bON\b", seg, maxsplit=1, flags=re.IGNORECASE)
+        if len(parts) != 2:
+            return None
+        tm = _TBL_ALIAS_RE.match(parts[0].strip())
+        if not tm:
+            return None
+        tables.append(tm.group(1).lower())
+    if len(tables) < min_tables or len(set(tables)) != len(tables):
+        return None
+    return tables
+
+
+class _MultiJoinAggMaintainer(_GroupMergeMaintainer):
+    """SELECT keys, SUM/COUNT/AVG … FROM t1 JOIN t2 ON … JOIN t3 ON …
+    [WHERE p] GROUP BY keys [HAVING h] — the TPC-H star-aggregate shape
+    (Q5-style fact⋈dim⋈dim → GROUP BY): multilinear join legs (one per
+    changed table, old tables before it / new after, join.rs:226-264
+    applied pairwise) each aggregated per group over the delta leg alone,
+    merged into the stored group state by the
+    :class:`_GroupMergeMaintainer` core.  Per tick cost ∝ Δ⋈dims plus the
+    touched-group merge — the star is never re-joined."""
+
+    kind = "multi_join_agg"
+
+    def __init__(self, eng, name, sql, tables, m, spec):
+        super().__init__(eng, name, sql)
+        self.tables = tables
+        self.keys = [k.strip().split(".")[-1]
+                     for k in m.group("keys").split(",")]
+        self.agg_names = spec["val_names"]
+        self._out_spec = spec["out"]
+        self._having = _rewrite_having(m.group("having"), spec)
+        where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+        self._delta_sql = self._maybe_salt(eng, (
+            f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
+            f"FROM {m.group('from')}{where} GROUP BY {m.group('keys')}"))
+        first = eng.eval_on(self._delta_sql, {
+            t: _source_rows0(eng, t) for t in tables})
+        self._init_out(eng, name, first)
+        _ = self._finalize(self._out.current.df).schema  # validate HAVING
+
+    def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
+        out = _finalize_spec(group_delta_df, self._out_spec)
+        return out.filter(F.expr(self._having)) if self._having else out
+
+    def step(self, eng, combined, old):
+        deltas = {t: combined.get(t) for t in self.tables}
+        if all(z is None for z in deltas.values()):
+            return self._empty()
+        contribs = []
+        for i, t in enumerate(self.tables):
+            z = deltas[t]
+            if z is None:
+                continue
+            bind = {}
+            for j, u in enumerate(self.tables):
+                if j < i:
+                    bind[u] = old[u].rows()
+                elif j > i:
+                    bind[u] = _current_rows(eng, u)
+            pos, neg = _split_parts(z)
+            contribs.append((eng.eval_on(self._delta_sql,
+                                         {**bind, t: pos}), 1))
+            contribs.append((eng.eval_on(self._delta_sql,
+                                         {**bind, t: neg}), -1))
+        return self._merge(contribs)
 
 
 #: one SELECT item of a DISTINCT-aggregate GROUP BY view
@@ -1789,8 +1966,24 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                     eng, name, flat, m.group("tbl").lower(), keys, spec)
             except Exception:
                 pass
+    # ≥3-table join→GROUP BY FIRST: the 2-table join-agg regex would
+    # swallow extra JOINs into its ON-condition group and miss the third
+    # table's deltas (silent wrong results)
+    m = _MJ_AGG_RE.match(flat)
+    if m and not _JOIN_AGG_BLOCKERS.search(flat):
+        tables = _parse_from_chain(m.group("from"))
+        if tables and all(known(t) for t in tables):
+            keys = [k.strip() for k in m.group("keys").split(",")]
+            spec = _match_agg_items(m.group("sel"), keys)
+            if spec:
+                try:
+                    return _MultiJoinAggMaintainer(eng, name, flat,
+                                                   tables, m, spec)
+                except Exception:
+                    pass
     m = _JOIN_AGG_RE.match(flat)
-    if (m and known(m.group("lt").lower())
+    if (m and len(re.findall(r"\bJOIN\b", flat, re.IGNORECASE)) == 1
+            and known(m.group("lt").lower())
             and known(m.group("rt").lower())
             and m.group("lt").lower() != m.group("rt").lower()
             and not _JOIN_AGG_BLOCKERS.search(flat)):
@@ -1807,6 +2000,16 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     if m and known(m.group("tbl").lower()):
         try:
             return _GroupTopKMaintainer(eng, name, flat, m)
+        except _UnloweredShape:
+            pass
+        except Exception:
+            pass
+    m = _GLOBAL_TOPK_RE.match(flat)
+    if (m and known(m.group("tbl").lower())
+            and not _GLOBAL_TOPK_BLOCKERS.search(flat)
+            and not _analyzed_has_aggregate(eng, flat)):
+        try:
+            return _GlobalTopKMaintainer(eng, name, flat, m)
         except _UnloweredShape:
             pass
         except Exception:

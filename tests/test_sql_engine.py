@@ -1041,3 +1041,98 @@ def test_distinct_agg_views_lower(spark):
             want = sorted(tuple(r) for r in spark.sql(sql).collect())
             got = sorted(tuple(r) for r in eng.view(view).collect())
             assert got == want, (i, view)
+
+
+def test_multiway_join_agg_view_lowers(spark):
+    """≥3-table join → GROUP BY (the TPC-H Q5 star-aggregate shape)
+    lowers onto multilinear join legs feeding the group-merge core; a
+    2-table join→GROUP BY still lowers to join_agg, and a chain the
+    parser rejects must not silently lower to a blind 2-table plan."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE nat (nk INTEGER NOT NULL, nname VARCHAR);
+        CREATE TABLE cust (ck INTEGER NOT NULL, nk INTEGER, cname VARCHAR);
+        CREATE TABLE ord (ok INTEGER NOT NULL, ck INTEGER, amt FLOAT64);
+        CREATE VIEW rev as
+            SELECT n.nname, SUM(o.amt) AS total, COUNT(*) AS n
+            FROM ord o JOIN cust c ON o.ck = c.ck
+                       JOIN nat n ON c.nk = n.nk
+            WHERE o.amt > 1 GROUP BY n.nname;
+        CREATE VIEW rev2 as
+            SELECT c.cname, SUM(o.amt) AS total
+            FROM ord o JOIN cust c ON o.ck = c.ck GROUP BY c.cname;
+        CREATE VIEW selfagg as
+            SELECT a.cname, COUNT(*) AS n
+            FROM cust a JOIN cust b ON a.ck = b.nk
+                        JOIN ord o ON o.ck = a.ck
+            GROUP BY a.cname;
+    """)
+    assert eng.view_strategy("rev") == "multi_join_agg"
+    assert eng.view_strategy("rev2") == "join_agg"
+    assert eng.view_strategy("selfagg") == "differentiate"
+    mkn = lambda r: spark.createDataFrame(r, "nk int, nname string")
+    mkc = lambda r: spark.createDataFrame(r, "ck int, nk int, cname string")
+    mko = lambda r: spark.createDataFrame(r, "ok int, ck int, amt double")
+    batches = [
+        ("nat", mkn([(0, "n0"), (1, "n1")]), 1),
+        ("cust", mkc([(1, 0, "ann"), (2, 1, "bob"), (3, 2, "cyd")]), 1),
+        ("ord", mko([(10, 1, 5.0), (11, 2, 0.5), (12, 3, 7.0)]), 1),
+        ("nat", mkn([(2, "n2")]), 1),     # cyd's order appears in rev
+        ("ord", mko([(10, 1, 5.0)]), -1),  # n0's group drains
+        ("cust", mkc([(2, 1, "bob")]), -1),
+    ]
+    for tbl, b, w in batches:
+        eng.push(tbl, b, weight=w)
+        eng.step()
+        want = sorted(tuple(r) for r in spark.sql(
+            """SELECT n.nname, SUM(o.amt) AS total, COUNT(*) AS n
+               FROM ord o JOIN cust c ON o.ck = c.ck
+                          JOIN nat n ON c.nk = n.nk
+               WHERE o.amt > 1 GROUP BY n.nname""").collect())
+        got = sorted(tuple(r) for r in eng.view("rev").collect())
+        assert got == want, (tbl, w)
+
+
+def test_global_topk_view_lowers_with_short_circuit(spark, monkeypatch):
+    """ORDER BY … LIMIT k views lower onto threshold-guarded top-k
+    maintenance: a tick strictly below the stored boundary emits nothing
+    WITHOUT recomputing (asserted by counting recomputes), while
+    boundary-beating inserts and stored-row retractions re-fill via
+    TakeOrdered; snapshot equals batch recompute throughout."""
+    from database_stream_processor_spark import sql as sqlmod
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ord (ok INTEGER NOT NULL, amt FLOAT64);
+        CREATE VIEW top3 as
+            SELECT ok, amt FROM ord WHERE amt > 0
+            ORDER BY amt DESC, ok LIMIT 3;
+    """)
+    assert eng.view_strategy("top3") == "global_topk"
+    m = eng._maintainers["top3"]
+    recomputes = []
+    orig = sqlmod._GlobalTopKMaintainer._step_guarded
+
+    def counting(self, e, z):
+        before = self.state._epoch
+        out = orig(self, e, z)
+        recomputes.append(self.state._epoch != before)
+        return out
+    monkeypatch.setattr(sqlmod._GlobalTopKMaintainer, "_step_guarded",
+                        counting)
+    mk = lambda rows: spark.createDataFrame(rows, "ok int, amt double")
+    batches = [
+        (mk([(1, 5.0), (2, 9.0), (3, 1.0), (4, 7.0)]), 1),
+        (mk([(5, 2.0)]), 1),    # below the boundary: must short-circuit
+        (mk([(6, 8.0)]), 1),    # displaces
+        (mk([(2, 9.0)]), -1),   # stored row retracts
+    ]
+    for i, (b, w) in enumerate(batches):
+        eng.push("ord", b, weight=w)
+        eng.step()
+        want = sorted(tuple(r) for r in spark.sql(
+            """SELECT ok, amt FROM ord WHERE amt > 0
+               ORDER BY amt DESC, ok LIMIT 3""").collect())
+        got = sorted(tuple(r) for r in eng.view("top3").collect())
+        assert got == want, (i,)
+    assert recomputes[1] is False       # the below-boundary tick
+    assert recomputes[2] and recomputes[3]
