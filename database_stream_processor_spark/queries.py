@@ -2804,6 +2804,70 @@ def q85_sql_engine_global_topk(spark, sf_dir):
     return eng.view("top10").select("o_orderkey", "price_c")
 
 
+@register("q86_streaming_sql_engine", oracle="""
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def q86_streaming_sql_engine(spark, sf_dir):
+    """The SQL front door driven by Structured Streaming end to end —
+    the reference's production path (transport → pipeline manager →
+    circuit, crates/adapters/src/lib.rs:12-40) with the *SQL engine* as
+    the pipeline: a parquet ``readStream`` file source feeds the fact
+    table through ``foreachBatch``, one micro-batch per engine tick, the
+    join→GROUP BY view maintains incrementally, and its final snapshot
+    equals the batch SQL."""
+    import os
+    import tempfile
+
+    from database_stream_processor_spark.sql import Engine
+    from database_stream_processor_spark.streaming import (
+        StepDriver, foreach_batch_driver)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_custkey BIGINT, o_totalprice FLOAT64);
+        CREATE TABLE cust_t (c_custkey BIGINT NOT NULL,
+                             c_mktsegment VARCHAR);
+        CREATE VIEW seg_rev as
+            SELECT c.c_mktsegment,
+                   SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                       AS revenue_c,
+                   COUNT(*) AS n_orders
+            FROM orders_t o JOIN cust_t c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment;
+    """)
+    assert eng.view_strategy("seg_rev") == "join_agg"
+    orders = load(spark, sf_dir, "orders")
+    eng.push("cust_t", load(spark, sf_dir, "customer")
+             .select("c_custkey", "c_mktsegment"))
+
+    base = tempfile.mkdtemp(prefix="dbsp_sqlstream_")
+    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+    for step in range(3):
+        (orders.filter(F.col("o_orderkey") % 3 == step)
+         .select("o_custkey", "o_totalprice")
+         .write.parquet(os.path.join(in_dir, f"b{step}.parquet")))
+
+    driver = StepDriver(eng.stream_step_fn("orders_t"))
+    stream = (spark.readStream
+              .schema("o_custkey long, o_totalprice double")
+              .option("recursiveFileLookup", True)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream.writeStream.foreachBatch(foreach_batch_driver(driver))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert driver.ticks >= 1
+
+    return eng.view("seg_rev").select(
+        "c_mktsegment", F.col("revenue_c").cast("long").alias("revenue_c"),
+        F.col("n_orders").cast("long").alias("n_orders"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

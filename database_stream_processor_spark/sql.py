@@ -2248,6 +2248,35 @@ class Engine:
             combined[name] = delta
         return out
 
+    def stream_step_fn(self, table: str):
+        """Adapter for the streaming layer: a ``(DataFrame | ZSetFrame)
+        -> dict`` callable that pushes each micro-batch into ``table``
+        and runs one engine tick — hand it to
+        :class:`streaming.driver.StepDriver` + ``foreachBatch`` and the
+        whole SQL pipeline runs off a live source, one micro-batch per
+        clock tick (the reference's production wiring: transport →
+        pipeline manager → circuit, crates/adapters/src/lib.rs:12-40).
+        Deltas queued via :meth:`push` for other tables drain on the
+        same tick.
+
+        ``foreachBatch`` hands over a DataFrame bound to Structured
+        Streaming's *cloned* SparkSession; the engine's temp-view
+        rebinding lives in its own session's catalog, so the batch is
+        re-homed first (materialize, then rebuild from the JVM row RDD
+        under the engine session — no driver round-trip)."""
+        def tick(dz):
+            df = dz.df if isinstance(dz, ZSetFrame) else dz
+            if df.sparkSession is not self.spark:
+                ck = df.localCheckpoint(eager=True)
+                jdf = self.spark._jsparkSession.createDataFrame(
+                    ck._jdf.javaRDD(), ck._jdf.schema())
+                df = DataFrame(jdf, self.spark)
+                dz = (ZSetFrame(df) if isinstance(dz, ZSetFrame)
+                      else df)
+            self.push(table, dz)
+            return self.step()
+        return tick
+
     def view(self, name: str) -> DataFrame:
         """Current snapshot of a maintained view."""
         if name in self.views:
