@@ -2098,6 +2098,9 @@ class Engine:
         self._maintainers: dict[str, _ViewMaintainer] = {}
         self._sources: dict[str, set[str]] = {}
         self._pending: dict[str, list[ZSetFrame]] = {}
+        #: per-view output connectors (attach_output)
+        self._outputs: dict[str, list] = {}
+        self._tick = 0
         register_sql_macros(spark)
 
     def eval_on(self, sql: str, bindings: Mapping[str, DataFrame]) -> DataFrame:
@@ -2246,7 +2249,34 @@ class Engine:
             # way they consume table deltas (views step in creation =
             # dependency order)
             combined[name] = delta
+            for sink in self._outputs.get(name, ()):
+                sink(delta, self._tick)
+        self._tick += 1
         return out
+
+    def attach_output(self, view: str, sink) -> None:
+        """Attach an output connector to a maintained view (the
+        reference's per-view output connectors, pipeline-manager config →
+        adapters/src/lib.rs encoder+transport): ``sink`` is called as
+        ``sink(delta, tick)`` with the view's non-empty per-tick output
+        delta (a :class:`ZSetFrame`).  Compose with
+        :func:`sources.files.write_zset` (one parquet/csv dir per tick),
+        :class:`sources.http.HttpOutput`, or an
+        :class:`~database_stream_processor_spark.sources.files.OutputHandle`."""
+        if view not in self.views:
+            raise KeyError(view)
+        self._outputs.setdefault(view, []).append(sink)
+
+    def attach_output_handle(self, view: str):
+        """Convenience: attach and return an
+        :class:`~database_stream_processor_spark.sources.files.OutputHandle`
+        collecting the view's per-tick deltas (output.rs:29)."""
+        from database_stream_processor_spark.sources.files import (
+            OutputHandle)
+        h = OutputHandle(
+            snapshot_fn=lambda: self._maintainers[view].state.current)
+        self.attach_output(view, lambda delta, tick: h.push(delta))
+        return h
 
     def stream_step_fn(self, table: str):
         """Adapter for the streaming layer: a ``(DataFrame | ZSetFrame)

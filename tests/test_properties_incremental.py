@@ -267,3 +267,86 @@ def test_sql_engine_lowered_views_equal_recompute(spark, bs):
             want = Counter(tuple(r) for r in batch_df.collect())
             got = Counter(tuple(r) for r in eng.view(name).collect())
             assert got == want, (name, i)
+
+
+@given(bs=batches)
+@SETTINGS
+def test_sql_engine_round4_views_equal_recompute(spark, bs):
+    """Property: hypothesis-generated weighted delta sequences through
+    the round-4 lowerings — [NOT] EXISTS / IN filters, per-group and
+    global top-k, 3-table join chain ± GROUP BY, COUNT(DISTINCT) — keep
+    every maintained view equal to the batch recompute over the
+    integrated tables after every tick."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v INTEGER);
+        CREATE TABLE d (k INTEGER NOT NULL, tag VARCHAR);
+        CREATE TABLE s (tag VARCHAR, grp INTEGER);
+        CREATE VIEW ex as SELECT x.k, x.v FROM t x
+            WHERE EXISTS (SELECT 1 FROM d y WHERE y.k = x.k);
+        CREATE VIEW nex as SELECT x.v FROM t x
+            WHERE NOT EXISTS (SELECT 1 FROM d y WHERE y.k = x.k);
+        CREATE VIEW ink as SELECT x.k FROM t x
+            WHERE k IN (SELECT k FROM d);
+        CREATE VIEW gtk as SELECT k, v FROM (
+            SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k
+                                            ORDER BY v DESC) AS rn
+            FROM t) x WHERE rn <= 2;
+        CREATE VIEW gtop as SELECT k, v FROM t ORDER BY v DESC, k LIMIT 3;
+        CREATE VIEW mj as SELECT x.v, y.tag, z.grp
+            FROM t x JOIN d y ON x.k = y.k JOIN s z ON y.tag = z.tag;
+        CREATE VIEW mja as SELECT z.grp, COUNT(*) AS n, SUM(x.v) AS sv
+            FROM t x JOIN d y ON x.k = y.k JOIN s z ON y.tag = z.tag
+            GROUP BY z.grp;
+        CREATE VIEW da as SELECT k, COUNT(DISTINCT v) AS nv,
+                                 COUNT(*) AS n
+            FROM t GROUP BY k;
+    """)
+    strategies = {"ex": "exists", "nex": "not_exists", "ink": "in",
+                  "gtk": "group_topk", "gtop": "global_topk",
+                  "mj": "multi_join", "mja": "multi_join_agg",
+                  "da": "distinct_agg"}
+    for view, want in strategies.items():
+        assert eng.view_strategy(view) == want, view
+
+    t_rows: dict = defaultdict(int)
+    d_rows: dict = defaultdict(int)
+    s_rows: dict = defaultdict(int)
+    tags = ["a", "b"]
+    for i, batch in enumerate(bs):
+        for k, ts_, v, w in batch:
+            t_rows[(k, v)] += w
+        for k, ts_, v, w in batch[:3]:
+            d_rows[(k, tags[v % 2])] += -w if i % 2 else w
+        for k, ts_, v, w in batch[:2]:
+            s_rows[(tags[(k + v) % 2], v % 2)] += w
+        for rows in (t_rows, d_rows, s_rows):
+            for key in [r for r, w in rows.items() if w < 0]:
+                rows[key] = 0
+
+        def push(table, want, schema):
+            cur2 = defaultdict(int)
+            for row in eng.tables[table].current.consolidate().df.collect():
+                data = tuple(row[c] for c in
+                             eng.tables[table].current.data_columns)
+                cur2[data] += row[WEIGHT_COL]
+            deltas = []
+            for key in set(want) | set(cur2):
+                dw = want.get(key, 0) - cur2.get(key, 0)
+                if dw:
+                    deltas.append((*key, dw))
+            if deltas:
+                eng.push(table, ZSetFrame(spark.createDataFrame(
+                    deltas, schema + f", {WEIGHT_COL} long")))
+        push("t", t_rows, "k int, v int")
+        push("d", d_rows, "k int, tag string")
+        push("s", s_rows, "tag string, grp int")
+        eng.step()
+
+        for view in strategies:
+            want_rows = sorted(
+                tuple(r) for r in
+                eng.spark.sql(eng.views[view]).collect())
+            got = sorted(tuple(r) for r in eng.view(view).collect())
+            assert got == want_rows, (i, view)

@@ -1136,3 +1136,41 @@ def test_global_topk_view_lowers_with_short_circuit(spark, monkeypatch):
         assert got == want, (i,)
     assert recomputes[1] is False       # the below-boundary tick
     assert recomputes[2] and recomputes[3]
+
+
+def test_engine_output_connectors(spark, tmp_path):
+    """Per-view output connectors (the reference's pipeline-config
+    output connectors): a file sink receives one Z-set delta dir per
+    tick whose sum equals the view snapshot, and an OutputHandle's
+    consolidate() reads the maintained state."""
+    from database_stream_processor_spark.sources.files import (
+        read_zset, write_zset)
+    from database_stream_processor_spark.zset import ZSetFrame
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (k INTEGER, amt FLOAT64);
+        CREATE VIEW totals as
+            SELECT k, SUM(amt) AS total FROM ev GROUP BY k;
+    """)
+    base = str(tmp_path / "sink")
+    eng.attach_output("totals",
+                      lambda d, t: write_zset(d, f"{base}/tick={t}"))
+    handle = eng.attach_output_handle("totals")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, amt double")
+    eng.push("ev", mk([(1, 5.0), (2, 3.0)]))
+    eng.step()
+    eng.push("ev", mk([(1, 5.0)]), weight=-1)
+    eng.step()
+    want = sorted(tuple(r) for r in eng.view("totals").collect())
+    got_handle = sorted(tuple(r) for r in
+                        handle.consolidate().rows().collect())
+    assert got_handle == want
+    import os
+    ticks = sorted(os.listdir(base))
+    assert len(ticks) == 2
+    acc = None
+    for t in ticks:
+        z = read_zset(spark, f"{base}/{t}")
+        acc = z if acc is None else acc.plus(z)
+    got_files = sorted(tuple(r) for r in acc.consolidate().rows().collect())
+    assert got_files == want
