@@ -2868,6 +2868,55 @@ def q86_streaming_sql_engine(spark, sf_dir):
         F.col("n_orders").cast("long").alias("n_orders"))
 
 
+@register("q87_sql_engine_setops", oracle="""
+SELECT 'ex' AS tag, k FROM (
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+    EXCEPT
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F') x
+UNION ALL
+SELECT 'ix' AS tag, k FROM (
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F') y
+""")
+def q87_sql_engine_setops(spark, sf_dir):
+    """EXCEPT / INTERSECT views (set semantics; Z-set §2.7 ops through
+    the SQL front door): per-branch DistinctOp presence flips drive
+    whole-row membership recompute of flipped rows only — across insert
+    and retract/re-insert ticks."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders_t (o_orderkey BIGINT NOT NULL,
+                               o_custkey BIGINT,
+                               o_orderstatus VARCHAR,
+                               o_totalprice FLOAT64);
+        CREATE VIEW big_not_f as
+            SELECT o_custkey AS k FROM orders_t WHERE o_totalprice > 100000
+            EXCEPT
+            SELECT o_custkey AS k FROM orders_t WHERE o_orderstatus = 'F';
+        CREATE VIEW big_and_f as
+            SELECT o_custkey AS k FROM orders_t WHERE o_totalprice > 100000
+            INTERSECT
+            SELECT o_custkey AS k FROM orders_t WHERE o_orderstatus = 'F';
+    """)
+    assert eng.view_strategy("big_not_f") == "except"
+    assert eng.view_strategy("big_and_f") == "intersect"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    for i in range(2):
+        eng.push("orders_t", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("orders_t", b0, weight=-1)
+    eng.step()
+    eng.push("orders_t", b0)
+    eng.step()
+    return (eng.view("big_not_f").select(F.lit("ex").alias("tag"), "k")
+            .unionByName(eng.view("big_and_f")
+                         .select(F.lit("ix").alias("tag"), "k")))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -515,6 +515,129 @@ class _UnionMaintainer(_ViewMaintainer):
         return delta
 
 
+def _split_setop(flat: str) -> tuple[str, list[str]] | None:
+    """Split on one top-level ``EXCEPT`` / ``INTERSECT`` (set semantics;
+    ``… ALL`` keeps the fallback).  Returns (kind, [left, right]) for
+    exactly two branches, else None."""
+    depth, in_str, i, n = 0, False, 0, len(flat)
+    found = None
+    while i < n:
+        ch = flat[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = re.match(r"\b(EXCEPT|INTERSECT)(\s+ALL)?\b",
+                             flat[i:], re.IGNORECASE)
+                if m and (i == 0 or not flat[i - 1].isalnum()):
+                    if m.group(2) or found is not None:
+                        return None  # ALL, or >2 branches
+                    found = (m.group(1).lower(), i, i + m.end())
+                    i += m.end()
+                    continue
+        i += 1
+    if found is None:
+        return None
+    kind, lo, hi = found
+    return kind, [flat[:lo].strip(), flat[hi:].strip()]
+
+
+class _SetOpMaintainer(_ViewMaintainer):
+    """``SELECT … FROM a EXCEPT|INTERSECT SELECT … FROM b`` (set
+    semantics — the reference's Z-set minus/intersect under distinct,
+    zset.py §2.7 / SURVEY §2.7): each branch's projected delta flows
+    through a :class:`DistinctOp`, whose ±1 presence flips drive
+    whole-row membership recompute restricted to flipped rows only —
+    ``r ∈ out ⇔ r ∈ A ∧ [¬] r ∈ B`` re-evaluated per touched row via
+    broadcast-sized null-safe semi/anti probes into the two presence
+    states.  A tick flipping nothing emits nothing."""
+
+    def __init__(self, eng, name, sql, kind, branches):
+        from database_stream_processor_spark.plans.incremental import (
+            DistinctOp)
+        self.kind = kind  # 'except' | 'intersect'
+        parsed = []
+        for b in branches:
+            m = _PROJECT_RE.match(b)
+            if (not m or _BLOCKERS.search(b)
+                    or _analyzed_has_aggregate(eng, b)):
+                raise _UnloweredShape(b)
+            tbl = m.group("tbl").lower()
+            if tbl not in eng.tables and tbl not in eng.views:
+                raise _UnloweredShape(tbl)
+            parsed.append((b, tbl))
+        super().__init__(eng, name, sql)
+        self.branches = parsed
+        probes = [eng.eval_on(b, {t: _source_rows0(eng, t)})
+                  for b, t in parsed]
+        self._names = probes[0].columns
+        _ = probes[0].unionByName(probes[1].toDF(*self._names)).schema
+        empty = eng.spark.createDataFrame([], probes[0].schema)
+        self._ops = [DistinctOp(ZSetFrame.from_df(empty))
+                     for _ in parsed]
+        self._presence = [StateTable(ZSetFrame.from_df(empty),
+                                     name=f"view_{name}_p{i}")
+                          for i in range(2)]
+
+    @staticmethod
+    def _ns_rows(df: DataFrame, probe_rows: DataFrame, cols: list[str],
+                 how: str) -> DataFrame:
+        """Null-safe whole-row semi/anti join (set ops compare NULLs as
+        equal, like DISTINCT)."""
+        p = probe_rows.select(*[F.col(c).alias(f"__p_{c}") for c in cols])
+        cond = None
+        for c in cols:
+            e = df[c].eqNullSafe(F.col(f"__p_{c}"))
+            cond = e if cond is None else (cond & e)
+        return df.join(p, on=cond, how=how)
+
+    def step(self, eng, combined, old):
+        flips = []
+        for (b, tbl), op in zip(self.branches, self._ops):
+            z = combined.get(tbl)
+            if z is None:
+                flips.append(None)
+                continue
+            pos, neg = _split_parts(z)
+            dz = ZSetFrame.from_df(
+                eng.eval_on(b, {tbl: pos}).toDF(*self._names), 1)
+            dz = dz.plus(ZSetFrame.from_df(
+                eng.eval_on(b, {tbl: neg}).toDF(*self._names), -1))
+            flips.append(op.step(dz.consolidate()))
+        if all(f is None for f in flips):
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, flips)
+
+    def _step_guarded(self, eng, flips):
+        cols = self._names
+        touched = None
+        for i, f in enumerate(flips):
+            if f is None:
+                continue
+            self._presence[i].update(f)
+            t = f.df.select(*cols)
+            touched = t if touched is None else touched.unionByName(t)
+        touched = touched.dropDuplicates().localCheckpoint(eager=True)
+        pa = self._presence[0].current.rows()
+        pb = self._presence[1].current.rows()
+        in_a = self._ns_rows(touched, pa, cols, "left_semi")
+        new_rows = self._ns_rows(
+            in_a, pb, cols,
+            "left_anti" if self.kind == "except" else "left_semi")
+        old_rows = self._ns_rows(self.state.current.rows(), touched,
+                                 cols, "left_semi")
+        delta = ZSetFrame((ZSetFrame.from_df(new_rows, 1)
+                           .minus(ZSetFrame.from_df(old_rows, 1))
+                           .consolidate().df.localCheckpoint(eager=True)))
+        self.apply_delta(delta)
+        return delta
+
+
 class _DistinctMaintainer(_ViewMaintainer):
     """SELECT DISTINCT <exprs> FROM t [WHERE p] — the projection is
     linear (runs over the delta alone), and the set-semantics layer is
@@ -1915,6 +2038,12 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     if u is not None:
         try:
             return _UnionMaintainer(eng, name, flat, u[0], u[1])
+        except Exception:
+            pass
+    so = _split_setop(flat)
+    if so is not None:
+        try:
+            return _SetOpMaintainer(eng, name, flat, so[0], so[1])
         except Exception:
             pass
     m = _DISTINCT_RE.match(flat)

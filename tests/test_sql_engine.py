@@ -1174,3 +1174,45 @@ def test_engine_output_connectors(spark, tmp_path):
         acc = z if acc is None else acc.plus(z)
     got_files = sorted(tuple(r) for r in acc.consolidate().rows().collect())
     assert got_files == want
+
+
+def test_setop_views_lower(spark):
+    """EXCEPT / INTERSECT views (set semantics) lower onto per-branch
+    DistinctOp presence flips + whole-row membership recompute of the
+    flipped rows only: across duplicate multiplicities, retractions,
+    NULL rows (set ops compare NULLs equal), the snapshot equals batch
+    recompute; EXCEPT ALL keeps the fallback."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k INTEGER, v VARCHAR);
+        CREATE TABLE b (k INTEGER, v VARCHAR);
+        CREATE VIEW ex as SELECT k, v FROM a EXCEPT SELECT k, v FROM b;
+        CREATE VIEW ix as SELECT k, v FROM a WHERE k > 0
+            INTERSECT SELECT k, v FROM b;
+        CREATE VIEW exall as SELECT k, v FROM a
+            EXCEPT ALL SELECT k, v FROM b;
+    """)
+    assert eng.view_strategy("ex") == "except"
+    assert eng.view_strategy("ix") == "intersect"
+    assert eng.view_strategy("exall") == "differentiate"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v string")
+    batches = [
+        ("a", mk([(1, "x"), (1, "x"), (2, "y"), (None, "n")]), 1),
+        ("b", mk([(1, "x"), (3, "z"), (None, "n")]), 1),
+        ("a", mk([(1, "x")]), -1),   # multiplicity 2 -> 1: still present
+        ("b", mk([(1, "x")]), -1),   # leaves b: reappears in ex
+        ("a", mk([(1, "x"), (2, "y")]), -1),
+    ]
+    for i, (t, bdf, w) in enumerate(batches):
+        eng.push(t, bdf, weight=w)
+        eng.step()
+        for view, sql in [
+            ("ex", "SELECT k, v FROM a EXCEPT SELECT k, v FROM b"),
+            ("ix", """SELECT k, v FROM a WHERE k > 0
+                      INTERSECT SELECT k, v FROM b"""),
+        ]:
+            want = sorted((tuple(r) for r in spark.sql(sql).collect()),
+                          key=str)
+            got = sorted((tuple(r) for r in eng.view(view).collect()),
+                         key=str)
+            assert got == want, (i, view)
