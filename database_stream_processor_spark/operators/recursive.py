@@ -220,6 +220,19 @@ class _PartitionedPairStore:
                 .distinct().collect())
         return sorted(r["__b"] for r in rows)
 
+    @staticmethod
+    def buckets_of_both(store_a: "_PartitionedPairStore", col_a: str,
+                        store_b: "_PartitionedPairStore", col_b: str,
+                        df: DataFrame) -> tuple[list[int], list[int]]:
+        """Both endpoints' bucket ids in ONE job (the per-tick write-back
+        needs src- and dst-store buckets of the same delta; two separate
+        distinct+collect jobs double the fixed cost)."""
+        rows = (df.select(store_a.bucket_expr(col_a).alias("__ba"),
+                          store_b.bucket_expr(col_b).alias("__bb"))
+                .distinct().collect())
+        return (sorted({r["__ba"] for r in rows}),
+                sorted({r["__bb"] for r in rows}))
+
     def _existing(self, buckets: list[int]) -> list[int]:
         fs, jvm = self._fs()
         P = jvm.org.apache.hadoop.fs.Path
@@ -246,7 +259,13 @@ class _PartitionedPairStore:
                 .parquet(self.path).select(*self.columns))
 
     def write_full(self, df: DataFrame) -> None:
+        # cluster by bucket before the partitioned write: one task (and
+        # one file) per bucket instead of every input partition spraying
+        # a sliver into every bucket dir — fewer tiny files on disk and
+        # fewer write tasks per tick; at real scale raise the multiplier
+        # so each bucket still gets size-bounded files
         (df.withColumn("__b", self.bucket_expr(self.key))
+         .repartition(self.n, F.col("__b"))
          .write.mode("overwrite").partitionBy("__b").parquet(self.path))
 
     def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
@@ -261,6 +280,7 @@ class _PartitionedPairStore:
         for b in buckets:
             fs.delete(P(f"{self.path}/__b={b}"), True)
         (df.withColumn("__b", self.bucket_expr(self.key))
+         .repartition(max(1, len(buckets)), F.col("__b"))
          .write.mode("append").partitionBy("__b").parquet(self.path))
 
 
@@ -571,12 +591,13 @@ class IncrementalTransitiveClosureOp:
             return ZSetFrame.from_df(
                 self.spark.createDataFrame([], self._schema), 1)
 
-        # rewrite only the buckets that received new pairs, in each copy
-        sb = self._s_src.buckets_of(new, src)
+        # rewrite only the buckets that received new pairs, in each copy;
+        # both endpoint bucket sets come from one job
+        sb, db = _PartitionedPairStore.buckets_of_both(
+            self._s_src, src, self._s_dst, dst, new)
         content = (self._s_src.read_buckets(sb).unionByName(new)
                    .localCheckpoint(eager=True))
         self._s_src.overwrite_buckets(content, sb)
-        db = self._s_dst.buckets_of(new, dst)
         content = (self._s_dst.read_buckets(db).unionByName(new)
                    .localCheckpoint(eager=True))
         self._s_dst.overwrite_buckets(content, db)
