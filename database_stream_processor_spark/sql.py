@@ -1590,6 +1590,7 @@ _DISTINCT_AGG_ITEM = re.compile(
     r"^(?:(?P<key>\w+)"
     r"|COUNT\s*\(\s*DISTINCT\s+(?P<ce>.+?)\s*\)\s+AS\s+(?P<cn>\w+)"
     r"|SUM\s*\(\s*DISTINCT\s+(?P<se>.+?)\s*\)\s+AS\s+(?P<sn>\w+)"
+    r"|AVG\s*\(\s*DISTINCT\s+(?P<ae>.+?)\s*\)\s+AS\s+(?P<an>\w+)"
     r"|COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<starn>\w+))$",
     re.IGNORECASE | re.DOTALL)
 
@@ -1619,7 +1620,8 @@ def _match_distinct_agg_items(sel: str, keys: list[str]) -> dict | None:
             items.append(("cnt_star", m.group("starn")))
             out.append(("col", m.group("starn")))
             continue
-        e = " ".join((m.group("ce") or m.group("se")).split())
+        e = " ".join((m.group("ce") or m.group("se")
+                      or m.group("ae")).split())
         if expr is None:
             expr = e
         elif expr != e:
@@ -1627,9 +1629,12 @@ def _match_distinct_agg_items(sel: str, keys: list[str]) -> dict | None:
         if m.group("cn"):
             items.append(("cntd", m.group("cn")))
             out.append(("cntd", m.group("cn")))
-        else:
+        elif m.group("sn"):
             items.append(("sumd", m.group("sn")))
             out.append(("sumd", m.group("sn")))
+        else:
+            items.append(("avgd", m.group("an")))
+            out.append(("avgd", m.group("an")))
     if expr is None or any(not re.match(r"^\w+$", k) for k in keys):
         return None
     return {"expr": expr, "items": items, "out": out}
@@ -1662,7 +1667,7 @@ class _DistinctAggMaintainer(_GroupMergeMaintainer):
         self._out_spec2 = spec["out"]
         self._dist_vals = ["__dcnt"] + [f"__ds_{n}"
                                         for k, n in spec["items"]
-                                        if k == "sumd"]
+                                        if k in ("sumd", "avgd")]
         self._raw_vals = [n for k, n in spec["items"] if k == "cnt_star"]
         self.agg_names = self._dist_vals + self._raw_vals
         m = _AGG_RE.match(sql)
@@ -1670,6 +1675,8 @@ class _DistinctAggMaintainer(_GroupMergeMaintainer):
                      for k, n in spec["items"] if k == "cntd"]
         alias_map += [(f"SUM(DISTINCT {spec['expr']})", n)
                       for k, n in spec["items"] if k == "sumd"]
+        alias_map += [(f"AVG(DISTINCT {spec['expr']})", n)
+                      for k, n in spec["items"] if k == "avgd"]
         alias_map += [("COUNT(*)", n) for k, n in spec["items"]
                       if k == "cnt_star"]
         self._having = _rewrite_having(m.group("having"),
@@ -1715,9 +1722,13 @@ class _DistinctAggMaintainer(_GroupMergeMaintainer):
                 cols.append(F.col(n))
             elif kind == "cntd":
                 cols.append(F.col("__dcnt").alias(n))
-            else:  # sumd: SQL SUM over zero non-null values is NULL
+            elif kind == "sumd":  # SQL SUM of no non-null values is NULL
                 cols.append(F.when(F.col("__dcnt") != 0,
                                    F.col(f"__ds_{n}")).alias(n))
+            else:  # avgd = Σdistinct / #distinct, NULL on empty
+                dc = F.col("__dcnt")
+                cols.append(F.when(dc != 0,
+                                   F.col(f"__ds_{n}") / dc).alias(n))
         out = group_delta_df.select(*cols, F.col(WEIGHT_COL))
         return out.filter(F.expr(self._having)) if self._having else out
 
@@ -1749,7 +1760,7 @@ class _DistinctAggMaintainer(_GroupMergeMaintainer):
         w = F.col(WEIGHT_COL)
         aggs = [F.sum(w).alias("__dcnt")]
         aggs += [F.sum(F.col("__v") * w).alias(f"__ds_{n}")
-                 for k, n in self._items if k == "sumd"]
+                 for k, n in self._items if k in ("sumd", "avgd")]
         dd = self._pad(sd.df.groupBy(*self.keys).agg(*aggs),
                        self._dist_vals)
         # distinct contributions carry their sign in the weights already

@@ -1216,3 +1216,33 @@ def test_setop_views_lower(spark):
             got = sorted((tuple(r) for r in eng.view(view).collect()),
                          key=str)
             assert got == want, (i, view)
+
+
+def test_avg_distinct_lowers(spark):
+    """AVG(DISTINCT e) finalizes as Σdistinct/#distinct from the same
+    partials as SUM/COUNT(DISTINCT); NULL on groups with no non-null
+    values."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (u INTEGER, g VARCHAR);
+        CREATE VIEW av as
+            SELECT g, AVG(DISTINCT u) AS au, COUNT(DISTINCT u) AS nu
+            FROM ev GROUP BY g;
+    """)
+    assert eng.view_strategy("av") == "distinct_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "u int, g string")
+    batches = [
+        (mk([(2, "a"), (2, "a"), (4, "a"), (None, "b"), (5, "b")]), 1),
+        (mk([(2, "a")]), -1),     # dup retracts: 2 stays distinct-present
+        (mk([(2, "a")]), -1),     # now 2 leaves: avg = 4
+        (mk([(5, "b")]), -1),     # b has only NULLs: avg NULL, count 0
+    ]
+    for i, (b, w) in enumerate(batches):
+        eng.push("ev", b, weight=w)
+        eng.step()
+        want = sorted((tuple(r) for r in spark.sql(
+            """SELECT g, AVG(DISTINCT u) AS au, COUNT(DISTINCT u) AS nu
+               FROM ev GROUP BY g""").collect()), key=str)
+        got = sorted((tuple(r) for r in eng.view("av").collect()),
+                     key=str)
+        assert got == want, (i, got, want)
