@@ -736,7 +736,8 @@ class IncrementalFixpointOp:
     """
 
     def __init__(self, empty_input, step, base=None, delta_base=None,
-                 delta_step=None, max_iterations: int = 100):
+                 delta_step=None, delta_step_out=None,
+                 max_iterations: int = 100):
         from database_stream_processor_spark.plans.incremental import (
             StateTable)
         self.step_fn = step
@@ -744,6 +745,14 @@ class IncrementalFixpointOp:
         self.delta_base = delta_base if delta_base is not None else (
             None if base is not None else (lambda full, d: d))
         self.delta_step = delta_step
+        #: derivations using ≥1 acc-atom from ``s`` (over-approximating is
+        #: fine) — drives DRed suspect propagation.  The default,
+        #: ``step(full, s)``, is exact for LINEAR recursion (one acc atom
+        #: per rule body — transitive closure, same-generation, most
+        #: Datalog); a non-linear rule (acc joined with itself) must
+        #: supply its own, e.g. ``step(full, s) ∪ step'(full, acc, s)``.
+        self.delta_step_out = delta_step_out if delta_step_out is not None \
+            else (lambda full, s, acc: step(full, s))
         self.max_iterations = max_iterations
         self.integral = StateTable(empty_input, name="fixpoint_input")
         self._prev: DataFrame | None = None
@@ -753,10 +762,17 @@ class IncrementalFixpointOp:
         from database_stream_processor_spark.zset import ZSetFrame
         d = delta.consolidate()
         insert_only = d.df.filter(d.weight < 0).isEmpty()
-        if (insert_only and self._prev is not None
-                and self.delta_step is not None
-                and self.delta_base is not None):
+        have_rules = (self.delta_step is not None
+                      and self.delta_base is not None)
+        if insert_only and self._prev is not None and have_rules:
             return self._step_seminaive(d)
+        if not insert_only and self._prev is not None and have_rules:
+            neg = ZSetFrame(d.df.filter(d.weight < 0))
+            pos = ZSetFrame(d.df.filter(d.weight > 0))
+            out = self._step_dred(neg.consolidate())
+            if not pos.df.isEmpty():
+                out = out.plus(self._step_seminaive(pos.consolidate()))
+            return out.consolidate()
         rows = self.integral.update(d).consolidate().rows() \
             .localCheckpoint(eager=True)
         out = fixpoint(self.base_fn(rows),
@@ -771,6 +787,77 @@ class IncrementalFixpointOp:
         self.last_stats = {"mode": "recompute", "rounds": None,
                            "new_rows": None}
         return diff.consolidate()
+
+    def _step_dred(self, dneg) -> "object":
+        """Delete-and-rederive for the generic fixpoint (the nested-clock
+        deletion bound, time/mod.rs:20-48, without the TC
+        specialization):
+
+        1. *suspects*: close the deleted atoms' direct derivations
+           (``delta_base``/``delta_step`` over the OLD input/output)
+           under ``delta_step_out`` — every output row with some
+           derivation path through a deleted atom;
+        2. *re-derive*: semi-naive fixpoint restricted to the suspect
+           set over the NEW input, seeded from base + the kept rows;
+        3. retract ``suspects − rederived``.
+
+        Work ∝ |suspects| plus one accumulated-output anti-join for the
+        keep-split (the TC op's bucketed stores avoid even that; here the
+        output lives in memory, so the scan is one partition-local pass).
+        """
+        from database_stream_processor_spark.zset import ZSetFrame
+        d_rows = dneg.neg().rows().localCheckpoint(eager=True)
+        i_old = (self.integral.current.consolidate().rows()
+                 .localCheckpoint(eager=True))
+        full = (self.integral.update(dneg).consolidate().rows()
+                .localCheckpoint(eager=True))
+        acc = self._prev
+        s = (self.delta_base(i_old, d_rows)
+             .unionByName(self.delta_step(i_old, d_rows, acc))
+             .dropDuplicates().intersect(acc)
+             .localCheckpoint(eager=True))
+        suspects = s
+        s_rounds = 0
+        with _loop_shuffle_partitions(d_rows) as resize:
+            for _ in range(self.max_iterations):
+                if s.isEmpty():
+                    break
+                s_rounds += 1
+                resize(s.count())
+                stepped = (self.delta_step_out(i_old, s, acc)
+                           .dropDuplicates().intersect(acc))
+                s = stepped.exceptAll(suspects).localCheckpoint(eager=True)
+                suspects = (suspects.unionByName(s)
+                            .localCheckpoint(eager=True))
+            else:
+                raise RuntimeError("DRed suspect closure did not converge")
+            n_s = suspects.count()
+            keep = acc.exceptAll(suspects).localCheckpoint(eager=True)
+
+            red = (self.base_fn(full).intersect(suspects)
+                   .unionByName(self.step_fn(full, keep)
+                                .intersect(suspects))
+                   .dropDuplicates().localCheckpoint(eager=True))
+            frontier = red
+            r_rounds = 0
+            for _ in range(self.max_iterations):
+                if frontier.isEmpty():
+                    break
+                r_rounds += 1
+                resize(n_s)
+                stepped = (self.step_fn(full, frontier).dropDuplicates()
+                           .intersect(suspects))
+                frontier = (stepped.exceptAll(red)
+                            .localCheckpoint(eager=True))
+                red = red.unionByName(frontier).localCheckpoint(eager=True)
+            else:
+                raise RuntimeError("DRed re-derivation did not converge")
+        dead = suspects.exceptAll(red).localCheckpoint(eager=True)
+        self._prev = keep.unionByName(red).localCheckpoint(eager=True)
+        self.last_stats = {"mode": "dred", "suspects": n_s,
+                           "rounds": s_rounds + r_rounds,
+                           "new_rows": None}
+        return ZSetFrame.from_df(dead, -1).consolidate()
 
     def _step_seminaive(self, d) -> "object":
         from database_stream_processor_spark.zset import ZSetFrame

@@ -1320,6 +1320,11 @@ def q74_same_generation(spark, sf_dir):
         d = op.step(ZSetFrame.from_df(batch))
         out = d if out is None else out.plus(d)
     assert op.last_stats["mode"] == "seminaive", op.last_stats
+    # deletion tick: delete-and-rederive (suspect-bounded), then restore
+    band = par.filter(F.col("child").between(60, 90))
+    out = out.plus(op.step(ZSetFrame.from_df(band, -1)))
+    assert op.last_stats["mode"] == "dred", op.last_stats
+    out = out.plus(op.step(ZSetFrame.from_df(band)))
     return out.consolidate().rows().select("x", "y")
 
 

