@@ -176,3 +176,48 @@ def sample_frames(df: DataFrame, id_col: str, binary_col: str,
 
     prepared = df.select(F.col(id_col), F.col(binary_col).cast("binary"))
     return prepared.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("chunk_idx", T.IntegerType()),
+    T.StructField("start_ms", T.LongType()),
+    T.StructField("end_ms", T.LongType()),
+    T.StructField("samples", T.BinaryType()),
+])
+
+
+def chunk_audio(df: DataFrame, id_col: str, binary_col: str,
+                chunk_ms: int = 1000, bytes_per_ms: int = 16,
+                max_chunks: int = 6) -> DataFrame:
+    """Audio windowing: one output row per fixed-duration chunk — the
+    audio analog of :func:`sample_frames` (the reference's media columns
+    are opaque payloads + typed metadata; SURVEY §2.2 flat_map shape).
+
+    STUB compute: duration derives from payload size at a nominal
+    ``bytes_per_ms`` and each chunk's ``samples`` is the corresponding
+    payload slice (hash-stamped) — a real build decodes PCM with
+    soundfile/librosa behind the same Arrow batch shape.  Explosion
+    happens inside the batch; row count scales with audio length, not
+    tasks."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        step = chunk_ms * bytes_per_ms
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "start_ms": [],
+                   "end_ms": [], "samples": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                payload = bytes(payload)
+                n = min(max(len(payload) // step, 1), max_chunks)
+                for i in range(n):
+                    out["doc_id"].append(int(doc_id))
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(i * chunk_ms)
+                    out["end_ms"].append((i + 1) * chunk_ms)
+                    sl = payload[i * step:(i + 1) * step]
+                    out["samples"].append(
+                        hashlib.sha256(sl + bytes([i])).digest())
+            yield pd.DataFrame(out)
+
+    prepared = df.select(F.col(id_col), F.col(binary_col).cast("binary"))
+    return prepared.mapInPandas(run, schema=CHUNK_SCHEMA)

@@ -2922,6 +2922,31 @@ def q87_sql_engine_setops(spark, sf_dir):
                          .select(F.lit("ix").alias("tag"), "k")))
 
 
+@register("q88_multimodal_audio_chunks", oracle="""
+SELECT d.doc_id, CAST(t.i AS INT) AS chunk_idx,
+       CAST(t.i * 1000 AS BIGINT) AS start_ms,
+       CAST((t.i + 1) * 1000 AS BIGINT) AS end_ms
+FROM documents d,
+     UNNEST(generate_series(0,
+         CAST(least(greatest(octet_length(CAST(d.text AS BLOB)) // 16000, 1),
+                    6) AS BIGINT) - 1)) AS t(i)
+""")
+def q88_multimodal_audio_chunks(spark, sf_dir):
+    """Audio windowing (the UDTF/flat_map shape over media payloads,
+    mapInPandas exploding inside the Arrow batch): one row per
+    fixed-duration chunk, chunk count derived from payload size — count,
+    indexes, and window bounds are oracle-checked; sample bytes are
+    covered by unit tests (the decode itself is the documented stub, no
+    codecs in this container)."""
+    from database_stream_processor_spark.functions.multimodal import (
+        chunk_audio)
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.col("text").cast("binary").alias("payload")))
+    out = chunk_audio(d, "doc_id", "payload", chunk_ms=1000,
+                      bytes_per_ms=16, max_chunks=6)
+    return out.select("doc_id", "chunk_idx", "start_ms", "end_ms")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -337,3 +337,26 @@ def test_sql_engine_under_structured_streaming(spark, tmp_path):
     want = {("a", sum(a for k, a in all_rows if k == 0)),
             ("b", sum(a for k, a in all_rows if k == 1))}
     assert got == want
+
+
+def test_audio_chunking_windows_and_bytes(spark):
+    """chunk_audio: window bounds follow chunk_ms, count is clamped to
+    [1, max_chunks], and sample bytes are the deterministic slice stamp
+    (so a real PCM decoder drops in behind the same contract)."""
+    import hashlib
+    from database_stream_processor_spark.functions.multimodal import (
+        chunk_audio)
+    payload = bytes(range(256)) * 200        # 51200 bytes -> 3 chunks
+    df = spark.createDataFrame([(1, payload), (2, b"x")],
+                               "doc_id long, payload binary")
+    out = {(r.doc_id, r.chunk_idx): r for r in
+           chunk_audio(df, "doc_id", "payload", chunk_ms=1000,
+                       bytes_per_ms=16, max_chunks=6).collect()}
+    assert {k for k in out} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    r = out[(1, 1)]
+    assert (r.start_ms, r.end_ms) == (1000, 2000)
+    step = 16000
+    assert bytes(r.samples) == hashlib.sha256(
+        payload[step:2 * step] + bytes([1])).digest()
+    assert bytes(out[(2, 0)].samples) == hashlib.sha256(
+        b"x" + bytes([0])).digest()
