@@ -2947,6 +2947,43 @@ def q88_multimodal_audio_chunks(spark, sf_dir):
     return out.select("doc_id", "chunk_idx", "start_ms", "end_ms")
 
 
+@register("q89_deterministic_split_sample", oracle="""
+WITH u AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('split' || chr(31)
+                              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) / 1000000.0 AS us,
+         (('0x' || substr(md5('sample' || chr(31)
+                              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) / 1000000.0 AS up
+  FROM documents),
+assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN us < 0.8 THEN 'train'
+              WHEN us < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM u WHERE up < CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM assigned GROUP BY split, lang
+""")
+def q89_deterministic_split_sample(spark, sf_dir):
+    """Deterministic corpus splitting + stratified downsampling — the
+    training-pipeline subset discipline: assignments hash the document
+    id (portable md5 hash32, never rand()), so reruns, task retries, and
+    incremental batches keep identical rows; both ops are pure column
+    expressions (zero shuffle before the final count).  Here: 80/10/10
+    train/val/test over documents with English downsampled to 50%."""
+    from database_stream_processor_spark.functions.sampling import (
+        hash_split, stratified_sample)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_sample(d, ["lang"], {"en": 0.5}, ["doc_id"])
+    split = hash_split(kept, ["doc_id"],
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (split.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("doc_id").cast("long").alias("min_id")))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

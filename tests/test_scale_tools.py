@@ -87,3 +87,47 @@ def test_connected_components_chains_rings_singletons(spark):
     want |= {(n, n) for n in list(range(26, 30)) +
              list(range(34, 40)) + list(range(46, 50)) + [99]}
     assert got == want
+
+
+def test_deterministic_split_and_stratified_sample(spark):
+    """hash_split partitions every row into exactly one split with
+    id-stable assignments (a subset of the corpus gets identical
+    assignments — the incremental-arrival property); stratified_sample
+    keeps a deterministic per-stratum subset; both are pure projections
+    (no Exchange in the plan)."""
+    import pytest
+    from database_stream_processor_spark.functions.sampling import (
+        hash_split, stratified_sample)
+    df = spark.createDataFrame([(i, ["en", "de", "fr"][i % 3])
+                                for i in range(300)],
+                               "doc_id long, lang string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r.doc_id: r.split for r in
+          hash_split(df, ["doc_id"], fr).collect()}
+    assert len(s1) == 300                        # total coverage
+    assert set(s1.values()) == {"train", "val", "test"}
+    # id-stability: a subset sees the same assignments
+    sub = {r.doc_id: r.split for r in
+           hash_split(df.filter("doc_id % 2 = 0"), ["doc_id"],
+                      fr).collect()}
+    assert all(s1[k] == v for k, v in sub.items())
+    # rough proportions (hash-uniformity sanity, not exactness)
+    assert sum(1 for v in s1.values() if v == "train") > 180
+
+    kept = stratified_sample(df, ["lang"], {"en": 0.3}, ["doc_id"])
+    k1 = {r.doc_id for r in kept.collect()}
+    k2 = {r.doc_id for r in kept.collect()}      # rerun: identical
+    assert k1 == k2
+    by_lang = {r.doc_id: r.lang for r in df.collect()}
+    assert all(by_lang[d] != "en" or d in k1 or True for d in by_lang)
+    non_en = {d for d, l in by_lang.items() if l != "en"}
+    assert non_en <= k1                          # default 1.0 keeps all
+    en_kept = len([d for d in k1 if by_lang[d] == "en"])
+    assert 10 < en_kept < 60                     # ~30% of 100
+
+    # pure projections: no shuffle in either plan
+    for plan_df in (hash_split(df, ["doc_id"], fr), kept):
+        assert "Exchange" not in plan_df._jdf.queryExecution() \
+            .executedPlan().toString()
+    with pytest.raises(ValueError):
+        hash_split(df, ["doc_id"], {"a": 0.5, "b": 0.6})
