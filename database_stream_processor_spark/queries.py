@@ -2984,6 +2984,59 @@ def q89_deterministic_split_sample(spark, sf_dir):
                  F.min("doc_id").cast("long").alias("min_id")))
 
 
+@register("q90_sql_engine_incremental_dedup", oracle="""
+WITH fps AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f,
+         lang
+  FROM documents),
+keepers AS (SELECT f, MIN(doc_id) AS keep_id FROM fps GROUP BY f)
+SELECT p.doc_id, p.lang FROM fps p
+WHERE p.doc_id IN (SELECT keep_id FROM keepers)
+""")
+def q90_sql_engine_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup as a pure SQL view stack — the
+    training-pipeline policy (keep the lowest doc id per normalized
+    fingerprint) maintained end to end by composed lowerings:
+    projection view (fingerprints) → MIN GROUP BY over the *view*
+    (touched-group AggregateOp) → IN-subquery filter against the
+    keepers view (touched-key semi-join).  A batch of new documents
+    re-examines only its fingerprints' groups; when the current keeper
+    of a fingerprint retracts, the survivor set repairs itself."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE docs (doc_id BIGINT NOT NULL, body VARCHAR,
+                           lang VARCHAR);
+        CREATE VIEW fps as
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(body), '\\\\s+', ' ')))
+                       AS f,
+                   lang
+            FROM docs;
+        CREATE VIEW keepers as
+            SELECT f, MIN(doc_id) AS keep_id FROM fps GROUP BY f;
+        CREATE VIEW survivors as
+            SELECT p.doc_id, p.lang FROM fps p
+            WHERE p.doc_id IN (SELECT keep_id FROM keepers);
+    """)
+    assert eng.view_strategy("fps") == "project"
+    assert eng.view_strategy("keepers") == "nonlinear_agg"
+    assert eng.view_strategy("survivors") == "in"
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.col("text").alias("body"), "lang"))
+    for i in range(2):
+        eng.push("docs", d.filter(F.col("doc_id") % 2 == i))
+        eng.step()
+    # retract the even half (keepers repair to odd ids), then restore
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    eng.push("docs", b0, weight=-1)
+    eng.step()
+    eng.push("docs", b0)
+    eng.step()
+    return eng.view("survivors").select("doc_id", "lang")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -1878,7 +1878,12 @@ class _NonLinearAggMaintainer(_ViewMaintainer):
             im = _NONLIN_ITEM.match(it)
             if im.group("name"):
                 exprs.append(F.expr(im.group("agg")).alias(im.group("name")))
-        empty_in = ZSetFrame(eng.tables[table].current.df.limit(0))
+        # the op integrates its own input from deltas, so an upstream
+        # maintained VIEW works exactly like a base table: its per-tick
+        # output delta is this op's input delta
+        src_df = (eng.tables[table].current.df if table in eng.tables
+                  else eng._maintainers[table].state.current.df)
+        empty_in = ZSetFrame(src_df.limit(0))
 
         def agg_fn(z: ZSetFrame) -> ZSetFrame:
             rows = z.rows()
@@ -2087,8 +2092,7 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             if spec:
                 return _LinearAggMaintainer(
                     eng, name, flat, m.group("tbl").lower(), keys, spec)
-            if (_match_nonlinear_items(m.group("sel"), keys)
-                    and m.group("tbl").lower() in eng.tables):
+            if _match_nonlinear_items(m.group("sel"), keys):
                 return _NonLinearAggMaintainer(
                     eng, name, flat, m.group("tbl").lower(), keys)
         except Exception:

@@ -1246,3 +1246,26 @@ def test_avg_distinct_lowers(spark):
         got = sorted((tuple(r) for r in eng.view("av").collect()),
                      key=str)
         assert got == want, (i, got, want)
+
+
+def test_nonlinear_agg_over_maintained_view(spark):
+    """MIN/MAX GROUP BY over an upstream maintained VIEW lowers onto
+    AggregateOp (the op integrates its own input from the view's output
+    deltas): keeper-repair across retraction of the current minimum."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE docs (doc_id BIGINT NOT NULL, f VARCHAR);
+        CREATE VIEW pf as SELECT doc_id, f FROM docs WHERE f <> 'skip';
+        CREATE VIEW keepers as
+            SELECT f, MIN(doc_id) AS keep_id FROM pf GROUP BY f;
+    """)
+    assert eng.view_strategy("keepers") == "nonlinear_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, f string")
+    eng.push("docs", mk([(3, "a"), (5, "a"), (7, "b"), (1, "skip")]))
+    eng.step()
+    assert {(r.f, r.keep_id) for r in eng.view("keepers").collect()} == \
+        {("a", 3), ("b", 7)}
+    eng.push("docs", mk([(3, "a")]), weight=-1)   # keeper retracts
+    eng.step()
+    assert {(r.f, r.keep_id) for r in eng.view("keepers").collect()} == \
+        {("a", 5), ("b", 7)}
