@@ -2100,7 +2100,10 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             # doesn't carry — correctness first: snapshot-diff it
             pass
     m = _AGG_RE.match(flat)
-    if (m and m.group("tbl").lower() in eng.tables
+    # the per-tick partials run over the delta alone (eval_on rebinding),
+    # so an upstream maintained view's output delta works like a table's
+    if (m and (m.group("tbl").lower() in eng.tables
+               or m.group("tbl").lower() in eng.views)
             and not _DISTINCT_AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_distinct_agg_items(m.group("sel"), keys)

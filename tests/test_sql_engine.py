@@ -1269,3 +1269,30 @@ def test_nonlinear_agg_over_maintained_view(spark):
     eng.step()
     assert {(r.f, r.keep_id) for r in eng.view("keepers").collect()} == \
         {("a", 5), ("b", 7)}
+
+
+def test_distinct_agg_over_maintained_view(spark):
+    """COUNT(DISTINCT) over an upstream maintained view: the view's
+    output delta feeds the distinct-agg pipeline like a table delta."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (u INTEGER, g VARCHAR, amt FLOAT64);
+        CREATE VIEW pos as SELECT u, g FROM ev WHERE amt > 0;
+        CREATE VIEW nu as
+            SELECT g, COUNT(DISTINCT u) AS users FROM pos GROUP BY g;
+    """)
+    assert eng.view_strategy("nu") == "distinct_agg"
+    mk = lambda rows: spark.createDataFrame(rows, "u int, g string, amt double")
+    batches = [(mk([(1, "a", 5.0), (2, "a", 1.0), (1, "a", -9.0),
+                    (3, "b", 2.0)]), 1),
+               (mk([(2, "a", 1.0)]), -1),
+               (mk([(4, "b", 3.0), (3, "b", 7.0)]), 1)]
+    for i, (b, w) in enumerate(batches):
+        eng.push("ev", b, weight=w)
+        eng.step()
+        want = sorted(tuple(r) for r in spark.sql(
+            """SELECT g, COUNT(DISTINCT u) AS users
+               FROM (SELECT u, g FROM ev WHERE amt > 0) GROUP BY g"""
+        ).collect())
+        got = sorted(tuple(r) for r in eng.view("nu").collect())
+        assert got == want, (i,)
