@@ -197,3 +197,25 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the ANN memory
+    lever at corpus scale: 4× smaller than float32, so 4× more vectors
+    per executor and per shuffle block, with dot products computable on
+    the codes (rescale by scale_a·scale_b/127²).
+
+    ``codes[i] = floor(x_i / scale · 127 + 0.5)`` with ``scale = max|x|``
+    (zero vector → zero codes, scale 0).  floor(+0.5) rather than a
+    round() builtin so any engine reproduces the identical codes from
+    the identical doubles — the assignments are portable/deterministic
+    by construction (same discipline as functions/sampling).  Output:
+    (id, scale, codes array<int>).  Pure column expressions — zero
+    shuffle, fully codegen'd."""
+    absmax = F.array_max(F.transform(F.col(vec_col),
+                                     lambda x: F.abs(x.cast("double"))))
+    code = (lambda x: F.when(absmax == 0, F.lit(0)).otherwise(
+        F.floor(x.cast("double") / absmax * 127 + F.lit(0.5)))
+        .cast("int"))
+    return df.select(F.col(id_col), absmax.alias("scale"),
+                     F.transform(F.col(vec_col), code).alias("codes"))

@@ -3037,6 +3037,34 @@ def q90_sql_engine_incremental_dedup(spark, sf_dir):
     return eng.view("survivors").select("doc_id", "lang")
 
 
+@register("q91_embedding_quantize", oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+             AS scale,
+         embedding
+  FROM embeddings)
+SELECT q.vec_id, CAST(t.i - 1 AS INT) AS dim_idx,
+       CAST(CASE WHEN q.scale = 0 THEN 0
+                 ELSE floor(q.embedding[t.i]::DOUBLE / q.scale * 127
+                            + 0.5) END AS INT) AS code
+FROM q, UNNEST(generate_series(1, len(q.embedding))) AS t(i)
+""")
+def q91_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the ANN memory lever:
+    4× more vectors per executor/shuffle block, dot products on codes):
+    codes are floor(x/scale·127 + 0.5) over per-vector max-abs scale —
+    portable double arithmetic, so the oracle reproduces every code
+    exactly.  Pure projection; the explode to (vec_id, dim_idx, code)
+    is only the driver-comparable output shape."""
+    from database_stream_processor_spark.functions.similarity import (
+        quantize_embeddings)
+    e = load(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(e, "vec_id", "embedding")
+    return out.select(
+        "vec_id", F.posexplode("codes").alias("dim_idx", "code"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -131,3 +131,31 @@ def test_deterministic_split_and_stratified_sample(spark):
             .executedPlan().toString()
     with pytest.raises(ValueError):
         hash_split(df, ["doc_id"], {"a": 0.5, "b": 0.6})
+
+
+def test_embedding_quantization_codes_and_zero_vector(spark):
+    """int8 quantization: codes bounded to [-127, 127], max-abs dim maps
+    to ±127, zero vectors quantize to zero codes with scale 0, and
+    dequantized values reconstruct within half a step — all as a pure
+    projection (no Exchange)."""
+    from database_stream_processor_spark.functions.similarity import (
+        quantize_embeddings)
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert out[1].codes == [64, -127, 32]       # -1.0 is the max-abs dim
+    assert out[1].scale == 1.0
+    assert out[2].codes == [0, 0, 0] and out[2].scale == 0.0
+    assert out[3].codes == [127]
+    for r in out.values():
+        assert all(-127 <= c <= 127 for c in r.codes)
+        if r.scale:
+            orig = {1: [0.5, -1.0, 0.25], 3: [2.0]}[r.vec_id]
+            step = r.scale / 127
+            for x, c in zip(orig, r.codes):
+                assert abs(c * step - x) <= step / 2 + 1e-9
+    plan = (quantize_embeddings(df, "vec_id", "embedding")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
