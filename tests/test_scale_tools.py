@@ -159,3 +159,48 @@ def test_embedding_quantization_codes_and_zero_vector(spark):
     plan = (quantize_embeddings(df, "vec_id", "embedding")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_cosine_search_on_quantized_codes(spark):
+    """Cosine is scale-invariant, so similarity search runs directly on
+    int8 codes: top-1 neighbors over the quantized corpus agree with
+    top-1 over the original floats, and pairwise cosines agree within
+    quantization error (≤ ~1/127 per dim)."""
+    import math
+    import random
+    from database_stream_processor_spark.functions.similarity import (
+        cosine, quantize_embeddings)
+    random.seed(11)
+    vecs = [(i, [random.uniform(-1, 1) for _ in range(16)])
+            for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df, "vec_id", "embedding")
+    a = df.selectExpr("vec_id AS ia", "embedding AS va")
+    b = df.selectExpr("vec_id AS ib", "embedding AS vb")
+    # codes/127 keeps values in the unit range the cosine helper's
+    # decimal accumulators expect; cosine is scale-invariant anyway
+    qa = q.selectExpr(
+        "vec_id AS ia",
+        "transform(codes, x -> CAST(x AS DOUBLE) / 127) AS ca")
+    qb = q.selectExpr(
+        "vec_id AS ib",
+        "transform(codes, x -> CAST(x AS DOUBLE) / 127) AS cb")
+    pairs = (a.crossJoin(b).filter("ia < ib")
+             .join(qa, "ia").join(qb, "ib")
+             .select("ia", "ib",
+                     cosine(F.col("va"), F.col("vb")).alias("cf"),
+                     cosine(F.col("ca"), F.col("cb")).alias("cq"))
+             .collect())
+    for r in pairs:
+        assert abs(r.cf - r.cq) < 0.02, (r.ia, r.ib)
+    # top-1 neighbor per vector agrees between float and code space
+    best_f, best_q = {}, {}
+    for r in pairs:
+        for src, dst, cf, cq in ((r.ia, r.ib, r.cf, r.cq),
+                                 (r.ib, r.ia, r.cf, r.cq)):
+            if cf > best_f.get(src, (-2, None))[0]:
+                best_f[src] = (cf, dst)
+            if cq > best_q.get(src, (-2, None))[0]:
+                best_q[src] = (cq, dst)
+    agree = sum(1 for k in best_f if best_f[k][1] == best_q[k][1])
+    assert agree >= len(best_f) - 2   # allow rare near-tie flips
