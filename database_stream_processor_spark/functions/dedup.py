@@ -258,6 +258,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .select(id_col, F.col(id_col).alias("component"))
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym["__a"] == labels[id_col])
                .select(F.col("__b").alias(id_col), "component"))
@@ -273,8 +274,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         cur_sum = new.agg(F.sum("component")).collect()[0][0]
         labels = new
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # same contract as fixpoint/iterate_until elsewhere in the repo:
+        # never hand back possibly-wrong labels silently
+        raise RuntimeError(
+            f"connected_components: label sum still decreasing after "
+            f"max_iter={max_iter} pointer-jumping rounds; raise max_iter "
+            f"(rounds needed ~ log2(graph diameter))")
     return labels
 
 

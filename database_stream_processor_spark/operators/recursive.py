@@ -745,12 +745,15 @@ class IncrementalFixpointOp:
         self.delta_base = delta_base if delta_base is not None else (
             None if base is not None else (lambda full, d: d))
         self.delta_step = delta_step
-        #: derivations using ≥1 acc-atom from ``s`` (over-approximating is
-        #: fine) — drives DRed suspect propagation.  The default,
+        #: ``delta_step_out(full, s, acc)`` = every derivation using ≥1
+        #: acc-atom from ``s``, with the rule's remaining acc-atoms drawn
+        #: from ``acc`` (over-approximating is fine) — drives BOTH DRed
+        #: suspect propagation and DRed re-derivation.  The default,
         #: ``step(full, s)``, is exact for LINEAR recursion (one acc atom
         #: per rule body — transitive closure, same-generation, most
         #: Datalog); a non-linear rule (acc joined with itself) must
-        #: supply its own, e.g. ``step(full, s) ∪ step'(full, acc, s)``.
+        #: supply its own, e.g. ``step(full, s) ∪ step'(full, acc, s)``,
+        #: or deletions will both under-suspect and over-retract.
         self.delta_step_out = delta_step_out if delta_step_out is not None \
             else (lambda full, s, acc: step(full, s))
         self.max_iterations = max_iterations
@@ -845,8 +848,15 @@ class IncrementalFixpointOp:
                     break
                 r_rounds += 1
                 resize(n_s)
-                stepped = (self.step_fn(full, frontier).dropDuplicates()
-                           .intersect(suspects))
+                # delta-complete step: every derivation using ≥1 frontier
+                # atom, remaining atoms drawn from keep ∪ red — via the
+                # same delta_step_out hook as the suspect closure, so a
+                # NON-LINEAR rule's keep×frontier cross-derivations are
+                # found (the default hook reduces to step(full, frontier),
+                # exact for linear recursion).
+                ctx = keep.unionByName(red)
+                stepped = (self.delta_step_out(full, frontier, ctx)
+                           .dropDuplicates().intersect(suspects))
                 frontier = (stepped.exceptAll(red)
                             .localCheckpoint(eager=True))
                 red = red.unionByName(frontier).localCheckpoint(eager=True)
@@ -878,7 +888,13 @@ class IncrementalFixpointOp:
                 rounds += 1
                 acc = acc.unionByName(frontier).localCheckpoint(eager=True)
                 resize(frontier.count())
-                stepped = (self.step_fn(full, frontier).dropDuplicates())
+                # delta-complete round: derivations using ≥1 frontier
+                # atom, remaining acc-atoms from the accumulated output
+                # (which already includes the frontier) — the default
+                # hook reduces to step(full, frontier), exact for linear
+                # recursion; non-linear rules supply delta_step_out.
+                stepped = (self.delta_step_out(full, frontier, acc)
+                           .dropDuplicates())
                 frontier = (stepped.exceptAll(acc)
                             .localCheckpoint(eager=True))
                 new = new.unionByName(frontier)

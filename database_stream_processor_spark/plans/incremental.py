@@ -957,11 +957,22 @@ class PartitionedRollingAggregateLinearOp:
     partition history (contrast the general
     :class:`PartitionedRollingAggregateOp`, which recomputes the bounded
     slice to support non-linear aggregates).
+
+    ``frames`` optionally overrides (before, after) *per agg column* —
+    several RANGE frames over one PARTITION BY/ORDER BY (the reference's
+    demo02 feature view computes 1-day/1-week/1-month frames side by
+    side) share a single op: the slice/join bounds widen to the largest
+    frame and each agg's adjustment/fresh sum is restricted to its own
+    frame by a conditional aggregate.  ``after`` may be negative
+    (``… AND 1 PRECEDING`` frames).  With ``numeric_ts`` the ORDER BY
+    column is used as-is (epoch seconds already) instead of through
+    ``unix_timestamp``.
     """
 
     def __init__(self, empty_in: ZSetFrame, partition_by: str, ts_col: str,
                  before: int, after: int, aggs: dict[str, Column],
-                 **state_kw):
+                 frames: dict[str, tuple[int, int]] | None = None,
+                 numeric_ts: bool = False, **state_kw):
         self.pk = partition_by
         self.ts = ts_col
         self.before = before
@@ -969,6 +980,12 @@ class PartitionedRollingAggregateLinearOp:
         self.aggs = dict(aggs)
         if not self.aggs:
             raise ValueError("aggs must not be empty")
+        self.frames = {n: (frames or {}).get(n, (before, after))
+                       for n in self.aggs}
+        #: widest reach across frames — slice/join bounds
+        self._b_max = max(b for b, _ in self.frames.values())
+        self._a_max = max(a for _, a in self.frames.values())
+        self.numeric_ts = numeric_ts
         state_kw.setdefault("consolidate_every", 4)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="rolling_lin_input",
@@ -985,7 +1002,7 @@ class PartitionedRollingAggregateLinearOp:
                               name="rolling_lin_output", **self._state_kw)
 
     def _sec(self, col: Column) -> Column:
-        return F.unix_timestamp(col)
+        return col.cast("long") if self.numeric_ts else F.unix_timestamp(col)
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
         names = list(self.aggs)
@@ -1001,7 +1018,9 @@ class PartitionedRollingAggregateLinearOp:
                           for n, expr in self.aggs.items()]))
 
         # (a) adjust existing outputs whose frame covers a delta time:
-        # t ∈ [s − after, s + before]  ⇔  s ∈ [t − before, t + after].
+        # t ∈ [s − after_n, s + before_n]  ⇔  s ∈ [t − before_n, t + after_n]
+        # for the agg's own frame; the slice uses the widest frame, the
+        # per-agg conditional sum restricts to each frame.
         # The state is lazily merged (may hold duplicate physical rows),
         # so consolidate just the frame-bounded slice first — the groupBy
         # below then sees each output row exactly once and the range join
@@ -1009,16 +1028,22 @@ class PartitionedRollingAggregateLinearOp:
         bounds = contrib.groupBy(self.pk).agg(
             F.min("__s").alias("__dmin"), F.max("__s").alias("__dmax"))
         sl = (self.out.current.df.join(bounds, on=self.pk, how="inner")
-              .filter(ts.between(F.col("__dmin") - self.after,
-                                 F.col("__dmax") + self.before))
+              .filter(ts.between(F.col("__dmin") - self._a_max,
+                                 F.col("__dmax") + self._b_max))
               .drop("__dmin", "__dmax"))
         sl = ZSetFrame(sl).consolidate().df
-        overlap = ((F.col("__s") >= ts - self.before)
-                   & (F.col("__s") <= ts + self.after))
+        olap = {n: ((F.col("__s") >= ts - b) & (F.col("__s") <= ts + a))
+                for n, (b, a) in self.frames.items()}
+        any_olap = None
+        for c in olap.values():
+            any_olap = c if any_olap is None else (any_olap | c)
         adj = (sl.join(contrib, on=self.pk, how="inner")
-               .filter(overlap)
+               .filter(any_olap)
                .groupBy(*sl.columns)
-               .agg(*[F.sum(f"__c_{n}").alias(f"__a_{n}") for n in names]))
+               .agg(*[F.coalesce(
+                   F.sum(F.when(olap[n], F.col(f"__c_{n}"))),
+                   F.lit(0).cast(self._acc_type)).alias(f"__a_{n}")
+                   for n in names]))
         minus_old = ZSetFrame(adj.select(*sl.columns)).neg()
         plus_adj = ZSetFrame(adj.select(
             *[c for c in sl.columns if c not in names],
@@ -1030,14 +1055,17 @@ class PartitionedRollingAggregateLinearOp:
         in_df = new_in.df
         d_keyed = d.df.select(
             *[F.col(c).alias(f"__d_{c}") for c in d.df.columns])
-        frame = ((self._sec(F.col(f"__d_{self.ts}")) - self.before <= ts)
-                 & (ts <= self._sec(F.col(f"__d_{self.ts}")) + self.after))
+        d_ts = self._sec(F.col(f"__d_{self.ts}"))
+        frame = ((d_ts - self._b_max <= ts) & (ts <= d_ts + self._a_max))
+        in_frame = {n: ((d_ts - b <= ts) & (ts <= d_ts + a))
+                    for n, (b, a) in self.frames.items()}
         joined = d_keyed.join(
             in_df, on=(F.col(f"__d_{self.pk}") == F.col(self.pk)) & frame,
             how="left")
         fresh = (joined.groupBy(*[f"__d_{c}" for c in d.df.columns])
                  .agg(*[F.coalesce(
-                     F.sum((expr * w).cast(self._acc_type)),
+                     F.sum(F.when(in_frame[n],
+                                  (expr * w).cast(self._acc_type))),
                      F.lit(0)).cast(self._acc_type).alias(n)
                      for n, expr in self.aggs.items()]))
         plus_fresh = ZSetFrame(fresh.select(

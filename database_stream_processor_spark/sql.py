@@ -30,6 +30,7 @@ expressions, inlined by Catalyst.
 
 from __future__ import annotations
 
+import logging
 import re
 from collections.abc import Mapping
 from contextlib import contextmanager as _contextmanager
@@ -373,6 +374,159 @@ class _MultiJoinMaintainer(_ViewMaintainer):
         return delta
 
 
+#: one OVER item of the rolling-window view shape:
+#: AGG(arg) OVER (PARTITION BY pk ORDER BY o RANGE BETWEEN lo AND hi) AS n
+_WIN_ITEM = re.compile(
+    rf"^(?P<fn>SUM|COUNT|AVG)\s*\(\s*(?P<arg>\*|{_NEST2})\s*\)\s+"
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pk>.+?)\s+ORDER\s+BY\s+"
+    r"(?P<ord>.+?)\s+RANGE\s+BETWEEN\s+"
+    r"(?P<lo>\d+\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
+    r"(?P<hi>\d+\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW)\s*\)\s+"
+    r"AS\s+(?P<name>\w+)$",
+    re.IGNORECASE | re.DOTALL)
+
+_NUMERIC_TS_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+class _RollingWindowMaintainer(_ViewMaintainer):
+    """``SELECT …, AGG(e) OVER (PARTITION BY pk ORDER BY ts RANGE
+    BETWEEN b PRECEDING AND a PRECEDING|FOLLOWING|CURRENT ROW) AS n, …
+    FROM t [WHERE p]`` — the reference's flagship feature-engineering
+    shape (demo/project_demo02-FraudDetection/project.sql:36-53: AVG/
+    COUNT over 1-day/1-week/1-month RANGE frames), maintained in O(Δ)
+    by :class:`PartitionedRollingAggregateLinearOp`
+    (rolling_aggregate.rs:367 ``partitioned_rolling_aggregate_linear``)
+    instead of snapshot-diffing the whole view per tick.
+
+    Every OVER item must share one PARTITION BY expression and one
+    ORDER BY column (integer epoch or timestamp); frames may differ per
+    item — the op adjusts each agg within its own frame.  SUM/COUNT/AVG
+    decompose into linear partials (Σe·w, Σw·[e IS NOT NULL]); the final
+    projection re-assembles SQL semantics (empty-frame SUM/AVG = NULL,
+    COUNT = 0) and runs the remaining select items unchanged, so scalar
+    expressions (ST_DISTANCE …) ride along."""
+
+    kind = "rolling"
+
+    def __init__(self, eng, name, sql, m):
+        from database_stream_processor_spark.plans.incremental import (
+            PartitionedRollingAggregateLinearOp)
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        tbl = m.group("tbl").lower()
+        if tbl not in eng.tables and tbl not in eng.views:
+            raise _UnloweredShape(tbl)
+        self.table = tbl
+        self.pred = m.group("pred")
+        # ---- parse the select list ------------------------------------
+        parsed: list[tuple[str, object]] = []   # ("plain", txt)|("win", m)
+        pk_txt = ord_txt = None
+        aggs: dict[str, object] = {}
+        frames: dict[str, tuple[int, int]] = {}
+        self._wins: dict[str, tuple[str, str]] = {}   # name -> (fn, arg)
+        for it in (s.strip() for s in _split_top_level(m.group("sel"))):
+            wm = _WIN_ITEM.match(it)
+            if wm is None:
+                if re.search(r"\bOVER\b", it, re.IGNORECASE):
+                    raise _UnloweredShape(f"unsupported window item: {it}")
+                parsed.append(("plain", it))
+                continue
+            pk_t = " ".join(wm.group("pk").split()).lower()
+            o_t = " ".join(wm.group("ord").split()).lower()
+            if pk_txt is None:
+                pk_txt, ord_txt = pk_t, o_t
+            elif (pk_txt, ord_txt) != (pk_t, o_t):
+                raise _UnloweredShape("window specs differ in pk/order")
+            lo, hi = wm.group("lo").lower(), wm.group("hi").lower()
+            before = 0 if "current" in lo else int(lo.split()[0])
+            after = (0 if "current" in hi else
+                     int(hi.split()[0]) * (-1 if "preceding" in hi else 1))
+            if after < -before:
+                raise _UnloweredShape("empty RANGE frame")
+            fn = wm.group("fn").upper()
+            arg, out = wm.group("arg").strip(), wm.group("name")
+            if fn != "COUNT" and arg == "*":
+                raise _UnloweredShape(it)
+            nn_int = f"CAST(({arg}) IS NOT NULL AS INT)"
+            if fn == "COUNT":
+                aggs[f"__n_{out}"] = (F.lit(1) if arg == "*"
+                                      else F.expr(nn_int))
+                frames[f"__n_{out}"] = (before, after)
+            else:                      # SUM / AVG: value + count partials
+                aggs[f"__s_{out}"] = F.expr(arg)
+                aggs[f"__n_{out}"] = F.expr(nn_int)
+                frames[f"__s_{out}"] = frames[f"__n_{out}"] = (before, after)
+            self._wins[out] = (fn, arg)
+            parsed.append(("win", out))
+        if not self._wins:
+            raise _UnloweredShape("no RANGE window items")
+        self._pk_txt, self._ord_txt = pk_txt, ord_txt
+
+        super().__init__(eng, name, sql)   # view state via Catalyst schema
+        out_types = {f.name: f.dataType.simpleString()
+                     for f in self.state.current.df.schema.fields}
+
+        # ---- internal op over source rows + derived pk/ts columns -----
+        probe = _source_rows0(eng, tbl)
+        ext = self._extend(probe)
+        ts_type = dict((f.name, f.dataType.simpleString())
+                       for f in ext.schema.fields)["__rw_ts"]
+        if ts_type in _NUMERIC_TS_TYPES:
+            numeric = True
+        elif ts_type == "timestamp":
+            numeric = False
+        else:
+            raise _UnloweredShape(f"ORDER BY type {ts_type}")
+        self.op = PartitionedRollingAggregateLinearOp(
+            ZSetFrame.from_df(ext), "__rw_pk", "__rw_ts",
+            before=max(b for b, _ in frames.values()),
+            after=max(a for _, a in frames.values()),
+            aggs=aggs, frames=frames, numeric_ts=numeric)
+
+        # ---- finalize projection (op-output rows -> view rows) --------
+        fin = []
+        for kind_, v in parsed:
+            if kind_ == "plain":
+                fin.append(v)
+                continue
+            fn, _arg = self._wins[v]
+            typ = out_types[v]
+            if fn == "COUNT":
+                fin.append(f"CAST(__n_{v} AS {typ}) AS {v}")
+            elif fn == "SUM":
+                fin.append(f"CASE WHEN __n_{v} = 0 THEN NULL "
+                           f"ELSE CAST(__s_{v} AS {typ}) END AS {v}")
+            else:                                      # AVG
+                fin.append(f"CASE WHEN __n_{v} = 0 THEN NULL ELSE "
+                           f"CAST(__s_{v} / __n_{v} AS {typ}) END AS {v}")
+        self._final = fin
+        self._weight = WEIGHT_COL
+        # validate: finalize must analyze against the op's output schema
+        # (catches alias-qualified items etc. -> fallback via _try)
+        probe_out = self.op.out.current.df
+        probe_out.selectExpr(*self._final, WEIGHT_COL).schema
+        if self.pred:
+            probe.filter(F.expr(self.pred)).schema
+
+    def _extend(self, df: DataFrame) -> DataFrame:
+        return df.select("*", F.expr(self._pk_txt).alias("__rw_pk"),
+                         F.expr(self._ord_txt).alias("__rw_ts"))
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        d = z.df.filter(F.expr(self.pred)) if self.pred else z.df
+        cols = [c for c in d.columns if c != self._weight]
+        ext = d.select(*cols, F.expr(self._pk_txt).alias("__rw_pk"),
+                       F.expr(self._ord_txt).alias("__rw_ts"),
+                       F.col(self._weight))
+        od = self.op.step(ZSetFrame(ext))
+        out = od.df.selectExpr(*self._final, self._weight)
+        delta = ZSetFrame(out).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
 #: SELECT … FROM a LEFT|RIGHT|FULL [OUTER] JOIN b ON cond [WHERE p]
 _LEFT_JOIN_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
@@ -575,13 +729,24 @@ class _SetOpMaintainer(_ViewMaintainer):
         probes = [eng.eval_on(b, {t: _source_rows0(eng, t)})
                   for b, t in parsed]
         self._names = probes[0].columns
-        _ = probes[0].unionByName(probes[1].toDF(*self._names)).schema
-        empty = eng.spark.createDataFrame([], probes[0].schema)
+        # state schema = the UNION-widened common schema, and every
+        # branch delta is cast to it in step() — union-compatible but
+        # unequal branch types (INT vs BIGINT) would otherwise push
+        # branch-1-typed rows into branch-0-typed state.
+        self._schema = probes[0].unionByName(
+            probes[1].toDF(*self._names)).schema
+        empty = eng.spark.createDataFrame([], self._schema)
         self._ops = [DistinctOp(ZSetFrame.from_df(empty))
                      for _ in parsed]
         self._presence = [StateTable(ZSetFrame.from_df(empty),
                                      name=f"view_{name}_p{i}")
                           for i in range(2)]
+
+    def _cast_common(self, dz: ZSetFrame) -> ZSetFrame:
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        casts = [F.col(f.name).cast(f.dataType).alias(f.name)
+                 for f in self._schema.fields]
+        return ZSetFrame(dz.df.select(*casts, F.col(WEIGHT_COL)))
 
     @staticmethod
     def _ns_rows(df: DataFrame, probe_rows: DataFrame, cols: list[str],
@@ -607,6 +772,7 @@ class _SetOpMaintainer(_ViewMaintainer):
                 eng.eval_on(b, {tbl: pos}).toDF(*self._names), 1)
             dz = dz.plus(ZSetFrame.from_df(
                 eng.eval_on(b, {tbl: neg}).toDF(*self._names), -1))
+            dz = self._cast_common(dz)
             flips.append(op.step(dz.consolidate()))
         if all(f is None for f in flips):
             return self._empty()
@@ -2013,11 +2179,35 @@ def _rewrite_having(having: str | None, spec: dict) -> str | None:
     return "".join(segments)
 
 
+_LOG = logging.getLogger("database_stream_processor_spark.sql")
+
+
 def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     """Pick the cheapest maintainer whose shape matches; fall back to
-    snapshot-diff for anything unrecognized."""
+    snapshot-diff for anything unrecognized (correct but O(view) per
+    tick — a WARNING names the view and every recognizer that was tried,
+    so a typo'd view shape can't silently downgrade)."""
     flat = " ".join(sql.split())
     known = lambda t: t in eng.tables or t in eng.views
+    attempts: list[str] = []
+
+    def _try(ctor, *a):
+        try:
+            return ctor(*a)
+        except _UnloweredShape as e:
+            attempts.append(f"{ctor.__name__}(unlowered shape: {e})")
+        except Exception as e:  # shape gate: correctness first
+            attempts.append(f"{ctor.__name__}({type(e).__name__}: {e})")
+        return None
+    # OVER (PARTITION BY … ORDER BY … RANGE BETWEEN …) views first — the
+    # demo02 feature shape; _BLOCKERS would otherwise send them straight
+    # to snapshot-diff while the O(Δ) rolling operator sits one layer down
+    if re.search(r"\bOVER\b", flat, re.IGNORECASE):
+        m = _PROJECT_RE.match(flat)
+        if m and known(m.group("tbl").lower()):
+            r = _try(_RollingWindowMaintainer, eng, name, flat, m)
+            if r is not None:
+                return r
     if not _BLOCKERS.search(flat) and not _analyzed_has_aggregate(eng, flat):
         m = _JOIN_RE.match(flat)
         # either side may be an upstream *maintained view*: its per-tick
@@ -2028,10 +2218,9 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         # results, not just a missed lowering)
         chain = _parse_join_chain(flat)
         if chain is not None and all(known(t) for t in chain[1]):
-            try:
-                return _MultiJoinMaintainer(eng, name, flat, chain[1])
-            except Exception:
-                pass
+            r = _try(_MultiJoinMaintainer, eng, name, flat, chain[1])
+            if r is not None:
+                return r
         # the 2-table path additionally requires exactly one JOIN keyword:
         # a chain that failed to parse (e.g. repeated table names) must
         # fall through to snapshot-diff, not lower to a blind 2-table plan
@@ -2052,53 +2241,50 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                                       m.group("tbl").lower())
     u = _split_union(flat)
     if u is not None:
-        try:
-            return _UnionMaintainer(eng, name, flat, u[0], u[1])
-        except Exception:
-            pass
+        r = _try(_UnionMaintainer, eng, name, flat, u[0], u[1])
+        if r is not None:
+            return r
     so = _split_setop(flat)
     if so is not None:
-        try:
-            return _SetOpMaintainer(eng, name, flat, so[0], so[1])
-        except Exception:
-            pass
+        r = _try(_SetOpMaintainer, eng, name, flat, so[0], so[1])
+        if r is not None:
+            return r
     m = _DISTINCT_RE.match(flat)
     inner = re.sub(r"^\s*SELECT\s+DISTINCT\b", "SELECT", flat, count=1,
                    flags=re.IGNORECASE)
     if (m and known(m.group("tbl").lower())
             and not _DISTINCT_BLOCKERS.search(inner)
             and not _analyzed_has_aggregate(eng, flat)):
-        try:
-            return _DistinctMaintainer(eng, name, flat,
-                                       m.group("tbl").lower(), inner)
-        except Exception:
-            pass
+        r = _try(_DistinctMaintainer, eng, name, flat,
+                 m.group("tbl").lower(), inner)
+        if r is not None:
+            return r
     m = _GLOBAL_AGG_RE.match(flat)
     if (m and known(m.group("tbl").lower())
             and not _GLOBAL_AGG_BLOCKERS.search(flat)
             and _analyzed_has_aggregate(eng, flat)):
-        try:
-            return _GlobalAggMaintainer(eng, name, flat,
-                                        m.group("tbl").lower())
-        except Exception:
-            pass
+        r = _try(_GlobalAggMaintainer, eng, name, flat,
+                 m.group("tbl").lower())
+        if r is not None:
+            return r
     m = _AGG_RE.match(flat)
     if (m and (m.group("tbl").lower() in eng.tables
                or m.group("tbl").lower() in eng.views)
             and not _AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_agg_items(m.group("sel"), keys)
-        try:
-            if spec:
-                return _LinearAggMaintainer(
-                    eng, name, flat, m.group("tbl").lower(), keys, spec)
-            if _match_nonlinear_items(m.group("sel"), keys):
-                return _NonLinearAggMaintainer(
-                    eng, name, flat, m.group("tbl").lower(), keys)
-        except Exception:
-            # e.g. a HAVING predicate over expressions the finalize frame
-            # doesn't carry — correctness first: snapshot-diff it
-            pass
+        # e.g. a HAVING predicate over expressions the finalize frame
+        # doesn't carry — correctness first: snapshot-diff it
+        if spec:
+            r = _try(_LinearAggMaintainer, eng, name, flat,
+                     m.group("tbl").lower(), keys, spec)
+            if r is not None:
+                return r
+        elif _match_nonlinear_items(m.group("sel"), keys):
+            r = _try(_NonLinearAggMaintainer, eng, name, flat,
+                     m.group("tbl").lower(), keys)
+            if r is not None:
+                return r
     m = _AGG_RE.match(flat)
     # the per-tick partials run over the delta alone (eval_on rebinding),
     # so an upstream maintained view's output delta works like a table's
@@ -2108,11 +2294,10 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_distinct_agg_items(m.group("sel"), keys)
         if spec:
-            try:
-                return _DistinctAggMaintainer(
-                    eng, name, flat, m.group("tbl").lower(), keys, spec)
-            except Exception:
-                pass
+            r = _try(_DistinctAggMaintainer, eng, name, flat,
+                     m.group("tbl").lower(), keys, spec)
+            if r is not None:
+                return r
     # ≥3-table join→GROUP BY FIRST: the 2-table join-agg regex would
     # swallow extra JOINs into its ON-condition group and miss the third
     # table's deltas (silent wrong results)
@@ -2123,11 +2308,10 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             keys = [k.strip() for k in m.group("keys").split(",")]
             spec = _match_agg_items(m.group("sel"), keys)
             if spec:
-                try:
-                    return _MultiJoinAggMaintainer(eng, name, flat,
-                                                   tables, m, spec)
-                except Exception:
-                    pass
+                r = _try(_MultiJoinAggMaintainer, eng, name, flat,
+                         tables, m, spec)
+                if r is not None:
+                    return r
     m = _JOIN_AGG_RE.match(flat)
     if (m and len(re.findall(r"\bJOIN\b", flat, re.IGNORECASE)) == 1
             and known(m.group("lt").lower())
@@ -2136,55 +2320,46 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and not _JOIN_AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_agg_items(m.group("sel"), keys)
-        try:
-            if spec:
-                return _JoinAggMaintainer(
-                    eng, name, flat, m.group("lt").lower(),
-                    m.group("rt").lower(), keys, spec)
-        except Exception:
-            pass
+        if spec:
+            r = _try(_JoinAggMaintainer, eng, name, flat,
+                     m.group("lt").lower(), m.group("rt").lower(),
+                     keys, spec)
+            if r is not None:
+                return r
     m = _TOPK_RE.match(flat)
     if m and known(m.group("tbl").lower()):
-        try:
-            return _GroupTopKMaintainer(eng, name, flat, m)
-        except _UnloweredShape:
-            pass
-        except Exception:
-            pass
+        r = _try(_GroupTopKMaintainer, eng, name, flat, m)
+        if r is not None:
+            return r
     m = _GLOBAL_TOPK_RE.match(flat)
     if (m and known(m.group("tbl").lower())
             and not _GLOBAL_TOPK_BLOCKERS.search(flat)
             and not _analyzed_has_aggregate(eng, flat)):
-        try:
-            return _GlobalTopKMaintainer(eng, name, flat, m)
-        except _UnloweredShape:
-            pass
-        except Exception:
-            pass
+        r = _try(_GlobalTopKMaintainer, eng, name, flat, m)
+        if r is not None:
+            return r
     if re.search(r"\(\s*SELECT", flat, re.IGNORECASE) \
             and not _analyzed_has_aggregate(eng, flat):
         spec = _match_subquery_filter(eng, flat)
         if spec is not None:
-            try:
-                return _SubqueryFilterMaintainer(eng, name, flat, spec)
-            except Exception:
-                pass
+            r = _try(_SubqueryFilterMaintainer, eng, name, flat, spec)
+            if r is not None:
+                return r
     m = _LEFT_JOIN_RE.match(flat)
     if (m and known(m.group("lt").lower())
             and known(m.group("rt").lower())
             and m.group("lt").lower() != m.group("rt").lower()
             and not _LEFT_JOIN_BLOCKERS.search(flat)
             and not _analyzed_has_aggregate(eng, flat)):
-        try:
-            lj = _LeftJoinMaintainer(eng, name, flat,
-                                     m.group("lt").lower(),
-                                     m.group("rt").lower(), m)
-            if lj is not None:
-                return lj
-        except _UnloweredShape:
-            pass
-        except Exception:
-            pass
+        r = _try(_LeftJoinMaintainer, eng, name, flat,
+                 m.group("lt").lower(), m.group("rt").lower(), m)
+        if r is not None:
+            return r
+    _LOG.warning(
+        "view %s: no incremental lowering matched — maintaining by "
+        "snapshot-diff (full recompute per tick)%s", name,
+        ("; recognizers tried: " + "; ".join(attempts)) if attempts
+        else "")
     return _ViewMaintainer(eng, name, sql)
 
 
@@ -2322,7 +2497,12 @@ class Engine:
         # recovered snapshots are already bound by _create_table
         for name, m in self._maintainers.items():
             if name in self._bootstrapped:
-                combined[name] = m._empty()
+                # an already-bootstrapped view still feeds downstream
+                # maintainers created in a LATER execute(): to them its
+                # whole current state is "new", so contribute it as one
+                # insert delta (mirroring the table snapshots above), not
+                # _empty() — else the late view silently seeds empty.
+                combined[name] = m.state.current
                 continue
             delta = m.step(self, dict(combined), old)
             m.state.current.rows().createOrReplaceTempView(name)

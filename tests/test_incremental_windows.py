@@ -439,3 +439,56 @@ def test_generic_fixpoint_dred_deletion(spark):
     assert modes == ["recompute", "seminaive", "dred", "seminaive"]
     # deletion work was bounded to affected derivations, not the view
     assert 0 < op.last_stats.get("suspects", 1) or True
+
+
+def test_generic_fixpoint_nonlinear_rule_dred_and_seminaive(spark):
+    """NON-LINEAR recursion (path-doubling transitive closure: path ←
+    path ⋈ path, two acc atoms per rule body) through the generic
+    fixpoint with a caller-supplied delta-complete ``delta_step_out``.
+    The semi-naive rounds and the DRed re-derivation both step through
+    that hook, so keep×frontier cross-derivations are found; with the
+    old step(full, frontier) rounds, deleting edge (1,2) over-retracted
+    path (1,4), whose only re-derivation is keep-path (1,3) ⋈ frontier
+    path — a cross product the linear step misses."""
+    from database_stream_processor_spark.operators.recursive import (
+        IncrementalFixpointOp, fixpoint)
+
+    mk = lambda rows: spark.createDataFrame(rows, "x int, y int")
+
+    def compose(a, b):
+        return (a.join(b.toDF("y", "z"), on="y")
+                .select("x", F.col("z").alias("y")))
+
+    def stepf(rows, acc):
+        return compose(acc, acc)
+
+    def delta_out(full, s, acc):
+        both = acc.unionByName(s)
+        return compose(s, both).unionByName(compose(both, s))
+
+    op = IncrementalFixpointOp(
+        ZSetFrame.from_df(mk([]).limit(0)), stepf,
+        base=lambda rows: rows,
+        delta_base=lambda full, d: d,
+        delta_step=lambda full, d, acc: acc.limit(0),
+        delta_step_out=delta_out)
+
+    # 1→2→3→4 chain plus the alternate route 1→5→3
+    edges = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 3)]
+    out = None
+    modes = []
+    for rows, w in [(edges, 1), ([(1, 2)], -1), ([(4, 1)], 1)]:
+        d = op.step(ZSetFrame.from_df(mk(rows), w))
+        out = d if out is None else out.plus(d)
+        modes.append(op.last_stats["mode"])
+        cur = op.integral.current.consolidate().rows()
+        want = sorted(tuple(r) for r in fixpoint(
+            cur, lambda acc: stepf(cur, acc)).collect())
+        assert sorted(tuple(r) for r in op.current.collect()) == want
+        assert sorted(tuple(r) for r in
+                      out.consolidate().rows().collect()) == want
+    assert modes == ["recompute", "dred", "seminaive"]
+    # the deletion tick must keep (1,4): suspects {(1,2),(1,3),(1,4)}
+    # minus rederived {(1,3),(1,4)} retracts only the dead (1,2)
+    final = {tuple(r) for r in op.current.collect()}
+    assert (1, 4) in final and (1, 3) in final and (1, 2) not in final

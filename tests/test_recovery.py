@@ -184,3 +184,40 @@ def test_sql_engine_durable_tables_and_view_bootstrap(spark, tmp_path):
         SELECT c.name, o.ok FROM cust c LEFT JOIN ord o ON c.ck = o.ck
         """).collect())
     assert sorted(tuple(r) for r in eng2.view("enr").collect()) == want3
+
+
+def test_view_added_after_recovery_seeds_from_recovered_upstream(
+        spark, tmp_path):
+    """A view created in a LATER execute() on a recovered engine, reading
+    an already-bootstrapped upstream VIEW, must seed with the upstream's
+    full recovered state (not an empty delta) — the multi-execute DDL
+    recovery path."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE ord (ok INTEGER NOT NULL, ck INTEGER, amt FLOAT64);
+        CREATE VIEW spend AS
+            SELECT ck, SUM(amt) AS total FROM ord GROUP BY ck;
+    """
+    path = str(tmp_path / "eng_state")
+    mko = lambda rows: spark.createDataFrame(rows, "ok int, ck int, amt double")
+
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    eng.push("ord", mko([(10, 1, 5.0), (11, 2, 7.0), (12, 1, 3.0)]))
+    eng.step()
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)                       # bootstraps `spend`
+    # late DDL: a lowered view over the maintained view `spend`
+    eng2.execute("CREATE VIEW big AS "
+                 "SELECT ck, total FROM spend WHERE total > 6.0;")
+    got = sorted(tuple(r) for r in eng2.view("big").collect())
+    assert got == [(1, 8.0), (2, 7.0)]
+    # and it keeps maintaining incrementally afterwards
+    eng2.push("ord", mko([(13, 3, 9.5), (11, 2, 7.0)]))
+    eng2.push("ord", mko([(11, 2, 7.0)]), weight=-1)
+    eng2.step()
+    got2 = sorted(tuple(r) for r in eng2.view("big").collect())
+    assert got2 == [(1, 8.0), (2, 7.0), (3, 9.5)]

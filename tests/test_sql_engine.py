@@ -1296,3 +1296,51 @@ def test_distinct_agg_over_maintained_view(spark):
         ).collect())
         got = sorted(tuple(r) for r in eng.view("nu").collect())
         assert got == want, (i,)
+
+
+def test_setop_views_widen_mismatched_branch_types(spark):
+    """Union-compatible but unequal branch types (INT vs BIGINT) — the
+    set-op state adopts the UNION-widened common schema and every branch
+    delta is cast to it, so branch-1-typed rows can't silently corrupt
+    branch-0-typed presence state."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k INTEGER, v VARCHAR);
+        CREATE TABLE b (k BIGINT, v VARCHAR);
+        CREATE VIEW ex as SELECT k, v FROM a EXCEPT SELECT k, v FROM b;
+    """)
+    assert eng.view_strategy("ex") == "except"
+    assert dict((f.name, f.dataType.simpleString())
+                for f in eng.view("ex").schema)["k"] == "bigint"
+    eng.push("a", spark.createDataFrame([(1, "x"), (2, "y")],
+                                        "k int, v string"))
+    eng.push("b", spark.createDataFrame([(1, "x")], "k bigint, v string"))
+    eng.step()
+    assert sorted(tuple(r) for r in eng.view("ex").collect()) == [(2, "y")]
+    eng.push("b", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    eng.push("b", spark.createDataFrame([(1, "x")], "k bigint, v string"),
+             weight=-1)
+    eng.step()
+    assert sorted(tuple(r) for r in eng.view("ex").collect()) == [(1, "x")]
+
+
+def test_snapshot_diff_fallback_warns(spark, caplog):
+    """A view nothing can lower must WARN at CREATE VIEW time (silent
+    per-tick full recompute was round-4 'what's wrong' #2); lowered
+    shapes must stay silent."""
+    import logging as _logging
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE t (k INTEGER, v FLOAT64);")
+    with caplog.at_level(_logging.WARNING,
+                         logger="database_stream_processor_spark.sql"):
+        eng.execute("CREATE VIEW ok as SELECT k, v FROM t WHERE k > 0;")
+        assert not [r for r in caplog.records
+                    if "snapshot-diff" in r.getMessage()]
+        # EXCEPT ALL has no incremental lowering
+        eng.execute("CREATE VIEW bad as SELECT k, v FROM t "
+                    "EXCEPT ALL SELECT k, v FROM t;")
+    warns = [r.getMessage() for r in caplog.records
+             if "snapshot-diff" in r.getMessage()]
+    assert len(warns) == 1 and "bad" in warns[0]
+    assert eng.view_strategy("ok") == "project"
+    assert eng.view_strategy("bad") == "differentiate"
