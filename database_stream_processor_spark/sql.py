@@ -413,7 +413,7 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             PartitionedRollingAggregateLinearOp)
         from database_stream_processor_spark.zset import WEIGHT_COL
         tbl = m.group("tbl").lower()
-        if tbl not in eng.tables and tbl not in eng.views:
+        if tbl not in eng.tables and tbl not in eng._maintainers:
             raise _UnloweredShape(tbl)
         self.table = tbl
         self.pred = m.group("pred")
@@ -525,6 +525,178 @@ class _RollingWindowMaintainer(_ViewMaintainer):
         delta = ZSetFrame(out).consolidate()
         self.apply_delta(delta)
         return delta
+
+
+_SQL_KEYWORDS = frozenset("""select from where over partition by order range
+rows between preceding following current row as and or not null is cast sum
+count avg min max case when then else end in exists like asc desc int
+integer bigint smallint double float real decimal numeric string varchar
+char boolean date timestamp interval true false distinct on using join left
+right full outer inner cross group having union intersect except limit
+coalesce nullif abs round floor ceil ceiling""".split())
+
+
+def _parse_aliased_chain(from_clause: str) \
+        -> list[tuple[str, str, str]] | None:
+    """``t1 [a1] (JOIN | LEFT [OUTER] JOIN) t2 [a2] ON c2 …`` →
+    [(table, alias, join_kw)] with ``join_kw`` '' for the base table;
+    None for anything with RIGHT/FULL/CROSS or unparsable segments."""
+    if re.search(r"\b(RIGHT|FULL|CROSS)\b", from_clause, re.IGNORECASE):
+        return None
+    segs = re.split(r"\b(LEFT\s+(?:OUTER\s+)?JOIN|JOIN)\b", from_clause,
+                    flags=re.IGNORECASE)
+    if len(segs) < 3:
+        return None
+    tm = _TBL_ALIAS_RE.match(segs[0].strip())
+    if not tm:
+        return None
+    out = [(tm.group(1).lower(), (tm.group(2) or tm.group(1)).lower(), "")]
+    for kw, seg in zip(segs[1::2], segs[2::2]):
+        parts = re.split(r"\bON\b", seg, maxsplit=1, flags=re.IGNORECASE)
+        if len(parts) != 2:
+            return None
+        tm = _TBL_ALIAS_RE.match(parts[0].strip())
+        if not tm:
+            return None
+        out.append((tm.group(1).lower(),
+                    (tm.group(2) or tm.group(1)).lower(),
+                    " ".join(kw.upper().split())))
+    names = [t for t, _, _ in out]
+    if len(set(names)) != len(names):
+        return None
+    return out
+
+
+def _rolling_over_from(eng: "Engine", name: str, flat: str):
+    """Rolling-window view whose FROM clause is a JOIN chain or a
+    parenthesized subquery — the VERBATIM demo02 features shape
+    (demo/project_demo02-FraudDetection/project.sql:36-63: OVER windows
+    over ``FROM (SELECT … FROM transactions LEFT JOIN demographics …)``).
+
+    Synthesizes a HIDDEN maintained view ``__{name}_src`` for the FROM
+    clause (lowered through the ordinary recognizers — join, left-join,
+    multi-join …), rewrites the outer select to read the hidden view's
+    bare columns, and layers :class:`_RollingWindowMaintainer` on top —
+    a two-stage O(Δ) pipeline where snapshot-diff would rescan the join
+    every tick.  Raises :class:`_UnloweredShape` when column references
+    can't be made unambiguous (two sources for one bare name) or when
+    the FROM clause itself only snapshot-diffs (no benefit to layering).
+    """
+    if not re.match(r"^SELECT\s", flat, re.IGNORECASE):
+        raise _UnloweredShape(flat)
+    # the FROM that introduces the source is the first one at paren
+    # depth 0 — EXTRACT(x FROM col) / SUBSTRING(s FROM i) live in parens
+    sel = rest = None
+    depth = 0
+    for i in range(7, len(flat)):
+        ch = flat[i]
+        depth += (ch == "(") - (ch == ")")
+        if (depth == 0 and flat[i:i + 4].upper() == "FROM"
+                and not (flat[i - 1].isalnum() or flat[i - 1] == "_")
+                and (i + 4 == len(flat) or not (flat[i + 4].isalnum()
+                                                or flat[i + 4] == "_"))):
+            sel, rest = flat[7:i].strip(), flat[i + 4:].strip()
+            break
+    if sel is None or not rest:
+        raise _UnloweredShape(flat)
+    # split a top-level (paren-depth-0) WHERE off the FROM clause
+    pred, depth = None, 0
+    for i in range(len(rest)):
+        ch = rest[i]
+        depth += (ch == "(") - (ch == ")")
+        if (depth == 0 and rest[i:i + 5].upper() == "WHERE"
+                and (i == 0 or not (rest[i - 1].isalnum()
+                                    or rest[i - 1] == "_"))
+                and (i + 5 == len(rest) or not (rest[i + 5].isalnum()
+                                                or rest[i + 5] == "_"))):
+            rest, pred = rest[:i].strip(), rest[i + 5:].strip()
+            break
+    outer_sel, outer_pred = sel, pred
+
+    if rest.startswith("("):
+        # FROM ( subquery ) [alias]
+        depth, end = 0, -1
+        for i, ch in enumerate(rest):
+            depth += (ch == "(") - (ch == ")")
+            if depth == 0:
+                end = i
+                break
+        inner = rest[1:end].strip()
+        tail = rest[end + 1:].strip()
+        am = re.match(r"^(?:AS\s+)?(\w+)?\s*$", tail, re.IGNORECASE)
+        if am is None or not inner.upper().startswith("SELECT"):
+            raise _UnloweredShape(rest)
+        if am.group(1):            # strip subquery-alias qualifiers
+            a = am.group(1).lower()
+            outer_sel = re.sub(rf"\b{a}\s*\.\s*(\w+)", r"\1", outer_sel,
+                               flags=re.IGNORECASE)
+            if outer_pred:
+                outer_pred = re.sub(rf"\b{a}\s*\.\s*(\w+)", r"\1",
+                                    outer_pred, flags=re.IGNORECASE)
+        inner_sql = inner
+    else:
+        chain = _parse_aliased_chain(rest)
+        if chain is None or any(t not in eng.tables and t not in eng.views
+                                for t, _, _ in chain):
+            raise _UnloweredShape(rest)
+        alias_of = {a: t for t, a, _ in chain}
+        alias_for = {t: a for t, a, _ in chain}
+        cols_of = {t: set(c.lower() for c in _source_rows0(eng, t).columns)
+                   for t, _, _ in chain}
+        scan = re.sub(r"'[^']*'", " ", outer_sel
+                      + (" " + outer_pred if outer_pred else ""))
+        srcs: dict[str, str] = {}      # bare output col -> qualified src
+
+        def _claim(bare: str, src: str):
+            if srcs.setdefault(bare, src) != src:
+                raise _UnloweredShape(f"ambiguous column {bare}")
+
+        qual_re = r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b"
+        for qm in re.finditer(qual_re, scan):
+            a, b = qm.group(1).lower(), qm.group(2).lower()
+            if a not in alias_of:
+                raise _UnloweredShape(f"unknown qualifier {a}")
+            _claim(b, f"{a}.{b}")
+        for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", scan):
+            b = bm.group(1).lower()
+            pre = scan[:bm.start()].rstrip()
+            if b in _SQL_KEYWORDS or b in srcs or pre.endswith("."):
+                continue
+            owners = [t for t in cols_of if b in cols_of[t]]
+            if len(owners) > 1:
+                raise _UnloweredShape(f"ambiguous column {b}")
+            if owners:
+                _claim(b, f"{alias_for[owners[0]]}.{b}")
+        if not srcs:
+            raise _UnloweredShape("no column references resolved")
+        inner_sql = ("SELECT " + ", ".join(
+            f"{src} AS {bare}" for bare, src in srcs.items())
+            + " FROM " + rest)
+        # outer references become the hidden view's bare columns
+        outer_sel = re.sub(qual_re, r"\2", outer_sel)
+        if outer_pred:
+            outer_pred = re.sub(qual_re, r"\2", outer_pred)
+
+    hidden = f"__{name}_src"
+    inner_m = _lower_view(eng, hidden, inner_sql)
+    if inner_m.kind == "differentiate":
+        raise _UnloweredShape(
+            f"FROM clause itself only snapshot-diffs: {inner_sql}")
+    eng._maintainers[hidden] = inner_m
+    words = {w.lower() for w in re.findall(r"\b\w+\b", inner_sql)}
+    eng._sources[hidden] = {w for w in words
+                            if w in eng.tables or w in eng.views}
+    inner_m.state.current.rows().createOrReplaceTempView(hidden)
+    try:
+        outer_sql = f"SELECT {outer_sel} FROM {hidden}" + (
+            f" WHERE {outer_pred}" if outer_pred else "")
+        pm = _PROJECT_RE.match(outer_sql)
+        if pm is None:
+            raise _UnloweredShape(outer_sql)
+        return _RollingWindowMaintainer(eng, name, outer_sql, pm)
+    except Exception:
+        del eng._maintainers[hidden], eng._sources[hidden]
+        raise
 
 
 #: SELECT … FROM a LEFT|RIGHT|FULL [OUTER] JOIN b ON cond [WHERE p]
@@ -2206,6 +2378,12 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         m = _PROJECT_RE.match(flat)
         if m and known(m.group("tbl").lower()):
             r = _try(_RollingWindowMaintainer, eng, name, flat, m)
+            if r is not None:
+                return r
+        elif re.search(r"\bRANGE\s+BETWEEN\b", flat, re.IGNORECASE):
+            # FROM is a join chain or subquery: layer the rolling
+            # maintainer over a synthesized hidden view of the FROM
+            r = _try(_rolling_over_from, eng, name, flat)
             if r is not None:
                 return r
     if not _BLOCKERS.search(flat) and not _analyzed_has_aggregate(eng, flat):

@@ -128,10 +128,12 @@ def test_view_over_view(spark):
 
 
 def test_view_lowering_strategies(spark, engine):
-    """Simple shapes lower onto delta plans (SURVEY §3.2); window-function
-    views keep the snapshot-diff fallback."""
+    """Simple shapes lower onto delta plans (SURVEY §3.2); the RANGE-frame
+    window view over a join lowers onto the rolling operator through a
+    synthesized hidden join view (demo02's flagship shape)."""
     assert engine.view_strategy("enriched") == "join"
-    assert engine.view_strategy("features") == "differentiate"
+    assert engine.view_strategy("features") == "rolling"
+    assert engine.view_strategy("__features_src") == "join"
     eng = Engine(spark)
     eng.execute("""
         CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64);
@@ -1344,3 +1346,95 @@ def test_snapshot_diff_fallback_warns(spark, caplog):
     assert len(warns) == 1 and "bad" in warns[0]
     assert eng.view_strategy("ok") == "project"
     assert eng.view_strategy("bad") == "differentiate"
+
+
+ROLL_BATCH_SQL = """
+    SELECT AVG(amt) OVER (PARTITION BY cc ORDER BY ut
+               RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING) AS avg_10m,
+           SUM(amt) OVER (PARTITION BY cc ORDER BY ut
+               RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS sum_1m,
+           COUNT(*) OVER (PARTITION BY cc ORDER BY ut
+               RANGE BETWEEN 120 PRECEDING AND 120 FOLLOWING) AS cnt_2m,
+           cc, amt, ut
+    FROM tx"""
+
+
+def _roll_cmp(spark, eng, view, batch_sql):
+    want = sorted((tuple(round(v, 6) if isinstance(v, float) else v
+                         for v in r) for r in spark.sql(batch_sql).collect()),
+                  key=str)
+    got = sorted((tuple(round(v, 6) if isinstance(v, float) else v
+                        for v in r) for r in eng.view(view).collect()),
+                 key=str)
+    assert got == want, (len(got), len(want))
+
+
+def test_rolling_window_view_lowers_multi_frame(spark):
+    """OVER (PARTITION BY … ORDER BY … RANGE BETWEEN …) views lower onto
+    PartitionedRollingAggregateLinearOp — several frames in one view,
+    empty-frame SQL semantics (SUM/AVG NULL, COUNT 0), inserts,
+    duplicates and retractions all match batch recompute."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE tx (cc INTEGER NOT NULL, amt FLOAT64,
+                         ut INTEGER NOT NULL);
+        CREATE VIEW feat as """ + ROLL_BATCH_SQL.replace("tx", "tx") + ";")
+    assert eng.view_strategy("feat") == "rolling"
+    import random
+    random.seed(11)
+    rows = [(i % 3, round(random.uniform(1, 50), 2),
+             random.randint(0, 2000)) for i in range(80)]
+    rows += [rows[5], rows[9]]                    # duplicate rows
+    mk = lambda rs: spark.createDataFrame(rs, "cc int, amt double, ut int")
+    eng.push("tx", mk(rows[:40]))
+    eng.step()
+    _roll_cmp(spark, eng, "feat", ROLL_BATCH_SQL)
+    eng.push("tx", mk(rows[40:]))
+    eng.push("tx", mk(rows[10:20]), weight=-1)    # retraction mix
+    eng.step()
+    _roll_cmp(spark, eng, "feat", ROLL_BATCH_SQL)
+    eng.push("tx", mk(rows[:5]), weight=-1)
+    eng.step()
+    _roll_cmp(spark, eng, "feat", ROLL_BATCH_SQL)
+
+
+def test_rolling_window_view_over_subquery_left_join(spark):
+    """The VERBATIM demo02 shape: OVER windows whose FROM is a
+    parenthesized LEFT-JOIN subquery — a hidden maintained left-join
+    view is synthesized and the rolling maintainer layers on top; both
+    stages are O(Δ) (demo/project_demo02-FraudDetection/project.sql)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE tr (cc INTEGER NOT NULL, amt FLOAT64,
+                         ut INTEGER NOT NULL);
+        CREATE TABLE dem (cc INTEGER NOT NULL, city VARCHAR);
+        CREATE VIEW feat as
+            SELECT AVG(amt) OVER (PARTITION BY cc ORDER BY ut
+                       RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING)
+                   AS avg_spend,
+                   city, amt, ut
+            FROM (SELECT tr.cc AS cc, tr.amt AS amt, tr.ut AS ut,
+                         dem.city AS city
+                  FROM tr LEFT JOIN dem ON tr.cc = dem.cc);
+    """)
+    assert eng.view_strategy("feat") == "rolling"
+    assert eng.view_strategy("__feat_src") == "left_join"
+    batch = """SELECT AVG(amt) OVER (PARTITION BY cc ORDER BY ut
+                   RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING) AS avg_spend,
+                   city, amt, ut
+               FROM (SELECT tr.cc AS cc, tr.amt AS amt, tr.ut AS ut,
+                            dem.city AS city
+                     FROM tr LEFT JOIN dem ON tr.cc = dem.cc)"""
+    mkt = lambda rs: spark.createDataFrame(rs, "cc int, amt double, ut int")
+    mkd = lambda rs: spark.createDataFrame(rs, "cc int, city string")
+    eng.push("tr", mkt([(1, 10.0, 100), (1, 20.0, 400), (2, 5.0, 100)]))
+    eng.push("dem", mkd([(1, "pdx")]))            # cc 2 unmatched -> NULL
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("dem", mkd([(2, "sfo")]))            # NULL row flips to match
+    eng.push("tr", mkt([(1, 30.0, 650), (2, 7.0, 300)]))
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("tr", mkt([(1, 20.0, 400)]), weight=-1)
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
