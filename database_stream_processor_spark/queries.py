@@ -3065,6 +3065,71 @@ def q91_embedding_quantize(spark, sf_dir):
         "vec_id", F.posexplode("codes").alias("dim_idx", "code"))
 
 
+@register("q92_sql_rolling_features", oracle="""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ut,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT user_id, event_id, ut,
+       ROUND(AVG(value_c) OVER (PARTITION BY user_id ORDER BY ut
+           RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING), 6) AS avg_pw,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ut
+           RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS freq_24,
+       CAST(SUM(value_c) OVER (PARTITION BY user_id ORDER BY ut
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sum_1h
+FROM ev
+""")
+def q92_sql_rolling_features(spark, sf_dir):
+    """The reference's flagship feature-engineering shape through the SQL
+    front door (demo/project_demo02-FraudDetection/project.sql:36-53:
+    AVG/COUNT OVER PARTITION BY … ORDER BY epoch RANGE BETWEEN …
+    PRECEDING): the view must lower onto
+    PartitionedRollingAggregateLinearOp (sql.py _RollingWindowMaintainer
+    → plans/incremental.py:936, rolling_aggregate.rs:367) — O(Δ) per
+    tick with three different frames maintained side by side — never the
+    snapshot-diff fallback.  Three insert ticks plus a retract/re-insert
+    round; final state must equal the one-shot window SQL."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (event_id BIGINT NOT NULL, user_id BIGINT,
+                         ut BIGINT NOT NULL, value_c BIGINT);
+        CREATE VIEW feat as
+            SELECT user_id, event_id, ut,
+                AVG(value_c) OVER (PARTITION BY user_id ORDER BY ut
+                    RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+                    AS avg_pw,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY ut
+                    RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+                    AS freq_24,
+                SUM(value_c) OVER (PARTITION BY user_id ORDER BY ut
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                    AS sum_1h
+            FROM ev;
+    """)
+    assert eng.view_strategy("feat") == "rolling"
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ut"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"))
+    for i in range(3):
+        eng.push("ev", e.filter(F.col("event_id") % 3 == i))
+        eng.step()
+    b0 = e.filter(F.col("event_id") % 3 == 0)
+    eng.push("ev", b0, weight=-1)
+    eng.step()
+    eng.push("ev", b0)
+    eng.step()
+    return eng.view("feat").select(
+        "user_id", "event_id", "ut",
+        F.round(F.col("avg_pw").cast("double"), 6).alias("avg_pw"),
+        F.col("freq_24").cast("long").alias("freq_24"),
+        F.col("sum_1h").cast("long").alias("sum_1h"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3086,7 +3151,7 @@ _WINDOW_ORDER = [
     "q01_pricing_summary",          # filter + linear agg + pushdown gate
     "q02_revenue_by_nation",        # multi-join + agg, broadcast-dim gate
     "q37_incremental_revenue",      # join_incremental + integrate
-    "q57_fold_topk_prices",         # r3's one red row, fixed in r4
+    "q92_sql_rolling_features",     # NEW r5: demo02 OVER-RANGE lowering
     # round-4 operator/SQL queries, never driver-checked before round 5
     "q63_sql_engine_minmax_view",
     "q64_weigh_weighted_count",
