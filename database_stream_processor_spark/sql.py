@@ -398,13 +398,19 @@ class _RollingWindowMaintainer(_ViewMaintainer):
     (rolling_aggregate.rs:367 ``partitioned_rolling_aggregate_linear``)
     instead of snapshot-diffing the whole view per tick.
 
-    Every OVER item must share one PARTITION BY expression and one
-    ORDER BY column (integer epoch or timestamp); frames may differ per
-    item — the op adjusts each agg within its own frame.  SUM/COUNT/AVG
-    decompose into linear partials (Σe·w, Σw·[e IS NOT NULL]); the final
+    OVER items sharing one (PARTITION BY, ORDER BY) spec share one op;
+    a view mixing SEVERAL specs (demo03's pickup- and dropoff-keyed
+    frames side by side) CHAINS one op per spec — each op treats the
+    previous op's output rows (source cols + its partials) as opaque
+    input, and the Z-set algebra makes the cascade exact: an upstream
+    adjustment retracts/re-emits a row whose contributions to the
+    downstream spec cancel, leaving only the genuinely fresh work.
+    Frames may differ per item within a spec.  SUM/COUNT/AVG decompose
+    into linear partials (Σe·w, Σw·[e IS NOT NULL]); the final
     projection re-assembles SQL semantics (empty-frame SUM/AVG = NULL,
     COUNT = 0) and runs the remaining select items unchanged, so scalar
-    expressions (ST_DISTANCE …) ride along."""
+    expressions (ST_DISTANCE …) ride along.  ``*`` in the select list
+    expands to the source's columns."""
 
     kind = "rolling"
 
@@ -417,13 +423,17 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             raise _UnloweredShape(tbl)
         self.table = tbl
         self.pred = m.group("pred")
+        probe = _source_rows0(eng, tbl)
         # ---- parse the select list ------------------------------------
         parsed: list[tuple[str, object]] = []   # ("plain", txt)|("win", m)
-        pk_txt = ord_txt = None
-        aggs: dict[str, object] = {}
-        frames: dict[str, tuple[int, int]] = {}
+        specs: dict[tuple[str, str], int] = {}  # (pk, ord) -> spec index
+        aggs: list[dict] = []                   # per spec
+        frames: list[dict] = []
         self._wins: dict[str, tuple[str, str]] = {}   # name -> (fn, arg)
         for it in (s.strip() for s in _split_top_level(m.group("sel"))):
+            if it == "*":
+                parsed.extend(("plain", c) for c in probe.columns)
+                continue
             wm = _WIN_ITEM.match(it)
             if wm is None:
                 if re.search(r"\bOVER\b", it, re.IGNORECASE):
@@ -432,10 +442,10 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                 continue
             pk_t = " ".join(wm.group("pk").split()).lower()
             o_t = " ".join(wm.group("ord").split()).lower()
-            if pk_txt is None:
-                pk_txt, ord_txt = pk_t, o_t
-            elif (pk_txt, ord_txt) != (pk_t, o_t):
-                raise _UnloweredShape("window specs differ in pk/order")
+            si = specs.setdefault((pk_t, o_t), len(specs))
+            if si == len(aggs):
+                aggs.append({})
+                frames.append({})
             lo, hi = wm.group("lo").lower(), wm.group("hi").lower()
             before = 0 if "current" in lo else int(lo.split()[0])
             after = (0 if "current" in hi else
@@ -448,39 +458,48 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                 raise _UnloweredShape(it)
             nn_int = f"CAST(({arg}) IS NOT NULL AS INT)"
             if fn == "COUNT":
-                aggs[f"__n_{out}"] = (F.lit(1) if arg == "*"
-                                      else F.expr(nn_int))
-                frames[f"__n_{out}"] = (before, after)
+                aggs[si][f"__n_{out}"] = (F.lit(1) if arg == "*"
+                                          else F.expr(nn_int))
+                frames[si][f"__n_{out}"] = (before, after)
             else:                      # SUM / AVG: value + count partials
-                aggs[f"__s_{out}"] = F.expr(arg)
-                aggs[f"__n_{out}"] = F.expr(nn_int)
-                frames[f"__s_{out}"] = frames[f"__n_{out}"] = (before, after)
+                aggs[si][f"__s_{out}"] = F.expr(arg)
+                aggs[si][f"__n_{out}"] = F.expr(nn_int)
+                frames[si][f"__s_{out}"] = (before, after)
+                frames[si][f"__n_{out}"] = (before, after)
             self._wins[out] = (fn, arg)
             parsed.append(("win", out))
         if not self._wins:
             raise _UnloweredShape("no RANGE window items")
-        self._pk_txt, self._ord_txt = pk_txt, ord_txt
+        self._specs = [pk_ord for pk_ord, _ in
+                       sorted(specs.items(), key=lambda kv: kv[1])]
 
         super().__init__(eng, name, sql)   # view state via Catalyst schema
         out_types = {f.name: f.dataType.simpleString()
                      for f in self.state.current.df.schema.fields}
 
-        # ---- internal op over source rows + derived pk/ts columns -----
-        probe = _source_rows0(eng, tbl)
+        # ---- chained ops over source rows + derived pk/ts columns -----
         ext = self._extend(probe)
-        ts_type = dict((f.name, f.dataType.simpleString())
-                       for f in ext.schema.fields)["__rw_ts"]
-        if ts_type in _NUMERIC_TS_TYPES:
-            numeric = True
-        elif ts_type == "timestamp":
-            numeric = False
-        else:
-            raise _UnloweredShape(f"ORDER BY type {ts_type}")
-        self.op = PartitionedRollingAggregateLinearOp(
-            ZSetFrame.from_df(ext), "__rw_pk", "__rw_ts",
-            before=max(b for b, _ in frames.values()),
-            after=max(a for _, a in frames.values()),
-            aggs=aggs, frames=frames, numeric_ts=numeric)
+        ts_types = dict((f.name, f.dataType.simpleString())
+                        for f in ext.schema.fields)
+        self.ops = []
+        cur = ext
+        for i in range(len(self._specs)):
+            ts_type = ts_types[f"__rw_ts{i}"]
+            if ts_type in _NUMERIC_TS_TYPES:
+                numeric = True
+            elif ts_type == "timestamp":
+                numeric = False
+            else:
+                raise _UnloweredShape(f"ORDER BY type {ts_type}")
+            empty_in = (ZSetFrame.from_df(cur) if i == 0
+                        else ZSetFrame(cur))   # chained probe has weights
+            op = PartitionedRollingAggregateLinearOp(
+                empty_in, f"__rw_pk{i}", f"__rw_ts{i}",
+                before=max(b for b, _ in frames[i].values()),
+                after=max(a for _, a in frames[i].values()),
+                aggs=aggs[i], frames=frames[i], numeric_ts=numeric)
+            self.ops.append(op)
+            cur = op.out.current.df        # next op's input schema probe
 
         # ---- finalize projection (op-output rows -> view rows) --------
         fin = []
@@ -500,16 +519,18 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                            f"CAST(__s_{v} / __n_{v} AS {typ}) END AS {v}")
         self._final = fin
         self._weight = WEIGHT_COL
-        # validate: finalize must analyze against the op's output schema
-        # (catches alias-qualified items etc. -> fallback via _try)
-        probe_out = self.op.out.current.df
-        probe_out.selectExpr(*self._final, WEIGHT_COL).schema
+        # validate: finalize must analyze against the last op's output
+        # schema (catches alias-qualified items etc. -> fallback via _try)
+        cur.selectExpr(*self._final, WEIGHT_COL).schema
         if self.pred:
             probe.filter(F.expr(self.pred)).schema
 
     def _extend(self, df: DataFrame) -> DataFrame:
-        return df.select("*", F.expr(self._pk_txt).alias("__rw_pk"),
-                         F.expr(self._ord_txt).alias("__rw_ts"))
+        extra = []
+        for i, (pk, o) in enumerate(self._specs):
+            extra.append(F.expr(pk).alias(f"__rw_pk{i}"))
+            extra.append(F.expr(o).alias(f"__rw_ts{i}"))
+        return df.select("*", *extra)
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -517,10 +538,13 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             return self._empty()
         d = z.df.filter(F.expr(self.pred)) if self.pred else z.df
         cols = [c for c in d.columns if c != self._weight]
-        ext = d.select(*cols, F.expr(self._pk_txt).alias("__rw_pk"),
-                       F.expr(self._ord_txt).alias("__rw_ts"),
-                       F.col(self._weight))
-        od = self.op.step(ZSetFrame(ext))
+        extra = []
+        for i, (pk, o) in enumerate(self._specs):
+            extra.append(F.expr(pk).alias(f"__rw_pk{i}"))
+            extra.append(F.expr(o).alias(f"__rw_ts{i}"))
+        od = ZSetFrame(d.select(*cols, *extra, F.col(self._weight)))
+        for op in self.ops:
+            od = op.step(od)
         out = od.df.selectExpr(*self._final, self._weight)
         delta = ZSetFrame(out).consolidate()
         self.apply_delta(delta)
@@ -567,6 +591,86 @@ def _parse_aliased_chain(from_clause: str) \
     return out
 
 
+def _kw_at(s: str, i: int, kw: str) -> bool:
+    """True iff ``kw`` occurs at position ``i`` of ``s`` as a whole word."""
+    n = len(kw)
+    return (s[i:i + n].upper() == kw
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + n == len(s) or not (s[i + n].isalnum()
+                                         or s[i + n] == "_")))
+
+
+def _split_select_from(flat: str) -> tuple[str, str] | None:
+    """``SELECT <sel> FROM <rest>`` split at the first paren-depth-0
+    FROM — EXTRACT(x FROM col) / SUBSTRING(s FROM i) live inside parens
+    and must not split."""
+    if not re.match(r"^SELECT\s", flat, re.IGNORECASE):
+        return None
+    depth = 0
+    for i in range(7, len(flat)):
+        ch = flat[i]
+        depth += (ch == "(") - (ch == ")")
+        if depth == 0 and _kw_at(flat, i, "FROM"):
+            sel, rest = flat[7:i].strip(), flat[i + 4:].strip()
+            return (sel, rest) if sel and rest else None
+    return None
+
+
+def _split_where(rest: str) -> tuple[str, str | None]:
+    """Split a top-level (paren-depth-0) WHERE off a FROM clause."""
+    depth = 0
+    for i in range(len(rest)):
+        depth += (rest[i] == "(") - (rest[i] == ")")
+        if depth == 0 and _kw_at(rest, i, "WHERE"):
+            return rest[:i].strip(), rest[i + 5:].strip()
+    return rest, None
+
+
+def _expand_subquery_stars(eng: "Engine", inner: str) -> str:
+    """Expand ``*`` / ``alias.*`` select items of a join subquery into
+    explicit ``alias.col AS col`` items with FIRST-WINS dedup of output
+    names — the reference's demo02 writes ``SELECT t1.*, t2.* FROM
+    transactions t1 LEFT JOIN demographics t2 ON t1.cc_num = t2.cc_num``
+    whose duplicate ``cc_num`` would make every outer reference
+    ambiguous in Spark; first-wins matches resolving the shared join key
+    to the left table.  Leaves anything unparsable unchanged."""
+    parts = _split_select_from(" ".join(inner.split()))
+    if parts is None:
+        return inner
+    sel, rest = parts
+    body, pred = _split_where(rest)
+    items = [s.strip() for s in _split_top_level(sel)]
+    if not any(it == "*" or re.match(r"^\w+\s*\.\s*\*$", it)
+               for it in items):
+        return inner
+    chain = (_parse_aliased_chain(body)
+             or ([(body.strip().lower(), body.strip().lower(), "")]
+                 if re.match(r"^\w+$", body.strip()) else None))
+    if chain is None or any(t not in eng.tables and t not in eng.views
+                            for t, _, _ in chain):
+        return inner
+    alias_of = {a: (t, a) for t, a, _ in chain}
+    out, claimed = [], set()
+
+    def _emit(t: str, a: str):
+        for c in _source_rows0(eng, t).columns:
+            if c.lower() not in claimed:
+                claimed.add(c.lower())
+                out.append(f"{a}.{c} AS {c}")
+
+    for it in items:
+        sm = re.match(r"^(\w+)\s*\.\s*\*$", it)
+        if it == "*":
+            for t, a, _ in chain:
+                _emit(t, a)
+        elif sm and sm.group(1).lower() in alias_of:
+            _emit(*alias_of[sm.group(1).lower()])
+        else:
+            out.append(it)
+    return ("SELECT " + ", ".join(out) + " FROM " + body
+            + (f" WHERE {pred}" if pred else ""))
+
+
 def _rolling_over_from(eng: "Engine", name: str, flat: str):
     """Rolling-window view whose FROM clause is a JOIN chain or a
     parenthesized subquery — the VERBATIM demo02 features shape
@@ -582,35 +686,11 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
     can't be made unambiguous (two sources for one bare name) or when
     the FROM clause itself only snapshot-diffs (no benefit to layering).
     """
-    if not re.match(r"^SELECT\s", flat, re.IGNORECASE):
+    parts = _split_select_from(flat)
+    if parts is None:
         raise _UnloweredShape(flat)
-    # the FROM that introduces the source is the first one at paren
-    # depth 0 — EXTRACT(x FROM col) / SUBSTRING(s FROM i) live in parens
-    sel = rest = None
-    depth = 0
-    for i in range(7, len(flat)):
-        ch = flat[i]
-        depth += (ch == "(") - (ch == ")")
-        if (depth == 0 and flat[i:i + 4].upper() == "FROM"
-                and not (flat[i - 1].isalnum() or flat[i - 1] == "_")
-                and (i + 4 == len(flat) or not (flat[i + 4].isalnum()
-                                                or flat[i + 4] == "_"))):
-            sel, rest = flat[7:i].strip(), flat[i + 4:].strip()
-            break
-    if sel is None or not rest:
-        raise _UnloweredShape(flat)
-    # split a top-level (paren-depth-0) WHERE off the FROM clause
-    pred, depth = None, 0
-    for i in range(len(rest)):
-        ch = rest[i]
-        depth += (ch == "(") - (ch == ")")
-        if (depth == 0 and rest[i:i + 5].upper() == "WHERE"
-                and (i == 0 or not (rest[i - 1].isalnum()
-                                    or rest[i - 1] == "_"))
-                and (i + 5 == len(rest) or not (rest[i + 5].isalnum()
-                                                or rest[i + 5] == "_"))):
-            rest, pred = rest[:i].strip(), rest[i + 5:].strip()
-            break
+    sel, rest = parts
+    rest, pred = _split_where(rest)
     outer_sel, outer_pred = sel, pred
 
     if rest.startswith("("):
@@ -633,7 +713,7 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
             if outer_pred:
                 outer_pred = re.sub(rf"\b{a}\s*\.\s*(\w+)", r"\1",
                                     outer_pred, flags=re.IGNORECASE)
-        inner_sql = inner
+        inner_sql = _expand_subquery_stars(eng, inner)
     else:
         chain = _parse_aliased_chain(rest)
         if chain is None or any(t not in eng.tables and t not in eng.views

@@ -1,0 +1,204 @@
+"""Acceptance tests: the reference's four demo DDL scripts run VERBATIM
+through the SQL Engine (SURVEY §7 Phase 4 — demo/project_demo0{0,1,2,3}/
+project.sql are checked-in runnable text, the reference's own end-to-end
+examples).  Each test reads the actual file, executes it unmodified,
+pushes synthetic data over several ticks (with retractions), and checks
+every view's maintained state against a one-shot batch recompute —
+asserting along the way that the intended incremental lowerings engaged
+(join / left-join / rolling), not the snapshot-diff fallback.
+
+Dialect shims applied by the engine (documented, all in sql.py):
+TEXT/STRING/FLOAT64→Spark types, EXTRACT(EPOCH/ISODOW …) rewrites, and
+``alias.*`` expansion with first-wins dedup inside FROM-subqueries
+(demo02's ``SELECT t1.*, t2.*`` repeats the join key ``cc_num``; Spark
+would reject every later bare reference as ambiguous)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pytest
+
+from database_stream_processor_spark.sql import Engine, _rewrite_dialect
+
+DEMO_DIR = "/root/reference/demo"
+
+needs_demos = pytest.mark.skipif(
+    not os.path.isdir(DEMO_DIR), reason="reference demos not present")
+
+
+def _read(n):
+    with open(os.path.join(DEMO_DIR, n, "project.sql")) as f:
+        return f.read()
+
+
+def _rows(df):
+    return sorted((tuple(round(v, 6) if isinstance(v, float) else v
+                         for v in r) for r in df.collect()), key=str)
+
+
+def _check_views_match_batch(spark, eng, batch_sql_by_view):
+    for view, sql in batch_sql_by_view.items():
+        want = _rows(spark.sql(_rewrite_dialect(sql)))
+        got = _rows(eng.view(view))
+        assert got == want, view
+
+
+@needs_demos
+def test_demo00_simple_select(spark):
+    eng = Engine(spark)
+    eng.execute(_read("project_demo00-SimpleSelect"))
+    assert set(eng.views) == {"output_users"}
+    assert eng.view_strategy("output_users") == "project"
+    mk = lambda rows: spark.createDataFrame(rows, "name string")
+    eng.push("users", mk([("ann",), ("bob",)]))
+    eng.step()
+    assert _rows(eng.view("output_users")) == [("ann",), ("bob",)]
+    eng.push("users", mk([("ann",)]), weight=-1)
+    eng.push("users", mk([("cyd",)]))
+    eng.step()
+    assert _rows(eng.view("output_users")) == [("bob",), ("cyd",)]
+
+
+def _dem_rows(n):
+    return [(float(i % 5), f"first{i}", "F", f"{i} St", "pdx", "OR",
+             97200 + i, 45.0 + i * 0.1, -122.0 - i * 0.1, 1000 * (i + 1),
+             f"job{i}", "1990-01-0" + str(i % 9 + 1)) for i in range(n)]
+
+
+_DEM_SCHEMA = ("cc_num double, first string, gender string, street string, "
+               "city string, state string, zip int, lat double, long double, "
+               "city_pop int, job string, dob string")
+
+
+def _tx_rows(n, seed=0):
+    random.seed(seed)
+    t0 = dt.datetime(2024, 3, 1)
+    out = []
+    for i in range(n):
+        ts = t0 + dt.timedelta(seconds=random.randint(0, 3_000_000))
+        out.append((ts, float(i % 5), f"merch{i % 7}", f"cat{i % 4}",
+                    round(random.uniform(1, 300), 2), f"tn{i}",
+                    int(ts.timestamp()), 45.5, -122.5, i % 11 == 0))
+    return out
+
+
+_TX_SCHEMA = ("trans_date_trans_time timestamp, cc_num double, "
+              "merchant string, category string, amt double, "
+              "trans_num string, unix_time int, merch_lat double, "
+              "merch_long double, is_fraud boolean")
+
+
+@needs_demos
+def test_demo01_time_series_enrich(spark):
+    eng = Engine(spark)
+    ddl = _read("project_demo01-TimeSeriesEnrich")
+    # demo01 declares dob DATE; generate ISO strings and cast on push
+    eng.execute(ddl)
+    assert eng.view_strategy("transactions_with_demographics") == "join"
+    from pyspark.sql import functions as F
+    mkd = lambda rows: (spark.createDataFrame(rows, _DEM_SCHEMA)
+                        .withColumn("dob", F.col("dob").cast("date")))
+    mkt = lambda rows: (spark.createDataFrame(rows, _TX_SCHEMA)
+                        .withColumn("is_fraud",
+                                    F.col("is_fraud").cast("int")))
+    batch = {"transactions_with_demographics": """
+        SELECT transactions.trans_date_trans_time, transactions.cc_num,
+               demographics.first, demographics.city
+        FROM transactions JOIN demographics
+          ON transactions.cc_num = demographics.cc_num"""}
+    eng.push("demographics", mkd(_dem_rows(3)))
+    eng.push("transactions", mkt(_tx_rows(40)))
+    eng.step()
+    _check_views_match_batch(spark, eng, batch)
+    eng.push("demographics", mkd(_dem_rows(5)[3:]))
+    eng.push("transactions", mkt(_tx_rows(40)[:10]), weight=-1)
+    eng.step()
+    _check_views_match_batch(spark, eng, batch)
+
+
+@needs_demos
+def test_demo02_fraud_detection(spark):
+    """The flagship: AVG/COUNT OVER RANGE frames over a LEFT-JOIN
+    subquery.  The features view must lower to the rolling maintainer
+    over a hidden left-join view — end-to-end O(Δ), the round-4
+    verdict's #1 missing capability."""
+    eng = Engine(spark)
+    eng.execute(_read("project_demo02-FraudDetection"))
+    assert eng.view_strategy("features") == "rolling"
+    assert eng.view_strategy("__features_src") == "left_join"
+    from pyspark.sql import functions as F
+    mkd = lambda rows: spark.createDataFrame(rows, _DEM_SCHEMA)
+    mkt = lambda rows: (spark.createDataFrame(rows, _TX_SCHEMA)
+                        .withColumn("is_fraud",
+                                    F.col("is_fraud").cast("int")))
+    # batch equivalent: the same view SQL with t1.*, t2.* expanded
+    # first-wins (cc_num resolves to t1) — what the engine's shim does
+    batch_sql = """
+    SELECT
+        ST_DISTANCE(ST_POINT(long,lat), ST_POINT(merch_long,merch_lat))
+            AS distance,
+        AVG(amt) OVER(PARTITION BY CAST(cc_num AS NUMERIC)
+            ORDER BY unix_time
+            RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+            AS avg_spend_pw,
+        AVG(amt) OVER(PARTITION BY CAST(cc_num AS NUMERIC)
+            ORDER BY unix_time
+            RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING)
+            AS avg_spend_pm,
+        COUNT(*) OVER(PARTITION BY CAST(cc_num AS NUMERIC)
+            ORDER BY unix_time
+            RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+            AS trans_freq_24,
+        category, amt, state, job, unix_time, city_pop, merchant, is_fraud
+    FROM (
+        SELECT t1.trans_date_trans_time, t1.cc_num, t1.merchant,
+               t1.category, t1.amt, t1.trans_num, t1.unix_time,
+               t1.merch_lat, t1.merch_long, t1.is_fraud,
+               t2.first, t2.gender, t2.street, t2.city, t2.state, t2.zip,
+               t2.lat, t2.long, t2.city_pop, t2.job, t2.dob
+        FROM transactions AS t1
+        LEFT JOIN demographics AS t2 ON t1.cc_num = t2.cc_num)"""
+    batch = {"features": batch_sql}
+    eng.push("demographics", mkd(_dem_rows(3)))      # cc 3,4 unmatched
+    eng.push("transactions", mkt(_tx_rows(50)))
+    eng.step()
+    _check_views_match_batch(spark, eng, batch)
+    eng.push("demographics", mkd(_dem_rows(5)[3:]))  # late dims match
+    eng.push("transactions", mkt(_tx_rows(90, seed=1)[50:]))
+    eng.push("transactions", mkt(_tx_rows(50)[:10]), weight=-1)
+    eng.step()
+    _check_views_match_batch(spark, eng, batch)
+
+
+@needs_demos
+def test_demo03_green_trip(spark):
+    """Two window specs (pickup- and dropoff-keyed) + ``*`` in one view:
+    chained rolling ops, one per spec."""
+    eng = Engine(spark)
+    eng.execute(_read("project_demo03-GreenTrip"))
+    assert eng.view_strategy("features") == "rolling"
+    random.seed(9)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(80):
+        pu = t0 + dt.timedelta(seconds=random.randint(0, 200_000))
+        do = pu + dt.timedelta(seconds=random.randint(120, 3600))
+        rows.append((pu, do, i % 6, (i + 2) % 5,
+                     round(random.uniform(0.5, 20), 2),
+                     round(random.uniform(3, 80), 2)))
+    mk = lambda rs: spark.createDataFrame(
+        rs, "lpep_pickup_datetime timestamp, lpep_dropoff_datetime "
+            "timestamp, pickup_location_id bigint, dropoff_location_id "
+            "bigint, trip_distance double, fare_amount double")
+    batch = {"features": _read("project_demo03-GreenTrip")
+             .split("CREATE VIEW FEATURES as", 1)[1].rstrip().rstrip(";")}
+    eng.push("green_tripdata", mk(rows[:40]))
+    eng.step()
+    _check_views_match_batch(spark, eng, batch)
+    eng.push("green_tripdata", mk(rows[40:]))
+    eng.push("green_tripdata", mk(rows[10:20]), weight=-1)
+    eng.step()
+    _check_views_match_batch(spark, eng, batch)

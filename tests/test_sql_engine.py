@@ -1438,3 +1438,48 @@ def test_rolling_window_view_over_subquery_left_join(spark):
     eng.push("tr", mkt([(1, 20.0, 400)]), weight=-1)
     eng.step()
     _roll_cmp(spark, eng, "feat", batch)
+
+
+def test_rolling_window_view_multi_spec_chained(spark):
+    """A view mixing windows over DIFFERENT (PARTITION BY, ORDER BY)
+    specs (demo03 GreenTrip: pickup-keyed and dropoff-keyed frames side
+    by side) chains one rolling op per spec; `*` in the select list
+    expands to the source columns."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE trips (pu BIGINT NOT NULL, do_ BIGINT NOT NULL,
+                            put BIGINT NOT NULL, dot BIGINT NOT NULL,
+                            fare FLOAT64);
+        CREATE VIEW feat as SELECT
+            *,
+            COUNT(*) OVER (PARTITION BY pu ORDER BY put
+                RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS cnt_pu,
+            AVG(fare) OVER (PARTITION BY pu ORDER BY put
+                RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS avg_pu,
+            COUNT(*) OVER (PARTITION BY do_ ORDER BY dot
+                RANGE BETWEEN 1800 PRECEDING AND 1 PRECEDING) AS cnt_do
+            FROM trips;
+    """)
+    assert eng.view_strategy("feat") == "rolling"
+    batch = """SELECT pu, do_, put, dot, fare,
+            COUNT(*) OVER (PARTITION BY pu ORDER BY put
+                RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS cnt_pu,
+            AVG(fare) OVER (PARTITION BY pu ORDER BY put
+                RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS avg_pu,
+            COUNT(*) OVER (PARTITION BY do_ ORDER BY dot
+                RANGE BETWEEN 1800 PRECEDING AND 1 PRECEDING) AS cnt_do
+            FROM trips"""
+    import random
+    random.seed(5)
+    rows = [(i % 4, (i + 1) % 3, random.randint(0, 9000),
+             random.randint(0, 9000), round(random.uniform(3, 60), 2))
+            for i in range(60)]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "pu bigint, do_ bigint, put bigint, dot bigint, fare double")
+    eng.push("trips", mk(rows[:30]))
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("trips", mk(rows[30:]))
+    eng.push("trips", mk(rows[5:15]), weight=-1)
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
