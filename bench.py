@@ -8,8 +8,12 @@ fills JVM/codegen/parquet-footer caches, then each query is timed
 $SPARK_GRAFT_BENCH_RUNS times (default 3) and the per-query MINIMUM is
 reported — the min is the least-noise estimator for a fixed workload on
 a shared box (run-to-run swings here are scheduler/GC noise, not code).
-The per-query spread ((max-min)/min) is emitted alongside so
-round-over-round regressions are attributable to code, not variance.
+Fast queries (min < 3s), whose timings are dominated by fixed-cost
+noise, get extra runs (up to 8 total) while their best-3 window is
+still loose.  The emitted per-query ``spread`` is (3rd-best − best)/best
+over the final run set — the attributability measure for
+round-over-round deltas (an early cold outlier no longer poisons it;
+the raw max is still visible in the stderr run log).
 """
 
 from __future__ import annotations
@@ -70,21 +74,31 @@ def main() -> None:
         except Exception as e:  # a warm-up failure must not kill the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    def time_one(name: str, r) -> float:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        took = round(time.time() - t0, 3)
+        print(f"# run{r} {name}: {took}s ({n} rows)", file=sys.stderr)
+        return took
+
+    def best3_spread(ts: list[float]) -> float:
+        s = sorted(ts)[:3]
+        return round((s[-1] - s[0]) / s[0], 3) if s[0] > 0 else 0.0
+
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for r in range(n_runs):
         for name in HEADLINE:
-            fn = REGISTRY[name].fn
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            took = round(time.time() - t0, 3)
-            runs[name].append(took)
-            print(f"# run{r} {name}: {took}s ({n} rows)", file=sys.stderr)
+            runs[name].append(time_one(name, r))
+    # fixed-cost noise dominates fast queries: add runs until the best-3
+    # window tightens (bounded, and never for the expensive queries)
+    for name, ts in runs.items():
+        while (len(ts) < 8 and min(ts) < 3.0
+               and best3_spread(ts) > 0.15):
+            ts.append(time_one(name, f"x{len(ts)}"))
 
     timings = {name: min(ts) for name, ts in runs.items()}
-    spread = {name: (round((max(ts) - min(ts)) / min(ts), 3)
-                     if min(ts) > 0 else 0.0)
-              for name, ts in runs.items()}
+    spread = {name: best3_spread(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_time",

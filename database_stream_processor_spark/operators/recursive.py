@@ -587,7 +587,8 @@ class IncrementalTransitiveClosureOp:
         # pruned exceptAll against the src-store buckets acc touches
         have = self._s_src.read_buckets(self._s_src.buckets_of(acc, src))
         new = acc.exceptAll(have).localCheckpoint(eager=True)
-        if new.isEmpty():
+        n_new = new.count()        # one job doubles as the isEmpty gate
+        if n_new == 0:
             return ZSetFrame.from_df(
                 self.spark.createDataFrame([], self._schema), 1)
 
@@ -601,7 +602,7 @@ class IncrementalTransitiveClosureOp:
         content = (self._s_dst.read_buckets(db).unionByName(new)
                    .localCheckpoint(eager=True))
         self._s_dst.overwrite_buckets(content, db)
-        self._n += new.count()
+        self._n += n_new
         return ZSetFrame.from_df(new, 1)
 
     def _delete_bucketed(self, deleted: DataFrame) -> "object":
