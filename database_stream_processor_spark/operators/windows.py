@@ -65,7 +65,7 @@ def hopping_window(df: DataFrame, ts_col: str, size_seconds: int,
 
 def rolling_aggregate(df: DataFrame, partition_by: Sequence[str], ts_col: str,
                       range_before_seconds: int, range_after_seconds: int,
-                      **aggs: Column) -> DataFrame:
+                      numeric_ts: bool = False, **aggs: Column) -> DataFrame:
     """Per-partition rolling aggregate over a *relative time range* per row —
     the reference's ``partitioned_rolling_aggregate`` with
     ``RelRange(-before, after)`` (time_series/rolling_aggregate.rs:235,
@@ -73,10 +73,13 @@ def rolling_aggregate(df: DataFrame, partition_by: Sequence[str], ts_col: str,
 
     ``aggs`` maps output column name → aggregate Column (the window frame is
     applied here).  Emits one row per input row with the aggregate columns
-    appended.
+    appended.  ``numeric_ts`` orders by the raw column (epoch seconds
+    already) instead of ``unix_timestamp``.
     """
+    order = (F.col(ts_col).cast("long") if numeric_ts
+             else F.unix_timestamp(F.col(ts_col)))
     w = (Window.partitionBy(*partition_by)
-         .orderBy(F.unix_timestamp(F.col(ts_col)))
+         .orderBy(order)
          .rangeBetween(-range_before_seconds, range_after_seconds))
     out = df
     for name, agg in aggs.items():

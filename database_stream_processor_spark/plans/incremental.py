@@ -696,20 +696,33 @@ class PartitionedRollingAggregateOp:
 
     def __init__(self, empty_in: ZSetFrame, partition_by: str, ts_col: str,
                  before: int, after: int, aggs: dict,
-                 watermark_delay: int | None = None, **state_kw):
+                 watermark_delay: int | None = None,
+                 numeric_ts: bool = False, **state_kw):
+        from database_stream_processor_spark.operators.windows import (
+            rolling_aggregate)
         self.pk = partition_by
         self.ts = ts_col
         self.before = before
         self.after = after
         self.aggs = dict(aggs)
         self.watermark_delay = watermark_delay
+        self.numeric_ts = numeric_ts
         state_kw.setdefault("consolidate_every", 4)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="rolling_input", **state_kw)
-        self._out_state: StateTable | None = None
+        # output state initialized from the probe schema (input cols +
+        # agg cols), so downstream composition can read the output shape
+        # before the first step
+        probe = rolling_aggregate(
+            empty_in.df.drop(WEIGHT_COL).limit(0), [self.pk], self.ts,
+            before, after, numeric_ts=numeric_ts, **self.aggs)
+        self._out_state: StateTable = StateTable(
+            ZSetFrame.from_df(probe), name="rolling_output",
+            **self._state_kw)
 
     def _ts_sec(self):
-        return F.unix_timestamp(F.col(self.ts))
+        col = F.col(self.ts)
+        return col.cast("long") if self.numeric_ts else F.unix_timestamp(col)
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
         """Bounded recompute (rolling_aggregate.rs:119-143 semantics): a
@@ -718,9 +731,13 @@ class PartitionedRollingAggregateOp:
         in [t − before, t + after].  So per touched partition we recompute
         only the frame range
 
-            outputs: [min(Δts) − after,          max(Δts) + before]
-            inputs:  [min(Δts) − after − before, max(Δts) + before + after]
+            outputs: [min(Δts) − max(after,0),  max(Δts) + max(before,0)]
+            inputs:  [out_lo − max(before,0),   out_hi + max(after,0)]
 
+        (the max(…,0) clamps keep a delta row's OWN output in range when
+        the frame excludes the current row, e.g. ``… AND 1 PRECEDING`` —
+        a new/retracted row's output row must still be emitted/retracted
+        even though no frame contains its own timestamp)
         — cost ∝ delta time-spread per key, never the key's full history.
         The watermark (max seen event time − delay) is derived *inside the
         step's plan* as a broadcast 1-row DataFrame — no driver round-trip
@@ -746,30 +763,31 @@ class PartitionedRollingAggregateOp:
             self.integral._current = ZSetFrame(
                 self.integral.current.df.crossJoin(wmb)
                 .filter(ts_sec >= F.col("__wm") - self.before).drop("__wm"))
-            if self._out_state is not None:
-                # outputs below wm are frozen: leave live state so the diff
-                # can never retract them
-                self._out_state._current = ZSetFrame(
-                    self._out_state.current.df.crossJoin(wmb)
-                    .filter(ts_sec >= F.col("__wm")).drop("__wm"))
+            # outputs below wm are frozen: leave live state so the diff
+            # can never retract them
+            self._out_state._current = ZSetFrame(
+                self._out_state.current.df.crossJoin(wmb)
+                .filter(ts_sec >= F.col("__wm")).drop("__wm"))
 
         bounds = (delta.df.groupBy(self.pk)
                   .agg(F.min(ts_sec).alias("__dmin"),
                        F.max(ts_sec).alias("__dmax")))
         new_in = self.integral.update(delta)
 
-        reach = self.before + self.after
-        in_lo = F.col("__dmin") - reach
-        in_hi = F.col("__dmax") + reach
-        out_lo = F.col("__dmin") - self.after
-        out_hi = F.col("__dmax") + self.before
+        # the slice must cover the output rows AND their frames
+        out_lo = F.col("__dmin") - max(self.after, 0)
+        out_hi = F.col("__dmax") + max(self.before, 0)
+        in_lo = out_lo - max(self.before, 0)
+        in_hi = out_hi + max(self.after, 0)
 
         sliced = ZSetFrame(
             new_in.df.join(bounds, on=self.pk, how="inner")
             .filter(ts_sec.between(in_lo, in_hi))
             .drop("__dmin", "__dmax")).consolidate()
         new_rows = rolling_aggregate(sliced.rows(), [self.pk], self.ts,
-                                     self.before, self.after, **self.aggs)
+                                     self.before, self.after,
+                                     numeric_ts=self.numeric_ts,
+                                     **self.aggs)
         new_rows = (new_rows.join(bounds, on=self.pk, how="inner")
                     .filter(ts_sec.between(out_lo, out_hi))
                     .drop("__dmin", "__dmax"))
@@ -778,24 +796,18 @@ class PartitionedRollingAggregateOp:
                         .filter(ts_sec >= F.col("__wm")).drop("__wm"))
         new_out = ZSetFrame.from_df(new_rows, 1)
 
-        if self._out_state is None:
-            self._out_state = StateTable(ZSetFrame(new_out.df.limit(0)),
-                                         name="rolling_output",
-                                         **self._state_kw)
-            old_out = ZSetFrame(new_out.df.limit(0))
-        else:
-            old_out = ZSetFrame(
-                self._out_state.current.df.join(bounds, on=self.pk,
-                                                how="inner")
-                .filter(ts_sec.between(out_lo, out_hi))
-                .drop("__dmin", "__dmax"))
+        old_out = ZSetFrame(
+            self._out_state.current.df.join(bounds, on=self.pk,
+                                            how="inner")
+            .filter(ts_sec.between(out_lo, out_hi))
+            .drop("__dmin", "__dmax"))
         out_delta = new_out.minus(old_out).consolidate()
         self._out_state.update(out_delta)
         return out_delta
 
     @property
     def current_output(self):
-        return None if self._out_state is None else self._out_state.current
+        return self._out_state.current
 
 
 class TumblingWindowOp:

@@ -377,7 +377,7 @@ class _MultiJoinMaintainer(_ViewMaintainer):
 #: one OVER item of the rolling-window view shape:
 #: AGG(arg) OVER (PARTITION BY pk ORDER BY o RANGE BETWEEN lo AND hi) AS n
 _WIN_ITEM = re.compile(
-    rf"^(?P<fn>SUM|COUNT|AVG)\s*\(\s*(?P<arg>\*|{_NEST2})\s*\)\s+"
+    rf"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|{_NEST2})\s*\)\s+"
     r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pk>.+?)\s+ORDER\s+BY\s+"
     r"(?P<ord>.+?)\s+RANGE\s+BETWEEN\s+"
     r"(?P<lo>\d+\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
@@ -427,8 +427,10 @@ class _RollingWindowMaintainer(_ViewMaintainer):
         # ---- parse the select list ------------------------------------
         parsed: list[tuple[str, object]] = []   # ("plain", txt)|("win", m)
         specs: dict[tuple[str, str], int] = {}  # (pk, ord) -> spec index
-        aggs: list[dict] = []                   # per spec
+        aggs: list[dict] = []                   # per spec (linear partials)
         frames: list[dict] = []
+        # non-linear (MIN/MAX) items: one general op per (spec, frame)
+        nl: dict[tuple[int, int, int], dict] = {}
         self._wins: dict[str, tuple[str, str]] = {}   # name -> (fn, arg)
         for it in (s.strip() for s in _split_top_level(m.group("sel"))):
             if it == "*":
@@ -461,6 +463,12 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                 aggs[si][f"__n_{out}"] = (F.lit(1) if arg == "*"
                                           else F.expr(nn_int))
                 frames[si][f"__n_{out}"] = (before, after)
+            elif fn in ("MIN", "MAX"):
+                # non-linear: touched-slice recompute via the general op
+                # (rolling_aggregate.rs:235 vs the :367 linear variant)
+                nl.setdefault((si, before, after), {})[out] = (
+                    F.min(F.expr(arg)) if fn == "MIN"
+                    else F.max(F.expr(arg)))
             else:                      # SUM / AVG: value + count partials
                 aggs[si][f"__s_{out}"] = F.expr(arg)
                 aggs[si][f"__n_{out}"] = F.expr(nn_int)
@@ -478,28 +486,41 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                      for f in self.state.current.df.schema.fields}
 
         # ---- chained ops over source rows + derived pk/ts columns -----
+        from database_stream_processor_spark.plans.incremental import (
+            PartitionedRollingAggregateOp)
         ext = self._extend(probe)
         ts_types = dict((f.name, f.dataType.simpleString())
                         for f in ext.schema.fields)
-        self.ops = []
-        cur = ext
-        for i in range(len(self._specs)):
+
+        def _numeric(i: int) -> bool:
             ts_type = ts_types[f"__rw_ts{i}"]
             if ts_type in _NUMERIC_TS_TYPES:
-                numeric = True
-            elif ts_type == "timestamp":
-                numeric = False
-            else:
-                raise _UnloweredShape(f"ORDER BY type {ts_type}")
-            empty_in = (ZSetFrame.from_df(cur) if i == 0
+                return True
+            raise _UnloweredShape(f"ORDER BY type {ts_type}")
+
+        self.ops = []
+        cur, first = ext, True
+        for i in range(len(self._specs)):
+            if not aggs[i]:
+                continue
+            empty_in = (ZSetFrame.from_df(cur) if first
                         else ZSetFrame(cur))   # chained probe has weights
             op = PartitionedRollingAggregateLinearOp(
                 empty_in, f"__rw_pk{i}", f"__rw_ts{i}",
                 before=max(b for b, _ in frames[i].values()),
                 after=max(a for _, a in frames[i].values()),
-                aggs=aggs[i], frames=frames[i], numeric_ts=numeric)
+                aggs=aggs[i], frames=frames[i], numeric_ts=_numeric(i))
             self.ops.append(op)
-            cur = op.out.current.df        # next op's input schema probe
+            cur, first = op.out.current.df, False
+        for (si, before, after), nl_aggs in nl.items():
+            empty_in = (ZSetFrame.from_df(cur) if first
+                        else ZSetFrame(cur))
+            op = PartitionedRollingAggregateOp(
+                empty_in, f"__rw_pk{si}", f"__rw_ts{si}",
+                before=before, after=after, aggs=nl_aggs,
+                numeric_ts=_numeric(si))
+            self.ops.append(op)
+            cur, first = op._out_state.current.df, False
 
         # ---- finalize projection (op-output rows -> view rows) --------
         fin = []
@@ -511,6 +532,8 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             typ = out_types[v]
             if fn == "COUNT":
                 fin.append(f"CAST(__n_{v} AS {typ}) AS {v}")
+            elif fn in ("MIN", "MAX"):
+                fin.append(f"CAST({v} AS {typ}) AS {v}")
             elif fn == "SUM":
                 fin.append(f"CASE WHEN __n_{v} = 0 THEN NULL "
                            f"ELSE CAST(__s_{v} AS {typ}) END AS {v}")

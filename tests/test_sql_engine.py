@@ -1483,3 +1483,40 @@ def test_rolling_window_view_multi_spec_chained(spark):
     eng.push("trips", mk(rows[5:15]), weight=-1)
     eng.step()
     _roll_cmp(spark, eng, "feat", batch)
+
+
+def test_rolling_window_view_minmax_nonlinear(spark):
+    """MIN/MAX OVER RANGE frames are non-linear — they route to the
+    general PartitionedRollingAggregateOp (touched-slice recompute)
+    chained after the linear op; retraction of a frame's max must
+    surface the runner-up, matching batch recompute."""
+    eng = Engine(spark)
+    batch = """SELECT cc, amt, ut,
+            MAX(amt) OVER (PARTITION BY cc ORDER BY ut
+                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS max_10m,
+            MIN(amt) OVER (PARTITION BY cc ORDER BY ut
+                RANGE BETWEEN 300 PRECEDING AND 1 PRECEDING) AS min_5m,
+            SUM(amt) OVER (PARTITION BY cc ORDER BY ut
+                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS sum_10m
+            FROM tx"""
+    eng.execute("""
+        CREATE TABLE tx (cc INTEGER NOT NULL, amt FLOAT64,
+                         ut INTEGER NOT NULL);
+        CREATE VIEW feat as """ + batch + ";")
+    assert eng.view_strategy("feat") == "rolling"
+    import random
+    random.seed(13)
+    rows = [(i % 3, round(random.uniform(1, 50), 2),
+             random.randint(0, 1500)) for i in range(60)]
+    mk = lambda rs: spark.createDataFrame(rs, "cc int, amt double, ut int")
+    eng.push("tx", mk(rows[:30]))
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    # retract rows including per-frame maxima; late rows correct outputs
+    eng.push("tx", mk(rows[30:]))
+    eng.push("tx", mk(rows[:10]), weight=-1)
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("tx", mk(rows[40:50]), weight=-1)
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
