@@ -574,6 +574,111 @@ class _RollingWindowMaintainer(_ViewMaintainer):
         return delta
 
 
+#: PARTITION BY clause of any OVER item (up to ORDER BY / frame / close)
+_OVER_PK = re.compile(
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pk>.+?)"
+    r"(?:\s+ORDER\s+BY\b|\s+ROWS\b|\s+RANGE\b|\s*\))",
+    re.IGNORECASE | re.DOTALL)
+
+
+class _PartitionWindowMaintainer(_ViewMaintainer):
+    """Catch-all incremental lowering for window views the rolling op
+    can't express: ``SELECT …, fn(…) OVER (PARTITION BY pks …), … FROM t
+    [WHERE p]`` with ARBITRARY window functions (LAG/LEAD/ROW_NUMBER/
+    RANK/FIRST_VALUE, ROWS frames, running totals) as long as every OVER
+    item shares one PARTITION BY key list.
+
+    A window result is a per-partition property, so maintenance is
+    touched-partition recompute (the reference's per-key aggregate
+    recompute idiom, aggregate/mod.rs:204-244, applied to whole window
+    partitions): per tick, re-evaluate the view SQL over ONLY the
+    partitions the delta touches and diff against the stored output
+    restricted the same way — null-safe broadcast semi-joins on the
+    partition keys, hidden ``__k_i`` key columns carried in the keyed
+    state.  Cost ∝ rows in touched partitions (their full history — the
+    RANGE-frame shapes that admit frame-bounded O(Δ) maintenance lower
+    to :class:`_RollingWindowMaintainer` first and never reach this)."""
+
+    kind = "partition_window"
+
+    def __init__(self, eng, name, sql, m):
+        tbl = m.group("tbl").lower()
+        if tbl not in eng.tables and tbl not in eng._maintainers:
+            raise _UnloweredShape(tbl)
+        if re.search(r"\(\s*SELECT", sql, re.IGNORECASE):
+            raise _UnloweredShape("subquery")
+        pks = None
+        n_over = len(re.findall(r"\bOVER\b", sql, re.IGNORECASE))
+        hits = list(_OVER_PK.finditer(sql))
+        if len(hits) != n_over:
+            raise _UnloweredShape("OVER without PARTITION BY")
+        for h in hits:
+            t = " ".join(h.group("pk").split()).lower()
+            if pks is None:
+                pks = t
+            elif pks != t:
+                raise _UnloweredShape("OVER items differ in PARTITION BY")
+        alias = (m.group("alias") or "").lower()
+        keys = []
+        for k in (s.strip() for s in _split_top_level(pks)):
+            if alias:
+                k = re.sub(rf"\b{alias}\s*\.\s*", "", k, flags=re.IGNORECASE)
+            if re.match(r"^\w+\s*\.", k):
+                raise _UnloweredShape(f"qualifier in partition key {k}")
+            keys.append(k)
+        super().__init__(eng, name, sql)
+        self.table = tbl
+        self.keys = keys
+        hidden_in = ", ".join(f"{k} AS __k_{i}" for i, k in enumerate(keys))
+        self._hidden = [f"__k_{i}" for i in range(len(keys))]
+        alias_txt = f" {m.group('alias')}" if m.group("alias") else ""
+        pred = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+        self._delta_sql = (f"SELECT {m.group('sel')}, {hidden_in} "
+                           f"FROM {tbl}{alias_txt}{pred}")
+        first = eng.eval_on(self._delta_sql,
+                            {tbl: _source_rows0(eng, tbl)})
+        empty = eng.spark.createDataFrame([], first.schema)
+        self._out = StateTable(ZSetFrame.from_df(empty),
+                               name=f"view_{name}_keyed")
+        # touched-key exprs must evaluate against raw delta rows
+        _source_rows0(eng, tbl).select(
+            *[F.expr(k) for k in keys]).schema
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, z)
+
+    def _step_guarded(self, eng, z):
+        touched = (z.df.select(*[F.expr(k).alias(f"__t_{i}")
+                                 for i, k in enumerate(self.keys)])
+                   .dropDuplicates().localCheckpoint(eager=True))
+        src = _current_rows(eng, self.table)
+        keyed_src = src.select(
+            "*", *[F.expr(k).alias(f"__pw_{i}")
+                   for i, k in enumerate(self.keys)])
+        cond = None
+        for i in range(len(self.keys)):
+            e = F.col(f"__pw_{i}").eqNullSafe(F.col(f"__t_{i}"))
+            cond = e if cond is None else (cond & e)
+        t_rows = (keyed_src.join(touched, on=cond, how="left_semi")
+                  .drop(*[f"__pw_{i}" for i in range(len(self.keys))])
+                  .localCheckpoint(eager=True))
+        new_out = ZSetFrame.from_df(
+            eng.eval_on(self._delta_sql, {self.table: t_rows})
+            .localCheckpoint(eager=True), 1)
+        old_t = ZSetFrame(_ns_semi_pos(self._out.current.df, touched,
+                                       self._hidden))
+        keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
+                                .df.localCheckpoint(eager=True))
+        self._out.update(keyed_delta)
+        delta = ZSetFrame(keyed_delta.df.drop(*self._hidden)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
 _SQL_KEYWORDS = frozenset("""select from where over partition by order range
 rows between preceding following current row as and or not null is cast sum
 count avg min max case when then else end in exists like asc desc int
@@ -2481,6 +2586,12 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         m = _PROJECT_RE.match(flat)
         if m and known(m.group("tbl").lower()):
             r = _try(_RollingWindowMaintainer, eng, name, flat, m)
+            if r is not None:
+                return r
+            # frame-bounded rolling didn't fit (LAG/LEAD/ROW_NUMBER/ROWS
+            # frames, mixed fns): touched-partition recompute still beats
+            # snapshot-diff for any single shared PARTITION BY
+            r = _try(_PartitionWindowMaintainer, eng, name, flat, m)
             if r is not None:
                 return r
         elif re.search(r"\bRANGE\s+BETWEEN\b", flat, re.IGNORECASE):

@@ -1520,3 +1520,37 @@ def test_rolling_window_view_minmax_nonlinear(spark):
     eng.push("tx", mk(rows[40:50]), weight=-1)
     eng.step()
     _roll_cmp(spark, eng, "feat", batch)
+
+
+def test_partition_window_view_lag_rownumber(spark):
+    """OVER shapes the rolling op can't express (LAG, ROW_NUMBER as a
+    column, ROWS frames) lower to touched-partition recompute instead of
+    snapshot-diff; only partitions hit by the delta re-evaluate, and the
+    snapshot matches batch recompute across inserts/retractions and a
+    NULL partition key."""
+    eng = Engine(spark)
+    batch = """SELECT cc, amt, ut,
+            LAG(amt) OVER (PARTITION BY cc ORDER BY ut, amt) AS prev_amt,
+            ROW_NUMBER() OVER (PARTITION BY cc ORDER BY ut, amt) AS rn,
+            SUM(amt) OVER (PARTITION BY cc ORDER BY ut, amt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS running
+            FROM tx"""
+    eng.execute("""
+        CREATE TABLE tx (cc INTEGER, amt FLOAT64, ut INTEGER NOT NULL);
+        CREATE VIEW feat as """ + batch + ";")
+    assert eng.view_strategy("feat") == "partition_window"
+    mk = lambda rows: spark.createDataFrame(rs if (rs := rows) else rows,
+                                            "cc int, amt double, ut int")
+    b0 = [(1, 5.0, 100), (1, 7.0, 200), (2, 3.0, 100), (None, 1.0, 50)]
+    b1 = [(1, 6.0, 150), (2, 4.0, 300), (None, 2.0, 60)]
+    eng.push("tx", mk(b0))
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("tx", mk(b1))
+    eng.push("tx", mk(b0[:2]), weight=-1)   # retract cc=1's history head
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("tx", mk([(None, 1.0, 50)]), weight=-1)  # NULL partition
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
