@@ -3235,6 +3235,67 @@ def q94_wav_chunks_real(spark, sf_dir):
         byte_sum.alias("byte_sum"))
 
 
+@register("q95_sql_lag_sequence_features", oracle="""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ut,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT user_id, event_id, ut, value_c,
+       LAG(value_c) OVER (PARTITION BY user_id
+           ORDER BY ut, event_id) AS prev_value_c,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY ut, event_id) AS BIGINT) AS seq,
+       CAST(SUM(value_c) OVER (PARTITION BY user_id ORDER BY ut, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_c
+FROM ev
+""")
+def q95_sql_lag_sequence_features(spark, sf_dir):
+    """Sequence features the RANGE-frame rolling op can't express —
+    LAG, ROW_NUMBER, a running ROWS-frame total (the reference demo02's
+    commented-out ``LAG(trans_date_trans_time, 1) OVER …`` line, now a
+    lowerable shape): the view lowers to touched-partition recompute
+    (sql.py _PartitionWindowMaintainer — only user_ids hit by the tick's
+    delta re-evaluate, hidden-key diff against keyed state), never
+    snapshot-diff.  Insert ticks plus a retract/re-insert round; final
+    state equals the one-shot window SQL."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (event_id BIGINT NOT NULL, user_id BIGINT,
+                         ut BIGINT NOT NULL, value_c BIGINT);
+        CREATE VIEW seqf as
+            SELECT user_id, event_id, ut, value_c,
+                LAG(value_c) OVER (PARTITION BY user_id
+                    ORDER BY ut, event_id) AS prev_value_c,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ut, event_id) AS seq,
+                SUM(value_c) OVER (PARTITION BY user_id
+                    ORDER BY ut, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS running_c
+            FROM ev;
+    """)
+    assert eng.view_strategy("seqf") == "partition_window"
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ut"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"))
+    for i in range(2):
+        eng.push("ev", e.filter(F.col("event_id") % 2 == i))
+        eng.step()
+    b0 = e.filter(F.col("event_id") % 7 == 0)
+    eng.push("ev", b0, weight=-1)
+    eng.step()
+    eng.push("ev", b0)
+    eng.step()
+    return eng.view("seqf").select(
+        "user_id", "event_id", "ut", "value_c", "prev_value_c",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("running_c").cast("long").alias("running_c"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3252,11 +3313,11 @@ from database_stream_processor_spark import nexmark  # noqa: E402,F401
 # --------------------------------------------------------------------- #
 
 _WINDOW_ORDER = [
-    # long-green canary (driver-green in r1-r4) + round-5 additions
-    "q01_pricing_summary",          # filter + linear agg + pushdown gate
+    # round-5 additions (never driver-checked before)
     "q92_sql_rolling_features",     # NEW r5: demo02 OVER-RANGE lowering
     "q93_png_decode_real",          # NEW r5: real stdlib PNG decode
     "q94_wav_chunks_real",          # NEW r5: real stdlib WAV chunking
+    "q95_sql_lag_sequence_features",  # NEW r5: LAG/ROW_NUMBER lowering
     # round-4 operator/SQL queries, never driver-checked before round 5
     "q63_sql_engine_minmax_view",
     "q64_weigh_weighted_count",
