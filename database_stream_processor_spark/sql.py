@@ -376,16 +376,38 @@ class _MultiJoinMaintainer(_ViewMaintainer):
 
 #: one OVER item of the rolling-window view shape:
 #: AGG(arg) OVER (PARTITION BY pk ORDER BY o RANGE BETWEEN lo AND hi) AS n
+#: a frame bound: integer seconds or a fixed-width INTERVAL literal
+_BOUND = r"(?:\d+|INTERVAL\s+'?\d+'?\s+\w+)"
+
 _WIN_ITEM = re.compile(
     rf"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|{_NEST2})\s*\)\s+"
     r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pk>.+?)\s+ORDER\s+BY\s+"
     r"(?P<ord>.+?)\s+RANGE\s+BETWEEN\s+"
-    r"(?P<lo>\d+\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
-    r"(?P<hi>\d+\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW)\s*\)\s+"
+    rf"(?P<lo>{_BOUND}\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
+    rf"(?P<hi>{_BOUND}\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW)\s*\)\s+"
     r"AS\s+(?P<name>\w+)$",
     re.IGNORECASE | re.DOTALL)
 
 _NUMERIC_TS_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+#: fixed-width interval units → seconds (month/year are calendar-
+#: dependent and cannot map to an epoch-seconds frame — unlowerable)
+_INTERVAL_SECONDS = {"second": 1, "seconds": 1, "minute": 60,
+                     "minutes": 60, "hour": 3600, "hours": 3600,
+                     "day": 86400, "days": 86400,
+                     "week": 604800, "weeks": 604800}
+
+
+def _bound_seconds(txt: str) -> int:
+    """'604800' | "INTERVAL '7' DAY" → seconds (fixed-width units only)."""
+    m = re.match(r"^INTERVAL\s+'?(\d+)'?\s+(\w+)$", txt.strip(),
+                 re.IGNORECASE)
+    if m:
+        unit = m.group(2).lower()
+        if unit not in _INTERVAL_SECONDS:
+            raise _UnloweredShape(f"calendar interval unit {unit}")
+        return int(m.group(1)) * _INTERVAL_SECONDS[unit]
+    return int(txt.split()[0])
 
 
 class _RollingWindowMaintainer(_ViewMaintainer):
@@ -449,9 +471,12 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                 aggs.append({})
                 frames.append({})
             lo, hi = wm.group("lo").lower(), wm.group("hi").lower()
-            before = 0 if "current" in lo else int(lo.split()[0])
+            before = (0 if "current" in lo else _bound_seconds(
+                re.sub(r"\s+preceding$", "", lo)))
             after = (0 if "current" in hi else
-                     int(hi.split()[0]) * (-1 if "preceding" in hi else 1))
+                     _bound_seconds(re.sub(r"\s+(preceding|following)$",
+                                           "", hi))
+                     * (-1 if "preceding" in hi else 1))
             if after < -before:
                 raise _UnloweredShape("empty RANGE frame")
             fn = wm.group("fn").upper()
@@ -486,17 +511,22 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                      for f in self.state.current.df.schema.fields}
 
         # ---- chained ops over source rows + derived pk/ts columns -----
+        # a TIMESTAMP ORDER BY (INTERVAL frames) is derived through
+        # unix_timestamp so every op works on epoch-second longs; the
+        # wrap decision probes each spec's raw expression type first
         from database_stream_processor_spark.plans.incremental import (
             PartitionedRollingAggregateOp)
+        self._wrap = []
+        for _pk, o in self._specs:
+            t = probe.select(F.expr(o).alias("__t")) \
+                .schema["__t"].dataType.simpleString()
+            if t in _NUMERIC_TS_TYPES:
+                self._wrap.append(False)
+            elif t == "timestamp":
+                self._wrap.append(True)
+            else:
+                raise _UnloweredShape(f"ORDER BY type {t}")
         ext = self._extend(probe)
-        ts_types = dict((f.name, f.dataType.simpleString())
-                        for f in ext.schema.fields)
-
-        def _numeric(i: int) -> bool:
-            ts_type = ts_types[f"__rw_ts{i}"]
-            if ts_type in _NUMERIC_TS_TYPES:
-                return True
-            raise _UnloweredShape(f"ORDER BY type {ts_type}")
 
         self.ops = []
         cur, first = ext, True
@@ -509,7 +539,7 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                 empty_in, f"__rw_pk{i}", f"__rw_ts{i}",
                 before=max(b for b, _ in frames[i].values()),
                 after=max(a for _, a in frames[i].values()),
-                aggs=aggs[i], frames=frames[i], numeric_ts=_numeric(i))
+                aggs=aggs[i], frames=frames[i], numeric_ts=True)
             self.ops.append(op)
             cur, first = op.out.current.df, False
         for (si, before, after), nl_aggs in nl.items():
@@ -518,7 +548,7 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             op = PartitionedRollingAggregateOp(
                 empty_in, f"__rw_pk{si}", f"__rw_ts{si}",
                 before=before, after=after, aggs=nl_aggs,
-                numeric_ts=_numeric(si))
+                numeric_ts=True)
             self.ops.append(op)
             cur, first = op._out_state.current.df, False
 
@@ -549,11 +579,17 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             probe.filter(F.expr(self.pred)).schema
 
     def _extend(self, df: DataFrame) -> DataFrame:
+        return df.select("*", *self._derived())
+
+    def _derived(self) -> list:
         extra = []
         for i, (pk, o) in enumerate(self._specs):
+            ts = F.expr(o)
+            if getattr(self, "_wrap", None) and self._wrap[i]:
+                ts = F.unix_timestamp(ts)
             extra.append(F.expr(pk).alias(f"__rw_pk{i}"))
-            extra.append(F.expr(o).alias(f"__rw_ts{i}"))
-        return df.select("*", *extra)
+            extra.append(ts.alias(f"__rw_ts{i}"))
+        return extra
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -561,11 +597,8 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             return self._empty()
         d = z.df.filter(F.expr(self.pred)) if self.pred else z.df
         cols = [c for c in d.columns if c != self._weight]
-        extra = []
-        for i, (pk, o) in enumerate(self._specs):
-            extra.append(F.expr(pk).alias(f"__rw_pk{i}"))
-            extra.append(F.expr(o).alias(f"__rw_ts{i}"))
-        od = ZSetFrame(d.select(*cols, *extra, F.col(self._weight)))
+        od = ZSetFrame(d.select(*cols, *self._derived(),
+                                F.col(self._weight)))
         for op in self.ops:
             od = op.step(od)
         out = od.df.selectExpr(*self._final, self._weight)

@@ -1554,3 +1554,47 @@ def test_partition_window_view_lag_rownumber(spark):
     eng.push("tx", mk([(None, 1.0, 50)]), weight=-1)  # NULL partition
     eng.step()
     _roll_cmp(spark, eng, "feat", batch)
+
+
+def test_rolling_window_view_interval_frames_timestamp(spark):
+    """TIMESTAMP ORDER BY with INTERVAL frame bounds lowers too: the
+    maintainer derives epoch seconds via unix_timestamp and converts
+    fixed-width INTERVAL units to seconds (calendar units month/year
+    stay on the snapshot-diff fallback)."""
+    eng = Engine(spark)
+    batch = """SELECT cc, amt, ts,
+            SUM(amt) OVER (PARTITION BY cc ORDER BY ts
+                RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+                AS sum_1h,
+            COUNT(*) OVER (PARTITION BY cc ORDER BY ts
+                RANGE BETWEEN INTERVAL '48' HOUR PRECEDING
+                AND INTERVAL '1' HOUR PRECEDING) AS cnt_2d
+            FROM tx"""
+    eng.execute("""
+        CREATE TABLE tx (cc INTEGER NOT NULL, amt FLOAT64,
+                         ts TIMESTAMP NOT NULL);
+        CREATE VIEW feat as """ + batch + ";")
+    assert eng.view_strategy("feat") == "rolling"
+    import datetime as dt
+    import random
+    random.seed(17)
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(i % 3, round(random.uniform(1, 40), 2),
+             t0 + dt.timedelta(seconds=random.randint(0, 300_000)))
+            for i in range(50)]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "cc int, amt double, ts timestamp")
+    eng.push("tx", mk(rows[:25]))
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("tx", mk(rows[25:]))
+    eng.push("tx", mk(rows[5:12]), weight=-1)
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    # calendar intervals can't map to epoch seconds — the rolling op
+    # declines, and the generic touched-partition maintainer catches it
+    eng.execute("""CREATE VIEW cal as SELECT cc, amt, ts,
+        SUM(amt) OVER (PARTITION BY cc ORDER BY ts
+            RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)
+            AS s FROM tx;""")
+    assert eng.view_strategy("cal") == "partition_window"
