@@ -934,7 +934,13 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
         pm = _PROJECT_RE.match(outer_sql)
         if pm is None:
             raise _UnloweredShape(outer_sql)
-        return _RollingWindowMaintainer(eng, name, outer_sql, pm)
+        try:
+            return _RollingWindowMaintainer(eng, name, outer_sql, pm)
+        except Exception:
+            # frame-bounded rolling didn't fit (LAG/ROWS/calendar
+            # intervals over the join): touched-partition recompute of
+            # the hidden view still beats snapshot-diffing the join
+            return _PartitionWindowMaintainer(eng, name, outer_sql, pm)
     except Exception:
         del eng._maintainers[hidden], eng._sources[hidden]
         raise
@@ -2627,9 +2633,10 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             r = _try(_PartitionWindowMaintainer, eng, name, flat, m)
             if r is not None:
                 return r
-        elif re.search(r"\bRANGE\s+BETWEEN\b", flat, re.IGNORECASE):
-            # FROM is a join chain or subquery: layer the rolling
-            # maintainer over a synthesized hidden view of the FROM
+        else:
+            # FROM is a join chain or subquery: layer the rolling (or
+            # touched-partition) maintainer over a synthesized hidden
+            # view of the FROM
             r = _try(_rolling_over_from, eng, name, flat)
             if r is not None:
                 return r

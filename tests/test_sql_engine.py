@@ -1598,3 +1598,38 @@ def test_rolling_window_view_interval_frames_timestamp(spark):
             RANGE BETWEEN INTERVAL '1' MONTH PRECEDING AND CURRENT ROW)
             AS s FROM tx;""")
     assert eng.view_strategy("cal") == "partition_window"
+
+
+def test_partition_window_over_join_subquery(spark):
+    """LAG over a join subquery (demo02's commented-out last_txn_date
+    line): the FROM synthesizes a hidden maintained join view and the
+    touched-partition window maintainer layers on top."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE tr (cc INTEGER NOT NULL, amt FLOAT64,
+                         ut INTEGER NOT NULL);
+        CREATE TABLE dem (cc INTEGER NOT NULL, city VARCHAR);
+        CREATE VIEW feat as
+            SELECT cc, city, amt, ut,
+                   LAG(amt) OVER (PARTITION BY cc ORDER BY ut) AS prev_amt
+            FROM (SELECT tr.cc AS cc, tr.amt AS amt, tr.ut AS ut,
+                         dem.city AS city
+                  FROM tr JOIN dem ON tr.cc = dem.cc);
+    """)
+    assert eng.view_strategy("feat") == "partition_window"
+    assert eng.view_strategy("__feat_src") == "join"
+    batch = """SELECT cc, city, amt, ut,
+               LAG(amt) OVER (PARTITION BY cc ORDER BY ut) AS prev_amt
+               FROM (SELECT tr.cc AS cc, tr.amt AS amt, tr.ut AS ut,
+                            dem.city AS city
+                     FROM tr JOIN dem ON tr.cc = dem.cc)"""
+    mkt = lambda rs: spark.createDataFrame(rs, "cc int, amt double, ut int")
+    mkd = lambda rs: spark.createDataFrame(rs, "cc int, city string")
+    eng.push("tr", mkt([(1, 5.0, 100), (1, 7.0, 200), (2, 3.0, 150)]))
+    eng.push("dem", mkd([(1, "pdx"), (2, "sfo")]))
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("tr", mkt([(1, 6.0, 150), (2, 4.0, 250)]))
+    eng.push("tr", mkt([(1, 7.0, 200)]), weight=-1)
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
