@@ -1414,8 +1414,10 @@ def _split_top_and(s: str) -> list[str]:
 _EXISTS_TERM = re.compile(r"^(?P<neg>NOT\s+)?EXISTS\s*\((?P<inner>.+)\)\s*$",
                           re.IGNORECASE | re.DOTALL)
 #: one top-level-AND term of the form ``col IN (SELECT …)``
-_IN_TERM = re.compile(r"^(?P<col>[\w.]+)\s+IN\s*\(\s*(?P<inner>SELECT\b.+)\)\s*$",
-                      re.IGNORECASE | re.DOTALL)
+_IN_TERM = re.compile(
+    r"^(?P<col>[\w.]+)\s+(?P<neg>NOT\s+)?IN\s*\(\s*(?P<inner>SELECT\b.+)"
+    r"\)\s*$",
+    re.IGNORECASE | re.DOTALL)
 #: outer query around a subquery filter
 _SUBQ_OUTER_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<ot>\w+)(?:\s+(?:AS\s+)?"
@@ -1532,7 +1534,7 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
             if not _refs_only(term, {ia}, icols):
                 return None
     else:
-        negated = False  # NOT IN has three-valued NULL semantics; fallback
+        negated = bool(subq.group("neg"))
         sm = _IN_INNER_RE.match(inner_sql)
         if not sm:
             return None
@@ -1541,8 +1543,9 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
         if not (it in eng.tables or it in eng.views) or it == ot:
             return None
         try:
-            icols = {f.name.lower()
-                     for f in _source_rows0(eng, it).schema.fields}
+            ifields = {f.name.lower(): f
+                       for f in _source_rows0(eng, it).schema.fields}
+            icols = set(ifields)
         except Exception:
             return None
         ocol = subq.group("col")
@@ -1560,6 +1563,17 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
         if sm.group("ipred") and not _refs_only(sm.group("ipred"), {ia},
                                                 icols):
             return None
+        if negated:
+            # NOT IN ≡ anti-join ONLY when neither side can be NULL
+            # (a NULL on either side flips rows through the three-valued
+            # semantics: outer-NULL rows are always filtered, one inner
+            # NULL empties the whole view).  NOT NULL declarations on
+            # both columns rule that out; otherwise keep the fallback.
+            ofields = {f.name.lower(): f
+                       for f in _source_rows0(eng, ot).schema.fields}
+            if ofields[oc.lower()].nullable or \
+                    ifields[ic.lower()].nullable:
+                return None
         okeys, ikeys = [oc], [ic]
     if not okeys:
         return None  # uncorrelated subquery flips globally; keep fallback
@@ -1591,8 +1605,9 @@ class _SubqueryFilterMaintainer(_ViewMaintainer):
 
     def __init__(self, eng, name, sql, spec):
         super().__init__(eng, name, sql)
-        self.kind = ("not_exists" if spec["negated"]
-                     else spec["kind"])  # 'exists' | 'not_exists' | 'in'
+        # 'exists' | 'not_exists' | 'in' | 'not_in'
+        self.kind = (("not_" + spec["kind"]) if spec["negated"]
+                     else spec["kind"])
         self.outer, self.inner = spec["outer"], spec["inner"]
         self.okeys = spec["okeys"]  # bare outer column names
         self.ikeys = spec["ikeys"]  # bare inner column names

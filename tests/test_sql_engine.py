@@ -1633,3 +1633,38 @@ def test_partition_window_over_join_subquery(spark):
     eng.push("tr", mkt([(1, 7.0, 200)]), weight=-1)
     eng.step()
     _roll_cmp(spark, eng, "feat", batch)
+
+
+def test_not_in_lowers_when_not_null(spark):
+    """NOT IN lowers to the touched-key anti maintenance ONLY when both
+    the outer and inner columns are declared NOT NULL (then NOT IN ≡
+    anti-join); a nullable column on either side keeps the snapshot-diff
+    fallback (three-valued NULL semantics)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k INTEGER NOT NULL, v FLOAT64);
+        CREATE TABLE b (k INTEGER NOT NULL, note VARCHAR);
+        CREATE TABLE c (k INTEGER, note VARCHAR);
+        CREATE VIEW miss as SELECT k, v FROM a
+            WHERE k NOT IN (SELECT k FROM b);
+        CREATE VIEW nullable_fallback as SELECT k, v FROM a
+            WHERE k NOT IN (SELECT k FROM c);
+    """)
+    assert eng.view_strategy("miss") == "not_in"
+    assert eng.view_strategy("nullable_fallback") == "differentiate"
+    mka = lambda rs: spark.createDataFrame(rs, "k int, v double")
+    mkb = lambda rs: spark.createDataFrame(rs, "k int, note string")
+    batch = "SELECT k, v FROM a WHERE k NOT IN (SELECT k FROM b)"
+    steps = [
+        ("a", mka([(1, 1.0), (2, 2.0), (3, 3.0)]), 1),
+        ("b", mkb([(2, "x")]), 1),                 # 2 leaves the view
+        ("b", mkb([(2, "x")]), -1),                # 2 comes back
+        ("a", mka([(4, 4.0)]), 1),
+        ("b", mkb([(1, "y"), (4, "z")]), 1),
+    ]
+    for t, df, w in steps:
+        eng.push(t, df, weight=w)
+        eng.step()
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("miss").collect())
+        assert got == want, (t, w)
