@@ -360,3 +360,53 @@ def test_audio_chunking_windows_and_bytes(spark):
         payload[step:2 * step] + bytes([1])).digest()
     assert bytes(out[(2, 0)].samples) == hashlib.sha256(
         b"x" + bytes([0])).digest()
+
+
+def test_streaming_rolling_view_end_to_end(spark, tmp_path):
+    """A rolling-window view (demo02 shape) driven by Structured
+    Streaming: parquet readStream → foreachBatch → engine tick; after
+    all micro-batches the maintained O(Δ) rolling state equals the
+    one-shot window SQL."""
+    import os
+    from database_stream_processor_spark.sql import Engine
+    from database_stream_processor_spark.streaming import (
+        StepDriver, foreach_batch_driver)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE tx (cc INTEGER NOT NULL, amt FLOAT64,
+                         ut INTEGER NOT NULL);
+        CREATE VIEW feat as
+            SELECT cc, amt, ut,
+                SUM(amt) OVER (PARTITION BY cc ORDER BY ut
+                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS s10
+            FROM tx;
+    """)
+    assert eng.view_strategy("feat") == "rolling"
+    import random
+    random.seed(23)
+    rows = [(i % 3, round(random.uniform(1, 30), 2),
+             random.randint(0, 2000)) for i in range(24)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for b in range(3):
+        spark.createDataFrame(rows[b * 8:(b + 1) * 8],
+                              "cc int, amt double, ut int") \
+            .coalesce(1).write.parquet(os.path.join(in_dir, f"b{b}.parquet"))
+    driver = StepDriver(eng.stream_step_fn("tx"))
+    stream = (spark.readStream.schema("cc int, amt double, ut int")
+              .option("recursiveFileLookup", True)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream.writeStream.foreachBatch(foreach_batch_driver(driver))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert driver.ticks == 3
+    want = sorted((tuple(round(v, 6) if isinstance(v, float) else v
+                         for v in r) for r in spark.sql(
+        """SELECT cc, amt, ut, SUM(amt) OVER (PARTITION BY cc ORDER BY ut
+           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS s10
+           FROM tx""").collect()), key=str)
+    got = sorted((tuple(round(v, 6) if isinstance(v, float) else v
+                        for v in r) for r in eng.view("feat").collect()),
+                 key=str)
+    assert got == want
