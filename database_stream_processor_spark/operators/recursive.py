@@ -150,8 +150,10 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
         with _loop_shuffle_partitions(edges) as resize:
             for _ in range(max_iterations):
                 resize(n)
+                # lazy checkpoint: the count materializes it in the
+                # same job (one Spark job per round, not two)
                 acc2 = (compose(acc, acc).unionByName(acc).dropDuplicates()
-                        .localCheckpoint(eager=True))
+                        .localCheckpoint(eager=False))
                 n2 = acc2.count()
                 if n2 == n:
                     return acc
@@ -575,8 +577,9 @@ class IncrementalTransitiveClosureOp:
         with _loop_shuffle_partitions(added) as resize:
             for _ in range(self.max_iterations):
                 resize(n)
+                # lazy checkpoint: the count materializes it (1 job)
                 acc2 = (self._compose(acc, acc).unionByName(acc)
-                        .dropDuplicates().localCheckpoint(eager=True))
+                        .dropDuplicates().localCheckpoint(eager=False))
                 n2 = acc2.count()
                 if n2 == n:
                     break
@@ -586,8 +589,8 @@ class IncrementalTransitiveClosureOp:
         # pairs already reachable through old edges are not new — one
         # pruned exceptAll against the src-store buckets acc touches
         have = self._s_src.read_buckets(self._s_src.buckets_of(acc, src))
-        new = acc.exceptAll(have).localCheckpoint(eager=True)
-        n_new = new.count()        # one job doubles as the isEmpty gate
+        new = acc.exceptAll(have).localCheckpoint(eager=False)
+        n_new = new.count()        # materializes the lazy checkpoint        # one job doubles as the isEmpty gate
         if n_new == 0:
             return ZSetFrame.from_df(
                 self.spark.createDataFrame([], self._schema), 1)
@@ -628,8 +631,8 @@ class IncrementalTransitiveClosureOp:
         tc_mid = self._s_src.read_buckets(
             self._s_src.buckets_of(pre, dst))
         suspects = (self._compose(pre, tc_mid).unionByName(pre)
-                    .dropDuplicates().localCheckpoint(eager=True))
-        n_d = suspects.count()
+                    .dropDuplicates().localCheckpoint(eager=False))
+        n_d = suspects.count()     # materializes the lazy checkpoint
 
         # 2. keep-split + re-derivation, all inside the suspects' src
         # buckets: unaffected buckets are never read, let alone shuffled
