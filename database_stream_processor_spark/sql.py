@@ -1998,7 +1998,8 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
         # (a group failing the predicate must re-emerge when a later delta
         # pushes it back over the boundary), and filtering the ± emission
         # rows row-wise yields exactly the boundary-crossing deltas
-        self._having = _rewrite_having(m.group("having"), spec)
+        self._having = _rewrite_having(m.group("having"), spec,
+                               absorb=True)
         where = f" WHERE {pred}" if pred else ""
         self._delta_sql = self._maybe_salt(eng, (
             f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
@@ -2012,8 +2013,11 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
         _ = self._finalize(self._out.current.df).schema
 
     def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
-        out = _finalize_spec(group_delta_df, self._out_spec)
-        return out.filter(F.expr(self._having)) if self._having else out
+        # HAVING filters the group-PARTIAL frame (pre-projection), so
+        # predicates over hidden absorbed aggregates resolve too
+        if self._having:
+            group_delta_df = group_delta_df.filter(F.expr(self._having))
+        return _finalize_spec(group_delta_df, self._out_spec)
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -2044,7 +2048,8 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
         self.agg_names = spec["val_names"]
         self._out_spec = spec["out"]
         m = _JOIN_AGG_RE.match(sql)
-        self._having = _rewrite_having(m.group("having"), spec)
+        self._having = _rewrite_having(m.group("having"), spec,
+                               absorb=True)
         # finalize-time filter — _LinearAggMaintainer: state keeps all groups
         where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
         la = f" {m.group('la')}" if m.group("la") else ""
@@ -2060,8 +2065,11 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
         _ = self._finalize(self._out.current.df).schema  # validate HAVING
 
     def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
-        out = _finalize_spec(group_delta_df, self._out_spec)
-        return out.filter(F.expr(self._having)) if self._having else out
+        # HAVING filters the group-PARTIAL frame (pre-projection), so
+        # predicates over hidden absorbed aggregates resolve too
+        if self._having:
+            group_delta_df = group_delta_df.filter(F.expr(self._having))
+        return _finalize_spec(group_delta_df, self._out_spec)
 
     def step(self, eng, combined, old):
         da, db = combined.get(self.left), combined.get(self.right)
@@ -2148,7 +2156,8 @@ class _MultiJoinAggMaintainer(_GroupMergeMaintainer):
                      for k in m.group("keys").split(",")]
         self.agg_names = spec["val_names"]
         self._out_spec = spec["out"]
-        self._having = _rewrite_having(m.group("having"), spec)
+        self._having = _rewrite_having(m.group("having"), spec,
+                               absorb=True)
         where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
         self._delta_sql = self._maybe_salt(eng, (
             f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
@@ -2159,8 +2168,11 @@ class _MultiJoinAggMaintainer(_GroupMergeMaintainer):
         _ = self._finalize(self._out.current.df).schema  # validate HAVING
 
     def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
-        out = _finalize_spec(group_delta_df, self._out_spec)
-        return out.filter(F.expr(self._having)) if self._having else out
+        # HAVING filters the group-PARTIAL frame (pre-projection), so
+        # predicates over hidden absorbed aggregates resolve too
+        if self._having:
+            group_delta_df = group_delta_df.filter(F.expr(self._having))
+        return _finalize_spec(group_delta_df, self._out_spec)
 
     def step(self, eng, combined, old):
         deltas = {t: combined.get(t) for t in self.tables}
@@ -2587,12 +2599,27 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
             "out": out, "alias_map": alias_map}
 
 
-def _rewrite_having(having: str | None, spec: dict) -> str | None:
+_HAVING_AGG = re.compile(
+    rf"\b(?P<fn>SUM|COUNT|AVG)\s*\(\s*(?P<arg>\*|{_NEST2})\s*\)",
+    re.IGNORECASE)
+
+
+def _rewrite_having(having: str | None, spec: dict,
+                    absorb: bool = False) -> str | None:
     """Replace aggregate expressions in a HAVING predicate with their
     output aliases (SQL lets HAVING repeat the aggregate; the finalize
     frame only carries the named outputs).  Whitespace-insensitive text
     match; anything left unresolved fails the eager finalize probe and
     the view falls back to snapshot-diff.
+
+    With ``absorb=True`` (the linear group maintainers, which filter the
+    GROUP-PARTIAL frame before the finalize projection): aggregates that
+    appear ONLY in HAVING (``HAVING COUNT(*) > 2`` without a count in
+    the select list) are absorbed as hidden linear partials — the spec's
+    ``delta_sel``/``val_names`` gain ``__hv{i}`` columns and the
+    predicate rewrites to finalize expressions over them; AVG aliases
+    rewrite to their (sum, count) CASE form since the pre-projection
+    frame carries partials, not the finalized column.
 
     Substitution never reaches inside single-quoted string literals — a
     predicate like ``k <> 'COUNT(*)'`` must keep its literal intact (the
@@ -2601,15 +2628,63 @@ def _rewrite_having(having: str | None, spec: dict) -> str | None:
     """
     if not having:
         return having
+
+    def avg_case(s: str, c: str) -> str:
+        return f"(CASE WHEN {c} = 0 THEN NULL ELSE {s} / {c} END)"
+
     # split into alternating [code, 'literal', code, ...] segments; SQL
     # escapes a quote inside a literal by doubling it, which this pattern
     # treats as two adjacent literals — safe, since neither is rewritten
     segments = re.split(r"('(?:[^']*)')", having)
     for expr_text, name in spec["alias_map"]:
         pat = r"\s*".join(re.escape(c) for c in re.sub(r"\s+", "", expr_text))
+        if absorb and expr_text.upper().startswith("AVG"):
+            # pre-projection frame carries (sum, count) partials only
+            name = avg_case(f"__avg_{name}_s", f"__avg_{name}_c")
         segments = [seg if seg.startswith("'")
                     else re.sub(pat, name, seg, flags=re.IGNORECASE)
                     for seg in segments]
+    if absorb:
+        # finalized-avg ALIASES referenced by name rewrite the same way
+        for kind, n in spec["out"]:
+            if kind == "avg":
+                case = avg_case(f"__avg_{n}_s", f"__avg_{n}_c")
+                segments = [seg if seg.startswith("'")
+                            else re.sub(rf"\b{re.escape(n)}\b", case, seg)
+                            for seg in segments]
+
+        # aggregates with no select-list alias become hidden partials
+        extra_delta, hidden = [], {}
+
+        def _absorb(mm: re.Match) -> str:
+            fn = mm.group("fn").upper()
+            arg = mm.group("arg").strip()
+            key = (fn, re.sub(r"\s+", "", arg).lower())
+            if key in hidden:
+                return hidden[key]
+            i = len(hidden)
+            if fn == "COUNT":
+                extra_delta.append(
+                    f"COUNT({arg}) AS __hv{i}" if arg != "*"
+                    else f"COUNT(*) AS __hv{i}")
+                spec["val_names"].append(f"__hv{i}")
+                rep = f"__hv{i}"
+            else:                       # SUM / AVG need (sum, count)
+                extra_delta.append(f"SUM({arg}) AS __hv{i}_s")
+                extra_delta.append(f"COUNT({arg}) AS __hv{i}_c")
+                spec["val_names"] += [f"__hv{i}_s", f"__hv{i}_c"]
+                rep = (avg_case(f"__hv{i}_s", f"__hv{i}_c")
+                       if fn == "AVG" else
+                       f"(CASE WHEN __hv{i}_c = 0 THEN NULL "
+                       f"ELSE __hv{i}_s END)")
+            hidden[key] = rep
+            return rep
+
+        segments = [seg if seg.startswith("'")
+                    else _HAVING_AGG.sub(_absorb, seg)
+                    for seg in segments]
+        if extra_delta:
+            spec["delta_sel"] += ", " + ", ".join(extra_delta)
     return "".join(segments)
 
 

@@ -1668,3 +1668,44 @@ def test_not_in_lowers_when_not_null(spark):
         want = sorted(tuple(r) for r in spark.sql(batch).collect())
         got = sorted(tuple(r) for r in eng.view("miss").collect())
         assert got == want, (t, w)
+
+
+def test_having_only_aggregates_absorbed(spark):
+    """HAVING predicates over aggregates that appear ONLY in the HAVING
+    clause (COUNT(*), SUM of another column, AVG) absorb as hidden
+    linear partials instead of falling back to snapshot-diff; AVG
+    aliases referenced by name in HAVING resolve against the (sum,
+    count) partials.  Boundary-crossing groups emit the right deltas."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v FLOAT64, w FLOAT64);
+        CREATE VIEW hv as
+            SELECT k, SUM(v) AS s FROM t GROUP BY k
+            HAVING COUNT(*) > 2 AND SUM(w) < 100 AND AVG(v) > 1.0;
+        CREATE VIEW ha as
+            SELECT k, AVG(v) AS a FROM t GROUP BY k HAVING a >= 2.0;
+    """)
+    assert eng.view_strategy("hv") == "linear_agg"
+    assert eng.view_strategy("ha") == "linear_agg"
+    mk = lambda rs: spark.createDataFrame(rs, "k int, v double, w double")
+    b_hv = """SELECT k, SUM(v) AS s FROM t GROUP BY k
+              HAVING COUNT(*) > 2 AND SUM(w) < 100 AND AVG(v) > 1.0"""
+    b_ha = "SELECT k, AVG(v) AS a FROM t GROUP BY k HAVING AVG(v) >= 2.0"
+    steps = [
+        (mk([(1, 2.0, 10.0), (1, 3.0, 20.0), (2, 9.0, 5.0)]), 1),
+        (mk([(1, 4.0, 30.0)]), 1),          # k=1 crosses COUNT(*) > 2
+        (mk([(1, 0.0, 60.0)]), 1),          # still SUM(w) < 100
+        (mk([(1, 0.0, 60.0)]), 1),          # SUM(w) = 180: k=1 leaves
+        (mk([(1, 0.0, 60.0), (1, 0.0, 60.0)]), -1),  # back in
+    ]
+    for df, wgt in steps:
+        eng.push("t", df, weight=wgt)
+        eng.step()
+        for view, b in (("hv", b_hv), ("ha", b_ha)):
+            want = sorted((tuple(round(x, 9) if isinstance(x, float) else x
+                                 for x in r)
+                           for r in spark.sql(b).collect()), key=str)
+            got = sorted((tuple(round(x, 9) if isinstance(x, float) else x
+                                for x in r)
+                          for r in eng.view(view).collect()), key=str)
+            assert got == want, (view, wgt)
