@@ -202,3 +202,84 @@ def test_demo03_green_trip(spark):
     eng.push("green_tripdata", mk(rows[10:20]), weight=-1)
     eng.step()
     _check_views_match_batch(spark, eng, batch)
+
+
+@needs_demos
+def test_demo02_with_commented_features_restored(spark):
+    """demo02's project.sql with its commented-out feature lines restored
+    (DAYOFWEEK, age via TIMESTAMPDIFF, LAG last_txn_date + trans_diff):
+    the engine chains THREE incremental stages — hidden left-join view →
+    hidden LAG partition-window view → rolling RANGE frames — and the
+    whole stack matches batch recompute under retractions."""
+    sql = _read("project_demo02-FraudDetection")
+    # restore the commented feature lines (and keep dob a STRING cast)
+    sql = sql.replace("-- DAYOFWEEK(trans_date_trans_time) AS d,",
+                      "DAYOFWEEK(trans_date_trans_time) AS d,")
+    sql = sql.replace(
+        "-- TIMESTAMPDIFF(YEAR, trans_date_trans_time, CAST(dob as "
+        "TIMESTAMP)) AS age,",
+        "TIMESTAMPDIFF(YEAR, CAST(dob AS TIMESTAMP), "
+        "trans_date_trans_time) AS age,")
+    sql = sql.replace(
+        "-- TIMESTAMPDIFF(MINUTE, trans_date_trans_time, last_txn_date) "
+        "AS trans_diff,",
+        "TIMESTAMPDIFF(MINUTE, last_txn_date, trans_date_trans_time) "
+        "AS trans_diff,")
+    sql = sql.replace(
+        "-- , LAG(trans_date_trans_time, 1) OVER (PARTITION BY t1.cc_num "
+        " ORDER BY trans_date_trans_time ASC) AS last_txn_date",
+        ", LAG(trans_date_trans_time, 1) OVER (PARTITION BY t1.cc_num "
+        "ORDER BY trans_date_trans_time ASC) AS last_txn_date")
+    assert "DAYOFWEEK(trans_date_trans_time) AS d," in sql
+    assert "AS last_txn_date" in sql and "AS trans_diff," in sql
+    eng = Engine(spark)
+    eng.execute(sql)
+    strat = eng.view_strategy("features")
+    assert strat in ("rolling", "partition_window"), strat
+    from pyspark.sql import functions as F
+    mkd = lambda rows: spark.createDataFrame(rows, _DEM_SCHEMA)
+    mkt = lambda rows: (spark.createDataFrame(rows, _TX_SCHEMA)
+                        .withColumn("is_fraud",
+                                    F.col("is_fraud").cast("int")))
+    batch_sql = """
+    SELECT
+        DAYOFWEEK(trans_date_trans_time) AS d,
+        TIMESTAMPDIFF(YEAR, CAST(dob AS TIMESTAMP),
+                      trans_date_trans_time) AS age,
+        ST_DISTANCE(ST_POINT(long,lat), ST_POINT(merch_long,merch_lat))
+            AS distance,
+        TIMESTAMPDIFF(MINUTE, last_txn_date, trans_date_trans_time)
+            AS trans_diff,
+        AVG(amt) OVER(PARTITION BY CAST(cc_num AS NUMERIC)
+            ORDER BY unix_time
+            RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+            AS avg_spend_pw,
+        AVG(amt) OVER(PARTITION BY CAST(cc_num AS NUMERIC)
+            ORDER BY unix_time
+            RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING)
+            AS avg_spend_pm,
+        COUNT(*) OVER(PARTITION BY CAST(cc_num AS NUMERIC)
+            ORDER BY unix_time
+            RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+            AS trans_freq_24,
+        category, amt, state, job, unix_time, city_pop, merchant, is_fraud
+    FROM (
+        SELECT t1.trans_date_trans_time, t1.cc_num, t1.merchant,
+               t1.category, t1.amt, t1.trans_num, t1.unix_time,
+               t1.merch_lat, t1.merch_long, t1.is_fraud,
+               t2.first, t2.gender, t2.street, t2.city, t2.state, t2.zip,
+               t2.lat, t2.long, t2.city_pop, t2.job, t2.dob,
+               LAG(trans_date_trans_time, 1) OVER (PARTITION BY t1.cc_num
+                   ORDER BY trans_date_trans_time ASC) AS last_txn_date
+        FROM transactions AS t1
+        LEFT JOIN demographics AS t2 ON t1.cc_num = t2.cc_num)"""
+    batch = {"features": batch_sql}
+    eng.push("demographics", mkd(_dem_rows(3)))
+    eng.push("transactions", mkt(_tx_rows(40)))
+    eng.step()
+    _check_views_match_batch(spark, eng, batch)
+    eng.push("demographics", mkd(_dem_rows(5)[3:]))
+    eng.push("transactions", mkt(_tx_rows(70, seed=2)[40:]))
+    eng.push("transactions", mkt(_tx_rows(40)[:8]), weight=-1)
+    eng.step()
+    _check_views_match_batch(spark, eng, batch)
