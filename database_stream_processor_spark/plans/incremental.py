@@ -1063,8 +1063,15 @@ class PartitionedRollingAggregateLinearOp:
               for n in names]
         ).select(*sl.columns))
 
-        # (b) fresh outputs for the delta rows from the updated integral
-        in_df = new_in.df
+        # (b) fresh outputs for the delta rows from the updated integral —
+        # the state side is pre-restricted to delta-adjacent (pk, time)
+        # slices via the (broadcastable, delta-sized) bounds frame, so
+        # the frame join never consumes the key's full history, let alone
+        # the whole integral
+        in_df = (new_in.df.join(bounds, on=self.pk, how="inner")
+                 .filter(ts.between(F.col("__dmin") - self._b_max,
+                                    F.col("__dmax") + self._a_max))
+                 .drop("__dmin", "__dmax"))
         d_keyed = d.df.select(
             *[F.col(c).alias(f"__d_{c}") for c in d.df.columns])
         d_ts = self._sec(F.col(f"__d_{self.ts}"))
