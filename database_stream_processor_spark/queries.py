@@ -3296,6 +3296,52 @@ def q95_sql_lag_sequence_features(spark, sf_dir):
         F.col("running_c").cast("long").alias("running_c"))
 
 
+@register("q96_sql_engine_rollup", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+def q96_sql_engine_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP through the SQL front door, maintained
+    incrementally (sql.py _GroupingSetsAggMaintainer): the per-delta
+    partial aggregate rolls up, the null-safe group merge treats marker
+    rows as ordinary groups — per tick ∝ Δ × grouping sets, never a
+    table re-aggregation.  Gated on NOT NULL grouping keys.  Three
+    insert ticks plus a retract/re-insert round; final state equals the
+    one-shot ROLLUP SQL."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ord (ok BIGINT NOT NULL,
+                          o_orderstatus VARCHAR NOT NULL,
+                          o_orderpriority VARCHAR NOT NULL,
+                          price_c BIGINT);
+        CREATE VIEW cube_rev as
+            SELECT o_orderstatus, o_orderpriority,
+                   SUM(price_c) AS total_c, COUNT(*) AS n
+            FROM ord GROUP BY ROLLUP(o_orderstatus, o_orderpriority);
+    """)
+    assert eng.view_strategy("cube_rev") == "grouping_sets_agg"
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"))
+    for i in range(3):
+        eng.push("ord", o.filter(F.col("ok") % 3 == i))
+        eng.step()
+    b0 = o.filter(F.col("ok") % 3 == 0)
+    eng.push("ord", b0, weight=-1)
+    eng.step()
+    eng.push("ord", b0)
+    eng.step()
+    return (eng.view("cube_rev")
+            .select("o_orderstatus", "o_orderpriority",
+                    F.col("total_c").cast("long").alias("total_c"),
+                    F.col("n").cast("long").alias("n")))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -2029,6 +2029,72 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
         return self._merge([(dp, 1), (dn, -1)])
 
 
+#: GROUP BY ROLLUP(keys) / CUBE(keys) over one source
+_GROUPING_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+"
+    r"(?P<kw>ROLLUP|CUBE)\s*\(\s*(?P<keys>[\w\s,.]+?)\s*\)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+class _GroupingSetsAggMaintainer(_GroupMergeMaintainer):
+    """SELECT keys, SUM/COUNT/AVG … FROM t [WHERE p] GROUP BY
+    ROLLUP(keys) | CUBE(keys) [HAVING h] — grouping-set aggregates
+    maintained by the SAME per-group merge as plain GROUP BY: the
+    per-delta partial aggregate itself runs GROUP BY ROLLUP/CUBE, so
+    each delta row contributes to every grouping set it belongs to, and
+    the null-safe key merge (_ns_join's ``<=>``) treats the rollup
+    NULL-marker rows as ordinary groups.  Per tick ∝ Δ × number of
+    grouping sets (a constant fan-out), never a table re-aggregation.
+
+    Gated on every grouping key being NOT NULL in the source: a real
+    data NULL would collide with the rollup marker (SQL distinguishes
+    them via GROUPING(), which this view shape doesn't carry)."""
+
+    kind = "grouping_sets_agg"
+
+    def __init__(self, eng, name, sql, m, spec):
+        super().__init__(eng, name, sql)
+        self.table = m.group("tbl").lower()
+        self.keys = [k.strip().split(".")[-1]
+                     for k in m.group("keys").split(",")]
+        fields = {f.name.lower(): f
+                  for f in _source_rows0(eng, self.table).schema.fields}
+        for k in self.keys:
+            if k.lower() not in fields or fields[k.lower()].nullable:
+                raise _UnloweredShape(
+                    f"grouping key {k} must be NOT NULL (rollup marker "
+                    f"rows are NULL-keyed)")
+        self.agg_names = spec["val_names"]
+        self._out_spec = spec["out"]
+        self._having = _rewrite_having(m.group("having"), spec,
+                                       absorb=True)
+        where = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+        self._delta_sql = self._maybe_salt(eng, (
+            f"SELECT {spec['delta_sel']}, COUNT(*) AS {self._CNT} "
+            f"FROM {self.table}{where} GROUP BY "
+            f"{m.group('kw')}({m.group('keys')})"))
+        first = eng.eval_on(self._delta_sql, {
+            self.table: _source_rows0(eng, self.table)})
+        self._init_out(eng, name, first)
+        _ = self._finalize(self._out.current.df).schema
+
+    def _finalize(self, group_delta_df: DataFrame) -> DataFrame:
+        if self._having:
+            group_delta_df = group_delta_df.filter(F.expr(self._having))
+        return _finalize_spec(group_delta_df, self._out_spec)
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        pos, neg = _split_parts(z)
+        dp = eng.eval_on(self._delta_sql, {self.table: pos})
+        dn = eng.eval_on(self._delta_sql, {self.table: neg})
+        return self._merge([(dp, 1), (dn, -1)])
+
+
 class _JoinAggMaintainer(_GroupMergeMaintainer):
     """SELECT keys, SUM/COUNT FROM a JOIN b ON cond [WHERE p] GROUP BY keys
     — bilinear join delta feeding a linear aggregate merge: each tick
@@ -2789,6 +2855,15 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                  m.group("tbl").lower())
         if r is not None:
             return r
+    m = _GROUPING_AGG_RE.match(flat)
+    if (m and known(m.group("tbl").lower())
+            and not _AGG_BLOCKERS.search(flat)):
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        spec = _match_agg_items(m.group("sel"), keys)
+        if spec:
+            r = _try(_GroupingSetsAggMaintainer, eng, name, flat, m, spec)
+            if r is not None:
+                return r
     m = _AGG_RE.match(flat)
     if (m and (m.group("tbl").lower() in eng.tables
                or m.group("tbl").lower() in eng.views)

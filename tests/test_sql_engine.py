@@ -1709,3 +1709,49 @@ def test_having_only_aggregates_absorbed(spark):
                                 for x in r)
                           for r in eng.view(view).collect()), key=str)
             assert got == want, (view, wgt)
+
+
+def test_rollup_cube_views_lower(spark):
+    """GROUP BY ROLLUP/CUBE views lower onto the same per-group merge as
+    plain GROUP BY — the delta partial aggregate itself rolls up, and
+    the null-safe merge treats marker rows as ordinary groups.  Gated on
+    NOT NULL grouping keys (a nullable key keeps the fallback)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE s (region VARCHAR NOT NULL, cat VARCHAR NOT NULL,
+                        amt FLOAT64);
+        CREATE TABLE sn (region VARCHAR, cat VARCHAR, amt FLOAT64);
+        CREATE VIEW roll as
+            SELECT region, cat, SUM(amt) AS total, COUNT(*) AS n
+            FROM s GROUP BY ROLLUP(region, cat);
+        CREATE VIEW cub as
+            SELECT region, cat, SUM(amt) AS total
+            FROM s GROUP BY CUBE(region, cat);
+        CREATE VIEW nullable_keys as
+            SELECT region, cat, SUM(amt) AS total
+            FROM sn GROUP BY ROLLUP(region, cat);
+    """)
+    assert eng.view_strategy("roll") == "grouping_sets_agg"
+    assert eng.view_strategy("cub") == "grouping_sets_agg"
+    assert eng.view_strategy("nullable_keys") == "differentiate"
+    mk = lambda rs: spark.createDataFrame(rs,
+                                          "region string, cat string, amt double")
+    b_roll = """SELECT region, cat, SUM(amt) AS total, COUNT(*) AS n
+                FROM s GROUP BY ROLLUP(region, cat)"""
+    b_cub = """SELECT region, cat, SUM(amt) AS total
+               FROM s GROUP BY CUBE(region, cat)"""
+    steps = [
+        (mk([("w", "a", 1.0), ("w", "b", 2.0), ("e", "a", 4.0)]), 1),
+        (mk([("e", "b", 8.0), ("w", "a", 16.0)]), 1),
+        (mk([("w", "b", 2.0)]), -1),     # (w,b) group dies entirely
+        (mk([("e", "a", 4.0)]), -1),
+    ]
+    for df, w in steps:
+        eng.push("s", df, weight=w)
+        eng.step()
+        for view, b in (("roll", b_roll), ("cub", b_cub)):
+            want = sorted((tuple(r) for r in spark.sql(b).collect()),
+                          key=str)
+            got = sorted((tuple(r) for r in eng.view(view).collect()),
+                         key=str)
+            assert got == want, (view, w)
