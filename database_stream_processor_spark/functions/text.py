@@ -110,3 +110,31 @@ def doc_fingerprint(col: Column) -> Column:
     lowercase text.  The cheap exact-dedup key (rolling-hash shingle
     fingerprints live in dedup.py as minhash/simhash)."""
     return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def chunk_tokens(df, id_col: str, text_col: str,
+                 chunk_size: int = 128, overlap: int = 16):
+    """Overlapping token-window chunking — the document→training-sample
+    splitter of an LLM data pipeline: each doc explodes into windows of
+    ``chunk_size`` whitespace tokens starting every ``chunk_size −
+    overlap`` tokens (the last window may be shorter).
+
+    Pure JVM expressions end to end (split → sequence of starts →
+    transform/slice → posexplode): the fan-out happens inside the task,
+    output rows ∝ corpus tokens / stride, no Python and no driver.  The
+    arithmetic is portable, so a DuckDB oracle reproduces every chunk
+    byte-for-byte."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(step))
+    chunks = F.transform(starts,
+                         lambda s: F.slice(toks, s + 1, chunk_size))
+    return (df.select(F.col(id_col), F.posexplode(chunks)
+                      .alias("chunk_idx", "__c"))
+            .select(id_col, "chunk_idx",
+                    F.array_join("__c", " ").alias("chunk"),
+                    F.size("__c").cast("long").alias("n_tokens")))

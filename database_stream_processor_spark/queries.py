@@ -3342,6 +3342,30 @@ def q96_sql_engine_rollup(spark, sf_dir):
                     F.col("n").cast("long").alias("n")))
 
 
+@register("q97_token_chunking", oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT t.doc_id, t.toks, s.i AS start
+  FROM t, UNNEST(generate_series(0, GREATEST(len(t.toks) - 1, 0), 28))
+      AS s(i))
+SELECT doc_id, CAST(start / 28 AS INT) AS chunk_idx,
+       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
+       CAST(LEAST(32, len(toks) - start) AS BIGINT) AS n_tokens
+FROM c
+""")
+def q97_token_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (functions/text.py
+    chunk_tokens) — the document→training-sample splitter: 32-token
+    windows every 28 tokens (4-token overlap), pure JVM expressions
+    (split → sequence → slice → posexplode, fan-out inside the task),
+    byte-identical to the DuckDB oracle."""
+    from database_stream_processor_spark.functions.text import chunk_tokens
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_tokens(d, "doc_id", "text", chunk_size=32, overlap=4)
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
