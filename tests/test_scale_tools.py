@@ -288,3 +288,17 @@ def test_decode_images_exact_pixel_stats(spark):
            for r in decode_images(df, "doc_id", "payload").collect()}
     assert got[1] == (9, 7, 1, sum(px1), len(px1))
     assert got[2] == (6, 4, 3, sum(px2), len(px2))
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    from database_stream_processor_spark.functions.text import chunk_tokens
+    df = spark.createDataFrame([(1, "a b c d e f g"), (2, "x")],
+                               "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 chunk_tokens(df, "doc_id", "text",
+                              chunk_size=4, overlap=1).collect())
+    assert got == [(1, 0, "a b c d", 4), (1, 1, "d e f g", 4),
+                   (1, 2, "g", 1), (2, 0, "x", 1)]
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "doc_id", "text", chunk_size=4, overlap=4)

@@ -1755,3 +1755,41 @@ def test_rollup_cube_views_lower(spark):
             got = sorted((tuple(r) for r in eng.view(view).collect()),
                          key=str)
             assert got == want, (view, w)
+
+
+def test_rolling_window_view_mixed_kitchen_sink(spark):
+    """Stress the rolling lowering's full surface in ONE view: two
+    specs, three frames, linear (SUM/AVG/COUNT) + non-linear (MAX)
+    aggregates, a WHERE filter, and scalar passthrough items — four
+    ticks of inserts/duplicates/retractions all match batch recompute."""
+    eng = Engine(spark)
+    batch = """SELECT cc, grp, amt, ut,
+        SUM(amt) OVER (PARTITION BY cc ORDER BY ut
+            RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS s5,
+        AVG(amt) OVER (PARTITION BY cc ORDER BY ut
+            RANGE BETWEEN 900 PRECEDING AND 1 PRECEDING) AS a9,
+        MAX(amt) OVER (PARTITION BY cc ORDER BY ut
+            RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS m5,
+        COUNT(*) OVER (PARTITION BY grp ORDER BY ut
+            RANGE BETWEEN 300 PRECEDING AND 100 FOLLOWING) AS c3,
+        amt * 2 AS amt2
+        FROM tx WHERE amt > 1.0"""
+    eng.execute("""
+        CREATE TABLE tx (cc INTEGER NOT NULL, grp INTEGER NOT NULL,
+                         amt FLOAT64, ut INTEGER NOT NULL);
+        CREATE VIEW feat as """ + batch + ";")
+    assert eng.view_strategy("feat") == "rolling"
+    import random
+    random.seed(29)
+    rows = [(i % 3, i % 2, round(random.uniform(0.5, 20), 2),
+             random.choice([100, 250, 250, 400, 800, 1200]))
+            for i in range(70)]
+    rows += rows[10:14]                       # duplicates
+    mk = lambda rs: spark.createDataFrame(
+        rs, "cc int, grp int, amt double, ut int")
+    ticks = [(rows[:30], 1), (rows[30:], 1), (rows[5:20], -1),
+             (rows[5:10], 1)]
+    for rs, w in ticks:
+        eng.push("tx", mk(rs), weight=w)
+        eng.step()
+        _roll_cmp(spark, eng, "feat", batch)
