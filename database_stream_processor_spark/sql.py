@@ -1089,9 +1089,10 @@ class _UnionMaintainer(_ViewMaintainer):
 
 
 def _split_setop(flat: str) -> tuple[str, list[str]] | None:
-    """Split on one top-level ``EXCEPT`` / ``INTERSECT`` (set semantics;
-    ``… ALL`` keeps the fallback).  Returns (kind, [left, right]) for
-    exactly two branches, else None."""
+    """Split on one top-level ``EXCEPT`` / ``INTERSECT`` [``ALL``].
+    Returns (kind, [left, right]) for exactly two branches — kind one of
+    'except' | 'intersect' | 'except_all' | 'intersect_all' — else
+    None."""
     depth, in_str, i, n = 0, False, 0, len(flat)
     found = None
     while i < n:
@@ -1107,9 +1108,11 @@ def _split_setop(flat: str) -> tuple[str, list[str]] | None:
                 m = re.match(r"\b(EXCEPT|INTERSECT)(\s+ALL)?\b",
                              flat[i:], re.IGNORECASE)
                 if m and (i == 0 or not flat[i - 1].isalnum()):
-                    if m.group(2) or found is not None:
-                        return None  # ALL, or >2 branches
-                    found = (m.group(1).lower(), i, i + m.end())
+                    if found is not None:
+                        return None  # >2 branches
+                    kind = m.group(1).lower() + (
+                        "_all" if m.group(2) else "")
+                    found = (kind, i, i + m.end())
                     i += m.end()
                     continue
         i += 1
@@ -1219,6 +1222,110 @@ class _SetOpMaintainer(_ViewMaintainer):
         delta = ZSetFrame((ZSetFrame.from_df(new_rows, 1)
                            .minus(ZSetFrame.from_df(old_rows, 1))
                            .consolidate().df.localCheckpoint(eager=True)))
+        self.apply_delta(delta)
+        return delta
+
+
+class _SetOpAllMaintainer(_ViewMaintainer):
+    """``SELECT … FROM a EXCEPT ALL | INTERSECT ALL SELECT … FROM b`` —
+    BAG semantics, which is native Z-set territory: each branch's
+    projected multiset lives in a weighted StateTable whose weights ARE
+    the multiplicities.  Per tick, only rows whose multiplicity changed
+    re-derive the output count — ``max(a − b, 0)`` (EXCEPT ALL) or
+    ``min(a, b)`` (INTERSECT ALL) — via null-safe whole-row probes of
+    the two branch states restricted to the touched rows, and the view
+    emits (new_count − old_count) as its delta.  A tick touching
+    nothing emits nothing; cost ∝ touched rows, never branch size."""
+
+    def __init__(self, eng, name, sql, kind, branches):
+        self.kind = kind               # 'except_all' | 'intersect_all'
+        parsed = []
+        for b in branches:
+            m = _PROJECT_RE.match(b)
+            if (not m or _BLOCKERS.search(b)
+                    or _analyzed_has_aggregate(eng, b)):
+                raise _UnloweredShape(b)
+            tbl = m.group("tbl").lower()
+            if tbl not in eng.tables and tbl not in eng.views:
+                raise _UnloweredShape(tbl)
+            parsed.append((b, tbl))
+        super().__init__(eng, name, sql)
+        self.branches = parsed
+        probes = [eng.eval_on(b, {t: _source_rows0(eng, t)})
+                  for b, t in parsed]
+        self._names = probes[0].columns
+        self._schema = probes[0].unionByName(
+            probes[1].toDF(*self._names)).schema
+        empty = ZSetFrame.from_df(
+            eng.spark.createDataFrame([], self._schema))
+        self._mult = [StateTable(empty, name=f"view_{name}_m{i}")
+                      for i in range(2)]
+
+    def _cast_common(self, dz: ZSetFrame) -> ZSetFrame:
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        casts = [F.col(f.name).cast(f.dataType).alias(f.name)
+                 for f in self._schema.fields]
+        return ZSetFrame(dz.df.select(*casts, F.col(WEIGHT_COL)))
+
+    def step(self, eng, combined, old):
+        dzs = []
+        for (b, tbl) in self.branches:
+            z = combined.get(tbl)
+            if z is None:
+                dzs.append(None)
+                continue
+            pos, neg = _split_parts(z)
+            dz = ZSetFrame.from_df(
+                eng.eval_on(b, {tbl: pos}).toDF(*self._names), 1)
+            dz = dz.plus(ZSetFrame.from_df(
+                eng.eval_on(b, {tbl: neg}).toDF(*self._names), -1))
+            dzs.append(self._cast_common(dz).consolidate())
+        if all(d is None for d in dzs):
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, dzs)
+
+    def _step_guarded(self, eng, dzs):
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        cols = self._names
+        touched = None
+        for i, d in enumerate(dzs):
+            if d is None:
+                continue
+            self._mult[i].update(d)
+            t = d.df.select(*cols)
+            touched = t if touched is None else touched.unionByName(t)
+        touched = touched.dropDuplicates().localCheckpoint(eager=True)
+
+        def mult_of(st: StateTable, wname: str) -> DataFrame:
+            restricted = _SetOpMaintainer._ns_rows(
+                st.current.df, touched, cols, "left_semi")
+            z = ZSetFrame(restricted).consolidate().df
+            return z.select(*cols, F.col(WEIGHT_COL).alias(wname))
+
+        a = mult_of(self._mult[0], "__wa")
+        b = mult_of(self._mult[1], "__wb")
+        br = b.select(*[F.col(c).alias(f"__b_{c}") for c in cols], "__wb")
+        cond = None
+        for c in cols:
+            e = a[c].eqNullSafe(F.col(f"__b_{c}"))
+            cond = e if cond is None else (cond & e)
+        j = a.join(br, on=cond, how="full_outer")
+        wa = F.coalesce(F.col("__wa"), F.lit(0))
+        wb = F.coalesce(F.col("__wb"), F.lit(0))
+        nm = (F.greatest(wa - wb, F.lit(0)) if self.kind == "except_all"
+              else F.least(wa, wb))
+        new = j.select(
+            *[F.coalesce(a[c], F.col(f"__b_{c}")).alias(c) for c in cols],
+            nm.alias("__nm")).filter(F.col("__nm") != 0)
+
+        old_rows = ZSetFrame(_SetOpMaintainer._ns_rows(
+            self.state.current.df, touched, cols, "left_semi")) \
+            .consolidate().df
+        delta = ZSetFrame(
+            ZSetFrame(new.select(*cols, F.col("__nm").alias(WEIGHT_COL)))
+            .minus(ZSetFrame(old_rows)).consolidate()
+            .df.localCheckpoint(eager=True))
         self.apply_delta(delta)
         return delta
 
@@ -2834,7 +2941,9 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             return r
     so = _split_setop(flat)
     if so is not None:
-        r = _try(_SetOpMaintainer, eng, name, flat, so[0], so[1])
+        ctor = (_SetOpAllMaintainer if so[0].endswith("_all")
+                else _SetOpMaintainer)
+        r = _try(ctor, eng, name, flat, so[0], so[1])
         if r is not None:
             return r
     m = _DISTINCT_RE.match(flat)

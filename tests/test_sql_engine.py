@@ -1183,7 +1183,7 @@ def test_setop_views_lower(spark):
     DistinctOp presence flips + whole-row membership recompute of the
     flipped rows only: across duplicate multiplicities, retractions,
     NULL rows (set ops compare NULLs equal), the snapshot equals batch
-    recompute; EXCEPT ALL keeps the fallback."""
+    recompute; EXCEPT ALL lowers separately (bag semantics)."""
     eng = Engine(spark)
     eng.execute("""
         CREATE TABLE a (k INTEGER, v VARCHAR);
@@ -1196,7 +1196,7 @@ def test_setop_views_lower(spark):
     """)
     assert eng.view_strategy("ex") == "except"
     assert eng.view_strategy("ix") == "intersect"
-    assert eng.view_strategy("exall") == "differentiate"
+    assert eng.view_strategy("exall") == "except_all"
     mk = lambda rows: spark.createDataFrame(rows, "k int, v string")
     batches = [
         ("a", mk([(1, "x"), (1, "x"), (2, "y"), (None, "n")]), 1),
@@ -1338,9 +1338,10 @@ def test_snapshot_diff_fallback_warns(spark, caplog):
         eng.execute("CREATE VIEW ok as SELECT k, v FROM t WHERE k > 0;")
         assert not [r for r in caplog.records
                     if "snapshot-diff" in r.getMessage()]
-        # EXCEPT ALL has no incremental lowering
-        eng.execute("CREATE VIEW bad as SELECT k, v FROM t "
-                    "EXCEPT ALL SELECT k, v FROM t;")
+        # a global window (no PARTITION BY) has no incremental lowering
+        eng.execute("CREATE VIEW bad as SELECT k, v, "
+                    "SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
+                    "PRECEDING AND CURRENT ROW) AS r FROM t;")
     warns = [r.getMessage() for r in caplog.records
              if "snapshot-diff" in r.getMessage()]
     assert len(warns) == 1 and "bad" in warns[0]
@@ -1793,3 +1794,42 @@ def test_rolling_window_view_mixed_kitchen_sink(spark):
         eng.push("tx", mk(rs), weight=w)
         eng.step()
         _roll_cmp(spark, eng, "feat", batch)
+
+
+def test_setop_all_views_lower(spark):
+    """EXCEPT ALL / INTERSECT ALL (bag semantics = Z-set weights): only
+    rows whose multiplicity changed re-derive max(a−b,0) / min(a,b);
+    multiplicities, NULL rows and retractions all match batch recompute."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k INTEGER, v VARCHAR);
+        CREATE TABLE b (k INTEGER, v VARCHAR);
+        CREATE VIEW exall as SELECT k, v FROM a
+            EXCEPT ALL SELECT k, v FROM b;
+        CREATE VIEW ixall as SELECT k, v FROM a WHERE k > 0
+            INTERSECT ALL SELECT k, v FROM b;
+    """)
+    assert eng.view_strategy("exall") == "except_all"
+    assert eng.view_strategy("ixall") == "intersect_all"
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v string")
+    batches = [
+        ("a", mk([(1, "x"), (1, "x"), (1, "x"), (2, "y"), (None, "n")]), 1),
+        ("b", mk([(1, "x"), (3, "z"), (None, "n")]), 1),
+        ("b", mk([(1, "x")]), 1),        # a:3 b:2 -> exall keeps 1
+        ("a", mk([(1, "x")]), -1),       # a:2 b:2 -> exall drops it
+        ("b", mk([(1, "x"), (None, "n")]), -1),
+        ("a", mk([(2, "y")]), -1),
+    ]
+    for i, (t, bdf, w) in enumerate(batches):
+        eng.push(t, bdf, weight=w)
+        eng.step()
+        for view, sql in [
+            ("exall", "SELECT k, v FROM a EXCEPT ALL SELECT k, v FROM b"),
+            ("ixall", """SELECT k, v FROM a WHERE k > 0
+                         INTERSECT ALL SELECT k, v FROM b"""),
+        ]:
+            want = sorted((tuple(r) for r in spark.sql(sql).collect()),
+                          key=str)
+            got = sorted((tuple(r) for r in eng.view(view).collect()),
+                         key=str)
+            assert got == want, (i, view)
