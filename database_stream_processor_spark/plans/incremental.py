@@ -780,15 +780,22 @@ class PartitionedRollingAggregateOp:
         in_lo = out_lo - max(self.before, 0)
         in_hi = out_hi + max(self.after, 0)
 
+        # NULL-SAFE pk joins throughout: a NULL partition value is a real
+        # window partition in SQL; plain on=pk would silently drop it
+        def bjoin(df):
+            b = bounds.withColumnRenamed(self.pk, "__bnd_pk")
+            return (df.join(b, on=df[self.pk].eqNullSafe(
+                F.col("__bnd_pk")), how="inner").drop("__bnd_pk"))
+
         sliced = ZSetFrame(
-            new_in.df.join(bounds, on=self.pk, how="inner")
+            bjoin(new_in.df)
             .filter(ts_sec.between(in_lo, in_hi))
             .drop("__dmin", "__dmax")).consolidate()
         new_rows = rolling_aggregate(sliced.rows(), [self.pk], self.ts,
                                      self.before, self.after,
                                      numeric_ts=self.numeric_ts,
                                      **self.aggs)
-        new_rows = (new_rows.join(bounds, on=self.pk, how="inner")
+        new_rows = (bjoin(new_rows)
                     .filter(ts_sec.between(out_lo, out_hi))
                     .drop("__dmin", "__dmax"))
         if wmb is not None:
@@ -797,8 +804,7 @@ class PartitionedRollingAggregateOp:
         new_out = ZSetFrame.from_df(new_rows, 1)
 
         old_out = ZSetFrame(
-            self._out_state.current.df.join(bounds, on=self.pk,
-                                            how="inner")
+            bjoin(self._out_state.current.df)
             .filter(ts_sec.between(out_lo, out_hi))
             .drop("__dmin", "__dmax"))
         out_delta = new_out.minus(old_out).consolidate()
@@ -1016,6 +1022,16 @@ class PartitionedRollingAggregateLinearOp:
     def _sec(self, col: Column) -> Column:
         return col.cast("long") if self.numeric_ts else F.unix_timestamp(col)
 
+    def _bounds_join(self, df: DataFrame, bounds: DataFrame) -> DataFrame:
+        """Inner join on the partition key with NULL-SAFE equality — SQL
+        windows treat a NULL partition value as a real partition, so a
+        plain ``on=pk`` join would silently drop it (and emit zero sums
+        for its rows)."""
+        b = bounds.withColumnRenamed(self.pk, "__bnd_pk")
+        return (df.join(b, on=df[self.pk].eqNullSafe(F.col("__bnd_pk")),
+                        how="inner")
+                .drop("__bnd_pk"))
+
     def step(self, delta: ZSetFrame) -> ZSetFrame:
         names = list(self.aggs)
         d = delta.consolidate()
@@ -1039,7 +1055,7 @@ class PartitionedRollingAggregateLinearOp:
         # can't double-count contributions.
         bounds = contrib.groupBy(self.pk).agg(
             F.min("__s").alias("__dmin"), F.max("__s").alias("__dmax"))
-        sl = (self.out.current.df.join(bounds, on=self.pk, how="inner")
+        sl = (self._bounds_join(self.out.current.df, bounds)
               .filter(ts.between(F.col("__dmin") - self._a_max,
                                  F.col("__dmax") + self._b_max))
               .drop("__dmin", "__dmax"))
@@ -1049,7 +1065,10 @@ class PartitionedRollingAggregateLinearOp:
         any_olap = None
         for c in olap.values():
             any_olap = c if any_olap is None else (any_olap | c)
-        adj = (sl.join(contrib, on=self.pk, how="inner")
+        contrib_r = contrib.withColumnRenamed(self.pk, "__cpk")
+        adj = (sl.join(contrib_r,
+                       on=sl[self.pk].eqNullSafe(F.col("__cpk")),
+                       how="inner").drop("__cpk")
                .filter(any_olap)
                .groupBy(*sl.columns)
                .agg(*[F.coalesce(
@@ -1068,7 +1087,7 @@ class PartitionedRollingAggregateLinearOp:
         # slices via the (broadcastable, delta-sized) bounds frame, so
         # the frame join never consumes the key's full history, let alone
         # the whole integral
-        in_df = (new_in.df.join(bounds, on=self.pk, how="inner")
+        in_df = (self._bounds_join(new_in.df, bounds)
                  .filter(ts.between(F.col("__dmin") - self._b_max,
                                     F.col("__dmax") + self._a_max))
                  .drop("__dmin", "__dmax"))
@@ -1079,7 +1098,9 @@ class PartitionedRollingAggregateLinearOp:
         in_frame = {n: ((d_ts - b <= ts) & (ts <= d_ts + a))
                     for n, (b, a) in self.frames.items()}
         joined = d_keyed.join(
-            in_df, on=(F.col(f"__d_{self.pk}") == F.col(self.pk)) & frame,
+            in_df,
+            on=(F.col(f"__d_{self.pk}").eqNullSafe(F.col(self.pk))
+                & frame),
             how="left")
         fresh = (joined.groupBy(*[f"__d_{c}" for c in d.df.columns])
                  .agg(*[F.coalesce(

@@ -587,7 +587,13 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             ts = F.expr(o)
             if getattr(self, "_wrap", None) and self._wrap[i]:
                 ts = F.unix_timestamp(ts)
-            extra.append(F.expr(pk).alias(f"__rw_pk{i}"))
+            # multi-column PARTITION BY packs into one struct key (the
+            # ops' pk joins/groupBys are null-safe, and struct <=> is
+            # recursive null-safe equality)
+            parts = _split_top_level(pk)
+            pk_col = (F.expr(pk) if len(parts) == 1
+                      else F.struct(*[F.expr(p.strip()) for p in parts]))
+            extra.append(pk_col.alias(f"__rw_pk{i}"))
             extra.append(ts.alias(f"__rw_ts{i}"))
         return extra
 

@@ -143,3 +143,41 @@ def test_recompute_is_frame_bounded(spark):
         ["k"], "ts", 100, 0, s=F.sum("v"), n=F.count(F.lit(1)))
     want = {tuple(r): 1 for r in batch.collect()}
     assert zset_to_dict(op.current_output.consolidate()) == want
+
+
+def test_rolling_ops_null_partition_key(spark):
+    """A NULL partition value is a REAL window partition in SQL — both
+    rolling ops must maintain it (the internal pk joins are null-safe;
+    plain equality silently emitted zero sums for NULL-keyed rows)."""
+    from database_stream_processor_spark.plans.incremental import (
+        PartitionedRollingAggregateLinearOp, PartitionedRollingAggregateOp)
+    from database_stream_processor_spark.zset import ZSetFrame
+
+    mk = lambda rows: spark.createDataFrame(rows, "pk int, ut int, v double")
+    batch_sql = """SELECT pk, ut, v,
+        SUM(v) OVER (PARTITION BY pk ORDER BY ut
+            RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS s FROM t"""
+    rows1 = [(None, 10, 1.0), (None, 50, 2.0), (1, 10, 5.0)]
+    rows2 = [(None, 60, 4.0), (1, 80, 3.0)]
+
+    for cls, aggs in [
+        (PartitionedRollingAggregateLinearOp, {"s": F.col("v")}),
+        (PartitionedRollingAggregateOp, {"s": F.sum("v")}),
+    ]:
+        op = cls(ZSetFrame.from_df(mk([]).limit(0)), "pk", "ut",
+                 before=100, after=0, aggs=aggs, numeric_ts=True)
+        op.step(ZSetFrame.from_df(mk(rows1)))
+        op.step(ZSetFrame.from_df(mk(rows2)))
+        op.step(ZSetFrame.from_df(mk([(None, 50, 2.0)]), -1))
+        mk(rows1 + rows2).createOrReplaceTempView("__all")
+        want = sorted(((r["pk"], r["ut"], float(r["s"])) for r in
+                       spark.sql(batch_sql.replace(
+                           "FROM t",
+                           "FROM (SELECT * FROM __all WHERE NOT (pk IS "
+                           "NULL AND ut = 50))")).collect()), key=str)
+        got = sorted(((r["pk"], r["ut"], float(r["s"])) for r in
+                      op.current_output.consolidate().rows()
+                      .select("pk", "ut", "v",
+                              F.col("s").cast("double").alias("s"))
+                      .collect()), key=str)
+        assert got == want, cls.__name__

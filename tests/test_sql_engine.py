@@ -1833,3 +1833,31 @@ def test_setop_all_views_lower(spark):
             got = sorted((tuple(r) for r in eng.view(view).collect()),
                          key=str)
             assert got == want, (i, view)
+
+
+def test_rolling_window_view_multi_column_partition_by(spark):
+    """PARTITION BY over SEVERAL columns (packed into a struct key) and
+    NULL partition values both maintain correctly through the rolling
+    lowering."""
+    eng = Engine(spark)
+    batch = """SELECT cc, ch, amt, ut,
+        SUM(amt) OVER (PARTITION BY cc, ch ORDER BY ut
+            RANGE BETWEEN 400 PRECEDING AND CURRENT ROW) AS s4
+        FROM tx"""
+    eng.execute("""
+        CREATE TABLE tx (cc INTEGER, ch VARCHAR, amt FLOAT64,
+                         ut INTEGER NOT NULL);
+        CREATE VIEW feat as """ + batch + ";")
+    assert eng.view_strategy("feat") == "rolling"
+    mk = lambda rs: spark.createDataFrame(
+        rs, "cc int, ch string, amt double, ut int")
+    rows = [(1, "a", 1.0, 100), (1, "a", 2.0, 300), (1, "b", 4.0, 100),
+            (None, "a", 8.0, 200), (None, None, 16.0, 100),
+            (None, None, 32.0, 400), (2, "a", 64.0, 250)]
+    eng.push("tx", mk(rows[:4]))
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
+    eng.push("tx", mk(rows[4:]))
+    eng.push("tx", mk(rows[1:2]), weight=-1)
+    eng.step()
+    _roll_cmp(spark, eng, "feat", batch)
