@@ -2142,11 +2142,12 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
         return self._merge([(dp, 1), (dn, -1)])
 
 
-#: GROUP BY ROLLUP(keys) / CUBE(keys) over one source
+#: GROUP BY ROLLUP(keys) / CUBE(keys) / GROUPING SETS((a,b),(a),())
 _GROUPING_AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+"
-    r"(?P<kw>ROLLUP|CUBE)\s*\(\s*(?P<keys>[\w\s,.]+?)\s*\)"
+    r"(?P<kw>ROLLUP|CUBE|GROUPING\s+SETS)\s*\(\s*"
+    r"(?P<keys>[\w\s,.()]*?)\s*\)"
     r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
@@ -2170,8 +2171,28 @@ class _GroupingSetsAggMaintainer(_GroupMergeMaintainer):
     def __init__(self, eng, name, sql, m, spec):
         super().__init__(eng, name, sql)
         self.table = m.group("tbl").lower()
-        self.keys = [k.strip().split(".")[-1]
-                     for k in m.group("keys").split(",")]
+        raw = m.group("keys")
+        self.keys = []
+        for tok in re.findall(r"[A-Za-z_][\w.]*", raw):
+            k = tok.split(".")[-1]
+            if k not in self.keys:
+                self.keys.append(k)
+        if not self.keys:
+            raise _UnloweredShape("no grouping keys")
+        # duplicate grouping sets (GROUPING SETS((a),(a)), ROLLUP(a,a))
+        # emit DUPLICATE result rows in SQL, which the per-group merge
+        # would collapse — reject, keep the fallback
+        kw = " ".join(m.group("kw").upper().split())
+        if kw == "GROUPING SETS":
+            sets = [tuple(sorted(re.findall(r"[A-Za-z_][\w.]*", s)))
+                    for s in _split_top_level(raw)]
+            if len(sets) != len(set(sets)):
+                raise _UnloweredShape("duplicate grouping sets")
+        else:
+            toks = [t.split(".")[-1]
+                    for t in re.findall(r"[A-Za-z_][\w.]*", raw)]
+            if len(toks) != len(set(toks)):
+                raise _UnloweredShape("repeated column in ROLLUP/CUBE")
         fields = {f.name.lower(): f
                   for f in _source_rows0(eng, self.table).schema.fields}
         for k in self.keys:
@@ -2973,7 +2994,10 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     m = _GROUPING_AGG_RE.match(flat)
     if (m and known(m.group("tbl").lower())
             and not _AGG_BLOCKERS.search(flat)):
-        keys = [k.strip() for k in m.group("keys").split(",")]
+        keys = []
+        for tok in re.findall(r"[A-Za-z_][\w.]*", m.group("keys")):
+            if tok not in keys:
+                keys.append(tok)
         spec = _match_agg_items(m.group("sel"), keys)
         if spec:
             r = _try(_GroupingSetsAggMaintainer, eng, name, flat, m, spec)

@@ -1861,3 +1861,36 @@ def test_rolling_window_view_multi_column_partition_by(spark):
     eng.push("tx", mk(rows[1:2]), weight=-1)
     eng.step()
     _roll_cmp(spark, eng, "feat", batch)
+
+
+def test_grouping_sets_views_lower(spark):
+    """Explicit GROUPING SETS lists lower like ROLLUP/CUBE; duplicate
+    sets (whose SQL output has duplicate rows the merge would collapse)
+    keep the fallback."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE s (region VARCHAR NOT NULL, cat VARCHAR NOT NULL,
+                        amt FLOAT64);
+        CREATE VIEW gs as
+            SELECT region, cat, SUM(amt) AS total
+            FROM s GROUP BY GROUPING SETS ((region, cat), (region), ());
+        CREATE VIEW dup as
+            SELECT region, cat, SUM(amt) AS total
+            FROM s GROUP BY GROUPING SETS ((region, cat), (cat, region));
+    """)
+    assert eng.view_strategy("gs") == "grouping_sets_agg"
+    assert eng.view_strategy("dup") == "differentiate"
+    mk = lambda rs: spark.createDataFrame(
+        rs, "region string, cat string, amt double")
+    b = """SELECT region, cat, SUM(amt) AS total
+           FROM s GROUP BY GROUPING SETS ((region, cat), (region), ())"""
+    for df, w in [
+        (mk([("w", "a", 1.0), ("w", "b", 2.0), ("e", "a", 4.0)]), 1),
+        (mk([("e", "b", 8.0)]), 1),
+        (mk([("w", "b", 2.0)]), -1),
+    ]:
+        eng.push("s", df, weight=w)
+        eng.step()
+        want = sorted((tuple(r) for r in spark.sql(b).collect()), key=str)
+        got = sorted((tuple(r) for r in eng.view("gs").collect()), key=str)
+        assert got == want, w
