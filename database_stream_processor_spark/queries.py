@@ -3366,6 +3366,43 @@ def q97_token_chunking(spark, sf_dir):
     return chunk_tokens(d, "doc_id", "text", chunk_size=32, overlap=4)
 
 
+@register("q98_sql_engine_setops_all", oracle="""
+SELECT c_nationkey FROM customer WHERE c_custkey % 7 <> 0
+EXCEPT ALL
+SELECT c_nationkey FROM customer WHERE c_custkey % 3 = 0
+""")
+def q98_sql_engine_setops_all(spark, sf_dir):
+    """EXCEPT ALL through the SQL front door, maintained incrementally
+    (sql.py _SetOpAllMaintainer): bag semantics come straight from
+    Z-set weights — each branch's projected multiset is weighted state,
+    and only rows whose multiplicity changed re-derive max(a−b, 0).
+    Two insert ticks plus a retract/re-insert round; the maintained
+    multiset must equal the one-shot EXCEPT ALL."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ca (ck BIGINT NOT NULL, nk BIGINT);
+        CREATE TABLE cb (ck BIGINT NOT NULL, nk BIGINT);
+        CREATE VIEW leftover as
+            SELECT nk FROM ca EXCEPT ALL SELECT nk FROM cb;
+    """)
+    assert eng.view_strategy("leftover") == "except_all"
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk"))
+    a = c.filter(F.col("ck") % 7 != 0)
+    b = c.filter(F.col("ck") % 3 == 0)
+    for i in range(2):
+        eng.push("ca", a.filter(F.col("ck") % 2 == i))
+        eng.push("cb", b.filter(F.col("ck") % 2 == i))
+        eng.step()
+    a0 = a.filter(F.col("ck") % 5 == 0)
+    eng.push("ca", a0, weight=-1)
+    eng.step()
+    eng.push("ca", a0)
+    eng.step()
+    return eng.view("leftover").select(F.col("nk").alias("c_nationkey"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
