@@ -122,13 +122,16 @@ person AS (
   FROM bid GROUP BY bidder)
 """
 
-AVG_PRICE = "CAST(SUM(price) AS DOUBLE) / COUNT(*)"
+AVG_PRICE = "ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 4)"
 
 
 def davg_long(col: str) -> F.Column:
     """AVG of an exact integer column as the same IEEE double division the
-    oracle performs (sums < 2^53 are exact, so results are bit-identical)."""
-    return F.sum(col).cast("double") / F.count(F.lit(1))
+    oracle performs (sums < 2^53 are exact), rounded to 4 decimals so the
+    driver's value canonicalizer can't split Spark vs DuckDB on halfway
+    representations (the r5 nx_q17 red row: thousands of count-1/count-2
+    groups emitting .0/.5 doubles)."""
+    return F.round(F.sum(col).cast("double") / F.count(F.lit(1)), 4)
 
 
 # --------------------------------------------------------------------- #
@@ -207,8 +210,8 @@ def nx_q04_avg_closing_price(spark, sf_dir):
     """q4: average closing price per category (q4.rs)."""
     return (winning_bids(spark, sf_dir)
             .groupBy("category")
-            .agg((F.sum("final_price").cast("double")
-                  / F.count(F.lit(1))).alias("avg_final")))
+            .agg(F.round(F.sum("final_price").cast("double")
+                         / F.count(F.lit(1)), 4).alias("avg_final")))
 
 
 # --------------------------------------------------------------------- #
@@ -286,8 +289,8 @@ def nx_q06_avg_selling_price_by_seller(spark, sf_dir):
     return (win.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 10)
             .groupBy("seller")
-            .agg((F.sum("final_price").cast("double")
-                  / F.count(F.lit(1))).alias("avg_price")))
+            .agg(F.round(F.sum("final_price").cast("double")
+                         / F.count(F.lit(1)), 4).alias("avg_price")))
 
 
 @register("nx_q08_monitor_new_users", oracle=NX + """
@@ -583,7 +586,8 @@ def nx_q04_inc_avg_closing(spark, sf_dir):
         out = d if out is None else out.plus(d)
     final = out.consolidate().rows()
     return final.select(
-        "category", (F.col("s").cast("double") / F.col("n")).alias("avg_final"))
+        "category",
+        F.round(F.col("s").cast("double") / F.col("n"), 4).alias("avg_final"))
 
 
 @register("nx_q07_inc_highest_bid", oracle=NX + """

@@ -3420,59 +3420,60 @@ from database_stream_processor_spark import nexmark  # noqa: E402,F401
 # --------------------------------------------------------------------- #
 
 _WINDOW_ORDER = [
-    # round-5 additions (never driver-checked before)
-    "q92_sql_rolling_features",     # NEW r5: demo02 OVER-RANGE lowering
-    "q93_png_decode_real",          # NEW r5: real stdlib PNG decode
-    "q94_wav_chunks_real",          # NEW r5: real stdlib WAV chunking
-    "q95_sql_lag_sequence_features",  # NEW r5: LAG/ROW_NUMBER lowering
-    # round-4 operator/SQL queries, never driver-checked before round 5
-    "q63_sql_engine_minmax_view",
-    "q64_weigh_weighted_count",
-    "q65_z1_delay",
-    "q66_apply2_except",
-    "q67_gather_inspect",
-    "q68_iterate_until_depth",
-    "q69_csv_source_roundtrip",
-    "q70_generator_stream_input",
-    "q71_http_transport_roundtrip",
-    "q72_indexed_input_shard",
-    "q73_sql_engine_layered_having",
-    "q74_same_generation",
-    "q75_sql_engine_left_join",
-    "q76_sql_engine_join_agg_view",
-    "q78_sql_engine_distinct_full_join",
-    "q79_sql_engine_exists_filter",
-    "q80_sql_engine_topk_view",
-    "q81_dedup_cluster_assignment",
-    "q82_sql_engine_multijoin",
-    "q83_sql_engine_distinct_agg",
-    "q84_sql_engine_star_agg",
-    "q85_sql_engine_global_topk",
-    "q86_streaming_sql_engine",
-    "q87_sql_engine_setops",
-    "q88_multimodal_audio_chunks",
-    "q89_deterministic_split_sample",
-    "q90_sql_engine_incremental_dedup",
-    "q91_embedding_quantize",
-    # nexmark batch variants, never driver-checked before round 5
-    "nx_q00_passthrough",
-    "nx_q01_currency",
-    "nx_q02_selection",
-    "nx_q03_local_item_suggestion",
-    "nx_q04_avg_closing_price",
-    "nx_q05_hot_items",
-    "nx_q06_avg_selling_price_by_seller",
-    "nx_q07_highest_bid",
-    "nx_q08_monitor_new_users",
-    "nx_q13_side_input_join",
-    "nx_q14_calculation",
-    "nx_q15_bidding_statistics",
-    "nx_q16_channel_statistics",
-    "nx_q17_auction_statistics",
-    "nx_q18_find_last_bid",
-    "nx_q20_expand_bid_with_auction",
-    "nx_q21_add_channel_id",
-    "nx_q22_get_url_directories",
+    # round-6 priority 1: committed after the r5 driver run — never checked
+    "q96_sql_engine_rollup",
+    "q97_token_chunking",
+    "q98_sql_engine_setops_all",
+    # priority 2: last driver row in round 2 (the oldest rows in the repo)
+    "q03_top_orders",
+    "q05_supplier_volume",
+    "q06_forecast_revenue",
+    "q08_active_suppliers",
+    "q09_nation_customer_counts",
+    "q10_signup_to_purchase",
+    "q11_distinct_parts_per_flag",
+    "q13_order_classification",
+    "q14_order_date_parts",
+    "q19_tumbling_window",
+    "q21_rolling_per_user",
+    "q24_latest_state_per_key",
+    "q30_cosine_topk",
+    "q35_fingerprint_dedup",
+    "q36_multimodal_features",
+    "q39_transitive_closure",
+    "q42_incremental_rolling",
+    "q45_fold_latest_event",
+    # priority 3: last driver row in round 3
+    "q58_circuit_revenue",
+    # priority 4: r4-checked canaries + the incremental/nexmark variants
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q37_incremental_revenue",
+    "q57_fold_topk_prices",      # the r3 canonicalizer-bug query — rounding canary
+    "nx_q17_auction_statistics",  # the r5 red row, now rounded — must go green
+    "nx_q04_avg_closing_price",   # rounded this round (same discipline)
+    "nx_q06_avg_selling_price_by_seller",  # rounded this round
+    "nx_q04_inc_avg_closing",     # rounded this round
+    "nx_q07_inc_highest_bid",
+    "nx_q18_inc_last_bid",
+    "nx_q09_winning_bids",
+    "nx_q12_processing_time_windows",
+    "nx_q19_auction_top10_prices",
+    "q44_incremental_closure",
+    "q48_rolling_linear",
+    "q04_order_priority",
+    "q07_customers_without_recent_orders",
+    "q12_rollup_sales",
+    "q15_topk_orders_per_priority",
+    "q16_acctbal_extremes",
+    "q17_union_except_intersect",
+    "q18_event_type_pivot",
+    "q20_hopping_window",
+    "q22_asof_enrich",
+    "q23_watermark_window",
+    "q25_json_props_extract",
+    "q40_scalar_functions",
+    "q41_full_outer_default",
 ]
 
 
