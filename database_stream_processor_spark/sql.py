@@ -648,6 +648,11 @@ class _PartitionWindowMaintainer(_ViewMaintainer):
             raise _UnloweredShape("subquery")
         pks = None
         n_over = len(re.findall(r"\bOVER\b", sql, re.IGNORECASE))
+        if n_over == 0:
+            # reachable via _rolling_over_from's outer `SELECT … FROM
+            # hidden WHERE rn <= k` shape — fail explicitly instead of
+            # leaving pks=None to TypeError inside a blanket handler
+            raise _UnloweredShape("no OVER items")
         hits = list(_OVER_PK.finditer(sql))
         if len(hits) != n_over:
             raise _UnloweredShape("OVER without PARTITION BY")
@@ -793,6 +798,20 @@ def _split_where(rest: str) -> tuple[str, str | None]:
     return rest, None
 
 
+def _sub_outside_literals(pattern: str, repl: str, text: str,
+                          flags: int = 0) -> str:
+    """``re.sub`` that never rewrites inside single-quoted SQL string
+    literals — the same segmentation discipline as ``_rewrite_having``
+    (a literal like ``'x.y'`` in a select item must survive qualifier
+    stripping verbatim; the rewritten SQL would still analyze, so no
+    fallback could catch the silent value change).  Doubled-quote
+    escapes split into two adjacent literal segments, neither rewritten."""
+    segments = re.split(r"('(?:[^']*)')", text)
+    return "".join(seg if seg.startswith("'")
+                   else re.sub(pattern, repl, seg, flags=flags)
+                   for seg in segments)
+
+
 def _expand_subquery_stars(eng: "Engine", inner: str) -> str:
     """Expand ``*`` / ``alias.*`` select items of a join subquery into
     explicit ``alias.col AS col`` items with FIRST-WINS dedup of output
@@ -800,7 +819,10 @@ def _expand_subquery_stars(eng: "Engine", inner: str) -> str:
     transactions t1 LEFT JOIN demographics t2 ON t1.cc_num = t2.cc_num``
     whose duplicate ``cc_num`` would make every outer reference
     ambiguous in Spark; first-wins matches resolving the shared join key
-    to the left table.  Leaves anything unparsable unchanged."""
+    to the left table.  First-wins is restricted to names equated in the
+    join condition — any other duplicate raises :class:`_UnloweredShape`
+    (real SQL raises ambiguity; silently dropping a column would change
+    semantics).  Leaves anything unparsable unchanged."""
     parts = _split_select_from(" ".join(inner.split()))
     if parts is None:
         return inner
@@ -817,6 +839,16 @@ def _expand_subquery_stars(eng: "Engine", inner: str) -> str:
                             for t, _, _ in chain):
         return inner
     alias_of = {a: (t, a) for t, a, _ in chain}
+    # Bare names equated across the join (``t1.cc_num = t2.cc_num``) are
+    # the ONLY duplicates first-wins may silently drop — both sides hold
+    # the same value on matched rows, and resolving to the left table
+    # matches how the reference's demo02 reads its shared ``cc_num``.
+    # Any other duplicate output name would make first-wins a silent
+    # semantic change (real SQL raises ambiguity), so it unlowers.
+    join_keys = {m.group(2).lower()
+                 for m in re.finditer(
+                     r"\b(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)", body)
+                 if m.group(2).lower() == m.group(4).lower()}
     out, claimed = [], set()
 
     def _emit(t: str, a: str):
@@ -824,6 +856,10 @@ def _expand_subquery_stars(eng: "Engine", inner: str) -> str:
             if c.lower() not in claimed:
                 claimed.add(c.lower())
                 out.append(f"{a}.{c} AS {c}")
+            elif c.lower() not in join_keys:
+                raise _UnloweredShape(
+                    f"duplicate non-join-key output column {c} in star "
+                    f"expansion of: {inner}")
 
     for it in items:
         sm = re.match(r"^(\w+)\s*\.\s*\*$", it)
@@ -875,11 +911,12 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
             raise _UnloweredShape(rest)
         if am.group(1):            # strip subquery-alias qualifiers
             a = am.group(1).lower()
-            outer_sel = re.sub(rf"\b{a}\s*\.\s*(\w+)", r"\1", outer_sel,
-                               flags=re.IGNORECASE)
+            outer_sel = _sub_outside_literals(
+                rf"\b{a}\s*\.\s*(\w+)", r"\1", outer_sel, re.IGNORECASE)
             if outer_pred:
-                outer_pred = re.sub(rf"\b{a}\s*\.\s*(\w+)", r"\1",
-                                    outer_pred, flags=re.IGNORECASE)
+                outer_pred = _sub_outside_literals(
+                    rf"\b{a}\s*\.\s*(\w+)", r"\1", outer_pred,
+                    re.IGNORECASE)
         inner_sql = _expand_subquery_stars(eng, inner)
     else:
         chain = _parse_aliased_chain(rest)
@@ -920,9 +957,9 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
             f"{src} AS {bare}" for bare, src in srcs.items())
             + " FROM " + rest)
         # outer references become the hidden view's bare columns
-        outer_sel = re.sub(qual_re, r"\2", outer_sel)
+        outer_sel = _sub_outside_literals(qual_re, r"\2", outer_sel)
         if outer_pred:
-            outer_pred = re.sub(qual_re, r"\2", outer_pred)
+            outer_pred = _sub_outside_literals(qual_re, r"\2", outer_pred)
 
     hidden = f"__{name}_src"
     inner_m = _lower_view(eng, hidden, inner_sql)

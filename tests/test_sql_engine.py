@@ -1894,3 +1894,76 @@ def test_grouping_sets_views_lower(spark):
         want = sorted((tuple(r) for r in spark.sql(b).collect()), key=str)
         got = sorted((tuple(r) for r in eng.view("gs").collect()), key=str)
         assert got == want, w
+
+
+def test_rolling_over_subquery_keeps_string_literals(spark):
+    """ADVICE r5: the subquery-alias qualifier strip must not rewrite
+    inside single-quoted literals — a literal 'x.tag' in the outer
+    select of a lowered OVER view survives verbatim (the rewritten SQL
+    would still analyze, so only a value check catches it)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE tr (k INTEGER NOT NULL, ts INTEGER NOT NULL,
+                         amt FLOAT64);
+        CREATE VIEW feat as
+            SELECT x.k, x.ts, 'x.tag' AS lit,
+                   SUM(x.amt) OVER (PARTITION BY x.k ORDER BY x.ts
+                       RANGE BETWEEN 10 PRECEDING AND 1 PRECEDING) AS s
+            FROM (SELECT k, ts, amt FROM tr) x;
+    """)
+    eng.push("tr", spark.createDataFrame(
+        [(1, 5, 2.0), (1, 7, 3.0)], "k int, ts int, amt double"))
+    eng.step()
+    rows = {(r["k"], r["ts"], r["lit"], r["s"])
+            for r in eng.view("feat").collect()}
+    assert rows == {(1, 5, "x.tag", None), (1, 7, "x.tag", 2.0)}
+
+
+def test_star_expansion_duplicate_non_join_key_falls_back(spark):
+    """ADVICE r5: SELECT t1.*, t2.* with a duplicate output name that is
+    NOT the join key must not be silently narrowed by first-wins — the
+    star expansion refuses, and the un-expanded subquery then fails
+    Spark analysis LOUDLY (ambiguous reference), matching real SQL."""
+    import pytest
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k INTEGER NOT NULL, ts INTEGER NOT NULL,
+                        v INTEGER);
+        CREATE TABLE b (k INTEGER NOT NULL, v INTEGER);
+        CREATE TABLE c (k INTEGER NOT NULL, w INTEGER);
+        CREATE VIEW ok as
+            SELECT x.k, x.ts,
+                   COUNT(*) OVER (PARTITION BY x.k ORDER BY x.ts
+                       RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS c
+            FROM (SELECT t1.*, t2.* FROM a t1
+                  LEFT JOIN c t2 ON t1.k = t2.k) x;
+    """)
+    # join-key-only duplication still lowers (demo02's cc_num shape)
+    assert eng.view_strategy("ok") == "rolling"
+    # duplicate v is not equated in the ON condition -> expansion
+    # refuses; the raw SQL is genuinely ambiguous and errors loudly
+    with pytest.raises(Exception, match="(?i)ambiguous"):
+        eng.execute("""
+            CREATE VIEW f as
+                SELECT x.k, x.ts,
+                       COUNT(*) OVER (PARTITION BY x.k ORDER BY x.ts
+                           RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+                           AS c
+                FROM (SELECT t1.*, t2.* FROM a t1
+                      LEFT JOIN b t2 ON t1.k = t2.k) x;
+        """)
+
+
+def test_partition_window_zero_over_unlowers_explicitly(spark):
+    """ADVICE r5: a SQL with no OVER item raises _UnloweredShape from
+    _PartitionWindowMaintainer instead of TypeError-ing on pks=None."""
+    import pytest
+    from database_stream_processor_spark.sql import (
+        Engine as _E, _PartitionWindowMaintainer, _PROJECT_RE,
+        _UnloweredShape)
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE t (k INTEGER NOT NULL, v INTEGER);")
+    sql = "SELECT k, v FROM t WHERE v <= 5"
+    m = _PROJECT_RE.match(sql)
+    with pytest.raises(_UnloweredShape):
+        _PartitionWindowMaintainer(eng, "nv", sql, m)
