@@ -3403,6 +3403,63 @@ def q98_sql_engine_setops_all(spark, sf_dir):
     return eng.view("leftover").select(F.col("nk").alias("c_nationkey"))
 
 
+@register("q99_sql_engine_global_window", oracle="""
+WITH ev AS (
+  SELECT event_id, event_type AS etype,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v_c
+  FROM events)
+SELECT event_id, etype,
+       CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS rn,
+       SUM(v_c) OVER (ORDER BY event_id) AS run_sum_c,
+       CAST(COUNT(v_c) OVER (ORDER BY event_id) AS BIGINT) AS run_n,
+       MIN(v_c) OVER (ORDER BY event_id) AS run_min,
+       MAX(v_c) OVER (ORDER BY event_id) AS run_max
+FROM ev WHERE etype <> 'click'
+""")
+def q99_sql_engine_global_window(spark, sf_dir):
+    """Global (non-partitioned) OVER windows through the SQL front
+    door, maintained incrementally by BOUNDED TAIL RECOMPUTE (sql.py
+    _GlobalTailWindowMaintainer): per tick, one scalar cutoff =
+    MIN(order key of the delta), head rows collapse to one base-
+    aggregate row (count/Σ/min/max), and the global SORT re-runs over
+    the tail only — O(Δ) for append-ordered streams.  The reference JIT
+    lists OrderBy/Windows as its own TODO (dataflow-jit/src/ir/nodes/
+    mod.rs:62), so this exceeds reference parity.  Value sums run on
+    integer cents, so base+tail recombination is exact.  Three
+    interleaved insert ticks plus a retract/re-insert round; final
+    state must equal the one-shot window SQL."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (event_id BIGINT NOT NULL, etype VARCHAR,
+                         v_c BIGINT);
+        CREATE VIEW running as
+            SELECT event_id, etype,
+                   ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+                   SUM(v_c) OVER (ORDER BY event_id) AS run_sum_c,
+                   COUNT(v_c) OVER (ORDER BY event_id) AS run_n,
+                   MIN(v_c) OVER (ORDER BY event_id) AS run_min,
+                   MAX(v_c) OVER (ORDER BY event_id) AS run_max
+            FROM ev WHERE etype <> 'click';
+    """)
+    assert eng.view_strategy("running") == "global_window"
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_c"))
+    for i in range(3):          # interleaved ids: non-monotone ticks
+        eng.push("ev", e.filter(F.col("event_id") % 3 == i))
+        eng.step()
+    b0 = e.filter(F.col("event_id") % 5 == 0)
+    eng.push("ev", b0, weight=-1)
+    eng.step()
+    eng.push("ev", b0)
+    eng.step()
+    return eng.view("running").select(
+        "event_id", "etype", F.col("rn").cast("long").alias("rn"),
+        "run_sum_c", F.col("run_n").cast("long").alias("run_n"),
+        "run_min", "run_max")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3473,7 +3530,8 @@ _WINDOW_ORDER = [
     "q23_watermark_window",
     "q25_json_props_extract",
     "q40_scalar_functions",
-    "q41_full_outer_default",
+    # round-6 additions (never driver-checked)
+    "q99_sql_engine_global_window",
 ]
 
 

@@ -381,7 +381,7 @@ _BOUND = r"(?:\d+|INTERVAL\s+'?\d+'?\s+\w+)"
 
 _WIN_ITEM = re.compile(
     rf"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|{_NEST2})\s*\)\s+"
-    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<pk>.+?)\s+ORDER\s+BY\s+"
+    r"OVER\s*\(\s*(?:PARTITION\s+BY\s+(?P<pk>.+?)\s+)?ORDER\s+BY\s+"
     r"(?P<ord>.+?)\s+RANGE\s+BETWEEN\s+"
     rf"(?P<lo>{_BOUND}\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
     rf"(?P<hi>{_BOUND}\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW)\s*\)\s+"
@@ -464,7 +464,15 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                     raise _UnloweredShape(f"unsupported window item: {it}")
                 parsed.append(("plain", it))
                 continue
-            pk_t = " ".join(wm.group("pk").split()).lower()
+            # global window (no PARTITION BY) = one constant partition;
+            # the reference JIT lists OrderBy/Windows as its own TODO
+            # (dataflow-jit/src/ir/nodes/mod.rs:62), so this EXCEEDS it —
+            # a global running total is the most common window users
+            # write.  At scale the single logical partition is inherent
+            # to the query; the op's delta×frame range join still bounds
+            # per-tick work to O(Δ × frame density).
+            pk_t = (" ".join(wm.group("pk").split()).lower()
+                    if wm.group("pk") else "")
             o_t = " ".join(wm.group("ord").split()).lower()
             si = specs.setdefault((pk_t, o_t), len(specs))
             if si == len(aggs):
@@ -590,9 +598,13 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             # multi-column PARTITION BY packs into one struct key (the
             # ops' pk joins/groupBys are null-safe, and struct <=> is
             # recursive null-safe equality)
-            parts = _split_top_level(pk)
-            pk_col = (F.expr(pk) if len(parts) == 1
-                      else F.struct(*[F.expr(p.strip()) for p in parts]))
+            if not pk:                 # global window: constant key
+                pk_col = F.lit(0)
+            else:
+                parts = _split_top_level(pk)
+                pk_col = (F.expr(pk) if len(parts) == 1
+                          else F.struct(*[F.expr(p.strip())
+                                          for p in parts]))
             extra.append(pk_col.alias(f"__rw_pk{i}"))
             extra.append(ts.alias(f"__rw_ts{i}"))
         return extra
@@ -719,6 +731,216 @@ class _PartitionWindowMaintainer(_ViewMaintainer):
                                 .df.localCheckpoint(eager=True))
         self._out.update(keyed_delta)
         delta = ZSetFrame(keyed_delta.df.drop(*self._hidden)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+#: global (no PARTITION BY) window item over a full-prefix frame
+_GWIN_ITEM = re.compile(
+    rf"^(?P<fn>ROW_NUMBER|RANK|DENSE_RANK|SUM|COUNT|AVG|MIN|MAX)\s*"
+    rf"\(\s*(?P<arg>\*|{_NEST2})?\s*\)\s+"
+    r"OVER\s*\(\s*ORDER\s+BY\s+(?P<ord>[^()]+?)"
+    r"(?:\s+(?:ROWS|RANGE)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+    r"CURRENT\s+ROW)?\s*\)\s+AS\s+(?P<name>\w+)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+class _GlobalTailWindowMaintainer(_ViewMaintainer):
+    """Global (non-partitioned) window view over full-prefix frames —
+    ``SELECT …, ROW_NUMBER() OVER (ORDER BY o) AS rn, SUM(x) OVER
+    (ORDER BY o) AS running, … FROM t [WHERE p]`` — maintained by
+    BOUNDED TAIL RECOMPUTE: a delta row can only change output rows at
+    or after the delta's minimum ORDER BY value (every supported frame
+    is UNBOUNDED PRECEDING → CURRENT ROW, so rows strictly before the
+    cutoff keep their prefix unchanged).  Per tick:
+
+    1. cutoff = MIN(order key) over the delta (one scalar);
+    2. head = integral rows strictly below the cutoff — reduced to ONE
+       row of base aggregates (count / Σ / non-null count / min / max /
+       distinct-order-tuples) with a column-pruned aggregate scan;
+    3. the window SQL re-evaluates over the TAIL only, each item offset
+       by its base (rank + head count, running sum + head sum, …), and
+       diffs against the stored output restricted to the same tail.
+
+    For monotone (append-ordered) inputs the tail is ≈ the delta, so the
+    expensive global SORT touches O(Δ) rows; the head contributes only a
+    whole-stage-codegen aggregate scan.  NULL order keys sort first
+    (Spark ASC default) and live in the permanent head; a delta that
+    touches a NULL key forces a full recompute of that tick.  The
+    reference JIT lists OrderBy/Windows as its own TODO
+    (dataflow-jit/src/ir/nodes/mod.rs:62) — this shape EXCEEDS it
+    because a global running total is the most common window real users
+    write.  DESC orderings and bounded frames raise
+    :class:`_UnloweredShape` (bounded RANGE frames take the O(Δ)
+    rolling path instead)."""
+
+    kind = "global_window"
+
+    def __init__(self, eng, name, sql, m):
+        tbl = m.group("tbl").lower()
+        if tbl not in eng.tables and tbl not in eng._maintainers:
+            raise _UnloweredShape(tbl)
+        if re.search(r"\(\s*SELECT", sql, re.IGNORECASE):
+            raise _UnloweredShape("subquery")
+        if re.search(r"\bPARTITION\s+BY\b", sql, re.IGNORECASE):
+            raise _UnloweredShape("has PARTITION BY")
+        alias = (m.group("alias") or "").lower()
+
+        def _dealias(txt: str) -> str:
+            return (_sub_outside_literals(rf"\b{alias}\s*\.\s*", "", txt,
+                                          re.IGNORECASE)
+                    if alias else txt)
+
+        sel = _dealias(m.group("sel"))
+        self.pred = _dealias(m.group("pred")) if m.group("pred") else None
+        probe = _source_rows0(eng, tbl)
+
+        order_txt = None
+        base_aggs: list = []       # Columns evaluated over the head
+        tail_items: list[str] = []
+        self._n_wins = 0
+        for it in (s.strip() for s in _split_top_level(sel)):
+            if it == "*":
+                tail_items.extend(probe.columns)
+                continue
+            wm = _GWIN_ITEM.match(it)
+            if wm is None:
+                if re.search(r"\bOVER\b", it, re.IGNORECASE):
+                    raise _UnloweredShape(f"unsupported window item: {it}")
+                tail_items.append(it)
+                continue
+            o_t = " ".join(wm.group("ord").split())
+            if re.search(r"\b(DESC|NULLS)\b", o_t, re.IGNORECASE):
+                raise _UnloweredShape("DESC / NULLS ordering")
+            if order_txt is None:
+                order_txt = o_t
+            elif order_txt.lower() != o_t.lower():
+                raise _UnloweredShape("OVER items differ in ORDER BY")
+            fn = wm.group("fn").upper()
+            arg = (wm.group("arg") or "").strip()
+            out = wm.group("name")
+            i = self._n_wins
+            self._n_wins += 1
+            win = f"OVER (ORDER BY {o_t})"
+            if fn in ("ROW_NUMBER", "RANK"):
+                if arg:
+                    raise _UnloweredShape(it)
+                base_aggs.append(F.count(F.lit(1)).alias(f"__b_{i}"))
+                tail_items.append(f"__b_{i} + {fn}() {win} AS {out}")
+            elif fn == "DENSE_RANK":
+                if arg:
+                    raise _UnloweredShape(it)
+                oes = [F.expr(e.strip().removesuffix(" ASC")
+                              .removesuffix(" asc"))
+                       for e in _split_top_level(o_t)]
+                base_aggs.append(F.countDistinct(*oes).alias(f"__b_{i}"))
+                tail_items.append(f"__b_{i} + DENSE_RANK() {win} AS {out}")
+            elif fn == "COUNT":
+                cnt = (F.count(F.lit(1)) if arg == "*"
+                       else F.count(F.expr(arg)))
+                base_aggs.append(cnt.alias(f"__b_{i}"))
+                tail_items.append(
+                    f"__b_{i} + COUNT({arg}) {win} AS {out}")
+            elif fn in ("MIN", "MAX"):
+                agg = F.min(F.expr(arg)) if fn == "MIN" else \
+                    F.max(F.expr(arg))
+                base_aggs.append(agg.alias(f"__b_{i}"))
+                comb = "LEAST" if fn == "MIN" else "GREATEST"
+                w = f"{fn}({arg}) {win}"
+                tail_items.append(
+                    f"CASE WHEN __b_{i} IS NULL THEN {w} "
+                    f"WHEN {w} IS NULL THEN __b_{i} "
+                    f"ELSE {comb}(__b_{i}, {w}) END AS {out}")
+            else:                                  # SUM / AVG
+                base_aggs.append(F.sum(F.expr(arg)).alias(f"__b_{i}"))
+                base_aggs.append(F.count(F.expr(arg)).alias(f"__bn_{i}"))
+                sw, cw = f"SUM({arg}) {win}", f"COUNT({arg}) {win}"
+                csum = (f"(CASE WHEN __bn_{i} = 0 THEN {sw} "
+                        f"WHEN {sw} IS NULL THEN __b_{i} "
+                        f"ELSE __b_{i} + {sw} END)")
+                if fn == "SUM":
+                    tail_items.append(f"{csum} AS {out}")
+                else:
+                    tail_items.append(
+                        f"CASE WHEN __bn_{i} + {cw} = 0 THEN NULL "
+                        f"ELSE {csum} / (__bn_{i} + {cw}) END AS {out}")
+        if self._n_wins == 0:
+            raise _UnloweredShape("no global window items")
+        self.table = tbl
+        self._order = order_txt
+        self._o1 = re.sub(r"\s+ASC\s*$", "",
+                          _split_top_level(order_txt)[0].strip(),
+                          flags=re.IGNORECASE)
+        self._base_aggs = base_aggs
+
+        super().__init__(eng, name, sql)      # typing via Catalyst schema
+        out_types = {f.name: f.dataType.simpleString()
+                     for f in self.state.current.df.schema.fields}
+        final = []
+        for it in tail_items:
+            am = re.match(rf"^(.*\S)\s+AS\s+(\w+)$", it,
+                          re.IGNORECASE | re.DOTALL)
+            if am and am.group(2) in out_types and "__b" in am.group(1):
+                final.append(f"CAST({am.group(1)} AS "
+                             f"{out_types[am.group(2)]}) AS {am.group(2)}")
+            else:
+                final.append(it)
+        self._tail_sql = ("SELECT " + ", ".join(final)
+                          + f", ({self._o1}) AS __gw_o1 FROM {tbl}")
+
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        self._weight = WEIGHT_COL
+        # validate analysis: tail SQL over empty source + empty-head bases
+        empty_base = probe.agg(*base_aggs)
+        first = eng.eval_on(self._tail_sql,
+                            {tbl: probe.crossJoin(F.broadcast(empty_base))})
+        self._out = StateTable(
+            ZSetFrame.from_df(eng.spark.createDataFrame([], first.schema)),
+            name=f"view_{name}_keyed")
+        if self.pred:
+            probe.filter(F.expr(self.pred)).schema
+        probe.select(F.expr(self._o1)).schema
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, z)
+
+    def _step_guarded(self, eng, z):
+        d = z.df.filter(F.expr(self.pred)) if self.pred else z.df
+        probe = d.select(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.expr(self._o1)).alias("m"),
+            F.sum(F.expr(f"CAST(({self._o1}) IS NULL AS INT)")).alias(
+                "nn")).collect()[0]
+        if probe["n"] == 0:
+            return self._empty()
+        cutoff = None if (probe["nn"] or 0) > 0 else probe["m"]
+        src = _current_rows(eng, self.table)
+        if self.pred:
+            src = src.filter(F.expr(self.pred))
+        o1 = F.expr(self._o1)
+        if cutoff is None:           # delta touches NULL order keys
+            head = src.limit(0)
+            tail = src
+            old_t = ZSetFrame(self._out.current.df)
+        else:
+            head = src.filter(o1.isNull() | (o1 < F.lit(cutoff)))
+            tail = src.filter(o1.isNotNull() & (o1 >= F.lit(cutoff)))
+            old_t = ZSetFrame(self._out.current.df.filter(
+                F.col("__gw_o1").isNotNull()
+                & (F.col("__gw_o1") >= F.lit(cutoff))))
+        bases = head.agg(*self._base_aggs)
+        new_out = ZSetFrame.from_df(
+            eng.eval_on(self._tail_sql,
+                        {self.table: tail.crossJoin(F.broadcast(bases))})
+            .localCheckpoint(eager=True), 1)
+        keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
+                                .df.localCheckpoint(eager=True))
+        self._out.update(keyed_delta)
+        delta = ZSetFrame(keyed_delta.df.drop("__gw_o1")).consolidate()
         self.apply_delta(delta)
         return delta
 
@@ -983,7 +1205,11 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
             # frame-bounded rolling didn't fit (LAG/ROWS/calendar
             # intervals over the join): touched-partition recompute of
             # the hidden view still beats snapshot-diffing the join
-            return _PartitionWindowMaintainer(eng, name, outer_sql, pm)
+            try:
+                return _PartitionWindowMaintainer(eng, name, outer_sql, pm)
+            except Exception:
+                # no PARTITION BY: global tail recompute over the join
+                return _GlobalTailWindowMaintainer(eng, name, outer_sql, pm)
     except Exception:
         del eng._maintainers[hidden], eng._sources[hidden]
         raise
@@ -2958,6 +3184,11 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             # frames, mixed fns): touched-partition recompute still beats
             # snapshot-diff for any single shared PARTITION BY
             r = _try(_PartitionWindowMaintainer, eng, name, flat, m)
+            if r is not None:
+                return r
+            # no PARTITION BY at all: global running totals / ranks over
+            # full-prefix frames maintain by bounded tail recompute
+            r = _try(_GlobalTailWindowMaintainer, eng, name, flat, m)
             if r is not None:
                 return r
         else:

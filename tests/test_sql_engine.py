@@ -1967,3 +1967,100 @@ def test_partition_window_zero_over_unlowers_explicitly(spark):
     m = _PROJECT_RE.match(sql)
     with pytest.raises(_UnloweredShape):
         _PartitionWindowMaintainer(eng, "nv", sql, m)
+
+
+GLOBAL_WIN_SQL = """
+    SELECT ts, cat, v,
+           ROW_NUMBER() OVER (ORDER BY ts) AS rn,
+           RANK() OVER (ORDER BY ts) AS rk,
+           DENSE_RANK() OVER (ORDER BY ts) AS dr,
+           SUM(v) OVER (ORDER BY ts) AS running,
+           COUNT(v) OVER (ORDER BY ts) AS nseen,
+           MIN(v) OVER (ORDER BY ts) AS mn,
+           MAX(v) OVER (ORDER BY ts) AS mx,
+           AVG(v) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS am
+    FROM {src} WHERE v IS NOT NULL OR cat IS NOT NULL"""
+
+
+def _gw_det(rows):
+    """Deterministic columns only: rn/am depend on tie order (ROWS
+    frame), which SQL leaves unspecified; rn is checked as a multiset."""
+    return sorted([(r["ts"], r["cat"], r["v"], r["rk"], r["dr"],
+                    r["running"], r["nseen"], r["mn"], r["mx"])
+                   for r in rows], key=str)
+
+
+def test_global_window_tail_recompute_matches_recompute(spark):
+    """Global OVER (no PARTITION BY) lowers to bounded tail recompute
+    and stays exact across interleaved inserts and retractions,
+    including NULL values and duplicate (tied) order keys."""
+    import random
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE ev (ts INTEGER NOT NULL, cat VARCHAR, "
+                "v FLOAT64);")
+    eng.execute("CREATE VIEW glob as"
+                + GLOBAL_WIN_SQL.format(src="ev") + ";")
+    assert eng.view_strategy("glob") == "global_window"
+    random.seed(7)
+    rows = [(random.randrange(100), random.choice(["a", "b", None]),
+             random.choice([None, float(random.randrange(10))]))
+            for _ in range(60)]
+    schema = "ts int, cat string, v double"
+    b1, b2, b3 = rows[:30], rows[30:50], rows[50:]
+    eng.push("ev", spark.createDataFrame(b1, schema)); eng.step()
+    eng.push("ev", spark.createDataFrame(b2, schema)); eng.step()
+    eng.push("ev", spark.createDataFrame(b1[:7], schema), weight=-1)
+    eng.step()
+    eng.push("ev", spark.createDataFrame(b3, schema)); eng.step()
+    remaining = b1[7:] + b2 + b3
+    spark.createDataFrame(remaining, schema) \
+        .createOrReplaceTempView("__gw_orc")
+    want = spark.sql(GLOBAL_WIN_SQL.format(src="__gw_orc")).collect()
+    got = eng.view("glob").collect()
+    assert _gw_det(got) == _gw_det(want)
+    assert sorted(r["rn"] for r in got) == sorted(r["rn"] for r in want)
+
+
+def test_global_window_null_order_key_full_recompute(spark):
+    """A delta touching a NULL order key forces the full-recompute path
+    (NULLs sort first, so they live in the permanent head otherwise) —
+    results still match one-shot evaluation."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (ts INTEGER, v FLOAT64);
+        CREATE VIEW g as
+            SELECT ts, v, COUNT(*) OVER (ORDER BY ts) AS rn
+            FROM ev;
+    """)
+    assert eng.view_strategy("g") == "global_window"
+    schema = "ts int, v double"
+    eng.push("ev", spark.createDataFrame(
+        [(5, 1.0), (None, 2.0), (9, 3.0)], schema))
+    eng.step()
+    eng.push("ev", spark.createDataFrame([(None, 4.0), (1, 5.0)], schema))
+    eng.step()
+    eng.push("ev", spark.createDataFrame([(None, 2.0)], schema), weight=-1)
+    eng.step()
+    spark.createDataFrame(
+        [(5, 1.0), (9, 3.0), (None, 4.0), (1, 5.0)], schema) \
+        .createOrReplaceTempView("__gwn_orc")
+    want = sorted((tuple(r) for r in spark.sql(
+        "SELECT ts, v, COUNT(*) OVER (ORDER BY ts) AS rn "
+        "FROM __gwn_orc").collect()), key=str)
+    got = sorted((tuple(r) for r in eng.view("g").collect()), key=str)
+    assert got == want
+
+
+def test_global_window_rejects_unsupported_shapes(spark):
+    """DESC ordering, bounded non-prefix frames, and mixed ORDER BY
+    clauses all unlower (fallback), never silently mis-maintain."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE t (ts INTEGER NOT NULL, v FLOAT64);")
+    eng.execute("CREATE VIEW d1 as SELECT ts, "
+                "ROW_NUMBER() OVER (ORDER BY ts DESC) AS rn FROM t;")
+    assert eng.view_strategy("d1") == "differentiate"
+    eng.execute("CREATE VIEW d2 as SELECT ts, "
+                "SUM(v) OVER (ORDER BY ts) AS a, "
+                "COUNT(*) OVER (ORDER BY v) AS b FROM t;")
+    assert eng.view_strategy("d2") == "differentiate"
