@@ -3460,6 +3460,54 @@ def q99_sql_engine_global_window(spark, sf_dir):
         "run_min", "run_max")
 
 
+@register("q100_sql_engine_nullable_not_in", oracle="""
+WITH cu AS (
+  SELECT c_custkey AS ck,
+         CASE WHEN c_custkey % 50 = 0 THEN NULL
+              ELSE c_custkey END AS nk
+  FROM customer),
+od AS (SELECT o_orderkey AS ok, o_custkey AS cnk FROM orders)
+SELECT ck, nk FROM cu
+WHERE nk NOT IN (SELECT cnk FROM od WHERE ok % 3 = 0)
+""")
+def q100_sql_engine_nullable_not_in(spark, sf_dir):
+    """NOT IN over NULLABLE columns with full three-valued semantics
+    (sql.py _NotInNullableMaintainer): two O(1) counters over the inner
+    multiset (row count, NULL count) pick the regime — any inner NULL
+    empties the view, NULL outer keys qualify only against an empty
+    inner — and within a regime ticks maintain by touched-key
+    recompute.  The run deliberately passes THROUGH the all-NULL regime
+    (push a NULL inner batch, then retract it) so the global flips are
+    exercised; the final state must equal DuckDB's one-shot NOT IN."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cu (ck BIGINT NOT NULL, nk BIGINT);
+        CREATE TABLE od (ok BIGINT NOT NULL, cnk BIGINT);
+        CREATE VIEW quiet as
+            SELECT ck, nk FROM cu
+            WHERE nk NOT IN (SELECT cnk FROM od WHERE ok % 3 = 0);
+    """)
+    assert eng.view_strategy("quiet") == "not_in_nullable"
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey")).alias("nk"))
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cnk"))
+    for i in range(2):
+        eng.push("cu", c.filter(F.col("ck") % 2 == i))
+        eng.push("od", o.filter(F.col("ok") % 2 == i))
+        eng.step()
+    nulls = o.filter(F.col("ok") % 1000 == 3) \
+        .withColumn("cnk", F.lit(None).cast("long"))
+    eng.push("od", nulls)
+    eng.step()                       # regime A: view flips empty
+    eng.push("od", nulls, weight=-1)
+    eng.step()                       # back to B1: view re-derives
+    return eng.view("quiet")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3529,9 +3577,9 @@ _WINDOW_ORDER = [
     "q22_asof_enrich",
     "q23_watermark_window",
     "q25_json_props_extract",
-    "q40_scalar_functions",
     # round-6 additions (never driver-checked)
     "q99_sql_engine_global_window",
+    "q100_sql_engine_nullable_not_in",
 ]
 
 

@@ -1939,26 +1939,32 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
         if sm.group("ipred") and not _refs_only(sm.group("ipred"), {ia},
                                                 icols):
             return None
+        nullable_not_in = False
         if negated:
             # NOT IN ≡ anti-join ONLY when neither side can be NULL
             # (a NULL on either side flips rows through the three-valued
             # semantics: outer-NULL rows are always filtered, one inner
-            # NULL empties the whole view).  NOT NULL declarations on
-            # both columns rule that out; otherwise keep the fallback.
+            # NULL empties the whole view).  With nullable columns the
+            # dedicated _NotInNullableMaintainer carries the global
+            # null/row counters that make those flips maintainable.
             ofields = {f.name.lower(): f
                        for f in _source_rows0(eng, ot).schema.fields}
-            if ofields[oc.lower()].nullable or \
-                    ifields[ic.lower()].nullable:
-                return None
+            nullable_not_in = (ofields[oc.lower()].nullable
+                               or ifields[ic.lower()].nullable)
         okeys, ikeys = [oc], [ic]
     if not okeys:
         return None  # uncorrelated subquery flips globally; keep fallback
     from_clause = m.group("ot") + (f" {m.group('oa')}" if m.group("oa")
                                    else "")
-    return {"outer": ot, "oa": oa, "inner": it, "okeys": okeys,
+    spec = {"outer": ot, "oa": oa, "inner": it, "okeys": okeys,
             "ikeys": ikeys, "sel": m.group("sel"),
             "from_clause": from_clause,
             "body": m.group("body"), "negated": negated, "kind": kind}
+    if kind == "in":
+        spec["ia"] = ia
+        spec["ipred"] = sm.group("ipred")
+        spec["nullable_not_in"] = nullable_not_in
+    return spec
 
 
 class _SubqueryFilterMaintainer(_ViewMaintainer):
@@ -2041,6 +2047,133 @@ class _SubqueryFilterMaintainer(_ViewMaintainer):
         # state union: the un-cut plan embeds the state twice (once as a
         # union branch, once under the semi-join) and Catalyst's attribute
         # dedup trips over the self-reference during optimization
+        keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
+                                .df.localCheckpoint(eager=True))
+        self._out.update(keyed_delta)
+        delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+class _NotInNullableMaintainer(_SubqueryFilterMaintainer):
+    """``col NOT IN (SELECT icol FROM inner [WHERE ipred])`` over
+    NULLABLE columns — full three-valued SQL semantics (the reference
+    compiles NOT IN through the same antijoin, crates/dbsp semijoin.rs,
+    but its demos rely on NOT NULL DDL; DuckDB and real users won't):
+
+    * any NULL in the inner set   → NO outer row qualifies;
+    * a NULL outer key            → qualifies iff the inner set is EMPTY
+      (``x NOT IN (empty)`` is TRUE even for NULL x);
+    * otherwise                   → ordinary anti-join.
+
+    Those global flips are what break plain touched-key maintenance, so
+    this subclass carries two O(1) counters — the inner multiset's row
+    count and NULL count after ``ipred``, updated from each inner delta
+    in O(Δ) — defining three regimes: A (inner has NULLs → view empty),
+    B1 (non-empty, NULL-free → anti-join + outer keys NOT NULL), B2
+    (inner empty → only outer-side predicates).  Within a regime, ticks
+    maintain by the parent's touched-key recompute using the regime's
+    rewritten SQL; a regime TRANSITION (an inner delta adding/removing
+    the last NULL or last row) re-diffs the whole view that tick —
+    inherent, since the view genuinely flips globally."""
+
+    def __init__(self, eng, name, sql, spec):
+        super().__init__(eng, name, sql, spec)
+        self.kind = "not_in_nullable"
+        ia, oa = spec["ia"], spec["oa"]
+        ipred = spec.get("ipred")
+        self._ipred = (_sub_outside_literals(rf"\b{ia}\s*\.\s*", "",
+                                             ipred, re.IGNORECASE)
+                       if ipred else None)
+        self._ic = self.ikeys[0]
+        hidden = ", ".join(f"{oa}.{k} AS __k_{i}"
+                           for i, k in enumerate(self.okeys))
+        self._delta_sql_b1 = (
+            f"SELECT {spec['sel']}, {hidden} FROM {spec['from_clause']} "
+            f"WHERE ({spec['body']}) AND ({oa}.{self.okeys[0]}) "
+            f"IS NOT NULL")
+        eng.eval_on(self._delta_sql_b1, {
+            self.outer: _source_rows0(eng, self.outer),
+            self.inner: _source_rows0(eng, self.inner)})
+        # counters from current inner state (empty at CREATE; full after
+        # recovery bootstrap, which re-executes against restored tables)
+        inner_now = _current_rows(eng, self.inner)
+        if self._ipred:
+            inner_now = inner_now.filter(F.expr(self._ipred))
+        r = inner_now.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"CAST(({self._ic}) IS NULL AS INT)"))
+            .alias("z")).collect()[0]
+        self._n_inner = int(r["n"] or 0)
+        self._n_null = int(r["z"] or 0)
+
+    def _regime(self) -> str:
+        if self._n_null > 0:
+            return "A"
+        return "B1" if self._n_inner > 0 else "B2"
+
+    def step(self, eng, combined, old):
+        da, db = combined.get(self.outer), combined.get(self.inner)
+        if da is None and db is None:
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._nn_step(eng, da, db)
+
+    def _nn_step(self, eng, da, db):
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        prev = self._regime()
+        if db is not None:
+            d = db.df
+            if self._ipred:
+                d = d.filter(F.expr(self._ipred))
+            r = d.agg(
+                F.sum(F.col(WEIGHT_COL)).alias("n"),
+                F.sum(F.col(WEIGHT_COL)
+                      * F.expr(f"CAST(({self._ic}) IS NULL AS INT)"))
+                .alias("z")).collect()[0]
+            self._n_inner += int(r["n"] or 0)
+            self._n_null += int(r["z"] or 0)
+        cur = self._regime()
+        hidden = [f"__k_{i}" for i in range(len(self.okeys))]
+        if cur == "A":
+            if prev == "A":            # state already empty
+                return self._empty()
+            keyed_delta = ZSetFrame(self._out.current.neg().df
+                                    .localCheckpoint(eager=True))
+            self._out.update(keyed_delta)
+            delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
+            self.apply_delta(delta)
+            return delta
+        sqltxt = self._delta_sql_b1 if cur == "B1" else self._delta_sql
+        if prev != cur:                # global flip: full re-diff
+            o_t = _current_rows(eng, self.outer) \
+                .localCheckpoint(eager=True)
+            i_t = _current_rows(eng, self.inner) \
+                .localCheckpoint(eager=True)
+            old_t = ZSetFrame(self._out.current.df)
+        else:
+            parts = []
+            if da is not None:
+                parts.append(da.df.select(
+                    *[F.col(c).alias(f"__t_{i}")
+                      for i, c in enumerate(self.okeys)]))
+            if db is not None:
+                parts.append(db.df.select(
+                    *[F.col(c).alias(f"__t_{i}")
+                      for i, c in enumerate(self.ikeys)]))
+            touched = parts[0]
+            for p in parts[1:]:
+                touched = touched.unionByName(p)
+            touched = touched.dropDuplicates().localCheckpoint(eager=True)
+            o_t = _ns_semi_pos(_current_rows(eng, self.outer), touched,
+                               self.okeys).localCheckpoint(eager=True)
+            i_t = _ns_semi_pos(_current_rows(eng, self.inner), touched,
+                               self.ikeys).localCheckpoint(eager=True)
+            old_t = ZSetFrame(_ns_semi_pos(self._out.current.df, touched,
+                                           hidden))
+        new_out = ZSetFrame.from_df(
+            eng.eval_on(sqltxt, {self.outer: o_t, self.inner: i_t})
+            .localCheckpoint(eager=True), 1)
         keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
                                 .df.localCheckpoint(eager=True))
         self._out.update(keyed_delta)
@@ -3346,7 +3479,10 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and not _analyzed_has_aggregate(eng, flat):
         spec = _match_subquery_filter(eng, flat)
         if spec is not None:
-            r = _try(_SubqueryFilterMaintainer, eng, name, flat, spec)
+            ctor = (_NotInNullableMaintainer
+                    if spec.get("nullable_not_in")
+                    else _SubqueryFilterMaintainer)
+            r = _try(ctor, eng, name, flat, spec)
             if r is not None:
                 return r
     m = _LEFT_JOIN_RE.match(flat)

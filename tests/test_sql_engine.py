@@ -868,10 +868,11 @@ def test_subquery_filter_views_lower(spark):
             assert got == want, (view, tbl, w)
 
 
-def test_not_in_subquery_keeps_fallback(spark):
-    """NOT IN has three-valued NULL semantics (one NULL in the subquery
-    empties the result) that touched-key restriction cannot preserve —
-    the shape must stay on snapshot-diff."""
+def test_not_in_subquery_nullable_lowers_with_null_semantics(spark):
+    """NOT IN over a nullable subquery column lowers to the counter-
+    guarded maintainer (r6) and still honors three-valued semantics:
+    one NULL in the subquery empties the result, even when the select
+    list drops the correlation key."""
     eng = Engine(spark)
     eng.execute("""
         CREATE TABLE cust (ck INTEGER NOT NULL, name VARCHAR);
@@ -880,11 +881,15 @@ def test_not_in_subquery_keeps_fallback(spark):
             SELECT c.name FROM cust c
             WHERE ck NOT IN (SELECT ck FROM ord);
     """)
-    assert eng.view_strategy("not_in_ord") == "differentiate"
+    assert eng.view_strategy("not_in_ord") == "not_in_nullable"
     eng.push("cust", spark.createDataFrame([(1, "ann")], "ck int, name string"))
     eng.push("ord", spark.createDataFrame([(10, None)], "ok int, ck int"))
     eng.step()
     assert eng.view("not_in_ord").count() == 0  # NULL in subquery: empty
+    eng.push("ord", spark.createDataFrame([(10, None)], "ok int, ck int"),
+             weight=-1)
+    eng.step()
+    assert [r["name"] for r in eng.view("not_in_ord").collect()] == ["ann"]
 
 
 def test_group_topk_view_lowers(spark):
@@ -1637,10 +1642,10 @@ def test_partition_window_over_join_subquery(spark):
 
 
 def test_not_in_lowers_when_not_null(spark):
-    """NOT IN lowers to the touched-key anti maintenance ONLY when both
-    the outer and inner columns are declared NOT NULL (then NOT IN ≡
-    anti-join); a nullable column on either side keeps the snapshot-diff
-    fallback (three-valued NULL semantics)."""
+    """NOT IN lowers to the touched-key anti maintenance when both the
+    outer and inner columns are declared NOT NULL (then NOT IN ≡
+    anti-join); a nullable column on either side now takes the counter-
+    guarded _NotInNullableMaintainer (r6) instead of snapshot-diff."""
     eng = Engine(spark)
     eng.execute("""
         CREATE TABLE a (k INTEGER NOT NULL, v FLOAT64);
@@ -1652,7 +1657,7 @@ def test_not_in_lowers_when_not_null(spark):
             WHERE k NOT IN (SELECT k FROM c);
     """)
     assert eng.view_strategy("miss") == "not_in"
-    assert eng.view_strategy("nullable_fallback") == "differentiate"
+    assert eng.view_strategy("nullable_fallback") == "not_in_nullable"
     mka = lambda rs: spark.createDataFrame(rs, "k int, v double")
     mkb = lambda rs: spark.createDataFrame(rs, "k int, note string")
     batch = "SELECT k, v FROM a WHERE k NOT IN (SELECT k FROM b)"
@@ -2064,3 +2069,67 @@ def test_global_window_rejects_unsupported_shapes(spark):
                 "SUM(v) OVER (ORDER BY ts) AS a, "
                 "COUNT(*) OVER (ORDER BY v) AS b FROM t;")
     assert eng.view_strategy("d2") == "differentiate"
+
+
+def test_nullable_not_in_three_valued_regimes(spark):
+    """NOT IN over nullable columns tracks full three-valued SQL
+    semantics through every regime flip: inner empty (NULL outer keys
+    qualify), inner non-empty (they drop), inner holding a NULL (view
+    empties), and back — each tick checked against DuckDB."""
+    import duckdb
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE c (ck BIGINT NOT NULL, nk BIGINT);
+        CREATE TABLE o (ok BIGINT NOT NULL, cust BIGINT);
+        CREATE VIEW quiet as
+            SELECT ck, nk FROM c WHERE nk NOT IN (SELECT cust FROM o);
+    """)
+    assert eng.view_strategy("quiet") == "not_in_nullable"
+    S, T = "ck bigint, nk bigint", "ok bigint, cust bigint"
+
+    def check(tag):
+        crows = [tuple(r) for r in spark.sql("SELECT * FROM c").collect()]
+        orows = [tuple(r) for r in spark.sql("SELECT * FROM o").collect()]
+        got = sorted((tuple(r) for r in eng.view("quiet").collect()),
+                     key=str)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c (ck BIGINT, nk BIGINT); "
+                    "CREATE TABLE o (ok BIGINT, cust BIGINT)")
+        if crows:
+            con.executemany("INSERT INTO c VALUES (?,?)", crows)
+        if orows:
+            con.executemany("INSERT INTO o VALUES (?,?)", orows)
+        want = sorted((tuple(r) for r in con.execute(
+            "SELECT ck, nk FROM c WHERE nk NOT IN (SELECT cust FROM o)")
+            .fetchall()), key=str)
+        assert got == want, (tag, got, want)
+
+    eng.push("c", spark.createDataFrame([(1, 10), (2, None), (3, 30)], S))
+    eng.step(); check("inner empty: NULL outer qualifies")
+    eng.push("o", spark.createDataFrame([(1, 10)], T))
+    eng.step(); check("inner non-empty: NULL outer drops")
+    eng.push("o", spark.createDataFrame([(2, None)], T))
+    eng.step(); check("inner NULL: view empties")
+    eng.push("c", spark.createDataFrame([(4, 40)], S))
+    eng.step(); check("regime A stays empty under outer churn")
+    eng.push("o", spark.createDataFrame([(2, None)], T), weight=-1)
+    eng.step(); check("NULL retracted: anti-join again")
+    eng.push("o", spark.createDataFrame([(1, 10)], T), weight=-1)
+    eng.step(); check("inner emptied: all qualify incl NULL")
+    eng.push("o", spark.createDataFrame([(5, 30), (6, 77)], T))
+    eng.step(); check("B1 churn")
+    eng.push("c", spark.createDataFrame([(7, 77), (8, None)], S))
+    eng.step(); check("outer delta incl NULL key in B1")
+
+
+def test_not_null_not_in_still_uses_plain_antijoin(spark):
+    """Declared-NOT-NULL columns keep the cheaper touched-key path
+    without the counter machinery."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE c (ck BIGINT NOT NULL, nk BIGINT NOT NULL);
+        CREATE TABLE o (ok BIGINT NOT NULL, cust BIGINT NOT NULL);
+        CREATE VIEW quiet as
+            SELECT ck, nk FROM c WHERE nk NOT IN (SELECT cust FROM o);
+    """)
+    assert eng.view_strategy("quiet") == "not_in"
