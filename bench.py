@@ -60,6 +60,28 @@ HEADLINE = [
 WARMUP_SF = "/root/testdata/sf0.001"
 
 
+def _calibrate() -> float:
+    """Fixed-work CPU loop (pure Python, single thread) — a host-speed
+    probe.  The sandbox host throttles unpredictably (r5: the same q44
+    profile swung 11s → 64-110s within 30 min), so every bench records
+    this number at start and end: round-over-round query deltas are only
+    attributable when the calibrations agree."""
+    t0 = time.time()
+    acc = 0
+    for i in range(4_000_000):
+        acc = (acc * 1103515245 + i) & 0x7FFFFFFF
+    assert acc >= 0
+    return round(time.time() - t0, 3)
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -86,6 +108,8 @@ def main() -> None:
         s = sorted(ts)[:3]
         return round((s[-1] - s[0]) / s[0], 3) if s[0] > 0 else 0.0
 
+    cal_start = _calibrate()
+    load_start = _loadavg()
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for r in range(n_runs):
         for name in HEADLINE:
@@ -96,6 +120,13 @@ def main() -> None:
         while (len(ts) < 8 and min(ts) < 3.0
                and best3_spread(ts) > 0.15):
             ts.append(time_one(name, f"x{len(ts)}"))
+    # throttle guard: ANY query whose best-3 window is still loose gets
+    # up to two more shots — a host stall mid-pass otherwise reads as a
+    # code regression in the round-over-round comparison
+    for name, ts in runs.items():
+        while len(ts) < n_runs + 2 and best3_spread(ts) > 0.2:
+            ts.append(time_one(name, f"t{len(ts)}"))
+    cal_end = _calibrate()
 
     timings = {name: min(ts) for name, ts in runs.items()}
     spread = {name: best3_spread(ts) for name, ts in runs.items()}
@@ -107,6 +138,9 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "runs": n_runs,
+        "calibration": {"start_sec": cal_start, "end_sec": cal_end,
+                        "loadavg_start": load_start,
+                        "loadavg_end": _loadavg()},
         "sf": sf_dir,
     }))
 

@@ -370,19 +370,34 @@ class IncrementalTransitiveClosureOp:
                 .select(src, dst).dropDuplicates())
 
     def step(self, edge_delta) -> "object":
+        from database_stream_processor_spark.zset import (WEIGHT_COL,
+                                                          ZSetFrame)
         src, dst = self.src, self.dst
         d = edge_delta.consolidate()
-        inserts = (d.df.filter(d.weight > 0).select(src, dst)
-                   .exceptAll(self._edges).dropDuplicates())
-        deletes = (d.df.filter(d.weight < 0).select(src, dst)
-                   .intersect(self._edges))
-
+        # one materialization + one tiny agg decide which branches run —
+        # the old per-branch isEmpty() each recomputed the full
+        # intersect/exceptAll plan before the branch then recomputed it
+        # AGAIN under localCheckpoint (2 extra full jobs per tick)
+        dd = d.df.localCheckpoint(eager=True)
+        sign = dd.agg(F.max(WEIGHT_COL).alias("mx"),
+                      F.min(WEIGHT_COL).alias("mn")).collect()[0]
         out = None
-        if not deletes.isEmpty():
-            out = self._delete(deletes.localCheckpoint(eager=True))
-        if out is None or not inserts.isEmpty():
-            ins = self._insert(inserts.localCheckpoint(eager=True))
+        if (sign["mn"] or 0) < 0:
+            deletes = (dd.filter(F.col(WEIGHT_COL) < 0).select(src, dst)
+                       .intersect(self._edges)
+                       .localCheckpoint(eager=True))
+            out = self._delete(deletes)
+        if (sign["mx"] or 0) > 0:
+            # exceptAll against post-deletion edges: a same-tick ±pair
+            # cancelled in consolidate(), so the sets are equivalent
+            inserts = (dd.filter(F.col(WEIGHT_COL) > 0).select(src, dst)
+                       .exceptAll(self._edges).dropDuplicates()
+                       .localCheckpoint(eager=True))
+            ins = self._insert(inserts)
             out = ins if out is None else out.plus(ins)
+        if out is None:
+            return ZSetFrame.from_df(
+                self.spark.createDataFrame([], self._schema), 1)
         return out.consolidate()
 
     def _insert(self, added: DataFrame) -> "object":
@@ -536,7 +551,7 @@ class IncrementalTransitiveClosureOp:
         src, dst = self.src, self.dst
         self._edges = (self._edges.unionByName(added)
                        .localCheckpoint(eager=True))
-        added = added.localCheckpoint(eager=True)
+        # `added` arrives materialized from step() — no re-checkpoint
 
         if not self._initialized:
             # first tick: full fixpoint (everything is new), write both
@@ -653,16 +668,19 @@ class IncrementalTransitiveClosureOp:
                         self._compose(keep_r, e_r).intersect(suspects))
                     .dropDuplicates().localCheckpoint(eager=True))
             rederived = base
-            frontier = base
+            frontier, n_f = base, 1   # base materialized above
             for _ in range(self.max_iterations):
-                if frontier.isEmpty():
+                if n_f == 0:
                     break
                 rounds += 1
                 stepped = self._compose(frontier, e_r).intersect(suspects)
+                # one job per round: lazy checkpoint materialized by the
+                # convergence count; `rederived` stays a lazy union of
+                # the (already-materialized) per-round frontiers
                 frontier = (stepped.exceptAll(rederived)
-                            .localCheckpoint(eager=True))
-                rederived = (rederived.unionByName(frontier)
-                             .localCheckpoint(eager=True))
+                            .localCheckpoint(eager=False))
+                n_f = frontier.count()
+                rederived = rederived.unionByName(frontier)
             else:
                 raise RuntimeError("DRed re-derivation did not converge")
 
@@ -670,14 +688,21 @@ class IncrementalTransitiveClosureOp:
         # buckets of each copy (keep ∪ rederived all live in sb; the dead
         # pairs' dst buckets bound the dst-store rewrite)
         dead = suspects.exceptAll(rederived).localCheckpoint(eager=True)
-        new_affected = (keep.unionByName(rederived)
-                        .localCheckpoint(eager=True))
+        # keep/rederived are checkpointed pieces, so the union is safe to
+        # write over the directories it was read from — no re-checkpoint
+        new_affected = keep.unionByName(rederived)
         self._s_src.overwrite_buckets(new_affected, sb)
-        db = self._s_dst.buckets_of(dead, dst)
+        # one job fuses the dead count with its dst-bucket selection
+        drow = dead.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(self._s_dst.bucket_expr(dst)).alias("bs")
+        ).collect()[0]
+        db = sorted(drow["bs"])
+        self._s_dst.scanned_buckets += 0  # read below tracks its own
         content = (self._s_dst.read_buckets(db).exceptAll(dead)
                    .localCheckpoint(eager=True))
         self._s_dst.overwrite_buckets(content, db)
-        self._n = max(1, self._n - dead.count())
+        self._n = max(1, self._n - int(drow["n"]))
         self.last_delete_stats = {
             "suspects": n_d, "rounds": rounds,
             "src_buckets_scanned":

@@ -3508,6 +3508,75 @@ def q100_sql_engine_nullable_not_in(spark, sf_dir):
     return eng.view("quiet")
 
 
+@register("q101_sql_engine_scalar_subquery", oracle="""
+WITH cu AS (
+  SELECT c_custkey AS ck, c_nationkey AS nk,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer),
+od AS (
+  SELECT o_orderkey AS ok, o_custkey AS cust,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+         o_orderpriority AS pr
+  FROM orders WHERE o_orderkey % 7 <> 0)
+SELECT cu.ck, cu.bal_c,
+       (SELECT MAX(od.price_c) FROM od WHERE od.cust = cu.ck)
+           AS max_order_c,
+       CAST((SELECT COUNT(*) FROM od
+             WHERE od.cust = cu.ck AND od.pr = '1-URGENT') AS BIGINT)
+           AS urgent_n,
+       (SELECT SUM(od.price_c) FROM od WHERE od.cust = cu.ck) AS total_c
+FROM cu WHERE cu.nk < 20
+""")
+def q101_sql_engine_scalar_subquery(spark, sf_dir):
+    """Correlated scalar-aggregate subqueries in the select list,
+    maintained incrementally (sql.py _scalar_subquery_from): each
+    subquery becomes a hidden GROUP BY view (touched-group MAX /
+    linear SUM-COUNT maintenance) chained onto the outer rows through a
+    hidden LEFT JOIN view (touched-key recompute), and the view itself
+    is a plain O(Δ) projection — the reference compiles the same SQL to
+    an aggregate + outer-join pair.  COUNT subqueries COALESCE to 0
+    (scalar COUNT over an empty group), MAX/SUM stay NULL, matching
+    DuckDB's one-shot evaluation.  Two interleaved insert ticks, then a
+    retraction tick whose effect the oracle reproduces with a
+    complementary filter (the final state excludes ok % 7 = 0)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cu (ck BIGINT NOT NULL, nk BIGINT, bal_c BIGINT);
+        CREATE TABLE od (ok BIGINT NOT NULL, cust BIGINT,
+                         price_c BIGINT, pr VARCHAR);
+        CREATE VIEW enriched as
+            SELECT cu.ck, cu.bal_c,
+                   (SELECT MAX(od.price_c) FROM od
+                    WHERE od.cust = cu.ck) AS max_order_c,
+                   (SELECT COUNT(*) FROM od
+                    WHERE od.cust = cu.ck AND od.pr = '1-URGENT')
+                       AS urgent_n,
+                   (SELECT SUM(od.price_c) FROM od
+                    WHERE od.cust = cu.ck) AS total_c
+            FROM cu WHERE cu.nk < 20;
+    """)
+    assert eng.view_strategy("enriched") == "project"
+    assert eng.view_strategy("__enriched_sq0") == "nonlinear_agg"
+    assert eng.view_strategy("__enriched_j0") == "left_join"
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.col("o_orderpriority").alias("pr"))
+    for i in range(2):
+        eng.push("cu", c.filter(F.col("ck") % 2 == i))
+        eng.push("od", o.filter(F.col("ok") % 2 == i))
+        eng.step()
+    eng.push("od", o.filter(F.col("ok") % 7 == 0), weight=-1)
+    eng.step()
+    return eng.view("enriched").select(
+        "ck", "bal_c", "max_order_c",
+        F.col("urgent_n").cast("long").alias("urgent_n"), "total_c")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3576,10 +3645,10 @@ _WINDOW_ORDER = [
     "q20_hopping_window",
     "q22_asof_enrich",
     "q23_watermark_window",
-    "q25_json_props_extract",
     # round-6 additions (never driver-checked)
     "q99_sql_engine_global_window",
     "q100_sql_engine_nullable_not_in",
+    "q101_sql_engine_scalar_subquery",
 ]
 
 

@@ -1215,6 +1215,151 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
         raise
 
 
+#: correlated scalar-aggregate subquery as a select item
+_SCALAR_SQ_ITEM = re.compile(
+    r"^\(\s*SELECT\s+(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*"
+    r"\(\s*(?P<arg>\*|[^()]+?)\s*\)\s+"
+    r"FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?(?P<ia>\w+))?\s+"
+    r"WHERE\s+(?P<icond>.+?)\s*\)\s+AS\s+(?P<name>\w+)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
+    """Correlated scalar-aggregate subqueries in the select list —
+    ``SELECT …, (SELECT MAX(x) FROM t2 WHERE t2.k = t.k) AS m FROM t
+    [WHERE p]`` — lowered as a stack of views that all maintain
+    incrementally (the reference compiles the same shape to an
+    aggregate + outer join pair, SURVEY §2.4/§2.5):
+
+    * one hidden GROUP BY view per subquery
+      (``__{name}_sq{i}``: ``SELECT ik AS __sk{i}, FN(arg) AS __sv{i}
+      FROM inner [WHERE residual] GROUP BY ik`` → linear / touched-group
+      agg maintenance);
+    * one hidden LEFT JOIN view per subquery chaining the scalar column
+      onto the outer rows (touched-key outer-join maintenance);
+    * the view itself becomes a plain projection over the last join,
+      with ``COUNT`` subqueries wrapped in ``COALESCE(…, 0)`` (a scalar
+      COUNT over an empty group is 0, not the NULL a left join pads).
+
+    NULL correlation keys fall out correctly: they never equi-match, so
+    the subquery evaluates over the empty set — NULL (or 0 for COUNT) —
+    exactly what the left join pads.  Raises :class:`_UnloweredShape`
+    for non-aggregate scalars, disjunctive or non-equi correlation, and
+    subqueries anywhere but the select list."""
+    parts = _split_select_from(flat)
+    if parts is None:
+        raise _UnloweredShape(flat)
+    sel, rest = parts
+    body, pred = _split_where(rest)
+    om = re.match(r"^(?P<ot>\w+)(?:\s+(?:AS\s+)?(?P<oa>\w+))?\s*$", body)
+    if om is None:
+        raise _UnloweredShape(body)
+    ot = om.group("ot").lower()
+    oa = (om.group("oa") or om.group("ot")).lower()
+    if not (ot in eng.tables or ot in eng.views):
+        raise _UnloweredShape(ot)
+    if pred and re.search(r"\(\s*SELECT", pred, re.IGNORECASE):
+        raise _UnloweredShape("subquery in WHERE")
+    ocols = {f.name.lower() for f in _source_rows0(eng, ot).schema.fields}
+
+    items = [s.strip() for s in _split_top_level(sel)]
+    subs: list[dict] = []          # parsed scalar subqueries, in order
+    out_items: list[str] = []      # final projection items
+    for it in items:
+        sm = _SCALAR_SQ_ITEM.match(it)
+        if sm is None:
+            if re.search(r"\(\s*SELECT", it, re.IGNORECASE):
+                raise _UnloweredShape(f"unsupported subquery item: {it}")
+            out_items.append(it)
+            continue
+        i = len(subs)
+        itbl = sm.group("it").lower()
+        ia = (sm.group("ia") or sm.group("it")).lower()
+        if not (itbl in eng.tables or itbl in eng.views) or itbl == ot:
+            raise _UnloweredShape(itbl)
+        icols = {f.name.lower()
+                 for f in _source_rows0(eng, itbl).schema.fields}
+        ok = ik = None
+        residual = []
+        for term in _split_top_and(sm.group("icond")):
+            pm = _EQ_PAIR.match(term)
+            if pm:
+                q1, c1, q2, c2 = pm.groups()
+                q1, q2 = q1.lower(), q2.lower()
+                if {q1, q2} == {ia, oa} and ok is None:
+                    ok, ik = (c2, c1) if q1 == ia else (c1, c2)
+                    continue
+            if not _refs_only(term, {ia}, icols):
+                raise _UnloweredShape(f"correlation term: {term}")
+            residual.append(term)
+        if ok is None or ok.lower() not in ocols \
+                or ik.lower() not in icols:
+            raise _UnloweredShape("no single equi-correlation")
+        fn = sm.group("fn").upper()
+        # the hidden view keeps the agg recognizers' canonical shape:
+        # bare key, no table alias (key AS alias wouldn't match)
+        deal_i = lambda t: _sub_outside_literals(
+            rf"\b{ia}\s*\.\s*", "", t, re.IGNORECASE)
+        res = (" WHERE " + " AND ".join(deal_i(t) for t in residual)
+               if residual else "")
+        sq_sql = (f"SELECT {ik}, {fn}({deal_i(sm.group('arg'))}) "
+                  f"AS __sv{i} FROM {itbl}{res} GROUP BY {ik}")
+        subs.append({"sql": sq_sql, "ok": ok, "ik": ik, "fn": fn})
+        val = f"COALESCE(__sv{i}, 0)" if fn == "COUNT" else f"__sv{i}"
+        out_items.append(f"{val} AS {sm.group('name')}")
+    if not subs:
+        raise _UnloweredShape("no scalar subquery items")
+
+    dealias = lambda t: _sub_outside_literals(rf"\b{oa}\s*\.\s*", "", t,
+                                              re.IGNORECASE)
+    registered: list[str] = []
+
+    def _register(hname: str, hsql: str) -> None:
+        hm = _lower_view(eng, hname, hsql)
+        if hm.kind == "differentiate":
+            raise _UnloweredShape(f"hidden view snapshot-diffs: {hsql}")
+        eng._maintainers[hname] = hm
+        words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
+        eng._sources[hname] = {w for w in words
+                               if w in eng.tables or w in eng.views}
+        eng._sources[hname] |= {w for w in words
+                                if w in eng._maintainers and w != hname}
+        hm.state.current.rows().createOrReplaceTempView(hname)
+        registered.append(hname)
+
+    try:
+        cur, cur_cols = ot, list(_source_rows0(eng, ot).columns)
+        if pred:
+            # push the outer WHERE below the join stack: every hidden
+            # join then carries only qualifying rows (the 100 TB
+            # version of predicate pushdown across the view stack)
+            _register(f"__{name}_f0",
+                      f"SELECT * FROM {ot} WHERE {dealias(pred)}")
+            cur = f"__{name}_f0"
+        for i, sub in enumerate(subs):
+            _register(f"__{name}_sq{i}", sub["sql"])
+            jname = f"__{name}_j{i}"
+            j_sel = (", ".join(f"p.{c} AS {c}" for c in cur_cols)
+                     + "".join(f", p.__sv{k} AS __sv{k}"
+                               for k in range(i))
+                     + f", s.__sv{i} AS __sv{i}")
+            j_sql = (f"SELECT {j_sel} FROM {cur} p LEFT JOIN "
+                     f"__{name}_sq{i} s ON p.{sub['ok']} = s.{sub['ik']}")
+            _register(jname, j_sql)
+            cur = jname
+        final = f"SELECT {dealias(', '.join(out_items))} FROM {cur}"
+        fm = _lower_view(eng, name, final)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape(f"final projection snapshot-diffs: "
+                                  f"{final}")
+        return fm
+    except Exception:
+        for h in registered:
+            eng._maintainers.pop(h, None)
+            eng._sources.pop(h, None)
+        raise
+
+
 #: SELECT … FROM a LEFT|RIGHT|FULL [OUTER] JOIN b ON cond [WHERE p]
 _LEFT_JOIN_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
@@ -3293,7 +3438,11 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     tick — a WARNING names the view and every recognizer that was tried,
     so a typo'd view shape can't silently downgrade)."""
     flat = " ".join(sql.split())
-    known = lambda t: t in eng.tables or t in eng.views
+    # hidden synthesized views (__{name}_sq/_j/_src) live in
+    # eng._maintainers without an eng.views entry — they are valid
+    # upstream sources for further lowering (scalar-subquery stacks)
+    known = lambda t: (t in eng.tables or t in eng.views
+                       or t in eng._maintainers)
     attempts: list[str] = []
 
     def _try(ctor, *a):
@@ -3358,8 +3507,7 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         # upstream maintainer's per-tick output delta is this view's input
         # delta (linear ∘ anything = incremental), so layered view scripts
         # (demo02-style feature stacks) stay O(Δ) end to end
-        if m and (m.group("tbl").lower() in eng.tables
-                  or m.group("tbl").lower() in eng.views):
+        if m and known(m.group("tbl").lower()):
             return _ProjectMaintainer(eng, name, flat,
                                       m.group("tbl").lower())
     u = _split_union(flat)
@@ -3473,6 +3621,13 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and not _GLOBAL_TOPK_BLOCKERS.search(flat)
             and not _analyzed_has_aggregate(eng, flat)):
         r = _try(_GlobalTopKMaintainer, eng, name, flat, m)
+        if r is not None:
+            return r
+    if re.search(r"\(\s*SELECT", flat, re.IGNORECASE):
+        # correlated scalar-aggregate subqueries in the SELECT list
+        # lower to a hidden GROUP BY + LEFT JOIN stack (NOT behind the
+        # aggregate gate: the subquery's own Aggregate node trips it)
+        r = _try(_scalar_subquery_from, eng, name, flat)
         if r is not None:
             return r
     if re.search(r"\(\s*SELECT", flat, re.IGNORECASE) \

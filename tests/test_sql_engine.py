@@ -1343,9 +1343,10 @@ def test_snapshot_diff_fallback_warns(spark, caplog):
         eng.execute("CREATE VIEW ok as SELECT k, v FROM t WHERE k > 0;")
         assert not [r for r in caplog.records
                     if "snapshot-diff" in r.getMessage()]
-        # a global window (no PARTITION BY) has no incremental lowering
+        # global windows now lower (r6); a DESC global ordering is the
+        # remaining no-lowering window shape
         eng.execute("CREATE VIEW bad as SELECT k, v, "
-                    "SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED "
+                    "SUM(v) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED "
                     "PRECEDING AND CURRENT ROW) AS r FROM t;")
     warns = [r.getMessage() for r in caplog.records
              if "snapshot-diff" in r.getMessage()]
@@ -2133,3 +2134,73 @@ def test_not_null_not_in_still_uses_plain_antijoin(spark):
             SELECT ck, nk FROM c WHERE nk NOT IN (SELECT cust FROM o);
     """)
     assert eng.view_strategy("quiet") == "not_in"
+
+
+def test_correlated_scalar_subquery_lowers_and_matches(spark):
+    """Correlated scalar-aggregate subqueries in the select list lower
+    to a hidden GROUP BY + LEFT JOIN stack (all maintained, no
+    snapshot-diff) and match Spark's own evaluation across inserts,
+    retractions, and NULL correlation keys; COUNT subqueries yield 0
+    over empty groups, MAX/SUM stay NULL."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cust (ck BIGINT NOT NULL, nat BIGINT, bal FLOAT64);
+        CREATE TABLE ord (ok BIGINT NOT NULL, ck BIGINT, amt FLOAT64);
+        CREATE VIEW enr as
+            SELECT c.ck, c.bal,
+                   (SELECT MAX(o.amt) FROM ord o
+                    WHERE o.ck = c.ck) AS max_amt,
+                   (SELECT COUNT(*) FROM ord o
+                    WHERE o.ck = c.ck AND o.amt > 5) AS big_n
+            FROM cust c WHERE c.nat < 10;
+    """)
+    assert eng.view_strategy("enr") == "project"
+    assert eng.view_strategy("__enr_f0") == "project"
+    assert eng.view_strategy("__enr_sq0") == "nonlinear_agg"
+    assert eng.view_strategy("__enr_j0") == "left_join"
+    assert eng.view_strategy("__enr_sq1") == "linear_agg"
+    assert eng.view_strategy("__enr_j1") == "left_join"
+    S = "ck bigint, nat bigint, bal double"
+    T = "ok bigint, ck bigint, amt double"
+    batch = """SELECT c.ck, c.bal,
+               (SELECT MAX(o.amt) FROM ord o WHERE o.ck = c.ck) AS max_amt,
+               (SELECT COUNT(*) FROM ord o
+                WHERE o.ck = c.ck AND o.amt > 5) AS big_n
+               FROM cust c WHERE c.nat < 10"""
+
+    def check(tag):
+        want = sorted((tuple(r) for r in spark.sql(batch).collect()),
+                      key=str)
+        got = sorted((tuple(r) for r in eng.view("enr").collect()),
+                     key=str)
+        assert got == want, (tag, got, want)
+
+    eng.push("cust", spark.createDataFrame(
+        [(1, 3, 10.0), (2, 5, 20.0), (3, 22, 5.0), (4, 1, None)], S))
+    eng.step(); check("outer only: empty groups")
+    eng.push("ord", spark.createDataFrame(
+        [(10, 1, 4.0), (11, 1, 9.0), (12, 2, 2.0)], T))
+    eng.step(); check("orders arrive")
+    eng.push("ord", spark.createDataFrame([(11, 1, 9.0)], T), weight=-1)
+    eng.step(); check("max retracts to lower value")
+    eng.push("cust", spark.createDataFrame([(5, 2, 7.0)], S))
+    eng.push("ord", spark.createDataFrame(
+        [(13, 5, 50.0), (14, None, 6.0)], T))
+    eng.step(); check("NULL correlation key never matches")
+
+
+def test_scalar_subquery_unsupported_shapes_fall_back(spark):
+    """Non-aggregate scalars and disjunctive correlation keep the
+    snapshot-diff fallback rather than lowering wrongly."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE b (k BIGINT NOT NULL, w BIGINT);
+        CREATE VIEW bad1 as
+            SELECT a.k, (SELECT b.w FROM b WHERE b.k = a.k) AS w FROM a;
+        CREATE VIEW bad2 as
+            SELECT a.k, (SELECT MAX(b.w) FROM b
+                         WHERE b.k = a.k OR b.w = a.v) AS w FROM a;
+    """)
+    assert eng.view_strategy("bad1") == "differentiate"
+    assert eng.view_strategy("bad2") == "differentiate"
