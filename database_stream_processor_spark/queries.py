@@ -3577,6 +3577,138 @@ def q101_sql_engine_scalar_subquery(spark, sf_dir):
         F.col("urgent_n").cast("long").alias("urgent_n"), "total_c")
 
 
+@register("q102_sql_engine_scalar_where", oracle="""
+WITH od AS (
+  SELECT o_orderkey AS ok, o_custkey AS cust,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders),
+li AS (
+  SELECT l_orderkey AS ok, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c
+  FROM lineitem WHERE l_linenumber <> 3)
+SELECT od.ok, od.cust,
+       od.price_c - (SELECT SUM(li.ext_c) FROM li
+                     WHERE li.ok = od.ok) AS tax_ship_c
+FROM od
+WHERE od.price_c > 2 * (SELECT AVG(li.ext_c) FROM li)
+  AND (SELECT SUM(li.qty) FROM li WHERE li.ok = od.ok) >= 60
+""")
+def q102_sql_engine_scalar_where(spark, sf_dir):
+    """r6 generalization of scalar-subquery lowering: subqueries inside
+    WHERE predicates (TPC-H q17's ``x < k * (SELECT AVG(…) …)`` idiom)
+    and UNCORRELATED subqueries — maintained, never snapshot-diffed.
+    The uncorrelated global AVG lowers through a hidden constant-key
+    projection (``__big_c{i}``) so the existing grouped-agg + equi-join
+    maintainers carry the single scalar row (broadcast-sized at any
+    scale); subquery-free WHERE terms push below the join stack; terms
+    referencing a subquery apply on the final O(Δ) projection.  The
+    reference's SQL frontend compiles the same shape to aggregate +
+    join + filter.  Three ticks: two interleaved inserts, then a
+    retraction (drop l_linenumber = 3) the oracle mirrors with the
+    complementary filter — the uncorrelated AVG moves with it, so the
+    retraction shifts the global bar too."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE od (ok BIGINT NOT NULL, cust BIGINT,
+                         price_c BIGINT);
+        CREATE TABLE li (ok BIGINT NOT NULL, qty BIGINT, ext_c BIGINT);
+        CREATE VIEW big as
+            SELECT od.ok, od.cust,
+                   od.price_c - (SELECT SUM(li.ext_c) FROM li
+                                 WHERE li.ok = od.ok) AS tax_ship_c
+            FROM od
+            WHERE od.price_c > 2 * (SELECT AVG(li.ext_c) FROM li)
+              AND (SELECT SUM(li.qty) FROM li WHERE li.ok = od.ok) >= 60;
+    """)
+    assert eng.view_strategy("big") == "project"
+    assert eng.view_strategy("__big_c1") == "project"
+    assert eng.view_strategy("__big_sq1") == "linear_agg"
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"))
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("ext_c"),
+        F.col("l_linenumber").alias("ln"))
+    for i in range(2):
+        eng.push("od", o.filter(F.col("ok") % 2 == i))
+        eng.push("li", l.filter(F.col("ok") % 2 == i).drop("ln"))
+        eng.step()
+    eng.push("li", l.filter(F.col("ln") == 3).drop("ln"), weight=-1)
+    eng.step()
+    return eng.view("big")
+
+
+@register("q103_sql_engine_tpch_q17", oracle="""
+WITH li AS (
+  SELECT l_orderkey AS lk, l_partkey AS pk,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c
+  FROM lineitem WHERE l_linenumber <> 2),
+pt AS (
+  SELECT p_partkey AS pk, p_brand AS brand FROM part)
+SELECT pt.brand, SUM(li.ext_c) AS total_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM li JOIN pt ON li.pk = pt.pk
+WHERE pt.brand LIKE 'Brand#1%'
+  AND li.qty < 0.5 * (SELECT AVG(l2.qty) FROM li l2
+                      WHERE l2.pk = pt.pk)
+GROUP BY pt.brand
+""")
+def q103_sql_engine_tpch_q17(spark, sf_dir):
+    """TPC-H q17 ("small-quantity-order revenue"), maintained
+    incrementally end to end: the outer FROM is a JOIN chain, the WHERE
+    carries the signature correlated scalar subquery
+    (``l_quantity < k * (SELECT AVG(l_quantity) … WHERE l_partkey =
+    p_partkey)``), and a second stacked view GROUP-BYs the survivors —
+    the r6 span-rewrite + hidden-join-src lowering turns this into
+    join view → per-partkey AVG view → left join → filtered projection
+    → linear agg, every stage O(Δ).  The reference runs q17 through the
+    same aggregate + join decomposition in its SQL frontend.  Emits
+    only BIGINT sums/counts (no raw doubles) for canonicalizer safety.
+    Three ticks: two interleaved inserts, then retract l_linenumber = 2
+    — the per-part AVG bars all move and the oracle mirrors the final
+    state with the complementary filter."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE li (lk BIGINT NOT NULL, pk BIGINT, qty BIGINT,
+                         ext_c BIGINT);
+        CREATE TABLE pt (pk BIGINT NOT NULL, brand VARCHAR);
+        CREATE VIEW flt as
+            SELECT pt.brand, li.ext_c
+            FROM li JOIN pt ON li.pk = pt.pk
+            WHERE pt.brand LIKE 'Brand#1%'
+              AND li.qty < 0.5 * (SELECT AVG(l2.qty) FROM li l2
+                                  WHERE l2.pk = pt.pk);
+        CREATE VIEW q17 as
+            SELECT brand, SUM(ext_c) AS total_c, COUNT(*) AS n
+            FROM flt GROUP BY brand;
+    """)
+    assert eng.view_strategy("flt") == "project"
+    assert eng.view_strategy("__flt_src") == "join"
+    assert eng.view_strategy("__flt_sq0") == "linear_agg"
+    assert eng.view_strategy("q17") == "linear_agg"
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("lk"), F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.col("l_linenumber").alias("ln"))
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand"))
+    for i in range(2):
+        eng.push("li", l.filter(F.col("lk") % 2 == i).drop("ln"))
+        eng.push("pt", p.filter(F.col("pk") % 2 == i))
+        eng.step()
+    eng.push("li", l.filter(F.col("ln") == 2).drop("ln"), weight=-1)
+    eng.step()
+    return eng.view("q17").select(
+        "brand", "total_c", F.col("n").cast("long").alias("n"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3637,11 +3769,9 @@ _WINDOW_ORDER = [
     "q48_rolling_linear",
     "q04_order_priority",
     "q07_customers_without_recent_orders",
-    "q12_rollup_sales",
     "q15_topk_orders_per_priority",
     "q16_acctbal_extremes",
     "q17_union_except_intersect",
-    "q18_event_type_pivot",
     "q20_hopping_window",
     "q22_asof_enrich",
     "q23_watermark_window",
@@ -3649,6 +3779,8 @@ _WINDOW_ORDER = [
     "q99_sql_engine_global_window",
     "q100_sql_engine_nullable_not_in",
     "q101_sql_engine_scalar_subquery",
+    "q102_sql_engine_scalar_where",
+    "q103_sql_engine_tpch_q17",
 ]
 
 

@@ -651,6 +651,9 @@ class _PartitionWindowMaintainer(_ViewMaintainer):
     to :class:`_RollingWindowMaintainer` first and never reach this)."""
 
     kind = "partition_window"
+    #: warn when one tick's touched-partition history exceeds this —
+    #: the signal that a hot partition key is defeating the Δ-bound
+    skew_warn_rows = 5_000_000
 
     def __init__(self, eng, name, sql, m):
         tbl = m.group("tbl").lower()
@@ -722,6 +725,18 @@ class _PartitionWindowMaintainer(_ViewMaintainer):
         t_rows = (keyed_src.join(touched, on=cond, how="left_semi")
                   .drop(*[f"__pw_{i}" for i in range(len(self.keys))])
                   .localCheckpoint(eager=True))
+        n_t = t_rows.count()   # cheap: counts the materialized checkpoint
+        if n_t > self.skew_warn_rows:
+            # touched-partition recompute is ∝ the partitions' FULL
+            # history — a skewed partition (one user = 10% of events)
+            # makes a tick ∝ that history; surface it instead of letting
+            # a "small delta, slow tick" mystery fester
+            _LOG.warning(
+                "view %s: partition-window tick recomputing %d rows of "
+                "touched-partition history (> %d); a hot partition key "
+                "dominates — consider a frame-bounded OVER (RANGE "
+                "BETWEEN …) shape, which lowers to the O(Δ) rolling "
+                "operator instead", self.name, n_t, self.skew_warn_rows)
         new_out = ZSetFrame.from_df(
             eng.eval_on(self._delta_sql, {self.table: t_rows})
             .localCheckpoint(eager=True), 1)
@@ -1215,103 +1230,172 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
         raise
 
 
-#: correlated scalar-aggregate subquery as a select item
-_SCALAR_SQ_ITEM = re.compile(
-    r"^\(\s*SELECT\s+(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*"
+#: scalar-aggregate subquery body (the text inside its parentheses)
+_SCALAR_SQ_INNER = re.compile(
+    r"^\s*SELECT\s+(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*"
     r"\(\s*(?P<arg>\*|[^()]+?)\s*\)\s+"
-    r"FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?(?P<ia>\w+))?\s+"
-    r"WHERE\s+(?P<icond>.+?)\s*\)\s+AS\s+(?P<name>\w+)$",
+    r"FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<ia>\w+))?"
+    r"(?:\s+WHERE\s+(?P<icond>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 
-def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
-    """Correlated scalar-aggregate subqueries in the select list —
-    ``SELECT …, (SELECT MAX(x) FROM t2 WHERE t2.k = t.k) AS m FROM t
-    [WHERE p]`` — lowered as a stack of views that all maintain
-    incrementally (the reference compiles the same shape to an
-    aggregate + outer join pair, SURVEY §2.4/§2.5):
+def _scalar_sq_spans(text: str) -> list[tuple[int, int]]:
+    """Balanced ``( SELECT … )`` spans in *text*, outermost only,
+    skipping single-quoted string literals.  Returns [(start, end)) —
+    end is one past the closing paren."""
+    spans, i, n, in_str = [], 0, len(text), False
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+            i += 1
+            continue
+        if not in_str and ch == "(" \
+                and re.match(r"\(\s*SELECT\b", text[i:], re.IGNORECASE):
+            depth, j, instr2 = 0, i, False
+            while j < n:
+                c = text[j]
+                if c == "'":
+                    instr2 = not instr2
+                elif not instr2:
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j += 1
+            if depth != 0:
+                raise _UnloweredShape("unbalanced subquery parens")
+            spans.append((i, j + 1))
+            i = j + 1
+            continue
+        i += 1
+    return spans
 
-    * one hidden GROUP BY view per subquery
-      (``__{name}_sq{i}``: ``SELECT ik AS __sk{i}, FN(arg) AS __sv{i}
-      FROM inner [WHERE residual] GROUP BY ik`` → linear / touched-group
-      agg maintenance);
+
+def _scalar_sq_join_src(eng: "Engine", name: str, body: str, sel: str,
+                        pred: str | None, register) -> tuple:
+    """JOIN-chain outer FROM for a scalar-subquery view: synthesize a
+    hidden maintained view ``__{name}_src`` carrying every column the
+    outer select/WHERE/correlation terms reference (the
+    `_rolling_over_from` claims discipline), rewrite chain-alias
+    references — including correlation refs INSIDE the subquery spans —
+    to the hidden view's alias ``o0``, and return the rewritten pieces
+    for the ordinary single-table path to lower.  TPC-H q17's
+    ``FROM lineitem JOIN part WHERE … l_quantity < 0.2 * (SELECT
+    AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)``
+    lowers this way: join view → per-partkey AVG view → left join →
+    filtered projection, all O(Δ) maintained."""
+    chain = _parse_aliased_chain(body)
+    if chain is None or any(t not in eng.tables and t not in eng.views
+                            for t, _, _ in chain):
+        raise _UnloweredShape(body)
+    alias_of = {a: t for t, a, _ in chain}
+    alias_for = {t: a for t, a, _ in chain}
+    cols_of = {t: {c.lower() for c in _source_rows0(eng, t).columns}
+               for t, _, _ in chain}
+    qual_re = r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b"
+
+    # scan text for the claims pass: the outer select + WHERE, with each
+    # subquery span reduced to ONLY its chain-qualified correlation refs
+    # (the span's inner alias/table tokens must not leak into claims)
+    pieces = []
+    for text in [sel] + ([pred] if pred else []):
+        last = 0
+        for a, b in _scalar_sq_spans(text):
+            pieces.append(text[last:a])
+            sm = _SCALAR_SQ_INNER.match(text[a + 1:b - 1])
+            if sm is None:
+                raise _UnloweredShape(text[a + 1:b - 1])
+            ia = (sm.group("ia") or sm.group("it")).lower()
+            for qm in re.finditer(qual_re, sm.group("icond") or ""):
+                if qm.group(1).lower() != ia:
+                    pieces.append(" " + qm.group(0) + " ")
+            last = b
+        pieces.append(text[last:])
+    scan = re.sub(r"'[^']*'", " ", " ".join(pieces))
+
+    srcs: dict[str, str] = {}      # bare output col -> qualified source
+
+    def _claim(bare: str, src: str):
+        if srcs.setdefault(bare, src) != src:
+            raise _UnloweredShape(f"ambiguous column {bare}")
+
+    for qm in re.finditer(qual_re, scan):
+        a, b = qm.group(1).lower(), qm.group(2).lower()
+        if a not in alias_of:
+            raise _UnloweredShape(f"unknown qualifier {a}")
+        _claim(b, f"{a}.{b}")
+    for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", scan):
+        b = bm.group(1).lower()
+        pre = scan[:bm.start()].rstrip()
+        if b in _SQL_KEYWORDS or b in srcs or pre.endswith("."):
+            continue
+        owners = [t for t in cols_of if b in cols_of[t]]
+        if len(owners) > 1:
+            raise _UnloweredShape(f"ambiguous column {b}")
+        if owners:
+            _claim(b, f"{alias_for[owners[0]]}.{b}")
+    if not srcs:
+        raise _UnloweredShape("no column references resolved")
+
+    hidden = f"__{name}_src"
+    register(hidden, "SELECT " + ", ".join(
+        f"{src} AS {bare}" for bare, src in srcs.items())
+        + " FROM " + body)
+
+    # every chain-alias-qualified ref (outer text AND inside subquery
+    # spans) now reads the hidden view through alias o0; bare refs are
+    # already the hidden view's bare columns
+    def _requal(m):
+        return (f"o0.{m.group(2)}" if m.group(1).lower() in alias_of
+                else m.group(0))
+
+    sel = _sub_outside_literals(qual_re, _requal, sel)
+    if pred:
+        pred = _sub_outside_literals(qual_re, _requal, pred)
+    return hidden, "o0", sel, pred
+
+
+def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
+    """Scalar-aggregate subqueries anywhere in the select list or WHERE
+    clause of a single-table SELECT — correlated
+    (``(SELECT MAX(x) FROM t2 WHERE t2.k = t.k)``) or uncorrelated
+    (``(SELECT AVG(x) FROM t2)``) — lowered as a stack of views that
+    all maintain incrementally (the reference compiles the same shape
+    to an aggregate + outer join pair, SURVEY §2.4/§2.5):
+
+    * one hidden GROUP BY view per subquery (``__{name}_sq{i}``) —
+      keyed on the correlation column, or on a constant ``__ck`` (via a
+      hidden projection ``__{name}_c{i}`` that stamps it) when
+      uncorrelated → linear / touched-group agg maintenance;
     * one hidden LEFT JOIN view per subquery chaining the scalar column
       onto the outer rows (touched-key outer-join maintenance);
-    * the view itself becomes a plain projection over the last join,
+    * the view itself becomes a plain projection (+ residual WHERE for
+      predicates that mention a subquery, e.g. TPC-H q17's
+      ``l_quantity < 0.2 * (SELECT AVG(…) …)``) over the last join,
       with ``COUNT`` subqueries wrapped in ``COALESCE(…, 0)`` (a scalar
       COUNT over an empty group is 0, not the NULL a left join pads).
+      Subquery-free WHERE terms are pushed below the join stack.
 
-    NULL correlation keys fall out correctly: they never equi-match, so
-    the subquery evaluates over the empty set — NULL (or 0 for COUNT) —
-    exactly what the left join pads.  Raises :class:`_UnloweredShape`
-    for non-aggregate scalars, disjunctive or non-equi correlation, and
-    subqueries anywhere but the select list."""
+    Empty/never-matching groups fall out correctly: the left join pads
+    NULL (0 for COUNT), so select items carry SQL's NULL scalar and
+    WHERE comparisons against it are UNKNOWN → row filtered — exactly
+    DuckDB's one-shot semantics.  Raises :class:`_UnloweredShape` for
+    non-aggregate scalars and disjunctive or non-equi correlation.
+
+    A JOIN-chain outer FROM (TPC-H q17's ``lineitem JOIN part``)
+    synthesizes a hidden maintained view ``__{name}_src`` for the join
+    (the `_rolling_over_from` pattern) and layers the subquery stack on
+    top — correlation terms inside the subqueries may reference any
+    chain alias."""
     parts = _split_select_from(flat)
     if parts is None:
         raise _UnloweredShape(flat)
     sel, rest = parts
     body, pred = _split_where(rest)
-    om = re.match(r"^(?P<ot>\w+)(?:\s+(?:AS\s+)?(?P<oa>\w+))?\s*$", body)
-    if om is None:
-        raise _UnloweredShape(body)
-    ot = om.group("ot").lower()
-    oa = (om.group("oa") or om.group("ot")).lower()
-    if not (ot in eng.tables or ot in eng.views):
-        raise _UnloweredShape(ot)
-    if pred and re.search(r"\(\s*SELECT", pred, re.IGNORECASE):
-        raise _UnloweredShape("subquery in WHERE")
-    ocols = {f.name.lower() for f in _source_rows0(eng, ot).schema.fields}
 
-    items = [s.strip() for s in _split_top_level(sel)]
-    subs: list[dict] = []          # parsed scalar subqueries, in order
-    out_items: list[str] = []      # final projection items
-    for it in items:
-        sm = _SCALAR_SQ_ITEM.match(it)
-        if sm is None:
-            if re.search(r"\(\s*SELECT", it, re.IGNORECASE):
-                raise _UnloweredShape(f"unsupported subquery item: {it}")
-            out_items.append(it)
-            continue
-        i = len(subs)
-        itbl = sm.group("it").lower()
-        ia = (sm.group("ia") or sm.group("it")).lower()
-        if not (itbl in eng.tables or itbl in eng.views) or itbl == ot:
-            raise _UnloweredShape(itbl)
-        icols = {f.name.lower()
-                 for f in _source_rows0(eng, itbl).schema.fields}
-        ok = ik = None
-        residual = []
-        for term in _split_top_and(sm.group("icond")):
-            pm = _EQ_PAIR.match(term)
-            if pm:
-                q1, c1, q2, c2 = pm.groups()
-                q1, q2 = q1.lower(), q2.lower()
-                if {q1, q2} == {ia, oa} and ok is None:
-                    ok, ik = (c2, c1) if q1 == ia else (c1, c2)
-                    continue
-            if not _refs_only(term, {ia}, icols):
-                raise _UnloweredShape(f"correlation term: {term}")
-            residual.append(term)
-        if ok is None or ok.lower() not in ocols \
-                or ik.lower() not in icols:
-            raise _UnloweredShape("no single equi-correlation")
-        fn = sm.group("fn").upper()
-        # the hidden view keeps the agg recognizers' canonical shape:
-        # bare key, no table alias (key AS alias wouldn't match)
-        deal_i = lambda t: _sub_outside_literals(
-            rf"\b{ia}\s*\.\s*", "", t, re.IGNORECASE)
-        res = (" WHERE " + " AND ".join(deal_i(t) for t in residual)
-               if residual else "")
-        sq_sql = (f"SELECT {ik}, {fn}({deal_i(sm.group('arg'))}) "
-                  f"AS __sv{i} FROM {itbl}{res} GROUP BY {ik}")
-        subs.append({"sql": sq_sql, "ok": ok, "ik": ik, "fn": fn})
-        val = f"COALESCE(__sv{i}, 0)" if fn == "COUNT" else f"__sv{i}"
-        out_items.append(f"{val} AS {sm.group('name')}")
-    if not subs:
-        raise _UnloweredShape("no scalar subquery items")
-
-    dealias = lambda t: _sub_outside_literals(rf"\b{oa}\s*\.\s*", "", t,
-                                              re.IGNORECASE)
     registered: list[str] = []
 
     def _register(hname: str, hsql: str) -> None:
@@ -1327,17 +1411,141 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         hm.state.current.rows().createOrReplaceTempView(hname)
         registered.append(hname)
 
+    def _fail_cleanup():
+        for h in registered:
+            eng._maintainers.pop(h, None)
+            eng._sources.pop(h, None)
+
+    om = re.match(r"^(?P<ot>\w+)(?:\s+(?:AS\s+)?(?P<oa>\w+))?\s*$", body)
+    try:
+        if om is not None and (om.group("ot").lower() in eng.tables
+                               or om.group("ot").lower() in eng.views):
+            ot = om.group("ot").lower()
+            oa = (om.group("oa") or om.group("ot")).lower()
+        else:
+            ot, oa, sel, pred = _scalar_sq_join_src(
+                eng, name, body, sel, pred, _register)
+    except Exception:
+        _fail_cleanup()
+        raise
+    ocols = {f.name.lower() for f in _source_rows0(eng, ot).schema.fields}
+    if "__ck" in ocols:
+        _fail_cleanup()
+        raise _UnloweredShape("outer column __ck collides")
+
+    subs: list[dict] = []          # parsed scalar subqueries, in order
+
+    def _parse_sq(inner: str) -> int:
+        """Parse one subquery body; append to *subs*; return its index."""
+        sm = _SCALAR_SQ_INNER.match(inner)
+        if sm is None:
+            raise _UnloweredShape(f"unsupported subquery: {inner}")
+        i = len(subs)
+        itbl = sm.group("it").lower()
+        ia = (sm.group("ia") or sm.group("it")).lower()
+        if not (itbl in eng.tables or itbl in eng.views) or itbl == ot:
+            raise _UnloweredShape(itbl)
+        icols = {f.name.lower()
+                 for f in _source_rows0(eng, itbl).schema.fields}
+        ok = ik = None
+        residual = []
+        for term in _split_top_and(sm.group("icond") or ""):
+            pm = _EQ_PAIR.match(term)
+            if pm:
+                q1, c1, q2, c2 = pm.groups()
+                q1, q2 = q1.lower(), q2.lower()
+                if {q1, q2} == {ia, oa} and ok is None:
+                    ok, ik = (c2, c1) if q1 == ia else (c1, c2)
+                    continue
+            if not _refs_only(term, {ia}, icols):
+                raise _UnloweredShape(f"correlation term: {term}")
+            residual.append(term)
+        fn = sm.group("fn").upper()
+        arg = sm.group("arg")
+        if arg != "*" and not _refs_only(arg, {ia}, icols):
+            raise _UnloweredShape(f"subquery arg refs outer: {arg}")
+        # the hidden view keeps the agg recognizers' canonical shape:
+        # bare key, no table alias (key AS alias wouldn't match)
+        deal_i = lambda t: _sub_outside_literals(
+            rf"\b{ia}\s*\.\s*", "", t, re.IGNORECASE)
+        res = (" WHERE " + " AND ".join(deal_i(t) for t in residual)
+               if residual else "")
+        if ok is not None:
+            if ok.lower() not in ocols or ik.lower() not in icols:
+                raise _UnloweredShape("no single equi-correlation")
+            sq_sql = (f"SELECT {ik}, {fn}({deal_i(arg)}) "
+                      f"AS __sv{i} FROM {itbl}{res} GROUP BY {ik}")
+            subs.append({"sq": sq_sql, "ok": ok, "ik": ik, "fn": fn,
+                         "c": None})
+        else:
+            # uncorrelated: a hidden projection stamps a constant key
+            # so the existing grouped-agg + equi-join maintainers carry
+            # the single scalar row (broadcast-sized at any scale)
+            if "__ck" in icols:
+                raise _UnloweredShape("inner column __ck collides")
+            inner_cols = list(_source_rows0(eng, itbl).columns)
+            c_sql = (f"SELECT 1 AS __ck, "
+                     + ", ".join(deal_i(c) for c in inner_cols)
+                     + f" FROM {itbl}{res}")
+            sq_sql = (f"SELECT __ck, {fn}({deal_i(arg)}) AS __sv{i} "
+                      f"FROM __{name}_c{i} GROUP BY __ck")
+            subs.append({"sq": sq_sql, "ok": "__ck", "ik": "__ck",
+                         "fn": fn, "c": c_sql})
+        return i
+
+    def _rewrite(text: str) -> str:
+        """Replace every scalar-subquery span with its __sv column."""
+        out, last = [], 0
+        for a, b in _scalar_sq_spans(text):
+            i = _parse_sq(text[a + 1:b - 1])
+            val = (f"COALESCE(__sv{i}, 0)" if subs[i]["fn"] == "COUNT"
+                   else f"__sv{i}")
+            out.append(text[last:a])
+            out.append(val)
+            last = b
+        out.append(text[last:])
+        return "".join(out)
+
+    try:
+        new_sel = _rewrite(sel)
+        pushable: list[str] = []   # subquery-free WHERE → below joins
+        post: list[str] = []       # WHERE terms with a __sv → on top
+        if pred:
+            for term in _split_top_and(pred):
+                if _scalar_sq_spans(term):
+                    post.append(_rewrite(term))
+                else:
+                    pushable.append(term)
+        if not subs:
+            raise _UnloweredShape("no scalar subquery items")
+    except Exception:
+        _fail_cleanup()
+        raise
+
+    dealias = lambda t: _sub_outside_literals(rf"\b{oa}\s*\.\s*", "", t,
+                                              re.IGNORECASE)
+    need_ck = any(s["c"] is not None for s in subs)
     try:
         cur, cur_cols = ot, list(_source_rows0(eng, ot).columns)
-        if pred:
-            # push the outer WHERE below the join stack: every hidden
-            # join then carries only qualifying rows (the 100 TB
-            # version of predicate pushdown across the view stack)
+        if pushable or need_ck:
+            # push the subquery-free WHERE terms below the join stack —
+            # every hidden join then carries only qualifying rows (the
+            # 100 TB version of predicate pushdown across the view
+            # stack); the same bootstrap stamps __ck when an
+            # uncorrelated subquery needs the constant join key
+            f_sel = (", ".join(cur_cols)
+                     + (", 1 AS __ck" if need_ck else ""))
+            f_pred = (" WHERE " + dealias(" AND ".join(pushable))
+                      if pushable else "")
             _register(f"__{name}_f0",
-                      f"SELECT * FROM {ot} WHERE {dealias(pred)}")
+                      f"SELECT {f_sel} FROM {ot}{f_pred}")
             cur = f"__{name}_f0"
+            if need_ck:
+                cur_cols = cur_cols + ["__ck"]
         for i, sub in enumerate(subs):
-            _register(f"__{name}_sq{i}", sub["sql"])
+            if sub["c"] is not None:
+                _register(f"__{name}_c{i}", sub["c"])
+            _register(f"__{name}_sq{i}", sub["sq"])
             jname = f"__{name}_j{i}"
             j_sel = (", ".join(f"p.{c} AS {c}" for c in cur_cols)
                      + "".join(f", p.__sv{k} AS __sv{k}"
@@ -1347,16 +1555,16 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
                      f"__{name}_sq{i} s ON p.{sub['ok']} = s.{sub['ik']}")
             _register(jname, j_sql)
             cur = jname
-        final = f"SELECT {dealias(', '.join(out_items))} FROM {cur}"
+        final = f"SELECT {dealias(new_sel)} FROM {cur}"
+        if post:
+            final += f" WHERE {dealias(' AND '.join(post))}"
         fm = _lower_view(eng, name, final)
         if fm.kind == "differentiate":
             raise _UnloweredShape(f"final projection snapshot-diffs: "
                                   f"{final}")
         return fm
     except Exception:
-        for h in registered:
-            eng._maintainers.pop(h, None)
-            eng._sources.pop(h, None)
+        _fail_cleanup()
         raise
 
 
@@ -3553,8 +3761,7 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             if r is not None:
                 return r
     m = _AGG_RE.match(flat)
-    if (m and (m.group("tbl").lower() in eng.tables
-               or m.group("tbl").lower() in eng.views)
+    if (m and known(m.group("tbl").lower())
             and not _AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_agg_items(m.group("sel"), keys)
@@ -3573,8 +3780,7 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     m = _AGG_RE.match(flat)
     # the per-tick partials run over the delta alone (eval_on rebinding),
     # so an upstream maintained view's output delta works like a table's
-    if (m and (m.group("tbl").lower() in eng.tables
-               or m.group("tbl").lower() in eng.views)
+    if (m and known(m.group("tbl").lower())
             and not _DISTINCT_AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
         spec = _match_distinct_agg_items(m.group("sel"), keys)

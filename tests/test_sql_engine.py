@@ -2204,3 +2204,165 @@ def test_scalar_subquery_unsupported_shapes_fall_back(spark):
     """)
     assert eng.view_strategy("bad1") == "differentiate"
     assert eng.view_strategy("bad2") == "differentiate"
+
+
+def test_scalar_subquery_in_where_and_uncorrelated(spark):
+    """r6 generalization: scalar subqueries inside WHERE predicates
+    (TPC-H q17's ``x < 0.2 * (SELECT AVG(…) …)`` shape), uncorrelated
+    subqueries (lowered through a constant-key hidden projection), and
+    subqueries embedded in larger select expressions — all maintained,
+    matching Spark's own evaluation across inserts and retractions."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ord (ok BIGINT NOT NULL, cust BIGINT, price BIGINT);
+        CREATE TABLE li (lk BIGINT NOT NULL, ok BIGINT, qty BIGINT);
+        CREATE TABLE ord2 (ok BIGINT NOT NULL, price BIGINT);
+        CREATE VIEW big as
+            SELECT o.ok, o.cust,
+                   o.price - (SELECT SUM(l.qty) FROM li l
+                              WHERE l.ok = o.ok) AS net
+            FROM ord o
+            WHERE o.price > (SELECT AVG(l2.price) FROM ord2 l2)
+              AND (SELECT COUNT(*) FROM li l3 WHERE l3.ok = o.ok) >= 2;
+    """)
+    assert eng.view_strategy("big") == "project"
+    # constant-key bootstrap + per-subquery hidden stacks
+    assert eng.view_strategy("__big_f0") == "project"
+    assert eng.view_strategy("__big_sq0") == "linear_agg"   # SUM
+    assert eng.view_strategy("__big_c1") == "project"       # __ck stamp
+    assert eng.view_strategy("__big_sq1") == "linear_agg"   # AVG
+    assert eng.view_strategy("__big_sq2") == "linear_agg"   # COUNT
+    assert eng.view_strategy("__big_j2") == "left_join"
+    O = "ok bigint, cust bigint, price bigint"
+    L = "lk bigint, ok bigint, qty bigint"
+    O2 = "ok bigint, price bigint"
+    batch = """SELECT o.ok, o.cust,
+               o.price - (SELECT SUM(l.qty) FROM li l
+                          WHERE l.ok = o.ok) AS net
+               FROM ord o
+               WHERE o.price > (SELECT AVG(l2.price) FROM ord2 l2)
+                 AND (SELECT COUNT(*) FROM li l3 WHERE l3.ok = o.ok) >= 2"""
+
+    def check(tag):
+        want = sorted((tuple(r) for r in spark.sql(batch).collect()),
+                      key=str)
+        got = sorted((tuple(r) for r in eng.view("big").collect()),
+                     key=str)
+        assert got == want, (tag, got, want)
+
+    eng.push("ord", spark.createDataFrame(
+        [(1, 7, 100), (2, 7, 30), (3, 8, 90)], O))
+    eng.push("ord2", spark.createDataFrame([(1, 100), (2, 30)], O2))
+    eng.step(); check("no lineitems yet: COUNT()=0 filters all")
+    eng.push("li", spark.createDataFrame(
+        [(10, 1, 5), (11, 1, 7), (12, 3, 2), (13, 3, 4)], L))
+    eng.step(); check("both subquery predicates satisfiable")
+    # retract a lineitem: ok=3 drops below the COUNT>=2 bar
+    eng.push("li", spark.createDataFrame([(13, 3, 4)], L), weight=-1)
+    eng.step(); check("count retraction removes a row")
+    # shift the global average up: ok=3 (price 90) must drop out
+    eng.push("ord2", spark.createDataFrame([(3, 95)], O2))
+    eng.step(); check("uncorrelated AVG moves the bar")
+
+
+def test_scalar_subquery_where_empty_inner_filters(spark):
+    """A WHERE comparison against a scalar subquery over an empty inner
+    table is UNKNOWN → all rows filtered (NULL semantics, not 0)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE s (k BIGINT NOT NULL, v BIGINT);
+        CREATE VIEW w as
+            SELECT t.k FROM t
+            WHERE t.v > (SELECT MIN(s.v) FROM s WHERE s.k = t.k);
+    """)
+    assert eng.view_strategy("w") == "project"
+    eng.push("t", spark.createDataFrame([(1, 10), (2, 20)],
+                                        "k bigint, v bigint"))
+    eng.step()
+    assert eng.view("w").count() == 0
+    eng.push("s", spark.createDataFrame([(1, 5)], "k bigint, v bigint"))
+    eng.step()
+    assert [r["k"] for r in eng.view("w").collect()] == [1]
+
+
+def test_partition_window_skew_guard_warns(spark, caplog):
+    """A tick whose touched-partition history exceeds skew_warn_rows
+    logs the hot-partition warning (and still produces correct output)."""
+    import logging
+    from database_stream_processor_spark.sql import (
+        _PartitionWindowMaintainer)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (u BIGINT NOT NULL, ts BIGINT NOT NULL,
+                         amt BIGINT);
+        CREATE VIEW lagged as
+            SELECT u, ts, LAG(amt) OVER (PARTITION BY u ORDER BY ts)
+                       AS prev_amt
+            FROM ev;
+    """)
+    assert eng.view_strategy("lagged") == "partition_window"
+    m = eng._maintainers["lagged"]
+    orig = _PartitionWindowMaintainer.skew_warn_rows
+    m.skew_warn_rows = 3
+    try:
+        eng.push("ev", spark.createDataFrame(
+            [(1, t, t * 10) for t in range(5)],
+            "u bigint, ts bigint, amt bigint"))
+        with caplog.at_level(logging.WARNING,
+                             logger="database_stream_processor_spark.sql"):
+            eng.step()
+        assert any("touched-partition history" in r.getMessage()
+                   for r in caplog.records)
+        assert eng.view("lagged").count() == 5
+    finally:
+        m.skew_warn_rows = orig
+
+
+def test_scalar_subquery_over_join_from(spark):
+    """TPC-H q17's shape: outer FROM is a JOIN chain, with a correlated
+    scalar subquery in WHERE referencing a chain alias — lowers through
+    a hidden join view (__src) + hidden agg/join stack, and matches
+    Spark's own evaluation across inserts and retractions."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE li (lk BIGINT NOT NULL, pk BIGINT, qty BIGINT,
+                         ext BIGINT);
+        CREATE TABLE pt (pk BIGINT NOT NULL, brand VARCHAR);
+        CREATE VIEW q17 as
+            SELECT l.lk, l.ext
+            FROM li l JOIN pt p ON l.pk = p.pk
+            WHERE p.brand = 'B1'
+              AND l.qty * 10 < 2 * (SELECT SUM(l2.qty) FROM li l2
+                                    WHERE l2.pk = p.pk);
+    """)
+    assert eng.view_strategy("q17") == "project"
+    assert eng.view_strategy("__q17_src") == "join"
+    assert eng.view_strategy("__q17_sq0") == "linear_agg"
+    assert eng.view_strategy("__q17_j0") == "left_join"
+    L = "lk bigint, pk bigint, qty bigint, ext bigint"
+    batch = """SELECT l.lk, l.ext FROM li l JOIN pt p ON l.pk = p.pk
+               WHERE p.brand = 'B1'
+                 AND l.qty * 10 < 2 * (SELECT SUM(l2.qty) FROM li l2
+                                       WHERE l2.pk = p.pk)"""
+
+    def check(tag):
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("q17").collect())
+        assert got == want, (tag, got, want)
+
+    eng.push("li", spark.createDataFrame(
+        [(1, 100, 1, 11), (2, 100, 5, 22), (3, 100, 4, 33),
+         (4, 200, 1, 44)], L))
+    eng.push("pt", spark.createDataFrame(
+        [(100, "B1"), (200, "B2")], "pk bigint, brand string"))
+    eng.step(); check("insert")
+    # retract lk=2: the per-pk SUM drops and lk=1 falls out with it
+    eng.push("li", spark.createDataFrame([(2, 100, 5, 22)], L), weight=-1)
+    eng.step(); check("retraction moves the correlated bar")
+    eng.push("pt", spark.createDataFrame([(200, "B2")],
+                                         "pk bigint, brand string"),
+             weight=-1)
+    eng.push("pt", spark.createDataFrame([(200, "B1")],
+                                         "pk bigint, brand string"))
+    eng.step(); check("dim update re-qualifies a partition")
