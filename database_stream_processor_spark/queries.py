@@ -3709,6 +3709,192 @@ def q103_sql_engine_tpch_q17(spark, sf_dir):
         "brand", "total_c", F.col("n").cast("long").alias("n"))
 
 
+@register("q104_sql_engine_tpch_q15", oracle="""
+WITH li AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+  FROM lineitem WHERE l_linenumber <> 4),
+revenue0 AS (
+  SELECT supplier_no, SUM(rev_c) AS total_revenue
+  FROM li GROUP BY supplier_no),
+sup AS (SELECT s_suppkey AS sk, s_name AS sname FROM supplier)
+SELECT sup.sk, sup.sname, revenue0.total_revenue
+FROM sup JOIN revenue0 ON sup.sk = revenue0.supplier_no
+WHERE revenue0.total_revenue = (SELECT MAX(total_revenue)
+                                FROM revenue0)
+""")
+def q104_sql_engine_tpch_q15(spark, sf_dir):
+    """TPC-H q15 ("top supplier"), maintained incrementally: a revenue
+    view (linear SUM per supplier), then a join of supplier onto it
+    whose WHERE holds the signature UNCORRELATED scalar subquery over
+    the VIEW itself — ``total_revenue = (SELECT MAX(total_revenue)
+    FROM revenue0)``.  Lowers as revenue view → hidden join src →
+    constant-key MAX view (touched-group recompute, so a retraction
+    that dethrones the top supplier re-derives the new max) → left
+    join → filtered projection.  Revenue stays in integer
+    cents×discount-bps so no raw double ever reaches the driver's
+    canonicalizer.  Three ticks: two interleaved inserts, then retract
+    l_linenumber = 4 — the global max moves and the winner can change."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE li (supplier_no BIGINT NOT NULL, rev_c BIGINT);
+        CREATE TABLE sup (sk BIGINT NOT NULL, sname VARCHAR);
+        CREATE VIEW revenue0 as
+            SELECT supplier_no, SUM(rev_c) AS total_revenue
+            FROM li GROUP BY supplier_no;
+        CREATE VIEW top_supplier as
+            SELECT s.sk, s.sname, r.total_revenue
+            FROM sup s JOIN revenue0 r ON s.sk = r.supplier_no
+            WHERE r.total_revenue = (SELECT MAX(total_revenue)
+                                     FROM revenue0);
+    """)
+    assert eng.view_strategy("revenue0") == "linear_agg"
+    assert eng.view_strategy("top_supplier") == "project"
+    assert eng.view_strategy("__top_supplier_src") == "join"
+    assert eng.view_strategy("__top_supplier_sq0") == "nonlinear_agg"
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supplier_no"),
+        (F.floor(F.col("l_extendedprice") * 100).cast("long")
+         * (F.lit(100) - F.round(F.col("l_discount") * 100)
+            .cast("long"))).alias("rev_c"),
+        F.col("l_linenumber").alias("ln"))
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_name").alias("sname"))
+    for i in range(2):
+        eng.push("li", l.filter(F.col("supplier_no") % 2 == i).drop("ln"))
+        eng.push("sup", s.filter(F.col("sk") % 2 == i))
+        eng.step()
+    eng.push("li", l.filter(F.col("ln") == 4).drop("ln"), weight=-1)
+    eng.step()
+    return eng.view("top_supplier")
+
+
+@register("q105_sql_engine_tpch_q20", oracle="""
+WITH li AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(l_quantity AS BIGINT) AS qty, l_linenumber AS ln
+  FROM lineitem),
+ps AS (
+  SELECT pk, sk, qty * 3 AS avail FROM li WHERE ln = 1),
+lf AS (SELECT pk, sk, qty FROM li WHERE ln <> 5)
+SELECT ps.pk, ps.sk, ps.avail
+FROM ps
+WHERE ps.avail * 2 > (SELECT SUM(lf.qty) FROM lf
+                      WHERE lf.pk = ps.pk AND lf.sk = ps.sk)
+""")
+def q105_sql_engine_tpch_q20(spark, sf_dir):
+    """TPC-H q20's signature predicate ("excess stock"): a correlated
+    scalar subquery on a COMPOSITE key — ``ps_availqty > k * (SELECT
+    SUM(l_quantity) … WHERE l_partkey = ps_partkey AND l_suppkey =
+    ps_suppkey)``.  The r6 lowering collects every outer-inner equality
+    into one multi-column GROUP BY view and a conjunctive equi-join —
+    at 100 TB both stay key-partitioned shuffles with no row explosion.
+    Three ticks: two inserts, then retract l_linenumber = 5 rows so the
+    per-(pk,sk) sums shift."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ps (pk BIGINT NOT NULL, sk BIGINT, avail BIGINT);
+        CREATE TABLE lf (pk BIGINT NOT NULL, sk BIGINT, qty BIGINT);
+        CREATE VIEW q20 as
+            SELECT ps.pk, ps.sk, ps.avail FROM ps
+            WHERE ps.avail * 2 > (SELECT SUM(l.qty) FROM lf l
+                                  WHERE l.pk = ps.pk AND l.sk = ps.sk);
+    """)
+    assert eng.view_strategy("q20") == "project"
+    assert eng.view_strategy("__q20_sq0") == "linear_agg"
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_linenumber").alias("ln"))
+    for i in range(2):
+        eng.push("ps", li.filter((F.col("ln") == 1)
+                                 & (F.col("pk") % 2 == i))
+                 .select("pk", "sk",
+                         (F.col("qty") * 3).alias("avail")))
+        eng.push("lf", li.filter(F.col("pk") % 2 == i)
+                 .select("pk", "sk", "qty"))
+        eng.step()
+    eng.push("lf", li.filter(F.col("ln") == 5).select("pk", "sk", "qty"),
+             weight=-1)
+    eng.step()
+    return eng.view("q20")
+
+
+@register("q106_sql_engine_tpch_q22", oracle="""
+WITH cu AS (
+  SELECT c_custkey AS ck, c_mktsegment AS cc,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer),
+od AS (
+  SELECT o_orderkey AS ok, o_custkey AS cust FROM orders
+  WHERE o_orderkey % 5 <> 0 AND o_custkey % 7 <> 0),
+potential AS (
+  SELECT cu.ck, cu.cc, cu.bal_c FROM cu
+  WHERE cu.bal_c > (SELECT AVG(c2.bal_c) FROM cu c2
+                    WHERE c2.bal_c > 0)),
+noord AS (
+  SELECT p.ck, p.cc, p.bal_c FROM potential p
+  WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.cust = p.ck))
+SELECT cc, CAST(COUNT(*) AS BIGINT) AS numcust,
+       SUM(bal_c) AS totacctbal_c
+FROM noord GROUP BY cc
+""")
+def q106_sql_engine_tpch_q22(spark, sf_dir):
+    """TPC-H q22 ("global sales opportunity"), complete, as a stack of
+    maintained views: (1) ``potential`` — customers above the global
+    positive-balance average, an UNCORRELATED scalar subquery over the
+    OUTER TABLE ITSELF (the r6 lowering no longer requires inner ≠
+    outer: SQL scoping makes the inner alias's rows independent of the
+    outer row, so the hidden constant-key AVG view just reads the same
+    table); (2) ``noord`` — NOT EXISTS anti-join against orders;
+    (3) ``custsale`` — COUNT/SUM per country code.  Every stage is
+    O(Δ) maintained; the reference compiles q22 to the same
+    aggregate + antijoin pipeline.  Balance cents stay BIGINT (the AVG
+    appears only inside a comparison, never in the output).  Three
+    ticks: two inserts, then retract o_orderkey % 5 = 0 orders — losing
+    orders can move customers INTO the anti-join result."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cu (ck BIGINT NOT NULL, cc VARCHAR, bal_c BIGINT);
+        CREATE TABLE od (ok BIGINT NOT NULL, cust BIGINT);
+        CREATE VIEW potential as
+            SELECT c.ck, c.cc, c.bal_c FROM cu c
+            WHERE c.bal_c > (SELECT AVG(c2.bal_c) FROM cu c2
+                             WHERE c2.bal_c > 0);
+        CREATE VIEW noord as
+            SELECT p.ck, p.cc, p.bal_c FROM potential p
+            WHERE NOT EXISTS (SELECT 1 FROM od
+                              WHERE od.cust = p.ck);
+        CREATE VIEW custsale as
+            SELECT cc, COUNT(*) AS numcust, SUM(bal_c) AS totacctbal_c
+            FROM noord GROUP BY cc;
+    """)
+    assert eng.view_strategy("potential") == "project"
+    assert eng.view_strategy("__potential_c0") == "project"
+    assert eng.view_strategy("custsale") == "linear_agg"
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("cc"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("cust")).filter(
+        F.col("cust") % 7 != 0)
+    for i in range(2):
+        eng.push("cu", c.filter(F.col("ck") % 2 == i))
+        eng.push("od", o.filter(F.col("ok") % 2 == i))
+        eng.step()
+    eng.push("od", o.filter(F.col("ok") % 5 == 0), weight=-1)
+    eng.step()
+    return eng.view("custsale").select(
+        "cc", F.col("numcust").cast("long").alias("numcust"),
+        "totacctbal_c")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3767,20 +3953,20 @@ _WINDOW_ORDER = [
     "nx_q19_auction_top10_prices",
     "q44_incremental_closure",
     "q48_rolling_linear",
-    "q04_order_priority",
     "q07_customers_without_recent_orders",
     "q15_topk_orders_per_priority",
     "q16_acctbal_extremes",
     "q17_union_except_intersect",
     "q20_hopping_window",
-    "q22_asof_enrich",
-    "q23_watermark_window",
     # round-6 additions (never driver-checked)
     "q99_sql_engine_global_window",
     "q100_sql_engine_nullable_not_in",
     "q101_sql_engine_scalar_subquery",
     "q102_sql_engine_scalar_where",
     "q103_sql_engine_tpch_q17",
+    "q104_sql_engine_tpch_q15",
+    "q105_sql_engine_tpch_q20",
+    "q106_sql_engine_tpch_q22",
 ]
 
 

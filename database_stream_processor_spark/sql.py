@@ -1443,19 +1443,24 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         i = len(subs)
         itbl = sm.group("it").lower()
         ia = (sm.group("ia") or sm.group("it")).lower()
-        if not (itbl in eng.tables or itbl in eng.views) or itbl == ot:
+        if not (itbl in eng.tables or itbl in eng.views):
             raise _UnloweredShape(itbl)
         icols = {f.name.lower()
                  for f in _source_rows0(eng, itbl).schema.fields}
-        ok = ik = None
+        oks, iks = [], []          # composite equi-correlation (q20)
         residual = []
         for term in _split_top_and(sm.group("icond") or ""):
             pm = _EQ_PAIR.match(term)
             if pm:
                 q1, c1, q2, c2 = pm.groups()
                 q1, q2 = q1.lower(), q2.lower()
-                if {q1, q2} == {ia, oa} and ok is None:
+                if {q1, q2} == {ia, oa} and ia != oa:
                     ok, ik = (c2, c1) if q1 == ia else (c1, c2)
+                    if ok.lower() not in ocols or ik.lower() not in icols \
+                            or ik.lower() in [k.lower() for k in iks]:
+                        raise _UnloweredShape(f"correlation term: {term}")
+                    oks.append(ok)
+                    iks.append(ik)
                     continue
             if not _refs_only(term, {ia}, icols):
                 raise _UnloweredShape(f"correlation term: {term}")
@@ -1470,12 +1475,11 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
             rf"\b{ia}\s*\.\s*", "", t, re.IGNORECASE)
         res = (" WHERE " + " AND ".join(deal_i(t) for t in residual)
                if residual else "")
-        if ok is not None:
-            if ok.lower() not in ocols or ik.lower() not in icols:
-                raise _UnloweredShape("no single equi-correlation")
-            sq_sql = (f"SELECT {ik}, {fn}({deal_i(arg)}) "
-                      f"AS __sv{i} FROM {itbl}{res} GROUP BY {ik}")
-            subs.append({"sq": sq_sql, "ok": ok, "ik": ik, "fn": fn,
+        if oks:
+            sq_sql = (f"SELECT {', '.join(iks)}, {fn}({deal_i(arg)}) "
+                      f"AS __sv{i} FROM {itbl}{res} "
+                      f"GROUP BY {', '.join(iks)}")
+            subs.append({"sq": sq_sql, "oks": oks, "iks": iks, "fn": fn,
                          "c": None})
         else:
             # uncorrelated: a hidden projection stamps a constant key
@@ -1489,7 +1493,7 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
                      + f" FROM {itbl}{res}")
             sq_sql = (f"SELECT __ck, {fn}({deal_i(arg)}) AS __sv{i} "
                       f"FROM __{name}_c{i} GROUP BY __ck")
-            subs.append({"sq": sq_sql, "ok": "__ck", "ik": "__ck",
+            subs.append({"sq": sq_sql, "oks": ["__ck"], "iks": ["__ck"],
                          "fn": fn, "c": c_sql})
         return i
 
@@ -1551,8 +1555,11 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
                      + "".join(f", p.__sv{k} AS __sv{k}"
                                for k in range(i))
                      + f", s.__sv{i} AS __sv{i}")
+            j_cond = " AND ".join(
+                f"p.{ok} = s.{ik}"
+                for ok, ik in zip(sub["oks"], sub["iks"]))
             j_sql = (f"SELECT {j_sel} FROM {cur} p LEFT JOIN "
-                     f"__{name}_sq{i} s ON p.{sub['ok']} = s.{sub['ik']}")
+                     f"__{name}_sq{i} s ON {j_cond}")
             _register(jname, j_sql)
             cur = jname
         final = f"SELECT {dealias(new_sel)} FROM {cur}"

@@ -2366,3 +2366,87 @@ def test_scalar_subquery_over_join_from(spark):
     eng.push("pt", spark.createDataFrame([(200, "B1")],
                                          "pk bigint, brand string"))
     eng.step(); check("dim update re-qualifies a partition")
+
+
+def test_scalar_subquery_max_over_view_dethrones(spark):
+    """TPC-H q15's shape: uncorrelated MAX over a maintained VIEW in
+    WHERE; a retraction that dethrones the current max re-derives the
+    new winner (touched-group MAX recompute under the constant key)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE li (sk BIGINT NOT NULL, rev BIGINT);
+        CREATE TABLE sup (sk BIGINT NOT NULL, sname VARCHAR);
+        CREATE VIEW rev0 as
+            SELECT sk AS sno, SUM(rev) AS total FROM li GROUP BY sk;
+        CREATE VIEW top as
+            SELECT s.sk, s.sname, r.total
+            FROM sup s JOIN rev0 r ON s.sk = r.sno
+            WHERE r.total = (SELECT MAX(total) FROM rev0);
+    """)
+    assert eng.view_strategy("top") == "project"
+    assert eng.view_strategy("__top_src") == "join"
+    assert eng.view_strategy("__top_sq0") == "nonlinear_agg"
+    L, S = "sk bigint, rev bigint", "sk bigint, sname string"
+    eng.push("li", spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 25), (3, 5)], L))
+    eng.push("sup", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], S))
+    eng.step()
+    assert sorted(tuple(r) for r in eng.view("top").collect()) \
+        == [(1, "a", 30)]
+    # retract one of supplier 1's rows: supplier 2 takes the crown
+    eng.push("li", spark.createDataFrame([(1, 20)], L), weight=-1)
+    eng.step()
+    assert sorted(tuple(r) for r in eng.view("top").collect()) \
+        == [(2, "b", 25)]
+    # tie at the top: both rows qualify (= semantics)
+    eng.push("li", spark.createDataFrame([(3, 20)], L))
+    eng.step()
+    assert sorted(tuple(r) for r in eng.view("top").collect()) \
+        == [(2, "b", 25), (3, "c", 25)]
+
+
+def test_scalar_subquery_composite_and_self_table(spark):
+    """TPC-H q20's composite-key correlation (two equalities → one
+    multi-column GROUP BY + conjunctive join) and TPC-H q22's
+    self-table uncorrelated AVG both lower and match Spark."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ps (pk BIGINT NOT NULL, sk BIGINT, avail BIGINT);
+        CREATE TABLE li (pk BIGINT NOT NULL, sk BIGINT, qty BIGINT);
+        CREATE VIEW q20 as
+            SELECT ps.pk, ps.sk, ps.avail FROM ps
+            WHERE ps.avail * 2 > (SELECT SUM(l.qty) FROM li l
+                                  WHERE l.pk = ps.pk AND l.sk = ps.sk);
+        CREATE VIEW q22 as
+            SELECT p.pk, p.avail FROM ps p
+            WHERE p.avail > (SELECT AVG(p2.avail) FROM ps p2
+                             WHERE p2.avail > 0);
+    """)
+    assert eng.view_strategy("q20") == "project"
+    assert eng.view_strategy("__q20_sq0") == "linear_agg"
+    assert eng.view_strategy("q22") == "project"
+    assert eng.view_strategy("__q22_c0") == "project"
+    P = "pk bigint, sk bigint, avail bigint"
+    L = "pk bigint, sk bigint, qty bigint"
+    b20 = """SELECT ps.pk, ps.sk, ps.avail FROM ps
+             WHERE ps.avail * 2 > (SELECT SUM(l.qty) FROM li l
+                                   WHERE l.pk = ps.pk AND l.sk = ps.sk)"""
+    b22 = """SELECT p.pk, p.avail FROM ps p
+             WHERE p.avail > (SELECT AVG(p2.avail) FROM ps p2
+                              WHERE p2.avail > 0)"""
+
+    def check(tag):
+        for view, batch in (("q20", b20), ("q22", b22)):
+            want = sorted(tuple(r) for r in spark.sql(batch).collect())
+            got = sorted(tuple(r) for r in eng.view(view).collect())
+            assert got == want, (tag, view, got, want)
+
+    eng.push("ps", spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 3), (2, 1, 1), (2, 2, -4)], P))
+    eng.push("li", spark.createDataFrame(
+        [(1, 1, 8), (1, 1, 9), (1, 2, 4), (2, 1, 7)], L))
+    eng.step(); check("insert")
+    eng.push("li", spark.createDataFrame([(1, 1, 9)], L), weight=-1)
+    eng.push("ps", spark.createDataFrame([(1, 1, 10)], P), weight=-1)
+    eng.step(); check("retractions move both bars")
