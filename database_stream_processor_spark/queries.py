@@ -3895,6 +3895,56 @@ def q106_sql_engine_tpch_q22(spark, sf_dir):
         "totacctbal_c")
 
 
+@register("q107_sql_engine_tpch_q11", oracle="""
+WITH ps AS (
+  SELECT l_partkey AS pk,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cost_c,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_linenumber <> 6)
+SELECT pk, SUM(cost_c * qty) AS value_c
+FROM ps GROUP BY pk
+HAVING SUM(cost_c * qty) > (SELECT SUM(p2.cost_c * p2.qty) * 0.0003
+                            FROM ps p2)
+""")
+def q107_sql_engine_tpch_q11(spark, sf_dir):
+    """TPC-H q11 ("important stock identification"): groups whose value
+    exceeds a scaled GLOBAL total — the HAVING carries an uncorrelated
+    scalar subquery with a literal scale factor.  r6's
+    `_scalar_having_from` lowers it as grouped view (linear SUM) +
+    constant-key global-total view + broadcast-sized join + O(Δ)
+    filter; the scale stays OUTSIDE the hidden agg view so both stages
+    keep the recognizers' canonical shape.  The reference's frontend
+    decomposes q11 the same way (aggregate + aggregate + join).  Value
+    cents are BIGINT; the ×0.0003 bar appears only in the comparison.
+    Three ticks: two inserts, then retract l_linenumber = 6 — the
+    global bar and every touched group move together."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ps (pk BIGINT NOT NULL, cost_c BIGINT, qty BIGINT);
+        CREATE VIEW q11 as
+            SELECT pk, SUM(cost_c * qty) AS value_c FROM ps
+            GROUP BY pk
+            HAVING SUM(cost_c * qty) > (SELECT SUM(p2.cost_c * p2.qty)
+                                        * 0.0003 FROM ps p2);
+    """)
+    assert eng.view_strategy("q11") == "project"
+    assert eng.view_strategy("__q11_g") == "linear_agg"
+    assert eng.view_strategy("__q11_sq0") == "linear_agg"
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("cost_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_linenumber").alias("ln"))
+    for i in range(2):
+        eng.push("ps", l.filter(F.col("pk") % 2 == i).drop("ln"))
+        eng.step()
+    eng.push("ps", l.filter(F.col("ln") == 6).drop("ln"), weight=-1)
+    eng.step()
+    return eng.view("q11")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3953,7 +4003,6 @@ _WINDOW_ORDER = [
     "nx_q19_auction_top10_prices",
     "q44_incremental_closure",
     "q48_rolling_linear",
-    "q07_customers_without_recent_orders",
     "q15_topk_orders_per_priority",
     "q16_acctbal_extremes",
     "q17_union_except_intersect",
@@ -3967,6 +4016,7 @@ _WINDOW_ORDER = [
     "q104_sql_engine_tpch_q15",
     "q105_sql_engine_tpch_q20",
     "q106_sql_engine_tpch_q22",
+    "q107_sql_engine_tpch_q11",
 ]
 
 

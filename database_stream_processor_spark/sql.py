@@ -1230,10 +1230,14 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
         raise
 
 
-#: scalar-aggregate subquery body (the text inside its parentheses)
+#: scalar-aggregate subquery body (the text inside its parentheses);
+#: ``post`` is an optional literal scale on the aggregate (TPC-H q11's
+#: ``SELECT SUM(…) * 0.0001 FROM …``) — applied OUTSIDE the hidden agg
+#: view so the view keeps the recognizers' canonical FN(arg) shape
 _SCALAR_SQ_INNER = re.compile(
     r"^\s*SELECT\s+(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*"
-    r"\(\s*(?P<arg>\*|[^()]+?)\s*\)\s+"
+    r"\(\s*(?P<arg>\*|[^()]+?)\s*\)"
+    r"(?P<post>\s*[*/]\s*\d+(?:\.\d+)?(?:[eE]-?\d+)?)?\s+"
     r"FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<ia>\w+))?"
     r"(?:\s+WHERE\s+(?P<icond>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -1475,12 +1479,13 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
             rf"\b{ia}\s*\.\s*", "", t, re.IGNORECASE)
         res = (" WHERE " + " AND ".join(deal_i(t) for t in residual)
                if residual else "")
+        post = " ".join((sm.group("post") or "").split())
         if oks:
             sq_sql = (f"SELECT {', '.join(iks)}, {fn}({deal_i(arg)}) "
                       f"AS __sv{i} FROM {itbl}{res} "
                       f"GROUP BY {', '.join(iks)}")
             subs.append({"sq": sq_sql, "oks": oks, "iks": iks, "fn": fn,
-                         "c": None})
+                         "c": None, "post": post})
         else:
             # uncorrelated: a hidden projection stamps a constant key
             # so the existing grouped-agg + equi-join maintainers carry
@@ -1494,7 +1499,7 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
             sq_sql = (f"SELECT __ck, {fn}({deal_i(arg)}) AS __sv{i} "
                       f"FROM __{name}_c{i} GROUP BY __ck")
             subs.append({"sq": sq_sql, "oks": ["__ck"], "iks": ["__ck"],
-                         "fn": fn, "c": c_sql})
+                         "fn": fn, "c": c_sql, "post": post})
         return i
 
     def _rewrite(text: str) -> str:
@@ -1504,6 +1509,8 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
             i = _parse_sq(text[a + 1:b - 1])
             val = (f"COALESCE(__sv{i}, 0)" if subs[i]["fn"] == "COUNT"
                    else f"__sv{i}")
+            if subs[i]["post"]:
+                val = f"({val} {subs[i]['post']})"
             out.append(text[last:a])
             out.append(val)
             last = b
@@ -1572,6 +1579,177 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         return fm
     except Exception:
         _fail_cleanup()
+        raise
+
+
+def _top_level_having(flat: str) -> int:
+    """Position of a top-level ``HAVING`` keyword (outside parens and
+    string literals), or -1."""
+    depth, in_str, i, n = 0, False, 0, len(flat)
+    while i < n:
+        ch = flat[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and _kw_at(flat, i, "HAVING"):
+                return i
+        i += 1
+    return -1
+
+
+def _scalar_having_from(eng: "Engine", name: str, flat: str):
+    """Scalar-aggregate subqueries in a HAVING clause — TPC-H q11's
+    ``GROUP BY ps_partkey HAVING SUM(cost*qty) > (SELECT SUM(cost*qty)
+    * 0.0001 FROM partsupp)`` — lowered as:
+
+    * ``__{name}_g``: the grouped view WITHOUT the HAVING (ordinary
+      linear/touched-group agg maintenance);
+    * one constant-key hidden projection + global-agg view per
+      (uncorrelated) subquery, LEFT-JOINed onto the groups;
+    * the view itself: an O(Δ) projection filtering on the rewritten
+      HAVING, with each aggregate expression replaced by its select
+      alias (SQL lets HAVING repeat the aggregate text) and each
+      subquery by its ``__sv{i}`` column (× the literal scale, kept
+      outside the hidden view so it stays recognizer-canonical).
+
+    Correlated HAVING subqueries and aggregates that appear only in
+    HAVING raise :class:`_UnloweredShape` (the latter could absorb as
+    hidden partials someday; q11 doesn't need it)."""
+    hpos = _top_level_having(flat)
+    if hpos < 0:
+        raise _UnloweredShape("no HAVING")
+    g_sql, hpred = flat[:hpos].strip(), flat[hpos + 6:].strip()
+    if not _scalar_sq_spans(hpred):
+        raise _UnloweredShape("no subquery in HAVING")
+    if not re.search(r"\bGROUP\s+BY\b", g_sql, re.IGNORECASE):
+        raise _UnloweredShape("HAVING without GROUP BY")
+    parts = _split_select_from(g_sql)
+    if parts is None:
+        raise _UnloweredShape(g_sql)
+    out_names, alias_map = [], []
+    for it in (i.strip() for i in _split_top_level(parts[0])):
+        am = re.match(r"^(?P<expr>.+?)\s+AS\s+(?P<al>\w+)$", it,
+                      re.IGNORECASE | re.DOTALL)
+        if am:
+            out_names.append(am.group("al"))
+            alias_map.append((am.group("expr"), am.group("al")))
+        elif re.match(r"^[\w.]+$", it):
+            out_names.append(it.split(".")[-1])
+        else:
+            raise _UnloweredShape(f"unaliased select item: {it}")
+
+    registered: list[str] = []
+
+    def _register(hname: str, hsql: str) -> None:
+        hm = _lower_view(eng, hname, hsql)
+        if hm.kind == "differentiate":
+            raise _UnloweredShape(f"hidden view snapshot-diffs: {hsql}")
+        eng._maintainers[hname] = hm
+        words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
+        eng._sources[hname] = {w for w in words
+                               if w in eng.tables or w in eng.views}
+        eng._sources[hname] |= {w for w in words
+                                if w in eng._maintainers and w != hname}
+        hm.state.current.rows().createOrReplaceTempView(hname)
+        registered.append(hname)
+
+    subs: list[dict] = []
+
+    def _parse_sq(inner: str) -> int:
+        sm = _SCALAR_SQ_INNER.match(inner)
+        if sm is None:
+            raise _UnloweredShape(f"unsupported subquery: {inner}")
+        i = len(subs)
+        itbl = sm.group("it").lower()
+        ia = (sm.group("ia") or sm.group("it")).lower()
+        if not (itbl in eng.tables or itbl in eng.views):
+            raise _UnloweredShape(itbl)
+        icols = {f.name.lower()
+                 for f in _source_rows0(eng, itbl).schema.fields}
+        if "__ck" in icols:
+            raise _UnloweredShape("inner column __ck collides")
+        for term in _split_top_and(sm.group("icond") or ""):
+            if not _refs_only(term, {ia}, icols):
+                raise _UnloweredShape(
+                    f"correlated HAVING subquery: {term}")
+        arg = sm.group("arg")
+        if arg != "*" and not _refs_only(arg, {ia}, icols):
+            raise _UnloweredShape(f"subquery arg refs outer: {arg}")
+        deal_i = lambda t: _sub_outside_literals(
+            rf"\b{ia}\s*\.\s*", "", t, re.IGNORECASE)
+        res = (" WHERE " + " AND ".join(
+            deal_i(t) for t in _split_top_and(sm.group("icond") or ""))
+            if sm.group("icond") else "")
+        inner_cols = list(_source_rows0(eng, itbl).columns)
+        fn = sm.group("fn").upper()
+        subs.append({
+            "c": (f"SELECT 1 AS __ck, "
+                  + ", ".join(deal_i(c) for c in inner_cols)
+                  + f" FROM {itbl}{res}"),
+            "sq": (f"SELECT __ck, {fn}({deal_i(arg)}) AS __sv{i} "
+                   f"FROM __{name}_c{i} GROUP BY __ck"),
+            "fn": fn,
+            "post": " ".join((sm.group("post") or "").split())})
+        return i
+
+    out, last = [], 0
+    for a, b in _scalar_sq_spans(hpred):
+        i = _parse_sq(hpred[a + 1:b - 1])
+        val = (f"COALESCE(__sv{i}, 0)" if subs[i]["fn"] == "COUNT"
+               else f"__sv{i}")
+        if subs[i]["post"]:
+            val = f"({val} {subs[i]['post']})"
+        out.append(hpred[last:a])
+        out.append(val)
+        last = b
+    out.append(hpred[last:])
+    hpred = "".join(out)
+    # aggregate expressions repeat their select-item text in HAVING —
+    # rewrite to the output alias (literal-safe segments, the
+    # _rewrite_having discipline)
+    segments = re.split(r"('(?:[^']*)')", hpred)
+    for expr_text, al in alias_map:
+        pat = r"\s*".join(re.escape(c)
+                          for c in re.sub(r"\s+", "", expr_text))
+        segments = [seg if seg.startswith("'")
+                    else re.sub(pat, al, seg, flags=re.IGNORECASE)
+                    for seg in segments]
+    hpred = "".join(segments)
+    if re.search(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(", hpred, re.IGNORECASE):
+        raise _UnloweredShape(f"HAVING aggregate not in select: {hpred}")
+
+    try:
+        _register(f"__{name}_g", g_sql)
+        _register(f"__{name}_f0",
+                  f"SELECT {', '.join(out_names)}, 1 AS __ck "
+                  f"FROM __{name}_g")
+        cur, cur_cols = f"__{name}_f0", out_names + ["__ck"]
+        for i, sub in enumerate(subs):
+            _register(f"__{name}_c{i}", sub["c"])
+            _register(f"__{name}_sq{i}", sub["sq"])
+            j_sel = (", ".join(f"p.{c} AS {c}" for c in cur_cols)
+                     + "".join(f", p.__sv{k} AS __sv{k}"
+                               for k in range(i))
+                     + f", s.__sv{i} AS __sv{i}")
+            _register(f"__{name}_j{i}",
+                      f"SELECT {j_sel} FROM {cur} p LEFT JOIN "
+                      f"__{name}_sq{i} s ON p.__ck = s.__ck")
+            cur = f"__{name}_j{i}"
+        final = (f"SELECT {', '.join(out_names)} FROM {cur} "
+                 f"WHERE {hpred}")
+        fm = _lower_view(eng, name, final)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape(f"final projection snapshot-diffs: "
+                                  f"{final}")
+        return fm
+    except Exception:
+        for h in registered:
+            eng._maintainers.pop(h, None)
+            eng._sources.pop(h, None)
         raise
 
 
@@ -3837,8 +4015,14 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         if r is not None:
             return r
     if re.search(r"\(\s*SELECT", flat, re.IGNORECASE):
-        # correlated scalar-aggregate subqueries in the SELECT list
-        # lower to a hidden GROUP BY + LEFT JOIN stack (NOT behind the
+        # scalar subqueries in HAVING (TPC-H q11) first — the generic
+        # scalar path can't parse a GROUP BY body
+        if _top_level_having(flat) >= 0:
+            r = _try(_scalar_having_from, eng, name, flat)
+            if r is not None:
+                return r
+        # scalar-aggregate subqueries in the SELECT list / WHERE lower
+        # to a hidden GROUP BY + LEFT JOIN stack (NOT behind the
         # aggregate gate: the subquery's own Aggregate node trips it)
         r = _try(_scalar_subquery_from, eng, name, flat)
         if r is not None:

@@ -2450,3 +2450,47 @@ def test_scalar_subquery_composite_and_self_table(spark):
     eng.push("li", spark.createDataFrame([(1, 1, 9)], L), weight=-1)
     eng.push("ps", spark.createDataFrame([(1, 1, 10)], P), weight=-1)
     eng.step(); check("retractions move both bars")
+
+
+def test_scalar_subquery_in_having(spark):
+    """TPC-H q11's shape: a HAVING comparing the group aggregate to an
+    uncorrelated scaled scalar subquery — lowers as grouped view +
+    constant-key global agg + join + filter, and matches Spark."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ps (pk BIGINT NOT NULL, cost BIGINT, qty BIGINT);
+        CREATE VIEW q11 as
+            SELECT pk, SUM(cost * qty) AS value FROM ps
+            GROUP BY pk
+            HAVING SUM(cost * qty) > (SELECT SUM(p2.cost * p2.qty) * 0.2
+                                      FROM ps p2);
+    """)
+    assert eng.view_strategy("q11") == "project"
+    assert eng.view_strategy("__q11_g") == "linear_agg"
+    assert eng.view_strategy("__q11_sq0") == "linear_agg"
+    P = "pk bigint, cost bigint, qty bigint"
+    batch = """SELECT pk, SUM(cost * qty) AS value FROM ps GROUP BY pk
+               HAVING SUM(cost * qty) > (SELECT SUM(p2.cost * p2.qty)
+                                         * 0.2 FROM ps p2)"""
+
+    def check(tag):
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("q11").collect())
+        assert got == want, (tag, got, want)
+
+    eng.push("ps", spark.createDataFrame(
+        [(1, 10, 5), (1, 2, 5), (2, 8, 3), (3, 1, 1), (4, 9, 2)], P))
+    eng.step(); check("insert")
+    eng.push("ps", spark.createDataFrame([(1, 10, 5)], P), weight=-1)
+    eng.step(); check("retraction moves both the bar and a group sum")
+    # genuinely correlated HAVING subqueries (outer-alias reference)
+    # stay on the fallback; note a BARE column inside the subquery
+    # resolves to the INNER table per SQL scoping, so that shape is
+    # uncorrelated and does lower
+    eng.execute("""
+        CREATE VIEW bad as
+            SELECT pk, SUM(qty) AS q FROM ps p0 GROUP BY pk
+            HAVING SUM(qty) > (SELECT AVG(p2.qty) FROM ps p2
+                               WHERE p2.pk = p0.pk);
+    """)
+    assert eng.view_strategy("bad") == "differentiate"
