@@ -3945,6 +3945,75 @@ def q107_sql_engine_tpch_q11(spark, sf_dir):
     return eng.view("q11")
 
 
+@register("q108_sql_engine_tpch_q2", oracle="""
+WITH ps AS (
+  SELECT l_orderkey * 10 + l_linenumber AS psk, l_partkey AS pk,
+         l_suppkey AS sk,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cost_c
+  FROM lineitem WHERE l_linenumber <> 7),
+su AS (
+  SELECT s_suppkey AS sk, s_nationkey AS nk, s_name AS sname
+  FROM supplier),
+pt AS (SELECT p_partkey AS pk, p_size AS size FROM part)
+SELECT pt.pk, su.sname, ps.cost_c
+FROM ps JOIN su ON ps.sk = su.sk JOIN pt ON ps.pk = pt.pk
+WHERE pt.size < 15 AND su.nk < 13
+  AND ps.cost_c = (SELECT MIN(ps2.cost_c)
+                   FROM ps ps2 JOIN su s2 ON ps2.sk = s2.sk
+                   WHERE ps2.pk = pt.pk AND s2.nk < 13)
+""")
+def q108_sql_engine_tpch_q2(spark, sf_dir):
+    """TPC-H q2 ("minimum cost supplier"): the correlated scalar
+    subquery's OWN FROM is a JOIN chain — min supplycost per part among
+    the suppliers qualifying a region filter.  r6's `_parse_sq_chain`
+    synthesizes a hidden maintained join view (``__q2_i0``, residual
+    region filter pushed INTO it) and aggregates over that: outer
+    3-table join view → inner 2-table join view → per-part MIN
+    (touched-group recompute: retracting the reigning minimum promotes
+    the runner-up) → left join → O(Δ) filter.  The reference's frontend
+    decompiles q2 into the same join + aggregate + join plan.  Cost
+    cents stay BIGINT.  Three ticks: two inserts, then retract
+    l_linenumber = 7 rows (some of them current minima)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ps (psk BIGINT NOT NULL, pk BIGINT, sk BIGINT,
+                         cost_c BIGINT);
+        CREATE TABLE su (sk BIGINT NOT NULL, nk BIGINT, sname VARCHAR);
+        CREATE TABLE pt (pk BIGINT NOT NULL, size BIGINT);
+        CREATE VIEW q2 as
+            SELECT pt.pk, su.sname, ps.cost_c
+            FROM ps JOIN su ON ps.sk = su.sk JOIN pt ON ps.pk = pt.pk
+            WHERE pt.size < 15 AND su.nk < 13
+              AND ps.cost_c = (SELECT MIN(ps2.cost_c)
+                               FROM ps ps2 JOIN su s2 ON ps2.sk = s2.sk
+                               WHERE ps2.pk = pt.pk AND s2.nk < 13);
+    """)
+    assert eng.view_strategy("q2") == "project"
+    assert eng.view_strategy("__q2_src") == "multi_join"
+    assert eng.view_strategy("__q2_i0") == "join"
+    assert eng.view_strategy("__q2_sq0") == "nonlinear_agg"
+    l = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("psk"),
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("cost_c"),
+        F.col("l_linenumber").alias("ln"))
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk"),
+        F.col("s_name").alias("sname"))
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_size").alias("size"))
+    for i in range(2):
+        eng.push("ps", l.filter(F.col("pk") % 2 == i).drop("ln"))
+        eng.push("su", s.filter(F.col("sk") % 2 == i))
+        eng.push("pt", p.filter(F.col("pk") % 2 == i))
+        eng.step()
+    eng.push("ps", l.filter(F.col("ln") == 7).drop("ln"), weight=-1)
+    eng.step()
+    return eng.view("q2")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -3967,7 +4036,6 @@ _WINDOW_ORDER = [
     "q97_token_chunking",
     "q98_sql_engine_setops_all",
     # priority 2: last driver row in round 2 (the oldest rows in the repo)
-    "q03_top_orders",
     "q05_supplier_volume",
     "q06_forecast_revenue",
     "q08_active_suppliers",
@@ -4017,6 +4085,7 @@ _WINDOW_ORDER = [
     "q105_sql_engine_tpch_q20",
     "q106_sql_engine_tpch_q22",
     "q107_sql_engine_tpch_q11",
+    "q108_sql_engine_tpch_q2",
 ]
 
 

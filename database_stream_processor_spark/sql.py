@@ -1242,6 +1242,16 @@ _SCALAR_SQ_INNER = re.compile(
     r"(?:\s+WHERE\s+(?P<icond>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+#: same, but the subquery's FROM is a JOIN chain (TPC-H q2)
+_SCALAR_SQ_INNER_CHAIN = re.compile(
+    r"^\s*SELECT\s+(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*"
+    r"\(\s*(?P<arg>\*|[^()]+?)\s*\)"
+    r"(?P<post>\s*[*/]\s*\d+(?:\.\d+)?(?:[eE]-?\d+)?)?\s+"
+    r"FROM\s+(?P<from>\w+(?:\s+\w+)?(?:\s+(?:LEFT\s+(?:OUTER\s+)?)?"
+    r"JOIN\s+.+?)+)"
+    r"(?:\s+WHERE\s+(?P<icond>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 
 def _scalar_sq_spans(text: str) -> list[tuple[int, int]]:
     """Balanced ``( SELECT … )`` spans in *text*, outermost only,
@@ -1309,12 +1319,26 @@ def _scalar_sq_join_src(eng: "Engine", name: str, body: str, sel: str,
         last = 0
         for a, b in _scalar_sq_spans(text):
             pieces.append(text[last:a])
-            sm = _SCALAR_SQ_INNER.match(text[a + 1:b - 1])
-            if sm is None:
-                raise _UnloweredShape(text[a + 1:b - 1])
-            ia = (sm.group("ia") or sm.group("it")).lower()
+            span = text[a + 1:b - 1]
+            sm = _SCALAR_SQ_INNER.match(span)
+            if sm is not None:
+                inner_aliases = {(sm.group("ia")
+                                  or sm.group("it")).lower()}
+            else:
+                cm = _SCALAR_SQ_INNER_CHAIN.match(span)
+                if cm is None:
+                    raise _UnloweredShape(span)
+                ichain = _parse_aliased_chain(cm.group("from"))
+                if ichain is None:
+                    raise _UnloweredShape(cm.group("from"))
+                inner_aliases = {ali for _, ali, _ in ichain}
+                sm = cm
+            if inner_aliases & set(alias_of):
+                # a shadowed alias would make the o0-requalification
+                # rewrite inner-scoped refs — refuse instead
+                raise _UnloweredShape("subquery alias shadows outer")
             for qm in re.finditer(qual_re, sm.group("icond") or ""):
-                if qm.group(1).lower() != ia:
+                if qm.group(1).lower() not in inner_aliases:
                     pieces.append(" " + qm.group(0) + " ")
             last = b
         pieces.append(text[last:])
@@ -1443,7 +1467,7 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         """Parse one subquery body; append to *subs*; return its index."""
         sm = _SCALAR_SQ_INNER.match(inner)
         if sm is None:
-            raise _UnloweredShape(f"unsupported subquery: {inner}")
+            return _parse_sq_chain(inner)
         i = len(subs)
         itbl = sm.group("it").lower()
         ia = (sm.group("ia") or sm.group("it")).lower()
@@ -1485,7 +1509,7 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
                       f"AS __sv{i} FROM {itbl}{res} "
                       f"GROUP BY {', '.join(iks)}")
             subs.append({"sq": sq_sql, "oks": oks, "iks": iks, "fn": fn,
-                         "c": None, "post": post})
+                         "pre": [], "post": post})
         else:
             # uncorrelated: a hidden projection stamps a constant key
             # so the existing grouped-agg + equi-join maintainers carry
@@ -1499,7 +1523,114 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
             sq_sql = (f"SELECT __ck, {fn}({deal_i(arg)}) AS __sv{i} "
                       f"FROM __{name}_c{i} GROUP BY __ck")
             subs.append({"sq": sq_sql, "oks": ["__ck"], "iks": ["__ck"],
-                         "fn": fn, "c": c_sql, "post": post})
+                         "fn": fn, "pre": [(f"__{name}_c{i}", c_sql)],
+                         "post": post})
+        return i
+
+    def _parse_sq_chain(inner: str) -> int:
+        """Subquery whose own FROM is a JOIN chain (TPC-H q2's
+        ``(SELECT MIN(ps.cost) FROM partsupp ps JOIN supplier s ON …
+        JOIN nation n ON … WHERE ps.pk = p.pk AND …)``): synthesize a
+        hidden maintained view ``__{name}_i{i}`` for the inner join —
+        carrying only the claimed columns, with the inner-only residual
+        WHERE pushed INTO it — and aggregate over that."""
+        cm = _SCALAR_SQ_INNER_CHAIN.match(inner)
+        if cm is None:
+            raise _UnloweredShape(f"unsupported subquery: {inner}")
+        i = len(subs)
+        chain = _parse_aliased_chain(cm.group("from"))
+        if chain is None or any(
+                t not in eng.tables and t not in eng.views
+                for t, _, _ in chain):
+            raise _UnloweredShape(cm.group("from"))
+        alias_of = {a: t for t, a, _ in chain}
+        alias_for = {t: a for t, a, _ in chain}
+        if oa in alias_of:
+            raise _UnloweredShape("outer alias shadowed in subquery")
+        cols_of = {t: {c.lower() for c in _source_rows0(eng, t).columns}
+                   for t, _, _ in chain}
+        oks, ikq = [], []          # ikq: (inner alias, col) pairs
+        residual = []
+        for term in _split_top_and(cm.group("icond") or ""):
+            pm = _EQ_PAIR.match(term)
+            if pm:
+                q1, c1, q2, c2 = pm.groups()
+                q1, q2 = q1.lower(), q2.lower()
+                if q1 == oa and q2 in alias_of:
+                    oks.append(c1)
+                    ikq.append((q2, c2))
+                    continue
+                if q2 == oa and q1 in alias_of:
+                    oks.append(c2)
+                    ikq.append((q1, c1))
+                    continue
+            if not _refs_only(term, set(alias_of),
+                              set().union(*cols_of.values())):
+                raise _UnloweredShape(f"correlation term: {term}")
+            residual.append(term)
+        arg = cm.group("arg")
+        if any(ok.lower() not in ocols for ok in oks):
+            raise _UnloweredShape("correlation col not in outer")
+        if arg != "*" and not _refs_only(arg, set(alias_of),
+                                         set().union(*cols_of.values())):
+            raise _UnloweredShape(f"subquery arg refs outer: {arg}")
+        # claims pass over arg + residual + correlation inner cols — the
+        # hidden inner view carries exactly these, bare-named
+        qual_re = r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b"
+        scan = re.sub(r"'[^']*'", " ", " ".join(
+            ([arg] if arg != "*" else []) + residual
+            + [f"{q}.{c}" for q, c in ikq]))
+        srcs: dict[str, str] = {}
+
+        def _claim(bare: str, src: str):
+            if srcs.setdefault(bare, src) != src:
+                raise _UnloweredShape(f"ambiguous column {bare}")
+
+        for qm in re.finditer(qual_re, scan):
+            a, b = qm.group(1).lower(), qm.group(2).lower()
+            if a not in alias_of:
+                raise _UnloweredShape(f"unknown qualifier {a}")
+            _claim(b, f"{a}.{b}")
+        for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", scan):
+            b = bm.group(1).lower()
+            pre_txt = scan[:bm.start()].rstrip()
+            if b in _SQL_KEYWORDS or b in srcs or pre_txt.endswith("."):
+                continue
+            owners = [t for t in cols_of if b in cols_of[t]]
+            if len(owners) > 1:
+                raise _UnloweredShape(f"ambiguous column {b}")
+            if owners:
+                _claim(b, f"{alias_for[owners[0]]}.{b}")
+        if not srcs or "__ck" in srcs:
+            raise _UnloweredShape("no/colliding inner columns")
+        iks = [c for _, c in ikq]
+        if len({k.lower() for k in iks}) != len(iks):
+            raise _UnloweredShape("duplicate inner correlation column")
+        # arg == '*' claims nothing; COUNT(*) over the join still needs
+        # ≥1 carried column, which the correlation/residual provide
+        fn = cm.group("fn").upper()
+        post = " ".join((cm.group("post") or "").split())
+        res = " WHERE " + " AND ".join(residual) if residual else ""
+        deal_c = lambda t: _sub_outside_literals(
+            qual_re,
+            lambda m: (m.group(2) if m.group(1).lower() in alias_of
+                       else m.group(0)), t)
+        iname = f"__{name}_i{i}"
+        ck = "" if oks else "1 AS __ck, "
+        i_sql = (f"SELECT {ck}" + ", ".join(
+            f"{src} AS {bare}" for bare, src in srcs.items())
+            + f" FROM {cm.group('from')}{res}")
+        if oks:
+            sq_sql = (f"SELECT {', '.join(iks)}, {fn}({deal_c(arg)}) "
+                      f"AS __sv{i} FROM {iname} "
+                      f"GROUP BY {', '.join(iks)}")
+            subs.append({"sq": sq_sql, "oks": oks, "iks": iks, "fn": fn,
+                         "pre": [(iname, i_sql)], "post": post})
+        else:
+            sq_sql = (f"SELECT __ck, {fn}({deal_c(arg)}) AS __sv{i} "
+                      f"FROM {iname} GROUP BY __ck")
+            subs.append({"sq": sq_sql, "oks": ["__ck"], "iks": ["__ck"],
+                         "fn": fn, "pre": [(iname, i_sql)], "post": post})
         return i
 
     def _rewrite(text: str) -> str:
@@ -1535,7 +1666,7 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
 
     dealias = lambda t: _sub_outside_literals(rf"\b{oa}\s*\.\s*", "", t,
                                               re.IGNORECASE)
-    need_ck = any(s["c"] is not None for s in subs)
+    need_ck = any(s["iks"] == ["__ck"] for s in subs)
     try:
         cur, cur_cols = ot, list(_source_rows0(eng, ot).columns)
         if pushable or need_ck:
@@ -1554,8 +1685,8 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
             if need_ck:
                 cur_cols = cur_cols + ["__ck"]
         for i, sub in enumerate(subs):
-            if sub["c"] is not None:
-                _register(f"__{name}_c{i}", sub["c"])
+            for pname, psql in sub["pre"]:
+                _register(pname, psql)
             _register(f"__{name}_sq{i}", sub["sq"])
             jname = f"__{name}_j{i}"
             j_sel = (", ".join(f"p.{c} AS {c}" for c in cur_cols)

@@ -2494,3 +2494,50 @@ def test_scalar_subquery_in_having(spark):
                                WHERE p2.pk = p0.pk);
     """)
     assert eng.view_strategy("bad") == "differentiate"
+
+
+def test_scalar_subquery_join_chain_inner(spark):
+    """TPC-H q2's shape: the scalar subquery's OWN FROM is a join chain
+    (min supplycost among qualified suppliers) — lowers through a
+    hidden inner join view (__i0) + grouped MIN + left join; a
+    retraction that removes the current minimum promotes the runner-up."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ps (pk BIGINT NOT NULL, sk BIGINT, cost BIGINT);
+        CREATE TABLE su (sk BIGINT NOT NULL, nk BIGINT, sname VARCHAR);
+        CREATE TABLE pt (pk BIGINT NOT NULL, size BIGINT);
+        CREATE VIEW q2 as
+            SELECT p.pk, s.sname, ps.cost
+            FROM ps JOIN su s ON ps.sk = s.sk JOIN pt p ON ps.pk = p.pk
+            WHERE p.size < 10 AND s.nk = 1
+              AND ps.cost = (SELECT MIN(ps2.cost)
+                             FROM ps ps2 JOIN su s2 ON ps2.sk = s2.sk
+                             WHERE ps2.pk = p.pk AND s2.nk = 1);
+    """)
+    assert eng.view_strategy("q2") == "project"
+    assert eng.view_strategy("__q2_src") == "multi_join"
+    assert eng.view_strategy("__q2_i0") == "join"
+    assert eng.view_strategy("__q2_sq0") == "nonlinear_agg"
+    P = "pk bigint, sk bigint, cost bigint"
+    batch = """SELECT p.pk, s.sname, ps.cost
+        FROM ps JOIN su s ON ps.sk = s.sk JOIN pt p ON ps.pk = p.pk
+        WHERE p.size < 10 AND s.nk = 1
+          AND ps.cost = (SELECT MIN(ps2.cost)
+                         FROM ps ps2 JOIN su s2 ON ps2.sk = s2.sk
+                         WHERE ps2.pk = p.pk AND s2.nk = 1)"""
+
+    def check(tag):
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("q2").collect())
+        assert got == want, (tag, got, want)
+
+    eng.push("ps", spark.createDataFrame(
+        [(1, 1, 50), (1, 2, 30), (1, 3, 70), (2, 1, 10), (2, 3, 5)], P))
+    eng.push("su", spark.createDataFrame(
+        [(1, 1, "s1"), (2, 1, "s2"), (3, 2, "s3")],
+        "sk bigint, nk bigint, sname string"))
+    eng.push("pt", spark.createDataFrame(
+        [(1, 5), (2, 20)], "pk bigint, size bigint"))
+    eng.step(); check("insert")
+    eng.push("ps", spark.createDataFrame([(1, 2, 30)], P), weight=-1)
+    eng.step(); check("retracting the min promotes the runner-up")
