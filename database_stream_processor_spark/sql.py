@@ -142,7 +142,7 @@ _JOIN_AGG_RE = re.compile(
 _NEST2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))+"
 
 _AGG_ITEM = re.compile(
-    r"^(?:(?P<key>\w+(?:\.\w+)?)"
+    r"^(?:(?P<key>\w+(?:\.\w+)?)(?:\s+AS\s+(?P<kal>\w+))?"
     rf"|SUM\s*\((?P<sum>{_NEST2})\)\s+AS\s+(?P<sname>\w+)"
     r"|COUNT\s*\(\s*\*\s*\)\s+AS\s+(?P<cname>\w+)"
     rf"|AVG\s*\((?P<avg>{_NEST2})\)\s+AS\s+(?P<aname>\w+))$", re.IGNORECASE)
@@ -3167,7 +3167,7 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
     def __init__(self, eng, name, sql, table, keys, spec):
         super().__init__(eng, name, sql)
         self.table = table
-        self.keys = keys
+        self.keys = spec["merge_keys"]
         self.agg_names = spec["val_names"]  # merged partial columns
         self._out_spec = spec["out"]
         m = _AGG_RE.match(sql)
@@ -3309,7 +3309,7 @@ class _JoinAggMaintainer(_GroupMergeMaintainer):
         super().__init__(eng, name, sql)
         self.left, self.right = left, right
         # output (unqualified) key column names for the merge
-        self.keys = [k.split(".")[-1] for k in keys]
+        self.keys = spec["merge_keys"]
         self.agg_names = spec["val_names"]
         self._out_spec = spec["out"]
         m = _JOIN_AGG_RE.match(sql)
@@ -3417,8 +3417,7 @@ class _MultiJoinAggMaintainer(_GroupMergeMaintainer):
     def __init__(self, eng, name, sql, tables, m, spec):
         super().__init__(eng, name, sql)
         self.tables = tables
-        self.keys = [k.strip().split(".")[-1]
-                     for k in m.group("keys").split(",")]
+        self.keys = spec["merge_keys"]
         self.agg_names = spec["val_names"]
         self._out_spec = spec["out"]
         self._having = _rewrite_having(m.group("having"), spec,
@@ -3835,6 +3834,7 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
       {key, col, avg} — drives the finalize projection (avg = s/c).
     """
     delta_items, val_names, out, alias_map = [], [], [], []
+    merge_keys, aliased_keys = [], False
     for it in (i.strip() for i in _split_top_level(sel)):
         im = _AGG_ITEM.match(it)
         if not im:
@@ -3842,8 +3842,14 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
         if im.group("key"):
             if im.group("key") not in keys:
                 return None
+            # `k AS alias` keys: the delta partial emits the alias, so
+            # group state and merge join on the OUTPUT name (merge_keys)
+            kname = (im.group("kal")
+                     or im.group("key").split(".")[-1])
+            aliased_keys = aliased_keys or im.group("kal") is not None
             delta_items.append(it)
-            out.append(("key", im.group("key").split(".")[-1]))
+            out.append(("key", kname))
+            merge_keys.append(kname)
         elif im.group("sname") or im.group("cname"):
             n = im.group("sname") or im.group("cname")
             delta_items.append(it)
@@ -3861,7 +3867,9 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
     if not val_names:
         return None
     return {"delta_sel": ", ".join(delta_items), "val_names": val_names,
-            "out": out, "alias_map": alias_map}
+            "out": out, "alias_map": alias_map,
+            "merge_keys": merge_keys or [k.split(".")[-1] for k in keys],
+            "aliased_keys": aliased_keys}
 
 
 _HAVING_AGG = re.compile(
@@ -4072,7 +4080,9 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             if tok not in keys:
                 keys.append(tok)
         spec = _match_agg_items(m.group("sel"), keys)
-        if spec:
+        # grouping-sets maintenance manages its own marker-key columns;
+        # aliased keys would desync them — plain-key shapes only
+        if spec and not spec["aliased_keys"]:
             r = _try(_GroupingSetsAggMaintainer, eng, name, flat, m, spec)
             if r is not None:
                 return r

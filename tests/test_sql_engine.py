@@ -2541,3 +2541,39 @@ def test_scalar_subquery_join_chain_inner(spark):
     eng.step(); check("insert")
     eng.push("ps", spark.createDataFrame([(1, 2, 30)], P), weight=-1)
     eng.step(); check("retracting the min promotes the runner-up")
+
+
+def test_aliased_group_by_keys(spark):
+    """`SELECT k AS alias, SUM(x) … GROUP BY k` lowers (the group state
+    and merge join use the OUTPUT name) — single-table and join-agg."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE li (sk BIGINT NOT NULL, rev BIGINT);
+        CREATE TABLE su (sno BIGINT NOT NULL, sname VARCHAR);
+        CREATE VIEW rev0 as
+            SELECT sk AS supplier_no, SUM(rev) AS total
+            FROM li GROUP BY sk;
+        CREATE VIEW joined as
+            SELECT s.sname AS who, SUM(l.rev) AS t2
+            FROM li l JOIN su s ON l.sk = s.sno GROUP BY s.sname;
+    """)
+    assert eng.view_strategy("rev0") == "linear_agg"
+    assert eng.view_strategy("joined") == "join_agg"
+    L, S = "sk bigint, rev bigint", "sno bigint, sname string"
+    b1 = "SELECT sk AS supplier_no, SUM(rev) AS total FROM li GROUP BY sk"
+    b2 = ("SELECT s.sname AS who, SUM(l.rev) AS t2 FROM li l "
+          "JOIN su s ON l.sk = s.sno GROUP BY s.sname")
+
+    def check(tag):
+        for v, b in (("rev0", b1), ("joined", b2)):
+            want = sorted(tuple(r) for r in spark.sql(b).collect())
+            got = sorted(tuple(r) for r in eng.view(v).collect())
+            assert got == want, (tag, v, got, want)
+
+    eng.push("li", spark.createDataFrame([(1, 10), (1, 20), (2, 5)], L))
+    eng.push("su", spark.createDataFrame([(1, "a"), (2, "b")], S))
+    eng.step(); check("insert")
+    eng.push("li", spark.createDataFrame([(1, 20)], L), weight=-1)
+    eng.push("li", spark.createDataFrame([(3, 7)], L))
+    eng.push("su", spark.createDataFrame([(3, "a")], S))
+    eng.step(); check("retraction + group shared by two join keys")
