@@ -1652,12 +1652,20 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         new_sel = _rewrite(sel)
         pushable: list[str] = []   # subquery-free WHERE → below joins
         post: list[str] = []       # WHERE terms with a __sv → on top
+        filters: list[str] = []    # [NOT] EXISTS / IN terms, verbatim
         if pred:
             for term in _split_top_and(pred):
-                if _scalar_sq_spans(term):
-                    post.append(_rewrite(term))
-                else:
+                if not _scalar_sq_spans(term):
                     pushable.append(term)
+                elif (_EXISTS_TERM.match(term)
+                      or _IN_TERM.match(term)):
+                    # TPC-H q22: a [NOT] EXISTS lives beside the scalar
+                    # terms — keep it verbatim (outer refs still
+                    # qualified) for the FINAL view, which lowers via
+                    # the subquery-filter maintainer over the join stack
+                    filters.append(term)
+                else:
+                    post.append(_rewrite(term))
         if not subs:
             raise _UnloweredShape("no scalar subquery items")
     except Exception:
@@ -1700,9 +1708,17 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
                      f"__{name}_sq{i} s ON {j_cond}")
             _register(jname, j_sql)
             cur = jname
-        final = f"SELECT {dealias(new_sel)} FROM {cur}"
-        if post:
-            final += f" WHERE {dealias(' AND '.join(post))}"
+        if filters:
+            # the [NOT] EXISTS / IN terms need their qualified outer
+            # refs intact, so the final view keeps the ORIGINAL outer
+            # alias on the join stack and skips dealiasing — it lowers
+            # through the subquery-filter maintainer
+            where = " AND ".join(post + filters)
+            final = f"SELECT {new_sel} FROM {cur} {oa} WHERE {where}"
+        else:
+            final = f"SELECT {dealias(new_sel)} FROM {cur}"
+            if post:
+                final += f" WHERE {dealias(' AND '.join(post))}"
         fm = _lower_view(eng, name, final)
         if fm.kind == "differentiate":
             raise _UnloweredShape(f"final projection snapshot-diffs: "
@@ -2518,7 +2534,10 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
     if not m:
         return None
     ot = m.group("ot").lower()
-    if not (ot in eng.tables or ot in eng.views):
+    # hidden maintained views (scalar-subquery join stacks) are valid
+    # outers: TPC-H q22's NOT EXISTS filters the scalar-filtered rows
+    if not (ot in eng.tables or ot in eng.views
+            or ot in eng._maintainers):
         return None
     oa = (m.group("oa") or m.group("ot")).lower()
     try:

@@ -2577,3 +2577,42 @@ def test_aliased_group_by_keys(spark):
     eng.push("li", spark.createDataFrame([(3, 7)], L))
     eng.push("su", spark.createDataFrame([(3, "a")], S))
     eng.step(); check("retraction + group shared by two join keys")
+
+
+def test_scalar_subquery_with_not_exists(spark):
+    """Verbatim TPC-H q22 inner shape in ONE view: an uncorrelated
+    scalar AVG bar AND a NOT EXISTS anti-join in the same WHERE — the
+    scalar terms lower to the hidden join stack and the final view
+    lowers through the subquery-filter maintainer on top of it."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cu (ck BIGINT NOT NULL, cc VARCHAR, bal BIGINT);
+        CREATE TABLE od (ok BIGINT NOT NULL, cust BIGINT);
+        CREATE VIEW q22 as
+            SELECT c.cc, c.bal FROM cu c
+            WHERE c.bal > (SELECT AVG(c2.bal) FROM cu c2
+                           WHERE c2.bal > 0)
+              AND NOT EXISTS (SELECT 1 FROM od
+                              WHERE od.cust = c.ck);
+    """)
+    assert eng.view_strategy("q22") == "not_exists"
+    assert eng.view_strategy("__q22_sq0") == "linear_agg"
+    batch = """SELECT c.cc, c.bal FROM cu c
+        WHERE c.bal > (SELECT AVG(c2.bal) FROM cu c2 WHERE c2.bal > 0)
+          AND NOT EXISTS (SELECT 1 FROM od WHERE od.cust = c.ck)"""
+
+    def check(tag):
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("q22").collect())
+        assert got == want, (tag, got, want)
+
+    C, O = "ck bigint, cc string, bal bigint", "ok bigint, cust bigint"
+    eng.push("cu", spark.createDataFrame(
+        [(1, "aa", 30), (2, "bb", 20), (3, "aa", -5), (4, "cc", 25)], C))
+    eng.push("od", spark.createDataFrame([(10, 1)], O))
+    eng.step(); check("insert")
+    eng.push("od", spark.createDataFrame([(10, 1)], O), weight=-1)
+    eng.push("od", spark.createDataFrame([(11, 4)], O))
+    eng.step(); check("order moves between customers")
+    eng.push("cu", spark.createDataFrame([(2, "bb", 20)], C), weight=-1)
+    eng.step(); check("retraction moves the AVG bar")
