@@ -428,7 +428,7 @@ def nx_q16_channel_statistics(spark, sf_dir):
 SELECT auction, (b_ts // 86400) * 86400 AS day,
        COUNT(*) AS total_bids,
        MIN(price) AS min_price, MAX(price) AS max_price,
-       SUM(price) AS sum_price,
+       CAST(SUM(price) AS BIGINT) AS sum_price,
        {AVG_PRICE} AS avg_price
 FROM bid GROUP BY auction, (b_ts // 86400) * 86400""")
 def nx_q17_auction_statistics(spark, sf_dir):

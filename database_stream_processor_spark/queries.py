@@ -3410,7 +3410,7 @@ WITH ev AS (
   FROM events)
 SELECT event_id, etype,
        CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS rn,
-       SUM(v_c) OVER (ORDER BY event_id) AS run_sum_c,
+       CAST(SUM(v_c) OVER (ORDER BY event_id) AS BIGINT) AS run_sum_c,
        CAST(COUNT(v_c) OVER (ORDER BY event_id) AS BIGINT) AS run_n,
        MIN(v_c) OVER (ORDER BY event_id) AS run_min,
        MAX(v_c) OVER (ORDER BY event_id) AS run_max
@@ -3524,7 +3524,8 @@ SELECT cu.ck, cu.bal_c,
        CAST((SELECT COUNT(*) FROM od
              WHERE od.cust = cu.ck AND od.pr = '1-URGENT') AS BIGINT)
            AS urgent_n,
-       (SELECT SUM(od.price_c) FROM od WHERE od.cust = cu.ck) AS total_c
+       CAST((SELECT SUM(od.price_c) FROM od WHERE od.cust = cu.ck)
+            AS BIGINT) AS total_c
 FROM cu WHERE cu.nk < 20
 """)
 def q101_sql_engine_scalar_subquery(spark, sf_dir):
@@ -3587,8 +3588,8 @@ li AS (
          CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c
   FROM lineitem WHERE l_linenumber <> 3)
 SELECT od.ok, od.cust,
-       od.price_c - (SELECT SUM(li.ext_c) FROM li
-                     WHERE li.ok = od.ok) AS tax_ship_c
+       CAST(od.price_c - (SELECT SUM(li.ext_c) FROM li
+                          WHERE li.ok = od.ok) AS BIGINT) AS tax_ship_c
 FROM od
 WHERE od.price_c > 2 * (SELECT AVG(li.ext_c) FROM li)
   AND (SELECT SUM(li.qty) FROM li WHERE li.ok = od.ok) >= 60
@@ -3649,7 +3650,7 @@ WITH li AS (
   FROM lineitem WHERE l_linenumber <> 2),
 pt AS (
   SELECT p_partkey AS pk, p_brand AS brand FROM part)
-SELECT pt.brand, SUM(li.ext_c) AS total_c,
+SELECT pt.brand, CAST(SUM(li.ext_c) AS BIGINT) AS total_c,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM li JOIN pt ON li.pk = pt.pk
 WHERE pt.brand LIKE 'Brand#1%'
@@ -3716,7 +3717,7 @@ WITH li AS (
            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
   FROM lineitem WHERE l_linenumber <> 4),
 revenue0 AS (
-  SELECT supplier_no, SUM(rev_c) AS total_revenue
+  SELECT supplier_no, CAST(SUM(rev_c) AS BIGINT) AS total_revenue
   FROM li GROUP BY supplier_no),
 sup AS (SELECT s_suppkey AS sk, s_name AS sname FROM supplier)
 SELECT sup.sk, sup.sname, revenue0.total_revenue
@@ -3839,7 +3840,7 @@ noord AS (
   SELECT p.ck, p.cc, p.bal_c FROM potential p
   WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.cust = p.ck))
 SELECT cc, CAST(COUNT(*) AS BIGINT) AS numcust,
-       SUM(bal_c) AS totacctbal_c
+       CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
 FROM noord GROUP BY cc
 """)
 def q106_sql_engine_tpch_q22(spark, sf_dir):
@@ -3901,7 +3902,7 @@ WITH ps AS (
          CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cost_c,
          CAST(l_quantity AS BIGINT) AS qty
   FROM lineitem WHERE l_linenumber <> 6)
-SELECT pk, SUM(cost_c * qty) AS value_c
+SELECT pk, CAST(SUM(cost_c * qty) AS BIGINT) AS value_c
 FROM ps GROUP BY pk
 HAVING SUM(cost_c * qty) > (SELECT SUM(p2.cost_c * p2.qty) * 0.0003
                             FROM ps p2)

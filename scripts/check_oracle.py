@@ -89,6 +89,7 @@ def main():
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
+            otypes = [str(d[1]) for d in cur.description]
             orows = cur.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
@@ -96,6 +97,20 @@ def main():
             continue
 
         ok = True
+        # Type gate (round-7): the driver's canonicalizer hashes column
+        # TYPES, not just values — a DuckDB HUGEINT (what SUM(BIGINT)
+        # silently becomes) or DECIMAL output column hash-mismatches a
+        # Spark LONG/DOUBLE even when every value is identical.  Three
+        # rounds of red rows (r3 q57, r5 nx_q17, r6 ×8) were this class
+        # and invisible to the value compare below, so fail loudly here.
+        bad_types = [(c, t) for c, t in zip(ocols, otypes)
+                     if any(k in t.upper()
+                            for k in ("HUGEINT", "INT128", "DECIMAL"))]
+        if bad_types:
+            print(f"FAIL {name}: oracle output types the driver hashes "
+                  f"differently than Spark (cast them in the oracle SQL): "
+                  f"{bad_types}")
+            ok = False
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             ok = False
