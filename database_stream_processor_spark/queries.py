@@ -4068,6 +4068,57 @@ def q109_sql_engine_tpch_q22_one_view(spark, sf_dir):
     return eng.view("q22")
 
 
+@register("q110_sql_engine_global_window_desc", oracle="""
+WITH ev AS (
+  SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS v_c
+  FROM events WHERE event_type <> 'view')
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY event_id DESC) AS BIGINT) AS rn,
+       CAST(SUM(v_c) OVER (ORDER BY event_id DESC) AS BIGINT)
+           AS run_sum_c,
+       MIN(v_c) OVER (ORDER BY event_id DESC) AS run_min,
+       MAX(v_c) OVER (ORDER BY event_id DESC) AS run_max
+FROM ev
+""")
+def q110_sql_engine_global_window_desc(spark, sf_dir):
+    """DESCENDING global windows (r6 VERDICT ask #5): the bounded-tail
+    maintainer (sql.py _GlobalTailWindowMaintainer) mirrors its
+    head/tail split on a DESC first key — cutoff = MAX(order key of the
+    delta), head = rows strictly ABOVE it — so a leaderboard-style
+    descending running rank/total maintains in O(tail) instead of
+    falling back to snapshot-diff.  event_id is NOT NULL and unique, so
+    ROW_NUMBER is deterministic and the NULLS placement moot.  Three
+    interleaved ticks plus a retract/re-insert round."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (event_id BIGINT NOT NULL, etype VARCHAR,
+                         v_c BIGINT);
+        CREATE VIEW leaderboard as
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY event_id DESC) AS rn,
+                   SUM(v_c) OVER (ORDER BY event_id DESC) AS run_sum_c,
+                   MIN(v_c) OVER (ORDER BY event_id DESC) AS run_min,
+                   MAX(v_c) OVER (ORDER BY event_id DESC) AS run_max
+            FROM ev WHERE etype <> 'view';
+    """)
+    assert eng.view_strategy("leaderboard") == "global_window"
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_c"))
+    for i in range(3):          # interleaved ids: non-monotone ticks
+        eng.push("ev", e.filter(F.col("event_id") % 3 == i))
+        eng.step()
+    b0 = e.filter(F.col("event_id") % 7 == 0)
+    eng.push("ev", b0, weight=-1)
+    eng.step()
+    eng.push("ev", b0)
+    eng.step()
+    return eng.view("leaderboard").select(
+        "event_id", F.col("rn").cast("long").alias("rn"),
+        "run_sum_c", "run_min", "run_max")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

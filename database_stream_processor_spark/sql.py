@@ -751,12 +751,19 @@ class _PartitionWindowMaintainer(_ViewMaintainer):
 
 
 #: global (no PARTITION BY) window item over a full-prefix frame
+def _strip_order_mods(item: str) -> str:
+    """Strip trailing ``ASC|DESC`` / ``NULLS FIRST|LAST`` from one ORDER
+    BY item, leaving the bare sort-key expression."""
+    return re.sub(r"(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?\s*$",
+                  "", item.strip(), flags=re.IGNORECASE)
+
+
 _GWIN_ITEM = re.compile(
     rf"^(?P<fn>ROW_NUMBER|RANK|DENSE_RANK|SUM|COUNT|AVG|MIN|MAX)\s*"
     rf"\(\s*(?P<arg>\*|{_NEST2})?\s*\)\s+"
     r"OVER\s*\(\s*ORDER\s+BY\s+(?P<ord>[^()]+?)"
-    r"(?:\s+(?:ROWS|RANGE)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
-    r"CURRENT\s+ROW)?\s*\)\s+AS\s+(?P<name>\w+)$",
+    r"(?:\s+(?P<frame>(?:ROWS|RANGE)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING"
+    r"\s+AND\s+CURRENT\s+ROW))?\s*\)\s+AS\s+(?P<name>\w+)$",
     re.IGNORECASE | re.DOTALL)
 
 
@@ -769,23 +776,31 @@ class _GlobalTailWindowMaintainer(_ViewMaintainer):
     is UNBOUNDED PRECEDING → CURRENT ROW, so rows strictly before the
     cutoff keep their prefix unchanged).  Per tick:
 
-    1. cutoff = MIN(order key) over the delta (one scalar);
-    2. head = integral rows strictly below the cutoff — reduced to ONE
-       row of base aggregates (count / Σ / non-null count / min / max /
-       distinct-order-tuples) with a column-pruned aggregate scan;
-    3. the window SQL re-evaluates over the TAIL only, each item offset
-       by its base (rank + head count, running sum + head sum, …), and
-       diffs against the stored output restricted to the same tail.
+    1. cutoff = the delta's FIRST position in output order — MIN(order
+       key) for ASC, MAX for DESC (one scalar);
+    2. head = integral rows strictly before the cutoff in output order —
+       reduced to ONE row of base aggregates (count / Σ / non-null
+       count / min / max / distinct-order-tuples) with a column-pruned
+       aggregate scan;
+    3. the window SQL re-evaluates over the TAIL only (original ORDER BY
+       text, direction/NULLS modifiers and any explicit frame verbatim),
+       each item offset by its base (rank + head count, running sum +
+       head sum, …), and diffs against the stored output restricted to
+       the same tail.
 
-    For monotone (append-ordered) inputs the tail is ≈ the delta, so the
-    expensive global SORT touches O(Δ) rows; the head contributes only a
-    whole-stage-codegen aggregate scan.  NULL order keys sort first
-    (Spark ASC default) and live in the permanent head; a delta that
-    touches a NULL key forces a full recompute of that tick.  The
-    reference JIT lists OrderBy/Windows as its own TODO
-    (dataflow-jit/src/ir/nodes/mod.rs:62) — this shape EXCEEDS it
-    because a global running total is the most common window real users
-    write.  DESC orderings and bounded frames raise
+    For monotone inputs (appended rows land at the END of the output
+    order — ascending arrivals under ASC, descending under DESC) the
+    tail is ≈ the delta, so the expensive global SORT touches O(Δ) rows;
+    the head contributes only a whole-stage-codegen aggregate scan.
+    The NULL block's placement follows the first key's NULLS mode
+    (Spark defaults: ASC → NULLS FIRST, DESC → NULLS LAST).  When the
+    block HEADS the order, it lives in the permanent head and a delta
+    touching a NULL key forces a full recompute of that tick; when it
+    TRAILS, NULL-key rows sit in the permanent tail and an all-NULL
+    delta recomputes only that block.  The reference JIT lists
+    OrderBy/Windows as its own TODO (dataflow-jit/src/ir/nodes/mod.rs:62)
+    — this shape EXCEEDS it because a global running total is the most
+    common window real users write.  Bounded frames raise
     :class:`_UnloweredShape` (bounded RANGE frames take the O(Δ)
     rolling path instead)."""
 
@@ -825,8 +840,6 @@ class _GlobalTailWindowMaintainer(_ViewMaintainer):
                 tail_items.append(it)
                 continue
             o_t = " ".join(wm.group("ord").split())
-            if re.search(r"\b(DESC|NULLS)\b", o_t, re.IGNORECASE):
-                raise _UnloweredShape("DESC / NULLS ordering")
             if order_txt is None:
                 order_txt = o_t
             elif order_txt.lower() != o_t.lower():
@@ -836,7 +849,15 @@ class _GlobalTailWindowMaintainer(_ViewMaintainer):
             out = wm.group("name")
             i = self._n_wins
             self._n_wins += 1
-            win = f"OVER (ORDER BY {o_t})"
+            # Preserve an explicit frame verbatim: every supported frame
+            # is UNBOUNDED PRECEDING → CURRENT ROW, and ROWS vs RANGE
+            # differ only on peer rows — peers of a tail row are all in
+            # the tail (the head is STRICTLY before the cutoff on the
+            # first order key), so re-evaluating the original frame text
+            # over the tail is sound.
+            frame = (" " + " ".join(wm.group("frame").split())
+                     if wm.group("frame") else "")
+            win = f"OVER (ORDER BY {o_t}{frame})"
             if fn in ("ROW_NUMBER", "RANK"):
                 if arg:
                     raise _UnloweredShape(it)
@@ -845,10 +866,14 @@ class _GlobalTailWindowMaintainer(_ViewMaintainer):
             elif fn == "DENSE_RANK":
                 if arg:
                     raise _UnloweredShape(it)
-                oes = [F.expr(e.strip().removesuffix(" ASC")
-                              .removesuffix(" asc"))
+                oes = [F.expr(_strip_order_mods(e))
                        for e in _split_top_level(o_t)]
-                base_aggs.append(F.countDistinct(*oes).alias(f"__b_{i}"))
+                # countDistinct over a STRUCT, not bare columns: struct
+                # grouping treats NULL fields as equal (matching
+                # DENSE_RANK's peer semantics), while count(DISTINCT a,b)
+                # would silently skip tuples containing a NULL.
+                base_aggs.append(F.countDistinct(F.struct(*oes))
+                                 .alias(f"__b_{i}"))
                 tail_items.append(f"__b_{i} + DENSE_RANK() {win} AS {out}")
             elif fn == "COUNT":
                 cnt = (F.count(F.lit(1)) if arg == "*"
@@ -883,9 +908,19 @@ class _GlobalTailWindowMaintainer(_ViewMaintainer):
             raise _UnloweredShape("no global window items")
         self.table = tbl
         self._order = order_txt
-        self._o1 = re.sub(r"\s+ASC\s*$", "",
-                          _split_top_level(order_txt)[0].strip(),
-                          flags=re.IGNORECASE)
+        first_key = _split_top_level(order_txt)[0].strip()
+        dm = re.match(
+            r"^(?P<e>.*?)(?:\s+(?P<dir>ASC|DESC))?"
+            r"(?:\s+NULLS\s+(?P<nul>FIRST|LAST))?$",
+            first_key, re.IGNORECASE | re.DOTALL)
+        self._o1 = dm.group("e")
+        # The head/tail split mirrors on the FIRST key's direction only;
+        # later keys' modifiers ride along verbatim in the tail SQL (they
+        # never move a row across the strict first-key cutoff).
+        self._asc = (dm.group("dir") or "ASC").upper() == "ASC"
+        nul = dm.group("nul")
+        # Spark defaults: ASC → NULLS FIRST, DESC → NULLS LAST.
+        self._nulls_first = (nul.upper() == "FIRST") if nul else self._asc
         self._base_aggs = base_aggs
 
         super().__init__(eng, name, sql)      # typing via Catalyst schema
@@ -927,26 +962,48 @@ class _GlobalTailWindowMaintainer(_ViewMaintainer):
         d = z.df.filter(F.expr(self.pred)) if self.pred else z.df
         probe = d.select(
             F.count(F.lit(1)).alias("n"),
-            F.min(F.expr(self._o1)).alias("m"),
+            F.min(F.expr(self._o1)).alias("lo"),
+            F.max(F.expr(self._o1)).alias("hi"),
             F.sum(F.expr(f"CAST(({self._o1}) IS NULL AS INT)")).alias(
                 "nn")).collect()[0]
         if probe["n"] == 0:
             return self._empty()
-        cutoff = None if (probe["nn"] or 0) > 0 else probe["m"]
+        nulls_in_delta = (probe["nn"] or 0) > 0
+        # Cutoff = the delta's FIRST position in output order: min for
+        # ASC, max for DESC (min/max skip NULL order keys).
+        cut = probe["lo"] if self._asc else probe["hi"]
         src = _current_rows(eng, self.table)
         if self.pred:
             src = src.filter(F.expr(self.pred))
         o1 = F.expr(self._o1)
-        if cutoff is None:           # delta touches NULL order keys
+        g = F.col("__gw_o1")
+        if self._nulls_first and nulls_in_delta:
+            # The NULL block heads the order: a NULL delta row shifts
+            # every row's prefix — full recompute with an empty head.
             head = src.limit(0)
             tail = src
             old_t = ZSetFrame(self._out.current.df)
+        elif cut is None:
+            # All-NULL delta under NULLS LAST: only the trailing NULL
+            # block changes; every non-NULL row keeps its prefix.
+            head = src.filter(o1.isNotNull())
+            tail = src.filter(o1.isNull())
+            old_t = ZSetFrame(self._out.current.df.filter(g.isNull()))
         else:
-            head = src.filter(o1.isNull() | (o1 < F.lit(cutoff)))
-            tail = src.filter(o1.isNotNull() & (o1 >= F.lit(cutoff)))
-            old_t = ZSetFrame(self._out.current.df.filter(
-                F.col("__gw_o1").isNotNull()
-                & (F.col("__gw_o1") >= F.lit(cutoff))))
+            beyond = (o1 < F.lit(cut)) if self._asc else (o1 > F.lit(cut))
+            onside = (o1 >= F.lit(cut)) if self._asc else (o1 <= F.lit(cut))
+            g_onside = ((g >= F.lit(cut)) if self._asc
+                        else (g <= F.lit(cut)))
+            if self._nulls_first:
+                head = src.filter(o1.isNull() | beyond)
+                tail = src.filter(o1.isNotNull() & onside)
+                old_t = ZSetFrame(self._out.current.df.filter(
+                    g.isNotNull() & g_onside))
+            else:
+                head = src.filter(o1.isNotNull() & beyond)
+                tail = src.filter(o1.isNull() | onside)
+                old_t = ZSetFrame(self._out.current.df.filter(
+                    g.isNull() | g_onside))
         bases = head.agg(*self._base_aggs)
         new_out = ZSetFrame.from_df(
             eng.eval_on(self._tail_sql,

@@ -2059,17 +2059,140 @@ def test_global_window_null_order_key_full_recompute(spark):
 
 
 def test_global_window_rejects_unsupported_shapes(spark):
-    """DESC ordering, bounded non-prefix frames, and mixed ORDER BY
-    clauses all unlower (fallback), never silently mis-maintain."""
+    """Bounded non-prefix frames and mixed ORDER BY clauses unlower
+    (fallback), never silently mis-maintain."""
     eng = Engine(spark)
     eng.execute("CREATE TABLE t (ts INTEGER NOT NULL, v FLOAT64);")
     eng.execute("CREATE VIEW d1 as SELECT ts, "
-                "ROW_NUMBER() OVER (ORDER BY ts DESC) AS rn FROM t;")
+                "SUM(v) OVER (ORDER BY ts ROWS BETWEEN 3 PRECEDING "
+                "AND CURRENT ROW) AS a FROM t;")
     assert eng.view_strategy("d1") == "differentiate"
     eng.execute("CREATE VIEW d2 as SELECT ts, "
                 "SUM(v) OVER (ORDER BY ts) AS a, "
                 "COUNT(*) OVER (ORDER BY v) AS b FROM t;")
     assert eng.view_strategy("d2") == "differentiate"
+
+
+def test_global_window_desc_matches_recompute(spark):
+    """r6 VERDICT ask #5: DESC global windows lower (strategy
+    global_window) — the head/tail split mirrors (cutoff = MAX of the
+    delta), NULLs ride Spark's DESC default NULLS LAST in the permanent
+    tail, and interleaved inserts/retractions match one-shot SQL."""
+    sql = ("SELECT ts, v, ROW_NUMBER() OVER (ORDER BY ts DESC) AS rn, "
+           "RANK() OVER (ORDER BY ts DESC) AS rk, "
+           "DENSE_RANK() OVER (ORDER BY ts DESC) AS dr, "
+           "SUM(v) OVER (ORDER BY ts DESC) AS running, "
+           "MIN(v) OVER (ORDER BY ts DESC) AS mn FROM {src}")
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE ev (ts INTEGER, v FLOAT64);")
+    eng.execute("CREATE VIEW g as " + sql.format(src="ev") + ";")
+    assert eng.view_strategy("g") == "global_window"
+    schema = "ts int, v double"
+    b1 = [(5, 1.0), (9, 2.0), (2, 3.0), (None, 9.0)]
+    b2 = [(7, 4.0), (9, 5.0), (1, 6.0)]         # 9 ties; 1 below head
+    b3 = [(None, 8.0)]                          # all-NULL delta (tail)
+    eng.push("ev", spark.createDataFrame(b1, schema)); eng.step()
+    eng.push("ev", spark.createDataFrame(b2, schema)); eng.step()
+    eng.push("ev", spark.createDataFrame(b3, schema)); eng.step()
+    eng.push("ev", spark.createDataFrame([b1[1]], schema), weight=-1)
+    eng.step()
+    remaining = b1[:1] + b1[2:] + b2 + b3
+    spark.createDataFrame(remaining, schema) \
+        .createOrReplaceTempView("__gwd_orc")
+    want = spark.sql(sql.format(src="__gwd_orc")).collect()
+    got = eng.view("g").collect()
+    det = lambda rows: sorted(  # noqa: E731 — rn is tie-order-dependent
+        [(r["ts"], r["v"], r["rk"], r["dr"], r["running"], r["mn"])
+         for r in rows], key=str)
+    assert det(got) == det(want)
+    assert sorted(r["rn"] for r in got) == sorted(r["rn"] for r in want)
+
+
+def test_global_window_explicit_nulls_modes(spark):
+    """Explicit NULLS FIRST/LAST against the opposite direction default:
+    ASC NULLS LAST keeps the NULL block in the permanent tail (an
+    all-NULL delta recomputes only that block), DESC NULLS FIRST forces
+    full recompute on a NULL delta — both match one-shot SQL."""
+    for order in ("ts ASC NULLS LAST", "ts DESC NULLS FIRST"):
+        sql = (f"SELECT ts, v, COUNT(*) OVER (ORDER BY {order}) AS rn, "
+               f"SUM(v) OVER (ORDER BY {order}) AS running FROM {{src}}")
+        eng = Engine(spark)
+        eng.execute("CREATE TABLE ev (ts INTEGER, v BIGINT);")
+        eng.execute("CREATE VIEW g as " + sql.format(src="ev") + ";")
+        assert eng.view_strategy("g") == "global_window", order
+        schema = "ts int, v long"
+        eng.push("ev", spark.createDataFrame(
+            [(4, 1), (None, 2), (8, 3)], schema))
+        eng.step()
+        eng.push("ev", spark.createDataFrame([(None, 4)], schema))
+        eng.step()
+        eng.push("ev", spark.createDataFrame([(6, 5), (None, 2)], schema))
+        eng.push("ev", spark.createDataFrame([(8, 3)], schema), weight=-1)
+        eng.step()
+        spark.createDataFrame(
+            [(4, 1), (None, 2), (None, 4), (6, 5), (None, 2)], schema) \
+            .createOrReplaceTempView("__gwn2_orc")
+        want = sorted((tuple(r) for r in
+                       spark.sql(sql.format(src="__gwn2_orc")).collect()),
+                      key=str)
+        got = sorted((tuple(r) for r in eng.view("g").collect()), key=str)
+        assert got == want, order
+
+
+def test_global_window_rows_frame_preserved(spark):
+    """ADVICE r6 #1: an explicit ROWS BETWEEN UNBOUNDED PRECEDING AND
+    CURRENT ROW frame survives into the rebuilt tail SQL — on tied order
+    keys ROWS gives each peer its own prefix while RANGE gives all peers
+    the group total, so the value multiset discriminates.  Tied rows
+    share v, making the multiset deterministic."""
+    sql = ("SELECT ts, v, SUM(v) OVER (ORDER BY ts ROWS BETWEEN "
+           "UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM {src}")
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE ev (ts INTEGER NOT NULL, v BIGINT);")
+    eng.execute("CREATE VIEW g as " + sql.format(src="ev") + ";")
+    assert eng.view_strategy("g") == "global_window"
+    schema = "ts int, v long"
+    b1 = [(1, 10), (2, 5), (2, 5), (3, 1)]
+    b2 = [(2, 5), (4, 7)]       # cutoff lands inside the tie group
+    eng.push("ev", spark.createDataFrame(b1, schema)); eng.step()
+    eng.push("ev", spark.createDataFrame(b2, schema)); eng.step()
+    spark.createDataFrame(b1 + b2, schema) \
+        .createOrReplaceTempView("__gwf_orc")
+    want = sorted((tuple(r) for r in
+                   spark.sql(sql.format(src="__gwf_orc")).collect()),
+                  key=str)
+    got = sorted((tuple(r) for r in eng.view("g").collect()), key=str)
+    assert got == want
+    # RANGE over the same data differs (peers collapse) — proves the
+    # multiset above actually discriminates the two frames.
+    range_rows = sorted((tuple(r) for r in spark.sql(
+        "SELECT ts, v, SUM(v) OVER (ORDER BY ts) AS running "
+        "FROM __gwf_orc").collect()), key=str)
+    assert range_rows != want
+
+
+def test_global_window_dense_rank_null_head_group(spark):
+    """DENSE_RANK's head base counts distinct order tuples via a STRUCT
+    so a permanent-head NULL group is counted (bare count(DISTINCT x)
+    would skip it and shift every tail rank by one)."""
+    sql = ("SELECT ts, DENSE_RANK() OVER (ORDER BY ts) AS dr FROM {src}")
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE ev (ts INTEGER);")
+    eng.execute("CREATE VIEW g as " + sql.format(src="ev") + ";")
+    assert eng.view_strategy("g") == "global_window"
+    schema = "ts int"
+    eng.push("ev", spark.createDataFrame([(None,), (None,), (3,)], schema))
+    eng.step()
+    # no NULLs in this delta → NULL rows stay in the permanent head
+    eng.push("ev", spark.createDataFrame([(5,), (7,)], schema))
+    eng.step()
+    spark.createDataFrame([(None,), (None,), (3,), (5,), (7,)], schema) \
+        .createOrReplaceTempView("__gwdr_orc")
+    want = sorted((tuple(r) for r in
+                   spark.sql(sql.format(src="__gwdr_orc")).collect()),
+                  key=str)
+    got = sorted((tuple(r) for r in eng.view("g").collect()), key=str)
+    assert got == want
 
 
 def test_nullable_not_in_three_valued_regimes(spark):
