@@ -386,7 +386,15 @@ class IncrementalTransitiveClosureOp:
             deletes = (dd.filter(F.col(WEIGHT_COL) < 0).select(src, dst)
                        .intersect(self._edges)
                        .localCheckpoint(eager=True))
-            out = self._delete(deletes)
+            # Retracting never-inserted edges leaves deletes∩edges empty:
+            # gate the whole DRed suspect machinery on the materialized
+            # frame (one cheap job on the checkpointed plan).  This also
+            # keeps a delete-bearing FIRST tick away from the bucketed
+            # stores before _insert_bucketed has bootstrapped them —
+            # _edges is empty until the first insert, so the intersect
+            # is empty too (ADVICE r6 #4).
+            if not deletes.isEmpty():
+                out = self._delete(deletes)
         if (sign["mx"] or 0) > 0:
             # exceptAll against post-deletion edges: a same-tick ±pair
             # cancelled in consolidate(), so the sets are equivalent
@@ -631,6 +639,15 @@ class IncrementalTransitiveClosureOp:
         deletion cost ∝ affected derivations, time/mod.rs:20-48)."""
         from database_stream_processor_spark.zset import ZSetFrame
         src, dst = self.src, self.dst
+        if not self._initialized:
+            # Defensive bootstrap: step() can't reach here before the
+            # first insert (deletes∩empty-edges is empty), but any
+            # future direct caller must find readable stores.
+            self._s_src.write_full(self.spark.createDataFrame(
+                [], self._schema))
+            self._s_dst.write_full(self.spark.createDataFrame(
+                [], self._schema))
+            self._initialized = True
         scanned0 = (self._s_src.scanned_buckets,
                     self._s_dst.scanned_buckets)
         e_new = self._edges.exceptAll(deleted).localCheckpoint(eager=True)

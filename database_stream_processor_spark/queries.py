@@ -4119,6 +4119,261 @@ def q110_sql_engine_global_window_desc(spark, sf_dir):
         "run_sum_c", "run_min", "run_max")
 
 
+@register("q111_sql_engine_tpch_q2_verbatim", oracle="""
+WITH pt AS (SELECT p_partkey, p_brand AS p_mfgr, p_size, p_type
+            FROM part),
+sup AS (SELECT s_suppkey,
+               CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS s_acctbal,
+               s_name,
+               'addr_' || CAST(s_suppkey AS VARCHAR) AS s_address,
+               'ph_' || CAST(s_suppkey AS VARCHAR) AS s_phone,
+               'cm_' || CAST(s_suppkey AS VARCHAR) AS s_comment,
+               s_nationkey
+        FROM supplier),
+ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+              CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                  AS ps_supplycost
+       FROM lineitem WHERE l_suppkey % 5 <> 0)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_mfgr, s_address,
+       s_phone, s_comment
+FROM pt, sup, ps, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type LIKE '%M%'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'AMERICA'
+  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+                       FROM ps ps2, sup s2, nation n2, region r2
+                       WHERE p_partkey = ps2.ps_partkey
+                         AND s2.s_suppkey = ps2.ps_suppkey
+                         AND s2.s_nationkey = n2.n_nationkey
+                         AND n2.n_regionkey = r2.r_regionkey
+                         AND r2.r_name = 'AMERICA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def q111_sql_engine_tpch_q2_verbatim(spark, sf_dir):
+    """The PUBLISHED TPC-H q2 text, character-for-character structure —
+    implicit comma joins, unqualified columns, the correlated MIN
+    subquery over the SAME table names as the outer FROM, and the
+    ``ORDER BY s_acctbal DESC … LIMIT 100`` tail — through
+    ``Engine.execute`` with no rewriting by the caller (r6 VERDICT ask
+    #4; the reference's Calcite frontend accepts this verbatim,
+    sql-to-dbsp submodule / SURVEY §3.2).  Three engine passes make it
+    maintainable: (1) ``_normalize_comma_from`` turns the comma list
+    into an explicit JOIN chain, schema-attributing bare columns and
+    fresh-aliasing the inner FROM's shadowed table names; (2) the
+    scalar-subquery machinery builds the hidden min-cost view stack;
+    (3) ``_topk_over_from`` layers the DESC global top-k on the stack's
+    O(Δ) output delta.  Two insert ticks plus a retraction of every
+    5th supplier's offers (some of them reigning minima)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE part (p_partkey BIGINT NOT NULL, p_mfgr VARCHAR,
+                           p_size BIGINT, p_type VARCHAR);
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_acctbal BIGINT, s_name VARCHAR,
+                               s_address VARCHAR, s_phone VARCHAR,
+                               s_comment VARCHAR, s_nationkey BIGINT);
+        CREATE TABLE partsupp (ps_partkey BIGINT, ps_suppkey BIGINT,
+                               ps_supplycost BIGINT);
+        CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR,
+                             n_regionkey BIGINT);
+        CREATE TABLE region (r_regionkey BIGINT, r_name VARCHAR);
+        CREATE VIEW q2 as
+            select s_acctbal, s_name, n_name, p_partkey, p_mfgr,
+                   s_address, s_phone, s_comment
+            from part, supplier, partsupp, nation, region
+            where p_partkey = ps_partkey and s_suppkey = ps_suppkey
+              and p_size = 15 and p_type like '%M%'
+              and s_nationkey = n_nationkey
+              and n_regionkey = r_regionkey and r_name = 'AMERICA'
+              and ps_supplycost = (
+                  select min(ps_supplycost)
+                  from partsupp, supplier, nation, region
+                  where p_partkey = ps_partkey
+                    and s_suppkey = ps_suppkey
+                    and s_nationkey = n_nationkey
+                    and n_regionkey = r_regionkey
+                    and r_name = 'AMERICA')
+            order by s_acctbal desc, n_name, s_name, p_partkey
+            limit 100;
+    """)
+    assert eng.view_strategy("q2") == "global_topk"
+    assert eng.view_strategy("__q2_pre") == "project"
+    sk = F.col("s_suppkey").cast("string")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("p_mfgr"), "p_size",
+        "p_type")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.floor(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal"),
+        "s_name", F.concat(F.lit("addr_"), sk).alias("s_address"),
+        F.concat(F.lit("ph_"), sk).alias("s_phone"),
+        F.concat(F.lit("cm_"), sk).alias("s_comment"), "s_nationkey")
+    ps = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ps_supplycost"))
+    for i in range(2):
+        eng.push("part", p.filter(F.col("p_partkey") % 2 == i))
+        eng.push("supplier", s.filter(F.col("s_suppkey") % 2 == i))
+        eng.push("partsupp", ps.filter(F.col("ps_partkey") % 2 == i))
+        if i == 0:
+            eng.push("nation", load(spark, sf_dir, "nation"))
+            eng.push("region", load(spark, sf_dir, "region"))
+        eng.step()
+    eng.push("partsupp", ps.filter(F.col("ps_suppkey") % 5 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q2")
+
+
+@register("q112_sql_engine_tpch_q3_verbatim", oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem WHERE l_orderkey % 9 <> 0)
+SELECT l_orderkey,
+       CAST(SUM(ext_c * (100 - disc_pct)) AS BIGINT) AS revenue_c,
+       o_orderpriority
+FROM customer, orders, li
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey AND l_linenumber <> 3
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue_c DESC, l_orderkey
+LIMIT 10
+""")
+def q112_sql_engine_tpch_q3_verbatim(spark, sf_dir):
+    """TPC-H q3's shape verbatim (comma-FROM, implicit join predicates,
+    aggregate + ``ORDER BY <alias> DESC … LIMIT 10``) adapted only to
+    the testdata's columns (no o_shippriority/date columns here —
+    o_orderpriority and an integer-cents revenue stand in).  Lowers as
+    comma-normalization → multi-join linear aggregate (hidden
+    ``__q3_pre``) → global top-k over its delta.  The final tick
+    retracts every 9th order's lineitems, demoting some top rows."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_mktsegment VARCHAR);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT, o_orderpriority VARCHAR);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_linenumber BIGINT,
+                               ext_c BIGINT, disc_pct BIGINT);
+        CREATE VIEW q3 as
+            select l_orderkey,
+                   sum(ext_c * (100 - disc_pct)) as revenue_c,
+                   o_orderpriority
+            from customer, orders, lineitem
+            where c_mktsegment = 'BUILDING' and c_custkey = o_custkey
+              and l_orderkey = o_orderkey and l_linenumber <> 3
+            group by l_orderkey, o_orderpriority
+            order by revenue_c desc, l_orderkey limit 10;
+    """)
+    assert eng.view_strategy("q3") == "global_topk"
+    assert eng.view_strategy("__q3_pre") == "multi_join_agg"
+    c = load(spark, sf_dir, "customer").select("c_custkey",
+                                               "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                             "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q3")
+
+
+@register("q113_sql_engine_tpch_q5_verbatim", oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem),
+od AS (SELECT o_orderkey, o_custkey FROM orders
+       WHERE o_orderkey % 6 <> 0)
+SELECT n_name,
+       CAST(SUM(ext_c * (100 - disc_pct)) AS BIGINT) AS revenue_c
+FROM customer, od, li, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+""")
+def q113_sql_engine_tpch_q5_verbatim(spark, sf_dir):
+    """TPC-H q5 ("local supplier volume") verbatim shape: a SIX-table
+    implicit comma join — including the non-chain extra equality
+    ``c_nationkey = s_nationkey`` that makes q5's join graph a cycle —
+    plus aggregate and a trailing no-LIMIT ORDER BY.  The normalizer
+    absorbs the cycle edge into the supplier ON conjunction, the
+    trailing ORDER BY (semantically void for an unordered maintained
+    relation) is stripped, and the whole view lowers to one multi-join
+    linear aggregate.  Final tick retracts every 6th order."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_nationkey BIGINT);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_suppkey BIGINT,
+                               ext_c BIGINT, disc_pct BIGINT);
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_nationkey BIGINT);
+        CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR,
+                             n_regionkey BIGINT);
+        CREATE TABLE region (r_regionkey BIGINT, r_name VARCHAR);
+        CREATE VIEW q5 as
+            select n_name,
+                   sum(ext_c * (100 - disc_pct)) as revenue_c
+            from customer, orders, lineitem, supplier, nation, region
+            where c_custkey = o_custkey and l_orderkey = o_orderkey
+              and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+              and s_nationkey = n_nationkey
+              and n_regionkey = r_regionkey and r_name = 'ASIA'
+            group by n_name
+            order by revenue_c desc;
+    """)
+    assert eng.view_strategy("q5") == "multi_join_agg"
+    c = load(spark, sf_dir, "customer").select("c_custkey",
+                                               "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey",
+                                               "s_nationkey")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.push("supplier", s.filter(F.col("s_suppkey") % 2 == i))
+        if i == 0:
+            eng.push("nation", load(spark, sf_dir, "nation"))
+            eng.push("region", load(spark, sf_dir, "region"))
+        eng.step()
+    eng.push("orders", o.filter(F.col("o_orderkey") % 6 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q5")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -1106,6 +1106,291 @@ def _sub_outside_literals(pattern: str, repl: str, text: str,
                    for seg in segments)
 
 
+def _split_top_kw(s: str, kw: str) -> list[str]:
+    """Split ``s`` on whole-word ``kw`` at paren depth 0, outside
+    string literals."""
+    parts, depth, in_str, i, n, last = [], 0, False, 0, len(s), 0
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and _kw_at(s, i, kw):
+                parts.append(s[last:i])
+                i += len(kw)
+                last = i
+                continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts]
+
+
+def _find_top_kw(s: str, kws: tuple[str, ...]) -> int:
+    """Index of the first whole-word occurrence of any of ``kws`` at
+    paren depth 0 outside string literals; -1 if none."""
+    depth, in_str = 0, False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and any(_kw_at(s, i, k) for k in kws):
+                return i
+    return -1
+
+
+#: clause keywords that terminate a FROM clause at top level
+_NCF_STOPS = ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+              "INTERSECT", "EXCEPT", "WINDOW")
+
+
+def _normalize_comma_from(eng: "Engine", sql: str) -> str:
+    """Rewrite implicit-join SQL — ``FROM a, b, c WHERE <equalities AND
+    residual>`` — into the explicit ``JOIN … ON`` chains the recognizers
+    lower: the normalization the reference's Calcite frontend performs
+    before its own lowering (the sql-to-dbsp submodule accepts verbatim
+    TPC-H text, SURVEY §3.2).  Join equalities are attributed to table
+    refs schema-aware — a bare TPC-H column like ``p_partkey`` resolves
+    through the unique ref whose schema holds it, qualified columns
+    through their alias — and emitted QUALIFIED in the ON clauses (the
+    equi-join parsers expect ``a.x = b.y``).  Conjuncts that don't link
+    two distinct in-scope refs (literal filters, scalar-subquery
+    comparisons, correlated outer references) stay in the residual
+    WHERE.  Subquery blocks normalize recursively, innermost first.
+    Anything unparsable — a comma ref that is itself a subquery, a
+    duplicate alias, a ref with no linking equality (true cross join) —
+    returns that block UNCHANGED: the snapshot-diff fallback still
+    evaluates it, so this rewrite can only upgrade, never break.
+
+    A subquery ref that reuses an ENCLOSING FROM's table name unaliased
+    (verbatim TPC-H q2's inner ``FROM partsupp, supplier, …`` under an
+    outer FROM naming the same tables) gets a fresh synthetic alias —
+    SQL scoping makes the inner instance independent anyway, and the
+    scalar-subquery machinery refuses shadowed aliases outright."""
+    return _ncf_block(eng, " ".join(sql.split()), {})
+
+
+def _ncf_scope_of(eng: "Engine", block: str) -> dict[str, frozenset]:
+    """``{qualifier: columns}`` for a block's top-level FROM refs (comma
+    refs or explicit join chains) — the scope passed down to subquery
+    normalization, used both for shadow detection and for qualifying
+    correlated outer column references."""
+    parts = _split_select_from(block)
+    if parts is None:
+        return {}
+    stop = _find_top_kw(parts[1], _NCF_STOPS)
+    fc = (parts[1] if stop < 0 else parts[1][:stop]).strip()
+    out: dict[str, frozenset] = {}
+    for seg in re.split(r"\b(?:(?:LEFT|RIGHT|FULL|CROSS)\s+(?:OUTER\s+)?"
+                        r"JOIN|JOIN)\b", fc, flags=re.IGNORECASE):
+        seg = re.split(r"\bON\b", seg, maxsplit=1,
+                       flags=re.IGNORECASE)[0]
+        for r in _split_top_level(seg):
+            tm = _TBL_ALIAS_RE.match(r.strip())
+            if not tm:
+                continue
+            t = tm.group(1).lower()
+            a = (tm.group(2) or tm.group(1)).lower()
+            if t in eng.tables or t in eng.views or t in eng._maintainers:
+                out[a] = frozenset(
+                    c.lower() for c in _source_rows0(eng, t).columns)
+    return out
+
+
+def _ncf_block(eng: "Engine", block: str,
+               scope: dict[str, frozenset]) -> str:
+    inner_scope = dict(scope)
+    inner_scope.update(_ncf_scope_of(eng, block))
+    out, i, n = [], 0, len(block)
+    while i < n:
+        ch = block[i]
+        if ch == "'":
+            j = block.find("'", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(block[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth, j, in_str = 0, i, False
+            while j < n:
+                cj = block[j]
+                if cj == "'":
+                    in_str = not in_str
+                elif not in_str:
+                    if cj == "(":
+                        depth += 1
+                    elif cj == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j += 1
+            out.append("(" + _ncf_block(eng, block[i + 1:j].strip(),
+                                        inner_scope) + ")")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return _ncf_rewrite(eng, "".join(out), scope)
+
+
+def _ncf_qualify(text: str, resolve) -> str:
+    """Qualify bare column tokens via ``resolve(lower_token) ->
+    qualifier | None`` — literal-safe, skips keywords, function calls,
+    already-qualified refs, and AS aliases."""
+    out = []
+    for seg in re.split(r"('(?:[^']*)')", text):
+        if seg.startswith("'"):
+            out.append(seg)
+            continue
+        res, last = [], 0
+        for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", seg):
+            tok = bm.group(1)
+            pre = seg[:bm.start()].rstrip()
+            if (tok.lower() in _SQL_KEYWORDS or pre.endswith(".")
+                    or re.search(r"\bAS$", pre, re.IGNORECASE)):
+                continue
+            q = resolve(tok.lower())
+            if q:
+                res.append(seg[last:bm.start()])
+                res.append(f"{q}.{tok}")
+                last = bm.end()
+        res.append(seg[last:])
+        out.append("".join(res))
+    return "".join(out)
+
+
+def _ncf_rewrite(eng: "Engine", flat: str,
+                 scope: dict[str, frozenset]) -> str:
+    parts = _split_select_from(flat)
+    if parts is None:
+        return flat
+    sel, rest = parts
+    stop = _find_top_kw(rest, _NCF_STOPS)
+    from_clause = (rest if stop < 0 else rest[:stop]).strip()
+    trailing = "" if stop < 0 else rest[stop:].strip()
+    refs = [r.strip() for r in _split_top_level(from_clause)]
+    if len(refs) < 2:
+        return flat
+    parsed, ref_txts, renamed = [], [], {}
+    for r in refs:
+        if "(" in r or re.search(r"\bJOIN\b", r, re.IGNORECASE):
+            return flat
+        tm = _TBL_ALIAS_RE.match(r)
+        if not tm:
+            return flat
+        t = tm.group(1).lower()
+        a = (tm.group(2) or tm.group(1)).lower()
+        if not (t in eng.tables or t in eng.views or t in eng._maintainers):
+            return flat
+        if tm.group(2) is None and t in scope:
+            # unaliased ref shadowing an enclosing FROM: fresh alias
+            a = f"{t}__s{len(parsed)}"
+            renamed[t] = a
+            ref_txts.append(f"{t} {a}")
+        else:
+            ref_txts.append(r)
+        parsed.append((t, a))
+    if len({a for _, a in parsed}) != len(parsed):
+        return flat
+    if not re.match(r"^WHERE\b", trailing, re.IGNORECASE):
+        return flat                           # no predicate: cross join
+    after = trailing[5:].strip()
+    wstop = _find_top_kw(after, _NCF_STOPS[1:])
+    wpred = (after if wstop < 0 else after[:wstop]).strip()
+    tail = "" if wstop < 0 else after[wstop:].strip()
+    if renamed:
+        # table-name qualifiers on renamed refs follow the new alias
+        for t, a in renamed.items():
+            sel = _sub_outside_literals(rf"\b{t}\s*\.", f"{a}.", sel,
+                                        re.IGNORECASE)
+            wpred = _sub_outside_literals(rf"\b{t}\s*\.", f"{a}.",
+                                          wpred, re.IGNORECASE)
+            tail = _sub_outside_literals(rf"\b{t}\s*\.", f"{a}.",
+                                         tail, re.IGNORECASE)
+    conjs = _split_top_kw(wpred, "AND")
+    ref_of = {a: r for r, (_, a) in zip(ref_txts, parsed)}
+    cols_of = {a: {c.lower() for c in _source_rows0(eng, t).columns}
+               for t, a in parsed}
+
+    def attr(tok: str) -> str | None:
+        if "." in tok:
+            q, c = tok.split(".", 1)
+            q = q.lower()
+            return q if q in cols_of and c.lower() in cols_of[q] else None
+        owners = [a for _, a in parsed if tok.lower() in cols_of[a]]
+        return owners[0] if len(owners) == 1 else None
+
+    def qual(tok: str, a: str) -> str:
+        return tok if "." in tok else f"{a}.{tok}"
+
+    links = []                     # (conj idx, alias1, alias2, ON text)
+    for ci, c in enumerate(conjs):
+        em = re.match(r"^(\w+(?:\.\w+)?)\s*=\s*(\w+(?:\.\w+)?)$", c)
+        if not em:
+            continue
+        a1, a2 = attr(em.group(1)), attr(em.group(2))
+        if a1 and a2 and a1 != a2:
+            links.append((ci, a1, a2,
+                          f"{qual(em.group(1), a1)} = "
+                          f"{qual(em.group(2), a2)}"))
+
+    joined = {parsed[0][1]}
+    remaining = [a for _, a in parsed[1:]]
+    used: set[int] = set()
+    chain = [ref_txts[0]]
+    while remaining:
+        nxt = None
+        for ci, a1, a2, _txt in links:
+            if ci in used:
+                continue
+            s1, s2 = a1 in joined, a2 in joined
+            if s1 != s2:
+                nxt = a2 if s1 else a1
+                break
+        if nxt is None:
+            return flat                       # disconnected: cross join
+        on_terms = []
+        for ci, a1, a2, txt in links:
+            if ci in used:
+                continue
+            pair = {a1, a2}
+            if nxt in pair and (pair - {nxt}) <= joined:
+                on_terms.append(txt)
+                used.add(ci)
+        chain.append(f"JOIN {ref_of[nxt]} ON " + " AND ".join(on_terms))
+        joined.add(nxt)
+        remaining.remove(nxt)
+    residual = [c for i, c in enumerate(conjs) if i not in used]
+    if scope:
+        # subquery block: qualify bare columns — inner refs win (SQL
+        # scoping), then unique enclosing-FROM owners (correlation refs
+        # like TPC-H q2's `p_partkey = ps_partkey`), so the downstream
+        # subquery machinery sees fully qualified correlation terms
+        def resolve(tok: str) -> str | None:
+            inner = attr(tok)
+            if inner:
+                return inner
+            owners = [q for q, cols in scope.items() if tok in cols]
+            return owners[0] if len(owners) == 1 else None
+
+        sel = _ncf_qualify(sel, resolve)
+        residual = [_ncf_qualify(c, resolve) for c in residual]
+        tail = _ncf_qualify(tail, resolve)
+    new = f"SELECT {sel} FROM " + " ".join(chain)
+    if residual:
+        new += " WHERE " + " AND ".join(residual)
+    if tail:
+        new += " " + tail
+    return new
+
+
 def _expand_subquery_stars(eng: "Engine", inner: str) -> str:
     """Expand ``*`` / ``alias.*`` select items of a join subquery into
     explicit ``alias.col AS col`` items with FIRST-WINS dedup of output
@@ -1917,8 +2202,20 @@ def _scalar_having_from(eng: "Engine", name: str, flat: str):
     # _rewrite_having discipline)
     segments = re.split(r"('(?:[^']*)')", hpred)
     for expr_text, al in alias_map:
-        pat = r"\s*".join(re.escape(c)
-                          for c in re.sub(r"\s+", "", expr_text))
+        # Only aggregate-call expressions repeat in HAVING (the
+        # _rewrite_having discipline); rewriting short key aliases like
+        # `x AS a` would hit substrings of longer identifiers.
+        if not re.match(r"^(SUM|COUNT|AVG|MIN|MAX)\s*\(", expr_text,
+                        re.IGNORECASE):
+            continue
+        flat_expr = re.sub(r"\s+", "", expr_text)
+        pat = r"\s*".join(re.escape(c) for c in flat_expr)
+        # Word-boundary anchors, but only where the edge char is a word
+        # char (a leading \b before '(' or after ')' would invert).
+        if flat_expr[0].isalnum() or flat_expr[0] == "_":
+            pat = r"\b" + pat
+        if flat_expr[-1].isalnum() or flat_expr[-1] == "_":
+            pat += r"\b"
         segments = [seg if seg.startswith("'")
                     else re.sub(pat, al, seg, flags=re.IGNORECASE)
                     for seg in segments]
@@ -3129,6 +3426,62 @@ class _GlobalTopKMaintainer(_ViewMaintainer):
         return delta
 
 
+#: SELECT … ORDER BY <plain cols> LIMIT k with ANY body before the tail
+_ORDER_LIMIT_RE = re.compile(
+    r"^(?P<body>SELECT\s+.+?)\s+ORDER\s+BY\s+(?P<ord>[^()]+?)\s+"
+    r"LIMIT\s+(?P<k>\d+)\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def _topk_over_from(eng: "Engine", name: str, flat: str):
+    """``ORDER BY … LIMIT k`` over a COMPLEX body (join chains, scalar
+    subqueries — verbatim TPC-H q2's tail): synthesize a hidden
+    maintained view ``__{name}_pre`` for everything before the tail
+    (lowered through the ordinary recognizers, including the
+    scalar-subquery stacks), then layer :class:`_GlobalTopKMaintainer`
+    on its O(Δ) output delta.  Every ORDER BY item must be an output
+    column of the body (TPC-H text orders by select-list columns).
+    Raises :class:`_UnloweredShape` when the body itself only
+    snapshot-diffs — layering top-k over a full recompute adds nothing."""
+    from database_stream_processor_spark.zset import WEIGHT_COL
+    m = _ORDER_LIMIT_RE.match(flat)
+    if m is None:
+        raise _UnloweredShape("no ORDER BY … LIMIT tail")
+    body = m.group("body").strip()
+    hidden = f"__{name}_pre"
+    hm = _lower_view(eng, hidden, body)
+    if hm.kind == "differentiate":
+        raise _UnloweredShape("top-k body snapshot-diffs")
+    eng._maintainers[hidden] = hm
+    words = {w.lower() for w in re.findall(r"\b\w+\b", body)}
+    eng._sources[hidden] = {w for w in words
+                            if w in eng.tables or w in eng.views}
+    eng._sources[hidden] |= {w for w in words
+                             if w in eng._maintainers and w != hidden}
+    hm.state.current.rows().createOrReplaceTempView(hidden)
+    try:
+        out_cols = [c for c in hm.state.current.df.columns
+                    if c != WEIGHT_COL]
+        lowcols = {c.lower(): c for c in out_cols}
+        items = []
+        for o in _split_top_level(m.group("ord")):
+            om = _ORD_ITEM.match(o.strip())
+            if om is None or om.group("col").lower() not in lowcols:
+                raise _UnloweredShape(f"ORDER BY item not an output "
+                                      f"column: {o}")
+            d = f" {om.group('dir').upper()}" if om.group("dir") else ""
+            items.append(lowcols[om.group("col").lower()] + d)
+        outer = (f"SELECT {', '.join(out_cols)} FROM {hidden} "
+                 f"ORDER BY {', '.join(items)} LIMIT {m.group('k')}")
+        gm = _GLOBAL_TOPK_RE.match(outer)
+        return _GlobalTopKMaintainer(eng, name, outer, gm)
+    except Exception:
+        for h in list(eng._maintainers):
+            if h == hidden or h.startswith(f"__{hidden}"):
+                eng._maintainers.pop(h, None)
+                eng._sources.pop(h, None)
+        raise
+
+
 def _ns_join(left: DataFrame, right: DataFrame, keys: list[str],
              how: str) -> DataFrame:
     """Join on ``keys`` with null-safe equality (``<=>``) and coalesce the
@@ -3870,16 +4223,22 @@ _NONLIN_ITEM = re.compile(
 
 
 def _match_nonlinear_items(sel: str, keys: list[str]) -> bool:
-    saw_agg = False
+    saw_agg, n_keys = False, 0
     for it in (i.strip() for i in _split_top_level(sel)):
         im = _NONLIN_ITEM.match(it)
         if not im:
             return False
-        if im.group("key") and im.group("key") not in keys:
-            return False
+        if im.group("key"):
+            if im.group("key") not in keys:
+                return False
+            n_keys += 1
         if im.group("name"):
             saw_agg = True
-    return saw_agg
+    # Every GROUP BY key must appear in the select: the recompute groups
+    # by ALL keys and emits them, so a missing key (SELECT a, SUM(x) …
+    # GROUP BY a, b) would make the delta schema diverge from the view
+    # schema (ADVICE r6 #2 — same rule as the linear path).
+    return saw_agg and n_keys == len(keys)
 
 
 def _finalize_spec(df: DataFrame, out_spec: list[tuple[str, str]]) -> DataFrame:
@@ -3942,9 +4301,17 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
             alias_map.append((f"AVG({e})", n))
     if not val_names:
         return None
+    # Every GROUP BY key must surface as exactly one select item: the
+    # delta partial SELECTs only the select list, so a key missing from
+    # it (legal SQL: SELECT a, SUM(x) … GROUP BY a, b) would vanish from
+    # the merge frame and _GroupMergeMaintainer._merge would collapse
+    # distinct (a, b) groups into one row per a.  Fall back instead
+    # (ADVICE r6 #2).
+    if len(merge_keys) != len(keys):
+        return None
     return {"delta_sel": ", ".join(delta_items), "val_names": val_names,
             "out": out, "alias_map": alias_map,
-            "merge_keys": merge_keys or [k.split(".")[-1] for k in keys],
+            "merge_keys": merge_keys,
             "aliased_keys": aliased_keys}
 
 
@@ -4046,6 +4413,18 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     tick — a WARNING names the view and every recognizer that was tried,
     so a typo'd view shape can't silently downgrade)."""
     flat = " ".join(sql.split())
+    # A top-level trailing ORDER BY with no LIMIT is semantically void
+    # for a maintained view (Z-set outputs are unordered relations —
+    # the reference's Calcite frontend likewise treats a subquery/view
+    # ORDER BY as advisory): strip it so verbatim TPC-H text (q1/q5/…
+    # end with ORDER BY) reaches the agg/join recognizers.
+    op = _find_top_kw(flat, ("ORDER",))
+    if op >= 0 and not re.search(r"\bLIMIT\s+\d+", flat[op:],
+                                 re.IGNORECASE):
+        tail_txt = flat[op:]
+        if re.match(r"^ORDER\s+BY\s", tail_txt, re.IGNORECASE) \
+                and _find_top_kw(tail_txt[8:], _NCF_STOPS) < 0:
+            flat = flat[:op].strip()
     # hidden synthesized views (__{name}_sq/_j/_src) live in
     # eng._maintainers without an eng.views entry — they are valid
     # upstream sources for further lowering (scalar-subquery stacks)
@@ -4229,6 +4608,14 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and not _GLOBAL_TOPK_BLOCKERS.search(flat)
             and not _analyzed_has_aggregate(eng, flat)):
         r = _try(_GlobalTopKMaintainer, eng, name, flat, m)
+        if r is not None:
+            return r
+    if _ORDER_LIMIT_RE.match(flat) and (m is None
+                                        or _GLOBAL_TOPK_BLOCKERS
+                                        .search(flat)):
+        # complex body before the ORDER BY … LIMIT tail: hidden
+        # maintained view for the body, global top-k layered on top
+        r = _try(_topk_over_from, eng, name, flat)
         if r is not None:
             return r
     if re.search(r"\(\s*SELECT", flat, re.IGNORECASE):
@@ -4419,6 +4806,11 @@ class Engine:
             self._bootstrapped.add(name)
 
     def _create_view(self, name: str, select_sql: str) -> None:
+        # Calcite-style normalization first: implicit comma joins become
+        # explicit JOIN … ON chains, so verbatim TPC-H text reaches the
+        # same recognizers as hand-written chains (no-op for anything
+        # unparsable — the text stays as given).
+        select_sql = _normalize_comma_from(self, select_sql)
         self.views[name] = select_sql
         self._maintainers[name] = _lower_view(self, name, select_sql)
         # structural dependency set (tables + earlier views referenced by

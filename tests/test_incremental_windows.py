@@ -280,6 +280,42 @@ def test_bucketed_closure_prunes_deletion_scan(spark, tmp_path):
     assert {tuple(r) for r in op.current.collect()} == set(want)
 
 
+def test_closure_phantom_retraction_skips_dred(spark):
+    """ADVICE r6 #4: retracting edges that were never inserted leaves
+    deletes∩edges empty — step() must not run the DRed suspect
+    machinery at all (gated on the materialized deletes frame), and the
+    closure is unchanged."""
+    op = IncrementalTransitiveClosureOp(spark)
+    acc = op.step(ZSetFrame.from_df(_edges(spark, [(1, 2), (2, 3)]), 1))
+
+    def boom(_deleted):
+        raise AssertionError("DRed ran for a phantom retraction")
+
+    op._delete = boom
+    d = op.step(ZSetFrame.from_df(_edges(spark, [(7, 8)]), -1))
+    assert zset_to_dict(d) == {}
+    want = {tuple(r): 1 for r in
+            transitive_closure(_edges(spark, [(1, 2), (2, 3)])).collect()}
+    assert zset_to_dict(acc.consolidate()) == want
+    assert {tuple(r) for r in op.current.collect()} == set(want)
+
+
+def test_bucketed_closure_delete_only_first_tick(spark, tmp_path):
+    """ADVICE r6 #4 (bucketed): a delete-only FIRST tick must not read
+    the never-written partitioned stores — it is a no-op (nothing was
+    ever inserted), and the stores bootstrap correctly on the first
+    real insert afterwards."""
+    op = IncrementalTransitiveClosureOp(
+        spark, n_buckets=8, path=str(tmp_path / "tc"))
+    d0 = op.step(ZSetFrame.from_df(_edges(spark, [(1, 2)]), -1))
+    assert zset_to_dict(d0) == {}
+    assert op.current.count() == 0
+    acc = op.step(ZSetFrame.from_df(_edges(spark, [(1, 2), (2, 3)]), 1))
+    want = {tuple(r): 1 for r in
+            transitive_closure(_edges(spark, [(1, 2), (2, 3)])).collect()}
+    assert zset_to_dict(acc.consolidate()) == want
+
+
 def test_generic_fixpoint_seminaive_insert(spark):
     """Generic incremental fixpoint with delta rules: an insert tick runs
     semi-naive — work ∝ the delta's derivations (step invocations ∝

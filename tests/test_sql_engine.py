@@ -4,6 +4,8 @@ plus incremental view maintenance with a retraction round."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1343,10 +1345,10 @@ def test_snapshot_diff_fallback_warns(spark, caplog):
         eng.execute("CREATE VIEW ok as SELECT k, v FROM t WHERE k > 0;")
         assert not [r for r in caplog.records
                     if "snapshot-diff" in r.getMessage()]
-        # global windows now lower (r6); a DESC global ordering is the
-        # remaining no-lowering window shape
+        # global windows incl. DESC now lower (r6/r7); a bounded
+        # non-prefix global frame is the remaining no-lowering shape
         eng.execute("CREATE VIEW bad as SELECT k, v, "
-                    "SUM(v) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED "
+                    "SUM(v) OVER (ORDER BY k ROWS BETWEEN 3 "
                     "PRECEDING AND CURRENT ROW) AS r FROM t;")
     warns = [r.getMessage() for r in caplog.records
              if "snapshot-diff" in r.getMessage()]
@@ -2071,6 +2073,202 @@ def test_global_window_rejects_unsupported_shapes(spark):
                 "SUM(v) OVER (ORDER BY ts) AS a, "
                 "COUNT(*) OVER (ORDER BY v) AS b FROM t;")
     assert eng.view_strategy("d2") == "differentiate"
+
+
+def test_comma_from_normalizer_units(spark):
+    """r6 VERDICT ask #4 plumbing: implicit comma joins normalize to
+    explicit qualified JOIN … ON chains; non-equality and unattributable
+    conjuncts stay in the residual WHERE; true cross joins and unknown
+    tables pass through unchanged; a subquery reusing an outer table
+    name unaliased gets a fresh alias and qualified correlation refs."""
+    from database_stream_processor_spark.sql import _normalize_comma_from
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE ta (ka BIGINT, va BIGINT);"
+                "CREATE TABLE tb (kb BIGINT, vb BIGINT);")
+    out = _normalize_comma_from(
+        eng, "SELECT ka, vb FROM ta, tb WHERE ka = kb AND va > 3")
+    assert out == ("SELECT ka, vb FROM ta JOIN tb ON ta.ka = tb.kb "
+                   "WHERE va > 3")
+    # qualified refs and aliases survive; alias qualifies the ON side
+    out = _normalize_comma_from(
+        eng, "SELECT x.ka FROM ta x, tb WHERE x.ka = kb")
+    assert out == "SELECT x.ka FROM ta x JOIN tb ON x.ka = tb.kb"
+    # no linking equality → unchanged (cross join)
+    cross = "SELECT ka, kb FROM ta, tb WHERE va > 3"
+    assert _normalize_comma_from(eng, cross) == cross
+    # unknown table → unchanged
+    unk = "SELECT 1 FROM ta, nosuch WHERE ka = kb"
+    assert _normalize_comma_from(eng, unk) == unk
+    # subquery shadowing: inner `ta` gets a fresh alias, the correlated
+    # outer ref and the inner refs come out qualified
+    out = _normalize_comma_from(
+        eng, "SELECT ka FROM ta, tb WHERE ka = kb AND va = "
+             "(SELECT MIN(va) FROM ta, tb WHERE ka = kb AND vb = 1)")
+    assert "FROM ta ta__s0 JOIN tb tb__s1 ON" in out
+    assert "ta__s1" not in out
+    inner = out[out.index("(SELECT"):]
+    assert "MIN(ta__s0.va)" in inner
+    # inner ka/kb resolve to the INNER refs (SQL scoping), vb literal
+    # filter qualified too
+    assert "ta__s0.ka = tb__s1.kb" in inner
+    assert "tb__s1.vb = 1" in inner
+
+
+def test_verbatim_tpch_q2_text_through_engine(spark):
+    """ACCEPTANCE (r6 VERDICT ask #4): the published TPC-H q2 text —
+    comma FROM, bare columns, correlated subquery over the same table
+    names, ORDER BY … DESC LIMIT — runs through Engine.execute, lowers
+    (global_topk over a maintained scalar-subquery stack, NOT
+    snapshot-diff), and matches one-shot evaluation after inserts and a
+    retraction that dethrones reigning minima."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE part (p_partkey BIGINT NOT NULL, p_mfgr VARCHAR,
+                           p_size BIGINT, p_type VARCHAR);
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_acctbal BIGINT, s_name VARCHAR,
+                               s_nationkey BIGINT);
+        CREATE TABLE partsupp (ps_partkey BIGINT, ps_suppkey BIGINT,
+                               ps_supplycost BIGINT);
+        CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR,
+                             n_regionkey BIGINT);
+        CREATE TABLE region (r_regionkey BIGINT, r_name VARCHAR);
+    """)
+    body = """
+        select s_acctbal, s_name, n_name, p_partkey, p_mfgr
+        from part, supplier, partsupp, nation, region
+        where p_partkey = ps_partkey and s_suppkey = ps_suppkey
+          and p_size = 1 and p_type like '%T%'
+          and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+          and r_name = 'R1'
+          and ps_supplycost = (
+              select min(ps_supplycost)
+              from partsupp, supplier, nation, region
+              where p_partkey = ps_partkey and s_suppkey = ps_suppkey
+                and s_nationkey = n_nationkey
+                and n_regionkey = r_regionkey and r_name = 'R1')
+        order by s_acctbal desc, n_name, s_name, p_partkey limit 4"""
+    eng.execute("CREATE VIEW q2 as " + body + ";")
+    assert eng.view_strategy("q2") == "global_topk"
+    assert eng.view_strategy("__q2_pre") == "project"
+    parts = [(i, f"m{i}", 1, "TYPE") for i in range(6)]
+    sups = [(j, 100 - j, f"s{j}", j % 2) for j in range(4)]
+    offers = [(i, j, 10 * i + j) for i in range(6) for j in range(4)]
+    nats = [(0, "N0", 0), (1, "N1", 0)]
+    regs = [(0, "R1")]
+    eng.push("part", spark.createDataFrame(
+        parts, "p_partkey long, p_mfgr string, p_size long, "
+               "p_type string"))
+    eng.push("supplier", spark.createDataFrame(
+        sups, "s_suppkey long, s_acctbal long, s_name string, "
+              "s_nationkey long"))
+    eng.push("partsupp", spark.createDataFrame(
+        offers, "ps_partkey long, ps_suppkey long, ps_supplycost long"))
+    eng.push("nation", spark.createDataFrame(
+        nats, "n_nationkey long, n_name string, n_regionkey long"))
+    eng.push("region", spark.createDataFrame(
+        regs, "r_regionkey long, r_name string"))
+    eng.step()
+    # retract the reigning minimum offers (supplier 0's): runner-ups win
+    eng.push("partsupp", spark.createDataFrame(
+        [(i, 0, 10 * i) for i in range(6)],
+        "ps_partkey long, ps_suppkey long, ps_supplycost long"),
+        weight=-1)
+    eng.step()
+    for name, rows, schema in [
+            ("part", parts, "p_partkey long, p_mfgr string, "
+                            "p_size long, p_type string"),
+            ("supplier", sups, "s_suppkey long, s_acctbal long, "
+                               "s_name string, s_nationkey long"),
+            ("partsupp", [o for o in offers if o[1] != 0],
+             "ps_partkey long, ps_suppkey long, ps_supplycost long"),
+            ("nation", nats, "n_nationkey long, n_name string, "
+                             "n_regionkey long"),
+            ("region", regs, "r_regionkey long, r_name string")]:
+        spark.createDataFrame(rows, schema) \
+            .createOrReplaceTempView(f"__vq2_{name}")
+    one_shot = body
+    for t in ["partsupp", "supplier", "nation", "region", "part"]:
+        one_shot = re.sub(rf"\b{t}\b", f"__vq2_{t}", one_shot)
+    want = sorted((tuple(r) for r in spark.sql(one_shot).collect()),
+                  key=str)
+    got = sorted((tuple(r) for r in eng.view("q2").collect()), key=str)
+    assert got == want and len(got) == 4
+
+
+def test_order_by_without_limit_stripped(spark):
+    """A trailing no-LIMIT ORDER BY (verbatim TPC-H q1/q5 tails) is
+    semantically void for a maintained relation — the view still lowers
+    to its aggregate maintainer instead of snapshot-diffing."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k VARCHAR, v BIGINT);
+        CREATE VIEW agg as
+            SELECT k, SUM(v) AS sv FROM t GROUP BY k
+            ORDER BY sv DESC, k;
+    """)
+    assert eng.view_strategy("agg") == "linear_agg"
+    eng.push("t", spark.createDataFrame(
+        [("a", 3), ("b", 5), ("a", 4)], "k string, v long"))
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("agg").collect())
+    assert got == [("a", 7), ("b", 5)]
+
+
+def test_group_by_key_missing_from_select_falls_back(spark):
+    """ADVICE r6 #2: a GROUP BY key with no select item (legal SQL —
+    SELECT a, SUM(x) FROM t GROUP BY a, b) must NOT take the linear-agg
+    path: the delta partial would drop b and the merge would collapse
+    distinct (a, b) groups.  It falls back to snapshot-diff and matches
+    one-shot semantics (duplicate output rows included)."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE t (a INTEGER NOT NULL, b INTEGER NOT NULL, "
+                "x BIGINT);")
+    eng.execute("CREATE VIEW v as SELECT a, SUM(x) AS sx FROM t "
+                "GROUP BY a, b;")
+    assert eng.view_strategy("v") == "differentiate"
+    schema = "a int, b int, x long"
+    eng.push("t", spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (2, 1, 5)], schema))
+    eng.step()
+    eng.push("t", spark.createDataFrame([(1, 1, 7)], schema))
+    eng.step()
+    got = sorted((tuple(r) for r in eng.view("v").collect()), key=str)
+    assert got == sorted([(1, 17), (1, 20), (2, 5)], key=str)
+
+
+def test_scalar_having_key_alias_not_rewritten(spark):
+    """ADVICE r6 #3: only aggregate-call select expressions are
+    rewritten to their aliases in the HAVING text.  A short aliased key
+    expression (cost_c AS c) previously rewrote its own substring inside
+    the aggregate text (SUM(cost_c*qty) → SUM(c*qty)), breaking the
+    aggregate match and falling back — the view must lower."""
+    import duckdb
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ps (pk BIGINT NOT NULL, cost_c BIGINT, qty BIGINT);
+        CREATE VIEW v as
+            SELECT pk, cost_c AS c, SUM(cost_c * qty) AS value_c FROM ps
+            GROUP BY pk, cost_c
+            HAVING SUM(cost_c * qty) > (SELECT SUM(p2.cost_c * p2.qty)
+                                        * 0.2 FROM ps p2);
+    """)
+    assert eng.view_strategy("v") == "project"
+    schema = "pk long, cost_c long, qty long"
+    rows1 = [(1, 10, 3), (2, 4, 1), (3, 50, 2), (1, 10, 1)]
+    rows2 = [(2, 4, 9), (3, 50, 1)]
+    eng.push("ps", spark.createDataFrame(rows1, schema)); eng.step()
+    eng.push("ps", spark.createDataFrame(rows2, schema)); eng.step()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ps (pk BIGINT, cost_c BIGINT, qty BIGINT)")
+    con.executemany("INSERT INTO ps VALUES (?,?,?)", rows1 + rows2)
+    want = sorted((tuple(r) for r in con.execute(
+        "SELECT pk, cost_c AS c, CAST(SUM(cost_c*qty) AS BIGINT) "
+        "AS value_c FROM ps GROUP BY pk, cost_c "
+        "HAVING SUM(cost_c*qty) > (SELECT SUM(cost_c*qty) * 0.2 FROM ps)"
+    ).fetchall()), key=str)
+    got = sorted((tuple(r) for r in eng.view("v").collect()), key=str)
+    assert got == want
 
 
 def test_global_window_desc_matches_recompute(spark):
