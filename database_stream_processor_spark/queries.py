@@ -4374,6 +4374,51 @@ def q113_sql_engine_tpch_q5_verbatim(spark, sf_dir):
     return eng.view("q5")
 
 
+@register("q114_sql_engine_rollup_aliased_keys", oracle="""
+WITH src AS (
+  SELECT o_orderpriority AS pr, o_orderstatus AS st,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 5 <> 0)
+SELECT pr AS priority, st AS status,
+       CAST(SUM(price_c) AS BIGINT) AS total_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM src GROUP BY ROLLUP(pr, st)
+""")
+def q114_sql_engine_rollup_aliased_keys(spark, sf_dir):
+    """ROLLUP with ALIASED grouping keys (`pr AS priority`) through the
+    incremental grouping-sets maintainer (r6 VERDICT ask #6 — aliased
+    keys previously lowered only for linear/join aggs; the
+    grouping-sets/nonlinear/distinct maintainers now merge on the
+    output names too, sql.py merge_keys).  Marker-NULL rollup rows and
+    renamed key columns flow through the same null-safe group merge.
+    Two insert ticks plus a retraction of every 5th order."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ord (ok BIGINT NOT NULL, pr VARCHAR NOT NULL,
+                          st VARCHAR NOT NULL, price_c BIGINT);
+        CREATE VIEW q as
+            SELECT pr AS priority, st AS status,
+                   SUM(price_c) AS total_c, COUNT(*) AS n
+            FROM ord GROUP BY ROLLUP(pr, st);
+    """)
+    assert eng.view_strategy("q") == "grouping_sets_agg"
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_c"))
+    for i in range(2):
+        eng.push("ord", o.filter(F.col("ok") % 2 == i))
+        eng.step()
+    eng.push("ord", o.filter(F.col("ok") % 5 == 0), weight=-1)
+    eng.step()
+    return eng.view("q").select(
+        "priority", "status", "total_c",
+        F.col("n").cast("long").alias("n"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -3666,13 +3666,17 @@ class _GroupingSetsAggMaintainer(_GroupMergeMaintainer):
         super().__init__(eng, name, sql)
         self.table = m.group("tbl").lower()
         raw = m.group("keys")
-        self.keys = []
+        raw_keys = []
         for tok in re.findall(r"[A-Za-z_][\w.]*", raw):
             k = tok.split(".")[-1]
-            if k not in self.keys:
-                self.keys.append(k)
-        if not self.keys:
+            if k not in raw_keys:
+                raw_keys.append(k)
+        if not raw_keys:
             raise _UnloweredShape("no grouping keys")
+        # merge on the OUTPUT names (`k AS g` keys emit g in the delta
+        # partial — r7, same merge_keys discipline as the linear path);
+        # the NOT NULL gate below still checks the SOURCE columns
+        self.keys = spec["merge_keys"]
         # duplicate grouping sets (GROUPING SETS((a),(a)), ROLLUP(a,a))
         # emit DUPLICATE result rows in SQL, which the per-group merge
         # would collapse — reject, keep the fallback
@@ -3689,7 +3693,7 @@ class _GroupingSetsAggMaintainer(_GroupMergeMaintainer):
                 raise _UnloweredShape("repeated column in ROLLUP/CUBE")
         fields = {f.name.lower(): f
                   for f in _source_rows0(eng, self.table).schema.fields}
-        for k in self.keys:
+        for k in raw_keys:
             if k.lower() not in fields or fields[k.lower()].nullable:
                 raise _UnloweredShape(
                     f"grouping key {k} must be NOT NULL (rollup marker "
@@ -3892,7 +3896,7 @@ class _MultiJoinAggMaintainer(_GroupMergeMaintainer):
 
 #: one SELECT item of a DISTINCT-aggregate GROUP BY view
 _DISTINCT_AGG_ITEM = re.compile(
-    r"^(?:(?P<key>\w+)"
+    r"^(?:(?P<key>\w+)(?:\s+AS\s+(?P<kal>\w+))?"
     r"|COUNT\s*\(\s*DISTINCT\s+(?P<ce>.+?)\s*\)\s+AS\s+(?P<cn>\w+)"
     r"|SUM\s*\(\s*DISTINCT\s+(?P<se>.+?)\s*\)\s+AS\s+(?P<sn>\w+)"
     r"|AVG\s*\(\s*DISTINCT\s+(?P<ae>.+?)\s*\)\s+AS\s+(?P<an>\w+)"
@@ -3919,7 +3923,12 @@ def _match_distinct_agg_items(sel: str, keys: list[str]) -> dict | None:
         if m.group("key"):
             if m.group("key") not in keys:
                 return None
-            out.append(("key", m.group("key")))
+            if m.group("kal"):
+                # merge state stays keyed by the SOURCE name; the alias
+                # applies in the finalize projection only (r7)
+                out.append(("keyal", (m.group("key"), m.group("kal"))))
+            else:
+                out.append(("key", m.group("key")))
             continue
         if m.group("starn"):
             items.append(("cnt_star", m.group("starn")))
@@ -4023,7 +4032,9 @@ class _DistinctAggMaintainer(_GroupMergeMaintainer):
         from database_stream_processor_spark.zset import WEIGHT_COL
         cols = []
         for kind, n in self._out_spec2:
-            if kind == "key" or kind == "col":
+            if kind == "keyal":
+                cols.append(F.col(n[0]).alias(n[1]))
+            elif kind == "key" or kind == "col":
                 cols.append(F.col(n))
             elif kind == "cntd":
                 cols.append(F.col("__dcnt").alias(n))
@@ -4178,11 +4189,17 @@ class _NonLinearAggMaintainer(_ViewMaintainer):
         # select items → Column expressions (no temp-view rebinding in the
         # recompute closure: a plan captured over a replaced temp view can
         # carry stale attribute ids)
-        exprs = []
+        exprs, self._key_renames = [], []
         for it in (i.strip() for i in _split_top_level(m.group("sel"))):
             im = _NONLIN_ITEM.match(it)
             if im.group("name"):
                 exprs.append(F.expr(im.group("agg")).alias(im.group("name")))
+            elif im.group("kal"):
+                # `k AS g` key: the touched-group recompute stays keyed
+                # by the SOURCE name (AggregateOp's touched-set semi-join
+                # and output state both use it); rename only on emission
+                self._key_renames.append(
+                    (im.group("key").split(".")[-1], im.group("kal")))
         # the op integrates its own input from deltas, so an upstream
         # maintained VIEW works exactly like a base table: its per-tick
         # output delta is this op's input delta
@@ -4202,21 +4219,27 @@ class _NonLinearAggMaintainer(_ViewMaintainer):
             return ZSetFrame.from_df(out, 1)
 
         self._op = AggregateOp(empty_in, self.keys, agg_fn)
-        _ = agg_fn(empty_in).df.schema  # validate exprs/HAVING eagerly
+        _ = self._emit(agg_fn(empty_in)).df.schema  # validate eagerly
+
+    def _emit(self, delta: ZSetFrame) -> ZSetFrame:
+        df = delta.df
+        for src, out in self._key_renames:
+            df = df.withColumnRenamed(src, out)
+        return ZSetFrame(df)
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
         if z is None:
             return self._empty()
-        delta = self._op.step(z.consolidate())
+        delta = self._emit(self._op.step(z.consolidate()))
         self.apply_delta(delta)
         return delta
 
 
-#: select item for the non-linear maintainer: a grouping key or any
-#: SUM/MIN/MAX/AVG/COUNT(expr) AS name (COUNT(*) included)
+#: select item for the non-linear maintainer: a grouping key (optionally
+#: aliased) or any SUM/MIN/MAX/AVG/COUNT(expr) AS name (COUNT(*) included)
 _NONLIN_ITEM = re.compile(
-    r"^(?:(?P<key>\w+(?:\.\w+)?)"
+    r"^(?:(?P<key>\w+(?:\.\w+)?)(?:\s+AS\s+(?P<kal>\w+))?"
     r"|(?P<agg>(?:SUM|MIN|MAX|AVG|COUNT)\s*\((?:[^()]|\([^()]*\))*\))"
     r"\s+AS\s+(?P<name>\w+))$",
     re.IGNORECASE)
@@ -4307,7 +4330,7 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
     # the merge frame and _GroupMergeMaintainer._merge would collapse
     # distinct (a, b) groups into one row per a.  Fall back instead
     # (ADVICE r6 #2).
-    if len(merge_keys) != len(keys):
+    if len(merge_keys) != len(keys) or len(set(merge_keys)) != len(merge_keys):
         return None
     return {"delta_sel": ", ".join(delta_items), "val_names": val_names,
             "out": out, "alias_map": alias_map,
@@ -4535,9 +4558,7 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             if tok not in keys:
                 keys.append(tok)
         spec = _match_agg_items(m.group("sel"), keys)
-        # grouping-sets maintenance manages its own marker-key columns;
-        # aliased keys would desync them — plain-key shapes only
-        if spec and not spec["aliased_keys"]:
+        if spec:
             r = _try(_GroupingSetsAggMaintainer, eng, name, flat, m, spec)
             if r is not None:
                 return r

@@ -2215,6 +2215,50 @@ def test_order_by_without_limit_stripped(spark):
     assert got == [("a", 7), ("b", 5)]
 
 
+def test_aliased_group_keys_nonlinear_distinct_grouping_sets(spark):
+    """r6 VERDICT ask #6: `k AS g` grouping keys lower through the
+    NONLINEAR (MIN/MAX touched-group), DISTINCT-agg, and grouping-sets
+    maintainers (previously linear/join/multi-join only — these three
+    fell back) and match one-shot semantics across a retraction that
+    dethrones a group maximum and empties a whole group."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k INTEGER NOT NULL, v BIGINT, w BIGINT);
+        CREATE VIEW nl as SELECT k AS g, MIN(v) AS mn, MAX(v) AS mx
+            FROM t GROUP BY k;
+        CREATE VIEW da as SELECT k AS g, COUNT(DISTINCT v) AS dv,
+            SUM(DISTINCT v) AS sv FROM t GROUP BY k;
+        CREATE VIEW gs as SELECT k AS g, SUM(w) AS sw
+            FROM t GROUP BY ROLLUP(k);
+    """)
+    assert eng.view_strategy("nl") == "nonlinear_agg"
+    assert eng.view_strategy("da") == "distinct_agg"
+    assert eng.view_strategy("gs") == "grouping_sets_agg"
+    schema = "k int, v long, w long"
+    rows1 = [(1, 5, 2), (1, 9, 3), (2, 7, 1), (3, 1, 1)]
+    rows2 = [(2, 7, 4), (1, 5, 6)]
+    eng.push("t", spark.createDataFrame(rows1, schema)); eng.step()
+    eng.push("t", spark.createDataFrame(rows2, schema)); eng.step()
+    eng.push("t", spark.createDataFrame([(1, 9, 3), (3, 1, 1)], schema),
+             weight=-1)
+    eng.step()
+    remaining = [(1, 5, 2), (2, 7, 1), (2, 7, 4), (1, 5, 6)]
+    spark.createDataFrame(remaining, schema) \
+        .createOrReplaceTempView("__akt_orc")
+    for view, sql in [
+            ("nl", "SELECT k AS g, MIN(v) AS mn, MAX(v) AS mx "
+                   "FROM __akt_orc GROUP BY k"),
+            ("da", "SELECT k AS g, COUNT(DISTINCT v) AS dv, "
+                   "SUM(DISTINCT v) AS sv FROM __akt_orc GROUP BY k"),
+            ("gs", "SELECT k AS g, SUM(w) AS sw FROM __akt_orc "
+                   "GROUP BY ROLLUP(k)")]:
+        want = sorted((tuple(r) for r in spark.sql(sql).collect()),
+                      key=str)
+        got = sorted((tuple(r) for r in eng.view(view).collect()),
+                     key=str)
+        assert got == want, view
+
+
 def test_group_by_key_missing_from_select_falls_back(spark):
     """ADVICE r6 #2: a GROUP BY key with no select item (legal SQL —
     SELECT a, SUM(x) FROM t GROUP BY a, b) must NOT take the linear-agg
