@@ -4436,61 +4436,63 @@ from database_stream_processor_spark import nexmark  # noqa: E402,F401
 # --------------------------------------------------------------------- #
 
 _WINDOW_ORDER = [
-    # round-6 priority 1: committed after the r5 driver run — never checked
-    "q96_sql_engine_rollup",
-    "q97_token_chunking",
-    "q98_sql_engine_setops_all",
-    # priority 2: last driver row in round 2 (the oldest rows in the repo)
-    "q05_supplier_volume",
-    "q06_forecast_revenue",
-    "q08_active_suppliers",
-    "q09_nation_customer_counts",
-    "q10_signup_to_purchase",
-    "q11_distinct_parts_per_flag",
-    "q14_order_date_parts",
-    "q19_tumbling_window",
-    "q21_rolling_per_user",
-    "q24_latest_state_per_key",
-    "q30_cosine_topk",
-    "q35_fingerprint_dedup",
-    "q36_multimodal_features",
-    "q39_transitive_closure",
-    "q42_incremental_rolling",
-    "q45_fold_latest_event",
-    # priority 3: last driver row in round 3
-    "q58_circuit_revenue",
-    # priority 4: r4-checked canaries + the incremental/nexmark variants
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q37_incremental_revenue",
-    "q57_fold_topk_prices",      # the r3 canonicalizer-bug query — rounding canary
-    "nx_q17_auction_statistics",  # the r5 red row, now rounded — must go green
-    "nx_q04_avg_closing_price",   # rounded this round (same discipline)
-    "nx_q06_avg_selling_price_by_seller",  # rounded this round
-    "nx_q04_inc_avg_closing",     # rounded this round
-    "nx_q07_inc_highest_bid",
-    "nx_q18_inc_last_bid",
-    "nx_q09_winning_bids",
-    "nx_q12_processing_time_windows",
-    "nx_q19_auction_top10_prices",
-    "q44_incremental_closure",
-    "q48_rolling_linear",
-    "q15_topk_orders_per_priority",
-    "q16_acctbal_extremes",
-    "q17_union_except_intersect",
-    "q20_hopping_window",
-    # round-6 additions (never driver-checked)
+    # round-7 priority 1: the 8 r6 RED rows (uncast SUM(BIGINT) oracle
+    # bug, fixed this round by CASTing the oracle outputs) — they must
+    # earn green driver rows (VERDICT r6 ask #3)
+    "nx_q17_auction_statistics",
     "q99_sql_engine_global_window",
-    "q100_sql_engine_nullable_not_in",
     "q101_sql_engine_scalar_subquery",
     "q102_sql_engine_scalar_where",
     "q103_sql_engine_tpch_q17",
     "q104_sql_engine_tpch_q15",
-    "q105_sql_engine_tpch_q20",
     "q106_sql_engine_tpch_q22",
     "q107_sql_engine_tpch_q11",
-    "q108_sql_engine_tpch_q2",
-    "q109_sql_engine_tpch_q22_one_view",
+    # priority 2: round-7 additions (never driver-checked)
+    "q110_sql_engine_global_window_desc",
+    "q111_sql_engine_tpch_q2_verbatim",
+    "q112_sql_engine_tpch_q3_verbatim",
+    "q113_sql_engine_tpch_q5_verbatim",
+    "q114_sql_engine_rollup_aliased_keys",
+    # priority 3: stalest driver rows — last checked in round 2
+    "q03_top_orders",
+    "q13_order_classification",
+    # priority 4: last driver row in round 4 (all 34)
+    "q04_order_priority",
+    "q07_customers_without_recent_orders",
+    "q12_rollup_sales",
+    "q18_event_type_pivot",
+    "q22_asof_enrich",
+    "q23_watermark_window",
+    "q25_json_props_extract",
+    "q26_minhash_signatures",
+    "q27_lsh_near_dup_pairs",
+    "q28_simhash",
+    "q29_ngram_jaccard_pairs",
+    "q31_lsh_ann_topk",
+    "q32_language_id",
+    "q33_quality_score",
+    "q34_token_counts",
+    "q38_incremental_distinct",
+    "q40_scalar_functions",
+    "q41_full_outer_default",
+    "q43_incremental_tumbling",
+    "q46_ivf_topk",
+    "q47_cosine_near_dup",
+    "q49_window_contents",
+    "q50_stream_fold",
+    "q51_monotonic_stream_join",
+    "q52_set_input",
+    "q53_differentiate_snapshots",
+    "q54_incremental_outer_enrich",
+    "q55_upsert_commands",
+    "q56_incremental_hot_items",
+    "q59_corpus_dedup",
+    "q60_multimodal_resize",
+    "q61_multimodal_frames",
+    "q62_sql_engine_view",
+    "q77_streaming_circuit_revenue",
+    # priority 5: oldest r5 row fills the last slot
+    "nx_q00_passthrough",
 ]
 
 
