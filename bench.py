@@ -74,6 +74,19 @@ def _calibrate() -> float:
     return round(time.time() - t0, 3)
 
 
+def _calibrate_parallel(spark) -> float:
+    """Fixed JVM-side parallel workload (32-way sum over a billion ids,
+    whole-stage codegen) — the EFFECTIVE-CORES probe.  r7 found the host
+    can silently shrink the 32-vCPU allocation to ~21 effective cores:
+    the single-thread probe stays ~0.45s while every shuffle-heavy query
+    uniformly gains 15-25%.  Deltas on heavy queries are attributable
+    only when BOTH probes agree round-over-round."""
+    t0 = time.time()
+    spark.range(0, 1_600_000_000, 1, 32).selectExpr(
+        "sum(id % 1000003) AS s").collect()
+    return round(time.time() - t0, 3)
+
+
 def _loadavg() -> list[float]:
     try:
         with open("/proc/loadavg") as f:
@@ -109,6 +122,7 @@ def main() -> None:
         return round((s[-1] - s[0]) / s[0], 3) if s[0] > 0 else 0.0
 
     cal_start = _calibrate()
+    par_start = _calibrate_parallel(spark)
     load_start = _loadavg()
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for r in range(n_runs):
@@ -127,6 +141,7 @@ def main() -> None:
         while len(ts) < n_runs + 2 and best3_spread(ts) > 0.2:
             ts.append(time_one(name, f"t{len(ts)}"))
     cal_end = _calibrate()
+    par_end = _calibrate_parallel(spark)
 
     timings = {name: min(ts) for name, ts in runs.items()}
     spread = {name: best3_spread(ts) for name, ts in runs.items()}
@@ -139,6 +154,8 @@ def main() -> None:
         "spread": spread,
         "runs": n_runs,
         "calibration": {"start_sec": cal_start, "end_sec": cal_end,
+                        "par_start_sec": par_start,
+                        "par_end_sec": par_end,
                         "loadavg_start": load_start,
                         "loadavg_end": _loadavg()},
         "sf": sf_dir,
