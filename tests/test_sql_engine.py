@@ -2259,6 +2259,40 @@ def test_aliased_group_keys_nonlinear_distinct_grouping_sets(spark):
         assert got == want, view
 
 
+def test_grouping_sets_having_only_aggregate_absorbs(spark):
+    """A HAVING aggregate with no select-list counterpart (HAVING
+    COUNT(*) > 2 without a count output) absorbs as a hidden partial in
+    the grouping-sets maintainer too (r6 VERDICT optional ask #8) —
+    marker super-aggregate rows filter by their own absorbed counts."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k VARCHAR NOT NULL, c VARCHAR NOT NULL,
+                        v BIGINT);
+        CREATE VIEW gs as
+            SELECT k, c, SUM(v) AS sv FROM t GROUP BY ROLLUP(k, c)
+            HAVING COUNT(*) > 2;
+    """)
+    assert eng.view_strategy("gs") == "grouping_sets_agg"
+    schema = "k string, c string, v long"
+    rows1 = [("a", "x", 1), ("a", "x", 2), ("a", "y", 9), ("b", "x", 5)]
+    rows2 = [("a", "x", 3), ("b", "x", 7), ("b", "x", 2)]
+    eng.push("t", spark.createDataFrame(rows1, schema)); eng.step()
+    eng.push("t", spark.createDataFrame(rows2, schema)); eng.step()
+    # retraction drops (b, x) back below the HAVING bar
+    eng.push("t", spark.createDataFrame([("b", "x", 7)], schema),
+             weight=-1)
+    eng.step()
+    remaining = rows1 + [("a", "x", 3), ("b", "x", 2)]
+    spark.createDataFrame(remaining, schema) \
+        .createOrReplaceTempView("__gsh_orc")
+    want = sorted((tuple(r) for r in spark.sql(
+        "SELECT k, c, SUM(v) AS sv FROM __gsh_orc "
+        "GROUP BY ROLLUP(k, c) HAVING COUNT(*) > 2").collect()),
+        key=str)
+    got = sorted((tuple(r) for r in eng.view("gs").collect()), key=str)
+    assert got == want
+
+
 def test_group_by_key_missing_from_select_falls_back(spark):
     """ADVICE r6 #2: a GROUP BY key with no select item (legal SQL —
     SELECT a, SUM(x) FROM t GROUP BY a, b) must NOT take the linear-agg
