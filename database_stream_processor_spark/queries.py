@@ -4419,6 +4419,86 @@ def q114_sql_engine_rollup_aliased_keys(spark, sf_dir):
         F.col("n").cast("long").alias("n"))
 
 
+@register("q115_sql_engine_tpch_q10_verbatim", oracle="""
+WITH cu AS (
+  SELECT c_custkey, c_name,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c,
+         c_mktsegment, c_nationkey
+  FROM customer),
+li AS (
+  SELECT l_orderkey, l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem WHERE l_linenumber <> 5)
+SELECT c_custkey, c_name,
+       CAST(SUM(ext_c * (100 - disc_pct)) AS BIGINT) AS revenue_c,
+       bal_c, n_name, c_mktsegment
+FROM cu, orders, li, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, bal_c, c_mktsegment, n_name
+ORDER BY revenue_c DESC, c_custkey
+LIMIT 20
+""")
+def q115_sql_engine_tpch_q10_verbatim(spark, sf_dir):
+    """TPC-H q10 ("returned item reporting") verbatim shape: four-table
+    implicit comma join, the l_returnflag = 'R' literal filter riding
+    the residual WHERE, a five-key grouped revenue aggregate, and a
+    ``ORDER BY revenue DESC … LIMIT 20`` tail (c_custkey tiebreak added
+    for deterministic hashing).  Lowers comma-normalization →
+    multi-join linear aggregate → global top-k.  Final tick retracts
+    every 7th order's lineitems."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_name VARCHAR, bal_c BIGINT,
+                               c_mktsegment VARCHAR, c_nationkey BIGINT);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_returnflag VARCHAR,
+                               ext_c BIGINT, disc_pct BIGINT);
+        CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR);
+        CREATE VIEW q10 as
+            select c_custkey, c_name,
+                   sum(ext_c * (100 - disc_pct)) as revenue_c,
+                   bal_c, n_name, c_mktsegment
+            from customer, orders, lineitem, nation
+            where c_custkey = o_custkey and l_orderkey = o_orderkey
+              and l_returnflag = 'R' and c_nationkey = n_nationkey
+            group by c_custkey, c_name, bal_c, c_mktsegment, n_name
+            order by revenue_c desc, c_custkey limit 20;
+    """)
+    assert eng.view_strategy("q10") == "global_topk"
+    assert eng.view_strategy("__q10_pre") == "multi_join_agg"
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem",
+                 li.filter(F.col("l_orderkey") % 2 == i)
+                   .drop("l_linenumber"))
+        if i == 0:
+            eng.push("nation", n)
+        eng.step()
+    eng.push("lineitem",
+             li.filter(F.col("l_linenumber") == 5).drop("l_linenumber"),
+             weight=-1)
+    eng.step()
+    return eng.view("q10")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -4453,6 +4533,7 @@ _WINDOW_ORDER = [
     "q112_sql_engine_tpch_q3_verbatim",
     "q113_sql_engine_tpch_q5_verbatim",
     "q114_sql_engine_rollup_aliased_keys",
+    "q115_sql_engine_tpch_q10_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -4491,8 +4572,6 @@ _WINDOW_ORDER = [
     "q61_multimodal_frames",
     "q62_sql_engine_view",
     "q77_streaming_circuit_revenue",
-    # priority 5: oldest r5 row fills the last slot
-    "nx_q00_passthrough",
 ]
 
 
