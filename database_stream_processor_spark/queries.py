@@ -4499,6 +4499,65 @@ def q115_sql_engine_tpch_q10_verbatim(spark, sf_dir):
     return eng.view("q10")
 
 
+@register("q116_sql_engine_tpch_q14_verbatim", oracle="""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem WHERE l_linenumber <> 4)
+SELECT CAST(ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+             THEN ext_c * (100 - disc_pct) ELSE 0 END)
+           / SUM(ext_c * (100 - disc_pct)), 6) AS DOUBLE)
+       AS promo_revenue
+FROM li, part
+WHERE l_partkey = p_partkey
+""")
+def q116_sql_engine_tpch_q14_verbatim(spark, sf_dir):
+    """TPC-H q14 ("promotion effect") verbatim shape: a GROUP-BY-less
+    RATIO OF SUMS over an implicit two-table join.  Three r7 pieces
+    compose: comma normalization, `_global_agg_over_from` (hidden
+    maintained join view feeding the single-group running partials),
+    and `_absorb_item_aggs` (each aggregate call inside the expression
+    becomes a hidden merged partial; the CASE's string literal is
+    masked so the call matches as one balanced span).  Exact integer
+    cents keep the decimal ratio bit-stable; cast to DOUBLE on both
+    sides for hashing.  Final tick retracts every 4th lineitem."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE lineitem (l_partkey BIGINT, ext_c BIGINT,
+                               disc_pct BIGINT);
+        CREATE TABLE part (p_partkey BIGINT NOT NULL, p_type VARCHAR);
+        CREATE VIEW q14 as
+            select cast(round(100.00 * sum(case when p_type like
+                       'PROMO%' then ext_c * (100 - disc_pct)
+                       else 0 end)
+                     / sum(ext_c * (100 - disc_pct)), 6) as double)
+                   as promo_revenue
+            from lineitem, part
+            where l_partkey = p_partkey;
+    """)
+    assert eng.view_strategy("q14") == "global_agg"
+    assert eng.view_strategy("__q14_src") == "join"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    for i in range(2):
+        eng.push("lineitem", li.filter(F.col("l_partkey") % 2 == i)
+                               .drop("l_linenumber"))
+        eng.push("part", p.filter(F.col("p_partkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem",
+             li.filter(F.col("l_linenumber") == 4).drop("l_linenumber"),
+             weight=-1)
+    eng.step()
+    return eng.view("q14")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -4534,6 +4593,7 @@ _WINDOW_ORDER = [
     "q113_sql_engine_tpch_q5_verbatim",
     "q114_sql_engine_rollup_aliased_keys",
     "q115_sql_engine_tpch_q10_verbatim",
+    "q116_sql_engine_tpch_q14_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -4563,7 +4623,6 @@ _WINDOW_ORDER = [
     "q50_stream_fold",
     "q51_monotonic_stream_join",
     "q52_set_input",
-    "q53_differentiate_snapshots",
     "q54_incremental_outer_enrich",
     "q55_upsert_commands",
     "q56_incremental_hot_items",

@@ -3803,6 +3803,90 @@ _GLOBAL_AGG_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+def _global_agg_over_from(eng: "Engine", name: str, flat: str):
+    """GROUP-BY-less aggregates over a JOIN chain — verbatim TPC-H q14
+    (``SELECT 100.00 * SUM(CASE …)/SUM(…) FROM lineitem, part WHERE
+    l_partkey = p_partkey AND …`` after comma normalization): synthesize
+    a hidden maintained join view ``__{name}_src`` carrying exactly the
+    columns the aggregate items and the residual WHERE reference (the
+    predicate pushes INTO the hidden view, so its delta is already
+    filtered), then run :class:`_GlobalAggMaintainer` on its O(Δ)
+    output delta.  Column references must resolve to exactly one chain
+    table; anything else raises :class:`_UnloweredShape`."""
+    parts = _split_select_from(flat)
+    if parts is None:
+        raise _UnloweredShape(flat)
+    sel, rest = parts
+    from_clause, pred = _split_where(rest)
+    chain = _parse_aliased_chain(from_clause)
+    if chain is None or any(kw for _, _, kw in chain[1:]
+                            if kw != "JOIN"):
+        raise _UnloweredShape("not an inner join chain")
+    if any(t not in eng.tables and t not in eng.views
+           and t not in eng._maintainers for t, _, _ in chain):
+        raise _UnloweredShape("unknown source in chain")
+    alias_of = {a: t for t, a, _ in chain}
+    cols_of = {a: {c.lower() for c in _source_rows0(eng, t).columns}
+               for t, a, _ in chain}
+    # columns the outer items/pred need (ON-clause refs stay inside the
+    # hidden view's own text) — bare or alias-qualified, each resolving
+    # to exactly one chain source
+    scan = re.sub(r"'[^']*'", " ", sel + " " + (pred or ""))
+    needed: set[str] = set()
+    outer_sel = sel
+    for qm in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b",
+                          scan):
+        a, c = qm.group(1).lower(), qm.group(2).lower()
+        if a not in alias_of or c not in cols_of[a]:
+            raise _UnloweredShape(f"unresolvable ref {a}.{c}")
+        owners = [x for x in cols_of if c in cols_of[x]]
+        if len(owners) != 1:
+            raise _UnloweredShape(f"ambiguous column {c}")
+        needed.add(c)
+    for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*\()", scan):
+        c = bm.group(1).lower()
+        pre = scan[:bm.start()].rstrip()
+        if (c in _SQL_KEYWORDS or pre.endswith(".")
+                or re.search(r"\bAS$", pre, re.IGNORECASE)):
+            continue
+        if scan[bm.end():].lstrip().startswith("."):
+            continue                       # qualifier, handled above
+        owners = [x for x in cols_of if c in cols_of[x]]
+        if len(owners) != 1:
+            raise _UnloweredShape(f"unresolvable bare column {c}")
+        needed.add(c)
+    if not needed:
+        raise _UnloweredShape("no column references")
+    # strip alias qualifiers from the outer text (names are unique)
+    for a in alias_of:
+        outer_sel = _sub_outside_literals(rf"\b{a}\s*\.\s*", "",
+                                          outer_sel, re.IGNORECASE)
+    hidden = f"__{name}_src"
+    hsql = f"SELECT {', '.join(sorted(needed))} FROM {from_clause}"
+    if pred:
+        hsql += f" WHERE {pred}"
+    hm = _lower_view(eng, hidden, hsql)
+    if hm.kind == "differentiate":
+        raise _UnloweredShape("hidden join view snapshot-diffs")
+    eng._maintainers[hidden] = hm
+    words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
+    eng._sources[hidden] = {w for w in words
+                            if w in eng.tables or w in eng.views}
+    eng._sources[hidden] |= {w for w in words
+                             if w in eng._maintainers and w != hidden}
+    hm.state.current.rows().createOrReplaceTempView(hidden)
+    try:
+        return _GlobalAggMaintainer(eng, name,
+                                    f"SELECT {outer_sel} FROM {hidden}",
+                                    hidden)
+    except Exception:
+        for h in list(eng._maintainers):
+            if h == hidden or h.startswith(f"__{hidden}"):
+                eng._maintainers.pop(h, None)
+                eng._sources.pop(h, None)
+        raise
+
+
 #: SELECT … FROM <join chain> [WHERE p] GROUP BY keys [HAVING h]
 _MJ_AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<from>.+?)"
@@ -4102,7 +4186,18 @@ class _GlobalAggMaintainer(_ViewMaintainer):
         for it in (i.strip() for i in _split_top_level(m.group("sel"))):
             im = _AGG_ITEM.match(it)
             if not im or im.group("key"):
-                raise _UnloweredShape(it)  # shape gate; fallback
+                # expression over aggregates — q14's global ratio
+                am = re.match(r"^(?P<expr>.+\S)\s+AS\s+(?P<al>\w+)$",
+                              it, re.IGNORECASE | re.DOTALL)
+                fin = (_absorb_item_aggs(
+                           am.group("expr"),
+                           f"__gx{len(self._out_spec)}_",
+                           partials, [])
+                       if am else None)
+                if fin is None:
+                    raise _UnloweredShape(it)  # shape gate; fallback
+                self._out_spec.append(("expr", (am.group("al"), fin)))
+                continue
             if im.group("sname"):
                 nm, e = im.group("sname"), im.group("sum")
                 partials += [f"SUM({e}) AS __s_{nm}",
@@ -4139,6 +4234,8 @@ class _GlobalAggMaintainer(_ViewMaintainer):
         for kind, nm in self._out_spec:
             if kind == "cnt":
                 cols.append(F.col(f"__n_{nm}").alias(nm))
+            elif kind == "expr":
+                cols.append(F.expr(nm[1]).alias(nm[0]))
             else:
                 c, s = F.col(f"__c_{nm}"), F.col(f"__s_{nm}")
                 v = s / c if kind == "avg" else s
@@ -4267,16 +4364,86 @@ def _match_nonlinear_items(sel: str, keys: list[str]) -> bool:
 def _finalize_spec(df: DataFrame, out_spec: list[tuple[str, str]]) -> DataFrame:
     """Project stored group partials to the view's output columns (keeping
     the weight column): avg = s/c, NULL when its non-null count is 0 —
-    exactly SQL AVG over an all-NULL or empty group."""
+    exactly SQL AVG over an all-NULL or empty group; expr items evaluate
+    their rewritten finalize expression over the merged partials."""
     from database_stream_processor_spark.zset import WEIGHT_COL
     cols = []
     for kind, n in out_spec:
         if kind == "avg":
             c = F.col(f"__avg_{n}_c")
             cols.append(F.when(c != 0, F.col(f"__avg_{n}_s") / c).alias(n))
+        elif kind == "expr":
+            cols.append(F.expr(n[1]).alias(n[0]))
         else:
             cols.append(F.col(n))
     return df.select(*cols, F.col(WEIGHT_COL))
+
+
+def _absorb_item_aggs(expr_text: str, prefix: str, delta_items: list,
+                      val_names: list) -> str | None:
+    """EXPRESSIONS OF AGGREGATES in a select item — TPC-H q14's
+    ``100.00 * SUM(CASE …) / SUM(…) AS promo_revenue`` — absorbed the
+    same way HAVING-only aggregates are: every linear aggregate call
+    (SUM/COUNT/AVG, the reference's linear semigroups) becomes a hidden
+    merged partial, and the item rewrites to a finalize expression over
+    them (SUM of an all-NULL/empty group is NULL, AVG = s/c).  Returns
+    the rewritten expression, or None (caller falls back) when the item
+    contains no aggregate at all or references a bare column outside
+    every aggregate call — a non-aggregated column cannot survive the
+    group merge."""
+    hidden: dict = {}
+    extra_delta: list[str] = []
+    extra_vals: list[str] = []
+
+    def sub(mm: re.Match) -> str:
+        fn = mm.group("fn").upper()
+        arg = mm.group("arg").strip()
+        key = (fn, re.sub(r"\s+", "", arg).lower())
+        if key in hidden:
+            return hidden[key]
+        i = len(hidden)
+        if fn == "COUNT":
+            extra_delta.append(f"COUNT({arg}) AS {prefix}{i}")
+            extra_vals.append(f"{prefix}{i}")
+            rep = f"{prefix}{i}"
+        else:
+            extra_delta.append(f"SUM({arg}) AS {prefix}{i}_s")
+            extra_delta.append(f"COUNT({arg}) AS {prefix}{i}_c")
+            extra_vals.extend([f"{prefix}{i}_s", f"{prefix}{i}_c"])
+            body = (f"{prefix}{i}_s / {prefix}{i}_c" if fn == "AVG"
+                    else f"{prefix}{i}_s")
+            rep = f"(CASE WHEN {prefix}{i}_c = 0 THEN NULL ELSE {body} END)"
+        hidden[key] = rep
+        return rep
+
+    # mask string literals with paren/quote-free placeholders so an
+    # aggregate call whose argument CONTAINS a literal (q14's CASE …
+    # LIKE 'PROMO%') still matches as one balanced span
+    lits: list[str] = []
+
+    def _mask(mm: re.Match) -> str:
+        lits.append(mm.group(0))
+        return f" __litx{len(lits) - 1}__ "
+
+    masked = re.sub(r"'(?:[^']*)'", _mask, expr_text)
+    res = _HAVING_AGG.sub(sub, masked)
+    if not hidden:
+        return None
+    for tok in re.findall(r"\b[A-Za-z_]\w*\b", res):
+        if (tok.lower() not in _SQL_KEYWORDS
+                and not tok.startswith(prefix)
+                and not re.fullmatch(r"__litx\d+__", tok)):
+            return None
+
+    def _unmask(txt: str) -> str:
+        for i, lit in enumerate(lits):
+            txt = txt.replace(f" __litx{i}__ ", lit) \
+                     .replace(f"__litx{i}__", lit)
+        return txt
+
+    delta_items.extend(_unmask(d) for d in extra_delta)
+    val_names.extend(extra_vals)
+    return _unmask(res)
 
 
 def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
@@ -4296,7 +4463,20 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
     for it in (i.strip() for i in _split_top_level(sel)):
         im = _AGG_ITEM.match(it)
         if not im:
-            return None
+            # expression over aggregates (q14 ratio-of-sums): absorb
+            # each call as a hidden partial, finalize the expression
+            am = re.match(r"^(?P<expr>.+\S)\s+AS\s+(?P<al>\w+)$", it,
+                          re.IGNORECASE | re.DOTALL)
+            if not am:
+                return None
+            fin = _absorb_item_aggs(am.group("expr"),
+                                    f"__sx{len(out)}_",
+                                    delta_items, val_names)
+            if fin is None:
+                return None
+            out.append(("expr", (am.group("al"), fin)))
+            alias_map.append((am.group("expr"), fin))
+            continue
         if im.group("key"):
             if im.group("key") not in keys:
                 return None
@@ -4548,6 +4728,18 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and _analyzed_has_aggregate(eng, flat)):
         r = _try(_GlobalAggMaintainer, eng, name, flat,
                  m.group("tbl").lower())
+        if r is not None:
+            return r
+    if (re.search(r"\bJOIN\b", flat, re.IGNORECASE)
+            and not re.search(r"\bGROUP\s+BY\b|\bOVER\b|\bUNION\b"
+                              r"|\bORDER\s+BY\b|\bLIMIT\b|\(\s*SELECT"
+                              r"|\b(LEFT|RIGHT|FULL|CROSS)\b|\bHAVING\b"
+                              r"|\bDISTINCT\b",
+                              flat, re.IGNORECASE)
+            and _analyzed_has_aggregate(eng, flat)):
+        # GROUP-BY-less aggregate over a join chain (verbatim q14):
+        # hidden maintained join view + global agg on its delta
+        r = _try(_global_agg_over_from, eng, name, flat)
         if r is not None:
             return r
     m = _GROUPING_AGG_RE.match(flat)

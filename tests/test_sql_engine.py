@@ -2259,6 +2259,58 @@ def test_aliased_group_keys_nonlinear_distinct_grouping_sets(spark):
         assert got == want, view
 
 
+def test_expression_of_aggregates_select_items(spark):
+    """Expressions OVER aggregates in the select list (TPC-H q14's
+    ratio-of-sums) lower: each aggregate call absorbs as a hidden
+    merged partial and the item finalizes over them — in GROUPED views
+    (linear path) and in GROUP-BY-less views over a join chain
+    (`_global_agg_over_from` + `_GlobalAggMaintainer`), with string
+    literals inside aggregate arguments masked during parsing."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k VARCHAR NOT NULL, tag VARCHAR, v BIGINT);
+        CREATE TABLE d (k VARCHAR NOT NULL, grp VARCHAR);
+        CREATE VIEW ratio_g as
+            SELECT k, SUM(CASE WHEN tag = 'a' THEN v ELSE 0 END)
+                      * 100 / SUM(v) AS pct
+            FROM t GROUP BY k;
+        CREATE VIEW ratio_all as
+            SELECT SUM(CASE WHEN tag LIKE 'a%' THEN v ELSE 0 END)
+                   * 100 / SUM(v) AS pct,
+                   COUNT(*) AS n
+            FROM t JOIN d ON t.k = d.k WHERE grp <> 'x';
+    """)
+    assert eng.view_strategy("ratio_g") == "linear_agg"
+    assert eng.view_strategy("ratio_all") == "global_agg"
+    assert eng.view_strategy("__ratio_all_src") == "join"
+    ts = "k string, tag string, v long"
+    rows1 = [("p", "a", 6), ("p", "b", 2), ("q", "a", 1), ("q", "b", 3)]
+    rows2 = [("p", "a", 2), ("q", "c", 4)]
+    dd = [("p", "y"), ("q", "y")]
+    eng.push("t", spark.createDataFrame(rows1, ts))
+    eng.push("d", spark.createDataFrame(dd, "k string, grp string"))
+    eng.step()
+    eng.push("t", spark.createDataFrame(rows2, ts)); eng.step()
+    eng.push("t", spark.createDataFrame([("p", "b", 2)], ts), weight=-1)
+    eng.step()
+    remaining = [r for r in rows1 if r != ("p", "b", 2)] + rows2
+    spark.createDataFrame(remaining, ts).createOrReplaceTempView("__ea_t")
+    spark.createDataFrame(dd, "k string, grp string") \
+        .createOrReplaceTempView("__ea_d")
+    want_g = sorted((tuple(r) for r in spark.sql(
+        "SELECT k, SUM(CASE WHEN tag = 'a' THEN v ELSE 0 END) * 100 "
+        "/ SUM(v) AS pct FROM __ea_t GROUP BY k").collect()), key=str)
+    got_g = sorted((tuple(r) for r in eng.view("ratio_g").collect()),
+                   key=str)
+    assert got_g == want_g
+    want_a = [tuple(r) for r in spark.sql(
+        "SELECT SUM(CASE WHEN tag LIKE 'a%' THEN v ELSE 0 END) * 100 "
+        "/ SUM(v) AS pct, COUNT(*) AS n FROM __ea_t t JOIN __ea_d d "
+        "ON t.k = d.k WHERE grp <> 'x'").collect()]
+    got_a = [tuple(r) for r in eng.view("ratio_all").collect()]
+    assert got_a == want_a
+
+
 def test_grouping_sets_having_only_aggregate_absorbs(spark):
     """A HAVING aggregate with no select-list counterpart (HAVING
     COUNT(*) > 2 without a count output) absorbs as a hidden partial in
