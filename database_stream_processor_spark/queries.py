@@ -4558,6 +4558,64 @@ def q116_sql_engine_tpch_q14_verbatim(spark, sf_dir):
     return eng.view("q14")
 
 
+@register("q117_sql_engine_tpch_q4_verbatim", oracle="""
+WITH li AS (
+  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_linenumber <> 6)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderkey % 3 <> 0
+  AND EXISTS (SELECT 1 FROM li
+              WHERE l_orderkey = o_orderkey AND qty > 45)
+GROUP BY o_orderpriority
+""")
+def q117_sql_engine_tpch_q4_verbatim(spark, sf_dir):
+    """TPC-H q4 ("order priority checking") verbatim shape: a grouped
+    COUNT over an EXISTS-filtered table, correlation written BARE
+    (``l_orderkey = o_orderkey`` — no aliases anywhere, as published).
+    Two r7 pieces: bare correlation terms in the subquery-filter
+    matcher resolve schema-attributed (inner-owned names bind inner,
+    the leftover reaches out), and `_agg_over_subquery_filter` layers
+    the linear aggregate over a hidden maintained EXISTS view's O(Δ)
+    delta.  The trailing no-LIMIT ORDER BY of the published text is
+    stripped.  Final tick retracts every 6th lineitem (dropping some
+    orders' last qualifying row)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_orderpriority VARCHAR);
+        CREATE TABLE lineitem (l_orderkey BIGINT, qty BIGINT);
+        CREATE VIEW q4 as
+            select o_orderpriority, count(*) as order_count
+            from orders
+            where o_orderkey % 3 <> 0
+              and exists (select 1 from lineitem
+                          where l_orderkey = o_orderkey and qty > 45)
+            group by o_orderpriority
+            order by o_orderpriority;
+    """)
+    assert eng.view_strategy("q4") == "linear_agg"
+    assert eng.view_strategy("__q4_src") == "exists"
+    o = load(spark, sf_dir, "orders").select("o_orderkey",
+                                             "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"))
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_linenumber"))
+        eng.step()
+    eng.push("lineitem",
+             li.filter(F.col("l_linenumber") == 6).drop("l_linenumber"),
+             weight=-1)
+    eng.step()
+    return eng.view("q4").select(
+        "o_orderpriority",
+        F.col("order_count").cast("long").alias("order_count"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -4594,6 +4652,7 @@ _WINDOW_ORDER = [
     "q114_sql_engine_rollup_aliased_keys",
     "q115_sql_engine_tpch_q10_verbatim",
     "q116_sql_engine_tpch_q14_verbatim",
+    "q117_sql_engine_tpch_q4_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -4622,7 +4681,6 @@ _WINDOW_ORDER = [
     "q49_window_contents",
     "q50_stream_fold",
     "q51_monotonic_stream_join",
-    "q52_set_input",
     "q54_incremental_outer_enrich",
     "q55_upsert_commands",
     "q56_incremental_hot_items",

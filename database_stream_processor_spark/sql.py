@@ -2948,6 +2948,22 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
                     okeys.append(c1)
                     ikeys.append(c2)
                     continue
+            # BARE correlation (verbatim TPC-H q4/q21 style:
+            # `l_orderkey = o_orderkey`): schema-attribute each side —
+            # SQL scoping resolves an inner-owned name to the inner
+            # table, so only a name absent from the inner can reach out
+            bm2 = re.match(r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)$",
+                           term.strip())
+            if bm2:
+                b1, b2 = bm2.group(1).lower(), bm2.group(2).lower()
+                if b1 in icols and b2 not in icols and b2 in ocols:
+                    ikeys.append(b1)
+                    okeys.append(b2)
+                    continue
+                if b2 in icols and b1 not in icols and b1 in ocols:
+                    ikeys.append(b2)
+                    okeys.append(b1)
+                    continue
             # a non-correlation term must be inner-only
             if not _refs_only(term, {ia}, icols):
                 return None
@@ -3801,6 +3817,74 @@ _GLOBAL_AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
+
+
+def _agg_over_subquery_filter(eng: "Engine", name: str, flat: str):
+    """GROUP BY aggregates over a subquery-filtered table — verbatim
+    TPC-H q4 (``SELECT o_orderpriority, COUNT(*) FROM orders WHERE
+    EXISTS (…) GROUP BY o_orderpriority``): synthesize a hidden
+    maintained view ``__{name}_src`` = the filtered rows (lowered
+    through the [NOT] EXISTS / [NOT] IN / scalar subquery-filter
+    maintainers), then re-lower the aggregate over its O(Δ) output
+    delta through the ordinary agg recognizers."""
+    m = _AGG_RE.match(flat)
+    if m is None or not m.group("pred"):
+        raise _UnloweredShape("not a filtered single-table aggregate")
+    if not re.search(r"\(\s*SELECT", m.group("pred"), re.IGNORECASE):
+        raise _UnloweredShape("no subquery in WHERE")
+    tbl = m.group("tbl").lower()
+    if not (tbl in eng.tables or tbl in eng.views
+            or tbl in eng._maintainers):
+        raise _UnloweredShape(tbl)
+    cols = {c.lower(): c for c in _source_rows0(eng, tbl).columns}
+    # the predicate's correlation refs (EXISTS … WHERE l_orderkey =
+    # o_orderkey) must ride along in the hidden view's select — the
+    # filter maintainer resolves them against its own output
+    outer_txt = " ".join([m.group("sel"), m.group("keys"),
+                          m.group("having") or "", m.group("pred")])
+    scan = re.sub(r"'[^']*'", " ", outer_txt)
+    needed: set[str] = set()
+    for bm in re.finditer(r"\b([A-Za-z_]\w*)\b", scan):
+        c = bm.group(1).lower()
+        pre = scan[:bm.start()].rstrip()
+        if (c in _SQL_KEYWORDS or pre.endswith(".")
+                or re.search(r"\bAS$", pre, re.IGNORECASE)):
+            continue
+        if c in cols:
+            needed.add(cols[c])
+    if not needed:
+        raise _UnloweredShape("no source columns in aggregate items")
+    hidden = f"__{name}_src"
+    hsql = (f"SELECT {', '.join(sorted(needed))} FROM {tbl} "
+            f"WHERE {m.group('pred')}")
+    hm = _lower_view(eng, hidden, hsql)
+    if hm.kind == "differentiate":
+        raise _UnloweredShape("hidden filtered view snapshot-diffs")
+    eng._maintainers[hidden] = hm
+    words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
+    eng._sources[hidden] = {w for w in words
+                            if w in eng.tables or w in eng.views}
+    eng._sources[hidden] |= {w for w in words
+                             if w in eng._maintainers and w != hidden}
+    hm.state.current.rows().createOrReplaceTempView(hidden)
+    try:
+        outer = (f"SELECT {m.group('sel')} FROM {hidden} "
+                 f"GROUP BY {m.group('keys')}")
+        if m.group("having"):
+            outer += f" HAVING {m.group('having')}"
+        # strip table-name qualifiers: the hidden view's columns are bare
+        outer = _sub_outside_literals(rf"\b{tbl}\s*\.\s*", "", outer,
+                                      re.IGNORECASE)
+        fm = _lower_view(eng, name, outer)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("outer aggregate snapshot-diffs")
+        return fm
+    except Exception:
+        for h in list(eng._maintainers):
+            if h == hidden or h.startswith(f"__{hidden}"):
+                eng._maintainers.pop(h, None)
+                eng._sources.pop(h, None)
+        raise
 
 
 def _global_agg_over_from(eng: "Engine", name: str, flat: str):
@@ -4854,6 +4938,17 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             r = _try(ctor, eng, name, flat, spec)
             if r is not None:
                 return r
+    if (re.search(r"\(\s*SELECT", flat, re.IGNORECASE)
+            and re.search(r"\bGROUP\s+BY\b", flat, re.IGNORECASE)
+            and not re.search(r"\bJOIN\b|\bUNION\b|\bINTERSECT\b"
+                              r"|\bEXCEPT\b|\bOVER\b|\bLIMIT\b"
+                              r"|\bORDER\s+BY\b|\bDISTINCT\b",
+                              flat, re.IGNORECASE)):
+        # aggregate over a subquery-filtered table (verbatim TPC-H q4):
+        # hidden filtered view, agg re-lowered over its delta
+        r = _try(_agg_over_subquery_filter, eng, name, flat)
+        if r is not None:
+            return r
     m = _LEFT_JOIN_RE.match(flat)
     if (m and known(m.group("lt").lower())
             and known(m.group("rt").lower())

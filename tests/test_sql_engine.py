@@ -2311,6 +2311,37 @@ def test_expression_of_aggregates_select_items(spark):
     assert got_a == want_a
 
 
+def test_agg_over_bare_correlated_exists(spark):
+    """Verbatim TPC-H q4 shape: a grouped aggregate over an
+    EXISTS-filtered table with a BARE correlation term lowers —
+    `_match_subquery_filter` resolves unqualified equality sides by
+    schema ownership (inner-first, SQL scoping) and
+    `_agg_over_subquery_filter` layers the aggregate over the hidden
+    filtered view's delta.  A retraction that removes an order's last
+    qualifying lineitem drops it from the count."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE o (ok BIGINT NOT NULL, pr VARCHAR);
+        CREATE TABLE l (lk BIGINT, qty BIGINT);
+        CREATE VIEW v as
+            select pr, count(*) as n from o
+            where exists (select 1 from l where lk = ok and qty > 5)
+            group by pr;
+    """)
+    assert eng.view_strategy("v") == "linear_agg"
+    assert eng.view_strategy("__v_src") == "exists"
+    eng.push("o", spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A")], "ok long, pr string"))
+    eng.push("l", spark.createDataFrame(
+        [(1, 9), (1, 2), (2, 3), (3, 8)], "lk long, qty long"))
+    eng.step()
+    eng.push("l", spark.createDataFrame([(3, 8)], "lk long, qty long"),
+             weight=-1)
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("v").collect())
+    assert got == [("A", 1)]
+
+
 def test_grouping_sets_having_only_aggregate_absorbs(spark):
     """A HAVING aggregate with no select-list counterpart (HAVING
     COUNT(*) > 2 without a count output) absorbs as a hidden partial in
