@@ -4616,6 +4616,106 @@ def q117_sql_engine_tpch_q4_verbatim(spark, sf_dir):
         F.col("order_count").cast("long").alias("order_count"))
 
 
+@register("q118_sql_engine_tpch_q9_verbatim", oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem),
+ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(MIN(FLOOR(l_extendedprice * 10)) AS BIGINT) AS cost_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+li2 AS (SELECT * FROM li WHERE l_orderkey % 7 <> 0)
+SELECT nation, o_year,
+       CAST(SUM(amount) AS BIGINT) AS sum_profit
+FROM (
+  SELECT n_name AS nation, o_orderpriority AS o_year,
+         ext_c * (100 - disc_pct) - cost_c * qty AS amount
+  FROM part, supplier, li2, ps, orders, nation
+  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%a%'
+) AS profit
+GROUP BY nation, o_year
+""")
+def q118_sql_engine_tpch_q9_verbatim(spark, sf_dir):
+    """TPC-H q9 ("product type profit") verbatim shape: a DERIVED-TABLE
+    FROM — the aggregate reads ``FROM ( SELECT … FROM part, supplier,
+    lineitem, partsupp, orders, nation WHERE … ) AS profit`` — lowered
+    by `_from_subquery_lift` (sql.py): the subquery becomes a hidden
+    maintained view (comma-normalized six-way join with the two-column
+    partsupp equality folded into one ON conjunction), the derived
+    alias is stripped, and the outer GROUP BY re-lowers as a linear
+    aggregate over the hidden view's O(Δ) delta.  Final tick retracts
+    every 7th order's lineitems."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE part (p_partkey BIGINT NOT NULL, p_name VARCHAR);
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_nationkey BIGINT);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT,
+                               l_suppkey BIGINT, qty BIGINT,
+                               ext_c BIGINT, disc_pct BIGINT);
+        CREATE TABLE partsupp (ps_partkey BIGINT, ps_suppkey BIGINT,
+                               cost_c BIGINT);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_year VARCHAR);
+        CREATE TABLE nation (n_nationkey BIGINT NOT NULL,
+                             n_name VARCHAR);
+        CREATE VIEW q9 as
+            select nation, o_year, sum(amount) as sum_profit
+            from (
+              select n_name as nation, o_year,
+                     ext_c * (100 - disc_pct) - cost_c * qty as amount
+              from part, supplier, lineitem, partsupp, orders, nation
+              where s_suppkey = l_suppkey and ps_suppkey = l_suppkey
+                and ps_partkey = l_partkey and p_partkey = l_partkey
+                and o_orderkey = l_orderkey
+                and s_nationkey = n_nationkey
+                and p_name like '%a%'
+            ) as profit
+            group by nation, o_year
+            order by nation, o_year desc;
+    """)
+    assert eng.view_strategy("q9") == "linear_agg"
+    assert eng.view_strategy("__q9_sub") == "multi_join"
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey",
+                                               "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    ps = (load(spark, sf_dir, "lineitem")
+          .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                   F.col("l_suppkey").alias("ps_suppkey"))
+          .agg(F.min(F.floor(F.col("l_extendedprice") * 10))
+                .cast("long").alias("cost_c")))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("o_year"))
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for i in range(2):
+        eng.push("part", p.filter(F.col("p_partkey") % 2 == i))
+        eng.push("supplier", s.filter(F.col("s_suppkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.push("partsupp", ps.filter(F.col("ps_partkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        if i == 0:
+            eng.push("nation", n)
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 7 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q9")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -4653,6 +4753,7 @@ _WINDOW_ORDER = [
     "q115_sql_engine_tpch_q10_verbatim",
     "q116_sql_engine_tpch_q14_verbatim",
     "q117_sql_engine_tpch_q4_verbatim",
+    "q118_sql_engine_tpch_q9_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -4680,7 +4781,6 @@ _WINDOW_ORDER = [
     "q47_cosine_near_dup",
     "q49_window_contents",
     "q50_stream_fold",
-    "q51_monotonic_stream_join",
     "q54_incremental_outer_enrich",
     "q55_upsert_commands",
     "q56_incremental_hot_items",

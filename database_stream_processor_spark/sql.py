@@ -3819,6 +3819,77 @@ _GLOBAL_AGG_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+def _from_subquery_lift(eng: "Engine", name: str, flat: str):
+    """``SELECT … FROM ( SELECT … ) [AS] alias <rest>`` — the verbatim
+    TPC-H q13/q7/q9 nesting: synthesize a hidden maintained view
+    ``__{name}_sub`` for the derived table (itself lowered through every
+    recognizer, including nested lifts) and re-lower the outer text with
+    the subquery replaced by the hidden view's name.  A derived table
+    cannot be correlated (standard SQL), so the lift is always sound;
+    it raises :class:`_UnloweredShape` when either stage only
+    snapshot-diffs (layering over a full recompute adds nothing)."""
+    parts = _split_select_from(flat)
+    if parts is None or not parts[1].startswith("("):
+        raise _UnloweredShape("FROM is not a subquery")
+    sel, rest = parts
+    depth, end, in_str = 0, -1, False
+    for i, ch in enumerate(rest):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+    if end < 0:
+        raise _UnloweredShape("unbalanced FROM subquery")
+    inner = rest[1:end].strip()
+    tail = rest[end + 1:].strip()
+    if not re.match(r"^SELECT\b", inner, re.IGNORECASE):
+        raise _UnloweredShape("FROM (…) is not a SELECT")
+    if re.match(r"^AS\s+", tail, re.IGNORECASE):
+        tail = tail[2:].strip()
+    am = re.match(r"^([A-Za-z_]\w*)\b", tail)
+    if am and am.group(1).lower() not in _SQL_KEYWORDS:
+        # derived-table alias: drop it and strip its qualifiers — the
+        # hidden view's bare output names are the only columns in scope
+        a = am.group(1)
+        tail = tail[len(a):].strip()
+        sel = _sub_outside_literals(rf"\b{a}\s*\.\s*", "", sel,
+                                    re.IGNORECASE)
+        tail = _sub_outside_literals(rf"\b{a}\s*\.\s*", "", tail,
+                                     re.IGNORECASE)
+    hidden = f"__{name}_sub"
+    hm = _lower_view(eng, hidden, inner)
+    if hm.kind == "differentiate":
+        raise _UnloweredShape("derived table snapshot-diffs")
+    eng._maintainers[hidden] = hm
+    words = {w.lower() for w in re.findall(r"\b\w+\b", inner)}
+    eng._sources[hidden] = {w for w in words
+                            if w in eng.tables or w in eng.views}
+    eng._sources[hidden] |= {w for w in words
+                             if w in eng._maintainers and w != hidden}
+    hm.state.current.rows().createOrReplaceTempView(hidden)
+    try:
+        outer = f"SELECT {sel} FROM {hidden}"
+        if tail:
+            outer += f" {tail}"
+        fm = _lower_view(eng, name, outer)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("outer over derived table "
+                                  "snapshot-diffs")
+        return fm
+    except Exception:
+        for h in list(eng._maintainers):
+            if h == hidden or h.startswith(f"__{hidden}"):
+                eng._maintainers.pop(h, None)
+                eng._sources.pop(h, None)
+        raise
+
+
 def _agg_over_subquery_filter(eng: "Engine", name: str, flat: str):
     """GROUP BY aggregates over a subquery-filtered table — verbatim
     TPC-H q4 (``SELECT o_orderpriority, COUNT(*) FROM orders WHERE
@@ -4754,6 +4825,15 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             r = _try(_rolling_over_from, eng, name, flat)
             if r is not None:
                 return r
+    _fs = _split_select_from(flat)
+    if (_fs is not None and _fs[1].startswith("(")
+            and not re.search(r"\bOVER\b", flat, re.IGNORECASE)):
+        # derived-table FROM (verbatim TPC-H q13/q7/q9 nesting): hidden
+        # maintained view for the subquery, outer re-lowered over it
+        # (OVER shapes take _rolling_over_from above instead)
+        r = _try(_from_subquery_lift, eng, name, flat)
+        if r is not None:
+            return r
     if not _BLOCKERS.search(flat) and not _analyzed_has_aggregate(eng, flat):
         m = _JOIN_RE.match(flat)
         # either side may be an upstream *maintained view*: its per-tick

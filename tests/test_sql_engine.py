@@ -2311,6 +2311,35 @@ def test_expression_of_aggregates_select_items(spark):
     assert got_a == want_a
 
 
+def test_from_subquery_lift(spark):
+    """Derived-table FROM (verbatim TPC-H q9/q13 nesting): the subquery
+    lifts into a hidden maintained view, the derived alias and its
+    qualifiers strip, and the outer re-lowers over the hidden delta —
+    values match one-shot evaluation across a retraction."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE a (k BIGINT NOT NULL, x BIGINT);
+        CREATE TABLE b (k BIGINT NOT NULL, g VARCHAR);
+        CREATE VIEW v as
+            select d.g, sum(d.x) as sx
+            from (select b.g, a.x from a join b on a.k = b.k
+                  where a.x > 0) as d
+            group by d.g;
+    """)
+    assert eng.view_strategy("v") == "linear_agg"
+    assert eng.view_strategy("__v_sub") == "join"
+    eng.push("a", spark.createDataFrame(
+        [(1, 5), (2, -1), (3, 7), (1, 2)], "k long, x long"))
+    eng.push("b", spark.createDataFrame(
+        [(1, "p"), (2, "p"), (3, "q")], "k long, g string"))
+    eng.step()
+    eng.push("a", spark.createDataFrame([(3, 7)], "k long, x long"),
+             weight=-1)
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("v").collect())
+    assert got == [("p", 7)]
+
+
 def test_agg_over_bare_correlated_exists(spark):
     """Verbatim TPC-H q4 shape: a grouped aggregate over an
     EXISTS-filtered table with a BARE correlation term lowers —
