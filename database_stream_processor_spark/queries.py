@@ -4716,6 +4716,100 @@ def q118_sql_engine_tpch_q9_verbatim(spark, sf_dir):
     return eng.view("q9")
 
 
+@register("q119_sql_engine_tpch_q7_verbatim", oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem),
+od AS (SELECT o_orderkey, o_custkey FROM orders
+       WHERE o_orderkey % 5 <> 0)
+SELECT supp_nation, cust_nation,
+       CAST(SUM(volume) AS BIGINT) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         ext_c * (100 - disc_pct) AS volume
+  FROM supplier, li, od, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+) AS shipping
+GROUP BY supp_nation, cust_nation
+""")
+def q119_sql_engine_tpch_q7_verbatim(spark, sf_dir):
+    """TPC-H q7 ("volume shipping") verbatim shape — the hardest text
+    yet: a derived-table FROM whose comma join names NATION TWICE
+    (``nation n1, nation n2``), with an OR-of-conjunctions residual
+    predicate.  Four r7 pieces compose: comma normalization (the cycle
+    of qualified/bare equalities becomes a six-position ON chain, the
+    disjunction stays residual), chain dedup (the second nation
+    occurrence clones through a hidden O(Δ) projection view so the
+    multilinear legs can bind its pre/post states separately),
+    `_from_subquery_lift`, and a linear aggregate over the lifted
+    delta.  Final tick retracts every 5th order."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_nationkey BIGINT);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_suppkey BIGINT,
+                               ext_c BIGINT, disc_pct BIGINT);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT);
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_nationkey BIGINT);
+        CREATE TABLE nation (n_nationkey BIGINT NOT NULL,
+                             n_name VARCHAR);
+        CREATE VIEW q7 as
+            select supp_nation, cust_nation, sum(volume) as revenue
+            from (
+              select n1.n_name as supp_nation,
+                     n2.n_name as cust_nation,
+                     ext_c * (100 - disc_pct) as volume
+              from supplier, lineitem, orders, customer,
+                   nation n1, nation n2
+              where s_suppkey = l_suppkey and o_orderkey = l_orderkey
+                and c_custkey = o_custkey
+                and s_nationkey = n1.n_nationkey
+                and c_nationkey = n2.n_nationkey
+                and ((n1.n_name = 'NATION_2'
+                      and n2.n_name = 'NATION_7')
+                  or (n1.n_name = 'NATION_7'
+                      and n2.n_name = 'NATION_2'))
+            ) as shipping
+            group by supp_nation, cust_nation
+            order by supp_nation, cust_nation;
+    """)
+    assert eng.view_strategy("q7") == "linear_agg"
+    assert eng.view_strategy("__q7_sub") == "multi_join"
+    s = load(spark, sf_dir, "supplier").select("s_suppkey",
+                                               "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey",
+                                               "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for i in range(2):
+        eng.push("supplier", s.filter(F.col("s_suppkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        if i == 0:
+            eng.push("nation", n)
+        eng.step()
+    eng.push("orders", o.filter(F.col("o_orderkey") % 5 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q7")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -4754,6 +4848,7 @@ _WINDOW_ORDER = [
     "q116_sql_engine_tpch_q14_verbatim",
     "q117_sql_engine_tpch_q4_verbatim",
     "q118_sql_engine_tpch_q9_verbatim",
+    "q119_sql_engine_tpch_q7_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -4780,7 +4875,6 @@ _WINDOW_ORDER = [
     "q46_ivf_topk",
     "q47_cosine_near_dup",
     "q49_window_contents",
-    "q50_stream_fold",
     "q54_incremental_outer_enrich",
     "q55_upsert_commands",
     "q56_incremental_hot_items",

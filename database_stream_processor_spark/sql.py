@@ -1026,11 +1026,14 @@ right full outer inner cross group having union intersect except limit
 coalesce nullif abs round floor ceil ceiling""".split())
 
 
-def _parse_aliased_chain(from_clause: str) \
+def _parse_aliased_chain(from_clause: str, unique_tables: bool = True) \
         -> list[tuple[str, str, str]] | None:
     """``t1 [a1] (JOIN | LEFT [OUTER] JOIN) t2 [a2] ON c2 …`` →
     [(table, alias, join_kw)] with ``join_kw`` '' for the base table;
-    None for anything with RIGHT/FULL/CROSS or unparsable segments."""
+    None for anything with RIGHT/FULL/CROSS or unparsable segments.
+    ``unique_tables=False`` admits the same table at several positions
+    (distinct aliases) — only the chain-dedup rewrite wants that; every
+    other consumer keys state by table name."""
     if re.search(r"\b(RIGHT|FULL|CROSS)\b", from_clause, re.IGNORECASE):
         return None
     segs = re.split(r"\b(LEFT\s+(?:OUTER\s+)?JOIN|JOIN)\b", from_clause,
@@ -1051,8 +1054,11 @@ def _parse_aliased_chain(from_clause: str) \
         out.append((tm.group(1).lower(),
                     (tm.group(2) or tm.group(1)).lower(),
                     " ".join(kw.upper().split())))
+    aliases = [a for _, a, _ in out]
+    if len(set(aliases)) != len(aliases):
+        return None
     names = [t for t, _, _ in out]
-    if len(set(names)) != len(names):
+    if unique_tables and len(set(names)) != len(names):
         return None
     return out
 
@@ -4783,6 +4789,40 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         if re.match(r"^ORDER\s+BY\s", tail_txt, re.IGNORECASE) \
                 and _find_top_kw(tail_txt[8:], _NCF_STOPS) < 0:
             flat = flat[:op].strip()
+    # A table appearing TWICE in one join chain (TPC-H q7's `nation n1,
+    # nation n2` after comma normalization) cannot bind two different
+    # leg states under one temp-view name in the multilinear delta
+    # evaluation — clone each later occurrence through a hidden O(Δ)
+    # projection view and rewrite the chain to distinct source names.
+    _fs0 = _split_select_from(flat)
+    if (_fs0 is not None
+            and re.search(r"\bJOIN\b", _fs0[1], re.IGNORECASE)):
+        _stop0 = _find_top_kw(_fs0[1], _NCF_STOPS)
+        _fc0 = (_fs0[1] if _stop0 < 0 else _fs0[1][:_stop0]).strip()
+        _chain0 = _parse_aliased_chain(_fc0, unique_tables=False)
+        if (_chain0 is not None
+                and len({t for t, _, _ in _chain0}) < len(_chain0)):
+            seen: set[str] = set()
+            k = 0
+            for t, a, _kw in _chain0:
+                if t not in seen:
+                    seen.add(t)
+                    continue
+                if a == t or not (t in eng.tables or t in eng.views
+                                  or t in eng._maintainers):
+                    continue        # unaliased/unknown repeat: fallback
+                dup = f"__{name}_dup{k}"
+                k += 1
+                if dup not in eng._maintainers:
+                    cols = ", ".join(_source_rows0(eng, t).columns)
+                    dm = _lower_view(eng, dup, f"SELECT {cols} FROM {t}")
+                    eng._maintainers[dup] = dm
+                    eng._sources[dup] = {t}
+                    dm.state.current.rows() \
+                        .createOrReplaceTempView(dup)
+                flat = re.sub(rf"\b{t}(\s+(?:AS\s+)?{a})\b",
+                              rf"{dup}\1", flat, count=1,
+                              flags=re.IGNORECASE)
     # hidden synthesized views (__{name}_sq/_j/_src) live in
     # eng._maintainers without an eng.views entry — they are valid
     # upstream sources for further lowering (scalar-subquery stacks)

@@ -2340,6 +2340,39 @@ def test_from_subquery_lift(spark):
     assert got == [("p", 7)]
 
 
+def test_repeated_table_join_chain_dedupes(spark):
+    """A table appearing twice in one join chain (TPC-H q7's `nation
+    n1, nation n2`) lowers: the second occurrence clones through a
+    hidden projection view so the multilinear legs bind its pre/post
+    states separately — a self-enriching edge join stays exact under a
+    retraction that touches BOTH roles of the repeated table."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE e (src BIGINT, dst BIGINT);
+        CREATE TABLE n (id BIGINT NOT NULL, nm VARCHAR);
+        CREATE VIEW v as
+            SELECT a.nm AS snm, b.nm AS dnm
+            FROM e JOIN n a ON e.src = a.id JOIN n b ON e.dst = b.id;
+    """)
+    assert eng.view_strategy("v") == "multi_join"
+    assert eng.view_strategy("__v_dup0") == "project"
+    eng.push("e", spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"))
+    eng.push("n", spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, nm string"))
+    eng.step()
+    # retract node 2: removes it as a SOURCE of (2,3) and a DEST of (1,2)
+    eng.push("n", spark.createDataFrame([(2, "y")], "id long, nm string"),
+             weight=-1)
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("v").collect())
+    assert got == []
+    eng.push("n", spark.createDataFrame([(2, "w")], "id long, nm string"))
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("v").collect())
+    assert got == [("w", "z"), ("x", "w")]
+
+
 def test_agg_over_bare_correlated_exists(spark):
     """Verbatim TPC-H q4 shape: a grouped aggregate over an
     EXISTS-filtered table with a BARE correlation term lowers —
