@@ -4810,6 +4810,109 @@ def q119_sql_engine_tpch_q7_verbatim(spark, sf_dir):
     return eng.view("q7")
 
 
+@register("q120_sql_engine_tpch_q8_verbatim", oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem WHERE l_suppkey % 4 <> 0),
+od AS (SELECT o_orderkey, o_custkey,
+              o_orderkey % 3 AS o_year FROM orders)
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                           ELSE 0 END) * 1000000 / SUM(volume), 0)
+            AS BIGINT) AS mkt_share_ppm
+FROM (
+  SELECT o_year, ext_c * (100 - disc_pct) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, li, od, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey AND p_type = 'MEDIUM'
+) AS all_nations
+GROUP BY o_year
+""")
+def q120_sql_engine_tpch_q8_verbatim(spark, sf_dir):
+    """TPC-H q8 ("national market share") verbatim shape — the full r7
+    composition in one text: an EIGHT-position implicit comma join
+    naming nation twice, inside a derived-table FROM, under a grouped
+    RATIO OF SUMS whose numerator is a CASE over a derived column.
+    comma normalization → chain dedup (hidden nation clone) →
+    `_from_subquery_lift` → linear aggregate with `_absorb_item_aggs`
+    partials.  Output scaled to integer ppm for hash-stable compare.
+    Final tick retracts every 4th supplier's lineitems."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE part (p_partkey BIGINT NOT NULL, p_type VARCHAR);
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_nationkey BIGINT);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT,
+                               l_suppkey BIGINT, ext_c BIGINT,
+                               disc_pct BIGINT);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT, o_year BIGINT);
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_nationkey BIGINT);
+        CREATE TABLE nation (n_nationkey BIGINT NOT NULL,
+                             n_name VARCHAR, n_regionkey BIGINT);
+        CREATE TABLE region (r_regionkey BIGINT NOT NULL,
+                             r_name VARCHAR);
+        CREATE VIEW q8 as
+            select o_year,
+                   cast(round(sum(case when nation = 'NATION_2'
+                                       then volume else 0 end)
+                              * 1000000 / sum(volume), 0) as bigint)
+                   as mkt_share_ppm
+            from (
+              select o_year, ext_c * (100 - disc_pct) as volume,
+                     n2.n_name as nation
+              from part, supplier, lineitem, orders, customer,
+                   nation n1, nation n2, region
+              where p_partkey = l_partkey and s_suppkey = l_suppkey
+                and l_orderkey = o_orderkey and o_custkey = c_custkey
+                and c_nationkey = n1.n_nationkey
+                and n1.n_regionkey = r_regionkey and r_name = 'ASIA'
+                and s_nationkey = n2.n_nationkey
+                and p_type = 'MEDIUM'
+            ) as all_nations
+            group by o_year
+            order by o_year;
+    """)
+    assert eng.view_strategy("q8") == "linear_agg"
+    assert eng.view_strategy("__q8_sub") == "multi_join"
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey",
+                                               "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_orderkey") % 3).alias("o_year"))
+    c = load(spark, sf_dir, "customer").select("c_custkey",
+                                               "c_nationkey")
+    for i in range(2):
+        eng.push("part", p.filter(F.col("p_partkey") % 2 == i))
+        eng.push("supplier", s.filter(F.col("s_suppkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        if i == 0:
+            eng.push("nation", load(spark, sf_dir, "nation"))
+            eng.push("region", load(spark, sf_dir, "region"))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_suppkey") % 4 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q8")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -4849,6 +4952,7 @@ _WINDOW_ORDER = [
     "q117_sql_engine_tpch_q4_verbatim",
     "q118_sql_engine_tpch_q9_verbatim",
     "q119_sql_engine_tpch_q7_verbatim",
+    "q120_sql_engine_tpch_q8_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -4874,7 +4978,6 @@ _WINDOW_ORDER = [
     "q43_incremental_tumbling",
     "q46_ivf_topk",
     "q47_cosine_near_dup",
-    "q49_window_contents",
     "q54_incremental_outer_enrich",
     "q55_upsert_commands",
     "q56_incremental_hot_items",
