@@ -4913,6 +4913,189 @@ def q120_sql_engine_tpch_q8_verbatim(spark, sf_dir):
     return eng.view("q8")
 
 
+@register("q121_sql_engine_tpch_q12_verbatim", oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_returnflag FROM lineitem
+  WHERE l_linenumber <> 3 AND l_orderkey % 8 <> 0)
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, li
+WHERE o_orderkey = l_orderkey
+GROUP BY l_returnflag
+""")
+def q121_sql_engine_tpch_q12_verbatim(spark, sf_dir):
+    """TPC-H q12 ("shipping modes and order priority") verbatim shape:
+    a two-table implicit join whose aggregates are CASE-conditioned
+    SUMs over OR / AND predicates (the published text, with
+    l_returnflag standing in for the testdata's missing l_shipmode).
+    Lowers comma-normalization → bilinear join-agg (the CASE-sum
+    partials are linear, so each join leg's partial aggregate merges
+    per touched group).  Final tick retracts every 8th order's
+    lineitems."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_orderpriority VARCHAR);
+        CREATE TABLE lineitem (l_orderkey BIGINT,
+                               l_returnflag VARCHAR NOT NULL);
+        CREATE VIEW q12 as
+            select l_returnflag,
+                   sum(case when o_orderpriority = '1-URGENT'
+                              or o_orderpriority = '2-HIGH'
+                            then 1 else 0 end) as high_line_count,
+                   sum(case when o_orderpriority <> '1-URGENT'
+                             and o_orderpriority <> '2-HIGH'
+                            then 1 else 0 end) as low_line_count
+            from orders, lineitem
+            where o_orderkey = l_orderkey
+            group by l_returnflag
+            order by l_returnflag;
+    """)
+    assert eng.view_strategy("q12") == "join_agg"
+    o = load(spark, sf_dir, "orders").select("o_orderkey",
+                                             "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linenumber") \
+        .filter(F.col("l_linenumber") != 3)
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_linenumber"))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 8 == 0)
+                           .drop("l_linenumber"), weight=-1)
+    eng.step()
+    return eng.view("q12").select(
+        "l_returnflag",
+        F.col("high_line_count").cast("long").alias("high_line_count"),
+        F.col("low_line_count").cast("long").alias("low_line_count"))
+
+
+@register("q122_sql_engine_tpch_q1_verbatim", oracle="""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct
+  FROM lineitem WHERE l_orderkey % 11 <> 0)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(ext_c) AS BIGINT) AS sum_base_price,
+       CAST(SUM(ext_c * (100 - disc_pct)) AS BIGINT) AS sum_disc_price,
+       CAST(SUM(ext_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT)
+           AS sum_charge,
+       CAST(ROUND(AVG(qty), 6) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(AVG(ext_c), 6) AS DOUBLE) AS avg_price,
+       CAST(ROUND(AVG(disc_pct), 6) AS DOUBLE) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM li
+GROUP BY l_returnflag, l_linestatus
+""")
+def q122_sql_engine_tpch_q1_verbatim(spark, sf_dir):
+    """TPC-H q1 ("pricing summary report") verbatim shape through the
+    SQL front door — the full published select list (4 product SUMs, 3
+    AVGs as (sum, count) semigroups, COUNT(*)) over integer cents,
+    lowered as one linear aggregate (q01 covers the same semantics via
+    the DataFrame API; this is the engine-text parity check).  AVG
+    outputs round to 6 decimals on both sides.  Final tick retracts
+    every 11th order's lineitems."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE lineitem (l_returnflag VARCHAR,
+                               l_linestatus VARCHAR, qty BIGINT,
+                               ext_c BIGINT, disc_pct BIGINT,
+                               tax_pct BIGINT);
+        CREATE VIEW q1 as
+            select l_returnflag, l_linestatus,
+                   sum(qty) as sum_qty,
+                   sum(ext_c) as sum_base_price,
+                   sum(ext_c * (100 - disc_pct)) as sum_disc_price,
+                   sum(ext_c * (100 - disc_pct) * (100 + tax_pct))
+                       as sum_charge,
+                   cast(round(avg(qty), 6) as double) as avg_qty,
+                   cast(round(avg(ext_c), 6) as double) as avg_price,
+                   cast(round(avg(disc_pct), 6) as double) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus;
+    """)
+    assert eng.view_strategy("q1") == "linear_agg"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"))
+    for i in range(2):
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 11 == 0)
+                           .drop("l_orderkey"), weight=-1)
+    eng.step()
+    return eng.view("q1").select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+        "avg_disc", F.col("count_order").cast("long")
+                     .alias("count_order"))
+
+
+@register("q123_sql_engine_tpch_q6_verbatim", oracle="""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem WHERE l_orderkey % 9 <> 0)
+SELECT CAST(SUM(ext_c * disc_pct) AS BIGINT) AS revenue
+FROM li
+WHERE disc_pct BETWEEN 5 AND 7 AND qty < 24
+""")
+def q123_sql_engine_tpch_q6_verbatim(spark, sf_dir):
+    """TPC-H q6 ("forecasting revenue change") verbatim shape: a
+    GROUP-BY-less SUM with BETWEEN and range filters, maintained as the
+    single global (sum, count) running partial (`_GlobalAggMaintainer`)
+    — including the SQL empty-group semantics if every row retracts.
+    Final tick retracts every 9th order's lineitems."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE lineitem (qty BIGINT, ext_c BIGINT,
+                               disc_pct BIGINT);
+        CREATE VIEW q6 as
+            select sum(ext_c * disc_pct) as revenue
+            from lineitem
+            where disc_pct between 5 and 7 and qty < 24;
+    """)
+    assert eng.view_strategy("q6") == "global_agg"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    for i in range(2):
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 9 == 0)
+                           .drop("l_orderkey"), weight=-1)
+    eng.step()
+    return eng.view("q6").select(
+        F.col("revenue").cast("long").alias("revenue"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -4953,6 +5136,9 @@ _WINDOW_ORDER = [
     "q118_sql_engine_tpch_q9_verbatim",
     "q119_sql_engine_tpch_q7_verbatim",
     "q120_sql_engine_tpch_q8_verbatim",
+    "q121_sql_engine_tpch_q12_verbatim",
+    "q122_sql_engine_tpch_q1_verbatim",
+    "q123_sql_engine_tpch_q6_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -4974,10 +5160,7 @@ _WINDOW_ORDER = [
     "q34_token_counts",
     "q38_incremental_distinct",
     "q40_scalar_functions",
-    "q41_full_outer_default",
     "q43_incremental_tumbling",
-    "q46_ivf_topk",
-    "q47_cosine_near_dup",
     "q54_incremental_outer_enrich",
     "q55_upsert_commands",
     "q56_incremental_hot_items",
