@@ -5096,6 +5096,65 @@ def q123_sql_engine_tpch_q6_verbatim(spark, sf_dir):
         F.col("revenue").cast("long").alias("revenue"))
 
 
+@register("q124_sql_engine_tpch_q13_verbatim", oracle="""
+WITH od AS (SELECT o_orderkey, o_custkey, o_orderpriority
+            FROM orders WHERE o_orderkey % 6 <> 0)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN od ON c_custkey = o_custkey
+    AND o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c_custkey
+) AS c_orders
+GROUP BY c_count
+""")
+def q124_sql_engine_tpch_q13_verbatim(spark, sf_dir):
+    """TPC-H q13 ("customer distribution") verbatim shape: a COUNT over
+    a LEFT OUTER JOIN (customers with zero qualifying orders must
+    appear with c_count = 0) nested under a second grouping.  The r7
+    `_left_join_agg` pass maintains the inner as right-side partials →
+    touched-key outer join → final linear aggregate (exact under
+    duplicate left rows), and `_from_subquery_lift` layers the outer
+    distribution count on its delta — a FOUR-stage maintained stack
+    from one verbatim text.  Final tick retracts every 6th order
+    (pushing some customers back to the zero bucket)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_orderpriority VARCHAR);
+        CREATE VIEW q13 as
+            select c_count, count(*) as custdist
+            from (
+              select c_custkey, count(o_orderkey) as c_count
+              from customer left outer join orders
+                on c_custkey = o_custkey
+                and o_orderpriority not like '%URGENT%'
+              group by c_custkey
+            ) as c_orders
+            group by c_count
+            order by custdist desc, c_count desc;
+    """)
+    assert eng.view_strategy("q13") == "linear_agg"
+    assert eng.view_strategy("__q13_sub") == "linear_agg"
+    assert eng.view_strategy("____q13_sub_lj") == "left_join"
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                             "o_orderpriority")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    eng.push("orders", o.filter(F.col("o_orderkey") % 6 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q13").select(
+        F.col("c_count").cast("long").alias("c_count"),
+        F.col("custdist").cast("long").alias("custdist"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -5139,6 +5198,7 @@ _WINDOW_ORDER = [
     "q121_sql_engine_tpch_q12_verbatim",
     "q122_sql_engine_tpch_q1_verbatim",
     "q123_sql_engine_tpch_q6_verbatim",
+    "q124_sql_engine_tpch_q13_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -5159,7 +5219,6 @@ _WINDOW_ORDER = [
     "q33_quality_score",
     "q34_token_counts",
     "q38_incremental_distinct",
-    "q40_scalar_functions",
     "q43_incremental_tumbling",
     "q54_incremental_outer_enrich",
     "q55_upsert_commands",

@@ -3896,6 +3896,203 @@ def _from_subquery_lift(eng: "Engine", name: str, flat: str):
         raise
 
 
+#: SELECT … FROM lt LEFT [OUTER] JOIN rt ON cond [WHERE p] GROUP BY keys
+_LJ_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<la>\w+))?\s+LEFT\s+(?:OUTER\s+)?JOIN\s+(?P<rt>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<ra>\w+))?\s+ON\s+(?P<cond>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<keys>[\w\s,.]+?)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_LJ_AGG_ITEM = re.compile(
+    r"^(?:(?P<key>[\w.]+)(?:\s+AS\s+(?P<kal>\w+))?"
+    rf"|(?P<fn>COUNT|SUM)\s*\((?P<arg>{_NEST2})\)\s+AS\s+(?P<name>\w+))$",
+    re.IGNORECASE)
+
+
+def _left_join_agg(eng: "Engine", name: str, flat: str):
+    """COUNT/SUM aggregates over a LEFT OUTER JOIN grouped by LEFT-side
+    keys — verbatim TPC-H q13's inner ``SELECT c_custkey,
+    COUNT(o_orderkey) FROM customer LEFT OUTER JOIN orders ON c_custkey
+    = o_custkey AND o_comment NOT LIKE … GROUP BY c_custkey`` — as a
+    three-stage maintained stack:
+
+    1. ``__{name}_g``: right-side partials grouped by the join keys
+       (right-only ON residual terms pushed into its WHERE — in LEFT
+       JOIN semantics they gate matches, never left rows);
+    2. ``__{name}_lj``: left table LEFT JOIN the partials (touched-key
+       outer-join maintenance; a left key with no group row carries
+       NULL partials, exactly the null-padded match-set);
+    3. the view: a linear aggregate over the lj view — COUNT(rcol)
+       finalizes as SUM(COALESCE(partial, 0)) and SUM(rcol) as
+       SUM(partial), so duplicate left rows multiply counts exactly as
+       SQL's row-level grouping does.
+
+    COUNT(*) (a null-padded row still counts 1), right-referencing
+    WHERE terms, and left-side ON terms raise
+    :class:`_UnloweredShape`."""
+    m = _LJ_AGG_RE.match(flat)
+    if m is None:
+        raise _UnloweredShape("not a left-join aggregate")
+    lt, rt = m.group("lt").lower(), m.group("rt").lower()
+    for t in (lt, rt):
+        if not (t in eng.tables or t in eng.views
+                or t in eng._maintainers):
+            raise _UnloweredShape(f"unknown source {t}")
+    la = (m.group("la") or lt).lower()
+    ra = (m.group("ra") or rt).lower()
+    lcols = {c.lower() for c in _source_rows0(eng, lt).columns}
+    rcols = {c.lower() for c in _source_rows0(eng, rt).columns}
+
+    def side(tok: str) -> str | None:
+        if "." in tok:
+            q, c = tok.split(".", 1)
+            q = q.lower()
+            if q == la and c.lower() in lcols:
+                return "l"
+            if q == ra and c.lower() in rcols:
+                return "r"
+            return None
+        t = tok.lower()
+        if t in lcols and t not in rcols:
+            return "l"
+        if t in rcols and t not in lcols:
+            return "r"
+        return None
+
+    def side_only(txt: str, want: str, qual: str,
+                  qcols: set[str]) -> bool:
+        scan = re.sub(r"'[^']*'", " ", txt)
+        for qm in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)",
+                              scan):
+            if (qm.group(1).lower() != qual
+                    or qm.group(2).lower() not in qcols):
+                return False
+        for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", scan):
+            tok = bm.group(1)
+            pre = scan[:bm.start()].rstrip()
+            if (tok.lower() in _SQL_KEYWORDS or pre.endswith(".")
+                    or re.search(r"\bAS$", pre, re.IGNORECASE)):
+                continue
+            if side(tok) != want:
+                return False
+        return True
+
+    def right_only(txt: str) -> bool:
+        return side_only(txt, "r", ra, rcols)
+
+    def left_only(txt: str) -> bool:
+        return side_only(txt, "l", la, lcols)
+
+    def deal_r(txt: str) -> str:
+        return _sub_outside_literals(rf"\b{ra}\s*\.\s*", "", txt,
+                                     re.IGNORECASE)
+
+    def deal_l(txt: str) -> str:
+        return _sub_outside_literals(rf"\b{la}\s*\.\s*", "", txt,
+                                     re.IGNORECASE)
+
+    pairs, rresid = [], []
+    for term in _split_top_kw(m.group("cond"), "AND"):
+        em = re.match(r"^([\w.]+)\s*=\s*([\w.]+)$", term.strip())
+        if em:
+            s1, s2 = side(em.group(1)), side(em.group(2))
+            if {s1, s2} == {"l", "r"}:
+                l_tok, r_tok = ((em.group(1), em.group(2)) if s1 == "l"
+                                else (em.group(2), em.group(1)))
+                pairs.append((l_tok.split(".")[-1],
+                              r_tok.split(".")[-1]))
+                continue
+        if right_only(term):
+            rresid.append(deal_r(term))
+            continue
+        raise _UnloweredShape(f"unsupported ON term: {term}")
+    if not pairs:
+        raise _UnloweredShape("no join keys")
+    if m.group("pred") and not left_only(m.group("pred")):
+        raise _UnloweredShape("WHERE references the right side")
+
+    keys = []
+    for k in (x.strip() for x in m.group("keys").split(",")):
+        if side(k) != "l":
+            raise _UnloweredShape(f"group key not left-side: {k}")
+        keys.append(k.split(".")[-1])
+
+    g_parts, out_items = [], []
+    for it in (i.strip() for i in _split_top_level(m.group("sel"))):
+        im = _LJ_AGG_ITEM.match(it)
+        if im is None:
+            raise _UnloweredShape(it)
+        if im.group("key"):
+            k = im.group("key")
+            if side(k) != "l" or k.split(".")[-1] not in keys:
+                raise _UnloweredShape(f"select key not grouped: {k}")
+            al = im.group("kal") or k.split(".")[-1]
+            out_items.append(f"{k.split('.')[-1]} AS {al}")
+            continue
+        fn = im.group("fn").upper()
+        arg = im.group("arg").strip()
+        if arg == "*" or not right_only(arg):
+            raise _UnloweredShape(f"unsupported aggregate: {it}")
+        i = len(g_parts)
+        g_parts.append(f"{fn}({deal_r(arg)}) AS __a{i}")
+        if fn == "COUNT":
+            out_items.append(f"SUM(COALESCE(__a{i}, 0)) "
+                             f"AS {im.group('name')}")
+        else:
+            out_items.append(f"SUM(__a{i}) AS {im.group('name')}")
+    if not g_parts:
+        raise _UnloweredShape("no right-side aggregates")
+
+    rkeys = [r for _, r in pairs]
+    g_name, lj_name = f"__{name}_g", f"__{name}_lj"
+    g_sql = (f"SELECT {', '.join(rkeys)}, {', '.join(g_parts)} "
+             f"FROM {rt}")
+    if rresid:
+        g_sql += " WHERE " + " AND ".join(rresid)
+    g_sql += f" GROUP BY {', '.join(rkeys)}"
+    needed_left = sorted({*keys, *[lk for lk, _ in pairs]})
+    lj_sel = ", ".join([f"{lt}.{c} AS {c}" for c in needed_left]
+                       + [f"{g_name}.__a{i} AS __a{i}"
+                          for i in range(len(g_parts))])
+    on_txt = " AND ".join(f"{lt}.{lk} = {g_name}.{rk}"
+                          for (lk, _), rk in zip(pairs, rkeys))
+    lj_sql = (f"SELECT {lj_sel} FROM {lt} LEFT JOIN {g_name} "
+              f"ON {on_txt}")
+    if m.group("pred"):
+        lj_sql += f" WHERE {deal_l(m.group('pred'))}"
+    final = (f"SELECT {', '.join(out_items)} FROM {lj_name} "
+             f"GROUP BY {', '.join(keys)}")
+    registered = []
+    try:
+        for hname, hsql in [(g_name, g_sql), (lj_name, lj_sql)]:
+            hm = _lower_view(eng, hname, hsql)
+            if hm.kind == "differentiate":
+                raise _UnloweredShape(f"hidden stage snapshot-diffs: "
+                                      f"{hsql}")
+            eng._maintainers[hname] = hm
+            registered.append(hname)
+            words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
+            eng._sources[hname] = {w for w in words
+                                   if w in eng.tables or w in eng.views}
+            eng._sources[hname] |= {w for w in words
+                                    if w in eng._maintainers
+                                    and w != hname}
+            hm.state.current.rows().createOrReplaceTempView(hname)
+        fm = _lower_view(eng, name, final)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("final aggregate snapshot-diffs")
+        return fm
+    except Exception:
+        for h in list(eng._maintainers):
+            if h in registered or any(h.startswith(f"__{r}")
+                                      for r in registered):
+                eng._maintainers.pop(h, None)
+                eng._sources.pop(h, None)
+        raise
+
+
 def _agg_over_subquery_filter(eng: "Engine", name: str, flat: str):
     """GROUP BY aggregates over a subquery-filtered table — verbatim
     TPC-H q4 (``SELECT o_orderpriority, COUNT(*) FROM orders WHERE
@@ -4533,6 +4730,9 @@ def _finalize_spec(df: DataFrame, out_spec: list[tuple[str, str]]) -> DataFrame:
         if kind == "avg":
             c = F.col(f"__avg_{n}_c")
             cols.append(F.when(c != 0, F.col(f"__avg_{n}_s") / c).alias(n))
+        elif kind == "sum":
+            cols.append(F.when(F.col(f"__nn_{n}") != 0,
+                               F.col(n)).alias(n))
         elif kind == "expr":
             cols.append(F.expr(n[1]).alias(n[0]))
         else:
@@ -4653,7 +4853,17 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
             n = im.group("sname") or im.group("cname")
             delta_items.append(it)
             val_names.append(n)
-            out.append(("col", n))
+            if im.group("sname"):
+                # SUM of an all-NULL (or fully-retracted) group is NULL
+                # in SQL, but additive merge partials coalesce to 0 —
+                # carry the non-null count and gate the finalize on it
+                # (the AVG (sum, count) discipline, r7)
+                delta_items.append(f"COUNT({im.group('sum')}) "
+                                   f"AS __nn_{n}")
+                val_names.append(f"__nn_{n}")
+                out.append(("sum", n))
+            else:
+                out.append(("col", n))
             alias_map.append((f"SUM({im.group('sum')})" if im.group("sname")
                               else "COUNT(*)", n))
         else:
@@ -4958,6 +5168,18 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             r = _try(_GroupingSetsAggMaintainer, eng, name, flat, m, spec)
             if r is not None:
                 return r
+    if (re.search(r"\bLEFT\s+(?:OUTER\s+)?JOIN\b", flat, re.IGNORECASE)
+            and re.search(r"\bGROUP\s+BY\b", flat, re.IGNORECASE)
+            and not re.search(r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\b"
+                              r"|\bOVER\b|\bLIMIT\b|\bORDER\s+BY\b"
+                              r"|\bDISTINCT\b|\bHAVING\b|\(\s*SELECT"
+                              r"|\b(RIGHT|FULL|CROSS)\b",
+                              flat, re.IGNORECASE)):
+        # COUNT/SUM over a LEFT JOIN grouped by left keys (TPC-H q13's
+        # inner): right partials → outer join → final linear agg
+        r = _try(_left_join_agg, eng, name, flat)
+        if r is not None:
+            return r
     m = _AGG_RE.match(flat)
     if (m and known(m.group("tbl").lower())
             and not _AGG_BLOCKERS.search(flat)):

@@ -261,17 +261,19 @@ def test_groupbyless_aggregate_never_evaluates_per_delta(spark):
     assert [tuple(r) for r in eng.view("tsum").collect()] == [(7.0,)]
 
 
-def test_join_aggregate_over_join_keeps_snapshot_diff(spark):
-    """Aggregate over a JOIN without GROUP BY must also stay on the
-    snapshot-diff path (the Catalyst-plan gate catches it even though the
-    shape matches the join regex)."""
+def test_join_aggregate_over_join_lowers_globally(spark):
+    """Aggregate over a JOIN without GROUP BY lowers through
+    `_global_agg_over_from` (r7: hidden maintained join view + global
+    running partials) instead of snapshot-diffing — and per-tick results
+    stay cumulative, never per-delta."""
     eng = Engine(spark)
     eng.execute("""
         CREATE TABLE a (k INTEGER NOT NULL, v FLOAT64);
         CREATE TABLE b (k INTEGER NOT NULL, w FLOAT64);
         CREATE VIEW j as SELECT SUM(a.v) AS s FROM a JOIN b ON a.k = b.k;
     """)
-    assert eng.view_strategy("j") == "differentiate"
+    assert eng.view_strategy("j") == "global_agg"
+    assert eng.view_strategy("__j_src") == "join"
     mk = lambda rows, s: spark.createDataFrame(rows, s)
     eng.push("a", mk([(1, 1.0)], "k int, v double"))
     eng.push("b", mk([(1, 10.0)], "k int, w double"))
@@ -279,6 +281,9 @@ def test_join_aggregate_over_join_keeps_snapshot_diff(spark):
     eng.push("a", mk([(1, 2.0)], "k int, v double"))
     eng.step()
     assert [tuple(r) for r in eng.view("j").collect()] == [(3.0,)]
+    eng.push("b", mk([(1, 10.0)], "k int, w double"), weight=-1)
+    eng.step()
+    assert [tuple(r) for r in eng.view("j").collect()] == [(None,)]
 
 
 def test_join_group_by_lowers_to_join_agg(spark):
@@ -1078,7 +1083,9 @@ def test_multiway_join_agg_view_lowers(spark):
     """)
     assert eng.view_strategy("rev") == "multi_join_agg"
     assert eng.view_strategy("rev2") == "join_agg"
-    assert eng.view_strategy("selfagg") == "differentiate"
+    # r7: the self-join chain dedupes (cust b clones through a hidden
+    # projection view) and lowers too — verified against one-shot below
+    assert eng.view_strategy("selfagg") == "multi_join_agg"
     mkn = lambda r: spark.createDataFrame(r, "nk int, nname string")
     mkc = lambda r: spark.createDataFrame(r, "ck int, nk int, cname string")
     mko = lambda r: spark.createDataFrame(r, "ok int, ck int, amt double")
@@ -1100,6 +1107,13 @@ def test_multiway_join_agg_view_lowers(spark):
                WHERE o.amt > 1 GROUP BY n.nname""").collect())
         got = sorted(tuple(r) for r in eng.view("rev").collect())
         assert got == want, (tbl, w)
+        want_s = sorted(tuple(r) for r in spark.sql(
+            """SELECT a.cname, COUNT(*) AS n
+               FROM cust a JOIN cust b ON a.ck = b.nk
+                           JOIN ord o ON o.ck = a.ck
+               GROUP BY a.cname""").collect())
+        got_s = sorted(tuple(r) for r in eng.view("selfagg").collect())
+        assert got_s == want_s, ("selfagg", tbl, w)
 
 
 def test_global_topk_view_lowers_with_short_circuit(spark, monkeypatch):
@@ -2338,6 +2352,49 @@ def test_from_subquery_lift(spark):
     eng.step()
     got = sorted(tuple(r) for r in eng.view("v").collect())
     assert got == [("p", 7)]
+
+
+def test_left_join_aggregate_stack(spark):
+    """COUNT/SUM over a LEFT JOIN grouped by left keys (TPC-H q13's
+    inner) lowers as right-partials → outer join → final linear agg —
+    zero-match left keys emit COUNT 0 / SUM NULL, duplicate left rows
+    multiply counts exactly as SQL row-level grouping, and right-only
+    ON residuals gate matches without dropping left rows."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE c (ck BIGINT NOT NULL);
+        CREATE TABLE o (ok BIGINT, cust BIGINT, tag VARCHAR);
+        CREATE VIEW v as
+            SELECT ck, COUNT(ok) AS n, SUM(ok) AS s
+            FROM c LEFT OUTER JOIN o ON ck = cust AND tag <> 'bad'
+            GROUP BY ck;
+    """)
+    assert eng.view_strategy("v") == "linear_agg"
+    assert eng.view_strategy("__v_lj") == "left_join"
+    assert eng.view_strategy("__v_g") == "linear_agg"
+    # ck=2 duplicated on the left: its count doubles per SQL semantics
+    eng.push("c", spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "ck long"))
+    eng.push("o", spark.createDataFrame(
+        [(10, 1, "ok"), (11, 1, "bad"), (12, 2, "ok"), (13, 9, "ok")],
+        "ok long, cust long, tag string"))
+    eng.step()
+    eng.push("o", spark.createDataFrame(
+        [(10, 1, "ok")], "ok long, cust long, tag string"), weight=-1)
+    eng.step()
+    got = sorted((tuple(r) for r in eng.view("v").collect()), key=str)
+    spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "ck long") \
+        .createOrReplaceTempView("__lja_c")
+    spark.createDataFrame(
+        [(11, 1, "bad"), (12, 2, "ok"), (13, 9, "ok")],
+        "ok long, cust long, tag string") \
+        .createOrReplaceTempView("__lja_o")
+    want = sorted((tuple(r) for r in spark.sql(
+        "SELECT ck, COUNT(ok) AS n, SUM(ok) AS s FROM __lja_c "
+        "LEFT OUTER JOIN __lja_o ON ck = cust AND tag <> 'bad' "
+        "GROUP BY ck").collect()), key=str)
+    assert got == want
 
 
 def test_repeated_table_join_chain_dedupes(spark):
