@@ -984,7 +984,9 @@ def test_multiway_join_view_lowers(spark):
                         JOIN ord o ON o.ck = a.ck;
     """)
     assert eng.view_strategy("enr") == "multi_join"
-    assert eng.view_strategy("selfish") == "differentiate"
+    # r7: the repeated-table chain dedupes (cust b clones through a
+    # hidden projection view) and lowers — value-checked below
+    assert eng.view_strategy("selfish") == "multi_join"
     mkn = lambda r: spark.createDataFrame(r, "nk int, nname string")
     mkc = lambda r: spark.createDataFrame(r, "ck int, nk int, cname string")
     mko = lambda r: spark.createDataFrame(r, "ok int, ck int, amt double")
@@ -1006,6 +1008,11 @@ def test_multiway_join_view_lowers(spark):
                WHERE o.amt > 1""").collect())
         got = sorted(tuple(r) for r in eng.view("enr").collect())
         assert got == want, (tbl, w)
+        want_s = sorted(tuple(r) for r in spark.sql(
+            """SELECT a.ck FROM cust a JOIN cust b ON a.ck = b.nk
+                           JOIN ord o ON o.ck = a.ck""").collect())
+        got_s = sorted(tuple(r) for r in eng.view("selfish").collect())
+        assert got_s == want_s, ("selfish", tbl, w)
 
 
 def test_distinct_agg_views_lower(spark):
