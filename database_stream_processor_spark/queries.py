@@ -5155,6 +5155,83 @@ def q124_sql_engine_tpch_q13_verbatim(spark, sf_dir):
         F.col("custdist").cast("long").alias("custdist"))
 
 
+@register("q125_sql_engine_tpch_q19_verbatim", oracle="""
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct
+  FROM lineitem WHERE l_linenumber <> 2),
+pt AS (SELECT p_partkey,
+              'Brand#' || CAST(p_partkey % 4 + 1 AS VARCHAR) AS p_brand,
+              p_size
+       FROM part)
+SELECT CAST(SUM(ext_c * (100 - disc_pct)) AS BIGINT) AS revenue
+FROM li, pt
+WHERE
+  (p_partkey = l_partkey AND p_brand = 'Brand#1'
+   AND qty >= 1 AND qty <= 11 AND p_size BETWEEN 1 AND 5)
+  OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+      AND qty >= 10 AND qty <= 20 AND p_size BETWEEN 1 AND 10)
+  OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+      AND qty >= 20 AND qty <= 30 AND p_size BETWEEN 1 AND 15)
+""")
+def q125_sql_engine_tpch_q19_verbatim(spark, sf_dir):
+    """TPC-H q19 ("discounted revenue") verbatim shape: the join
+    equality is buried INSIDE every OR branch of the predicate —
+    `_hoist_common_or_conjuncts` factors the branch-common conjuncts
+    out of the disjunction (pure distributivity, BETWEEN's AND never
+    splits), the hoisted equality becomes the join ON, the residual OR
+    rides the hidden join view's WHERE, and the GROUP-BY-less SUM
+    maintains as the global running partial.  Final tick retracts
+    every 2nd-linenumber lineitem."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE lineitem (l_partkey BIGINT, qty BIGINT,
+                               ext_c BIGINT, disc_pct BIGINT);
+        CREATE TABLE part (p_partkey BIGINT NOT NULL, p_brand VARCHAR,
+                           p_size BIGINT);
+        CREATE VIEW q19 as
+            select sum(ext_c * (100 - disc_pct)) as revenue
+            from lineitem, part
+            where
+              (p_partkey = l_partkey and p_brand = 'Brand#1'
+               and qty >= 1 and qty <= 11 and p_size between 1 and 5)
+              or (p_partkey = l_partkey and p_brand = 'Brand#2'
+                  and qty >= 10 and qty <= 20
+                  and p_size between 1 and 10)
+              or (p_partkey = l_partkey and p_brand = 'Brand#3'
+                  and qty >= 20 and qty <= 30
+                  and p_size between 1 and 15);
+    """)
+    assert eng.view_strategy("q19") == "global_agg"
+    assert eng.view_strategy("__q19_src") == "join"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("ext_c"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("disc_pct"))
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(F.lit("Brand#"),
+                 ((F.col("p_partkey") % 4) + 1).cast("string"))
+         .alias("p_brand"),
+        "p_size")
+    for i in range(2):
+        eng.push("lineitem", li.filter(F.col("l_partkey") % 2 == i)
+                               .drop("l_linenumber"))
+        eng.push("part", p.filter(F.col("p_partkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem",
+             li.filter(F.col("l_linenumber") == 2).drop("l_linenumber"),
+             weight=-1)
+    eng.step()
+    return eng.view("q19").select(
+        F.col("revenue").cast("long").alias("revenue"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -5199,6 +5276,7 @@ _WINDOW_ORDER = [
     "q122_sql_engine_tpch_q1_verbatim",
     "q123_sql_engine_tpch_q6_verbatim",
     "q124_sql_engine_tpch_q13_verbatim",
+    "q125_sql_engine_tpch_q19_verbatim",
     # priority 3: stalest driver rows — last checked in round 2
     "q03_top_orders",
     "q13_order_classification",
@@ -5218,7 +5296,6 @@ _WINDOW_ORDER = [
     "q32_language_id",
     "q33_quality_score",
     "q34_token_counts",
-    "q38_incremental_distinct",
     "q43_incremental_tumbling",
     "q54_incremental_outer_enrich",
     "q55_upsert_commands",

@@ -1246,6 +1246,98 @@ def _ncf_block(eng: "Engine", block: str,
     return _ncf_rewrite(eng, "".join(out), scope)
 
 
+def _split_top_and_bw(s: str) -> list[str]:
+    """Split on top-level AND, but NEVER on the AND that belongs to a
+    ``BETWEEN x AND y`` (each top-level BETWEEN claims the next
+    top-level AND)."""
+    parts, depth, in_str, pending_bw = [], 0, False, 0
+    i, n, last = 0, len(s), 0
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and _kw_at(s, i, "BETWEEN"):
+                pending_bw += 1
+                i += 7
+                continue
+            elif depth == 0 and _kw_at(s, i, "AND"):
+                if pending_bw:
+                    pending_bw -= 1
+                else:
+                    parts.append(s[last:i])
+                    i += 3
+                    last = i
+                    continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts]
+
+
+def _outer_parens_match(s: str) -> bool:
+    """True iff s is '(' … ')' with the FIRST paren matching the LAST
+    (so '(a) OR (b)' is not stripped)."""
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth, in_str = 0, False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i == len(s) - 1
+    return False
+
+
+def _hoist_common_or_conjuncts(conjs: list[str]) -> list[str]:
+    """Factor conjuncts COMMON to every branch of an OR-of-conjunctions
+    out of the disjunction — ``(A AND x) OR (A AND y)`` → ``A AND (x OR
+    y)`` — the published TPC-H q19 buries its join equality inside each
+    OR branch, and only a top-level equality can become a JOIN ON.
+    Purely algebraic (distributivity), so always sound; conjuncts with
+    no top-level OR pass through unchanged."""
+    out: list[str] = []
+    for c in conjs:
+        c = c.strip()
+        probe = c[1:-1].strip() if _outer_parens_match(c) else c
+        branches = _split_top_kw(probe, "OR")
+        if len(branches) < 2:
+            out.append(c)
+            continue
+        sets = []
+        for b in branches:
+            b = b.strip()
+            if _outer_parens_match(b):
+                b = b[1:-1].strip()
+            sets.append([t.strip() for t in _split_top_and_bw(b)])
+        norm = lambda t: " ".join(t.split()).lower()  # noqa: E731
+        common = set.intersection(*[{norm(t) for t in s} for s in sets])
+        if not common:
+            out.append(c)
+            continue
+        out.extend(t for t in sets[0] if norm(t) in common)
+        resid = []
+        absorbed = False
+        for s in sets:
+            rest = [t for t in s if norm(t) not in common]
+            if not rest:
+                # (A) OR (A AND x) = A — the disjunction is implied
+                absorbed = True
+                break
+            resid.append("(" + " AND ".join(rest) + ")")
+        if not absorbed:
+            out.append("(" + " OR ".join(resid) + ")")
+    return out
+
+
 def _ncf_qualify(text: str, resolve) -> str:
     """Qualify bare column tokens via ``resolve(lower_token) ->
     qualifier | None`` — literal-safe, skips keywords, function calls,
@@ -1320,7 +1412,7 @@ def _ncf_rewrite(eng: "Engine", flat: str,
                                           wpred, re.IGNORECASE)
             tail = _sub_outside_literals(rf"\b{t}\s*\.", f"{a}.",
                                          tail, re.IGNORECASE)
-    conjs = _split_top_kw(wpred, "AND")
+    conjs = _hoist_common_or_conjuncts(_split_top_and_bw(wpred))
     ref_of = {a: r for r, (_, a) in zip(ref_txts, parsed)}
     cols_of = {a: {c.lower() for c in _source_rows0(eng, t).columns}
                for t, a in parsed}
@@ -3994,7 +4086,7 @@ def _left_join_agg(eng: "Engine", name: str, flat: str):
                                      re.IGNORECASE)
 
     pairs, rresid = [], []
-    for term in _split_top_kw(m.group("cond"), "AND"):
+    for term in _split_top_and_bw(m.group("cond")):
         em = re.match(r"^([\w.]+)\s*=\s*([\w.]+)$", term.strip())
         if em:
             s1, s2 = side(em.group(1)), side(em.group(2))

@@ -2120,6 +2120,20 @@ def test_comma_from_normalizer_units(spark):
     # unknown table → unchanged
     unk = "SELECT 1 FROM ta, nosuch WHERE ka = kb"
     assert _normalize_comma_from(eng, unk) == unk
+    # OR-of-conjunctions (TPC-H q19): branch-common conjuncts hoist out
+    # of the disjunction so the join equality can become the ON —
+    # BETWEEN's AND never splits
+    out = _normalize_comma_from(
+        eng, "SELECT ka FROM ta, tb WHERE "
+             "(ka = kb AND va BETWEEN 1 AND 5) OR "
+             "(ka = kb AND vb = 9)")
+    assert out == ("SELECT ka FROM ta JOIN tb ON ta.ka = tb.kb WHERE "
+                   "((va BETWEEN 1 AND 5) OR (vb = 9))")
+    # a branch equal to the common set absorbs the whole disjunction
+    out = _normalize_comma_from(
+        eng, "SELECT ka FROM ta, tb WHERE "
+             "(ka = kb) OR (ka = kb AND vb = 9)")
+    assert out == "SELECT ka FROM ta JOIN tb ON ta.ka = tb.kb"
     # subquery shadowing: inner `ta` gets a fresh alias, the correlated
     # outer ref and the inner refs come out qualified
     out = _normalize_comma_from(
