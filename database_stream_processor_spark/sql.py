@@ -1074,13 +1074,19 @@ def _kw_at(s: str, i: int, kw: str) -> bool:
 
 def _split_select_from(flat: str) -> tuple[str, str] | None:
     """``SELECT <sel> FROM <rest>`` split at the first paren-depth-0
-    FROM — EXTRACT(x FROM col) / SUBSTRING(s FROM i) live inside parens
-    and must not split."""
+    FROM outside string literals — EXTRACT(x FROM col) / SUBSTRING(s
+    FROM i) live inside parens, and a literal ``' from '`` in a select
+    item must not split either (ADVICE r7 #2)."""
     if not re.match(r"^SELECT\s", flat, re.IGNORECASE):
         return None
-    depth = 0
+    depth, in_str = 0, False
     for i in range(7, len(flat)):
         ch = flat[i]
+        if ch == "'":
+            in_str = not in_str
+            continue
+        if in_str:
+            continue
         depth += (ch == "(") - (ch == ")")
         if depth == 0 and _kw_at(flat, i, "FROM"):
             sel, rest = flat[7:i].strip(), flat[i + 4:].strip()
@@ -1089,10 +1095,17 @@ def _split_select_from(flat: str) -> tuple[str, str] | None:
 
 
 def _split_where(rest: str) -> tuple[str, str | None]:
-    """Split a top-level (paren-depth-0) WHERE off a FROM clause."""
-    depth = 0
+    """Split a top-level (paren-depth-0, literal-outside) WHERE off a
+    FROM clause."""
+    depth, in_str = 0, False
     for i in range(len(rest)):
-        depth += (rest[i] == "(") - (rest[i] == ")")
+        ch = rest[i]
+        if ch == "'":
+            in_str = not in_str
+            continue
+        if in_str:
+            continue
+        depth += (ch == "(") - (ch == ")")
         if depth == 0 and _kw_at(rest, i, "WHERE"):
             return rest[:i].strip(), rest[i + 5:].strip()
     return rest, None
@@ -1114,8 +1127,10 @@ def _sub_outside_literals(pattern: str, repl: str, text: str,
 
 def _split_top_kw(s: str, kw: str) -> list[str]:
     """Split ``s`` on whole-word ``kw`` at paren depth 0, outside
-    string literals."""
-    parts, depth, in_str, i, n, last = [], 0, False, 0, len(s), 0
+    string literals and outside ``CASE … END`` spans (an unparenthesized
+    CASE expression legally contains AND/OR inside its WHEN conditions —
+    splitting there would tear the expression apart, ADVICE r7 #1)."""
+    parts, depth, cased, in_str, i, n, last = [], 0, 0, False, 0, len(s), 0
     while i < n:
         ch = s[i]
         if ch == "'":
@@ -1125,7 +1140,15 @@ def _split_top_kw(s: str, kw: str) -> list[str]:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif depth == 0 and _kw_at(s, i, kw):
+            elif depth == 0 and _kw_at(s, i, "CASE"):
+                cased += 1
+                i += 4
+                continue
+            elif depth == 0 and cased and _kw_at(s, i, "END"):
+                cased -= 1
+                i += 3
+                continue
+            elif depth == 0 and not cased and _kw_at(s, i, kw):
                 parts.append(s[last:i])
                 i += len(kw)
                 last = i
@@ -1180,7 +1203,17 @@ def _normalize_comma_from(eng: "Engine", sql: str) -> str:
     outer FROM naming the same tables) gets a fresh synthetic alias —
     SQL scoping makes the inner instance independent anyway, and the
     scalar-subquery machinery refuses shadowed aliases outright."""
-    return _ncf_block(eng, " ".join(sql.split()), {})
+    return _ncf_block(eng, _ncf_flatten(sql), {})
+
+
+def _ncf_flatten(sql: str) -> str:
+    """Collapse whitespace runs to single spaces OUTSIDE single-quoted
+    string literals (a literal like ``'a  b'`` must survive the
+    normalizer verbatim — ADVICE r7 #2)."""
+    segments = re.split(r"('(?:[^']*)')", sql)
+    return "".join(seg if seg.startswith("'")
+                   else re.sub(r"\s+", " ", seg)
+                   for seg in segments).strip()
 
 
 def _ncf_scope_of(eng: "Engine", block: str) -> dict[str, frozenset]:
@@ -1249,8 +1282,11 @@ def _ncf_block(eng: "Engine", block: str,
 def _split_top_and_bw(s: str) -> list[str]:
     """Split on top-level AND, but NEVER on the AND that belongs to a
     ``BETWEEN x AND y`` (each top-level BETWEEN claims the next
-    top-level AND)."""
-    parts, depth, in_str, pending_bw = [], 0, False, 0
+    top-level AND) and never inside a ``CASE … END`` span (ANDs inside
+    an unparenthesized WHEN condition are NOT conjuncts of the WHERE —
+    splitting there would extract an equality out of the CASE and
+    silently change results, ADVICE r7 #1)."""
+    parts, depth, cased, in_str, pending_bw = [], 0, 0, False, 0
     i, n, last = 0, len(s), 0
     while i < n:
         ch = s[i]
@@ -1261,11 +1297,19 @@ def _split_top_and_bw(s: str) -> list[str]:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif depth == 0 and _kw_at(s, i, "BETWEEN"):
+            elif depth == 0 and _kw_at(s, i, "CASE"):
+                cased += 1
+                i += 4
+                continue
+            elif depth == 0 and cased and _kw_at(s, i, "END"):
+                cased -= 1
+                i += 3
+                continue
+            elif depth == 0 and not cased and _kw_at(s, i, "BETWEEN"):
                 pending_bw += 1
                 i += 7
                 continue
-            elif depth == 0 and _kw_at(s, i, "AND"):
+            elif depth == 0 and not cased and _kw_at(s, i, "AND"):
                 if pending_bw:
                     pending_bw -= 1
                 else:
@@ -1500,7 +1544,7 @@ def _expand_subquery_stars(eng: "Engine", inner: str) -> str:
     join condition — any other duplicate raises :class:`_UnloweredShape`
     (real SQL raises ambiguity; silently dropping a column would change
     semantics).  Leaves anything unparsable unchanged."""
-    parts = _split_select_from(" ".join(inner.split()))
+    parts = _split_select_from(_ncf_flatten(inner))
     if parts is None:
         return inner
     sel, rest = parts
@@ -2896,10 +2940,11 @@ def _ns_semi_pos(df: DataFrame, touched: DataFrame,
 
 
 def _split_top_and(s: str) -> list[str]:
-    """Split a predicate on top-level ``AND`` (outside parens and string
-    literals) — subquery bodies and function args stay intact."""
+    """Split a predicate on top-level ``AND`` (outside parens, string
+    literals, and ``CASE … END`` spans) — subquery bodies, function
+    args, and WHEN conditions stay intact."""
     out, buf = [], []
-    depth, in_str, i, n = 0, False, 0, len(s)
+    depth, cased, in_str, i, n = 0, 0, False, 0, len(s)
     while i < n:
         ch = s[i]
         if ch == "'":
@@ -2909,7 +2954,18 @@ def _split_top_and(s: str) -> list[str]:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif (depth == 0 and s[i:i + 3].upper() == "AND"
+            elif depth == 0 and _kw_at(s, i, "CASE"):
+                cased += 1
+                buf.append(s[i:i + 4])
+                i += 4
+                continue
+            elif depth == 0 and cased and _kw_at(s, i, "END"):
+                cased -= 1
+                buf.append(s[i:i + 3])
+                i += 3
+                continue
+            elif (depth == 0 and not cased
+                  and s[i:i + 3].upper() == "AND"
                   and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
                   and (i + 3 >= n or not (s[i + 3].isalnum()
                                           or s[i + 3] == "_"))):
@@ -2977,6 +3033,77 @@ def _refs_only(term: str, allowed_quals: set[str],
     return True
 
 
+def _parse_exists_inner(eng: "Engine", subq: re.Match, ot: str, oa: str,
+                        ocols: set[str]) -> tuple | None:
+    """Parse one ``[NOT] EXISTS (SELECT … FROM it [ia] WHERE icond)``
+    term: returns ``(inner_table, okeys, ikeys)`` with the equality
+    correlation pairs, or None when the shape doesn't maintain.
+
+    Residual terms referencing BOTH sides (TPC-H q21's inequality
+    ``l2.l_suppkey <> l1.l_suppkey``) are accepted as long as at least
+    one equality correlation key exists: the touched-key restriction
+    stays exact because the equality already confines each outer row's
+    probe to inner rows sharing its key — the residual only filters
+    WITHIN that group and is evaluated verbatim on recompute."""
+    inner_sql = subq.group("inner").strip()
+    if _SUBQ_BLOCKERS.search(inner_sql) or \
+            re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE):
+        return None
+    sm = _SUBQ_INNER_RE.match(inner_sql)
+    if not sm:
+        return None
+    it = sm.group("it").lower()
+    ia = (sm.group("ia") or sm.group("it")).lower()
+    # hidden maintained views are valid inners (q18's grouped-HAVING
+    # subquery pre-lowers to one); same-table self-probe stays fallback
+    if not (it in eng.tables or it in eng.views
+            or it in eng._maintainers) or it == ot:
+        return None
+    try:
+        icols = {f.name.lower()
+                 for f in _source_rows0(eng, it).schema.fields}
+    except Exception:
+        return None
+    okeys, ikeys = [], []
+    for term in _split_top_and(sm.group("icond")):
+        pm = _EQ_PAIR.match(term)
+        if pm:
+            q1, c1, q2, c2 = pm.groups()
+            q1, q2 = q1.lower(), q2.lower()
+            if q1 == ia and q2 == oa:
+                ikeys.append(c1)
+                okeys.append(c2)
+                continue
+            if q1 == oa and q2 == ia:
+                okeys.append(c1)
+                ikeys.append(c2)
+                continue
+        # BARE correlation (verbatim TPC-H q4/q21 style:
+        # `l_orderkey = o_orderkey`): schema-attribute each side —
+        # SQL scoping resolves an inner-owned name to the inner
+        # table, so only a name absent from the inner can reach out
+        bm2 = re.match(r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)$",
+                       term.strip())
+        if bm2:
+            b1, b2 = bm2.group(1).lower(), bm2.group(2).lower()
+            if b1 in icols and b2 not in icols and b2 in ocols:
+                ikeys.append(b1)
+                okeys.append(b2)
+                continue
+            if b2 in icols and b1 not in icols and b1 in ocols:
+                ikeys.append(b2)
+                okeys.append(b1)
+                continue
+        # a non-correlation residual may reference the inner alone or
+        # BOTH sides (mixed inequality residuals); outer-only residuals
+        # belong in the outer WHERE and anything unresolvable falls back
+        if not _refs_only(term, {ia, oa}, icols | ocols):
+            return None
+    if not okeys:
+        return None
+    return it, okeys, ikeys
+
+
 def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
     """Recognize ``SELECT … FROM outer WHERE [pre AND] [NOT] EXISTS
     (SELECT … FROM inner WHERE corr [AND ipred]) [AND post]`` and the
@@ -2998,22 +3125,53 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
     except Exception:
         return None
     terms = _split_top_and(m.group("body"))
-    subq, outer_pred, kind = None, [], None
+    subqs, outer_pred = [], []
     for t in terms:
         em = _EXISTS_TERM.match(t)
         im = _IN_TERM.match(t)
         if em or im:
-            if subq is not None:
-                return None  # exactly one subquery term
-            subq, kind = (em, "exists") if em else (im, "in")
+            subqs.append((em, "exists") if em else (im, "in"))
         else:
             if "(" in t and re.search(r"\(\s*SELECT", t, re.IGNORECASE):
                 return None
             if not _refs_only(t, {oa}, ocols):
                 return None
             outer_pred.append(t)
-    if subq is None:
+    if not subqs:
         return None
+    if len(subqs) > 1:
+        # multiple subquery terms maintain under ONE touched-key
+        # restriction only when every term is an EXISTS over the SAME
+        # inner table correlated on the SAME equality keys (verbatim
+        # TPC-H q21: EXISTS + NOT EXISTS both probing lineitem on
+        # l_orderkey) — each outer row's truth then depends only on
+        # inner rows sharing its correlation key, so restricting both
+        # sides to touched keys is exact for all terms at once
+        if any(kind != "exists" for _, kind in subqs):
+            return None
+        pair_sets, inner_tables = [], set()
+        for subq, _kind in subqs:
+            parsed = _parse_exists_inner(eng, subq, ot, oa, ocols)
+            if parsed is None:
+                return None
+            it_i, ok_i, ik_i = parsed
+            inner_tables.add(it_i)
+            pair_sets.append(frozenset(zip(ok_i, ik_i)))
+        if len(inner_tables) != 1 or len(set(pair_sets)) != 1:
+            return None
+        it = next(iter(inner_tables))
+        pairs = sorted(pair_sets[0])
+        okeys = [p[0] for p in pairs]
+        ikeys = [p[1] for p in pairs]
+        if not okeys:
+            return None
+        from_clause = m.group("ot") + (f" {m.group('oa')}"
+                                       if m.group("oa") else "")
+        return {"outer": ot, "oa": oa, "inner": it, "okeys": okeys,
+                "ikeys": ikeys, "sel": m.group("sel"),
+                "from_clause": from_clause, "body": m.group("body"),
+                "negated": False, "kind": "multi_exists"}
+    subq, kind = subqs[0]
     inner_sql = subq.group("inner").strip()
     if _SUBQ_BLOCKERS.search(inner_sql) or \
             re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE):
@@ -3021,50 +3179,10 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
     okeys, ikeys = [], []
     if kind == "exists":
         negated = bool(subq.group("neg"))
-        sm = _SUBQ_INNER_RE.match(inner_sql)
-        if not sm:
+        parsed = _parse_exists_inner(eng, subq, ot, oa, ocols)
+        if parsed is None:
             return None
-        it = sm.group("it").lower()
-        ia = (sm.group("ia") or sm.group("it")).lower()
-        if not (it in eng.tables or it in eng.views) or it == ot:
-            return None
-        try:
-            icols = {f.name.lower()
-                     for f in _source_rows0(eng, it).schema.fields}
-        except Exception:
-            return None
-        for term in _split_top_and(sm.group("icond")):
-            pm = _EQ_PAIR.match(term)
-            if pm:
-                q1, c1, q2, c2 = pm.groups()
-                q1, q2 = q1.lower(), q2.lower()
-                if q1 == ia and q2 == oa:
-                    ikeys.append(c1)
-                    okeys.append(c2)
-                    continue
-                if q1 == oa and q2 == ia:
-                    okeys.append(c1)
-                    ikeys.append(c2)
-                    continue
-            # BARE correlation (verbatim TPC-H q4/q21 style:
-            # `l_orderkey = o_orderkey`): schema-attribute each side —
-            # SQL scoping resolves an inner-owned name to the inner
-            # table, so only a name absent from the inner can reach out
-            bm2 = re.match(r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)$",
-                           term.strip())
-            if bm2:
-                b1, b2 = bm2.group(1).lower(), bm2.group(2).lower()
-                if b1 in icols and b2 not in icols and b2 in ocols:
-                    ikeys.append(b1)
-                    okeys.append(b2)
-                    continue
-                if b2 in icols and b1 not in icols and b1 in ocols:
-                    ikeys.append(b2)
-                    okeys.append(b1)
-                    continue
-            # a non-correlation term must be inner-only
-            if not _refs_only(term, {ia}, icols):
-                return None
+        it, okeys, ikeys = parsed
     else:
         negated = bool(subq.group("neg"))
         sm = _IN_INNER_RE.match(inner_sql)
@@ -3072,7 +3190,10 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
             return None
         it = sm.group("it").lower()
         ia = (sm.group("ia") or sm.group("it")).lower()
-        if not (it in eng.tables or it in eng.views) or it == ot:
+        # hidden maintained views are valid inners (q18's grouped-HAVING
+        # subquery pre-lowers to one and the IN probes its key column)
+        if not (it in eng.tables or it in eng.views
+                or it in eng._maintainers) or it == ot:
             return None
         try:
             ifields = {f.name.lower(): f
@@ -4253,6 +4374,234 @@ def _agg_over_subquery_filter(eng: "Engine", name: str, flat: str):
         raise
 
 
+def _agg_over_filtered_join(eng: "Engine", name: str, flat: str):
+    """Grouped aggregates over a subquery-filtered JOIN chain — the
+    last three verbatim TPC-H texts after comma normalization: q16
+    (``NOT IN`` + ``COUNT(DISTINCT)`` over partsupp⋈part), q18 (``IN``
+    whose body is a grouped HAVING, over a 3-table chain), q21 (EXISTS
+    + NOT EXISTS double-correlated on the same table, over a 4-table
+    chain).  Decomposition into a maintained O(Δ) stack (the reference's
+    Calcite frontend decorrelates these into join/semijoin/antijoin
+    nodes — sql-to-dbsp submodule; semijoin.rs, join.rs:338; SURVEY
+    §2.4):
+
+    - ``__{name}_in{i}``: each IN body carrying its own GROUP BY
+      pre-lowers to a hidden grouped view (q18's ``HAVING
+      SUM(l_quantity) > 300`` inner) — the IN then probes the view's
+      key column;
+    - ``__{name}_jv``: the join chain with every PLAIN WHERE conjunct
+      pushed in, projecting exactly the columns the aggregate items,
+      GROUP BY keys, HAVING, and the subquery correlations reference
+      (multilinear delta joins — the filtered delta is already small);
+    - ``__{name}_src``: the subquery-filter maintainer over the jv's
+      output delta, outer references inside the subquery bodies
+      re-qualified from chain aliases to the hidden view's alias;
+    - final: the aggregate re-lowered over the src delta through the
+      ordinary recognizers (linear / distinct / nonlinear)."""
+    parts = _split_select_from(flat)
+    if parts is None:
+        raise _UnloweredShape(flat)
+    sel, rest = parts
+    from_clause, tail = _split_where(rest)
+    if tail is None:
+        raise _UnloweredShape("no WHERE")
+    g = _find_top_kw(tail, ("GROUP",))
+    if g < 0:
+        raise _UnloweredShape("no GROUP BY")
+    pred = tail[:g].strip()
+    gm = re.match(r"^GROUP\s+BY\s+(?P<keys>.+?)"
+                  r"(?:\s+HAVING\s+(?P<having>.+))?$",
+                  tail[g:].strip(), re.IGNORECASE | re.DOTALL)
+    if gm is None:
+        raise _UnloweredShape("unparsable GROUP BY tail")
+    keys_txt, having = gm.group("keys"), gm.group("having")
+    if re.search(r"\bROLLUP\b|\bCUBE\b|\bGROUPING\b", keys_txt,
+                 re.IGNORECASE):
+        raise _UnloweredShape("grouping sets not composed here")
+    chain = _parse_aliased_chain(from_clause)
+    if chain is None or any(kw != "JOIN" for _, _, kw in chain[1:]):
+        raise _UnloweredShape("not an inner join chain")
+    if any(t not in eng.tables and t not in eng.views
+           and t not in eng._maintainers for t, _, _ in chain):
+        raise _UnloweredShape("unknown source in chain")
+    alias_of = {a: t for t, a, _ in chain}
+    cols_of = {a: {c.lower() for c in _source_rows0(eng, t).columns}
+               for t, a, _ in chain}
+
+    def owner(col: str) -> str | None:
+        owners = [a for a in cols_of if col.lower() in cols_of[a]]
+        return owners[0] if len(owners) == 1 else None
+
+    plain, subq_terms = [], []
+    for c in _split_top_and(pred):
+        if re.search(r"\(\s*SELECT", c, re.IGNORECASE):
+            if not (_EXISTS_TERM.match(c) or _IN_TERM.match(c)):
+                raise _UnloweredShape(f"unsupported subquery term: {c}")
+            subq_terms.append(c)
+        else:
+            plain.append(c)
+    if not subq_terms:
+        raise _UnloweredShape("no subquery filter terms")
+
+    needed: set[str] = set()    # bare columns the hidden jv must carry
+
+    def claim(txt: str, where: str) -> None:
+        scan = re.sub(r"'[^']*'", " ", txt)
+        for qm in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b",
+                              scan):
+            a, c = qm.group(1).lower(), qm.group(2).lower()
+            if a not in alias_of or c not in cols_of[a]:
+                raise _UnloweredShape(f"unresolvable {a}.{c} in {where}")
+            if owner(c) is None:
+                raise _UnloweredShape(f"ambiguous column {c} in {where}")
+            needed.add(c)
+        for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", scan):
+            c = bm.group(1).lower()
+            pre = scan[:bm.start()].rstrip()
+            if (c in _SQL_KEYWORDS or pre.endswith(".")
+                    or re.search(r"\bAS$", pre, re.IGNORECASE)):
+                continue
+            a = owner(c)
+            if a is None:
+                if any(c in s for s in cols_of.values()):
+                    raise _UnloweredShape(f"ambiguous column {c} "
+                                          f"in {where}")
+                continue        # select alias / literal keyword token
+            needed.add(c)
+
+    claim(sel, "select")
+    claim(keys_txt, "group keys")
+    if having:
+        claim(having, "having")
+
+    OA = "__o"
+    rewritten: list[str] = []
+    in_views: list[tuple[str, str]] = []
+    for term in subq_terms:
+        im = _IN_TERM.match(term)
+        em = _EXISTS_TERM.match(term)
+        if im and _find_top_kw(im.group("inner"), ("GROUP",)) >= 0:
+            # IN body with its own GROUP BY (q18): pre-lower as a hidden
+            # grouped view; a correlated grouped body cannot slip
+            # through — Spark analysis of the standalone hidden view
+            # rejects any outer reference at registration time
+            body = im.group("inner").strip()
+            bp = _split_select_from(body)
+            if bp is None:
+                raise _UnloweredShape("unparsable IN body")
+            item = bp[0].strip()
+            icol = (re.split(r"\s+AS\s+", item, flags=re.IGNORECASE)[-1]
+                    .split(".")[-1].strip())
+            if not re.match(r"^[A-Za-z_]\w*$", icol):
+                raise _UnloweredShape(f"IN body select item: {item}")
+            hname = f"__{name}_in{len(in_views)}"
+            in_views.append((hname, body))
+            lhs = im.group("col").split(".")[-1]
+            if owner(lhs.lower()) is None:
+                raise _UnloweredShape(f"IN operand not a unique chain "
+                                      f"column: {im.group('col')}")
+            needed.add(lhs.lower())
+            neg = "NOT " if im.group("neg") else ""
+            rewritten.append(f"{OA}.{lhs} {neg}IN "
+                             f"(SELECT {icol} FROM {hname})")
+            continue
+        sm = (_SUBQ_INNER_RE.match(em.group("inner").strip()) if em
+              else _IN_INNER_RE.match(im.group("inner").strip()))
+        if sm is None:
+            raise _UnloweredShape(f"unparsable subquery body: {term}")
+        it = sm.group("it").lower()
+        ia = (sm.group("ia") or sm.group("it")).lower()
+        if ia in alias_of:
+            raise _UnloweredShape(f"inner alias shadows chain ref {ia}")
+        try:
+            icols = {f.name.lower()
+                     for f in _source_rows0(eng, it).schema.fields}
+        except Exception:
+            raise _UnloweredShape(f"unknown inner table {it}")
+        new_term = term
+        for a in list(alias_of):
+            def _req(mm, a=a):
+                c = mm.group(1).lower()
+                if c not in cols_of[a] or owner(c) is None:
+                    raise _UnloweredShape(f"unresolvable {a}."
+                                          f"{mm.group(1)}")
+                needed.add(c)
+                return f"{OA}.{mm.group(1)}"
+            new_term = _sub_outside_literals(
+                rf"\b{a}\s*\.\s*([A-Za-z_]\w*)\b", _req, new_term,
+                re.IGNORECASE)
+        # bare refs that reach OUT of the subquery (q4-style
+        # `l_orderkey = o_orderkey`): claim them for the jv projection;
+        # inner-owned bare names stay inner by SQL scoping
+        scan = re.sub(r"'[^']*'", " ", new_term)
+        for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", scan):
+            c = bm.group(1).lower()
+            pre = scan[:bm.start()].rstrip()
+            if c in _SQL_KEYWORDS or pre.endswith("."):
+                continue
+            if c in icols or c == ia or c == it:
+                continue
+            if owner(c) is not None:
+                needed.add(c)
+        rewritten.append(new_term)
+
+    if not needed:
+        raise _UnloweredShape("no outer column references")
+    jv = f"__{name}_jv"
+    jv_items = sorted(needed)
+    jv_sql = (f"SELECT "
+              f"{', '.join(f'{owner(c)}.{c}' for c in jv_items)} "
+              f"FROM {from_clause}")
+    if plain:
+        jv_sql += " WHERE " + " AND ".join(plain)
+    src = f"__{name}_src"
+    src_sql = (f"SELECT {', '.join(jv_items)} FROM {jv} {OA} "
+               f"WHERE " + " AND ".join(rewritten))
+    fsel, fkeys, fhaving = sel, keys_txt, having
+    for a in alias_of:
+        def deal(t: str, a=a) -> str:
+            return _sub_outside_literals(rf"\b{a}\s*\.\s*", "", t,
+                                         re.IGNORECASE)
+        fsel, fkeys = deal(fsel), deal(fkeys)
+        fhaving = deal(fhaving) if fhaving else fhaving
+    final = f"SELECT {fsel} FROM {src} GROUP BY {fkeys}"
+    if fhaving:
+        final += f" HAVING {fhaving}"
+
+    registered: list[str] = []
+
+    def _register(hname: str, hsql: str) -> None:
+        hm = _lower_view(eng, hname, hsql)
+        if hm.kind == "differentiate":
+            raise _UnloweredShape(f"hidden stage snapshot-diffs: "
+                                  f"{hsql}")
+        eng._maintainers[hname] = hm
+        registered.append(hname)
+        words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
+        eng._sources[hname] = {w for w in words
+                               if w in eng.tables or w in eng.views}
+        eng._sources[hname] |= {w for w in words
+                                if w in eng._maintainers and w != hname}
+        hm.state.current.rows().createOrReplaceTempView(hname)
+
+    try:
+        for hname, hsql in in_views:
+            _register(hname, hsql)
+        _register(jv, jv_sql)
+        _register(src, src_sql)
+        fm = _lower_view(eng, name, final)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("final aggregate snapshot-diffs")
+        return fm
+    except Exception:
+        for h in list(eng._maintainers):
+            if h in registered or any(h.startswith(f"__{r}")
+                                      for r in registered):
+                eng._maintainers.pop(h, None)
+                eng._sources.pop(h, None)
+        raise
+
+
 def _global_agg_over_from(eng: "Engine", name: str, flat: str):
     """GROUP-BY-less aggregates over a JOIN chain — verbatim TPC-H q14
     (``SELECT 100.00 * SUM(CASE …)/SUM(…) FROM lineitem, part WHERE
@@ -4793,7 +5142,7 @@ _NONLIN_ITEM = re.compile(
 
 
 def _match_nonlinear_items(sel: str, keys: list[str]) -> bool:
-    saw_agg, n_keys = False, 0
+    saw_agg, seen_keys = False, set()
     for it in (i.strip() for i in _split_top_level(sel)):
         im = _NONLIN_ITEM.match(it)
         if not im:
@@ -4801,14 +5150,16 @@ def _match_nonlinear_items(sel: str, keys: list[str]) -> bool:
         if im.group("key"):
             if im.group("key") not in keys:
                 return False
-            n_keys += 1
+            seen_keys.add(im.group("key"))
         if im.group("name"):
             saw_agg = True
     # Every GROUP BY key must appear in the select: the recompute groups
     # by ALL keys and emits them, so a missing key (SELECT a, SUM(x) …
     # GROUP BY a, b) would make the delta schema diverge from the view
-    # schema (ADVICE r6 #2 — same rule as the linear path).
-    return saw_agg and n_keys == len(keys)
+    # schema (ADVICE r6 #2 — same rule as the linear path).  Compared
+    # as SETS: a repeated select item (SELECT a, a, SUM(x) … GROUP BY
+    # a, b) must not count as covering b (ADVICE r7 #3).
+    return saw_agg and seen_keys == set(keys)
 
 
 def _finalize_spec(df: DataFrame, out_spec: list[tuple[str, str]]) -> DataFrame:
@@ -4899,7 +5250,8 @@ def _absorb_item_aggs(expr_text: str, prefix: str, delta_items: list,
     return _unmask(res)
 
 
-def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
+def _match_agg_items(sel: str, keys: list[str],
+                     allow_key_only: bool = False) -> dict | None:
     """If every select item is a grouping key or SUM(e)/COUNT(*)/AVG(e)
     AS name, return the linear-lowering spec:
 
@@ -4965,7 +5317,12 @@ def _match_agg_items(sel: str, keys: list[str]) -> dict | None:
             val_names += [f"__avg_{n}_s", f"__avg_{n}_c"]
             out.append(("avg", n))
             alias_map.append((f"AVG({e})", n))
-    if not val_names:
+    if not val_names and not allow_key_only:
+        # key-only selects are allowed ONLY when the caller knows a
+        # HAVING will absorb hidden aggregate partials (TPC-H q18's
+        # inner `SELECT l_orderkey … GROUP BY l_orderkey HAVING
+        # SUM(l_quantity) > 300`): the liveness count plus the absorbed
+        # __hv partials make the group state maintainable
         return None
     # Every GROUP BY key must surface as exactly one select item: the
     # delta partial SELECTs only the select list, so a key missing from
@@ -5078,7 +5435,7 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     snapshot-diff for anything unrecognized (correct but O(view) per
     tick — a WARNING names the view and every recognizer that was tried,
     so a typo'd view shape can't silently downgrade)."""
-    flat = " ".join(sql.split())
+    flat = _ncf_flatten(sql)
     # A top-level trailing ORDER BY with no LIMIT is semantically void
     # for a maintained view (Z-set outputs are unordered relations —
     # the reference's Calcite frontend likewise treats a subquery/view
@@ -5276,7 +5633,8 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     if (m and known(m.group("tbl").lower())
             and not _AGG_BLOCKERS.search(flat)):
         keys = [k.strip() for k in m.group("keys").split(",")]
-        spec = _match_agg_items(m.group("sel"), keys)
+        spec = _match_agg_items(m.group("sel"), keys,
+                                allow_key_only=bool(m.group("having")))
         # e.g. a HAVING predicate over expressions the finalize frame
         # doesn't carry — correctness first: snapshot-diff it
         if spec:
@@ -5381,6 +5739,19 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         # aggregate over a subquery-filtered table (verbatim TPC-H q4):
         # hidden filtered view, agg re-lowered over its delta
         r = _try(_agg_over_subquery_filter, eng, name, flat)
+        if r is not None:
+            return r
+    if (re.search(r"\(\s*SELECT", flat, re.IGNORECASE)
+            and re.search(r"\bGROUP\s+BY\b", flat, re.IGNORECASE)
+            and re.search(r"\bJOIN\b", flat, re.IGNORECASE)
+            and not re.search(r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\b"
+                              r"|\bOVER\b|\bLIMIT\b|\bORDER\s+BY\b"
+                              r"|\b(LEFT|RIGHT|FULL|CROSS)\b",
+                              flat, re.IGNORECASE)):
+        # aggregate over a subquery-filtered JOIN chain (verbatim TPC-H
+        # q16/q18/q21): hidden join view + subquery-filter maintainer +
+        # re-lowered aggregate
+        r = _try(_agg_over_filtered_join, eng, name, flat)
         if r is not None:
             return r
     m = _LEFT_JOIN_RE.match(flat)
@@ -5551,8 +5922,11 @@ class Engine:
         # Calcite-style normalization first: implicit comma joins become
         # explicit JOIN … ON chains, so verbatim TPC-H text reaches the
         # same recognizers as hand-written chains (no-op for anything
-        # unparsable — the text stays as given).
-        select_sql = _normalize_comma_from(self, select_sql)
+        # unparsable — when the rewrite changed nothing beyond
+        # whitespace, the ORIGINAL text stays canonical, ADVICE r7 #2).
+        normalized = _normalize_comma_from(self, select_sql)
+        if normalized != _ncf_flatten(select_sql):
+            select_sql = normalized
         self.views[name] = select_sql
         self._maintainers[name] = _lower_view(self, name, select_sql)
         # structural dependency set (tables + earlier views referenced by

@@ -3238,3 +3238,186 @@ def test_scalar_subquery_with_not_exists(spark):
     eng.step(); check("order moves between customers")
     eng.push("cu", spark.createDataFrame([(2, "bb", 20)], C), weight=-1)
     eng.step(); check("retraction moves the AVG bar")
+
+
+def test_case_with_and_in_comma_from_where_not_torn(spark):
+    """ADVICE r7 #1: ANDs inside an unparenthesized top-level
+    ``CASE … WHEN x AND eq AND y … END`` in a comma-FROM WHERE must NOT
+    be split into conjuncts — the old splitter extracted the embedded
+    equality into a JOIN ON and reassembled the residual CASE without
+    it, silently changing results.  The CASE-aware splitter keeps the
+    expression intact; only the genuine top-level equality joins."""
+    import duckdb
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ta (ak BIGINT NOT NULL, av BIGINT);
+        CREATE TABLE tb (bk BIGINT NOT NULL, bv BIGINT);
+        CREATE VIEW v as
+            SELECT ak, bv FROM ta, tb
+            WHERE ak = bk
+              AND CASE WHEN av > 1 AND ak = bv AND bv > 0
+                       THEN 1 ELSE 2 END = 2;
+    """)
+    rows_a = [(1, 5), (2, 0), (3, 9)]
+    rows_b = [(1, 1), (2, 7), (3, 3), (3, 8)]
+    eng.push("ta", spark.createDataFrame(rows_a, "ak long, av long"))
+    eng.push("tb", spark.createDataFrame(rows_b, "bk long, bv long"))
+    eng.step()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (ak BIGINT, av BIGINT)")
+    con.execute("CREATE TABLE tb (bk BIGINT, bv BIGINT)")
+    con.executemany("INSERT INTO ta VALUES (?,?)", rows_a)
+    con.executemany("INSERT INTO tb VALUES (?,?)", rows_b)
+    want = sorted(con.execute(
+        "SELECT ak, bv FROM ta, tb WHERE ak = bk AND CASE WHEN av > 1 "
+        "AND ak = bv AND bv > 0 THEN 1 ELSE 2 END = 2").fetchall())
+    got = sorted(tuple(r) for r in eng.view("v").collect())
+    assert got == want, (got, want)
+    # the CASE-embedded equality must not have become a join conjunct
+    assert "CASE" in eng.views["v"].upper()
+
+
+def test_split_helpers_treat_case_end_as_opaque():
+    """Unit coverage for the CASE-aware splitters."""
+    from database_stream_processor_spark.sql import (
+        _split_top_and, _split_top_and_bw, _split_top_kw)
+    t = ("x = 1 AND CASE WHEN a AND b BETWEEN 1 AND 2 THEN 1 "
+         "ELSE 2 END = 2 AND y = 3")
+    for fn in (_split_top_and, _split_top_and_bw):
+        parts = fn(t)
+        assert len(parts) == 3, (fn.__name__, parts)
+        assert parts[1].upper().startswith("CASE"), parts
+    assert len(_split_top_kw(
+        "a OR CASE WHEN x OR y THEN 1 ELSE 2 END = 1", "OR")) == 2
+
+
+def test_normalizer_preserves_literals_and_original_text(spark):
+    """ADVICE r7 #2: string literals containing whitespace runs or the
+    word FROM survive comma-FROM normalization verbatim, and a view the
+    normalizer did not rewrite keeps its ORIGINAL text as the canonical
+    view SQL."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ta (ak BIGINT NOT NULL, av BIGINT);
+        CREATE TABLE tb (bk BIGINT NOT NULL, bv BIGINT);
+        CREATE VIEW v as
+            SELECT ak, 'two  spaces FROM (x)' AS lit, bv
+            FROM ta, tb WHERE ak = bk;
+    """)
+    assert "'two  spaces FROM (x)'" in eng.views["v"]
+    eng.push("ta", spark.createDataFrame([(1, 2)], "ak long, av long"))
+    eng.push("tb", spark.createDataFrame([(1, 3)], "bk long, bv long"))
+    eng.step()
+    got = [tuple(r) for r in eng.view("v").collect()]
+    assert got == [(1, "two  spaces FROM (x)", 3)]
+    # untouched view: canonical text is the original, whitespace intact
+    eng.execute("CREATE VIEW w as SELECT ak,\n       'p  q' AS s\n"
+                "            FROM ta;")
+    assert "'p  q'" in eng.views["w"]
+    assert "\n" in eng.views["w"]
+
+
+def test_nonlinear_repeated_select_key_falls_back(spark):
+    """ADVICE r7 #3: SELECT a, a, MAX(x) … GROUP BY a, b counts key
+    items as a SET — the duplicated ``a`` must not stand in for the
+    missing ``b`` (the delta/view schema would diverge).  Falls back to
+    snapshot-diff and still matches one-shot semantics."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE t (a INTEGER NOT NULL, b INTEGER NOT NULL,"
+                " x BIGINT);")
+    eng.execute("CREATE VIEW v as SELECT a, a AS a2, MAX(x) AS mx FROM t"
+                " GROUP BY a, b;")
+    assert eng.view_strategy("v") == "differentiate"
+    schema = "a int, b int, x long"
+    eng.push("t", spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (2, 1, 5)], schema))
+    eng.step()
+    eng.push("t", spark.createDataFrame([(1, 1, 7)], schema))
+    eng.step()
+    got = sorted((tuple(r) for r in eng.view("v").collect()), key=str)
+    assert got == sorted([(1, 1, 10), (1, 1, 20), (2, 2, 5)], key=str)
+
+
+def test_having_only_grouped_view_lowers_linear(spark):
+    """TPC-H q18's inner shape — ``SELECT k FROM t GROUP BY k HAVING
+    SUM(v) > bar`` with NO aggregate in the select list — lowers to the
+    linear path (the HAVING absorbs a hidden SUM partial).  Groups must
+    emerge and retract as deltas push them across the boundary."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE li (ok BIGINT NOT NULL, qty BIGINT);
+        CREATE VIEW big as
+            SELECT ok FROM li GROUP BY ok HAVING SUM(qty) > 10;
+    """)
+    assert eng.view_strategy("big") == "linear_agg"
+    S = "ok long, qty long"
+
+    def got():
+        return sorted(r[0] for r in eng.view("big").collect())
+
+    eng.push("li", spark.createDataFrame(
+        [(1, 6), (1, 3), (2, 11), (3, 2)], S))
+    eng.step()
+    assert got() == [2]
+    # group 1 crosses UP (9 → 12), group 2 crosses DOWN (11 → 4)
+    eng.push("li", spark.createDataFrame([(1, 3)], S))
+    eng.push("li", spark.createDataFrame([(2, 7)], S), weight=-1)
+    eng.step()
+    assert got() == [1]
+    # full retraction of group 1 (must not linger at SUM 0)
+    eng.push("li", spark.createDataFrame(
+        [(1, 6), (1, 3), (1, 3)], S), weight=-1)
+    eng.step()
+    assert got() == []
+
+
+def test_multi_exists_with_inequality_residual(spark):
+    """Verbatim TPC-H q21's filter shape: EXISTS and NOT EXISTS both
+    probing the SAME inner table on the SAME correlation key, each with
+    an inequality residual against the outer row — maintained by ONE
+    touched-key restriction (the equality confines every probe to its
+    key group; the residuals evaluate verbatim on recompute)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ord (ok BIGINT NOT NULL, sk BIGINT);
+        CREATE TABLE li (lk BIGINT NOT NULL, ls BIGINT, late BIGINT);
+        CREATE VIEW w as
+            SELECT ok, sk FROM ord o
+            WHERE EXISTS (SELECT 1 FROM li l2
+                          WHERE l2.lk = o.ok AND l2.ls <> o.sk)
+              AND NOT EXISTS (SELECT 1 FROM li l3
+                              WHERE l3.lk = o.ok AND l3.ls <> o.sk
+                                AND l3.late > 0);
+    """)
+    assert eng.view_strategy("w") == "multi_exists"
+    batch = """SELECT ok, sk FROM ord o
+        WHERE EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.lk = o.ok AND l2.ls <> o.sk)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.lk = o.ok AND l3.ls <> o.sk
+                            AND l3.late > 0)"""
+
+    def check(tag):
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("w").collect())
+        assert got == want, (tag, got, want)
+
+    O, L = "ok long, sk long", "lk long, ls long, late long"
+    eng.push("ord", spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], O))
+    eng.push("li", spark.createDataFrame(
+        [(1, 10, 0), (1, 11, 0), (2, 20, 0), (3, 30, 0), (3, 31, 1)],
+        L))
+    eng.step(); check("insert")
+    # a late row appears for order 1 by OTHER supplier: kills (1, 10)
+    eng.push("li", spark.createDataFrame([(1, 11, 1)], L))
+    eng.step(); check("late row flips NOT EXISTS")
+    # retract order 3's only late row: (3, 30) re-emerges
+    eng.push("li", spark.createDataFrame([(3, 31, 1)], L), weight=-1)
+    eng.step(); check("retraction un-flips NOT EXISTS")
+    # retract the co-supplier row that satisfied EXISTS for (2, 20)?
+    # (2,20) never had one — add then remove one across two ticks
+    eng.push("li", spark.createDataFrame([(2, 21, 0)], L))
+    eng.step(); check("EXISTS satisfied")
+    eng.push("li", spark.createDataFrame([(2, 21, 0)], L), weight=-1)
+    eng.step(); check("EXISTS retracted")
