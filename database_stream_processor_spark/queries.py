@@ -5232,6 +5232,286 @@ def q125_sql_engine_tpch_q19_verbatim(spark, sf_dir):
         F.col("revenue").cast("long").alias("revenue"))
 
 
+@register("q126_sql_engine_tpch_q18_verbatim", oracle="""
+WITH li AS (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS l_quantity
+            FROM lineitem WHERE l_orderkey % 9 <> 0),
+od AS (SELECT o_orderkey, o_custkey,
+              CAST(DATEDIFF('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT)
+                  AS o_orderdate,
+              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS o_totalprice
+       FROM orders)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM customer, od, li
+WHERE o_orderkey IN (SELECT l_orderkey FROM li
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""")
+def q126_sql_engine_tpch_q18_verbatim(spark, sf_dir):
+    """The PUBLISHED TPC-H q18 ("large volume customer") text — an IN
+    subquery whose body is a grouped HAVING over the same lineitem
+    table, under a 3-table comma join, grouped five ways, with the
+    ``ORDER BY o_totalprice DESC … LIMIT 100`` tail (o_orderkey
+    tiebreak added for deterministic hashing; the sum aliased for the
+    oracle compare; dates as epoch seconds, prices as cents).  Lowers
+    comma-normalization → ``_agg_over_filtered_join``: the HAVING body
+    pre-lowers to a hidden linear-agg view (key-only select, the SUM
+    absorbed as a hidden partial), the chain becomes a multilinear
+    join view, the IN probes the grouped view through the
+    subquery-filter maintainer, the five-key SUM re-lowers linearly,
+    and the global top-k rides the stack's O(Δ) delta.  Reference:
+    the Calcite frontend accepts this text verbatim (sql-to-dbsp
+    submodule; SURVEY §3.2); semijoin decomposition per semijoin.rs.
+    Two insert ticks, then a retraction of every 9th order's lineitems
+    (deflating sums back under the 250 bar)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_name VARCHAR);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT, o_orderdate BIGINT,
+                             o_totalprice BIGINT);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_quantity BIGINT);
+        CREATE VIEW q18 as
+            select c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum(l_quantity) as sum_qty
+            from customer, orders, lineitem
+            where o_orderkey in (select l_orderkey from lineitem
+                                 group by l_orderkey
+                                 having sum(l_quantity) > 250)
+              and c_custkey = o_custkey
+              and o_orderkey = l_orderkey
+            group by c_name, c_custkey, o_orderkey, o_orderdate,
+                     o_totalprice
+            order by o_totalprice desc, o_orderdate, o_orderkey
+            limit 100;
+    """)
+    assert eng.view_strategy("q18") == "global_topk"
+    assert eng.view_strategy("__q18_pre") == "linear_agg"
+    assert eng.view_strategy("____q18_pre_src") == "in"
+    assert eng.view_strategy("____q18_pre_jv") == "multi_join"
+    assert eng.view_strategy("____q18_pre_in0") == "linear_agg"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01")).cast("long")
+         .alias("o_orderdate"),
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+         .alias("o_totalprice"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("l_quantity"))
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q18")
+
+
+@register("q127_sql_engine_tpch_q16_verbatim", oracle="""
+WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem WHERE l_orderkey % 5 <> 0),
+sup AS (SELECT s_suppkey,
+               CASE WHEN s_suppkey % 7 = 0
+                         OR (s_suppkey % 11 = 0 AND s_suppkey % 7 <> 0)
+                    THEN 'no Customer some Complaints here'
+                    ELSE 'cm_' || CAST(s_suppkey AS VARCHAR) END
+                   AS s_comment
+        FROM supplier)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#4'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM sup
+                         WHERE s_comment LIKE '%Customer%Complaints%')
+GROUP BY p_brand, p_type, p_size
+""")
+def q127_sql_engine_tpch_q16_verbatim(spark, sf_dir):
+    """The PUBLISHED TPC-H q16 ("parts/supplier relationship") text —
+    comma join, three literal filters, a ``NOT IN`` subquery over
+    supplier comments, and ``COUNT(DISTINCT ps_suppkey)`` (partsupp
+    synthesized from lineitem's (partkey, suppkey) pairs; comments
+    synthesized — the testdata has neither; brand/type/size literals
+    adapted to the testdata's domains; the trailing no-LIMIT ORDER BY
+    is advisory for a maintained Z-set and strips).  Lowers
+    comma-normalization → ``_agg_over_filtered_join``: plain filters
+    push into the hidden bilinear join view, the NOT IN maintains over
+    its delta (nullable-aware anti-join), and the distinct-count
+    re-lowers through the distinct-agg maintainer.  Reference:
+    Calcite-accepted verbatim text (SURVEY §3.2); antijoin per
+    join.rs:338.  Two insert ticks, then a tick that both retracts
+    every 5th order's pairs AND flips every (non-7) 11th supplier's
+    comment to a complaint — members must leave the distinct counts."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE partsupp (ps_partkey BIGINT, ps_suppkey BIGINT);
+        CREATE TABLE part (p_partkey BIGINT NOT NULL, p_brand VARCHAR,
+                           p_type VARCHAR, p_size BIGINT);
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_comment VARCHAR);
+        CREATE VIEW q16 as
+            select p_brand, p_type, p_size,
+                   count(distinct ps_suppkey) as supplier_cnt
+            from partsupp, part
+            where p_partkey = ps_partkey
+              and p_brand <> 'Brand#4'
+              and p_type not like 'MEDIUM%'
+              and p_size in (3, 9, 14, 19, 23, 36, 45, 49)
+              and ps_suppkey not in (
+                  select s_suppkey from supplier
+                  where s_comment like '%Customer%Complaints%')
+            group by p_brand, p_type, p_size
+            order by supplier_cnt desc, p_brand, p_type, p_size;
+    """)
+    assert eng.view_strategy("q16") == "distinct_agg"
+    assert eng.view_strategy("__q16_jv") == "join"
+    # declared-nullable ps_suppkey → the three-valued NOT IN maintainer
+    assert eng.view_strategy("__q16_src") == "not_in_nullable"
+    comment = F.when(
+        F.col("s_suppkey") % 7 == 0,
+        F.lit("no Customer some Complaints here")).otherwise(
+        F.concat(F.lit("cm_"), F.col("s_suppkey").cast("string")))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey",
+                                               comment.alias("s_comment"))
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                           "p_type", "p_size")
+    ps = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"))
+    for i in range(2):
+        eng.push("partsupp", ps.filter(F.col("ps_partkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.push("part", p.filter(F.col("p_partkey") % 2 == i))
+        if i == 0:
+            eng.push("supplier", s)
+        eng.step()
+    flip = (F.col("s_suppkey") % 11 == 0) & (F.col("s_suppkey") % 7 != 0)
+    eng.push("partsupp", ps.filter(F.col("l_orderkey") % 5 == 0)
+                           .drop("l_orderkey"), weight=-1)
+    eng.push("supplier", s.filter(flip), weight=-1)
+    eng.push("supplier", s.filter(flip).select(
+        "s_suppkey",
+        F.lit("no Customer some Complaints here").alias("s_comment")))
+    eng.step()
+    return eng.view("q16")
+
+
+@register("q128_sql_engine_tpch_q21_verbatim", oracle="""
+WITH li AS (SELECT l_orderkey, l_suppkey,
+                   CAST((l_orderkey * 7 + l_suppkey) % 13 AS BIGINT)
+                       AS l_receiptdate,
+                   CAST(l_partkey % 11 AS BIGINT) AS l_commitdate
+            FROM lineitem WHERE l_orderkey % 9 <> 0)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, li l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND EXISTS (SELECT * FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_receiptdate > l3.l_commitdate)
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""")
+def q128_sql_engine_tpch_q21_verbatim(spark, sf_dir):
+    """The PUBLISHED TPC-H q21 ("suppliers who kept orders waiting")
+    text — a four-table comma join with a correlated EXISTS AND a
+    correlated NOT EXISTS over the SAME lineitem table, each carrying
+    the inequality residual ``l_suppkey <> l1.l_suppkey`` beside the
+    key equality (receipt/commit dates synthesized as deterministic
+    ints — the testdata has neither; nation literal adapted).  Lowers
+    comma-normalization → ``_agg_over_filtered_join``: the chain
+    becomes a multilinear join view carrying (s_name, l_orderkey,
+    l_suppkey), BOTH subqueries maintain under one touched-orderkey
+    restriction (the equality confines every probe to its order's
+    rows; the inequality evaluates verbatim on recompute), the
+    COUNT(*) re-lowers linearly, and the top-k tail rides the delta.
+    Reference: Calcite-accepted verbatim text (SURVEY §3.2);
+    semijoin/antijoin decomposition per semijoin.rs, join.rs:338.
+    Two insert ticks, then a retraction of every 9th order's lineitems
+    (flipping EXISTS and NOT EXISTS verdicts both ways)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_name VARCHAR, s_nationkey BIGINT);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_suppkey BIGINT,
+                               l_receiptdate BIGINT,
+                               l_commitdate BIGINT);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_orderstatus VARCHAR);
+        CREATE TABLE nation (n_nationkey BIGINT NOT NULL,
+                             n_name VARCHAR);
+        CREATE VIEW q21 as
+            select s_name, count(*) as numwait
+            from supplier, lineitem l1, orders, nation
+            where s_suppkey = l1.l_suppkey
+              and o_orderkey = l1.l_orderkey
+              and o_orderstatus = 'F'
+              and l1.l_receiptdate > l1.l_commitdate
+              and exists (select * from lineitem l2
+                          where l2.l_orderkey = l1.l_orderkey
+                            and l2.l_suppkey <> l1.l_suppkey)
+              and not exists (select * from lineitem l3
+                              where l3.l_orderkey = l1.l_orderkey
+                                and l3.l_suppkey <> l1.l_suppkey
+                                and l3.l_receiptdate > l3.l_commitdate)
+              and s_nationkey = n_nationkey
+              and n_name = 'NATION_7'
+            group by s_name
+            order by numwait desc, s_name
+            limit 100;
+    """)
+    assert eng.view_strategy("q21") == "global_topk"
+    assert eng.view_strategy("__q21_pre") == "linear_agg"
+    assert eng.view_strategy("____q21_pre_src") == "multi_exists"
+    assert eng.view_strategy("____q21_pre_jv") == "multi_join"
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                               "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey",
+                                             "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        ((F.col("l_orderkey") * 7 + F.col("l_suppkey")) % 13)
+        .alias("l_receiptdate"),
+        (F.col("l_partkey") % 11).alias("l_commitdate"))
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        if i == 0:
+            eng.push("supplier", s)
+            eng.push("nation", n)
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q21")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
