@@ -121,8 +121,26 @@ def main() -> None:
         s = sorted(ts)[:3]
         return round((s[-1] - s[0]) / s[0], 3) if s[0] > 0 else 0.0
 
-    cal_start = _calibrate()
-    par_start = _calibrate_parallel(spark)
+    # Host-quality gate (r7 verdict ask: the +23% r7 regression was
+    # pure host contention — serial probe +15%, ~21/32 effective cores).
+    # Wait for a quiet host before timing: up to 8 attempts, 20 s apart,
+    # requiring serial ≤ 0.47 s, parallel ≤ 0.47 s (≈ ≥28/32 effective
+    # cores against the 0.42 s full-speed reference), 1-min load < 2.
+    # If the host never settles, proceed anyway but stamp a
+    # machine-readable ``degraded: true`` the verdict can trust.
+    SERIAL_OK, PAR_OK, PAR_REF = 0.47, 0.47, 0.42
+    cal_start = par_start = None
+    for attempt in range(8):
+        cal_start = _calibrate()
+        par_start = _calibrate_parallel(spark)
+        la = _loadavg()
+        if (cal_start <= SERIAL_OK and par_start <= PAR_OK
+                and (not la or la[0] < 2.0)):
+            break
+        print(f"# host busy (serial {cal_start}s, par {par_start}s, "
+              f"load {la[:1]}) — waiting", file=sys.stderr)
+        time.sleep(20)
+    degraded = cal_start > SERIAL_OK or par_start > PAR_OK
     load_start = _loadavg()
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for r in range(n_runs):
@@ -156,8 +174,16 @@ def main() -> None:
         "calibration": {"start_sec": cal_start, "end_sec": cal_end,
                         "par_start_sec": par_start,
                         "par_end_sec": par_end,
+                        "effective_cores": round(32 * PAR_REF
+                                                 / max(par_start,
+                                                       par_end), 1),
                         "loadavg_start": load_start,
                         "loadavg_end": _loadavg()},
+        # True when the host never met the quiet gate (serial ≤ 0.47s,
+        # par ≤ 0.47s) at start OR had degraded by the end — timings in
+        # a degraded run are NOT attributable to code changes
+        "degraded": bool(degraded or cal_end > SERIAL_OK
+                         or par_end > PAR_OK),
         "sf": sf_dir,
     }))
 

@@ -5411,6 +5411,61 @@ def q127_sql_engine_tpch_q16_verbatim(spark, sf_dir):
     return eng.view("q16")
 
 
+@register("q129_sql_engine_partition_window_desc", oracle="""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ut,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT user_id, event_id, ut, value_c,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY ut DESC, event_id) AS BIGINT) AS recency,
+       LAG(value_c) OVER (PARTITION BY user_id
+           ORDER BY ut DESC, event_id) AS next_value_c
+FROM ev
+""")
+def q129_sql_engine_partition_window_desc(spark, sf_dir):
+    """DESC ordering inside a PARTITIONED window (r7 VERDICT gap #4 —
+    DESC was driver-proven only for GLOBAL windows): per-user recency
+    rank and the chronologically NEXT value via ``ORDER BY ut DESC``,
+    lowered to touched-partition recompute (_PartitionWindowMaintainer
+    re-evaluates only the user_ids hit by the tick's delta, so the sort
+    direction passes through the rebuilt window text verbatim).
+    Reference: partitioned rolling with descending order — the same
+    operator family as time_series.rs rolling aggregates (SURVEY §2.9).
+    Insert ticks plus a retract/re-insert round."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (event_id BIGINT NOT NULL, user_id BIGINT,
+                         ut BIGINT NOT NULL, value_c BIGINT);
+        CREATE VIEW rec as
+            SELECT user_id, event_id, ut, value_c,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ut DESC, event_id) AS recency,
+                LAG(value_c) OVER (PARTITION BY user_id
+                    ORDER BY ut DESC, event_id) AS next_value_c
+            FROM ev;
+    """)
+    assert eng.view_strategy("rec") == "partition_window"
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ut"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"))
+    for i in range(2):
+        eng.push("ev", e.filter(F.col("event_id") % 2 == i))
+        eng.step()
+    b0 = e.filter(F.col("event_id") % 7 == 0)
+    eng.push("ev", b0, weight=-1)
+    eng.step()
+    eng.push("ev", b0)
+    eng.step()
+    return eng.view("rec").select(
+        "user_id", "event_id", "ut", "value_c",
+        F.col("recency").cast("long").alias("recency"),
+        "next_value_c")
+
+
 @register("q128_sql_engine_tpch_q21_verbatim", oracle="""
 WITH li AS (SELECT l_orderkey, l_suppkey,
                    CAST((l_orderkey * 7 + l_suppkey) % 13 AS BIGINT)
@@ -5529,62 +5584,65 @@ from database_stream_processor_spark import nexmark  # noqa: E402,F401
 # --------------------------------------------------------------------- #
 
 _WINDOW_ORDER = [
-    # round-7 priority 1: the 8 r6 RED rows (uncast SUM(BIGINT) oracle
-    # bug, fixed this round by CASTing the oracle outputs) — they must
-    # earn green driver rows (VERDICT r6 ask #3)
-    "nx_q17_auction_statistics",
-    "q99_sql_engine_global_window",
-    "q101_sql_engine_scalar_subquery",
-    "q102_sql_engine_scalar_where",
-    "q103_sql_engine_tpch_q17",
-    "q104_sql_engine_tpch_q15",
-    "q106_sql_engine_tpch_q22",
-    "q107_sql_engine_tpch_q11",
-    # priority 2: round-7 additions (never driver-checked)
-    "q110_sql_engine_global_window_desc",
-    "q111_sql_engine_tpch_q2_verbatim",
-    "q112_sql_engine_tpch_q3_verbatim",
-    "q113_sql_engine_tpch_q5_verbatim",
-    "q114_sql_engine_rollup_aliased_keys",
-    "q115_sql_engine_tpch_q10_verbatim",
-    "q116_sql_engine_tpch_q14_verbatim",
-    "q117_sql_engine_tpch_q4_verbatim",
-    "q118_sql_engine_tpch_q9_verbatim",
-    "q119_sql_engine_tpch_q7_verbatim",
-    "q120_sql_engine_tpch_q8_verbatim",
-    "q121_sql_engine_tpch_q12_verbatim",
-    "q122_sql_engine_tpch_q1_verbatim",
-    "q123_sql_engine_tpch_q6_verbatim",
-    "q124_sql_engine_tpch_q13_verbatim",
-    "q125_sql_engine_tpch_q19_verbatim",
-    # priority 3: stalest driver rows — last checked in round 2
-    "q03_top_orders",
-    "q13_order_classification",
-    # priority 4: last driver row in round 4 (all 34)
-    "q04_order_priority",
-    "q07_customers_without_recent_orders",
-    "q12_rollup_sales",
-    "q18_event_type_pivot",
-    "q22_asof_enrich",
-    "q23_watermark_window",
-    "q25_json_props_extract",
-    "q26_minhash_signatures",
-    "q27_lsh_near_dup_pairs",
-    "q28_simhash",
-    "q29_ngram_jaccard_pairs",
-    "q31_lsh_ann_topk",
-    "q32_language_id",
-    "q33_quality_score",
-    "q34_token_counts",
-    "q43_incremental_tumbling",
-    "q54_incremental_outer_enrich",
-    "q55_upsert_commands",
-    "q56_incremental_hot_items",
-    "q59_corpus_dedup",
-    "q60_multimodal_resize",
-    "q61_multimodal_frames",
-    "q62_sql_engine_view",
-    "q77_streaming_circuit_revenue",
+    # round-8 priority 1: this round's additions (never driver-checked)
+    # — the last three verbatim TPC-H texts + the DESC partition window
+    "q126_sql_engine_tpch_q18_verbatim",
+    "q127_sql_engine_tpch_q16_verbatim",
+    "q128_sql_engine_tpch_q21_verbatim",
+    "q129_sql_engine_partition_window_desc",
+    # priority 2: the 10 queries whose last driver row is ROUND 4 —
+    # the stalest rows in the registry (r7 VERDICT gap #2)
+    "q38_incremental_distinct",
+    "q40_scalar_functions",
+    "q41_full_outer_default",
+    "q46_ivf_topk",
+    "q47_cosine_near_dup",
+    "q49_window_contents",
+    "q50_stream_fold",
+    "q51_monotonic_stream_join",
+    "q52_set_input",
+    "q53_differentiate_snapshots",
+    # priority 3: round-5-era rows — the whole q63-q95 operator band
+    # plus the nexmark entries whose operator coverage has no fresher
+    # sibling.  (11 r5 nexmark variants — nx_q01/02/03/13/14/15/16/18/
+    # 20/21/22, each a projection/stat variant of an r6/r7-green
+    # sibling — wait for the r9 window; replica-checked meanwhile.)
+    "nx_q00_passthrough",
+    "nx_q05_hot_items",
+    "nx_q07_highest_bid",
+    "nx_q08_monitor_new_users",
+    "q63_sql_engine_minmax_view",
+    "q64_weigh_weighted_count",
+    "q65_z1_delay",
+    "q66_apply2_except",
+    "q67_gather_inspect",
+    "q68_iterate_until_depth",
+    "q69_csv_source_roundtrip",
+    "q70_generator_stream_input",
+    "q71_http_transport_roundtrip",
+    "q72_indexed_input_shard",
+    "q73_sql_engine_layered_having",
+    "q74_same_generation",
+    "q75_sql_engine_left_join",
+    "q76_sql_engine_join_agg_view",
+    "q78_sql_engine_distinct_full_join",
+    "q79_sql_engine_exists_filter",
+    "q80_sql_engine_topk_view",
+    "q81_dedup_cluster_assignment",
+    "q82_sql_engine_multijoin",
+    "q83_sql_engine_distinct_agg",
+    "q84_sql_engine_star_agg",
+    "q85_sql_engine_global_topk",
+    "q86_streaming_sql_engine",
+    "q87_sql_engine_setops",
+    "q88_multimodal_audio_chunks",
+    "q89_deterministic_split_sample",
+    "q90_sql_engine_incremental_dedup",
+    "q91_embedding_quantize",
+    "q92_sql_rolling_features",
+    "q93_png_decode_real",
+    "q94_wav_chunks_real",
+    "q95_sql_lag_sequence_features",
 ]
 
 

@@ -1158,6 +1158,18 @@ def _split_top_kw(s: str, kw: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+def _mixed_top_and_or(s: str) -> bool:
+    """True when ``s`` carries BOTH a top-level OR and a top-level AND
+    (outside parens/literals/CASE): operator precedence then makes the
+    expression a DISJUNCTION (``a AND b OR c`` = ``(a AND b) OR c``),
+    so splitting it on AND and treating the parts as conjuncts silently
+    misreads it — every conjunct-splitting consumer must refuse
+    (fuzz-found in r8; a pure OR with no top-level AND is safe: the
+    split returns the whole expression as one term)."""
+    return (len(_split_top_kw(s, "OR")) > 1
+            and len(_split_top_and(s)) > 1)
+
+
 def _find_top_kw(s: str, kws: tuple[str, ...]) -> int:
     """Index of the first whole-word occurrence of any of ``kws`` at
     paren depth 0 outside string literals; -1 if none."""
@@ -1456,7 +1468,13 @@ def _ncf_rewrite(eng: "Engine", flat: str,
                                           wpred, re.IGNORECASE)
             tail = _sub_outside_literals(rf"\b{t}\s*\.", f"{a}.",
                                          tail, re.IGNORECASE)
-    conjs = _hoist_common_or_conjuncts(_split_top_and_bw(wpred))
+    if len(_split_top_kw(wpred, "OR")) > 1:
+        # the WHERE is a top-level DISJUNCTION (mixed `a AND b OR c`
+        # included) — never split it on AND; only branch-common
+        # conjuncts may be factored out (TPC-H q19's shape)
+        conjs = _hoist_common_or_conjuncts([wpred])
+    else:
+        conjs = _hoist_common_or_conjuncts(_split_top_and_bw(wpred))
     ref_of = {a: r for r, (_, a) in zip(ref_txts, parsed)}
     cols_of = {a: {c.lower() for c in _source_rows0(eng, t).columns}
                for t, a in parsed}
@@ -1961,6 +1979,8 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
                  for f in _source_rows0(eng, itbl).schema.fields}
         oks, iks = [], []          # composite equi-correlation (q20)
         residual = []
+        if _mixed_top_and_or(sm.group("icond") or ""):
+            raise _UnloweredShape("mixed top-level AND/OR in subquery")
         for term in _split_top_and(sm.group("icond") or ""):
             pm = _EQ_PAIR.match(term)
             if pm:
@@ -2035,6 +2055,8 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
                    for t, _, _ in chain}
         oks, ikq = [], []          # ikq: (inner alias, col) pairs
         residual = []
+        if _mixed_top_and_or(cm.group("icond") or ""):
+            raise _UnloweredShape("mixed top-level AND/OR in subquery")
         for term in _split_top_and(cm.group("icond") or ""):
             pm = _EQ_PAIR.match(term)
             if pm:
@@ -2138,6 +2160,8 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         post: list[str] = []       # WHERE terms with a __sv → on top
         filters: list[str] = []    # [NOT] EXISTS / IN terms, verbatim
         if pred:
+            if _mixed_top_and_or(pred):
+                raise _UnloweredShape("mixed top-level AND/OR in WHERE")
             for term in _split_top_and(pred):
                 if not _scalar_sq_spans(term):
                     pushable.append(term)
@@ -2303,6 +2327,8 @@ def _scalar_having_from(eng: "Engine", name: str, flat: str):
                  for f in _source_rows0(eng, itbl).schema.fields}
         if "__ck" in icols:
             raise _UnloweredShape("inner column __ck collides")
+        if _mixed_top_and_or(sm.group("icond") or ""):
+            raise _UnloweredShape("mixed top-level AND/OR in subquery")
         for term in _split_top_and(sm.group("icond") or ""):
             if not _refs_only(term, {ia}, icols):
                 raise _UnloweredShape(
@@ -3064,6 +3090,8 @@ def _parse_exists_inner(eng: "Engine", subq: re.Match, ot: str, oa: str,
                  for f in _source_rows0(eng, it).schema.fields}
     except Exception:
         return None
+    if _mixed_top_and_or(sm.group("icond")):
+        return None
     okeys, ikeys = [], []
     for term in _split_top_and(sm.group("icond")):
         pm = _EQ_PAIR.match(term)
@@ -3123,6 +3151,8 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
         ocols = {f.name.lower()
                  for f in _source_rows0(eng, ot).schema.fields}
     except Exception:
+        return None
+    if _mixed_top_and_or(m.group("body")):
         return None
     terms = _split_top_and(m.group("body"))
     subqs, outer_pred = [], []
@@ -4207,6 +4237,8 @@ def _left_join_agg(eng: "Engine", name: str, flat: str):
                                      re.IGNORECASE)
 
     pairs, rresid = [], []
+    if _mixed_top_and_or(m.group("cond")):
+        raise _UnloweredShape("mixed top-level AND/OR in ON")
     for term in _split_top_and_bw(m.group("cond")):
         em = re.match(r"^([\w.]+)\s*=\s*([\w.]+)$", term.strip())
         if em:
@@ -4432,6 +4464,8 @@ def _agg_over_filtered_join(eng: "Engine", name: str, flat: str):
         owners = [a for a in cols_of if col.lower() in cols_of[a]]
         return owners[0] if len(owners) == 1 else None
 
+    if _mixed_top_and_or(pred):
+        raise _UnloweredShape("top-level OR in WHERE")
     plain, subq_terms = [], []
     for c in _split_top_and(pred):
         if re.search(r"\(\s*SELECT", c, re.IGNORECASE):

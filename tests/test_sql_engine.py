@@ -3421,3 +3421,65 @@ def test_multi_exists_with_inequality_residual(spark):
     eng.step(); check("EXISTS satisfied")
     eng.push("li", spark.createDataFrame([(2, 21, 0)], L), weight=-1)
     eng.step(); check("EXISTS retracted")
+
+
+def test_comma_from_normalizer_fuzz_equivalence(spark):
+    """ADVICE r7 #8 (hardening): seeded-random comma-FROM texts mixing
+    join equalities, literal filters, BETWEEN, CASE-with-embedded-AND,
+    OR-of-conjunctions, and string literals containing ' FROM ' and
+    double spaces — for every generated query the maintained view must
+    equal Spark's own evaluation of the ORIGINAL text on the final
+    table state (the normalizer's contract: upgrade or no-op, never a
+    semantic change)."""
+    import random
+    rng = random.Random(8)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ta (ak BIGINT NOT NULL, av BIGINT, s VARCHAR);
+        CREATE TABLE tb (bk BIGINT NOT NULL, bv BIGINT);
+        CREATE TABLE tc (ck BIGINT NOT NULL, cv BIGINT);
+    """)
+    conj_pool = [
+        lambda: "av > {}".format(rng.randint(0, 3)),
+        lambda: "bv BETWEEN {} AND {}".format(rng.randint(0, 2),
+                                              rng.randint(3, 9)),
+        lambda: ("CASE WHEN av > {} AND ak = bv AND bv > 0 "
+                 "THEN 1 ELSE 2 END = 2").format(rng.randint(1, 3)),
+        lambda: ("(av = {} AND bv > {}) OR (av = {} AND bv < {})"
+                 .format(rng.randint(0, 2), rng.randint(0, 2),
+                         rng.randint(3, 5), rng.randint(5, 9))),
+        lambda: "s <> 'x  FROM (y)'",
+        lambda: "ta.av <> tb.bv",
+    ]
+    texts = []
+    for i in range(8):
+        three = rng.random() < 0.5
+        conjs = ["ak = bk"] + (["bk = ck"] if three else [])
+        conjs += [rng.choice(conj_pool)()
+                  for _ in range(rng.randint(1, 3))]
+        rng.shuffle(conjs)
+        frm = "ta, tb, tc" if three else "ta, tb"
+        sel = "ak, av, bv" + (", cv" if three else "")
+        texts.append(f"SELECT {sel} FROM {frm} "
+                     f"WHERE {' AND '.join(conjs)}")
+        eng.execute(f"CREATE VIEW fz{i} as {texts[i]};")
+    tb_df = spark.createDataFrame(
+        [(k, rng.randint(0, 9)) for k in range(8)], "bk long, bv long")
+    eng.push("ta", spark.createDataFrame(
+        [(k, rng.randint(0, 5), rng.choice(["p", "x  FROM (y)"]))
+         for k in range(8)], "ak long, av long, s string"))
+    eng.push("tb", tb_df)
+    eng.push("tc", spark.createDataFrame(
+        [(k, rng.randint(0, 9)) for k in range(8)], "ck long, cv long"))
+    eng.step()
+    # a retraction round too: the maintained state must track
+    eng.push("ta", spark.createDataFrame(
+        [(2, 100, "late")], "ak long, av long, s string"))
+    eng.push("tb", tb_df.filter(F.col("bk") == 3), weight=-1)
+    eng.step()
+    for i, txt in enumerate(texts):
+        want = sorted((tuple(r) for r in spark.sql(txt).collect()),
+                      key=str)
+        got = sorted((tuple(r) for r in eng.view(f"fz{i}").collect()),
+                     key=str)
+        assert got == want, (i, txt, got, want)
