@@ -4451,7 +4451,15 @@ def _agg_over_filtered_join(eng: "Engine", name: str, flat: str):
                  re.IGNORECASE):
         raise _UnloweredShape("grouping sets not composed here")
     chain = _parse_aliased_chain(from_clause)
-    if chain is None or any(kw != "JOIN" for _, _, kw in chain[1:]):
+    if chain is None:
+        # single-table FROM (the q18 shape without the join): the jv
+        # stage degenerates to a maintained projection — same stack
+        tm = _TBL_ALIAS_RE.match(from_clause.strip())
+        if tm is None or tm.group(0).strip() != from_clause.strip():
+            raise _UnloweredShape("unparsable FROM")
+        chain = [(tm.group(1).lower(),
+                  (tm.group(2) or tm.group(1)).lower(), "")]
+    if any(kw != "JOIN" for _, _, kw in chain[1:]):
         raise _UnloweredShape("not an inner join chain")
     if any(t not in eng.tables and t not in eng.views
            and t not in eng._maintainers for t, _, _ in chain):
@@ -5777,13 +5785,14 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             return r
     if (re.search(r"\(\s*SELECT", flat, re.IGNORECASE)
             and re.search(r"\bGROUP\s+BY\b", flat, re.IGNORECASE)
-            and re.search(r"\bJOIN\b", flat, re.IGNORECASE)
             and not re.search(r"\bUNION\b|\bINTERSECT\b|\bEXCEPT\b"
                               r"|\bOVER\b|\bLIMIT\b|\bORDER\s+BY\b"
                               r"|\b(LEFT|RIGHT|FULL|CROSS)\b",
                               flat, re.IGNORECASE)):
         # aggregate over a subquery-filtered JOIN chain (verbatim TPC-H
-        # q16/q18/q21): hidden join view + subquery-filter maintainer +
+        # q16/q18/q21) — or a single table whose subquery shapes the
+        # plain `_agg_over_subquery_filter` path above raised on (an IN
+        # body carrying its own GROUP BY): hidden in/jv/src stages +
         # re-lowered aggregate
         r = _try(_agg_over_filtered_join, eng, name, flat)
         if r is not None:

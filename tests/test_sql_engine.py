@@ -3483,3 +3483,38 @@ def test_comma_from_normalizer_fuzz_equivalence(spark):
         got = sorted((tuple(r) for r in eng.view(f"fz{i}").collect()),
                      key=str)
         assert got == want, (i, txt, got, want)
+
+
+def test_single_table_grouped_in_subquery(spark):
+    """The q18 shape WITHOUT the join — a grouped aggregate over ONE
+    table filtered by an IN whose body carries its own GROUP BY/HAVING:
+    the composition pass degenerates its join stage to a maintained
+    projection (``__v_jv`` = project) and the rest of the stack is
+    identical (hidden grouped in-view, IN filter, linear finalize)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (ok BIGINT NOT NULL, pr VARCHAR);
+        CREATE TABLE li (lk BIGINT, qty BIGINT);
+        CREATE VIEW v as
+            SELECT pr, COUNT(*) AS n FROM orders
+            WHERE ok IN (SELECT lk FROM li
+                         GROUP BY lk HAVING SUM(qty) > 10)
+            GROUP BY pr;
+    """)
+    assert eng.view_strategy("v") == "linear_agg"
+    assert eng.view_strategy("__v_in0") == "linear_agg"
+    assert eng.view_strategy("__v_jv") == "project"
+    assert eng.view_strategy("__v_src") == "in"
+    O, L = "ok long, pr string", "lk long, qty long"
+    eng.push("orders", spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], O))
+    eng.push("li", spark.createDataFrame(
+        [(1, 8), (1, 5), (2, 3), (3, 20)], L))
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("v").collect())
+    assert got == [("a", 1), ("b", 1)], got
+    # order 1 falls under the bar; group 'a' must vanish entirely
+    eng.push("li", spark.createDataFrame([(1, 5)], L), weight=-1)
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("v").collect())
+    assert got == [("b", 1)], got
