@@ -130,17 +130,22 @@ def main() -> None:
     # machine-readable ``degraded: true`` the verdict can trust.
     SERIAL_OK, PAR_OK, PAR_REF = 0.47, 0.47, 0.42
     cal_start = par_start = None
+    gate_passed = False
     for attempt in range(8):
         cal_start = _calibrate()
         par_start = _calibrate_parallel(spark)
         la = _loadavg()
-        if (cal_start <= SERIAL_OK and par_start <= PAR_OK
-                and (not la or la[0] < 2.0)):
+        gate_passed = (cal_start <= SERIAL_OK and par_start <= PAR_OK
+                       and (not la or la[0] < 2.0))
+        if gate_passed:
             break
         print(f"# host busy (serial {cal_start}s, par {par_start}s, "
               f"load {la[:1]}) — waiting", file=sys.stderr)
-        time.sleep(20)
-    degraded = cal_start > SERIAL_OK or par_start > PAR_OK
+        if attempt < 7:
+            time.sleep(20)
+    # degraded iff the full gate (probes AND load) never accepted the
+    # host — a loaded box with lucky probe reads must still be flagged
+    degraded = not gate_passed
     load_start = _loadavg()
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for r in range(n_runs):

@@ -5258,7 +5258,7 @@ def q126_sql_engine_tpch_q18_verbatim(spark, sf_dir):
     table, under a 3-table comma join, grouped five ways, with the
     ``ORDER BY o_totalprice DESC … LIMIT 100`` tail (o_orderkey
     tiebreak added for deterministic hashing; the sum aliased for the
-    oracle compare; dates as epoch seconds, prices as cents).  Lowers
+    oracle compare; dates as days since 1970-01-01, prices as cents).  Lowers
     comma-normalization → ``_agg_over_filtered_join``: the HAVING body
     pre-lowers to a hidden linear-agg view (key-only select, the SUM
     absorbed as a hidden partial), the chain becomes a multilinear

@@ -1165,9 +1165,11 @@ def _mixed_top_and_or(s: str) -> bool:
     so splitting it on AND and treating the parts as conjuncts silently
     misreads it — every conjunct-splitting consumer must refuse
     (fuzz-found in r8; a pure OR with no top-level AND is safe: the
-    split returns the whole expression as one term)."""
+    split returns the whole expression as one term).  The AND count is
+    BETWEEN-aware: ``x BETWEEN 1 AND 2 OR y = 3`` is a pure
+    disjunction, not a mixed shape (r8 review)."""
     return (len(_split_top_kw(s, "OR")) > 1
-            and len(_split_top_and(s)) > 1)
+            and len(_split_top_and_bw(s)) > 1)
 
 
 def _find_top_kw(s: str, kws: tuple[str, ...]) -> int:
@@ -1728,7 +1730,9 @@ def _rolling_over_from(eng: "Engine", name: str, flat: str):
                 # no PARTITION BY: global tail recompute over the join
                 return _GlobalTailWindowMaintainer(eng, name, outer_sql, pm)
     except Exception:
-        del eng._maintainers[hidden], eng._sources[hidden]
+        # prefix-sweep: _lower_view may have registered __{hidden}_dup
+        # chain clones for the hidden join view too
+        _cleanup_hidden(eng, [hidden])
         raise
 
 
@@ -1929,22 +1933,10 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
     registered: list[str] = []
 
     def _register(hname: str, hsql: str) -> None:
-        hm = _lower_view(eng, hname, hsql)
-        if hm.kind == "differentiate":
-            raise _UnloweredShape(f"hidden view snapshot-diffs: {hsql}")
-        eng._maintainers[hname] = hm
-        words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
-        eng._sources[hname] = {w for w in words
-                               if w in eng.tables or w in eng.views}
-        eng._sources[hname] |= {w for w in words
-                                if w in eng._maintainers and w != hname}
-        hm.state.current.rows().createOrReplaceTempView(hname)
-        registered.append(hname)
+        _register_hidden(eng, hname, hsql, registered)
 
     def _fail_cleanup():
-        for h in registered:
-            eng._maintainers.pop(h, None)
-            eng._sources.pop(h, None)
+        _cleanup_hidden(eng, registered)
 
     om = re.match(r"^(?P<ot>\w+)(?:\s+(?:AS\s+)?(?P<oa>\w+))?\s*$", body)
     try:
@@ -2300,17 +2292,7 @@ def _scalar_having_from(eng: "Engine", name: str, flat: str):
     registered: list[str] = []
 
     def _register(hname: str, hsql: str) -> None:
-        hm = _lower_view(eng, hname, hsql)
-        if hm.kind == "differentiate":
-            raise _UnloweredShape(f"hidden view snapshot-diffs: {hsql}")
-        eng._maintainers[hname] = hm
-        words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
-        eng._sources[hname] = {w for w in words
-                               if w in eng.tables or w in eng.views}
-        eng._sources[hname] |= {w for w in words
-                                if w in eng._maintainers and w != hname}
-        hm.state.current.rows().createOrReplaceTempView(hname)
-        registered.append(hname)
+        _register_hidden(eng, hname, hsql, registered)
 
     subs: list[dict] = []
 
@@ -2416,9 +2398,7 @@ def _scalar_having_from(eng: "Engine", name: str, flat: str):
                                   f"{final}")
         return fm
     except Exception:
-        for h in registered:
-            eng._maintainers.pop(h, None)
-            eng._sources.pop(h, None)
+        _cleanup_hidden(eng, registered)
         raise
 
 
@@ -2460,6 +2440,39 @@ def _parse_equi_cond(cond: str, lquals: set[str],
 class _UnloweredShape(Exception):
     """Raised when a recognized statement's fine shape can't be lowered
     after all (falls back to snapshot-diff)."""
+
+
+def _register_hidden(eng: "Engine", hname: str, hsql: str,
+                     registered: list) -> None:
+    """Lower ``hsql`` and register it as the hidden maintained view
+    ``hname`` — the shared registration step of every composition pass
+    (scalar-subquery stacks, top-k bodies, filtered-join aggregates).
+    ``hname`` is recorded in ``registered`` BEFORE lowering, so a
+    failure mid-stage still lets :func:`_cleanup_hidden` sweep any
+    dependents ``_lower_view`` itself registered (``__{hname}_dup{i}``
+    chain clones) — otherwise a failed stage would leak maintainers
+    that step forever under a view that fell back to snapshot-diff."""
+    registered.append(hname)
+    hm = _lower_view(eng, hname, hsql)
+    if hm.kind == "differentiate":
+        raise _UnloweredShape(f"hidden stage snapshot-diffs: {hsql}")
+    eng._maintainers[hname] = hm
+    words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
+    eng._sources[hname] = {w for w in words
+                           if w in eng.tables or w in eng.views}
+    eng._sources[hname] |= {w for w in words
+                            if w in eng._maintainers and w != hname}
+    hm.state.current.rows().createOrReplaceTempView(hname)
+
+
+def _cleanup_hidden(eng: "Engine", registered: list) -> None:
+    """Remove every maintainer a failed composition pass registered,
+    including dependents named under a registered stage's prefix."""
+    for h in list(eng._maintainers):
+        if h in registered or any(h.startswith(f"__{r}")
+                                  for r in registered):
+            eng._maintainers.pop(h, None)
+            eng._sources.pop(h, None)
 
 
 #: SELECT DISTINCT <exprs> FROM t [WHERE p]
@@ -3713,17 +3726,10 @@ def _topk_over_from(eng: "Engine", name: str, flat: str):
         raise _UnloweredShape("no ORDER BY … LIMIT tail")
     body = m.group("body").strip()
     hidden = f"__{name}_pre"
-    hm = _lower_view(eng, hidden, body)
-    if hm.kind == "differentiate":
-        raise _UnloweredShape("top-k body snapshot-diffs")
-    eng._maintainers[hidden] = hm
-    words = {w.lower() for w in re.findall(r"\b\w+\b", body)}
-    eng._sources[hidden] = {w for w in words
-                            if w in eng.tables or w in eng.views}
-    eng._sources[hidden] |= {w for w in words
-                             if w in eng._maintainers and w != hidden}
-    hm.state.current.rows().createOrReplaceTempView(hidden)
+    registered: list[str] = []
     try:
+        _register_hidden(eng, hidden, body, registered)
+        hm = eng._maintainers[hidden]
         out_cols = [c for c in hm.state.current.df.columns
                     if c != WEIGHT_COL]
         lowcols = {c.lower(): c for c in out_cols}
@@ -3740,10 +3746,7 @@ def _topk_over_from(eng: "Engine", name: str, flat: str):
         gm = _GLOBAL_TOPK_RE.match(outer)
         return _GlobalTopKMaintainer(eng, name, outer, gm)
     except Exception:
-        for h in list(eng._maintainers):
-            if h == hidden or h.startswith(f"__{hidden}"):
-                eng._maintainers.pop(h, None)
-                eng._sources.pop(h, None)
+        _cleanup_hidden(eng, registered)
         raise
 
 
@@ -4112,17 +4115,9 @@ def _from_subquery_lift(eng: "Engine", name: str, flat: str):
         tail = _sub_outside_literals(rf"\b{a}\s*\.\s*", "", tail,
                                      re.IGNORECASE)
     hidden = f"__{name}_sub"
-    hm = _lower_view(eng, hidden, inner)
-    if hm.kind == "differentiate":
-        raise _UnloweredShape("derived table snapshot-diffs")
-    eng._maintainers[hidden] = hm
-    words = {w.lower() for w in re.findall(r"\b\w+\b", inner)}
-    eng._sources[hidden] = {w for w in words
-                            if w in eng.tables or w in eng.views}
-    eng._sources[hidden] |= {w for w in words
-                             if w in eng._maintainers and w != hidden}
-    hm.state.current.rows().createOrReplaceTempView(hidden)
+    registered: list[str] = []
     try:
+        _register_hidden(eng, hidden, inner, registered)
         outer = f"SELECT {sel} FROM {hidden}"
         if tail:
             outer += f" {tail}"
@@ -4132,10 +4127,7 @@ def _from_subquery_lift(eng: "Engine", name: str, flat: str):
                                   "snapshot-diffs")
         return fm
     except Exception:
-        for h in list(eng._maintainers):
-            if h == hidden or h.startswith(f"__{hidden}"):
-                eng._maintainers.pop(h, None)
-                eng._sources.pop(h, None)
+        _cleanup_hidden(eng, registered)
         raise
 
 
@@ -4309,32 +4301,16 @@ def _left_join_agg(eng: "Engine", name: str, flat: str):
         lj_sql += f" WHERE {deal_l(m.group('pred'))}"
     final = (f"SELECT {', '.join(out_items)} FROM {lj_name} "
              f"GROUP BY {', '.join(keys)}")
-    registered = []
+    registered: list[str] = []
     try:
         for hname, hsql in [(g_name, g_sql), (lj_name, lj_sql)]:
-            hm = _lower_view(eng, hname, hsql)
-            if hm.kind == "differentiate":
-                raise _UnloweredShape(f"hidden stage snapshot-diffs: "
-                                      f"{hsql}")
-            eng._maintainers[hname] = hm
-            registered.append(hname)
-            words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
-            eng._sources[hname] = {w for w in words
-                                   if w in eng.tables or w in eng.views}
-            eng._sources[hname] |= {w for w in words
-                                    if w in eng._maintainers
-                                    and w != hname}
-            hm.state.current.rows().createOrReplaceTempView(hname)
+            _register_hidden(eng, hname, hsql, registered)
         fm = _lower_view(eng, name, final)
         if fm.kind == "differentiate":
             raise _UnloweredShape("final aggregate snapshot-diffs")
         return fm
     except Exception:
-        for h in list(eng._maintainers):
-            if h in registered or any(h.startswith(f"__{r}")
-                                      for r in registered):
-                eng._maintainers.pop(h, None)
-                eng._sources.pop(h, None)
+        _cleanup_hidden(eng, registered)
         raise
 
 
@@ -4376,17 +4352,9 @@ def _agg_over_subquery_filter(eng: "Engine", name: str, flat: str):
     hidden = f"__{name}_src"
     hsql = (f"SELECT {', '.join(sorted(needed))} FROM {tbl} "
             f"WHERE {m.group('pred')}")
-    hm = _lower_view(eng, hidden, hsql)
-    if hm.kind == "differentiate":
-        raise _UnloweredShape("hidden filtered view snapshot-diffs")
-    eng._maintainers[hidden] = hm
-    words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
-    eng._sources[hidden] = {w for w in words
-                            if w in eng.tables or w in eng.views}
-    eng._sources[hidden] |= {w for w in words
-                             if w in eng._maintainers and w != hidden}
-    hm.state.current.rows().createOrReplaceTempView(hidden)
+    registered: list[str] = []
     try:
+        _register_hidden(eng, hidden, hsql, registered)
         outer = (f"SELECT {m.group('sel')} FROM {hidden} "
                  f"GROUP BY {m.group('keys')}")
         if m.group("having"):
@@ -4399,11 +4367,48 @@ def _agg_over_subquery_filter(eng: "Engine", name: str, flat: str):
             raise _UnloweredShape("outer aggregate snapshot-diffs")
         return fm
     except Exception:
-        for h in list(eng._maintainers):
-            if h == hidden or h.startswith(f"__{hidden}"):
-                eng._maintainers.pop(h, None)
-                eng._sources.pop(h, None)
+        _cleanup_hidden(eng, registered)
         raise
+
+
+def _claim_chain_cols(txt: str, cols_of: dict, needed: set,
+                      where: str, strict_bare: bool = False) -> None:
+    """Collect every chain-column reference in ``txt`` into ``needed``
+    (bare lower-case names) — qualified refs must name a chain alias
+    that owns the column, and any claimed column must live in exactly
+    ONE chain table (the hidden join view emits bare names).  Shared by
+    the hidden-join-view composers (`_global_agg_over_from`,
+    `_agg_over_filtered_join`).  ``strict_bare=True`` additionally
+    rejects bare tokens that resolve to no chain table at all (the
+    GROUP-BY-less global path owns its whole select text, so an
+    unknown token there means an unlowerable expression; the grouped
+    path tolerates select aliases and function names)."""
+    def owner(col: str) -> str | None:
+        owners = [a for a in cols_of if col.lower() in cols_of[a]]
+        return owners[0] if len(owners) == 1 else None
+
+    scan = re.sub(r"'[^']*'", " ", txt)
+    for qm in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b",
+                          scan):
+        a, c = qm.group(1).lower(), qm.group(2).lower()
+        if a not in cols_of or c not in cols_of[a]:
+            raise _UnloweredShape(f"unresolvable {a}.{c} in {where}")
+        if owner(c) is None:
+            raise _UnloweredShape(f"ambiguous column {c} in {where}")
+        needed.add(c)
+    for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", scan):
+        c = bm.group(1).lower()
+        pre = scan[:bm.start()].rstrip()
+        if (c in _SQL_KEYWORDS or pre.endswith(".")
+                or re.search(r"\bAS$", pre, re.IGNORECASE)):
+            continue
+        a = owner(c)
+        if a is None:
+            if strict_bare or any(c in s for s in cols_of.values()):
+                raise _UnloweredShape(f"unresolvable bare column {c} "
+                                      f"in {where}")
+            continue        # select alias / literal keyword token
+        needed.add(c)
 
 
 def _agg_over_filtered_join(eng: "Engine", name: str, flat: str):
@@ -4486,35 +4491,10 @@ def _agg_over_filtered_join(eng: "Engine", name: str, flat: str):
         raise _UnloweredShape("no subquery filter terms")
 
     needed: set[str] = set()    # bare columns the hidden jv must carry
-
-    def claim(txt: str, where: str) -> None:
-        scan = re.sub(r"'[^']*'", " ", txt)
-        for qm in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b",
-                              scan):
-            a, c = qm.group(1).lower(), qm.group(2).lower()
-            if a not in alias_of or c not in cols_of[a]:
-                raise _UnloweredShape(f"unresolvable {a}.{c} in {where}")
-            if owner(c) is None:
-                raise _UnloweredShape(f"ambiguous column {c} in {where}")
-            needed.add(c)
-        for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])", scan):
-            c = bm.group(1).lower()
-            pre = scan[:bm.start()].rstrip()
-            if (c in _SQL_KEYWORDS or pre.endswith(".")
-                    or re.search(r"\bAS$", pre, re.IGNORECASE)):
-                continue
-            a = owner(c)
-            if a is None:
-                if any(c in s for s in cols_of.values()):
-                    raise _UnloweredShape(f"ambiguous column {c} "
-                                          f"in {where}")
-                continue        # select alias / literal keyword token
-            needed.add(c)
-
-    claim(sel, "select")
-    claim(keys_txt, "group keys")
+    _claim_chain_cols(sel, cols_of, needed, "select")
+    _claim_chain_cols(keys_txt, cols_of, needed, "group keys")
     if having:
-        claim(having, "having")
+        _claim_chain_cols(having, cols_of, needed, "having")
 
     OA = "__o"
     rewritten: list[str] = []
@@ -4611,36 +4591,17 @@ def _agg_over_filtered_join(eng: "Engine", name: str, flat: str):
         final += f" HAVING {fhaving}"
 
     registered: list[str] = []
-
-    def _register(hname: str, hsql: str) -> None:
-        hm = _lower_view(eng, hname, hsql)
-        if hm.kind == "differentiate":
-            raise _UnloweredShape(f"hidden stage snapshot-diffs: "
-                                  f"{hsql}")
-        eng._maintainers[hname] = hm
-        registered.append(hname)
-        words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
-        eng._sources[hname] = {w for w in words
-                               if w in eng.tables or w in eng.views}
-        eng._sources[hname] |= {w for w in words
-                                if w in eng._maintainers and w != hname}
-        hm.state.current.rows().createOrReplaceTempView(hname)
-
     try:
         for hname, hsql in in_views:
-            _register(hname, hsql)
-        _register(jv, jv_sql)
-        _register(src, src_sql)
+            _register_hidden(eng, hname, hsql, registered)
+        _register_hidden(eng, jv, jv_sql, registered)
+        _register_hidden(eng, src, src_sql, registered)
         fm = _lower_view(eng, name, final)
         if fm.kind == "differentiate":
             raise _UnloweredShape("final aggregate snapshot-diffs")
         return fm
     except Exception:
-        for h in list(eng._maintainers):
-            if h in registered or any(h.startswith(f"__{r}")
-                                      for r in registered):
-                eng._maintainers.pop(h, None)
-                eng._sources.pop(h, None)
+        _cleanup_hidden(eng, registered)
         raise
 
 
@@ -4671,31 +4632,12 @@ def _global_agg_over_from(eng: "Engine", name: str, flat: str):
                for t, a, _ in chain}
     # columns the outer items/pred need (ON-clause refs stay inside the
     # hidden view's own text) — bare or alias-qualified, each resolving
-    # to exactly one chain source
-    scan = re.sub(r"'[^']*'", " ", sel + " " + (pred or ""))
+    # to exactly one chain source; strict: this path owns the whole
+    # select text, so an unknown bare token means an unlowerable item
     needed: set[str] = set()
     outer_sel = sel
-    for qm in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b",
-                          scan):
-        a, c = qm.group(1).lower(), qm.group(2).lower()
-        if a not in alias_of or c not in cols_of[a]:
-            raise _UnloweredShape(f"unresolvable ref {a}.{c}")
-        owners = [x for x in cols_of if c in cols_of[x]]
-        if len(owners) != 1:
-            raise _UnloweredShape(f"ambiguous column {c}")
-        needed.add(c)
-    for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*\()", scan):
-        c = bm.group(1).lower()
-        pre = scan[:bm.start()].rstrip()
-        if (c in _SQL_KEYWORDS or pre.endswith(".")
-                or re.search(r"\bAS$", pre, re.IGNORECASE)):
-            continue
-        if scan[bm.end():].lstrip().startswith("."):
-            continue                       # qualifier, handled above
-        owners = [x for x in cols_of if c in cols_of[x]]
-        if len(owners) != 1:
-            raise _UnloweredShape(f"unresolvable bare column {c}")
-        needed.add(c)
+    _claim_chain_cols(sel + " " + (pred or ""), cols_of, needed,
+                      "global agg", strict_bare=True)
     if not needed:
         raise _UnloweredShape("no column references")
     # strip alias qualifiers from the outer text (names are unique)
@@ -4706,25 +4648,14 @@ def _global_agg_over_from(eng: "Engine", name: str, flat: str):
     hsql = f"SELECT {', '.join(sorted(needed))} FROM {from_clause}"
     if pred:
         hsql += f" WHERE {pred}"
-    hm = _lower_view(eng, hidden, hsql)
-    if hm.kind == "differentiate":
-        raise _UnloweredShape("hidden join view snapshot-diffs")
-    eng._maintainers[hidden] = hm
-    words = {w.lower() for w in re.findall(r"\b\w+\b", hsql)}
-    eng._sources[hidden] = {w for w in words
-                            if w in eng.tables or w in eng.views}
-    eng._sources[hidden] |= {w for w in words
-                             if w in eng._maintainers and w != hidden}
-    hm.state.current.rows().createOrReplaceTempView(hidden)
+    registered: list[str] = []
     try:
+        _register_hidden(eng, hidden, hsql, registered)
         return _GlobalAggMaintainer(eng, name,
                                     f"SELECT {outer_sel} FROM {hidden}",
                                     hidden)
     except Exception:
-        for h in list(eng._maintainers):
-            if h == hidden or h.startswith(f"__{hidden}"):
-                eng._maintainers.pop(h, None)
-                eng._sources.pop(h, None)
+        _cleanup_hidden(eng, registered)
         raise
 
 

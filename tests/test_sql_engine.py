@@ -3518,3 +3518,25 @@ def test_single_table_grouped_in_subquery(spark):
     eng.step()
     got = sorted(tuple(r) for r in eng.view("v").collect())
     assert got == [("b", 1)], got
+
+
+def test_pure_disjunction_with_between_still_lowers(spark):
+    """r8 review finding: the mixed-AND/OR guard must be BETWEEN-aware —
+    ``x BETWEEN a AND b OR y = c`` is a PURE disjunction (the BETWEEN's
+    AND is not a conjunction operator), so views carrying it keep their
+    incremental lowerings instead of silently snapshot-diffing."""
+    from database_stream_processor_spark.sql import _mixed_top_and_or
+    assert not _mixed_top_and_or("x BETWEEN 1 AND 2 OR y = 3")
+    assert _mixed_top_and_or("x = 1 AND y = 2 OR z = 3")
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k BIGINT NOT NULL, v BIGINT);
+        CREATE VIEW d as
+            SELECT k, v FROM t WHERE v BETWEEN 2 AND 4 OR v = 9;
+    """)
+    assert eng.view_strategy("d") == "project"
+    eng.push("t", spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 9), (4, 5)], "k long, v long"))
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("d").collect())
+    assert got == [(2, 3), (3, 9)], got
