@@ -267,3 +267,46 @@ def test_rolling_view_recovers_via_bootstrap(spark, tmp_path):
     eng2.push("tx", mk(rows[2:4]), weight=-1)
     eng2.step()
     assert cmp_()
+
+
+def test_filtered_join_agg_stack_recovers(spark, tmp_path):
+    """The r8 subquery-filtered aggregate stack (hidden grouped in-view
+    + filter + final agg — the TPC-H q18 shape) must survive
+    suspend/resume like any flat view: the fresh Engine re-lowers the
+    same DDL, the bootstrap tick re-seeds every HIDDEN stage from the
+    recovered table state, and post-recovery deltas (including a
+    retraction that drops a group under the HAVING bar) stay
+    incremental and match batch recompute."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE orders (ok BIGINT NOT NULL, pr VARCHAR);
+        CREATE TABLE li (lk BIGINT, qty BIGINT);
+        CREATE VIEW v as
+            SELECT pr, COUNT(*) AS n FROM orders
+            WHERE ok IN (SELECT lk FROM li
+                         GROUP BY lk HAVING SUM(qty) > 10)
+            GROUP BY pr;
+    """
+    path = str(tmp_path / "eng_state")
+    O, L = "ok long, pr string", "lk long, qty long"
+
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    eng.push("orders", spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], O))
+    eng.push("li", spark.createDataFrame(
+        [(1, 8), (1, 5), (2, 3), (3, 20)], L))
+    eng.step()
+    want = sorted(tuple(r) for r in eng.view("v").collect())
+    assert want == [("a", 1), ("b", 1)]
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    assert eng2.view_strategy("v") == "linear_agg"
+    assert sorted(tuple(r) for r in eng2.view("v").collect()) == want
+    # post-recovery retraction: order 1 falls under the HAVING bar
+    eng2.push("li", spark.createDataFrame([(1, 5)], L), weight=-1)
+    eng2.step()
+    got = sorted(tuple(r) for r in eng2.view("v").collect())
+    assert got == [("b", 1)], got
