@@ -2978,6 +2978,17 @@ def _ns_semi_pos(df: DataFrame, touched: DataFrame,
     return df.join(touched, on=cond, how="left_semi")
 
 
+def _ns_anti_pos(df: DataFrame, touched: DataFrame,
+                 cols: list[str]) -> DataFrame:
+    """Null-safe anti-join twin of :func:`_ns_semi_pos` — the rows NOT
+    matching any touched key tuple."""
+    cond = None
+    for i, c in enumerate(cols):
+        e = df[c].eqNullSafe(F.col(f"__t_{i}"))
+        cond = e if cond is None else (cond & e)
+    return df.join(touched, on=cond, how="left_anti")
+
+
 def _split_top_and(s: str) -> list[str]:
     """Split a predicate on top-level ``AND`` (outside parens, string
     literals, and ``CASE … END`` spans) — subquery bodies, function
@@ -3183,37 +3194,87 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
     if not subqs:
         return None
     if len(subqs) > 1:
-        # multiple subquery terms maintain under ONE touched-key
-        # restriction only when every term is an EXISTS over the SAME
-        # inner table correlated on the SAME equality keys (verbatim
-        # TPC-H q21: EXISTS + NOT EXISTS both probing lineitem on
-        # l_orderkey) — each outer row's truth then depends only on
-        # inner rows sharing its correlation key, so restricting both
-        # sides to touched keys is exact for all terms at once
-        if any(kind != "exists" for _, kind in subqs):
-            return None
-        pair_sets, inner_tables = [], set()
-        for subq, _kind in subqs:
-            parsed = _parse_exists_inner(eng, subq, ot, oa, ocols)
-            if parsed is None:
-                return None
-            it_i, ok_i, ik_i = parsed
-            inner_tables.add(it_i)
-            pair_sets.append(frozenset(zip(ok_i, ik_i)))
-        if len(inner_tables) != 1 or len(set(pair_sets)) != 1:
-            return None
-        it = next(iter(inner_tables))
-        pairs = sorted(pair_sets[0])
-        okeys = [p[0] for p in pairs]
-        ikeys = [p[1] for p in pairs]
-        if not okeys:
-            return None
         from_clause = m.group("ot") + (f" {m.group('oa')}"
                                        if m.group("oa") else "")
-        return {"outer": ot, "oa": oa, "inner": it, "okeys": okeys,
-                "ikeys": ikeys, "sel": m.group("sel"),
+        base = {"outer": ot, "oa": oa, "sel": m.group("sel"),
                 "from_clause": from_clause, "body": m.group("body"),
-                "negated": False, "kind": "multi_exists"}
+                "negated": False}
+        # FAST path: every term an EXISTS over the SAME inner table
+        # correlated on the SAME equality keys (verbatim TPC-H q21:
+        # EXISTS + NOT EXISTS both probing lineitem on l_orderkey) —
+        # ONE touched-key restriction maintains them all
+        if all(kind == "exists" for _, kind in subqs):
+            pair_sets, inner_tables, ok = [], set(), True
+            for subq, _kind in subqs:
+                parsed = _parse_exists_inner(eng, subq, ot, oa, ocols)
+                if parsed is None:
+                    ok = False
+                    break
+                it_i, ok_i, ik_i = parsed
+                inner_tables.add(it_i)
+                pair_sets.append(frozenset(zip(ok_i, ik_i)))
+            if (ok and len(inner_tables) == 1
+                    and len(set(pair_sets)) == 1 and pair_sets[0]):
+                pairs = sorted(pair_sets[0])
+                return dict(base, inner=next(iter(inner_tables)),
+                            okeys=[p[0] for p in pairs],
+                            ikeys=[p[1] for p in pairs],
+                            kind="multi_exists")
+        # GENERAL path: terms over DIFFERENT inner tables (or key sets)
+        # — per-term touched sets; the restricted outer's own keys then
+        # restrict every inner (membership semantics per term, so the
+        # exactness argument is per-term; see the maintainer docstring)
+        terms = []
+        for subq, kind in subqs:
+            if kind == "exists":
+                parsed = _parse_exists_inner(eng, subq, ot, oa, ocols)
+                if parsed is None:
+                    return None
+                it_i, ok_i, ik_i = parsed
+                terms.append({"inner": it_i, "okeys": ok_i,
+                              "ikeys": ik_i})
+                continue
+            inner_sql = subq.group("inner").strip()
+            if _SUBQ_BLOCKERS.search(inner_sql) or \
+                    re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE):
+                return None
+            sm2 = _IN_INNER_RE.match(inner_sql)
+            if not sm2:
+                return None
+            it_i = sm2.group("it").lower()
+            ia2 = (sm2.group("ia") or sm2.group("it")).lower()
+            if not (it_i in eng.tables or it_i in eng.views
+                    or it_i in eng._maintainers) or it_i == ot:
+                return None
+            try:
+                ifields = {f.name.lower(): f for f in
+                           _source_rows0(eng, it_i).schema.fields}
+            except Exception:
+                return None
+            ocol, icol = subq.group("col"), sm2.group("icol")
+            oc, ic = ocol.split(".")[-1], icol.split(".")[-1]
+            if "." in ocol and ocol.split(".")[0].lower() != oa:
+                return None
+            if "." in icol and icol.split(".")[0].lower() != ia2:
+                return None
+            if oc.lower() not in ocols or ic.lower() not in ifields:
+                return None
+            if sm2.group("ipred") and not _refs_only(
+                    sm2.group("ipred"), {ia2}, set(ifields)):
+                return None
+            if subq.group("neg"):
+                # NOT IN inside a multi-term body only when neither
+                # side can be NULL — the three-valued counters live in
+                # the dedicated single-term maintainer
+                ofields = {f.name.lower(): f for f in
+                           _source_rows0(eng, ot).schema.fields}
+                if (ofields[oc.lower()].nullable
+                        or ifields[ic.lower()].nullable):
+                    return None
+            terms.append({"inner": it_i, "okeys": [oc], "ikeys": [ic]})
+        if any(not t["okeys"] for t in terms):
+            return None
+        return dict(base, terms=terms, kind="multi_subquery")
     subq, kind = subqs[0]
     inner_sql = subq.group("inner").strip()
     if _SUBQ_BLOCKERS.search(inner_sql) or \
@@ -3371,6 +3432,139 @@ class _SubqueryFilterMaintainer(_ViewMaintainer):
                                 .df.localCheckpoint(eager=True))
         self._out.update(keyed_delta)
         delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+class _MultiSubqueryFilterMaintainer(_ViewMaintainer):
+    """``SELECT … FROM a WHERE [NOT] EXISTS (… b …) AND [NOT] IN/EXISTS
+    (… c …)`` — several subquery filter terms over DIFFERENT inner
+    tables (or different correlation keys), each equality-correlated.
+    The same decomposition the reference applies per term — semijoin /
+    antijoin nodes, one per subquery (semijoin.rs, join.rs:338) — here
+    as ONE touched-key recompute per tick:
+
+    - per TERM, the touched set = that term's correlation keys in the
+      outer delta ∪ its inner's delta keys;
+    - the OUTER restriction = rows matching ANY term's touched set,
+      built as an anti-chain split (each physical row lands in exactly
+      one part, so multiplicities stay exact);
+    - each INNER is restricted to the keys the RESTRICTED OUTER can
+      probe (`o_t.okeys_t` projected onto the inner's key columns) —
+      NOT to its own touched set: a row restricted because of term t
+      must still evaluate term u against all of u's matching rows.
+      Supersets are safe: every term has membership (EXISTS/IN)
+      semantics, so extra or duplicate inner rows cannot flip truth;
+    - re-evaluate the original SQL verbatim on the slices, diff
+      against the stored output restricted by the same anti-chain on
+      the hidden per-term key columns.
+
+    An outer row outside every touched set is exact to skip: each of
+    its term verdicts depends only on inner rows sharing that term's
+    key, and none of those groups changed.  At scale every restriction
+    is a broadcast semi-join of a delta-sized key set and the recompute
+    cost is ∝ rows in touched correlation groups."""
+
+    kind = "multi_subquery"
+
+    def __init__(self, eng, name, sql, spec):
+        super().__init__(eng, name, sql)
+        self.outer = spec["outer"]
+        self.terms = spec["terms"]
+        oa = spec["oa"]
+        hidden_items = []
+        for t, term in enumerate(self.terms):
+            for i, k in enumerate(term["okeys"]):
+                hidden_items.append(f"{oa}.{k} AS __k_{t}_{i}")
+        self._delta_sql = (
+            f"SELECT {spec['sel']}, {', '.join(hidden_items)} "
+            f"FROM {spec['from_clause']} WHERE {spec['body']}")
+        first = eng.eval_on(self._delta_sql, {
+            self.outer: _source_rows0(eng, self.outer),
+            **{term["inner"]: _source_rows0(eng, term["inner"])
+               for term in self.terms}})
+        empty = eng.spark.createDataFrame([], first.schema)
+        self._out = StateTable(ZSetFrame.from_df(empty),
+                               name=f"view_{name}_keyed")
+
+    def step(self, eng, combined, old):
+        da = combined.get(self.outer)
+        dbs = {term["inner"]: combined.get(term["inner"])
+               for term in self.terms}
+        if da is None and all(v is None for v in dbs.values()):
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, da, dbs)
+
+    def _step_guarded(self, eng, da, dbs):
+        touched = []
+        for term in self.terms:
+            parts = []
+            if da is not None:
+                parts.append(da.df.select(
+                    *[F.col(c).alias(f"__t_{i}")
+                      for i, c in enumerate(term["okeys"])]))
+            db = dbs.get(term["inner"])
+            if db is not None:
+                parts.append(db.df.select(
+                    *[F.col(c).alias(f"__t_{i}")
+                      for i, c in enumerate(term["ikeys"])]))
+            if not parts:
+                touched.append(None)
+                continue
+            t_df = parts[0]
+            for p in parts[1:]:
+                t_df = t_df.unionByName(p)
+            touched.append(t_df.dropDuplicates()
+                           .localCheckpoint(eager=True))
+        # anti-chain outer restriction: ANY-touched rows, each once
+        o_rest = _current_rows(eng, self.outer)
+        o_parts = []
+        for term, t_df in zip(self.terms, touched):
+            if t_df is None:
+                continue
+            o_parts.append(_ns_semi_pos(o_rest, t_df, term["okeys"]))
+            o_rest = _ns_anti_pos(o_rest, t_df, term["okeys"])
+        o_t = o_parts[0]
+        for p in o_parts[1:]:
+            o_t = o_t.unionByName(p)
+        o_t = o_t.localCheckpoint(eager=True)
+        bindings = {self.outer: o_t}
+        for term in self.terms:
+            probe = o_t.select(
+                *[F.col(c).alias(f"__t_{i}")
+                  for i, c in enumerate(term["okeys"])]).dropDuplicates()
+            i_t = _ns_semi_pos(_current_rows(eng, term["inner"]), probe,
+                               term["ikeys"]).localCheckpoint(eager=True)
+            prev = bindings.get(term["inner"])
+            # two terms sharing one inner table: union of their slices
+            # (dedup is safe — membership semantics only)
+            bindings[term["inner"]] = (
+                i_t if prev is None
+                else prev.unionByName(i_t).dropDuplicates())
+        new_out = ZSetFrame.from_df(
+            eng.eval_on(self._delta_sql, bindings)
+            .localCheckpoint(eager=True), 1)
+        # stored output restricted by the same anti-chain on the hidden
+        # per-term key columns
+        old_rest = self._out.current.df
+        old_parts = []
+        for t, (term, t_df) in enumerate(zip(self.terms, touched)):
+            if t_df is None:
+                continue
+            hk = [f"__k_{t}_{i}" for i in range(len(term["okeys"]))]
+            old_parts.append(_ns_semi_pos(old_rest, t_df, hk))
+            old_rest = _ns_anti_pos(old_rest, t_df, hk)
+        old_df = old_parts[0]
+        for p in old_parts[1:]:
+            old_df = old_df.unionByName(p)
+        old_t = ZSetFrame(old_df)
+        keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
+                                .df.localCheckpoint(eager=True))
+        self._out.update(keyed_delta)
+        hidden_all = [f"__k_{t}_{i}" for t, term in enumerate(self.terms)
+                      for i in range(len(term["okeys"]))]
+        delta = ZSetFrame(keyed_delta.df.drop(*hidden_all)).consolidate()
         self.apply_delta(delta)
         return delta
 
@@ -5697,9 +5891,12 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and not _analyzed_has_aggregate(eng, flat):
         spec = _match_subquery_filter(eng, flat)
         if spec is not None:
-            ctor = (_NotInNullableMaintainer
-                    if spec.get("nullable_not_in")
-                    else _SubqueryFilterMaintainer)
+            if spec.get("terms"):
+                ctor = _MultiSubqueryFilterMaintainer
+            elif spec.get("nullable_not_in"):
+                ctor = _NotInNullableMaintainer
+            else:
+                ctor = _SubqueryFilterMaintainer
             r = _try(ctor, eng, name, flat, spec)
             if r is not None:
                 return r

@@ -3540,3 +3540,54 @@ def test_pure_disjunction_with_between_still_lowers(spark):
     eng.step()
     got = sorted(tuple(r) for r in eng.view("d").collect())
     assert got == [(2, 3), (3, 9)], got
+
+
+def test_multi_subquery_filters_different_inners(spark):
+    """Several subquery filter terms over DIFFERENT inner tables —
+    EXISTS(orders) AND NOT EXISTS(returns) AND NOT IN(flagged) — the
+    general multi-inner maintainer: per-term touched sets, anti-chain
+    outer restriction, each inner restricted by the restricted outer's
+    own keys (a row touched by ONE term must re-evaluate ALL terms
+    against full key groups)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cust (ck BIGINT NOT NULL, seg VARCHAR);
+        CREATE TABLE ord (ok BIGINT NOT NULL, oc BIGINT);
+        CREATE TABLE ret (rk BIGINT NOT NULL, rc BIGINT NOT NULL);
+        CREATE VIEW v as
+            SELECT ck, seg FROM cust c
+            WHERE EXISTS (SELECT 1 FROM ord WHERE ord.oc = c.ck)
+              AND NOT EXISTS (SELECT 1 FROM ret WHERE ret.rc = c.ck)
+              AND ck NOT IN (SELECT rk FROM ret WHERE rc > 900);
+    """)
+    assert eng.view_strategy("v") == "multi_subquery"
+    batch = """SELECT ck, seg FROM cust c
+        WHERE EXISTS (SELECT 1 FROM ord WHERE ord.oc = c.ck)
+          AND NOT EXISTS (SELECT 1 FROM ret WHERE ret.rc = c.ck)
+          AND ck NOT IN (SELECT rk FROM ret WHERE rc > 900)"""
+
+    def check(tag):
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("v").collect())
+        assert got == want, (tag, got, want)
+
+    C, O, R = ("ck long, seg string", "ok long, oc long",
+               "rk long, rc long")
+    eng.push("cust", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], C))
+    eng.push("ord", spark.createDataFrame([(10, 1), (11, 2), (12, 3)], O))
+    eng.push("ret", spark.createDataFrame([(2, 2), (4, 999)], R))
+    eng.step(); check("insert")
+    # one tick touching two different inners in opposite directions
+    eng.push("ret", spark.createDataFrame([(2, 2)], R), weight=-1)
+    eng.push("ord", spark.createDataFrame([(13, 4)], O))
+    eng.step(); check("retract return + new order")
+    # outer-delta-free, single-inner tick: the touched row must still
+    # re-evaluate the OTHER terms against their full key groups
+    eng.push("ord", spark.createDataFrame([(10, 1)], O), weight=-1)
+    eng.step(); check("retract only order of 1")
+    eng.push("ret", spark.createDataFrame([(3, 950)], R))
+    eng.step(); check("rk=3 joins the NOT IN set, kills ck=3")
+    eng.push("cust", spark.createDataFrame([(5, "e")], C))
+    eng.push("ord", spark.createDataFrame([(14, 5)], O))
+    eng.step(); check("new customer + order in one tick")
