@@ -5466,6 +5466,75 @@ def q129_sql_engine_partition_window_desc(spark, sf_dir):
         "next_value_c")
 
 
+@register("q130_sql_engine_multi_inner_filters", oracle="""
+WITH od AS (SELECT * FROM orders
+            WHERE NOT (o_custkey % 7 = 0 AND o_orderstatus = 'F'))
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM od
+              WHERE o_custkey = c.c_custkey
+                AND o_orderstatus = 'F')
+  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_3', 'NATION_7',
+                                           'NATION_11'))
+""")
+def q130_sql_engine_multi_inner_filters(spark, sf_dir):
+    """Subquery filter terms over DIFFERENT inner tables in one WHERE —
+    a correlated EXISTS probing orders beside a NOT IN probing nation
+    on a different key — maintained by the general multi-inner
+    restriction (r8 `_MultiSubqueryFilterMaintainer`; the reference
+    compiles each term to its own semijoin/antijoin node, semijoin.rs /
+    join.rs:338).  Ticks: split inserts, a retraction of every
+    customer's qualifying F-orders for half the custkeys (EXISTS flips
+    off), and a retraction of one embargoed nation row (its customers
+    re-qualify through the NOT IN)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_mktsegment VARCHAR,
+                               c_nationkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_orderstatus VARCHAR);
+        CREATE TABLE nation (n_nationkey BIGINT NOT NULL,
+                             n_name VARCHAR);
+        CREATE VIEW q as
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderstatus = 'F')
+              AND c_nationkey NOT IN (
+                  SELECT n_nationkey FROM nation
+                  WHERE n_name IN ('NATION_3', 'NATION_7',
+                                   'NATION_11'));
+    """)
+    assert eng.view_strategy("q") == "multi_subquery"
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        if i == 0:
+            eng.push("nation", n.unionByName(
+                spark.createDataFrame([(97, "NATION_3")],
+                                      "n_nationkey long, n_name string")))
+        eng.step()
+    # EXISTS flips off for custkeys % 7 == 0; one embargo row retracts
+    # (the duplicate NATION_3 under key 97 — its customers, none, and
+    # the NOT IN set both update through the inner delta)
+    eng.push("orders",
+             o.filter((F.col("o_custkey") % 7 == 0)
+                      & (F.col("o_orderstatus") == "F")), weight=-1)
+    eng.push("nation", spark.createDataFrame(
+        [(97, "NATION_3")], "n_nationkey long, n_name string"),
+        weight=-1)
+    eng.step()
+    return eng.view("q")
+
+
 @register("q128_sql_engine_tpch_q21_verbatim", oracle="""
 WITH li AS (SELECT l_orderkey, l_suppkey,
                    CAST((l_orderkey * 7 + l_suppkey) % 13 AS BIGINT)

@@ -3116,35 +3116,39 @@ def _parse_exists_inner(eng: "Engine", subq: re.Match, ot: str, oa: str,
         return None
     if _mixed_top_and_or(sm.group("icond")):
         return None
+    def _side(tok: str) -> tuple[str, str] | None:
+        """Resolve one equality operand to ('inner'|'outer', col) —
+        qualified by either alias, or bare with SQL scoping (an
+        inner-owned name resolves inner; only a name absent from the
+        inner can reach out to the outer row)."""
+        tok = tok.strip()
+        if "." in tok:
+            q, c = tok.split(".", 1)
+            q, c = q.lower(), c.lower()
+            if q == ia and c in icols:
+                return ("inner", c)
+            if q == oa and c in ocols:
+                return ("outer", c)
+            return None
+        c = tok.lower()
+        if c in icols:
+            return ("inner", c)
+        if c in ocols:
+            return ("outer", c)
+        return None
+
     okeys, ikeys = [], []
     for term in _split_top_and(sm.group("icond")):
-        pm = _EQ_PAIR.match(term)
-        if pm:
-            q1, c1, q2, c2 = pm.groups()
-            q1, q2 = q1.lower(), q2.lower()
-            if q1 == ia and q2 == oa:
-                ikeys.append(c1)
-                okeys.append(c2)
-                continue
-            if q1 == oa and q2 == ia:
-                okeys.append(c1)
-                ikeys.append(c2)
-                continue
-        # BARE correlation (verbatim TPC-H q4/q21 style:
-        # `l_orderkey = o_orderkey`): schema-attribute each side —
-        # SQL scoping resolves an inner-owned name to the inner
-        # table, so only a name absent from the inner can reach out
-        bm2 = re.match(r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)$",
-                       term.strip())
-        if bm2:
-            b1, b2 = bm2.group(1).lower(), bm2.group(2).lower()
-            if b1 in icols and b2 not in icols and b2 in ocols:
-                ikeys.append(b1)
-                okeys.append(b2)
-                continue
-            if b2 in icols and b1 not in icols and b1 in ocols:
-                ikeys.append(b2)
-                okeys.append(b1)
+        em2 = re.match(r"^([\w.]+)\s*=\s*([\w.]+)$", term.strip())
+        if em2:
+            s1, s2 = _side(em2.group(1)), _side(em2.group(2))
+            # any qualified/bare mix works (verbatim TPC-H q4's bare
+            # `l_orderkey = o_orderkey`, q130's `o_custkey =
+            # c.c_custkey`) as long as one side is inner, one outer
+            if s1 and s2 and {s1[0], s2[0]} == {"inner", "outer"}:
+                inn, out = (s1, s2) if s1[0] == "inner" else (s2, s1)
+                ikeys.append(inn[1])
+                okeys.append(out[1])
                 continue
         # a non-correlation residual may reference the inner alone or
         # BOTH sides (mixed inequality residuals); outer-only residuals
