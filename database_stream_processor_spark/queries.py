@@ -5659,6 +5659,7 @@ _WINDOW_ORDER = [
     "q127_sql_engine_tpch_q16_verbatim",
     "q128_sql_engine_tpch_q21_verbatim",
     "q129_sql_engine_partition_window_desc",
+    "q130_sql_engine_multi_inner_filters",
     # priority 2: the 10 queries whose last driver row is ROUND 4 —
     # the stalest rows in the registry (r7 VERDICT gap #2)
     "q38_incremental_distinct",
@@ -5673,14 +5674,15 @@ _WINDOW_ORDER = [
     "q53_differentiate_snapshots",
     # priority 3: round-5-era rows — the whole q63-q95 operator band
     # plus the nexmark entries whose operator coverage has no fresher
-    # sibling.  (11 r5 nexmark variants — nx_q01/02/03/13/14/15/16/18/
-    # 20/21/22, each a projection/stat variant of an r6/r7-green
-    # sibling — wait for the r9 window; replica-checked meanwhile.)
+    # sibling.  (Deferred to the r9 window, replica-checked meanwhile:
+    # the 11 r5 nexmark variants nx_q01/02/03/13/14/15/16/18/20/21/22 —
+    # each a projection/stat variant of an r6/r7-green sibling — and
+    # q63_sql_engine_minmax_view, whose MIN/MAX coverage has the fresh
+    # r7 nx_q17 row.)
     "nx_q00_passthrough",
     "nx_q05_hot_items",
     "nx_q07_highest_bid",
     "nx_q08_monitor_new_users",
-    "q63_sql_engine_minmax_view",
     "q64_weigh_weighted_count",
     "q65_z1_delay",
     "q66_apply2_except",
