@@ -3591,3 +3591,59 @@ def test_multi_subquery_filters_different_inners(spark):
     eng.push("cust", spark.createDataFrame([(5, "e")], C))
     eng.push("ord", spark.createDataFrame([(14, 5)], O))
     eng.step(); check("new customer + order in one tick")
+
+
+def test_multi_subquery_randomized_tick_equivalence(spark):
+    """Seeded-random delta sequences against the multi-inner subquery
+    maintainer: six ticks of mixed inserts and retractions (only of
+    rows previously inserted) across all three tables, the view
+    compared to Spark's batch evaluation of the original text after
+    EVERY tick — exercises outer-only, inner-only, and mixed-delta
+    restriction paths far beyond the hand-written scenarios."""
+    import random
+    rng = random.Random(88)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cu (ck BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE oo (ok BIGINT NOT NULL, oc BIGINT);
+        CREATE TABLE rr (rk BIGINT NOT NULL, rv BIGINT NOT NULL);
+        CREATE VIEW mv as
+            SELECT ck, v FROM cu c
+            WHERE EXISTS (SELECT 1 FROM oo WHERE oo.oc = c.ck)
+              AND NOT EXISTS (SELECT 1 FROM rr
+                              WHERE rr.rk = c.ck AND rr.rv > 5)
+              AND ck NOT IN (SELECT rk FROM rr WHERE rv = 0);
+    """)
+    assert eng.view_strategy("mv") == "multi_subquery"
+    batch = """SELECT ck, v FROM cu c
+        WHERE EXISTS (SELECT 1 FROM oo WHERE oo.oc = c.ck)
+          AND NOT EXISTS (SELECT 1 FROM rr
+                          WHERE rr.rk = c.ck AND rr.rv > 5)
+          AND ck NOT IN (SELECT rk FROM rr WHERE rv = 0)"""
+    schemas = {"cu": "ck long, v long", "oo": "ok long, oc long",
+               "rr": "rk long, rv long"}
+    live = {"cu": [], "oo": [], "rr": []}
+
+    def gen(tbl):
+        if tbl == "cu":
+            return (rng.randint(0, 9), rng.randint(0, 99))
+        if tbl == "oo":
+            return (rng.randint(0, 99), rng.randint(0, 9))
+        return (rng.randint(0, 9), rng.choice([0, 1, 4, 6, 9]))
+
+    for tick in range(6):
+        n_ops = rng.randint(1, 4)
+        for _ in range(n_ops):
+            tbl = rng.choice(["cu", "oo", "rr"])
+            if live[tbl] and rng.random() < 0.4:
+                row = live[tbl].pop(rng.randrange(len(live[tbl])))
+                eng.push(tbl, spark.createDataFrame([row], schemas[tbl]),
+                         weight=-1)
+            else:
+                row = gen(tbl)
+                live[tbl].append(row)
+                eng.push(tbl, spark.createDataFrame([row], schemas[tbl]))
+        eng.step()
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("mv").collect())
+        assert got == want, (tick, got, want)
