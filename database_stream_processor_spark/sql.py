@@ -3160,6 +3160,146 @@ def _parse_exists_inner(eng: "Engine", subq: re.Match, ot: str, oa: str,
     return it, okeys, ikeys
 
 
+def _filter_subquery_join_inner(eng: "Engine", name: str, flat: str):
+    """[NOT] EXISTS terms whose body is a JOIN chain — ``… WHERE EXISTS
+    (SELECT 1 FROM a JOIN b ON … WHERE corr AND inner-preds)`` under a
+    non-aggregate outer filter (the reference decorrelates these into a
+    semijoin against the inner join's output, semijoin.rs): pre-lower
+    each such body's join to a hidden maintained view projecting
+    exactly the columns the correlation terms reference (inner-only
+    predicates push into the view), rewrite the term to probe the view,
+    and re-lower the whole statement — the ordinary subquery-filter
+    maintainers then see a single-table inner.  EXISTS has membership
+    semantics, so probing the join's projection is exact."""
+    m = _SUBQ_OUTER_RE.match(flat)
+    if m is None:
+        raise _UnloweredShape("not an outer filter")
+    ot = m.group("ot").lower()
+    if not (ot in eng.tables or ot in eng.views
+            or ot in eng._maintainers):
+        raise _UnloweredShape(ot)
+    oa = (m.group("oa") or m.group("ot")).lower()
+    ocols = {f.name.lower()
+             for f in _source_rows0(eng, ot).schema.fields}
+    if _mixed_top_and_or(m.group("body")):
+        raise _UnloweredShape("mixed top-level AND/OR")
+    new_terms, in_views = [], []
+    for term in _split_top_and(m.group("body")):
+        em = _EXISTS_TERM.match(term)
+        if not em:
+            new_terms.append(term)
+            continue
+        ip = _split_select_from(em.group("inner").strip())
+        if ip is None:
+            new_terms.append(term)
+            continue
+        ifrom, ipred = _split_where(ip[1])
+        chain = _parse_aliased_chain(ifrom)
+        if (chain is None or any(kw != "JOIN" for _, _, kw in chain[1:])
+                or any(t not in eng.tables and t not in eng.views
+                       and t not in eng._maintainers
+                       for t, _, _ in chain)
+                or any(a == oa for _, a, _ in chain)):
+            new_terms.append(term)
+            continue
+        cols_of = {a: {c.lower() for c in _source_rows0(eng, t).columns}
+                   for t, a, _ in chain}
+
+        def iowner(c: str) -> str | None:
+            owners = [a for a in cols_of if c.lower() in cols_of[a]]
+            return owners[0] if len(owners) == 1 else None
+
+        if ipred is None or _mixed_top_and_or(ipred):
+            new_terms.append(term)
+            continue
+        corr, inner_only, needed, ok = [], [], set(), True
+        for p in _split_top_and(ipred):
+            scan = re.sub(r"'[^']*'", " ", p)
+            refs_outer = bool(re.search(rf"\b{oa}\s*\.", scan,
+                                        re.IGNORECASE))
+            for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])",
+                                  scan):
+                c = bm.group(1).lower()
+                pre = scan[:bm.start()].rstrip()
+                if c in _SQL_KEYWORDS or pre.endswith("."):
+                    continue
+                if iowner(c) is None and c in ocols:
+                    refs_outer = True
+            if refs_outer:
+                corr.append(p)
+            else:
+                inner_only.append(p)
+        if not corr:
+            new_terms.append(term)       # uncorrelated: keep fallback
+            continue
+        # correlation terms: claim every chain column they reference,
+        # strip chain-alias qualifiers (bare in the hidden view); bail
+        # on a bare name owned by BOTH sides (scoping would flip)
+        rewritten_corr = []
+        for p in corr:
+            scan = re.sub(r"'[^']*'", " ", p)
+            for qm in re.finditer(
+                    r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b", scan):
+                a, c = qm.group(1).lower(), qm.group(2).lower()
+                if a == oa:
+                    continue
+                if a not in cols_of or c not in cols_of[a] \
+                        or iowner(c) is None:
+                    ok = False
+                    break
+                needed.add(c)
+            if not ok:
+                break
+            for bm in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*[(.])",
+                                  scan):
+                c = bm.group(1).lower()
+                pre = scan[:bm.start()].rstrip()
+                if c in _SQL_KEYWORDS or pre.endswith("."):
+                    continue
+                a = iowner(c)
+                if a is not None:
+                    if c in ocols:
+                        ok = False   # ambiguous between sides
+                        break
+                    needed.add(c)
+            if not ok:
+                break
+            rp = p
+            for a in cols_of:
+                rp = _sub_outside_literals(rf"\b{a}\s*\.\s*", "", rp,
+                                           re.IGNORECASE)
+            rewritten_corr.append(rp)
+        if not ok or not needed:
+            new_terms.append(term)
+            continue
+        hname = f"__{name}_x{len(in_views)}"
+        hsql = (f"SELECT {', '.join(f'{iowner(c)}.{c}' for c in sorted(needed))} "
+                f"FROM {ifrom}")
+        if inner_only:
+            hsql += " WHERE " + " AND ".join(inner_only)
+        in_views.append((hname, hsql))
+        neg = "NOT " if em.group("neg") else ""
+        new_terms.append(f"{neg}EXISTS (SELECT 1 FROM {hname} WHERE "
+                         + " AND ".join(rewritten_corr) + ")")
+    if not in_views:
+        raise _UnloweredShape("no join-bodied EXISTS term")
+    outer_ref = m.group("ot") + (f" {m.group('oa')}" if m.group("oa")
+                                 else "")
+    final = (f"SELECT {m.group('sel')} FROM {outer_ref} WHERE "
+             + " AND ".join(new_terms))
+    registered: list[str] = []
+    try:
+        for hname, hsql in in_views:
+            _register_hidden(eng, hname, hsql, registered)
+        fm = _lower_view(eng, name, final)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("rewritten filter snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
     """Recognize ``SELECT … FROM outer WHERE [pre AND] [NOT] EXISTS
     (SELECT … FROM inner WHERE corr [AND ipred]) [AND post]`` and the
@@ -5902,6 +6042,13 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             else:
                 ctor = _SubqueryFilterMaintainer
             r = _try(ctor, eng, name, flat, spec)
+            if r is not None:
+                return r
+        elif re.search(r"\bEXISTS\b", flat, re.IGNORECASE) \
+                and re.search(r"\bJOIN\b", flat, re.IGNORECASE):
+            # EXISTS bodies that are JOIN chains: pre-lower each body's
+            # join to a hidden view, then re-lower through the matcher
+            r = _try(_filter_subquery_join_inner, eng, name, flat)
             if r is not None:
                 return r
     if (re.search(r"\(\s*SELECT", flat, re.IGNORECASE)

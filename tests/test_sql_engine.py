@@ -3647,3 +3647,49 @@ def test_multi_subquery_randomized_tick_equivalence(spark):
         want = sorted(tuple(r) for r in spark.sql(batch).collect())
         got = sorted(tuple(r) for r in eng.view("mv").collect())
         assert got == want, (tick, got, want)
+
+
+def test_exists_with_join_chain_body(spark):
+    """[NOT] EXISTS whose body is a JOIN chain — ``NOT EXISTS (SELECT 1
+    FROM ord o JOIN li l ON l.lk = o.ok WHERE o.oc = c.ck AND l.flag >
+    0)`` — pre-lowers the body's join to a hidden maintained view
+    (inner-only predicates pushed in, correlated columns projected) and
+    probes it through the subquery-filter machinery; deltas to EITHER
+    joined table flip the verdicts."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE cust (ck BIGINT NOT NULL, seg VARCHAR);
+        CREATE TABLE ord (ok BIGINT NOT NULL, oc BIGINT);
+        CREATE TABLE li (lk BIGINT NOT NULL, flag BIGINT);
+        CREATE VIEW v as
+            SELECT ck, seg FROM cust c
+            WHERE NOT EXISTS (SELECT 1 FROM ord o
+                              JOIN li l ON l.lk = o.ok
+                              WHERE o.oc = c.ck AND l.flag > 0)
+              AND EXISTS (SELECT 1 FROM ord o2 WHERE o2.oc = c.ck);
+    """)
+    assert eng.view_strategy("v") == "multi_subquery"
+    assert eng.view_strategy("__v_x0") == "join"
+    batch = """SELECT ck, seg FROM cust c
+        WHERE NOT EXISTS (SELECT 1 FROM ord o JOIN li l ON l.lk = o.ok
+                          WHERE o.oc = c.ck AND l.flag > 0)
+          AND EXISTS (SELECT 1 FROM ord o2 WHERE o2.oc = c.ck)"""
+
+    def check(tag):
+        want = sorted(tuple(r) for r in spark.sql(batch).collect())
+        got = sorted(tuple(r) for r in eng.view("v").collect())
+        assert got == want, (tag, got, want)
+
+    C, O, L = ("ck long, seg string", "ok long, oc long",
+               "lk long, flag long")
+    eng.push("cust", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], C))
+    eng.push("ord", spark.createDataFrame([(10, 1), (11, 2), (12, 3)], O))
+    eng.push("li", spark.createDataFrame([(10, 1), (11, 0)], L))
+    eng.step(); check("insert")
+    eng.push("li", spark.createDataFrame([(11, 5)], L))
+    eng.step(); check("order gains a flagged line via the join")
+    eng.push("li", spark.createDataFrame([(10, 1)], L), weight=-1)
+    eng.step(); check("flagged line retracted")
+    eng.push("ord", spark.createDataFrame([(12, 3)], O), weight=-1)
+    eng.step(); check("only order retracted")
