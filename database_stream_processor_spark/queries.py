@@ -5636,6 +5636,307 @@ def q128_sql_engine_tpch_q21_verbatim(spark, sf_dir):
     return eng.view("q21")
 
 
+@register("q131_sql_engine_tpch_q6_typed", oracle="""
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2))*100 AS HUGEINT)
+                * CAST(CAST(l_discount AS DECIMAL(15,2))*100 AS HUGEINT))
+            AS BIGINT) AS revenue_u
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01' + INTERVAL '1' YEAR
+  AND CAST(l_discount AS DECIMAL(15,2)) BETWEEN 0.05 AND 0.07
+  AND CAST(l_quantity AS DECIMAL(15,2)) < 24
+  AND l_orderkey % 9 <> 0
+""")
+def q131_sql_engine_tpch_q6_typed(spark, sf_dir):
+    """The PUBLISHED TPC-H q6 text over REAL column types — ``l_shipdate
+    DATE``, money as ``DECIMAL(15,2)`` — with the verbatim
+    ``date '1995-01-01' + interval '1' year`` calendar arithmetic and
+    decimal BETWEEN predicates (q123 proved the same text over BIGINT
+    cents; this row proves the maintainer's partial sums stay EXACT in
+    the decimal domain and the DATE predicates fold).  Lowers to the
+    global (sum, count) running partial.  Reference DDL precedent:
+    demo/project_demo02-FraudDetection/project.sql:1-28 declares
+    TIMESTAMP/NUMERIC columns.  Canonicalization happens only at
+    compare time (revenue → exact 1e-4 fixed-point BIGINT).  Two
+    insert ticks, then a retraction of every 9th order's lineitems."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE lineitem (l_shipdate DATE,
+                               l_extendedprice DECIMAL(15,2),
+                               l_discount DECIMAL(15,2),
+                               l_quantity DECIMAL(15,2));
+        CREATE VIEW q6 as
+            select sum(l_extendedprice * l_discount) as revenue
+            from lineitem
+            where l_shipdate >= date '1995-01-01'
+              and l_shipdate < date '1995-01-01' + interval '1' year
+              and l_discount between 0.05 and 0.07
+              and l_quantity < 24;
+    """)
+    assert eng.view_strategy("q6") == "global_agg"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        F.col("l_extendedprice").cast("decimal(15,2)")
+         .alias("l_extendedprice"),
+        F.col("l_discount").cast("decimal(15,2)").alias("l_discount"),
+        F.col("l_quantity").cast("decimal(15,2)").alias("l_quantity"))
+    for i in range(2):
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 9 == 0)
+                           .drop("l_orderkey"), weight=-1)
+    eng.step()
+    return eng.view("q6").select(
+        (F.col("revenue") * 10000).cast("long").alias("revenue_u"))
+
+
+@register("q132_sql_engine_tpch_q1_typed", oracle="""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(CAST(l_quantity AS DECIMAL(15,2))*100 AS HUGEINT) AS qc,
+         CAST(CAST(l_extendedprice AS DECIMAL(15,2))*100 AS HUGEINT) AS pc,
+         CAST(CAST(l_discount AS DECIMAL(15,2))*100 AS HUGEINT) AS dc,
+         CAST(CAST(l_tax AS DECIMAL(15,2))*100 AS HUGEINT) AS tc
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-12-01' - INTERVAL '90' DAY
+    AND l_orderkey % 11 <> 0)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qc) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(pc) AS BIGINT) AS sum_base_price_c,
+       CAST(SUM(pc * (100 - dc)) AS BIGINT) AS sum_disc_price_u,
+       CAST(SUM(pc * (100 - dc) * (100 + tc)) AS BIGINT) AS sum_charge_u,
+       CAST((2 * SUM(qc) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS avg_qty_u,
+       CAST((2 * SUM(pc) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS avg_price_u,
+       CAST((2 * SUM(dc) * 10000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS avg_disc_u,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM li GROUP BY l_returnflag, l_linestatus
+""")
+def q132_sql_engine_tpch_q1_typed(spark, sf_dir):
+    """The PUBLISHED TPC-H q1 text over REAL column types: ``l_shipdate
+    DATE`` with the verbatim ``date '1998-12-01' - interval '90' day``
+    predicate, quantities/prices/rates as ``DECIMAL(15,2)`` (q122
+    proved this text over BIGINT cents).  Every SUM partial is exact
+    decimal arithmetic end-to-end (sum_charge carries scale 6 through
+    the two-product expression); the three AVGs are (sum, count)
+    semigroups whose final division Spark rounds HALF_UP at scale 6 —
+    the oracle reproduces that rounding with exact integer arithmetic
+    ((2·S·10⁴ + n) // 2n over HUGEINT cents), so the compare is
+    bit-exact with NO float rounding anywhere.  Compare-time
+    canonicalization only: fixed-point BIGINT per column.  Final tick
+    retracts every 11th order's lineitems."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE lineitem (l_returnflag VARCHAR,
+                               l_linestatus VARCHAR,
+                               l_quantity DECIMAL(15,2),
+                               l_extendedprice DECIMAL(15,2),
+                               l_discount DECIMAL(15,2),
+                               l_tax DECIMAL(15,2),
+                               l_shipdate DATE);
+        CREATE VIEW q1 as
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity) as sum_qty,
+                   sum(l_extendedprice) as sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount))
+                       as sum_disc_price,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                       as sum_charge,
+                   avg(l_quantity) as avg_qty,
+                   avg(l_extendedprice) as avg_price,
+                   avg(l_discount) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= date '1998-12-01' - interval '90' day
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus;
+    """)
+    assert eng.view_strategy("q1") == "linear_agg"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("decimal(15,2)").alias("l_quantity"),
+        F.col("l_extendedprice").cast("decimal(15,2)")
+         .alias("l_extendedprice"),
+        F.col("l_discount").cast("decimal(15,2)").alias("l_discount"),
+        F.col("l_tax").cast("decimal(15,2)").alias("l_tax"),
+        F.col("l_shipdate").cast("date").alias("l_shipdate"))
+    for i in range(2):
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 11 == 0)
+                           .drop("l_orderkey"), weight=-1)
+    eng.step()
+    return eng.view("q1").select(
+        "l_returnflag", "l_linestatus",
+        (F.col("sum_qty") * 100).cast("long").alias("sum_qty_c"),
+        (F.col("sum_base_price") * 100).cast("long")
+            .alias("sum_base_price_c"),
+        (F.col("sum_disc_price") * 10000).cast("long")
+            .alias("sum_disc_price_u"),
+        (F.col("sum_charge") * 1000000).cast("long")
+            .alias("sum_charge_u"),
+        (F.col("avg_qty") * 1000000).cast("long").alias("avg_qty_u"),
+        (F.col("avg_price") * 1000000).cast("long").alias("avg_price_u"),
+        (F.col("avg_disc") * 1000000).cast("long").alias("avg_disc_u"),
+        F.col("count_order").cast("long").alias("count_order"))
+
+
+@register("q133_sql_engine_tpch_q3_typed", oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(15,2))*100 AS HUGEINT) AS pc,
+         CAST(CAST(l_discount AS DECIMAL(15,2))*100 AS HUGEINT) AS dc,
+         CAST(l_shipdate AS DATE) AS l_shipdate
+  FROM lineitem WHERE l_orderkey % 9 <> 0),
+od AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE)
+           AS o_orderdate, o_orderpriority FROM orders)
+SELECT l_orderkey,
+       CAST(SUM(pc * (100 - dc)) AS BIGINT) AS revenue_u,
+       CAST(DATEDIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS o_orderdate,
+       o_orderpriority
+FROM customer, od, li
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1996-03-15' AND l_shipdate > DATE '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_u DESC, o_orderdate, l_orderkey LIMIT 10
+""")
+def q133_sql_engine_tpch_q3_typed(spark, sf_dir):
+    """TPC-H q3 over REAL column types — the full published text
+    including the DATE predicates q112 had to drop (``o_orderdate <
+    date '1996-03-15'``, ``l_shipdate > date '1996-03-15'``) and
+    ``sum(l_extendedprice * (1 - l_discount))`` in the DECIMAL domain
+    (o_orderpriority stands in for the testdata's missing
+    o_shippriority; l_orderkey tiebreak for deterministic top-10).
+    This is the proof that DECIMAL partials and DATE filters survive
+    the HIDDEN-VIEW stack: comma-normalization → multilinear join
+    aggregate (``__q3_pre``) → global top-k over its delta.  Compare-
+    time canonicalization only (revenue → 1e-4 fixed-point, date →
+    days since epoch).  Final tick retracts every 9th order's
+    lineitems, demoting some top rows."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_mktsegment VARCHAR);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT, o_orderdate DATE,
+                             o_orderpriority VARCHAR);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_shipdate DATE,
+                               l_extendedprice DECIMAL(15,2),
+                               l_discount DECIMAL(15,2));
+        CREATE VIEW q3 as
+            select l_orderkey,
+                   sum(l_extendedprice * (1 - l_discount)) as revenue,
+                   o_orderdate, o_orderpriority
+            from customer, orders, lineitem
+            where c_mktsegment = 'BUILDING' and c_custkey = o_custkey
+              and l_orderkey = o_orderkey
+              and o_orderdate < date '1996-03-15'
+              and l_shipdate > date '1996-03-15'
+            group by l_orderkey, o_orderdate, o_orderpriority
+            order by revenue desc, o_orderdate, l_orderkey limit 10;
+    """)
+    assert eng.view_strategy("q3") == "global_topk"
+    assert eng.view_strategy("__q3_pre") == "multi_join_agg"
+    c = load(spark, sf_dir, "customer").select("c_custkey",
+                                               "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        F.col("l_extendedprice").cast("decimal(15,2)")
+         .alias("l_extendedprice"),
+        F.col("l_discount").cast("decimal(15,2)").alias("l_discount"))
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("q3").select(
+        "l_orderkey",
+        (F.col("revenue") * 10000).cast("long").alias("revenue_u"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+         .cast("long").alias("o_orderdate"),
+        "o_orderpriority")
+
+
+@register("q134_sql_rolling_features_timestamp", oracle="""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ut,
+         CAST(CAST(value AS DECIMAL(15,2))*100 AS BIGINT) AS ac
+  FROM events)
+SELECT user_id, event_id, ut,
+       CAST(SUM(ac) OVER (PARTITION BY user_id ORDER BY ut
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sum_1h_c,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ut
+           RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS freq_pw
+FROM ev
+""")
+def q134_sql_rolling_features_timestamp(spark, sf_dir):
+    """The demo02 fraud-features rolling shape over a REAL ``ts
+    TIMESTAMP`` ORDER BY column and ``DECIMAL(15,2)`` values with
+    ``INTERVAL`` frame bounds — the reference's actual DDL surface
+    (demo/project_demo02-FraudDetection/project.sql:1-53 declares
+    TIMESTAMP + NUMERIC and frames in interval units; q92 proved the
+    same lowering over epoch BIGINTs).  The maintainer derives
+    epoch-second longs from the TIMESTAMP internally (frames evaluate
+    at second resolution) and the DECIMAL sum partials stay exact.
+    Lowers to PartitionedRollingAggregateLinearOp, never snapshot-diff.
+    Insert ticks then a retract/re-insert round; canonicalization
+    (epoch seconds, cents) at compare time only."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (event_id BIGINT NOT NULL, user_id BIGINT,
+                         ts TIMESTAMP NOT NULL, amount DECIMAL(15,2));
+        CREATE VIEW feat as
+            SELECT user_id, event_id, ts,
+                SUM(amount) OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                              AND CURRENT ROW) AS sum_1h,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL '604800' SECOND PRECEDING
+                              AND INTERVAL '1' SECOND PRECEDING)
+                    AS freq_pw
+            FROM ev;
+    """)
+    assert eng.view_strategy("feat") == "rolling"
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.col("value").cast("decimal(15,2)").alias("amount"))
+    for i in range(2):
+        eng.push("ev", e.filter(F.col("event_id") % 2 == i))
+        eng.step()
+    b0 = e.filter(F.col("event_id") % 3 == 0)
+    eng.push("ev", b0, weight=-1)
+    eng.step()
+    eng.push("ev", b0)
+    eng.step()
+    return eng.view("feat").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ut"),
+        (F.col("sum_1h") * 100).cast("long").alias("sum_1h_c"),
+        F.col("freq_pw").cast("long").alias("freq_pw"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -5653,67 +5954,70 @@ from database_stream_processor_spark import nexmark  # noqa: E402,F401
 # --------------------------------------------------------------------- #
 
 _WINDOW_ORDER = [
-    # round-8 priority 1: this round's additions (never driver-checked)
-    # — the last three verbatim TPC-H texts + the DESC partition window
-    "q126_sql_engine_tpch_q18_verbatim",
-    "q127_sql_engine_tpch_q16_verbatim",
-    "q128_sql_engine_tpch_q21_verbatim",
-    "q129_sql_engine_partition_window_desc",
-    "q130_sql_engine_multi_inner_filters",
-    # priority 2: the 10 queries whose last driver row is ROUND 4 —
-    # the stalest rows in the registry (r7 VERDICT gap #2)
-    "q38_incremental_distinct",
-    "q40_scalar_functions",
-    "q41_full_outer_default",
-    "q46_ivf_topk",
-    "q47_cosine_near_dup",
-    "q49_window_contents",
-    "q50_stream_fold",
-    "q51_monotonic_stream_join",
-    "q52_set_input",
-    "q53_differentiate_snapshots",
-    # priority 3: round-5-era rows — the whole q63-q95 operator band
-    # plus the nexmark entries whose operator coverage has no fresher
-    # sibling.  (Deferred to the r9 window, replica-checked meanwhile:
-    # the 11 r5 nexmark variants nx_q01/02/03/13/14/15/16/18/20/21/22 —
-    # each a projection/stat variant of an r6/r7-green sibling — and
-    # q63_sql_engine_minmax_view, whose MIN/MAX coverage has the fresh
-    # r7 nx_q17 row.)
-    "nx_q00_passthrough",
-    "nx_q05_hot_items",
-    "nx_q07_highest_bid",
-    "nx_q08_monitor_new_users",
-    "q64_weigh_weighted_count",
-    "q65_z1_delay",
-    "q66_apply2_except",
-    "q67_gather_inspect",
-    "q68_iterate_until_depth",
-    "q69_csv_source_roundtrip",
-    "q70_generator_stream_input",
-    "q71_http_transport_roundtrip",
-    "q72_indexed_input_shard",
-    "q73_sql_engine_layered_having",
-    "q74_same_generation",
-    "q75_sql_engine_left_join",
-    "q76_sql_engine_join_agg_view",
-    "q78_sql_engine_distinct_full_join",
-    "q79_sql_engine_exists_filter",
-    "q80_sql_engine_topk_view",
-    "q81_dedup_cluster_assignment",
-    "q82_sql_engine_multijoin",
-    "q83_sql_engine_distinct_agg",
-    "q84_sql_engine_star_agg",
-    "q85_sql_engine_global_topk",
-    "q86_streaming_sql_engine",
-    "q87_sql_engine_setops",
-    "q88_multimodal_audio_chunks",
-    "q89_deterministic_split_sample",
-    "q90_sql_engine_incremental_dedup",
-    "q91_embedding_quantize",
-    "q92_sql_rolling_features",
-    "q93_png_decode_real",
-    "q94_wav_chunks_real",
-    "q95_sql_lag_sequence_features",
+    # round-9 priority 1: this round's additions (never driver-checked)
+    # — the DATE/DECIMAL-typed verbatim TPC-H rows (the r8 verdict's top
+    # ask: no prior driver row exercised real DATE/DECIMAL columns) and
+    # the TIMESTAMP/INTERVAL-framed rolling-feature view.
+    "q131_sql_engine_tpch_q6_typed",
+    "q132_sql_engine_tpch_q1_typed",
+    "q133_sql_engine_tpch_q3_typed",
+    "q134_sql_rolling_features_timestamp",
+    # round-9 priority 2: the 12 rows whose latest driver evidence is
+    # round 5 (nexmark batch variants + the MIN/MAX view).
+    "nx_q01_currency",
+    "nx_q02_selection",
+    "nx_q03_local_item_suggestion",
+    "nx_q13_side_input_join",
+    "nx_q14_calculation",
+    "nx_q15_bidding_statistics",
+    "nx_q16_channel_statistics",
+    "nx_q18_find_last_bid",
+    "nx_q20_expand_bid_with_auction",
+    "nx_q21_add_channel_id",
+    "nx_q22_get_url_directories",
+    "q63_sql_engine_minmax_view",
+    # round-9 priority 3: 34 of the 42 round-6-era rows — everything
+    # except the 8 whose component has a fresher sibling row (deferred,
+    # replica-checked meanwhile: nx_q04_inc_avg_closing /
+    # nx_q07_inc_highest_bid / nx_q18_inc_last_bid share operators with
+    # their windowed siblings; nx_q19 with the q15/q80 top-k rows;
+    # nx_q09 with the as-of/monotonic-join rows; q30 is the labeled
+    # brute-force baseline superseded by q46/q47; q36 multimodal is
+    # covered by q60/q61/q88/q93/q94; q21 rolling by q42/q48/q92/q134).
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q05_supplier_volume",
+    "q06_forecast_revenue",
+    "q08_active_suppliers",
+    "q09_nation_customer_counts",
+    "q10_signup_to_purchase",
+    "q11_distinct_parts_per_flag",
+    "q14_order_date_parts",
+    "q15_topk_orders_per_priority",
+    "q16_acctbal_extremes",
+    "q17_union_except_intersect",
+    "q19_tumbling_window",
+    "q20_hopping_window",
+    "q24_latest_state_per_key",
+    "q35_fingerprint_dedup",
+    "q37_incremental_revenue",
+    "q39_transitive_closure",
+    "q42_incremental_rolling",
+    "q44_incremental_closure",
+    "q45_fold_latest_event",
+    "q48_rolling_linear",
+    "q57_fold_topk_prices",
+    "q58_circuit_revenue",
+    "q96_sql_engine_rollup",
+    "q97_token_chunking",
+    "q98_sql_engine_setops_all",
+    "q100_sql_engine_nullable_not_in",
+    "q105_sql_engine_tpch_q20",
+    "q108_sql_engine_tpch_q2",
+    "q109_sql_engine_tpch_q22_one_view",
+    "nx_q04_avg_closing_price",
+    "nx_q06_avg_selling_price_by_seller",
+    "nx_q12_processing_time_windows",
 ]
 
 
