@@ -74,17 +74,44 @@ def _calibrate() -> float:
     return round(time.time() - t0, 3)
 
 
+#: logical CPUs — the parallel probe and effective-core estimate derive
+#: from this instead of a hardcoded 32 (ADVICE r8 #3: on any other host
+#: the constants were meaningless); the serial/parallel thresholds stay
+#: overridable for the same reason
+_NCPU = os.cpu_count() or 32
+_SERIAL_OK = float(os.environ.get("SPARK_GRAFT_BENCH_SERIAL_OK", "0.47"))
+_PAR_OK = float(os.environ.get("SPARK_GRAFT_BENCH_PAR_OK", "0.47"))
+_PAR_REF = float(os.environ.get("SPARK_GRAFT_BENCH_PAR_REF", "0.42"))
+
+
 def _calibrate_parallel(spark) -> float:
-    """Fixed JVM-side parallel workload (32-way sum over a billion ids,
-    whole-stage codegen) — the EFFECTIVE-CORES probe.  r7 found the host
-    can silently shrink the 32-vCPU allocation to ~21 effective cores:
-    the single-thread probe stays ~0.45s while every shuffle-heavy query
-    uniformly gains 15-25%.  Deltas on heavy queries are attributable
-    only when BOTH probes agree round-over-round."""
+    """Fixed per-core JVM-side parallel workload (a 50M-id sum per
+    logical CPU, whole-stage codegen) — the EFFECTIVE-CORES probe.  r7
+    found the host can silently shrink the 32-vCPU allocation to ~21
+    effective cores: the single-thread probe stays ~0.45s while every
+    shuffle-heavy query uniformly gains 15-25%.  Deltas on heavy queries
+    are attributable only when BOTH probes agree round-over-round."""
     t0 = time.time()
-    spark.range(0, 1_600_000_000, 1, 32).selectExpr(
+    spark.range(0, 50_000_000 * _NCPU, 1, _NCPU).selectExpr(
         "sum(id % 1000003) AS s").collect()
     return round(time.time() - t0, 3)
+
+
+def _calibrate_job_latency(spark) -> float:
+    """Median wall time of a trivial Spark job (``range(1).count()``),
+    in milliseconds — the DRIVER-SIDE scheduling probe.  The r9 q39
+    investigation found a class of drift NEITHER other probe sees:
+    job-dense fixpoint queries (q39 = ~8 one-job rounds over 255 edges)
+    are bounded by per-job scheduling latency, which can double while
+    serial CPU and parallel throughput both read "quiet".  Recording it
+    start+end makes microbenchmark drift attributable."""
+    lat = []
+    for _ in range(15):
+        t0 = time.time()
+        spark.range(1).count()
+        lat.append(time.time() - t0)
+    lat.sort()
+    return round(lat[len(lat) // 2] * 1000, 1)
 
 
 def _loadavg() -> list[float]:
@@ -128,7 +155,7 @@ def main() -> None:
     # cores against the 0.42 s full-speed reference), 1-min load < 2.
     # If the host never settles, proceed anyway but stamp a
     # machine-readable ``degraded: true`` the verdict can trust.
-    SERIAL_OK, PAR_OK, PAR_REF = 0.47, 0.47, 0.42
+    SERIAL_OK, PAR_OK, PAR_REF = _SERIAL_OK, _PAR_OK, _PAR_REF
     cal_start = par_start = None
     gate_passed = False
     for attempt in range(8):
@@ -146,6 +173,7 @@ def main() -> None:
     # degraded iff the full gate (probes AND load) never accepted the
     # host — a loaded box with lucky probe reads must still be flagged
     degraded = not gate_passed
+    job_ms_start = _calibrate_job_latency(spark)
     load_start = _loadavg()
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for r in range(n_runs):
@@ -176,6 +204,7 @@ def main() -> None:
         time.sleep(10)
         cal_end = min(cal_end, _calibrate())
         par_end = min(par_end, _calibrate_parallel(spark))
+    job_ms_end = _calibrate_job_latency(spark)
 
     timings = {name: min(ts) for name, ts in runs.items()}
     spread = {name: best3_spread(ts) for name, ts in runs.items()}
@@ -190,9 +219,11 @@ def main() -> None:
         "calibration": {"start_sec": cal_start, "end_sec": cal_end,
                         "par_start_sec": par_start,
                         "par_end_sec": par_end,
-                        "effective_cores": round(32 * PAR_REF
+                        "effective_cores": round(_NCPU * PAR_REF
                                                  / max(par_start,
                                                        par_end), 1),
+                        "job_ms_start": job_ms_start,
+                        "job_ms_end": job_ms_end,
                         "loadavg_start": load_start,
                         "loadavg_end": _loadavg()},
         # True when the host never met the quiet gate (serial ≤ 0.47s,

@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 #: target rows per shuffle partition inside fixpoint loops
 _ROWS_PER_PARTITION = 50_000
 
+#: below this per-round working set, AQE's per-exchange re-planning jobs
+#: cost more than its coalescing saves (resize() already picks the exact
+#: partition count); above it, keep AQE for skew-splitting at scale
+_AQE_MIN_ROWS = 2_000_000
+
 
 @contextlib.contextmanager
 def _loop_shuffle_partitions(df: DataFrame):
@@ -37,21 +42,35 @@ def _loop_shuffle_partitions(df: DataFrame):
     per-round fixed cost dominates.  Yields ``resize(n_rows)``: call it
     with the current accumulator size each round.  Scale-adaptive: a
     billion-row closure keeps its parallelism (capped at the session's
-    configured width), a small one runs 1-task rounds.  The session conf
-    is restored on exit.
+    configured width), a small one runs 1-task rounds.
+
+    AQE is gated by the same size signal: adaptive execution materializes
+    every exchange as its own job (driver re-plans between stages), which
+    on a small round turns a 2-shuffle query into 6+ scheduled jobs — the
+    r9 profile of the q39 closure showed 32 jobs/run under AQE vs 8
+    without, a 2.7× wall-clock difference, with ALL the time in job
+    scheduling latency (255-edge input).  Small rounds (≤ ``_AQE_MIN_ROWS``
+    per round) therefore run with AQE off — their partition count is
+    already exact via ``resize`` — while big rounds keep AQE's coalescing
+    and skew-splitting (at 100 TB a closure join wants both).  Both confs
+    are restored on exit.
     """
     sess = df.sparkSession
     old = sess.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
     cap = int(old) if old.isdigit() else 2 ** 30
 
     def resize(n_rows: int) -> None:
         want = max(1, n_rows // _ROWS_PER_PARTITION + 1)
         sess.conf.set("spark.sql.shuffle.partitions", str(min(cap, want)))
+        sess.conf.set("spark.sql.adaptive.enabled",
+                      "true" if n_rows > _AQE_MIN_ROWS else "false")
 
     try:
         yield resize
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", old)
+        sess.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 class Delta0:
@@ -137,10 +156,12 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
     edges = edges.select(src, dst).dropDuplicates().localCheckpoint(eager=True)
     acc = edges
 
-    def compose(left: DataFrame, right: DataFrame) -> DataFrame:
-        return (left.withColumnRenamed(dst, "__mid")
-                .join(right.withColumnRenamed(src, "__mid"), on="__mid")
-                .select(src, dst).dropDuplicates())
+    def compose(left: DataFrame, right: DataFrame,
+                dedup: bool = True) -> DataFrame:
+        out = (left.withColumnRenamed(dst, "__mid")
+               .join(right.withColumnRenamed(src, "__mid"), on="__mid")
+               .select(src, dst))
+        return out.dropDuplicates() if dedup else out
 
     if method == "doubling":
         # one materialization per round; termination by |acc| growth (a
@@ -151,8 +172,13 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
             for _ in range(max_iterations):
                 resize(n)
                 # lazy checkpoint: the count materializes it in the
-                # same job (one Spark job per round, not two)
-                acc2 = (compose(acc, acc).unionByName(acc).dropDuplicates()
+                # same job (one Spark job per round, not two).  The
+                # compose leg skips its own dedup — the round-level
+                # dropDuplicates right here already collapses it, and
+                # one shuffle per round is the difference between 2 and
+                # 3 exchanges on the loop's critical path.
+                acc2 = (compose(acc, acc, dedup=False).unionByName(acc)
+                        .dropDuplicates()
                         .localCheckpoint(eager=False))
                 n2 = acc2.count()
                 if n2 == n:

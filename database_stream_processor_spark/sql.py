@@ -70,17 +70,27 @@ def _rewrite_dialect(sql: str) -> str:
 
 def _split_statements(script: str) -> list[str]:
     """Split a SQL script on ``;`` outside string literals; strip ``--``
-    comments (the demo scripts use both)."""
-    script = re.sub(r"--[^\n]*", "", script)
+    comments (the demo scripts use both).  Comment stripping is
+    literal-aware: a ``--`` INSIDE a string literal is content, and
+    blindly erasing to end-of-line would silently corrupt the value
+    (ADVICE r8 #2) — the single pass below tracks quoting while it
+    strips and splits."""
     stmts, buf, in_str = [], [], False
-    for ch in script:
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
         if ch == "'":
             in_str = not in_str
+        elif not in_str and ch == "-" and script[i:i + 2] == "--":
+            j = script.find("\n", i)
+            i = n if j < 0 else j
+            continue
         if ch == ";" and not in_str:
             stmts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        i += 1
     stmts.append("".join(buf))
     return [s.strip() for s in stmts if s.strip()]
 
@@ -1072,41 +1082,122 @@ def _kw_at(s: str, i: int, kw: str) -> bool:
                                          or s[i + n] == "_")))
 
 
+def _top_mask(s: str) -> bytearray | None:
+    """THE shared lexical scan (r8 verdict ask #4): one pass that every
+    top-level splitting helper below consumes, replacing ten per-helper
+    reimplementations of paren/literal/CASE tracking — the r8 fuzz
+    campaign found a silent-misread class (mixed AND/OR) in exactly this
+    duplicated logic, and duplicated scanners are where the next one
+    hides.
+
+    ``mask[i] == 1`` iff position ``i`` is *top-level*: paren depth 0,
+    outside single-quoted string literals (doubled ``''`` escapes are
+    two adjacent literals — the toggle handles them), and outside any
+    ``CASE … END`` span (an unparenthesized CASE legally contains
+    AND/OR/BETWEEN inside WHEN conditions; splitting there tears the
+    expression).  The CASE/END keywords themselves are masked.
+
+    Returns ``None`` — scan REFUSED — for lexical constructs the old
+    scanners silently desynced on (ADVICE r8 #2): a double-quote
+    character or a ``--`` comment marker outside literals, an
+    unterminated literal, or unbalanced parens.  Callers map ``None``
+    to their most conservative answer (no split / no match), and
+    ``_lower_view`` gates the whole lowering on it, so a refused view
+    text falls back to snapshot-diff — which evaluates the ORIGINAL
+    text in Spark and therefore can never change results."""
+    n = len(s)
+    mask = bytearray(n)
+    depth = cased = 0
+    in_str = False
+    i = 0
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            continue
+        if ch == '"':
+            return None
+        if ch == "-" and i + 1 < n and s[i + 1] == "-":
+            return None
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+            mask[i] = 1 if (depth == 0 and not cased) else 0
+            i += 1
+            continue
+        if depth == 0:
+            if _kw_at(s, i, "CASE"):
+                cased += 1
+                i += 4
+                continue
+            if cased and _kw_at(s, i, "END"):
+                cased -= 1
+                i += 3
+                continue
+        mask[i] = 1 if (depth == 0 and not cased) else 0
+        i += 1
+    if in_str or depth != 0:
+        return None
+    return mask
+
+
+def _match_paren(s: str, i: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``i`` (single-quote-
+    literal-aware), or -1 when unbalanced — the one span scanner the
+    subquery extractors share."""
+    depth, in_str, j, n = 0, False, i, len(s)
+    while j < n:
+        c = s[j]
+        if c == "'":
+            in_str = not in_str
+        elif not in_str:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+        j += 1
+    return -1
+
+
 def _split_select_from(flat: str) -> tuple[str, str] | None:
-    """``SELECT <sel> FROM <rest>`` split at the first paren-depth-0
-    FROM outside string literals — EXTRACT(x FROM col) / SUBSTRING(s
-    FROM i) live inside parens, and a literal ``' from '`` in a select
-    item must not split either (ADVICE r7 #2)."""
+    """``SELECT <sel> FROM <rest>`` split at the first top-level FROM —
+    EXTRACT(x FROM col) / SUBSTRING(s FROM i) live inside parens, and a
+    literal ``' from '`` in a select item must not split either (ADVICE
+    r7 #2).  Refused scans (``_top_mask`` None) return None: not a
+    lowerable SELECT shape."""
     if not re.match(r"^SELECT\s", flat, re.IGNORECASE):
         return None
-    depth, in_str = 0, False
+    mask = _top_mask(flat)
+    if mask is None:
+        return None
     for i in range(7, len(flat)):
-        ch = flat[i]
-        if ch == "'":
-            in_str = not in_str
-            continue
-        if in_str:
-            continue
-        depth += (ch == "(") - (ch == ")")
-        if depth == 0 and _kw_at(flat, i, "FROM"):
+        if mask[i] and _kw_at(flat, i, "FROM"):
             sel, rest = flat[7:i].strip(), flat[i + 4:].strip()
             return (sel, rest) if sel and rest else None
     return None
 
 
 def _split_where(rest: str) -> tuple[str, str | None]:
-    """Split a top-level (paren-depth-0, literal-outside) WHERE off a
-    FROM clause."""
-    depth, in_str = 0, False
+    """Split a top-level WHERE off a FROM clause (refused scan → no
+    WHERE found: downstream ref parsing then fails and falls back)."""
+    mask = _top_mask(rest)
+    if mask is None:
+        return rest, None
     for i in range(len(rest)):
-        ch = rest[i]
-        if ch == "'":
-            in_str = not in_str
-            continue
-        if in_str:
-            continue
-        depth += (ch == "(") - (ch == ")")
-        if depth == 0 and _kw_at(rest, i, "WHERE"):
+        if mask[i] and _kw_at(rest, i, "WHERE"):
             return rest[:i].strip(), rest[i + 5:].strip()
     return rest, None
 
@@ -1126,33 +1217,20 @@ def _sub_outside_literals(pattern: str, repl: str, text: str,
 
 
 def _split_top_kw(s: str, kw: str) -> list[str]:
-    """Split ``s`` on whole-word ``kw`` at paren depth 0, outside
-    string literals and outside ``CASE … END`` spans (an unparenthesized
-    CASE expression legally contains AND/OR inside its WHEN conditions —
-    splitting there would tear the expression apart, ADVICE r7 #1)."""
-    parts, depth, cased, in_str, i, n, last = [], 0, 0, False, 0, len(s), 0
+    """Split ``s`` on whole-word ``kw`` at top level (``_top_mask``
+    semantics: outside parens/literals/CASE…END spans).  A refused scan
+    returns ``[s]`` — no split, the caller's most conservative case."""
+    mask = _top_mask(s)
+    if mask is None:
+        return [s.strip()]
+    parts, i, n, last = [], 0, len(s), 0
+    L = len(kw)
     while i < n:
-        ch = s[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and _kw_at(s, i, "CASE"):
-                cased += 1
-                i += 4
-                continue
-            elif depth == 0 and cased and _kw_at(s, i, "END"):
-                cased -= 1
-                i += 3
-                continue
-            elif depth == 0 and not cased and _kw_at(s, i, kw):
-                parts.append(s[last:i])
-                i += len(kw)
-                last = i
-                continue
+        if mask[i] and _kw_at(s, i, kw):
+            parts.append(s[last:i])
+            i += L
+            last = i
+            continue
         i += 1
     parts.append(s[last:])
     return [p.strip() for p in parts]
@@ -1173,19 +1251,15 @@ def _mixed_top_and_or(s: str) -> bool:
 
 
 def _find_top_kw(s: str, kws: tuple[str, ...]) -> int:
-    """Index of the first whole-word occurrence of any of ``kws`` at
-    paren depth 0 outside string literals; -1 if none."""
-    depth, in_str = 0, False
-    for i, ch in enumerate(s):
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and any(_kw_at(s, i, k) for k in kws):
-                return i
+    """Index of the first top-level whole-word occurrence of any of
+    ``kws``; -1 if none (or the scan refused — ``_lower_view``'s gate
+    keeps refused text out of the recognizers entirely)."""
+    mask = _top_mask(s)
+    if mask is None:
+        return -1
+    for i in range(len(s)):
+        if mask[i] and any(_kw_at(s, i, k) for k in kws):
+            return i
     return -1
 
 
@@ -1217,7 +1291,10 @@ def _normalize_comma_from(eng: "Engine", sql: str) -> str:
     outer FROM naming the same tables) gets a fresh synthetic alias —
     SQL scoping makes the inner instance independent anyway, and the
     scalar-subquery machinery refuses shadowed aliases outright."""
-    return _ncf_block(eng, _ncf_flatten(sql), {})
+    flat = _ncf_flatten(sql)
+    if _top_mask(flat) is None:
+        return sql          # lexical refusal: upgrade-or-no-op contract
+    return _ncf_block(eng, flat, {})
 
 
 def _ncf_flatten(sql: str) -> str:
@@ -1271,19 +1348,9 @@ def _ncf_block(eng: "Engine", block: str,
             i = j + 1
             continue
         if ch == "(":
-            depth, j, in_str = 0, i, False
-            while j < n:
-                cj = block[j]
-                if cj == "'":
-                    in_str = not in_str
-                elif not in_str:
-                    if cj == "(":
-                        depth += 1
-                    elif cj == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                j += 1
+            j = _match_paren(block, i)
+            if j < 0:
+                j = n - 1
             out.append("(" + _ncf_block(eng, block[i + 1:j].strip(),
                                         inner_scope) + ")")
             i = j + 1
@@ -1299,38 +1366,26 @@ def _split_top_and_bw(s: str) -> list[str]:
     top-level AND) and never inside a ``CASE … END`` span (ANDs inside
     an unparenthesized WHEN condition are NOT conjuncts of the WHERE —
     splitting there would extract an equality out of the CASE and
-    silently change results, ADVICE r7 #1)."""
-    parts, depth, cased, in_str, pending_bw = [], 0, 0, False, 0
+    silently change results, ADVICE r7 #1).  Mask-driven
+    (``_top_mask``); a refused scan returns ``[s]`` unsplit."""
+    mask = _top_mask(s)
+    if mask is None:
+        return [s.strip()]
+    parts, pending_bw = [], 0
     i, n, last = 0, len(s), 0
     while i < n:
-        ch = s[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and _kw_at(s, i, "CASE"):
-                cased += 1
-                i += 4
-                continue
-            elif depth == 0 and cased and _kw_at(s, i, "END"):
-                cased -= 1
-                i += 3
-                continue
-            elif depth == 0 and not cased and _kw_at(s, i, "BETWEEN"):
-                pending_bw += 1
-                i += 7
-                continue
-            elif depth == 0 and not cased and _kw_at(s, i, "AND"):
-                if pending_bw:
-                    pending_bw -= 1
-                else:
-                    parts.append(s[last:i])
-                    i += 3
-                    last = i
-                    continue
+        if mask[i] and _kw_at(s, i, "BETWEEN"):
+            pending_bw += 1
+            i += 7
+            continue
+        if mask[i] and _kw_at(s, i, "AND"):
+            if pending_bw:
+                pending_bw -= 1
+            else:
+                parts.append(s[last:i])
+                last = i + 3
+            i += 3
+            continue
         i += 1
     parts.append(s[last:])
     return [p.strip() for p in parts]
@@ -1338,20 +1393,17 @@ def _split_top_and_bw(s: str) -> list[str]:
 
 def _outer_parens_match(s: str) -> bool:
     """True iff s is '(' … ')' with the FIRST paren matching the LAST
-    (so '(a) OR (b)' is not stripped)."""
+    (so '(a) OR (b)' is not stripped).  The mask marks exactly the
+    parens that close back to depth 0, so the first such ')' must be
+    the final character."""
     if not (s.startswith("(") and s.endswith(")")):
         return False
-    depth, in_str = 0, False
-    for i, ch in enumerate(s):
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    return i == len(s) - 1
+    mask = _top_mask(s)
+    if mask is None:
+        return False
+    for i in range(1, len(s)):
+        if mask[i] and s[i] == ")":
+            return i == len(s) - 1
     return False
 
 
@@ -1772,20 +1824,8 @@ def _scalar_sq_spans(text: str) -> list[tuple[int, int]]:
             continue
         if not in_str and ch == "(" \
                 and re.match(r"\(\s*SELECT\b", text[i:], re.IGNORECASE):
-            depth, j, instr2 = 0, i, False
-            while j < n:
-                c = text[j]
-                if c == "'":
-                    instr2 = not instr2
-                elif not instr2:
-                    if c == "(":
-                        depth += 1
-                    elif c == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                j += 1
-            if depth != 0:
+            j = _match_paren(text, i)
+            if j < 0:
                 raise _UnloweredShape("unbalanced subquery parens")
             spans.append((i, j + 1))
             i = j + 1
@@ -2230,22 +2270,9 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
 
 
 def _top_level_having(flat: str) -> int:
-    """Position of a top-level ``HAVING`` keyword (outside parens and
-    string literals), or -1."""
-    depth, in_str, i, n = 0, False, 0, len(flat)
-    while i < n:
-        ch = flat[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and _kw_at(flat, i, "HAVING"):
-                return i
-        i += 1
-    return -1
+    """Position of a top-level ``HAVING`` keyword, or -1 (shared
+    ``_top_mask`` scan)."""
+    return _find_top_kw(flat, ("HAVING",))
 
 
 def _scalar_having_from(eng: "Engine", name: str, flat: str):
@@ -2467,12 +2494,19 @@ def _register_hidden(eng: "Engine", hname: str, hsql: str,
 
 def _cleanup_hidden(eng: "Engine", registered: list) -> None:
     """Remove every maintainer a failed composition pass registered,
-    including dependents named under a registered stage's prefix."""
+    including dependents named under a registered stage's prefix — and
+    drop their Spark temp views (ADVICE r8 #1: a stale ``__<name>_*``
+    temp view left in the session catalog would shadow a later binding
+    with a frozen snapshot)."""
     for h in list(eng._maintainers):
         if h in registered or any(h.startswith(f"__{r}")
                                   for r in registered):
             eng._maintainers.pop(h, None)
             eng._sources.pop(h, None)
+            try:
+                eng.spark.catalog.dropTempView(h)
+            except Exception:
+                pass        # never registered as a temp view — fine
 
 
 #: SELECT DISTINCT <exprs> FROM t [WHERE p]
@@ -2491,25 +2525,18 @@ def _split_union(flat: str) -> tuple[list[str], bool] | None:
     literals).  Returns (branches, is_all), or None when there is no
     top-level union or the separators mix ALL with distinct (left-assoc
     mixed semantics — not worth lowering)."""
+    mask = _top_mask(flat)
+    if mask is None:
+        return None
     spans, kinds = [], []
-    depth, in_str = 0, False
     i, n = 0, len(flat)
     while i < n:
-        ch = flat[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0:
-                m = re.match(r"\bUNION(\s+ALL)?\b", flat[i:], re.IGNORECASE)
-                if m and (i == 0 or not flat[i - 1].isalnum()):
-                    spans.append((i, i + m.end()))
-                    kinds.append(bool(m.group(1)))
-                    i += m.end()
-                    continue
+        if mask[i] and _kw_at(flat, i, "UNION"):
+            m = re.match(r"UNION(\s+ALL)?\b", flat[i:], re.IGNORECASE)
+            spans.append((i, i + m.end()))
+            kinds.append(bool(m.group(1)))
+            i += m.end()
+            continue
         i += 1
     if not spans or len(set(kinds)) != 1:
         return None
@@ -2582,28 +2609,22 @@ def _split_setop(flat: str) -> tuple[str, list[str]] | None:
     Returns (kind, [left, right]) for exactly two branches — kind one of
     'except' | 'intersect' | 'except_all' | 'intersect_all' — else
     None."""
-    depth, in_str, i, n = 0, False, 0, len(flat)
+    mask = _top_mask(flat)
+    if mask is None:
+        return None
     found = None
+    i, n = 0, len(flat)
     while i < n:
-        ch = flat[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0:
-                m = re.match(r"\b(EXCEPT|INTERSECT)(\s+ALL)?\b",
-                             flat[i:], re.IGNORECASE)
-                if m and (i == 0 or not flat[i - 1].isalnum()):
-                    if found is not None:
-                        return None  # >2 branches
-                    kind = m.group(1).lower() + (
-                        "_all" if m.group(2) else "")
-                    found = (kind, i, i + m.end())
-                    i += m.end()
-                    continue
+        if mask[i] and (_kw_at(flat, i, "EXCEPT")
+                        or _kw_at(flat, i, "INTERSECT")):
+            m = re.match(r"(EXCEPT|INTERSECT)(\s+ALL)?\b",
+                         flat[i:], re.IGNORECASE)
+            if found is not None:
+                return None  # >2 branches
+            kind = m.group(1).lower() + ("_all" if m.group(2) else "")
+            found = (kind, i, i + m.end())
+            i += m.end()
+            continue
         i += 1
     if found is None:
         return None
@@ -2990,43 +3011,12 @@ def _ns_anti_pos(df: DataFrame, touched: DataFrame,
 
 
 def _split_top_and(s: str) -> list[str]:
-    """Split a predicate on top-level ``AND`` (outside parens, string
-    literals, and ``CASE … END`` spans) — subquery bodies, function
-    args, and WHEN conditions stay intact."""
-    out, buf = [], []
-    depth, cased, in_str, i, n = 0, 0, False, 0, len(s)
-    while i < n:
-        ch = s[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0 and _kw_at(s, i, "CASE"):
-                cased += 1
-                buf.append(s[i:i + 4])
-                i += 4
-                continue
-            elif depth == 0 and cased and _kw_at(s, i, "END"):
-                cased -= 1
-                buf.append(s[i:i + 3])
-                i += 3
-                continue
-            elif (depth == 0 and not cased
-                  and s[i:i + 3].upper() == "AND"
-                  and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-                  and (i + 3 >= n or not (s[i + 3].isalnum()
-                                          or s[i + 3] == "_"))):
-                out.append("".join(buf))
-                buf = []
-                i += 3
-                continue
-        buf.append(ch)
-        i += 1
-    out.append("".join(buf))
-    return [t.strip() for t in out if t.strip()]
+    """Split a predicate on top-level ``AND`` — one shared
+    implementation (``_split_top_and_bw``: mask-driven, CASE-opaque AND
+    BETWEEN-aware; before r9 this variant split ``BETWEEN x AND y`` in
+    the middle, leaving garbage terms for the eval probes to catch).
+    Empty parts are dropped (this variant's historical contract)."""
+    return [t for t in _split_top_and_bw(s) if t]
 
 
 #: one top-level-AND term of the form ``[NOT] EXISTS (SELECT …)``
@@ -3152,12 +3142,56 @@ def _parse_exists_inner(eng: "Engine", subq: re.Match, ot: str, oa: str,
                 continue
         # a non-correlation residual may reference the inner alone or
         # BOTH sides (mixed inequality residuals); outer-only residuals
-        # belong in the outer WHERE and anything unresolvable falls back
-        if not _refs_only(term, {ia, oa}, icols | ocols):
+        # belong in the outer WHERE and anything unresolvable falls
+        # back.  Attribution is checked EXPLICITLY here (ADVICE r8 #4)
+        # — a qualified ref whose column lives on the other side
+        # (``ia.c`` with c only in outer) or a residual touching no
+        # inner column previously leaked through _refs_only and relied
+        # on the constructor's eval probe to blow up.
+        if _residual_side_check(term, ia, oa, icols, ocols) is not True:
             return None
     if not okeys:
         return None
     return it, okeys, ikeys
+
+
+def _residual_side_check(term: str, ia: str, oa: str,
+                         icols: set[str], ocols: set[str]) -> bool:
+    """True iff every identifier in ``term`` attributes consistently
+    (``ia.c`` requires c ∈ inner cols, ``oa.c`` requires c ∈ outer
+    cols, bare names must resolve to a known column with inner winning
+    per SQL scoping) AND at least one inner column is referenced — an
+    outer-only residual is rejected (it belongs in the outer WHERE;
+    accepting it here would make the touched-key restriction argument
+    depend on a shape nobody audited)."""
+    refs_inner = False
+    no_str = re.sub(r"'[^']*'", "''", term)
+    for m in re.finditer(r"(\w+)\s*\.\s*(\w+)|\b([A-Za-z_]\w*)\b(\s*\()?",
+                         no_str):
+        if m.group(1):
+            q, c = m.group(1).lower(), m.group(2).lower()
+            if q == ia and c in icols:
+                refs_inner = True
+            elif q == oa and c in ocols:
+                pass
+            else:
+                return False        # unknown qualifier or wrong side
+        elif m.group(4):
+            continue                # function call
+        else:
+            tok = m.group(3)
+            if tok.lower() in icols:
+                refs_inner = True
+            elif (tok.lower() in ocols
+                    or tok.upper() in {"AND", "OR", "NOT", "NULL", "TRUE",
+                                       "FALSE", "IS", "IN", "LIKE",
+                                       "BETWEEN", "CASE", "WHEN", "THEN",
+                                       "ELSE", "END"}
+                    or tok.isdigit()):
+                continue
+            else:
+                return False
+    return refs_inner
 
 
 def _filter_subquery_join_inner(eng: "Engine", name: str, flat: str):
@@ -3530,6 +3564,16 @@ class _SubqueryFilterMaintainer(_ViewMaintainer):
         empty = eng.spark.createDataFrame([], first.schema)
         self._out = StateTable(ZSetFrame.from_df(empty),
                                name=f"view_{name}_keyed")
+        self._last_slices: dict | None = None
+
+    def last_restrict_stats(self) -> dict | None:
+        """Per-tick restricted-slice row counts (the SCALE.md claim:
+        recompute cost ∝ touched correlation groups, not table size).
+        None before the first non-empty tick; counts run on the pinned
+        checkpointed slices, so reading this is side-effect-free."""
+        if self._last_slices is None:
+            return None
+        return {k: df.count() for k, df in self._last_slices.items()}
 
     def step(self, eng, combined, old):
         da, db = combined.get(self.outer), combined.get(self.inner)
@@ -3561,6 +3605,11 @@ class _SubqueryFilterMaintainer(_ViewMaintainer):
                            self.okeys).localCheckpoint(eager=True)
         i_t = _ns_semi_pos(_current_rows(eng, self.inner), touched,
                            self.ikeys).localCheckpoint(eager=True)
+        # scale-claim instrumentation (r8 verdict ask #5): the slices
+        # are already checkpointed, so keeping references costs nothing
+        # per tick; last_restrict_stats() counts them on demand and
+        # tests assert restricted ≪ total on a small-delta tick
+        self._last_slices = {"outer": o_t, "inner": i_t}
         new_out = ZSetFrame.from_df(
             eng.eval_on(self._delta_sql,
                         {self.outer: o_t, self.inner: i_t})
@@ -3630,6 +3679,15 @@ class _MultiSubqueryFilterMaintainer(_ViewMaintainer):
         empty = eng.spark.createDataFrame([], first.schema)
         self._out = StateTable(ZSetFrame.from_df(empty),
                                name=f"view_{name}_keyed")
+        self._last_slices: dict | None = None
+
+    def last_restrict_stats(self) -> dict | None:
+        """Per-tick restricted-slice row counts (SCALE.md's
+        subquery-filter claim; r8 verdict ask #5).  Keys: ``outer`` plus
+        one ``inner:<table>`` per term's restricted inner slice."""
+        if self._last_slices is None:
+            return None
+        return {k: df.count() for k, df in self._last_slices.items()}
 
     def step(self, eng, combined, old):
         da = combined.get(self.outer)
@@ -3686,6 +3744,10 @@ class _MultiSubqueryFilterMaintainer(_ViewMaintainer):
             bindings[term["inner"]] = (
                 i_t if prev is None
                 else prev.unionByName(i_t).dropDuplicates())
+        self._last_slices = {"outer": o_t,
+                             **{f"inner:{t}": df
+                                for t, df in bindings.items()
+                                if t != self.outer}}
         new_out = ZSetFrame.from_df(
             eng.eval_on(self._delta_sql, bindings)
             .localCheckpoint(eager=True), 1)
@@ -4422,18 +4484,7 @@ def _from_subquery_lift(eng: "Engine", name: str, flat: str):
     if parts is None or not parts[1].startswith("("):
         raise _UnloweredShape("FROM is not a subquery")
     sel, rest = parts
-    depth, end, in_str = 0, -1, False
-    for i, ch in enumerate(rest):
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    end = i
-                    break
+    end = _match_paren(rest, 0)
     if end < 0:
         raise _UnloweredShape("unbalanced FROM subquery")
     inner = rest[1:end].strip()
@@ -5747,6 +5798,19 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     tick — a WARNING names the view and every recognizer that was tried,
     so a typo'd view shape can't silently downgrade)."""
     flat = _ncf_flatten(sql)
+    # Lexical gate (ADVICE r8 #2): text the shared scanner refuses —
+    # double-quoted identifiers/strings, a `--` outside literals (the
+    # statement splitter strips comments, so one here is inside a
+    # truncated literal), unterminated quotes, unbalanced parens —
+    # never reaches a recognizer: every splitting helper would be
+    # guessing.  Snapshot-diff evaluates the ORIGINAL text in Spark, so
+    # the refusal is always correct, never a silent misread.
+    if _top_mask(flat) is None:
+        _LOG.warning(
+            "view %s: lexical scan refused (double quotes, comment "
+            "marker, or unbalanced quoting) — maintaining by "
+            "snapshot-diff", name)
+        return _ViewMaintainer(eng, name, sql)
     # A top-level trailing ORDER BY with no LIMIT is semantically void
     # for a maintained view (Z-set outputs are unordered relations —
     # the reference's Calcite frontend likewise treats a subquery/view
@@ -6095,17 +6159,22 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
 
 
 def _split_top_level(s: str) -> list[str]:
-    out, depth, buf = [], 0, []
+    """Comma-split at paren depth 0, literal-aware (a ``','`` inside a
+    string literal is not a separator)."""
+    out, depth, in_str, buf = [], 0, False, []
     for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(buf))
+                buf = []
+                continue
+        buf.append(ch)
     out.append("".join(buf))
     return out
 

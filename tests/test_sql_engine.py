@@ -3742,3 +3742,180 @@ def test_typed_date_decimal_maintenance(spark):
     eng.push("sales", mk([rows[0], rows[4]]), weight=-1)
     eng.step()
     assert eng.view("rev").collect()[0][0] is None
+
+
+def test_tokenizer_fuzz_extended_shapes(spark):
+    """r8 verdict ask #4 (second half): the shared-tokenizer fuzz grows
+    the shapes the old per-helper scanners were never tested on — NOT
+    with parenthesized bodies, doubly-nested parens, doubled-quote
+    escapes WITH an AND inside the literal, literals containing ``--``
+    (must still lower: the marker is inside a string), and double-quoted
+    literals (must REFUSE to the snapshot-diff fallback).  Contract as
+    ever: every view equals Spark's own evaluation of the ORIGINAL text
+    after inserts AND a retraction tick."""
+    import random
+    rng = random.Random(17)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ua (ak BIGINT NOT NULL, av BIGINT, s VARCHAR);
+        CREATE TABLE ub (bk BIGINT NOT NULL, bv BIGINT);
+    """)
+    conj_pool = [
+        lambda: "NOT (av = {} AND bv > {})".format(rng.randint(0, 3),
+                                                   rng.randint(0, 4)),
+        lambda: "((av > {} AND bv < {}))".format(rng.randint(0, 2),
+                                                 rng.randint(6, 9)),
+        lambda: "s <> 'it''s A AND B'",
+        lambda: "s <> '-- not a comment'",
+        lambda: "NOT (av BETWEEN {} AND {})".format(rng.randint(4, 5),
+                                                    rng.randint(6, 8)),
+        lambda: 's <> "dq"',          # refusal shape: double-quoted
+    ]
+    texts = []
+    for i in range(8):
+        conjs = ["ak = bk"] + [rng.choice(conj_pool)()
+                               for _ in range(rng.randint(1, 3))]
+        rng.shuffle(conjs)
+        texts.append("SELECT ak, av, bv FROM ua, ub "
+                     f"WHERE {' AND '.join(conjs)}")
+        eng.execute(f"CREATE VIEW tz{i} as {texts[i]};")
+    ub_df = spark.createDataFrame(
+        [(k, rng.randint(0, 9)) for k in range(8)], "bk long, bv long")
+    eng.push("ua", spark.createDataFrame(
+        [(k, rng.randint(0, 6),
+          rng.choice(["p", "it's A AND B", "-- not a comment"]))
+         for k in range(8)], "ak long, av long, s string"))
+    eng.push("ub", ub_df)
+    eng.step()
+    eng.push("ua", spark.createDataFrame(
+        [(3, 2, "late")], "ak long, av long, s string"))
+    eng.push("ub", ub_df.filter(F.col("bk") == 5), weight=-1)
+    eng.step()
+    for i, txt in enumerate(texts):
+        want = sorted((tuple(r) for r in spark.sql(txt).collect()),
+                      key=str)
+        got = sorted((tuple(r) for r in eng.view(f"tz{i}").collect()),
+                     key=str)
+        assert got == want, (i, txt, got, want)
+    # the double-quoted shapes must have refused the fast paths —
+    # "differentiate" is the snapshot-diff fallback maintainer's kind
+    for i, txt in enumerate(texts):
+        if '"' in txt:
+            assert eng.view_strategy(f"tz{i}") == "differentiate", (
+                i, txt, eng.view_strategy(f"tz{i}"))
+
+
+def test_multi_subquery_refusal_and_routing_fuzz(spark):
+    """r8 verdict ask #6: randomized tick-equivalence over the shapes
+    the multi-subquery matcher must REFUSE or route specially —
+    (a) nullable NOT IN mixed with an EXISTS term (three-valued NULL
+    semantics: the plain multi-term path must not claim it),
+    (b) two EXISTS terms over the SAME inner table with DIFFERENT
+    correlation keys, (c) an IN body carrying its own predicate.
+    Six ticks of seeded inserts/retractions per view, compared to
+    Spark's batch evaluation of the original text after every tick —
+    NULLs are seeded into the nullable columns deliberately."""
+    import random
+    rng = random.Random(43)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE mcu (ck BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE moo (ok BIGINT NOT NULL, oc BIGINT, od BIGINT);
+        CREATE TABLE mrr (rk BIGINT, rv BIGINT NOT NULL);
+    """)
+    views = {
+        "ra": """SELECT ck, v FROM mcu c
+            WHERE ck NOT IN (SELECT rk FROM mrr)
+              AND EXISTS (SELECT 1 FROM moo WHERE moo.oc = c.ck)""",
+        "rb": """SELECT ck, v FROM mcu c
+            WHERE EXISTS (SELECT 1 FROM moo WHERE moo.oc = c.ck)
+              AND EXISTS (SELECT 1 FROM moo o2 WHERE o2.od = c.ck)""",
+        "rc": """SELECT ck, v FROM mcu c
+            WHERE ck IN (SELECT rk FROM mrr WHERE rv > 2)
+              AND EXISTS (SELECT 1 FROM moo WHERE moo.oc = c.ck)""",
+    }
+    for name, txt in views.items():
+        eng.execute(f"CREATE VIEW {name} as {txt};")
+    # (a) must not be claimed by the plain multi-term maintainer: mrr.rk
+    # is declared nullable, so its NOT IN needs three-valued semantics
+    assert eng.view_strategy("ra") != "multi_subquery", \
+        eng.view_strategy("ra")
+    schemas = {"mcu": "ck long, v long", "moo": "ok long, oc long, od long",
+               "mrr": "rk long, rv long"}
+    live = {"mcu": [], "moo": [], "mrr": []}
+
+    def gen(tbl):
+        if tbl == "mcu":
+            return (rng.randint(0, 9), rng.randint(0, 99))
+        if tbl == "moo":
+            return (rng.randint(0, 99), rng.randint(0, 9),
+                    rng.randint(0, 9))
+        # rk nullable on purpose: NULL flips NOT IN to all-refuse
+        return (rng.choice([None, 0, 1, 2, 3, 4, 5, 6]),
+                rng.randint(0, 9))
+
+    for tick in range(6):
+        for _ in range(rng.randint(1, 4)):
+            tbl = rng.choice(["mcu", "moo", "mrr"])
+            if live[tbl] and rng.random() < 0.4:
+                row = live[tbl].pop(rng.randrange(len(live[tbl])))
+                eng.push(tbl, spark.createDataFrame([row], schemas[tbl]),
+                         weight=-1)
+            else:
+                row = gen(tbl)
+                live[tbl].append(row)
+                eng.push(tbl, spark.createDataFrame([row], schemas[tbl]))
+        eng.step()
+        for name, txt in views.items():
+            want = sorted((tuple(r) for r in spark.sql(txt).collect()),
+                          key=str)
+            got = sorted((tuple(r) for r in eng.view(name).collect()),
+                         key=str)
+            assert got == want, (tick, name, got, want)
+
+
+def test_subquery_restriction_is_delta_bounded(spark):
+    """SCALE.md's subquery-filter claim, now ENFORCED (r8 verdict ask
+    #5): on a small-delta tick the maintainers' restricted slices must
+    be a tiny fraction of the table sizes — 1000 outer rows / 2000
+    inner rows, then one tick touching 2 correlation keys must restrict
+    to ≤ a few dozen rows on both the single-term and the multi-term
+    maintainer."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE bc (ck BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE bo (ok BIGINT NOT NULL, oc BIGINT NOT NULL);
+        CREATE TABLE br (rk BIGINT NOT NULL, rv BIGINT NOT NULL);
+        CREATE VIEW sv as
+            SELECT ck, v FROM bc c
+            WHERE EXISTS (SELECT 1 FROM bo WHERE bo.oc = c.ck);
+        CREATE VIEW mv as
+            SELECT ck, v FROM bc c
+            WHERE EXISTS (SELECT 1 FROM bo WHERE bo.oc = c.ck)
+              AND NOT EXISTS (SELECT 1 FROM br
+                              WHERE br.rk = c.ck AND br.rv > 5);
+    """)
+    assert eng.view_strategy("sv") in ("exists", "in", "subquery_filter",
+                                       "semi")
+    assert eng.view_strategy("mv") == "multi_subquery"
+    eng.push("bc", spark.range(1000).selectExpr(
+        "id AS ck", "id % 7 AS v"))
+    eng.push("bo", spark.range(2000).selectExpr(
+        "id AS ok", "id % 500 AS oc"))
+    eng.push("br", spark.range(1000).selectExpr(
+        "id AS rk", "id % 9 AS rv"))
+    eng.step()
+    # small tick: 2 keys touched (one outer insert, one inner insert)
+    eng.push("bc", spark.createDataFrame([(77, 1)], "ck long, v long"))
+    eng.push("bo", spark.createDataFrame([(9001, 42)],
+                                         "ok long, oc long"))
+    eng.step()
+    sm = eng._maintainers["sv"].last_restrict_stats()
+    mm = eng._maintainers["mv"].last_restrict_stats()
+    assert sm is not None and mm is not None
+    # 2 touched keys of 500 inner key-groups: outer ≤ ~2 rows + dupes,
+    # inner ≤ ~2 groups × 4 rows — orders of magnitude under the totals
+    assert sm["outer"] <= 10, sm
+    assert sm["inner"] <= 20, sm
+    assert mm["outer"] <= 10, mm
+    assert all(v <= 20 for k, v in mm.items() if k.startswith("inner:")), mm
