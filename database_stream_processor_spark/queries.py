@@ -5937,6 +5937,51 @@ def q134_sql_rolling_features_timestamp(spark, sf_dir):
         F.col("freq_pw").cast("long").alias("freq_pw"))
 
 
+@register("q135_sql_engine_expr_group_keys", oracle=f"""
+WITH ev AS (
+  SELECT event_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ut,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+  FROM events WHERE event_id % 5 <> 0)
+SELECT ut - ut % 3600 AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+FROM ev GROUP BY ut - ut % 3600
+""")
+def q135_sql_engine_expr_group_keys(spark, sf_dir):
+    """SQL tumbling windows via EXPRESSION GROUP BY keys (``GROUP BY
+    ut - ut % 3600``) — the idiom the reference's Calcite frontend
+    accepts for event-time bucketing (tumble-equivalent; nexmark q5.rs
+    uses the same epoch arithmetic).  r9 gap-close: lowers through a
+    hidden O(Δ) projection view materializing the key expression
+    (``__tw_ek``, strategy ``project``) feeding an ordinary linear
+    aggregate — previously snapshot-diff.  Two insert ticks, then a
+    retraction of every 5th event (hour buckets deflate/vanish)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (event_id BIGINT NOT NULL, ut BIGINT NOT NULL,
+                         value_c BIGINT);
+        CREATE VIEW tw as
+            select ut - ut % 3600 as window_start, count(*) as n,
+                   sum(value_c) as sum_value_c
+            from ev group by ut - ut % 3600;
+    """)
+    assert eng.view_strategy("tw") == "linear_agg"
+    assert eng.view_strategy("__tw_ek") == "project"
+    e = load_events(spark, sf_dir).select(
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ut"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"))
+    for i in range(2):
+        eng.push("ev", e.filter(F.col("event_id") % 2 == i))
+        eng.step()
+    eng.push("ev", e.filter(F.col("event_id") % 5 == 0), weight=-1)
+    eng.step()
+    return eng.view("tw").select(
+        "window_start", F.col("n").cast("long").alias("n"),
+        F.col("sum_value_c").cast("long").alias("sum_value_c"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401

@@ -5048,6 +5048,120 @@ def _global_agg_over_from(eng: "Engine", name: str, flat: str):
         raise
 
 
+#: SELECT … FROM tbl [alias] [WHERE p] GROUP BY <any keys> [HAVING h] —
+#: the keys group intentionally allows full expressions (contrast
+#: _AGG_RE's bare-column charclass)
+_EXPR_KEY_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|GROUP\b)\w+))?"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+(?P<keys>.+?)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_PLAIN_KEY_RE = re.compile(r"^\w+(?:\.\w+)?$")
+
+
+def _agg_expr_keys(eng: "Engine", name: str, flat: str):
+    """Grouped aggregates whose GROUP BY keys are EXPRESSIONS — the SQL
+    tumbling-window idiom (``GROUP BY ut - ut % 3600``, ``GROUP BY
+    floor(ts / 900) * 900``, date-part bucketing) that the reference's
+    Calcite frontend accepts and our bare-column agg recognizers
+    refuse.  Decomposition: a hidden O(Δ) projection view
+    ``__{name}_ek`` materializes each expression key as a column
+    (``__g_{i}``), with the WHERE pushed in (filter before shuffle),
+    and the aggregate re-lowers over its output delta through the
+    ordinary recognizers with ``__g_{i}`` as plain keys.  Every
+    expression key must appear verbatim as an aliased select item
+    (``expr AS alias`` — standard in the tumbling idiom), else this
+    pass refuses and the view snapshot-diffs."""
+    m = _EXPR_KEY_AGG_RE.match(flat)
+    if m is None:
+        raise _UnloweredShape("not a single-table grouped select")
+    tbl = m.group("tbl").lower()
+    if not (tbl in eng.tables or tbl in eng.views
+            or tbl in eng._maintainers):
+        raise _UnloweredShape(f"unknown table {tbl}")
+    if re.search(r"\(\s*SELECT\b|\bOVER\b|\bDISTINCT\b", flat,
+                 re.IGNORECASE):
+        raise _UnloweredShape("subquery/window/distinct in expr-key agg")
+    alias = (m.group("alias") or m.group("tbl")).lower()
+    keys = [k.strip() for k in _split_top_level(m.group("keys"))]
+    if all(_PLAIN_KEY_RE.match(k) for k in keys):
+        raise _UnloweredShape("no expression keys")      # _AGG_RE's job
+    src_cols = {c.lower() for c in _source_rows0(eng, tbl).columns}
+
+    def norm(e: str) -> str:
+        return re.sub(r"\s+", " ", e).strip().lower()
+
+    # map each key to its hidden column; plain column keys pass through
+    key_col, gitems = {}, []
+    for i, k in enumerate(keys):
+        if _PLAIN_KEY_RE.match(k):
+            bare = k.split(".")[-1].lower()
+            if bare not in src_cols:
+                raise _UnloweredShape(f"unknown key column {k}")
+            key_col[norm(k)] = bare
+        else:
+            key_col[norm(k)] = f"__g_{i}"
+            gitems.append(f"{k} AS __g_{i}")
+    # rewrite the select list: each expression key must appear as an
+    # aliased item matching a key verbatim (whitespace/case-insensitive)
+    out_items, having = [], m.group("having")
+    for it in (i.strip() for i in _split_top_level(m.group("sel"))):
+        am = re.match(r"^(?P<expr>.+\S)\s+AS\s+(?P<al>\w+)$", it,
+                      re.IGNORECASE | re.DOTALL)
+        expr = am.group("expr") if am else it
+        mapped = key_col.get(norm(expr))
+        if mapped is not None and not _PLAIN_KEY_RE.match(expr):
+            if am is None:
+                raise _UnloweredShape(f"expression key needs AS: {it}")
+            out_items.append(f"{mapped} AS {am.group('al')}")
+        else:
+            out_items.append(it)
+    # HAVING may reference a key expression — map it the same way
+    if having:
+        for k in keys:
+            if not _PLAIN_KEY_RE.match(k):
+                having = having.replace(k, key_col[norm(k)])
+    # the outer runs FROM the hidden view: strip the source alias's
+    # qualifiers (single table — bare names are unambiguous); the alias
+    # stays live inside the hidden view's own text (key exprs, WHERE)
+    if alias != tbl:
+        out_items = [_sub_outside_literals(rf"\b{alias}\s*\.\s*", "",
+                                           it, re.IGNORECASE)
+                     for it in out_items]
+        if having:
+            having = _sub_outside_literals(rf"\b{alias}\s*\.\s*", "",
+                                           having, re.IGNORECASE)
+    # hidden view: source columns the rewritten items/HAVING still
+    # reference, plus the materialized keys (extras are harmless but
+    # widen state — project only what is referenced)
+    rest_txt = ", ".join(out_items) + " " + (having or "")
+    needed = sorted(c for c in src_cols
+                    if re.search(rf"\b{c}\b", rest_txt, re.IGNORECASE))
+    hidden = f"__{name}_ek"
+    hsel = ", ".join(needed + gitems) if needed else ", ".join(gitems)
+    hsql = f"SELECT {hsel} FROM {tbl}"
+    if alias != tbl:
+        hsql += f" {alias}"
+    if m.group("pred"):
+        hsql += f" WHERE {m.group('pred')}"
+    outer = (f"SELECT {', '.join(out_items)} FROM {hidden} "
+             f"GROUP BY {', '.join(key_col[norm(k)] for k in keys)}")
+    if having:
+        outer += f" HAVING {having}"
+    registered: list[str] = []
+    try:
+        _register_hidden(eng, hidden, hsql, registered)
+        fm = _lower_view(eng, name, outer)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("expr-key outer snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 #: SELECT … FROM <join chain> [WHERE p] GROUP BY keys [HAVING h]
 _MJ_AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<from>.+?)"
@@ -6034,6 +6148,13 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                      m.group("tbl").lower(), keys, spec)
             if r is not None:
                 return r
+    # expression GROUP BY keys (the SQL tumbling-window idiom) — a
+    # hidden projection materializes each expression, then the agg
+    # re-lowers with plain keys
+    if re.search(r"\bGROUP\s+BY\b", flat, re.IGNORECASE):
+        r = _try(_agg_expr_keys, eng, name, flat)
+        if r is not None:
+            return r
     # ≥3-table join→GROUP BY FIRST: the 2-table join-agg regex would
     # swallow extra JOINs into its ON-condition group and miss the third
     # table's deltas (silent wrong results)

@@ -3919,3 +3919,47 @@ def test_subquery_restriction_is_delta_bounded(spark):
     assert sm["inner"] <= 20, sm
     assert mm["outer"] <= 10, mm
     assert all(v <= 20 for k, v in mm.items() if k.startswith("inner:")), mm
+
+
+def test_expression_group_by_keys_lower(spark):
+    """GROUP BY on EXPRESSIONS (the SQL tumbling-window idiom the
+    reference's Calcite frontend accepts): a hidden projection view
+    materializes each expression key, the aggregate re-lowers linearly
+    over its delta — r9 gap-close; previously snapshot-diff."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (eid BIGINT NOT NULL, ut BIGINT NOT NULL,
+                         v BIGINT);
+        CREATE VIEW hourly as
+            select ut - ut % 3600 as window_start, count(*) as n,
+                   sum(v) as s
+            from ev group by ut - ut % 3600;
+        CREATE VIEW hourly2 as
+            select floor(ut / 3600) * 3600 as ws, count(*) as n
+            from ev e where e.v > 1 group by floor(ut / 3600) * 3600;
+    """)
+    assert eng.view_strategy("hourly") == "linear_agg"
+    assert eng.view_strategy("__hourly_ek") == "project"
+    assert eng.view_strategy("hourly2") == "linear_agg"
+    import random
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 20000), i % 7) for i in range(200)]
+    b1 = ("select ut - ut % 3600 as window_start, count(*) as n, "
+          "sum(v) as s from ev group by ut - ut % 3600")
+    b2 = ("select floor(ut / 3600) * 3600 as ws, count(*) as n "
+          "from ev e where e.v > 1 group by floor(ut / 3600) * 3600")
+
+    def check(tag):
+        for v, b in (("hourly", b1), ("hourly2", b2)):
+            want = sorted(map(tuple, spark.sql(b).collect()), key=str)
+            got = sorted(map(tuple, eng.view(v).collect()), key=str)
+            assert got == want, (tag, v, got, want)
+
+    eng.push("ev", spark.createDataFrame(rows, "eid long, ut long, v long"))
+    eng.step()
+    check("insert")
+    eng.push("ev", spark.createDataFrame(rows[:50],
+                                         "eid long, ut long, v long"),
+             weight=-1)
+    eng.step()
+    check("retract")
