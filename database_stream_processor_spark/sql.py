@@ -5107,6 +5107,7 @@ def _agg_expr_keys(eng: "Engine", name: str, flat: str):
     # rewrite the select list: each expression key must appear as an
     # aliased item matching a key verbatim (whitespace/case-insensitive)
     out_items, having = [], m.group("having")
+    key_alias: dict[str, str] = {}      # norm(key expr) -> output alias
     for it in (i.strip() for i in _split_top_level(m.group("sel"))):
         am = re.match(r"^(?P<expr>.+\S)\s+AS\s+(?P<al>\w+)$", it,
                       re.IGNORECASE | re.DOTALL)
@@ -5116,13 +5117,24 @@ def _agg_expr_keys(eng: "Engine", name: str, flat: str):
             if am is None:
                 raise _UnloweredShape(f"expression key needs AS: {it}")
             out_items.append(f"{mapped} AS {am.group('al')}")
+            key_alias[norm(expr)] = am.group("al")
         else:
             out_items.append(it)
-    # HAVING may reference a key expression — map it the same way
+    # HAVING may reference a key expression — map it to the key's
+    # OUTPUT alias (the agg maintainers evaluate HAVING over the
+    # finalize frame, where the key carries its select-list name);
+    # literal-aware: never rewrite inside a string literal
     if having:
         for k in keys:
             if not _PLAIN_KEY_RE.match(k):
-                having = having.replace(k, key_col[norm(k)])
+                al = key_alias.get(norm(k))
+                if al is None:
+                    # key expr absent from the select list: leave the
+                    # HAVING alone — the downstream agg matchers refuse
+                    # (every GROUP BY key must be a select item) and
+                    # the whole pass falls back
+                    continue
+                having = _sub_outside_literals(re.escape(k), al, having)
     # the outer runs FROM the hidden view: strip the source alias's
     # qualifiers (single table — bare names are unambiguous); the alias
     # stays live inside the hidden view's own text (key exprs, WHERE)

@@ -3937,10 +3937,15 @@ def test_expression_group_by_keys_lower(spark):
         CREATE VIEW hourly2 as
             select floor(ut / 3600) * 3600 as ws, count(*) as n
             from ev e where e.v > 1 group by floor(ut / 3600) * 3600;
+        CREATE VIEW hourly3 as
+            select ut - ut % 3600 as ws, sum(v) as s
+            from ev group by ut - ut % 3600
+            having sum(v) > 5 and ut - ut % 3600 > 0;
     """)
     assert eng.view_strategy("hourly") == "linear_agg"
     assert eng.view_strategy("__hourly_ek") == "project"
     assert eng.view_strategy("hourly2") == "linear_agg"
+    assert eng.view_strategy("hourly3") == "linear_agg"
     import random
     rng = random.Random(5)
     rows = [(i, rng.randint(0, 20000), i % 7) for i in range(200)]
@@ -3948,9 +3953,12 @@ def test_expression_group_by_keys_lower(spark):
           "sum(v) as s from ev group by ut - ut % 3600")
     b2 = ("select floor(ut / 3600) * 3600 as ws, count(*) as n "
           "from ev e where e.v > 1 group by floor(ut / 3600) * 3600")
+    b3 = ("select ut - ut % 3600 as ws, sum(v) as s from ev "
+          "group by ut - ut % 3600 "
+          "having sum(v) > 5 and ut - ut % 3600 > 0")
 
     def check(tag):
-        for v, b in (("hourly", b1), ("hourly2", b2)):
+        for v, b in (("hourly", b1), ("hourly2", b2), ("hourly3", b3)):
             want = sorted(map(tuple, spark.sql(b).collect()), key=str)
             got = sorted(map(tuple, eng.view(v).collect()), key=str)
             assert got == want, (tag, v, got, want)
