@@ -5048,16 +5048,6 @@ def _global_agg_over_from(eng: "Engine", name: str, flat: str):
         raise
 
 
-#: SELECT … FROM tbl [alias] [WHERE p] GROUP BY <any keys> [HAVING h] —
-#: the keys group intentionally allows full expressions (contrast
-#: _AGG_RE's bare-column charclass)
-_EXPR_KEY_AGG_RE = re.compile(
-    r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>\w+)"
-    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|GROUP\b)\w+))?"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s+GROUP\s+BY\s+(?P<keys>.+?)"
-    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*$",
-    re.IGNORECASE | re.DOTALL)
-
 _PLAIN_KEY_RE = re.compile(r"^\w+(?:\.\w+)?$")
 
 
@@ -5073,42 +5063,75 @@ def _agg_expr_keys(eng: "Engine", name: str, flat: str):
     ordinary recognizers with ``__g_{i}`` as plain keys.  Every
     expression key must appear verbatim as an aliased select item
     (``expr AS alias`` — standard in the tumbling idiom), else this
-    pass refuses and the view snapshot-diffs."""
-    m = _EXPR_KEY_AGG_RE.match(flat)
-    if m is None:
-        raise _UnloweredShape("not a single-table grouped select")
-    tbl = m.group("tbl").lower()
-    if not (tbl in eng.tables or tbl in eng.views
-            or tbl in eng._maintainers):
-        raise _UnloweredShape(f"unknown table {tbl}")
+    pass refuses and the view snapshot-diffs.
+
+    The FROM may be a single table OR an inner-join chain (``GROUP BY
+    extract(year from o_orderdate)`` over orders⋈lineitem — the classic
+    date-bucket rollup): for a chain the hidden view carries the whole
+    join (multilinear delta legs) and the key expressions ride its
+    projection, so the stack stays O(Δ) end to end."""
     if re.search(r"\(\s*SELECT\b|\bOVER\b|\bDISTINCT\b", flat,
                  re.IGNORECASE):
         raise _UnloweredShape("subquery/window/distinct in expr-key agg")
-    alias = (m.group("alias") or m.group("tbl")).lower()
-    keys = [k.strip() for k in _split_top_level(m.group("keys"))]
+    parts = _split_select_from(flat)
+    if parts is None:
+        raise _UnloweredShape("not a SELECT…FROM")
+    sel, rest = parts
+    gpos = _find_top_kw(rest, ("GROUP",))
+    if gpos < 0 or not re.match(r"^GROUP\s+BY\s", rest[gpos:],
+                                re.IGNORECASE):
+        raise _UnloweredShape("no GROUP BY")
+    head, grp = rest[:gpos].strip(), re.sub(r"^GROUP\s+BY\s+", "",
+                                            rest[gpos:], count=1,
+                                            flags=re.IGNORECASE)
+    hpos = _find_top_kw(grp, ("HAVING",))
+    keys_txt, having = ((grp, None) if hpos < 0
+                        else (grp[:hpos], grp[hpos + 6:].strip()))
+    from_clause, pred = _split_where(head)
+    keys = [k.strip() for k in _split_top_level(keys_txt)]
     if all(_PLAIN_KEY_RE.match(k) for k in keys):
         raise _UnloweredShape("no expression keys")      # _AGG_RE's job
-    src_cols = {c.lower() for c in _source_rows0(eng, tbl).columns}
+    chain = _parse_aliased_chain(from_clause)
+    if chain is None:
+        # single-table FROM (the chain parser wants ≥2 refs)
+        tm = re.match(r"^(\w+)(?:\s+(?:AS\s+)?(\w+))?$",
+                      from_clause.strip())
+        if tm is None:
+            raise _UnloweredShape("FROM is not a table or join chain")
+        chain = [(tm.group(1).lower(),
+                  (tm.group(2) or tm.group(1)).lower(), "")]
+    if any(kw not in ("", "JOIN") for _, _, kw in chain):
+        raise _UnloweredShape("non-inner join in expr-key chain")
+    for t, _, _ in chain:
+        if not (t in eng.tables or t in eng.views
+                or t in eng._maintainers):
+            raise _UnloweredShape(f"unknown source {t}")
+    cols_of = {a: {c.lower() for c in _source_rows0(eng, t).columns}
+               for t, a, _ in chain}
+    aliases = list(cols_of)
 
     def norm(e: str) -> str:
         return re.sub(r"\s+", " ", e).strip().lower()
+
+    def owner_unique(bare: str) -> bool:
+        return sum(1 for a in cols_of if bare in cols_of[a]) == 1
 
     # map each key to its hidden column; plain column keys pass through
     key_col, gitems = {}, []
     for i, k in enumerate(keys):
         if _PLAIN_KEY_RE.match(k):
             bare = k.split(".")[-1].lower()
-            if bare not in src_cols:
-                raise _UnloweredShape(f"unknown key column {k}")
+            if not owner_unique(bare):
+                raise _UnloweredShape(f"unresolvable key column {k}")
             key_col[norm(k)] = bare
         else:
             key_col[norm(k)] = f"__g_{i}"
             gitems.append(f"{k} AS __g_{i}")
     # rewrite the select list: each expression key must appear as an
     # aliased item matching a key verbatim (whitespace/case-insensitive)
-    out_items, having = [], m.group("having")
+    out_items = []
     key_alias: dict[str, str] = {}      # norm(key expr) -> output alias
-    for it in (i.strip() for i in _split_top_level(m.group("sel"))):
+    for it in (i.strip() for i in _split_top_level(sel)):
         am = re.match(r"^(?P<expr>.+\S)\s+AS\s+(?P<al>\w+)$", it,
                       re.IGNORECASE | re.DOTALL)
         expr = am.group("expr") if am else it
@@ -5135,29 +5158,34 @@ def _agg_expr_keys(eng: "Engine", name: str, flat: str):
                     # the whole pass falls back
                     continue
                 having = _sub_outside_literals(re.escape(k), al, having)
-    # the outer runs FROM the hidden view: strip the source alias's
-    # qualifiers (single table — bare names are unambiguous); the alias
-    # stays live inside the hidden view's own text (key exprs, WHERE)
-    if alias != tbl:
-        out_items = [_sub_outside_literals(rf"\b{alias}\s*\.\s*", "",
+    # the outer runs FROM the hidden view: strip every source alias's
+    # qualifiers (claimed columns are verified unique across the chain
+    # below); the aliases stay live inside the hidden view's own text
+    # (key expressions, ON clauses, WHERE)
+    for a in aliases:
+        out_items = [_sub_outside_literals(rf"\b{a}\s*\.\s*", "",
                                            it, re.IGNORECASE)
                      for it in out_items]
         if having:
-            having = _sub_outside_literals(rf"\b{alias}\s*\.\s*", "",
+            having = _sub_outside_literals(rf"\b{a}\s*\.\s*", "",
                                            having, re.IGNORECASE)
     # hidden view: source columns the rewritten items/HAVING still
     # reference, plus the materialized keys (extras are harmless but
-    # widen state — project only what is referenced)
+    # widen state — project only what is referenced); every claimed
+    # column must live in exactly one chain table
     rest_txt = ", ".join(out_items) + " " + (having or "")
-    needed = sorted(c for c in src_cols
-                    if re.search(rf"\b{c}\b", rest_txt, re.IGNORECASE))
+    all_cols = set().union(*cols_of.values()) if cols_of else set()
+    needed = sorted(
+        c for c in all_cols
+        if re.search(rf"\b{c}\b", rest_txt, re.IGNORECASE))
+    for c in needed:
+        if not owner_unique(c):
+            raise _UnloweredShape(f"ambiguous column {c} across chain")
     hidden = f"__{name}_ek"
     hsel = ", ".join(needed + gitems) if needed else ", ".join(gitems)
-    hsql = f"SELECT {hsel} FROM {tbl}"
-    if alias != tbl:
-        hsql += f" {alias}"
-    if m.group("pred"):
-        hsql += f" WHERE {m.group('pred')}"
+    hsql = f"SELECT {hsel} FROM {from_clause}"
+    if pred:
+        hsql += f" WHERE {pred}"
     outer = (f"SELECT {', '.join(out_items)} FROM {hidden} "
              f"GROUP BY {', '.join(key_col[norm(k)] for k in keys)}")
     if having:

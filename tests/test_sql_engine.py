@@ -3971,3 +3971,47 @@ def test_expression_group_by_keys_lower(spark):
              weight=-1)
     eng.step()
     check("retract")
+
+
+def test_expression_group_by_keys_over_join_chain(spark):
+    """Expression GROUP BY keys over an inner-join chain (the classic
+    date-bucket rollup over a join): the hidden view carries the whole
+    join as multilinear delta legs, the key expression rides its
+    projection, and the aggregate re-lowers linearly."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE jorders (ok BIGINT NOT NULL, ck BIGINT, od BIGINT);
+        CREATE TABLE jcust (ck BIGINT NOT NULL, seg VARCHAR);
+        CREATE VIEW jv as
+            select seg, od - od % 86400 as day_bucket, count(*) as n
+            from jorders o join jcust c on o.ck = c.ck
+            where od > 100
+            group by seg, od - od % 86400;
+    """)
+    assert eng.view_strategy("jv") == "linear_agg"
+    assert eng.view_strategy("__jv_ek") == "join"
+    import random
+    rng = random.Random(7)
+    ords = [(i, rng.randint(0, 20), rng.randint(0, 400000))
+            for i in range(300)]
+    cs = [(k, rng.choice(["A", "B", "C"])) for k in range(21)]
+    b = ("select seg, od - od % 86400 as day_bucket, count(*) as n "
+         "from jorders o join jcust c on o.ck = c.ck where od > 100 "
+         "group by seg, od - od % 86400")
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(b).collect()), key=str)
+        got = sorted(map(tuple, eng.view("jv").collect()), key=str)
+        assert got == want, (tag, got, want)
+
+    eng.push("jorders", spark.createDataFrame(
+        ords, "ok long, ck long, od long"))
+    eng.push("jcust", spark.createDataFrame(cs, "ck long, seg string"))
+    eng.step()
+    check("insert")
+    eng.push("jorders", spark.createDataFrame(
+        ords[:120], "ok long, ck long, od long"), weight=-1)
+    eng.push("jcust", spark.createDataFrame(cs[:3], "ck long, seg string"),
+             weight=-1)
+    eng.step()
+    check("retract both sides")
