@@ -74,25 +74,31 @@ def _calibrate() -> float:
     return round(time.time() - t0, 3)
 
 
-#: logical CPUs — the parallel probe and effective-core estimate derive
-#: from this instead of a hardcoded 32 (ADVICE r8 #3: on any other host
-#: the constants were meaningless); the serial/parallel thresholds stay
-#: overridable for the same reason
-_NCPU = os.cpu_count() or 32
+#: the parallel probe and effective-core estimate derive from Spark's
+#: actual execution width (defaultParallelism = the local[N] thread
+#: count), NOT os.cpu_count() — on a host whose Spark master is
+#: narrower than the machine the probe would otherwise oversubscribe
+#: and permanently fail the gate (ADVICE r8 #3 + r9 review); the
+#: serial/parallel thresholds stay env-overridable for the same reason
 _SERIAL_OK = float(os.environ.get("SPARK_GRAFT_BENCH_SERIAL_OK", "0.47"))
 _PAR_OK = float(os.environ.get("SPARK_GRAFT_BENCH_PAR_OK", "0.47"))
 _PAR_REF = float(os.environ.get("SPARK_GRAFT_BENCH_PAR_REF", "0.42"))
 
 
+def _spark_width(spark) -> int:
+    return max(1, spark.sparkContext.defaultParallelism)
+
+
 def _calibrate_parallel(spark) -> float:
     """Fixed per-core JVM-side parallel workload (a 50M-id sum per
-    logical CPU, whole-stage codegen) — the EFFECTIVE-CORES probe.  r7
+    execution thread, whole-stage codegen) — the EFFECTIVE-CORES probe.  r7
     found the host can silently shrink the 32-vCPU allocation to ~21
     effective cores: the single-thread probe stays ~0.45s while every
     shuffle-heavy query uniformly gains 15-25%.  Deltas on heavy queries
     are attributable only when BOTH probes agree round-over-round."""
+    w = _spark_width(spark)
     t0 = time.time()
-    spark.range(0, 50_000_000 * _NCPU, 1, _NCPU).selectExpr(
+    spark.range(0, 50_000_000 * w, 1, w).selectExpr(
         "sum(id % 1000003) AS s").collect()
     return round(time.time() - t0, 3)
 
@@ -219,9 +225,9 @@ def main() -> None:
         "calibration": {"start_sec": cal_start, "end_sec": cal_end,
                         "par_start_sec": par_start,
                         "par_end_sec": par_end,
-                        "effective_cores": round(_NCPU * PAR_REF
-                                                 / max(par_start,
-                                                       par_end), 1),
+                        "effective_cores": round(
+                            _spark_width(spark) * PAR_REF
+                            / max(par_start, par_end), 1),
                         "job_ms_start": job_ms_start,
                         "job_ms_end": job_ms_end,
                         "loadavg_start": load_start,

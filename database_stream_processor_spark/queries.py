@@ -6007,6 +6007,7 @@ _WINDOW_ORDER = [
     "q132_sql_engine_tpch_q1_typed",
     "q133_sql_engine_tpch_q3_typed",
     "q134_sql_rolling_features_timestamp",
+    "q135_sql_engine_expr_group_keys",
     # round-9 priority 2: the 12 rows whose latest driver evidence is
     # round 5 (nexmark batch variants + the MIN/MAX view).
     "nx_q01_currency",
@@ -6029,7 +6030,9 @@ _WINDOW_ORDER = [
     # nx_q09 with the as-of/monotonic-join rows; q30 is the labeled
     # brute-force baseline superseded by q46/q47; q36 multimodal is
     # covered by q60/q61/q88/q93/q94; q21 rolling by q42/q48/q92/q134).
-    "q01_pricing_summary",
+    # (q01_pricing_summary yields its slot to q135: the brand-new
+    # expr-key lowering needs driver evidence more than a third
+    # pricing-summary row — q122 holds r7 and q132 is in this window)
     "q02_revenue_by_nation",
     "q05_supplier_volume",
     "q06_forecast_revenue",

@@ -1350,7 +1350,7 @@ def _ncf_block(eng: "Engine", block: str,
         if ch == "(":
             j = _match_paren(block, i)
             if j < 0:
-                j = n - 1
+                j = n          # unbalanced: keep the full remainder
             out.append("(" + _ncf_block(eng, block[i + 1:j].strip(),
                                         inner_scope) + ")")
             i = j + 1
@@ -3047,28 +3047,39 @@ _SUBQ_BLOCKERS = re.compile(
     re.IGNORECASE)
 
 
-def _refs_only(term: str, allowed_quals: set[str],
-               allowed_cols: set[str]) -> bool:
-    """True iff every identifier in ``term`` is either ``q.col`` with
-    ``q`` in *allowed_quals*, a bare column in *allowed_cols*, or a
-    non-column token (literal/function/keyword — anything followed by
-    ``(`` or not matching a known column)."""
+#: non-column tokens the identifier walker skips (shared by _refs_only
+#: and _residual_side_check so the two can never drift)
+_EXPR_KEYWORDS = {"AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "IS",
+                  "IN", "LIKE", "BETWEEN", "CASE", "WHEN", "THEN",
+                  "ELSE", "END"}
+
+
+def _walk_idents(term: str):
+    """Yield every identifier reference in ``term`` (literals blanked):
+    ``("qual", q, c)`` for qualified refs, ``("func", name, None)`` for
+    call sites, ``("bare", tok, None)`` for bare tokens that are not in
+    the shared keyword set.  THE single identifier walker for residual
+    attribution — one regex, one keyword list."""
     no_str = re.sub(r"'[^']*'", "''", term)
     for m in re.finditer(r"(\w+)\s*\.\s*(\w+)|\b([A-Za-z_]\w*)\b(\s*\()?",
                          no_str):
         if m.group(1):
-            if m.group(1).lower() not in allowed_quals:
-                return False
+            yield ("qual", m.group(1).lower(), m.group(2).lower())
         elif m.group(4):
-            continue  # function call
-        else:
-            tok = m.group(3)
-            if (tok.lower() in allowed_cols
-                    or tok.upper() in {"AND", "OR", "NOT", "NULL", "TRUE",
-                                       "FALSE", "IS", "IN", "LIKE", "BETWEEN",
-                                       "CASE", "WHEN", "THEN", "ELSE", "END"}
-                    or tok.isdigit()):
-                continue
+            yield ("func", m.group(3).lower(), None)
+        elif m.group(3).upper() not in _EXPR_KEYWORDS:
+            yield ("bare", m.group(3).lower(), None)
+
+
+def _refs_only(term: str, allowed_quals: set[str],
+               allowed_cols: set[str]) -> bool:
+    """True iff every identifier in ``term`` is either ``q.col`` with
+    ``q`` in *allowed_quals*, a bare column in *allowed_cols*, or a
+    non-column token (literal/function/keyword)."""
+    for kind, a, b in _walk_idents(term):
+        if kind == "qual" and a not in allowed_quals:
+            return False
+        if kind == "bare" and a not in allowed_cols:
             return False
     return True
 
@@ -3165,31 +3176,18 @@ def _residual_side_check(term: str, ia: str, oa: str,
     accepting it here would make the touched-key restriction argument
     depend on a shape nobody audited)."""
     refs_inner = False
-    no_str = re.sub(r"'[^']*'", "''", term)
-    for m in re.finditer(r"(\w+)\s*\.\s*(\w+)|\b([A-Za-z_]\w*)\b(\s*\()?",
-                         no_str):
-        if m.group(1):
-            q, c = m.group(1).lower(), m.group(2).lower()
-            if q == ia and c in icols:
+    for kind, a, b in _walk_idents(term):
+        if kind == "qual":
+            if a == ia and b in icols:
                 refs_inner = True
-            elif q == oa and c in ocols:
+            elif a == oa and b in ocols:
                 pass
             else:
                 return False        # unknown qualifier or wrong side
-        elif m.group(4):
-            continue                # function call
-        else:
-            tok = m.group(3)
-            if tok.lower() in icols:
+        elif kind == "bare":
+            if a in icols:          # inner wins, per SQL scoping
                 refs_inner = True
-            elif (tok.lower() in ocols
-                    or tok.upper() in {"AND", "OR", "NOT", "NULL", "TRUE",
-                                       "FALSE", "IS", "IN", "LIKE",
-                                       "BETWEEN", "CASE", "WHEN", "THEN",
-                                       "ELSE", "END"}
-                    or tok.isdigit()):
-                continue
-            else:
+            elif a not in ocols:
                 return False
     return refs_inner
 
@@ -3578,6 +3576,7 @@ class _SubqueryFilterMaintainer(_ViewMaintainer):
     def step(self, eng, combined, old):
         da, db = combined.get(self.outer), combined.get(self.inner)
         if da is None and db is None:
+            self._last_slices = None    # this tick restricted nothing
             return self._empty()
         with _no_constraint_propagation(eng.spark):
             return self._step_guarded(eng, da, db)
@@ -3694,6 +3693,7 @@ class _MultiSubqueryFilterMaintainer(_ViewMaintainer):
         dbs = {term["inner"]: combined.get(term["inner"])
                for term in self.terms}
         if da is None and all(v is None for v in dbs.values()):
+            self._last_slices = None    # this tick restricted nothing
             return self._empty()
         with _no_constraint_propagation(eng.spark):
             return self._step_guarded(eng, da, dbs)
@@ -5084,6 +5084,11 @@ def _agg_expr_keys(eng: "Engine", name: str, flat: str):
     head, grp = rest[:gpos].strip(), re.sub(r"^GROUP\s+BY\s+", "",
                                             rest[gpos:], count=1,
                                             flags=re.IGNORECASE)
+    if _find_top_kw(grp, ("ORDER", "LIMIT")) >= 0:
+        # grouped ORDER BY … LIMIT shapes belong to the top-k passes —
+        # refuse explicitly instead of driving a doomed hidden-view
+        # registration through Spark analysis
+        raise _UnloweredShape("ORDER BY/LIMIT tail in expr-key agg")
     hpos = _find_top_kw(grp, ("HAVING",))
     keys_txt, having = ((grp, None) if hpos < 0
                         else (grp[:hpos], grp[hpos + 6:].strip()))
@@ -5157,7 +5162,8 @@ def _agg_expr_keys(eng: "Engine", name: str, flat: str):
                     # (every GROUP BY key must be a select item) and
                     # the whole pass falls back
                     continue
-                having = _sub_outside_literals(re.escape(k), al, having)
+                having = _sub_outside_literals(
+                    rf"(?<!\w){re.escape(k)}(?!\w)", al, having)
     # the outer runs FROM the hidden view: strip every source alias's
     # qualifiers (claimed columns are verified unique across the chain
     # below); the aliases stay live inside the hidden view's own text
