@@ -310,3 +310,44 @@ def test_filtered_join_agg_stack_recovers(spark, tmp_path):
     eng2.step()
     got = sorted(tuple(r) for r in eng2.view("v").collect())
     assert got == [("b", 1)], got
+
+
+def test_expr_key_agg_stack_recovers(spark, tmp_path):
+    """The r9 expression-GROUP-BY stack (hidden __v_ek projection view
+    materializing the key expression + linear agg) must survive
+    suspend/resume: the fresh Engine re-lowers the same DDL, the
+    bootstrap re-seeds the hidden projection from recovered tables,
+    and a post-recovery retraction that empties a bucket stays
+    incremental and matches batch recompute."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE ev (eid BIGINT NOT NULL, ut BIGINT NOT NULL,
+                         v BIGINT);
+        CREATE VIEW tw as
+            select ut - ut % 100 as ws, count(*) as n, sum(v) as s
+            from ev group by ut - ut % 100;
+    """
+    path = str(tmp_path / "eng_state")
+    E = "eid long, ut long, v long"
+
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    eng.push("ev", spark.createDataFrame(
+        [(1, 10, 5), (2, 50, 7), (3, 130, 2), (4, 260, 9)], E))
+    eng.step()
+    want = sorted(tuple(r) for r in eng.view("tw").collect())
+    assert want == [(0, 2, 12), (100, 1, 2), (200, 1, 9)]
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    assert eng2.view_strategy("tw") == "linear_agg"
+    assert eng2.view_strategy("__tw_ek") == "project"
+    assert sorted(tuple(r) for r in eng2.view("tw").collect()) == want
+    # post-recovery: retract the only row of the 100-bucket — the group
+    # must vanish, and a new insert lands in a fresh bucket
+    eng2.push("ev", spark.createDataFrame([(3, 130, 2)], E), weight=-1)
+    eng2.push("ev", spark.createDataFrame([(5, 310, 4)], E))
+    eng2.step()
+    got = sorted(tuple(r) for r in eng2.view("tw").collect())
+    assert got == [(0, 2, 12), (200, 1, 9), (300, 1, 4)], got
