@@ -5982,6 +5982,160 @@ def q135_sql_engine_expr_group_keys(spark, sf_dir):
         F.col("sum_value_c").cast("long").alias("sum_value_c"))
 
 
+@register("q136_sql_engine_tpch_q15_cte", oracle="""
+WITH li AS (SELECT l_suppkey,
+                   CAST(FLOOR(l_extendedprice*100) AS BIGINT) AS ep,
+                   CAST(FLOOR(l_discount*100) AS BIGINT) AS dc,
+                   CAST(DATEDIFF('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS BIGINT) AS sd
+            FROM lineitem WHERE l_orderkey % 9 <> 0),
+revenue0 AS (SELECT l_suppkey AS supplier_no,
+                    SUM(ep * (100 - dc)) AS total_revenue
+             FROM li WHERE sd >= 9496 AND sd < 9496 + 91
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS BIGINT) AS total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+""")
+def q136_sql_engine_tpch_q15_cte(spark, sf_dir):
+    """The PUBLISHED TPC-H q15 ("top supplier") in its standard CTE
+    form — the spec text declares ``create view revenue0`` then drops
+    it; the WITH rewrite is the canonical inline equivalent (reference:
+    the Calcite frontend flattens CTEs to inline views, sql-to-dbsp
+    submodule; SURVEY §3.2).  NEW r9: the WITH clause lowers through
+    ``_cte_lift`` — revenue0 becomes a hidden maintained linear-agg
+    view, the main comma-join normalizes onto it, and the uncorrelated
+    ``= (SELECT MAX(total_revenue) FROM revenue0)`` scalar probes the
+    SAME hidden view through the scalar-subquery stack (constant-key
+    MAX view + left join + filtered projection), every stage O(Δ).
+    Dates as days since 1970-01-01, money as cents (the oracle-hash
+    convention; q131 proves the DATE/DECIMAL domain).  Two insert
+    ticks, then a retraction of every 9th order's lineitems — MAX must
+    fall back to the new top supplier as revenue deflates."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_name VARCHAR);
+        CREATE TABLE lineitem (l_suppkey BIGINT, l_extendedprice BIGINT,
+                               l_discount BIGINT, l_shipdate BIGINT);
+        CREATE VIEW q15 as
+            with revenue0 as (
+                select l_suppkey as supplier_no,
+                       sum(l_extendedprice * (100 - l_discount))
+                           as total_revenue
+                from lineitem
+                where l_shipdate >= 9496 and l_shipdate < 9496 + 91
+                group by l_suppkey)
+            select s_suppkey, s_name, total_revenue
+            from supplier, revenue0
+            where s_suppkey = supplier_no
+              and total_revenue = (select max(total_revenue)
+                                   from revenue0)
+            order by s_suppkey;
+    """)
+    assert eng.view_strategy("q15") == "project"
+    assert eng.view_strategy("__q15_cte_revenue0") == "linear_agg"
+    assert eng.view_strategy("__q15_src") == "join"
+    assert eng.view_strategy("__q15_sq0") == "nonlinear_agg"
+    assert eng.view_strategy("__q15_j0") == "left_join"
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("l_extendedprice"),
+        F.floor(F.col("l_discount") * 100).cast("long")
+         .alias("l_discount"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+         .cast("long").alias("l_shipdate"),
+        "l_orderkey")
+    eng.push("supplier", sup)
+    for i in range(2):
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 9 == 0)
+                           .drop("l_orderkey"), weight=-1)
+    eng.step()
+    return eng.view("q15").select(
+        "s_suppkey", "s_name",
+        F.col("total_revenue").cast("long").alias("total_revenue"))
+
+
+@register("q137_sql_engine_cte_chain", oracle="""
+WITH li AS (SELECT l_orderkey,
+                   CAST(FLOOR(l_extendedprice*100) AS BIGINT) AS ep,
+                   CAST(FLOOR(l_discount*100) AS BIGINT) AS dc
+            FROM lineitem WHERE l_orderkey % 7 <> 0),
+order_rev AS (SELECT l_orderkey, SUM(ep * (100 - dc)) AS rev
+              FROM li GROUP BY l_orderkey),
+big AS (SELECT l_orderkey, rev FROM order_rev
+        WHERE rev > 1900000000)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(rev) AS BIGINT) AS total_rev
+FROM orders, big
+WHERE o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""")
+def q137_sql_engine_cte_chain(spark, sf_dir):
+    """A two-CTE pipeline where the SECOND CTE references the FIRST
+    (``order_rev`` → ``big``) and the main SELECT comma-joins the
+    second against a base table under a GROUP BY — the layered-ETL
+    idiom users write as one statement instead of a CREATE VIEW script.
+    NEW r9: each CTE hoists to a hidden maintained view in scope order
+    (linear-agg, then project/filter over ITS deltas), the main body
+    normalizes the comma join and re-lowers as a join-aggregate — the
+    whole chain maintains per tick ∝ Δ with no snapshot anywhere.
+    Reference: CTE flattening per the Calcite frontend (sql-to-dbsp);
+    layered view maintenance per SURVEY §2.5/§2.4.  Two insert ticks
+    (orders split by key parity), then a retraction of every 7th
+    order's lineitems — groups must deflate and orders whose revenue
+    drops below the bar must leave ``big``."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_orderpriority VARCHAR);
+        CREATE TABLE lineitem (l_orderkey BIGINT, l_extendedprice BIGINT,
+                               l_discount BIGINT);
+        CREATE VIEW vc as
+            with order_rev as (
+                select l_orderkey,
+                       sum(l_extendedprice * (100 - l_discount)) as rev
+                from lineitem group by l_orderkey),
+            big as (select l_orderkey, rev from order_rev
+                    where rev > 1900000000)
+            select o_orderpriority, count(*) as n_big,
+                   sum(rev) as total_rev
+            from orders, big
+            where o_orderkey = l_orderkey
+            group by o_orderpriority;
+    """)
+    assert eng.view_strategy("__vc_cte_order_rev") == "linear_agg"
+    assert eng.view_strategy("__vc_cte_big") == "project"
+    assert eng.view_strategy("vc") == "join_agg"
+    o = load(spark, sf_dir, "orders").select("o_orderkey",
+                                             "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("l_extendedprice"),
+        F.floor(F.col("l_discount") * 100).cast("long")
+         .alias("l_discount"))
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 7 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("vc").select(
+        "o_orderpriority", F.col("n_big").cast("long").alias("n_big"),
+        F.col("total_rev").cast("long").alias("total_rev"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -6008,6 +6162,12 @@ _WINDOW_ORDER = [
     "q133_sql_engine_tpch_q3_typed",
     "q134_sql_rolling_features_timestamp",
     "q135_sql_engine_expr_group_keys",
+    # r9 late additions: the WITH-clause CTE lift (verbatim TPC-H q15 +
+    # a CTE→CTE chain).  They take the q14/q45 slots: scalar date
+    # functions hold a fresh r8 row via q40, Fold keeps q57 in-window
+    # (both displaced rows stay registered and replica-checked).
+    "q136_sql_engine_tpch_q15_cte",
+    "q137_sql_engine_cte_chain",
     # round-9 priority 2: the 12 rows whose latest driver evidence is
     # round 5 (nexmark batch variants + the MIN/MAX view).
     "nx_q01_currency",
@@ -6040,7 +6200,6 @@ _WINDOW_ORDER = [
     "q09_nation_customer_counts",
     "q10_signup_to_purchase",
     "q11_distinct_parts_per_flag",
-    "q14_order_date_parts",
     "q15_topk_orders_per_priority",
     "q16_acctbal_extremes",
     "q17_union_except_intersect",
@@ -6052,7 +6211,6 @@ _WINDOW_ORDER = [
     "q39_transitive_closure",
     "q42_incremental_rolling",
     "q44_incremental_closure",
-    "q45_fold_latest_event",
     "q48_rolling_linear",
     "q57_fold_topk_prices",
     "q58_circuit_revenue",

@@ -1848,7 +1848,11 @@ def _scalar_sq_join_src(eng: "Engine", name: str, body: str, sel: str,
     lowers this way: join view → per-partkey AVG view → left join →
     filtered projection, all O(Δ) maintained."""
     chain = _parse_aliased_chain(body)
+    # hidden synthesized views (e.g. a CTE's __{name}_cte_{a}) are valid
+    # chain legs: their per-tick deltas flow through `combined` exactly
+    # like table deltas
     if chain is None or any(t not in eng.tables and t not in eng.views
+                            and t not in eng._maintainers
                             for t, _, _ in chain):
         raise _UnloweredShape(body)
     alias_of = {a: t for t, a, _ in chain}
@@ -1881,8 +1885,15 @@ def _scalar_sq_join_src(eng: "Engine", name: str, body: str, sel: str,
                 sm = cm
             if inner_aliases & set(alias_of):
                 # a shadowed alias would make the o0-requalification
-                # rewrite inner-scoped refs — refuse instead
-                raise _UnloweredShape("subquery alias shadows outer")
+                # rewrite inner-scoped refs — refuse UNLESS the span
+                # carries no qualified refs under any outer alias (the
+                # TPC-H q15 shape: the same view is an outer chain leg
+                # AND the inner table of an uncorrelated scalar, all its
+                # inner refs bare — nothing for _requal to corrupt)
+                span_quals = {qm.group(1).lower()
+                              for qm in re.finditer(qual_re, span)}
+                if span_quals & set(alias_of):
+                    raise _UnloweredShape("subquery alias shadows outer")
             for qm in re.finditer(qual_re, sm.group("icond") or ""):
                 if qm.group(1).lower() not in inner_aliases:
                     pieces.append(" " + qm.group(0) + " ")
@@ -2005,7 +2016,9 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         i = len(subs)
         itbl = sm.group("it").lower()
         ia = (sm.group("ia") or sm.group("it")).lower()
-        if not (itbl in eng.tables or itbl in eng.views):
+        # hidden maintained views (CTE hoists) are valid inner sources
+        if not (itbl in eng.tables or itbl in eng.views
+                or itbl in eng._maintainers):
             raise _UnloweredShape(itbl)
         icols = {f.name.lower()
                  for f in _source_rows0(eng, itbl).schema.fields}
@@ -4520,6 +4533,111 @@ def _from_subquery_lift(eng: "Engine", name: str, flat: str):
         raise
 
 
+def _parse_with_clause(flat: str) -> tuple[list[tuple[str, str]], str]:
+    """Parse a top-level ``WITH a AS ( … ) [, b AS ( … )]* SELECT …``
+    into ``([(name, body), …], main_select)``.  Refuses (raises
+    :class:`_UnloweredShape`) on ``WITH RECURSIVE`` (the reference
+    routes that to the fixpoint operator — operators/recursive.py — not
+    the view maintainers), CTE column-alias lists ``name (c1, c2) AS``,
+    duplicate names, and non-SELECT bodies."""
+    if re.match(r"^WITH\s+RECURSIVE\b", flat, re.IGNORECASE):
+        raise _UnloweredShape("WITH RECURSIVE is the fixpoint "
+                              "operator's shape, not a view lowering")
+    m = re.match(r"^WITH\s+", flat, re.IGNORECASE)
+    if not m:
+        raise _UnloweredShape("not a WITH clause")
+    i = m.end()
+    ctes: list[tuple[str, str]] = []
+    n = len(flat)
+    while True:
+        nm = re.match(r"([A-Za-z_]\w*)\s+AS\s*\(", flat[i:], re.IGNORECASE)
+        if not nm:
+            raise _UnloweredShape(
+                f"unparsed CTE item (alias list / missing AS?): "
+                f"{flat[i:i + 40]!r}")
+        cname = nm.group(1).lower()
+        if cname in _SQL_KEYWORDS or any(cname == c for c, _ in ctes):
+            raise _UnloweredShape(f"CTE name {cname!r} is a keyword or "
+                                  "duplicate")
+        po = i + nm.end() - 1          # index of the body's '('
+        pc = _match_paren(flat, po)
+        if pc < 0:
+            raise _UnloweredShape("unbalanced CTE body parens")
+        body = flat[po + 1:pc].strip()
+        if not re.match(r"^SELECT\b", body, re.IGNORECASE):
+            raise _UnloweredShape("CTE body is not a SELECT")
+        ctes.append((cname, body))
+        j = pc + 1
+        while j < n and flat[j].isspace():
+            j += 1
+        if j < n and flat[j] == ",":
+            i = j + 1
+            while i < n and flat[i].isspace():
+                i += 1
+            continue
+        main = flat[j:].strip()
+        break
+    if not re.match(r"^SELECT\b", main, re.IGNORECASE):
+        raise _UnloweredShape("WITH tail is not a SELECT")
+    return ctes, main
+
+
+def _cte_lift(eng: "Engine", name: str, flat: str):
+    """``WITH a AS (…), b AS (…) SELECT …`` — each CTE becomes a hidden
+    maintained view ``__{name}_cte_{a}`` (itself lowered through every
+    recognizer, so a grouped CTE gets the linear-agg maintainer, a join
+    CTE the multilinear delta join, …), later CTE bodies and the main
+    SELECT are rewritten to reference the hidden names, and the main
+    body re-lowers over the hidden views' per-tick output deltas —
+    linear ∘ anything stays O(Δ) end to end, exactly the layered
+    CREATE VIEW scripts the reference's Calcite frontend flattens CTEs
+    into (sql-to-dbsp treats WITH as inline views).
+
+    Scoping follows the standard: a CTE's own body sees only EARLIER
+    CTEs (its own name, if it shadows a base table, still means the
+    base table inside its body); the main SELECT sees all of them.
+
+    Refused shapes (→ snapshot-diff of the original text): RECURSIVE,
+    column-alias lists, a CTE name that collides with a column of any
+    referenced source (the whole-word rewrite could then corrupt an
+    expression), or any stage that itself only snapshot-diffs."""
+    ctes, main = _parse_with_clause(flat)
+    # column-collision guard: the rewrite below is whole-word over the
+    # SQL text, so a CTE named like a column of any referenced source
+    # would get mangled — refuse those (rare; users name CTEs as tables)
+    words = {w.lower() for w in re.findall(r"\b\w+\b", flat)}
+    src_cols: set[str] = set()
+    for t in words:
+        if t in eng.tables or t in eng.views or t in eng._maintainers:
+            src_cols.update(c.lower()
+                            for c in _source_rows0(eng, t).columns)
+    registered: list[str] = []
+    try:
+        mapping: dict[str, str] = {}
+        for cname, body in ctes:
+            if cname in src_cols:
+                raise _UnloweredShape(
+                    f"CTE name {cname!r} collides with a source column")
+            for prev, hid in mapping.items():
+                body = _sub_outside_literals(rf"\b{prev}\b", hid, body,
+                                             re.IGNORECASE)
+            body = _normalize_comma_from(eng, body)
+            hid = f"__{name}_cte_{cname}"
+            _register_hidden(eng, hid, body, registered)
+            mapping[cname] = hid
+        for prev, hid in mapping.items():
+            main = _sub_outside_literals(rf"\b{prev}\b", hid, main,
+                                         re.IGNORECASE)
+        main = _normalize_comma_from(eng, main)
+        fm = _lower_view(eng, name, main)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("WITH main body snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 #: SELECT … FROM lt LEFT [OUTER] JOIN rt ON cond [WHERE p] GROUP BY keys
 _LJ_AGG_RE = re.compile(
     r"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?"
@@ -5983,6 +6101,22 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         if re.match(r"^ORDER\s+BY\s", tail_txt, re.IGNORECASE) \
                 and _find_top_kw(tail_txt[8:], _NCF_STOPS) < 0:
             flat = flat[:op].strip()
+    # WITH-clause CTEs: hoist each into a hidden maintained view and
+    # re-lower the main SELECT over them (no other recognizer matches a
+    # WITH-prefixed text, so a refusal goes straight to snapshot-diff)
+    if re.match(r"^WITH\b", flat, re.IGNORECASE):
+        attempts: list[str] = []
+        try:
+            return _cte_lift(eng, name, flat)
+        except _UnloweredShape as e:
+            attempts.append(f"_cte_lift(unlowered shape: {e})")
+        except Exception as e:  # shape gate: correctness first
+            attempts.append(f"_cte_lift({type(e).__name__}: {e})")
+        _LOG.warning(
+            "view %s: no incremental lowering matched — maintaining by "
+            "snapshot-diff (full recompute per tick); recognizers "
+            "tried: %s", name, "; ".join(attempts))
+        return _ViewMaintainer(eng, name, sql)
     # A table appearing TWICE in one join chain (TPC-H q7's `nation n1,
     # nation n2` after comma normalization) cannot bind two different
     # leg states under one temp-view name in the multilinear delta
