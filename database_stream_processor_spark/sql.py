@@ -2026,18 +2026,42 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         residual = []
         if _mixed_top_and_or(sm.group("icond") or ""):
             raise _UnloweredShape("mixed top-level AND/OR in subquery")
+
+        def _side(tok: str) -> tuple[str, str] | None:
+            """Resolve one equality operand to ('inner'|'outer', col) —
+            qualified by either alias, or bare with SQL scoping (an
+            inner-owned name resolves inner; only a name absent from
+            the inner can reach out to the outer row) — the same
+            attribution the EXISTS matcher uses (r9: verbatim bare
+            correlations like ``l_orderkey = o_orderkey`` in
+            SELECT-list scalars)."""
+            tok = tok.strip()
+            if "." in tok:
+                q, c = tok.split(".", 1)
+                q, c = q.lower(), c.lower()
+                if q == ia and c in icols:
+                    return ("inner", c)
+                if q == oa and q != ia and c in ocols:
+                    return ("outer", c)
+                return None
+            c = tok.lower()
+            if c in icols:
+                return ("inner", c)
+            if c in ocols:
+                return ("outer", c)
+            return None
+
         for term in _split_top_and(sm.group("icond") or ""):
-            pm = _EQ_PAIR.match(term)
-            if pm:
-                q1, c1, q2, c2 = pm.groups()
-                q1, q2 = q1.lower(), q2.lower()
-                if {q1, q2} == {ia, oa} and ia != oa:
-                    ok, ik = (c2, c1) if q1 == ia else (c1, c2)
-                    if ok.lower() not in ocols or ik.lower() not in icols \
-                            or ik.lower() in [k.lower() for k in iks]:
+            em = re.match(r"^([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)$",
+                          term.strip())
+            if em:
+                s1, s2 = _side(em.group(1)), _side(em.group(2))
+                if s1 and s2 and {s1[0], s2[0]} == {"inner", "outer"}:
+                    inn, out = (s1, s2) if s1[0] == "inner" else (s2, s1)
+                    if inn[1] in [k.lower() for k in iks]:
                         raise _UnloweredShape(f"correlation term: {term}")
-                    oks.append(ok)
-                    iks.append(ik)
+                    oks.append(out[1])
+                    iks.append(inn[1])
                     continue
             if not _refs_only(term, {ia}, icols):
                 raise _UnloweredShape(f"correlation term: {term}")
@@ -2102,18 +2126,40 @@ def _scalar_subquery_from(eng: "Engine", name: str, flat: str):
         residual = []
         if _mixed_top_and_or(cm.group("icond") or ""):
             raise _UnloweredShape("mixed top-level AND/OR in subquery")
+        def _chain_side(tok: str):
+            """('inner', alias, col) / ('outer', None, col) / None —
+            qualified by a chain alias or the outer alias, or bare with
+            SQL scoping (a chain-owned name resolves inner when exactly
+            ONE leg owns it; only a name no leg owns reaches out) —
+            r9: verbatim bare correlations in chain-FROM subqueries."""
+            tok = tok.strip()
+            if "." in tok:
+                q, c = tok.split(".", 1)
+                q, c = q.lower(), c.lower()
+                if q in alias_of and c in cols_of[alias_of[q]]:
+                    return ("inner", q, c)
+                if q == oa and c in ocols:
+                    return ("outer", None, c)
+                return None
+            c = tok.lower()
+            owners = [t for t in cols_of if c in cols_of[t]]
+            if len(owners) == 1:
+                return ("inner", alias_for[owners[0]], c)
+            if owners:
+                return None            # ambiguous across legs — refuse
+            if c in ocols:
+                return ("outer", None, c)
+            return None
+
         for term in _split_top_and(cm.group("icond") or ""):
-            pm = _EQ_PAIR.match(term)
-            if pm:
-                q1, c1, q2, c2 = pm.groups()
-                q1, q2 = q1.lower(), q2.lower()
-                if q1 == oa and q2 in alias_of:
-                    oks.append(c1)
-                    ikq.append((q2, c2))
-                    continue
-                if q2 == oa and q1 in alias_of:
-                    oks.append(c2)
-                    ikq.append((q1, c1))
+            em = re.match(r"^([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)$",
+                          term.strip())
+            if em:
+                s1, s2 = _chain_side(em.group(1)), _chain_side(em.group(2))
+                if s1 and s2 and {s1[0], s2[0]} == {"inner", "outer"}:
+                    inn, out = (s1, s2) if s1[0] == "inner" else (s2, s1)
+                    oks.append(out[2])
+                    ikq.append((inn[1], inn[2]))
                     continue
             if not _refs_only(term, set(alias_of),
                               set().union(*cols_of.values())):
@@ -2581,7 +2627,10 @@ class _UnionMaintainer(_ViewMaintainer):
                     or _analyzed_has_aggregate(eng, b)):
                 raise _UnloweredShape(b)
             tbl = m.group("tbl").lower()
-            if tbl not in eng.tables and tbl not in eng.views:
+            # hidden synthesized views (CTE hoists) are valid branches:
+            # their deltas flow through `combined` like table deltas
+            if tbl not in eng.tables and tbl not in eng.views \
+                    and tbl not in eng._maintainers:
                 raise _UnloweredShape(tbl)
             parsed.append((b, tbl))
         super().__init__(eng, name, sql)
@@ -2666,7 +2715,10 @@ class _SetOpMaintainer(_ViewMaintainer):
                     or _analyzed_has_aggregate(eng, b)):
                 raise _UnloweredShape(b)
             tbl = m.group("tbl").lower()
-            if tbl not in eng.tables and tbl not in eng.views:
+            # hidden synthesized views (CTE hoists) are valid branches:
+            # their deltas flow through `combined` like table deltas
+            if tbl not in eng.tables and tbl not in eng.views \
+                    and tbl not in eng._maintainers:
                 raise _UnloweredShape(tbl)
             parsed.append((b, tbl))
         super().__init__(eng, name, sql)
@@ -2769,7 +2821,10 @@ class _SetOpAllMaintainer(_ViewMaintainer):
                     or _analyzed_has_aggregate(eng, b)):
                 raise _UnloweredShape(b)
             tbl = m.group("tbl").lower()
-            if tbl not in eng.tables and tbl not in eng.views:
+            # hidden synthesized views (CTE hoists) are valid branches:
+            # their deltas flow through `combined` like table deltas
+            if tbl not in eng.tables and tbl not in eng.views \
+                    and tbl not in eng._maintainers:
                 raise _UnloweredShape(tbl)
             parsed.append((b, tbl))
         super().__init__(eng, name, sql)
@@ -6546,8 +6601,11 @@ class Engine:
             for t in bindings:
                 if t in self.tables:
                     self._refresh_table_view(t)
-                elif t in self.views:
+                elif t in self._maintainers:
                     # restore a maintained view's canonical binding
+                    # (named views AND hidden synthesized views — a
+                    # hidden view left bound to a tick's delta would
+                    # poison every later consumer)
                     self._maintainers[t].state.current.rows() \
                         .createOrReplaceTempView(t)
 

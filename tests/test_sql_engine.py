@@ -4184,3 +4184,132 @@ def test_cte_randomized_tick_equivalence(spark):
         want = sorted(map(tuple, spark.sql(batch).collect()), key=str)
         got = sorted(map(tuple, eng.view("cv").collect()), key=str)
         assert got == want, (tick, got, want)
+
+
+def test_select_list_scalar_subquery_bare_correlation(spark):
+    """A correlated scalar subquery in the SELECT list whose correlation
+    equality is written BARE (``WHERE l_ok = o_ok``, verbatim-TPC-H
+    style) or mixed (``WHERE li.l_ok = o_ok``): side-attribution
+    resolves inner/outer by schema scoping, the subquery lowers to a
+    hidden grouped view + left join, and orders with no lineitems carry
+    the NULL the left join pads (SQL one-shot semantics)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE oo (o_ok BIGINT NOT NULL, pri VARCHAR);
+        CREATE TABLE li (l_ok BIGINT, qty BIGINT);
+        CREATE VIEW v as
+            SELECT o_ok, pri,
+                   (SELECT SUM(qty) FROM li WHERE l_ok = o_ok) AS q,
+                   (SELECT COUNT(*) FROM li WHERE li.l_ok = o_ok) AS c
+            FROM oo;
+    """)
+    assert eng.view_strategy("v") == "project"
+    assert eng.view_strategy("__v_sq0") == "linear_agg"
+    batch = """SELECT o_ok, pri,
+                      (SELECT SUM(qty) FROM li WHERE l_ok = o_ok) AS q,
+                      (SELECT COUNT(*) FROM li WHERE li.l_ok = o_ok) AS c
+               FROM oo"""
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(batch).collect()), key=str)
+        got = sorted(map(tuple, eng.view("v").collect()), key=str)
+        assert got == want, (tag, got, want)
+
+    oos = [(k, "hi" if k % 2 else "lo") for k in range(8)]
+    lis = [(k % 5, 1 + k % 4) for k in range(30)]   # keys 5-7 unmatched
+    eng.push("oo", spark.createDataFrame(oos, "o_ok long, pri string"))
+    eng.push("li", spark.createDataFrame(lis, "l_ok long, qty long"))
+    eng.step()
+    check("insert")
+    eng.push("li", spark.createDataFrame(lis[:18], "l_ok long, qty long"),
+             weight=-1)
+    eng.step()
+    check("retract lineitems")
+    eng.push("oo", spark.createDataFrame(oos[:3], "o_ok long, pri string"),
+             weight=-1)
+    eng.step()
+    check("retract orders")
+
+
+def test_cte_union_branches(spark):
+    """UNION (set semantics) whose branches read hidden CTE views —
+    the setop maintainers accept hidden views as branch sources, and
+    eval_on restores a hidden view's canonical binding after rebinding
+    its delta (a stale delta binding would poison later consumers)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t1 (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE t2 (k BIGINT NOT NULL, w BIGINT);
+        CREATE VIEW u as
+            WITH a AS (SELECT k FROM t1 WHERE v > 10),
+                 b AS (SELECT k FROM t2 WHERE w > 5)
+            SELECT k FROM a UNION SELECT k FROM b;
+    """)
+    assert eng.view_strategy("u") == "union"
+    batch = """WITH a AS (SELECT k FROM t1 WHERE v > 10),
+                    b AS (SELECT k FROM t2 WHERE w > 5)
+               SELECT k FROM a UNION SELECT k FROM b"""
+
+    def check(tag):
+        want = sorted(r[0] for r in spark.sql(batch).collect())
+        got = sorted(r[0] for r in eng.view("u").collect())
+        assert got == want, (tag, got, want)
+
+    r1 = [(k, k * 3) for k in range(10)]
+    r2 = [(k + 5, k) for k in range(10)]
+    eng.push("t1", spark.createDataFrame(r1, "k long, v long"))
+    eng.push("t2", spark.createDataFrame(r2, "k long, w long"))
+    eng.step()
+    check("insert")
+    eng.push("t1", spark.createDataFrame(r1[4:], "k long, v long"),
+             weight=-1)
+    eng.step()
+    check("retract t1 tail")
+    eng.push("t2", spark.createDataFrame(r2[:8], "k long, w long"),
+             weight=-1)
+    eng.step()
+    check("retract t2 head")
+
+
+def test_scalar_subquery_chain_from_bare_correlation(spark):
+    """A correlated scalar whose own FROM is a JOIN chain and whose
+    correlation equality is BARE (``WHERE l_ok = o_ok``) — the chain
+    side-attribution resolves the inner side by unique ownership across
+    the legs and the outer side by outer-schema membership."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE oo (o_ok BIGINT NOT NULL, pri VARCHAR);
+        CREATE TABLE li (l_ok BIGINT, pk BIGINT, qty BIGINT);
+        CREATE TABLE pp (p_pk BIGINT NOT NULL, heavy BIGINT);
+        CREATE VIEW v as
+            SELECT o_ok, pri,
+                   (SELECT SUM(qty) FROM li JOIN pp ON pk = p_pk
+                    WHERE l_ok = o_ok AND heavy > 0) AS hq
+            FROM oo;
+    """)
+    assert eng.view_strategy("v") == "project"
+    batch = """SELECT o_ok, pri,
+                      (SELECT SUM(qty) FROM li JOIN pp ON pk = p_pk
+                       WHERE l_ok = o_ok AND heavy > 0) AS hq
+               FROM oo"""
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(batch).collect()), key=str)
+        got = sorted(map(tuple, eng.view("v").collect()), key=str)
+        assert got == want, (tag, got, want)
+
+    oos = [(k, "x" if k % 2 else "y") for k in range(6)]
+    lis = [(k % 4, k % 3, 2 + k % 5) for k in range(24)]
+    pps = [(p, p % 2) for p in range(3)]
+    eng.push("oo", spark.createDataFrame(oos, "o_ok long, pri string"))
+    eng.push("li", spark.createDataFrame(lis, "l_ok long, pk long, qty long"))
+    eng.push("pp", spark.createDataFrame(pps, "p_pk long, heavy long"))
+    eng.step()
+    check("insert")
+    eng.push("li", spark.createDataFrame(lis[:12],
+                                         "l_ok long, pk long, qty long"),
+             weight=-1)
+    eng.push("pp", spark.createDataFrame(pps[2:], "p_pk long, heavy long"),
+             weight=-1)
+    eng.step()
+    check("retract li and pp")
