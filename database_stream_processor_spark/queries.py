@@ -6136,6 +6136,58 @@ def q137_sql_engine_cte_chain(spark, sf_dir):
         F.col("total_rev").cast("long").alias("total_rev"))
 
 
+@register("q138_sql_engine_recursive_cte", oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 1 AND 255
+    AND c_custkey % 5 <> 0),
+paths AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT p.src, e.dst FROM paths p JOIN edges e ON p.dst = e.src)
+SELECT src, dst, src - dst AS gap FROM paths
+""")
+def q138_sql_engine_recursive_cte(spark, sf_dir):
+    """SQL-level recursion: a ``WITH RECURSIVE`` view maintained
+    INCREMENTALLY through the Engine — NEW r9.  The CTE lowers to a
+    hidden view backed by ``IncrementalFixpointOp`` (reference:
+    recursive views exported for incremental maintenance,
+    recursive.rs:255; nested clocks time/mod.rs:20-48; the sql-to-dbsp
+    frontend accepts recursive queries): insert ticks run semi-naive
+    delta evaluation (cost ∝ new paths), the retraction tick runs
+    delete-and-rederive, and the main SELECT is a plain projection over
+    the maintained closure's deltas.  Same custkey//2 ancestor graph as
+    q39 (which drives the operator API batch path; this row drives the
+    SQL surface).  Two insert ticks (key parity), then retraction of
+    every 5th source's edges."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE edges (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW reach as
+            with recursive paths as (
+                select src, dst from edges
+                union
+                select p.src, e.dst from paths p join edges e
+                    on p.dst = e.src)
+            select src, dst, src - dst as gap from paths;
+    """)
+    assert eng.view_strategy("__reach_rec") == "recursive"
+    assert eng.view_strategy("reach") == "project"
+    c = load(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey").between(1, 255))
+    edges = c.select(F.col("c_custkey").alias("src"),
+                     F.expr("c_custkey div 2").alias("dst"))
+    for i in range(2):
+        eng.push("edges", edges.filter(F.col("src") % 2 == i))
+        eng.step()
+    eng.push("edges", edges.filter(F.col("src") % 5 == 0), weight=-1)
+    eng.step()
+    stats = eng._maintainers["__reach_rec"].last_stats
+    assert stats["mode"] == "dred", stats
+    return eng.view("reach")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -6168,6 +6220,8 @@ _WINDOW_ORDER = [
     # (both displaced rows stay registered and replica-checked).
     "q136_sql_engine_tpch_q15_cte",
     "q137_sql_engine_cte_chain",
+    # (q138 takes q19's slot: tumbling windows keep q43 in this window)
+    "q138_sql_engine_recursive_cte",
     # round-9 priority 2: the 12 rows whose latest driver evidence is
     # round 5 (nexmark batch variants + the MIN/MAX view).
     "nx_q01_currency",
@@ -6203,7 +6257,6 @@ _WINDOW_ORDER = [
     "q15_topk_orders_per_priority",
     "q16_acctbal_extremes",
     "q17_union_except_intersect",
-    "q19_tumbling_window",
     "q20_hopping_window",
     "q24_latest_state_per_key",
     "q35_fingerprint_dedup",

@@ -4637,6 +4637,174 @@ def _parse_with_clause(flat: str) -> tuple[list[tuple[str, str]], str]:
     return ctes, main
 
 
+class _RecursiveCteMaintainer(_ViewMaintainer):
+    """``WITH RECURSIVE r AS (base UNION step) …`` — the recursive view
+    maintained by :class:`~database_stream_processor_spark.operators.
+    recursive.IncrementalFixpointOp` (semi-naive insert ticks, DRed
+    deletes; the reference exports any recursive view for incremental
+    maintenance, recursive.rs:255, nested clocks time/mod.rs:20-48).
+
+    The SQL branches become the op's rule callbacks via ``eval_on``
+    rebinding: ``base(I)`` / ``step(I, acc)`` evaluate the branch texts
+    with the input table bound to ``I`` and the CTE name bound to
+    ``acc``; their delta forms rebind the table to the tick's delta —
+    exact because the lift enforces LINEAR recursion (the step branch
+    references the CTE once and the input table at most once, the base
+    branch the table at most once), matching the op's default
+    ``delta_step_out``.  UNION's set semantics = the fixpoint's
+    monotone set closure (UNION ALL — a bag fixpoint — refuses)."""
+
+    kind = "recursive"
+
+    def __init__(self, eng: "Engine", name: str, rname: str, tbl: str,
+                 base_sql: str, step_sql: str):
+        from database_stream_processor_spark.operators.recursive import (
+            IncrementalFixpointOp)
+        self.name, self.sql = name, base_sql
+        self.table, self.rname = tbl, rname
+        empty_in = _source_rows0(eng, tbl).limit(0)
+        snap = eng.eval_on(base_sql, {tbl: empty_in})
+        out_cols = list(snap.columns)
+        step_snap = eng.eval_on(
+            step_sql, {tbl: empty_in,
+                       rname: eng.spark.createDataFrame([], snap.schema)})
+        if len(step_snap.columns) != len(out_cols):
+            raise _UnloweredShape(
+                f"recursive branch arity {len(step_snap.columns)} != "
+                f"base arity {len(out_cols)}")
+        empty = eng.spark.createDataFrame([], snap.schema)
+        self.state = StateTable(ZSetFrame.from_df(empty),
+                                name=f"view_{name}")
+
+        def _norm(df):
+            return df.toDF(*out_cols)
+
+        base = lambda rows: _norm(eng.eval_on(base_sql, {tbl: rows}))
+        step = lambda rows, acc: _norm(
+            eng.eval_on(step_sql, {tbl: rows, rname: acc}))
+        self._op = IncrementalFixpointOp(
+            empty_input=ZSetFrame.from_df(empty_in),
+            step=step, base=base,
+            delta_base=lambda full, d: _norm(
+                eng.eval_on(base_sql, {tbl: d})),
+            delta_step=lambda full, d, acc: _norm(
+                eng.eval_on(step_sql, {tbl: d, rname: acc})))
+        self._eng = eng
+
+    @property
+    def last_stats(self):
+        return self._op.last_stats
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        try:
+            # the fixpoint loop localCheckpoints plans whose lineage ran
+            # through eval_on's deduplicated temp-view rebindings — the
+            # Spark 4 constraint-propagation crash class (see
+            # _no_constraint_propagation)
+            with _no_constraint_propagation(eng.spark):
+                delta = self._op.step(z).consolidate()
+        finally:
+            try:
+                # the callbacks bound the CTE name as a session temp
+                # view; sweep it so nothing outside this maintainer can
+                # read a mid-fixpoint accumulator
+                eng.spark.catalog.dropTempView(self.rname)
+            except Exception:
+                pass
+        self.apply_delta(delta)
+        return delta
+
+
+def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
+    """``WITH RECURSIVE r AS (SELECT base … UNION SELECT step … FROM
+    … r …) SELECT …`` — the SQL spelling of the reference's recursive
+    views (sql-to-dbsp supports recursive queries; operators/recursive
+    .py carries the execution machinery).  The CTE becomes a hidden
+    maintained view ``__{name}_rec`` backed by
+    :class:`_RecursiveCteMaintainer`; the main SELECT rewrites the CTE
+    name to the hidden view and re-lowers (a snapshot-diff main is
+    accepted: it reads the MAINTAINED recursive snapshot, never re-runs
+    the recursion).
+
+    Refused shapes (→ error or fallback upstream): UNION ALL (bag
+    fixpoint), multiple CTEs, non-linear recursion (the CTE name twice
+    in the step branch), more than one distinct input table, a branch
+    referencing the input table twice (the linear delta forms would
+    under-approximate), or a CTE name colliding with a known source or
+    column."""
+    m = re.match(r"^WITH\s+RECURSIVE\s+([A-Za-z_]\w*)\s+AS\s*\(", flat,
+                 re.IGNORECASE)
+    if not m:
+        raise _UnloweredShape("not a WITH RECURSIVE clause")
+    rname = m.group(1).lower()
+    po = m.end() - 1
+    pc = _match_paren(flat, po)
+    if pc < 0:
+        raise _UnloweredShape("unbalanced recursive CTE body")
+    body = flat[po + 1:pc].strip()
+    main = flat[pc + 1:].strip()
+    if main.startswith(","):
+        raise _UnloweredShape("multiple CTEs after WITH RECURSIVE")
+    if not re.match(r"^SELECT\b", main, re.IGNORECASE):
+        raise _UnloweredShape("WITH RECURSIVE tail is not a SELECT")
+    u = _split_union(body)
+    if u is None or len(u[0]) != 2:
+        raise _UnloweredShape("recursive body is not base UNION step")
+    if u[1]:
+        raise _UnloweredShape("UNION ALL recursion (bag fixpoint) is "
+                              "not lowered")
+    base_sql, step_sql = u[0][0].strip(), u[0][1].strip()
+    scrub = lambda t: re.sub(r"'[^']*'", " ", t)
+    refs = lambda t, w: len(re.findall(rf"\b{w}\b", scrub(t),
+                                       re.IGNORECASE))
+    if refs(base_sql, rname):
+        # branches may be written in either order
+        if refs(step_sql, rname):
+            raise _UnloweredShape("both branches reference the CTE")
+        base_sql, step_sql = step_sql, base_sql
+    if refs(step_sql, rname) != 1:
+        raise _UnloweredShape("non-linear recursion (CTE referenced "
+                              "more than once in the step branch)")
+    if rname in eng.tables or rname in eng.views \
+            or rname in eng._maintainers:
+        raise _UnloweredShape(f"CTE name {rname!r} shadows a known "
+                              "source")
+    words = {w.lower() for w in re.findall(r"\b\w+\b", scrub(flat))}
+    tbls = {w for w in words if w in eng.tables or w in eng.views
+            or w in eng._maintainers}
+    if len(tbls) != 1:
+        raise _UnloweredShape(
+            f"recursion over {len(tbls)} input tables (exactly one "
+            "is lowerable)")
+    tbl = next(iter(tbls))
+    if refs(base_sql, tbl) > 1 or refs(step_sql, tbl) > 1:
+        raise _UnloweredShape("input table referenced twice in one "
+                              "branch (linear delta forms would "
+                              "under-approximate)")
+    src_cols = {c.lower() for c in _source_rows0(eng, tbl).columns}
+    if rname in src_cols:
+        raise _UnloweredShape(
+            f"CTE name {rname!r} collides with a source column")
+    hidden = f"__{name}_rec"
+    registered: list[str] = [hidden]
+    try:
+        hm = _RecursiveCteMaintainer(eng, hidden, rname, tbl,
+                                     base_sql, step_sql)
+        eng._maintainers[hidden] = hm
+        eng._sources[hidden] = {tbl}
+        hm.state.current.rows().createOrReplaceTempView(hidden)
+        main = _sub_outside_literals(rf"\b{rname}\b", hidden, main,
+                                     re.IGNORECASE)
+        main = _normalize_comma_from(eng, main)
+        return _lower_view(eng, name, main)
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 def _cte_lift(eng: "Engine", name: str, flat: str):
     """``WITH a AS (…), b AS (…) SELECT …`` — each CTE becomes a hidden
     maintained view ``__{name}_cte_{a}`` (itself lowered through every
@@ -6161,12 +6329,15 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     # WITH-prefixed text, so a refusal goes straight to snapshot-diff)
     if re.match(r"^WITH\b", flat, re.IGNORECASE):
         attempts: list[str] = []
+        ctor = (_recursive_cte_lift
+                if re.match(r"^WITH\s+RECURSIVE\b", flat, re.IGNORECASE)
+                else _cte_lift)
         try:
-            return _cte_lift(eng, name, flat)
+            return ctor(eng, name, flat)
         except _UnloweredShape as e:
-            attempts.append(f"_cte_lift(unlowered shape: {e})")
+            attempts.append(f"{ctor.__name__}(unlowered shape: {e})")
         except Exception as e:  # shape gate: correctness first
-            attempts.append(f"_cte_lift({type(e).__name__}: {e})")
+            attempts.append(f"{ctor.__name__}({type(e).__name__}: {e})")
         _LOG.warning(
             "view %s: no incremental lowering matched — maintaining by "
             "snapshot-diff (full recompute per tick); recognizers "

@@ -4313,3 +4313,98 @@ def test_scalar_subquery_chain_from_bare_correlation(spark):
              weight=-1)
     eng.step()
     check("retract li and pp")
+
+
+# --------------------------------------------------------------------- #
+# WITH RECURSIVE (r9): SQL recursion on the incremental fixpoint op
+# --------------------------------------------------------------------- #
+
+def _py_closure(edges):
+    """Reference transitive closure of a set of (src, dst) pairs."""
+    paths = set(edges)
+    while True:
+        new = {(s, d2) for (s, d) in paths for (d1, d2) in edges
+               if d == d1} - paths
+        if not new:
+            return paths
+        paths |= new
+
+
+def test_recursive_cte_lowers_and_maintains(spark):
+    """WITH RECURSIVE base UNION step lowers to the incremental
+    fixpoint maintainer: insert ticks run semi-naive (stats-asserted),
+    a delete tick runs DRed, and every tick's snapshot equals the
+    closure of the live edge set."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE edges (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW reach as
+            WITH RECURSIVE paths AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT p.src, e.dst FROM paths p JOIN edges e
+                    ON p.dst = e.src)
+            SELECT src, dst, src - dst AS gap FROM paths;
+    """)
+    assert eng.view_strategy("__reach_rec") == "recursive"
+    assert eng.view_strategy("reach") == "project"
+
+    def check(live, tag):
+        want = sorted((s, d, s - d) for s, d in _py_closure(live))
+        got = sorted(map(tuple, eng.view("reach").collect()))
+        assert got == want, (tag, got, want)
+
+    e1 = [(1, 2), (2, 3), (3, 4), (7, 1)]
+    eng.push("edges", spark.createDataFrame(e1, "src long, dst long"))
+    eng.step()
+    check(set(e1), "seed")
+    e2 = [(4, 5), (5, 2)]        # creates a cycle 2-3-4-5-2
+    eng.push("edges", spark.createDataFrame(e2, "src long, dst long"))
+    eng.step()
+    m = eng._maintainers["__reach_rec"]
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    check(set(e1) | set(e2), "cycle insert (semi-naive)")
+    eng.push("edges", spark.createDataFrame([(2, 3)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    check((set(e1) | set(e2)) - {(2, 3)}, "cut the cycle (DRed)")
+
+
+def test_recursive_cte_refusal_shapes(spark):
+    """UNION ALL, non-linear recursion, two input tables, and a CTE
+    name shadowing a source all refuse (error or fallback — for
+    recursion Spark can't snapshot-diff either, so _create_view
+    surfaces the refusal loudly rather than mis-maintaining)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE ed2 (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+    """)
+    shapes = {
+        "union all": """WITH RECURSIVE p AS (
+            SELECT src, dst FROM ed UNION ALL
+            SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src)
+            SELECT src, dst FROM p""",
+        "non-linear": """WITH RECURSIVE p AS (
+            SELECT src, dst FROM ed UNION
+            SELECT a.src, b.dst FROM p a JOIN p b ON a.dst = b.src)
+            SELECT src, dst FROM p""",
+        "two tables": """WITH RECURSIVE p AS (
+            SELECT src, dst FROM ed UNION
+            SELECT p.src, e.dst FROM p JOIN ed2 e ON p.dst = e.src)
+            SELECT src, dst FROM p""",
+        "shadows table": """WITH RECURSIVE ed AS (
+            SELECT src, dst FROM ed UNION
+            SELECT p.src, e.dst FROM ed p JOIN ed e ON p.dst = e.src)
+            SELECT src, dst FROM ed""",
+    }
+    for tag, sql in shapes.items():
+        try:
+            eng._create_view(f"v_{abs(hash(tag)) % 1000}", sql)
+            strategy = eng.view_strategy(f"v_{abs(hash(tag)) % 1000}")
+            assert strategy == "differentiate", (tag, strategy)
+        except Exception:
+            pass        # loud refusal is acceptable for recursion
+        assert not [h for h in eng._maintainers
+                    if h.endswith("_rec")], tag
