@@ -5044,6 +5044,92 @@ def _left_join_agg(eng: "Engine", name: str, flat: str):
         raise
 
 
+def _agg_over_scalar_subquery(eng: "Engine", name: str, flat: str):
+    """Grouped aggregates OVER scalar-subquery values — ``SELECT g,
+    SUM((SELECT SUM(x) FROM inner WHERE ik = ok)) FROM outer GROUP BY
+    g`` — as a two-stage stack: a hidden view ``__{name}_ssq``
+    projects the outer table's columns plus each scalar span as
+    ``__sx{i}`` (the scalar-subquery machinery lowers it to the
+    grouped-view + left-join stack, so the column carries exact
+    one-shot scalar semantics: NULL for unmatched rows, 0 for COUNT),
+    and the aggregate re-lowers over the hidden view's deltas with the
+    spans replaced by the ``__sx{i}`` columns.  SUM/AVG/COUNT over a
+    NULL scalar then skip/count exactly as a one-shot evaluation
+    would.  Single-table outer FROMs only; the outer WHERE pushes into
+    the hidden stage."""
+    parts = _split_select_from(flat)
+    if parts is None:
+        raise _UnloweredShape("not a SELECT…FROM")
+    sel, rest = parts
+    spans = _scalar_sq_spans(sel)
+    if not spans:
+        raise _UnloweredShape("no scalar spans in the select list")
+    body, pred = _split_where(rest)
+    gm = re.match(r"^(?P<tbl>\w+)(?:\s+(?:AS\s+)?(?P<alias>\w+))?\s+"
+                  r"GROUP\s+BY\s+(?P<tail>.+)$", body,
+                  re.IGNORECASE | re.DOTALL) \
+        if re.search(r"\bGROUP\s+BY\b", body, re.IGNORECASE) else None
+    # SQL places WHERE before GROUP BY, so the GROUP BY lives in `body`
+    # when there is no WHERE and in `pred` when there is one
+    if gm is None:
+        bm = re.match(r"^(?P<tbl>\w+)(?:\s+(?:AS\s+)?(?P<alias>\w+))?\s*$",
+                      body)
+        if bm is None or pred is None \
+                or not re.search(r"\bGROUP\s+BY\b", pred, re.IGNORECASE):
+            raise _UnloweredShape("outer FROM is not a single grouped "
+                                  "table")
+        gp = _find_top_kw(pred, ("GROUP",))
+        if gp < 0:
+            raise _UnloweredShape("GROUP BY buried in the predicate")
+        tbl = bm.group("tbl").lower()
+        alias = (bm.group("alias") or bm.group("tbl")).lower()
+        where_txt, group_tail = pred[:gp].strip(), pred[gp:].strip()
+    else:
+        tbl = gm.group("tbl").lower()
+        alias = (gm.group("alias") or gm.group("tbl")).lower()
+        where_txt, group_tail = None, "GROUP BY " + gm.group("tail")
+        if pred is not None:
+            raise _UnloweredShape("WHERE after GROUP BY")
+    if not (tbl in eng.tables or tbl in eng.views
+            or tbl in eng._maintainers):
+        raise _UnloweredShape(f"unknown outer table {tbl}")
+    cols = list(_source_rows0(eng, tbl).columns)
+    if any(c.startswith("__sx") for c in cols):
+        raise _UnloweredShape("outer column __sx* collides")
+    # one hidden scalar column per DISTINCT span text
+    span_col: dict[str, str] = {}
+    out_sel, last = [], 0
+    for a, b in spans:
+        txt = sel[a:b]
+        if txt not in span_col:
+            span_col[txt] = f"__sx{len(span_col)}"
+        out_sel.append(sel[last:a])
+        out_sel.append(span_col[txt])
+        last = b
+    out_sel.append(sel[last:])
+    new_sel = "".join(out_sel)
+    hidden = f"__{name}_ssq"
+    hsql = ("SELECT " + ", ".join(cols)
+            + ", " + ", ".join(f"{txt} AS {c}"
+                               for txt, c in span_col.items())
+            + f" FROM {tbl} {alias}"
+            + (f" WHERE {where_txt}" if where_txt else ""))
+    registered: list[str] = []
+    try:
+        _register_hidden(eng, hidden, hsql, registered)
+        outer = (f"SELECT {new_sel} FROM {hidden} {group_tail}")
+        outer = _sub_outside_literals(rf"\b{alias}\s*\.\s*", "", outer,
+                                      re.IGNORECASE)
+        fm = _lower_view(eng, name, outer)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("aggregate over the scalar stage "
+                                  "snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 def _agg_over_subquery_filter(eng: "Engine", name: str, flat: str):
     """GROUP BY aggregates over a subquery-filtered table — verbatim
     TPC-H q4 (``SELECT o_orderpriority, COUNT(*) FROM orders WHERE
@@ -6642,6 +6728,17 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             r = _try(_filter_subquery_join_inner, eng, name, flat)
             if r is not None:
                 return r
+    if (re.search(r"\(\s*SELECT", flat, re.IGNORECASE)
+            and re.search(r"\bGROUP\s+BY\b", flat, re.IGNORECASE)
+            and not re.search(r"\bJOIN\b|\bUNION\b|\bINTERSECT\b"
+                              r"|\bEXCEPT\b|\bOVER\b",
+                              flat, re.IGNORECASE)):
+        # grouped aggregates whose select list AGGREGATES a scalar
+        # subquery (SUM((SELECT …))): hidden scalar-projection stage,
+        # aggregate re-lowered over its delta
+        r = _try(_agg_over_scalar_subquery, eng, name, flat)
+        if r is not None:
+            return r
     if (re.search(r"\(\s*SELECT", flat, re.IGNORECASE)
             and re.search(r"\bGROUP\s+BY\b", flat, re.IGNORECASE)
             and not re.search(r"\bJOIN\b|\bUNION\b|\bINTERSECT\b"

@@ -4408,3 +4408,47 @@ def test_recursive_cte_refusal_shapes(spark):
             pass        # loud refusal is acceptable for recursion
         assert not [h for h in eng._maintainers
                     if h.endswith("_rec")], tag
+
+
+def test_agg_over_scalar_subquery(spark):
+    """Grouped aggregates OVER scalar-subquery values — ``SUM((SELECT
+    SUM(qty) …))`` — via the hidden scalar-projection stage: unmatched
+    outer rows carry a NULL scalar that the outer SUM skips, exactly
+    one-shot semantics; the outer WHERE pushes into the hidden stage."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE oo (o_ok BIGINT NOT NULL, pri VARCHAR, flag BIGINT);
+        CREATE TABLE li (l_ok BIGINT, qty BIGINT);
+        CREATE VIEW v as
+            SELECT pri,
+                   SUM((SELECT SUM(qty) FROM li WHERE l_ok = o_ok)) AS tq,
+                   COUNT(*) AS n
+            FROM oo WHERE flag > 0 GROUP BY pri;
+    """)
+    assert eng.view_strategy("v") == "linear_agg"
+    assert eng.view_strategy("__v_ssq") == "project"
+    batch = """SELECT pri,
+                      SUM((SELECT SUM(qty) FROM li WHERE l_ok = o_ok)) AS tq,
+                      COUNT(*) AS n
+               FROM oo WHERE flag > 0 GROUP BY pri"""
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(batch).collect()), key=str)
+        got = sorted(map(tuple, eng.view("v").collect()), key=str)
+        assert got == want, (tag, got, want)
+
+    oos = [(k, "a" if k % 3 else "b", k % 2) for k in range(12)]
+    lis = [(k % 8, 1 + k % 5) for k in range(40)]  # keys 8-11 unmatched
+    eng.push("oo", spark.createDataFrame(oos, "o_ok long, pri string, flag long"))
+    eng.push("li", spark.createDataFrame(lis, "l_ok long, qty long"))
+    eng.step()
+    check("insert")
+    eng.push("li", spark.createDataFrame(lis[:20], "l_ok long, qty long"),
+             weight=-1)
+    eng.step()
+    check("retract li")
+    eng.push("oo", spark.createDataFrame(oos[:6],
+                                         "o_ok long, pri string, flag long"),
+             weight=-1)
+    eng.step()
+    check("retract oo")
