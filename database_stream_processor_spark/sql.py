@@ -4665,13 +4665,19 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
         empty_in = _source_rows0(eng, tbl).limit(0)
         snap = eng.eval_on(base_sql, {tbl: empty_in})
         out_cols = list(snap.columns)
-        step_snap = eng.eval_on(
-            step_sql, {tbl: empty_in,
-                       rname: eng.spark.createDataFrame([], snap.schema)})
-        if len(step_snap.columns) != len(out_cols):
-            raise _UnloweredShape(
-                f"recursive branch arity {len(step_snap.columns)} != "
-                f"base arity {len(out_cols)}")
+        try:
+            step_snap = eng.eval_on(
+                step_sql, {tbl: empty_in,
+                           rname: eng.spark.createDataFrame([], snap.schema)})
+            if len(step_snap.columns) != len(out_cols):
+                raise _UnloweredShape(
+                    f"recursive branch arity {len(step_snap.columns)} != "
+                    f"base arity {len(out_cols)}")
+        finally:
+            try:        # the probe bound the CTE name as a temp view
+                eng.spark.catalog.dropTempView(rname)
+            except Exception:
+                pass
         empty = eng.spark.createDataFrame([], snap.schema)
         self.state = StateTable(ZSetFrame.from_df(empty),
                                 name=f"view_{name}")
@@ -4772,7 +4778,12 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
             or rname in eng._maintainers:
         raise _UnloweredShape(f"CTE name {rname!r} shadows a known "
                               "source")
-    words = {w.lower() for w in re.findall(r"\b\w+\b", scrub(flat))}
+    # the single-input restriction applies to the RECURSION (the op
+    # integrates one input relation); the main SELECT may freely join
+    # other tables — its own lowering handles them
+    words = {w.lower()
+             for w in re.findall(r"\b\w+\b",
+                                 scrub(base_sql) + " " + scrub(step_sql))}
     tbls = {w for w in words if w in eng.tables or w in eng.views
             or w in eng._maintainers}
     if len(tbls) != 1:
