@@ -6156,32 +6156,40 @@ def q138_sql_engine_recursive_cte(spark, sf_dir):
     frontend accepts recursive queries): insert ticks run semi-naive
     delta evaluation (cost ∝ new paths), the retraction tick runs
     delete-and-rederive, and the main SELECT is a plain projection over
-    the maintained closure's deltas.  Same custkey//2 ancestor graph as
-    q39 (which drives the operator API batch path; this row drives the
-    SQL surface).  Two insert ticks (key parity), then retraction of
-    every 5th source's edges."""
+    the maintained closure's deltas.  The statement is the CLASSIC
+    two-CTE spelling — a non-recursive ``edges`` CTE deriving the graph
+    from the customer table feeds the recursive ``paths`` CTE — so the
+    engine text matches the DuckDB oracle verbatim; same custkey//2
+    ancestor graph as q39 (which drives the operator-API batch path;
+    this row drives the SQL surface).  Two insert ticks (key parity),
+    then retraction of every 5th customer (their edges leave through
+    the hidden edges view, DRed removes the dead paths)."""
     from database_stream_processor_spark.sql import Engine
     eng = Engine(spark)
     eng.execute("""
-        CREATE TABLE edges (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_name VARCHAR);
         CREATE VIEW reach as
-            with recursive paths as (
+            with recursive edges as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 1 and 255),
+            paths as (
                 select src, dst from edges
                 union
                 select p.src, e.dst from paths p join edges e
                     on p.dst = e.src)
             select src, dst, src - dst as gap from paths;
     """)
+    assert eng.view_strategy("__reach_cte_edges") == "project"
     assert eng.view_strategy("__reach_rec") == "recursive"
     assert eng.view_strategy("reach") == "project"
-    c = load(spark, sf_dir, "customer") \
-        .filter(F.col("c_custkey").between(1, 255))
-    edges = c.select(F.col("c_custkey").alias("src"),
-                     F.expr("c_custkey div 2").alias("dst"))
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     for i in range(2):
-        eng.push("edges", edges.filter(F.col("src") % 2 == i))
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
         eng.step()
-    eng.push("edges", edges.filter(F.col("src") % 5 == 0), weight=-1)
+    eng.push("customer", c.filter(F.col("c_custkey") % 5 == 0),
+             weight=-1)
     eng.step()
     stats = eng._maintainers["__reach_rec"].last_stats
     assert stats["mode"] == "dred", stats

@@ -4735,80 +4735,110 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     accepted: it reads the MAINTAINED recursive snapshot, never re-runs
     the recursion).
 
+    Non-recursive CTEs may accompany the recursive one in any position
+    (the classic ``WITH RECURSIVE edges AS (…), paths AS (… FROM edges
+    … UNION … paths …)`` spelling): they hoist through the ordinary CTE
+    machinery, and the recursion's input table may BE such a hidden
+    view.  Exactly one CTE may reference itself.
+
     Refused shapes (→ error or fallback upstream): UNION ALL (bag
-    fixpoint), multiple CTEs, non-linear recursion (the CTE name twice
-    in the step branch), more than one distinct input table, a branch
-    referencing the input table twice (the linear delta forms would
-    under-approximate), or a CTE name colliding with a known source or
-    column."""
-    m = re.match(r"^WITH\s+RECURSIVE\s+([A-Za-z_]\w*)\s+AS\s*\(", flat,
-                 re.IGNORECASE)
+    fixpoint), non-linear recursion (the CTE name twice in the step
+    branch), more than one distinct input table in the recursive
+    branches, a branch referencing the input table twice (the linear
+    delta forms would under-approximate), or a CTE name colliding with
+    a known source or column."""
+    m = re.match(r"^WITH\s+RECURSIVE\s+", flat, re.IGNORECASE)
     if not m:
         raise _UnloweredShape("not a WITH RECURSIVE clause")
-    rname = m.group(1).lower()
-    po = m.end() - 1
-    pc = _match_paren(flat, po)
-    if pc < 0:
-        raise _UnloweredShape("unbalanced recursive CTE body")
-    body = flat[po + 1:pc].strip()
-    main = flat[pc + 1:].strip()
-    if main.startswith(","):
-        raise _UnloweredShape("multiple CTEs after WITH RECURSIVE")
-    if not re.match(r"^SELECT\b", main, re.IGNORECASE):
-        raise _UnloweredShape("WITH RECURSIVE tail is not a SELECT")
-    u = _split_union(body)
-    if u is None or len(u[0]) != 2:
-        raise _UnloweredShape("recursive body is not base UNION step")
-    if u[1]:
-        raise _UnloweredShape("UNION ALL recursion (bag fixpoint) is "
-                              "not lowered")
-    base_sql, step_sql = u[0][0].strip(), u[0][1].strip()
+    ctes, main = _parse_with_clause("WITH " + flat[m.end():])
     scrub = lambda t: re.sub(r"'[^']*'", " ", t)
     refs = lambda t, w: len(re.findall(rf"\b{w}\b", scrub(t),
                                        re.IGNORECASE))
-    if refs(base_sql, rname):
-        # branches may be written in either order
-        if refs(step_sql, rname):
-            raise _UnloweredShape("both branches reference the CTE")
-        base_sql, step_sql = step_sql, base_sql
-    if refs(step_sql, rname) != 1:
-        raise _UnloweredShape("non-linear recursion (CTE referenced "
-                              "more than once in the step branch)")
-    if rname in eng.tables or rname in eng.views \
-            or rname in eng._maintainers:
-        raise _UnloweredShape(f"CTE name {rname!r} shadows a known "
-                              "source")
-    # the single-input restriction applies to the RECURSION (the op
-    # integrates one input relation); the main SELECT may freely join
-    # other tables — its own lowering handles them
-    words = {w.lower()
-             for w in re.findall(r"\b\w+\b",
-                                 scrub(base_sql) + " " + scrub(step_sql))}
-    tbls = {w for w in words if w in eng.tables or w in eng.views
-            or w in eng._maintainers}
-    if len(tbls) != 1:
-        raise _UnloweredShape(
-            f"recursion over {len(tbls)} input tables (exactly one "
-            "is lowerable)")
-    tbl = next(iter(tbls))
-    if refs(base_sql, tbl) > 1 or refs(step_sql, tbl) > 1:
-        raise _UnloweredShape("input table referenced twice in one "
-                              "branch (linear delta forms would "
-                              "under-approximate)")
-    src_cols = {c.lower() for c in _source_rows0(eng, tbl).columns}
-    if rname in src_cols:
-        raise _UnloweredShape(
-            f"CTE name {rname!r} collides with a source column")
-    hidden = f"__{name}_rec"
-    registered: list[str] = [hidden]
+    rec_idx = [i for i, (n, b) in enumerate(ctes) if refs(b, n)]
+    if not rec_idx:
+        # RECURSIVE keyword with no self-reference: plain CTE semantics
+        return _cte_lift(eng, name, "WITH " + flat[m.end():])
+    if len(rec_idx) > 1:
+        raise _UnloweredShape("more than one self-referencing CTE")
+    ri = rec_idx[0]
+    # column-collision guard over every known source in the text (the
+    # whole-word rewrite discipline of _cte_lift)
+    words = {w.lower() for w in re.findall(r"\b\w+\b", scrub(flat))}
+    src_cols: set[str] = set()
+    for t in words:
+        if t in eng.tables or t in eng.views or t in eng._maintainers:
+            src_cols.update(c.lower()
+                            for c in _source_rows0(eng, t).columns)
+    registered: list[str] = []
     try:
-        hm = _RecursiveCteMaintainer(eng, hidden, rname, tbl,
-                                     base_sql, step_sql)
-        eng._maintainers[hidden] = hm
-        eng._sources[hidden] = {tbl}
-        hm.state.current.rows().createOrReplaceTempView(hidden)
-        main = _sub_outside_literals(rf"\b{rname}\b", hidden, main,
-                                     re.IGNORECASE)
+        mapping: dict[str, str] = {}
+        for i, (cname, body) in enumerate(ctes):
+            if cname in src_cols:
+                raise _UnloweredShape(
+                    f"CTE name {cname!r} collides with a source column")
+            if cname in eng.tables or cname in eng.views \
+                    or cname in eng._maintainers:
+                raise _UnloweredShape(
+                    f"CTE name {cname!r} shadows a known source")
+            for prev, hid in mapping.items():
+                body = _sub_outside_literals(rf"\b{prev}\b", hid, body,
+                                             re.IGNORECASE)
+            if i != ri:
+                # ordinary CTE: hoist through the regular machinery
+                body = _normalize_comma_from(eng, body)
+                hid = f"__{name}_cte_{cname}"
+                _register_hidden(eng, hid, body, registered)
+                mapping[cname] = hid
+                continue
+            # the recursive CTE
+            rname = cname
+            u = _split_union(body)
+            if u is None or len(u[0]) != 2:
+                raise _UnloweredShape("recursive body is not "
+                                      "base UNION step")
+            if u[1]:
+                raise _UnloweredShape("UNION ALL recursion (bag "
+                                      "fixpoint) is not lowered")
+            base_sql, step_sql = u[0][0].strip(), u[0][1].strip()
+            if refs(base_sql, rname):
+                # branches may be written in either order
+                if refs(step_sql, rname):
+                    raise _UnloweredShape("both branches reference "
+                                          "the CTE")
+                base_sql, step_sql = step_sql, base_sql
+            if refs(step_sql, rname) != 1:
+                raise _UnloweredShape(
+                    "non-linear recursion (CTE referenced more than "
+                    "once in the step branch)")
+            # the single-input restriction applies to the RECURSION
+            # (the op integrates one input relation) — earlier CTEs
+            # count as inputs through their hidden views; the main
+            # SELECT may freely join other tables
+            bw = {w.lower()
+                  for w in re.findall(r"\b\w+\b", scrub(base_sql) + " "
+                                      + scrub(step_sql))}
+            tbls = {w for w in bw if w in eng.tables or w in eng.views
+                    or w in eng._maintainers}
+            if len(tbls) != 1:
+                raise _UnloweredShape(
+                    f"recursion over {len(tbls)} input tables "
+                    "(exactly one is lowerable)")
+            tbl = next(iter(tbls))
+            if refs(base_sql, tbl) > 1 or refs(step_sql, tbl) > 1:
+                raise _UnloweredShape(
+                    "input table referenced twice in one branch "
+                    "(linear delta forms would under-approximate)")
+            hid = f"__{name}_rec"
+            registered.append(hid)
+            hm = _RecursiveCteMaintainer(eng, hid, rname, tbl,
+                                         base_sql, step_sql)
+            eng._maintainers[hid] = hm
+            eng._sources[hid] = {tbl}
+            hm.state.current.rows().createOrReplaceTempView(hid)
+            mapping[cname] = hid
+        for prev, hid in mapping.items():
+            main = _sub_outside_literals(rf"\b{prev}\b", hid, main,
+                                         re.IGNORECASE)
         main = _normalize_comma_from(eng, main)
         return _lower_view(eng, name, main)
     except Exception:
