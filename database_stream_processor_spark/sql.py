@@ -2666,6 +2666,74 @@ class _UnionMaintainer(_ViewMaintainer):
         return delta
 
 
+def _lift_branches(eng: "Engine", name: str, branches: list[str],
+                   registered: list) -> tuple[list[str], int]:
+    """Shared branch-hoisting step for UNION/EXCEPT/INTERSECT texts
+    whose branches are not plain projections (aggregates, joins, CTE
+    stacks, …): each non-projection branch becomes a hidden maintained
+    view ``__{name}_u{i}`` (lowered through every recognizer) and the
+    branch is rewritten to a bare projection over it, which the setop
+    maintainers accept.  Returns (new_branches, lifted_count)."""
+    out, lifted = [], 0
+    for i, b in enumerate(branches):
+        b = b.strip()
+        if b.startswith("(") and _match_paren(b, 0) == len(b) - 1:
+            b = b[1:-1].strip()          # a fully-parenthesized branch
+        m = _PROJECT_RE.match(b)
+        tbl = m.group("tbl").lower() if m else None
+        if (m and not _BLOCKERS.search(b)
+                and not _analyzed_has_aggregate(eng, b)
+                and tbl and (tbl in eng.tables or tbl in eng.views
+                             or tbl in eng._maintainers)):
+            out.append(b)
+            continue
+        hid = f"__{name}_u{i}"
+        _register_hidden(eng, hid, b, registered)
+        cols = ", ".join(_source_rows0(eng, hid).columns)
+        out.append(f"SELECT {cols} FROM {hid}")
+        lifted += 1
+    if not lifted:
+        raise _UnloweredShape("no branch needed lifting")
+    return out, lifted
+
+
+def _union_branch_lift(eng: "Engine", name: str, flat: str,
+                       branches: list[str], is_all: bool):
+    """UNION [ALL] over aggregate/join/CTE branches — hoist each into a
+    hidden maintained view and re-lower (grouped branch deltas flow
+    into the union's presence/weight maintenance like table deltas)."""
+    registered: list[str] = []
+    try:
+        nb, _ = _lift_branches(eng, name, branches, registered)
+        kw = " UNION ALL " if is_all else " UNION "
+        fm = _lower_view(eng, name, kw.join(nb))
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("lifted union snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
+def _setop_branch_lift(eng: "Engine", name: str, flat: str, kind: str,
+                       branches: list[str]):
+    """EXCEPT/INTERSECT [ALL] over aggregate/join/CTE branches — the
+    same branch hoist as :func:`_union_branch_lift`."""
+    registered: list[str] = []
+    try:
+        nb, _ = _lift_branches(eng, name, branches, registered)
+        kw = {"except": " EXCEPT ", "intersect": " INTERSECT ",
+              "except_all": " EXCEPT ALL ",
+              "intersect_all": " INTERSECT ALL "}[kind]
+        fm = _lower_view(eng, name, kw.join(nb))
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("lifted setop snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 def _split_setop(flat: str) -> tuple[str, list[str]] | None:
     """Split on one top-level ``EXCEPT`` / ``INTERSECT`` [``ALL``].
     Returns (kind, [left, right]) for exactly two branches — kind one of
@@ -4619,7 +4687,9 @@ def _parse_with_clause(flat: str) -> tuple[list[tuple[str, str]], str]:
         if pc < 0:
             raise _UnloweredShape("unbalanced CTE body parens")
         body = flat[po + 1:pc].strip()
-        if not re.match(r"^SELECT\b", body, re.IGNORECASE):
+        # a body may itself open a WITH (nested CTE): _register_hidden
+        # re-enters _lower_view, which routes it back through the lifts
+        if not re.match(r"^(SELECT|WITH)\b", body, re.IGNORECASE):
             raise _UnloweredShape("CTE body is not a SELECT")
         ctes.append((cname, body))
         j = pc + 1
@@ -4766,7 +4836,10 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     words = {w.lower() for w in re.findall(r"\b\w+\b", scrub(flat))}
     src_cols: set[str] = set()
     for t in words:
-        if t in eng.tables or t in eng.views or t in eng._maintainers:
+        # tables, plus views that HAVE a maintainer — an eng.views
+        # entry without one is the view currently being created
+        # (registered before lowering), not a real source here
+        if t in eng.tables or t in eng._maintainers:
             src_cols.update(c.lower()
                             for c in _source_rows0(eng, t).columns)
     registered: list[str] = []
@@ -4872,7 +4945,10 @@ def _cte_lift(eng: "Engine", name: str, flat: str):
     words = {w.lower() for w in re.findall(r"\b\w+\b", flat)}
     src_cols: set[str] = set()
     for t in words:
-        if t in eng.tables or t in eng.views or t in eng._maintainers:
+        # tables, plus views that HAVE a maintainer — an eng.views
+        # entry without one is the view currently being created
+        # (registered before lowering), not a real source here
+        if t in eng.tables or t in eng._maintainers:
             src_cols.update(c.lower()
                             for c in _source_rows0(eng, t).columns)
     registered: list[str] = []
@@ -4896,6 +4972,52 @@ def _cte_lift(eng: "Engine", name: str, flat: str):
         fm = _lower_view(eng, name, main)
         if fm.kind == "differentiate":
             raise _UnloweredShape("WITH main body snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
+def _from_multi_subquery_lift(eng: "Engine", name: str, flat: str):
+    """Derived tables ANYWHERE in a JOIN chain — ``FROM (SELECT …) x
+    JOIN (SELECT …) y ON x.k = y.k`` (the join-of-two-aggregates
+    idiom): every top-level ``( SELECT … ) alias`` span in the FROM
+    clause hoists into a hidden maintained view ``__{name}_sub{i}``,
+    the chain splices the hidden name in WITH the alias kept (ON/WHERE
+    qualifiers keep resolving), and the whole text re-lowers.  Spans in
+    WHERE/HAVING are untouched (those are scalar/filter subqueries with
+    their own passes).  Derived tables cannot be correlated, so each
+    hoist is always sound."""
+    parts = _split_select_from(flat)
+    if parts is None:
+        raise _UnloweredShape("not a SELECT…FROM")
+    sel, rest = parts
+    stop = _find_top_kw(rest, _NCF_STOPS)
+    from_clause = rest if stop < 0 else rest[:stop]
+    tail = "" if stop < 0 else rest[stop:]
+    spans = _scalar_sq_spans(from_clause)
+    if not spans:
+        raise _UnloweredShape("no derived tables in the FROM chain")
+    registered: list[str] = []
+    try:
+        out, last = [], 0
+        for i, (a, b) in enumerate(spans):
+            inner = from_clause[a + 1:b - 1].strip()
+            after = from_clause[b:]
+            am = re.match(r"^\s*(?:AS\s+)?([A-Za-z_]\w*)\b", after)
+            if am is None or am.group(1).lower() in _SQL_KEYWORDS:
+                raise _UnloweredShape("derived table without an alias")
+            hid = f"__{name}_sub{i}"
+            _register_hidden(eng, hid, inner, registered)
+            out.append(from_clause[last:a])
+            out.append(hid)
+            last = b
+        out.append(from_clause[last:])
+        fm = _lower_view(eng, name,
+                         f"SELECT {sel} FROM {''.join(out)}{tail}")
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("outer over derived chain "
+                                  "snapshot-diffs")
         return fm
     except Exception:
         _cleanup_hidden(eng, registered)
@@ -6555,6 +6677,17 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         r = _try(_from_subquery_lift, eng, name, flat)
         if r is not None:
             return r
+    if (_fs is not None
+            and not re.search(r"\bOVER\b", flat, re.IGNORECASE)):
+        _stop = _find_top_kw(_fs[1], _NCF_STOPS)
+        _fc = _fs[1] if _stop < 0 else _fs[1][:_stop]
+        if re.search(r"\(\s*SELECT", _fc, re.IGNORECASE) \
+                and re.search(r"\bJOIN\b", _fc, re.IGNORECASE):
+            # derived tables inside a JOIN chain (join-of-aggregates):
+            # hoist every FROM-clause subquery, aliases kept
+            r = _try(_from_multi_subquery_lift, eng, name, flat)
+            if r is not None:
+                return r
     if not _BLOCKERS.search(flat) and not _analyzed_has_aggregate(eng, flat):
         m = _JOIN_RE.match(flat)
         # either side may be an upstream *maintained view*: its per-tick
@@ -6590,11 +6723,19 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         r = _try(_UnionMaintainer, eng, name, flat, u[0], u[1])
         if r is not None:
             return r
+        # branches that aren't plain projections (aggregates, joins,
+        # CTE stacks): hoist each into a hidden view and retry
+        r = _try(_union_branch_lift, eng, name, flat, u[0], u[1])
+        if r is not None:
+            return r
     so = _split_setop(flat)
     if so is not None:
         ctor = (_SetOpAllMaintainer if so[0].endswith("_all")
                 else _SetOpMaintainer)
         r = _try(ctor, eng, name, flat, so[0], so[1])
+        if r is not None:
+            return r
+        r = _try(_setop_branch_lift, eng, name, flat, so[0], so[1])
         if r is not None:
             return r
     m = _DISTINCT_RE.match(flat)

@@ -4500,3 +4500,116 @@ def test_recursive_cte_with_companion_cte(spark):
     live2 = {(k, k // 2) for k in range(9, 32)}
     got = sorted(map(tuple, eng.view("anc").collect()))
     assert got == sorted(closure(live2)), len(got)
+
+
+def test_nested_cte_in_cte_body(spark):
+    """A WITH inside a CTE body (nested CTE): the hidden registration
+    re-enters the lifts, so the inner stack lowers too."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k BIGINT NOT NULL, v BIGINT);
+        CREATE VIEW v as
+            WITH outerc AS (
+                WITH innerc AS (SELECT k, SUM(v) AS s FROM t GROUP BY k)
+                SELECT k, s FROM innerc WHERE s > 5)
+            SELECT k, s FROM outerc WHERE k < 100;
+    """)
+    assert eng.view_strategy("v") == "project"
+    assert eng.view_strategy("__v_cte_outerc") == "project"
+    assert eng.view_strategy("____v_cte_outerc_cte_innerc") == "linear_agg"
+    rows = [(k % 7, 2 + k % 3) for k in range(30)]
+    eng.push("t", spark.createDataFrame(rows, "k long, v long"))
+    eng.step()
+    batch = ("SELECT k, SUM(v) AS s FROM t GROUP BY k "
+             "HAVING SUM(v) > 5 AND k < 100")
+    want = sorted(map(tuple, spark.sql(batch).collect()))
+    got = sorted(map(tuple, eng.view("v").collect()))
+    assert got == want, (got, want)
+    eng.push("t", spark.createDataFrame(rows[:20], "k long, v long"),
+             weight=-1)
+    eng.step()
+    want = sorted(map(tuple, spark.sql(batch).collect()))
+    got = sorted(map(tuple, eng.view("v").collect()))
+    assert got == want, (got, want)
+
+
+def test_union_of_aggregates_branch_lift(spark):
+    """UNION ALL / UNION over grouped-aggregate branches: each branch
+    hoists to a hidden linear-agg view and the union maintains over
+    their deltas (weights for ALL, presence for set)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ta (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE tb (k BIGINT NOT NULL, w BIGINT);
+        CREATE VIEW ua as
+            SELECT k, SUM(v) AS m FROM ta GROUP BY k
+            UNION ALL SELECT k, SUM(w) AS m FROM tb GROUP BY k;
+        CREATE VIEW us as
+            SELECT k, SUM(v) AS m FROM ta GROUP BY k
+            UNION SELECT k, SUM(w) AS m FROM tb GROUP BY k;
+    """)
+    assert eng.view_strategy("ua") == "union_all"
+    assert eng.view_strategy("us") == "union"
+    assert eng.view_strategy("__ua_u0") == "linear_agg"
+    ba = ("SELECT k, SUM(v) AS m FROM ta GROUP BY k UNION ALL "
+          "SELECT k, SUM(w) AS m FROM tb GROUP BY k")
+    bs = ("SELECT k, SUM(v) AS m FROM ta GROUP BY k UNION "
+          "SELECT k, SUM(w) AS m FROM tb GROUP BY k")
+
+    def check(tag):
+        for view, b in [("ua", ba), ("us", bs)]:
+            want = sorted(map(tuple, spark.sql(b).collect()), key=str)
+            got = sorted(map(tuple, eng.view(view).collect()), key=str)
+            assert got == want, (tag, view, got, want)
+
+    ra = [(k % 5, 1 + k % 4) for k in range(20)]
+    rb = [(k % 6, 2 + k % 3) for k in range(18)]
+    eng.push("ta", spark.createDataFrame(ra, "k long, v long"))
+    eng.push("tb", spark.createDataFrame(rb, "k long, w long"))
+    eng.step()
+    check("insert")
+    eng.push("ta", spark.createDataFrame(ra[:10], "k long, v long"),
+             weight=-1)
+    eng.push("tb", spark.createDataFrame(rb[:9], "k long, w long"),
+             weight=-1)
+    eng.step()
+    check("retract both")
+
+
+def test_join_of_two_derived_aggregates(spark):
+    """FROM (SELECT agg) x JOIN (SELECT agg) y ON x.k = y.k — both
+    derived tables hoist into hidden linear-agg views with their
+    aliases kept, and the outer join maintains bilinearly."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ta (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE tb (k BIGINT NOT NULL, w BIGINT);
+        CREATE VIEW jj as
+            SELECT x.k AS k, x.s AS s, y.t AS t FROM
+                (SELECT k, SUM(v) AS s FROM ta GROUP BY k) x
+                JOIN (SELECT k, SUM(w) AS t FROM tb GROUP BY k) y
+                ON x.k = y.k;
+    """)
+    assert eng.view_strategy("jj") == "join"
+    assert eng.view_strategy("__jj_sub0") == "linear_agg"
+    assert eng.view_strategy("__jj_sub1") == "linear_agg"
+    b = """SELECT x.k AS k, x.s AS s, y.t AS t FROM
+            (SELECT k, SUM(v) AS s FROM ta GROUP BY k) x
+            JOIN (SELECT k, SUM(w) AS t FROM tb GROUP BY k) y
+            ON x.k = y.k"""
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(b).collect()), key=str)
+        got = sorted(map(tuple, eng.view("jj").collect()), key=str)
+        assert got == want, (tag, got, want)
+
+    ra = [(k % 5, 1 + k % 4) for k in range(20)]
+    rb = [(k % 7, 2 + k % 3) for k in range(21)]
+    eng.push("ta", spark.createDataFrame(ra, "k long, v long"))
+    eng.push("tb", spark.createDataFrame(rb, "k long, w long"))
+    eng.step()
+    check("insert")
+    eng.push("tb", spark.createDataFrame(rb[7:], "k long, w long"),
+             weight=-1)
+    eng.step()
+    check("retract right")
