@@ -2503,23 +2503,46 @@ _LEFT_JOIN_BLOCKERS = re.compile(
 _EQ_PAIR = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
 
 
-def _parse_equi_cond(cond: str, lquals: set[str],
-                     rquals: set[str]) -> list[tuple[str, str]] | None:
-    """Parse a pure conjunction of qualified column equalities into
-    (left_col, right_col) pairs; None for anything else (θ-join terms,
-    unqualified refs) — those shapes keep the snapshot-diff fallback."""
+def _parse_equi_cond(cond: str, lquals: set[str], rquals: set[str],
+                     lcols: set[str] | None = None,
+                     rcols: set[str] | None = None,
+                     ) -> list[tuple[str, str]] | None:
+    """Parse a pure conjunction of column equalities into (left_col,
+    right_col) pairs; None for anything else (θ-join terms) — those
+    shapes keep the snapshot-diff fallback.  With ``lcols``/``rcols``
+    schemas supplied, BARE operands attribute to the side that UNIQUELY
+    owns the name (r9: verbatim `ON o_orderkey = l_orderkey` left-join
+    texts); without them only qualified pairs are accepted."""
+    def _side(tok: str) -> tuple[str, str] | None:
+        tok = tok.strip()
+        if "." in tok:
+            q, c = tok.split(".", 1)
+            if q.lower() in lquals:
+                return ("l", c)
+            if q.lower() in rquals:
+                return ("r", c)
+            return None
+        if lcols is None or rcols is None:
+            return None
+        c = tok.lower()
+        inl, inr = c in lcols, c in rcols
+        if inl and not inr:
+            return ("l", tok)
+        if inr and not inl:
+            return ("r", tok)
+        return None                    # absent or ambiguous
+
     pairs = []
     for term in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
-        m = _EQ_PAIR.match(term.strip())
+        m = re.match(r"^([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)$",
+                     term.strip())
         if not m:
             return None
-        q1, c1, q2, c2 = m.groups()
-        if q1.lower() in lquals and q2.lower() in rquals:
-            pairs.append((c1, c2))
-        elif q2.lower() in lquals and q1.lower() in rquals:
-            pairs.append((c2, c1))
-        else:
+        s1, s2 = _side(m.group(1)), _side(m.group(2))
+        if s1 is None or s2 is None or {s1[0], s2[0]} != {"l", "r"}:
             return None
+        lc, rc = (s1[1], s2[1]) if s1[0] == "l" else (s2[1], s1[1])
+        pairs.append((lc, rc))
     return pairs or None
 
 
@@ -3033,7 +3056,10 @@ class _LeftJoinMaintainer(_ViewMaintainer):
     def __init__(self, eng, name, sql, left, right, m):
         la = (m.group("la") or m.group("lt")).lower()
         ra = (m.group("ra") or m.group("rt")).lower()
-        pairs = _parse_equi_cond(m.group("cond"), {la}, {ra})
+        pairs = _parse_equi_cond(
+            m.group("cond"), {la}, {ra},
+            {c.lower() for c in _source_rows0(eng, left).columns},
+            {c.lower() for c in _source_rows0(eng, right).columns})
         if not pairs:
             raise _UnloweredShape(m.group("cond"))
         super().__init__(eng, name, sql)

@@ -4613,3 +4613,38 @@ def test_join_of_two_derived_aggregates(spark):
              weight=-1)
     eng.step()
     check("retract right")
+
+
+def test_left_join_bare_on_and_is_null_antijoin(spark):
+    """LEFT JOIN with BARE ON equalities (verbatim style `ON o_ok =
+    l_ok`) lowers via schema side-attribution, and the `WHERE rcol IS
+    NULL` anti-join idiom maintains: rows flip in/out as matches
+    appear and retract."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE oo (o_ok BIGINT NOT NULL, pri VARCHAR);
+        CREATE TABLE li (l_ok BIGINT, qty BIGINT);
+        CREATE VIEW unmatched as
+            SELECT o_ok, pri FROM oo LEFT JOIN li ON o_ok = l_ok
+            WHERE l_ok IS NULL;
+    """)
+    assert eng.view_strategy("unmatched") == "left_join"
+    b = ("SELECT o_ok, pri FROM oo LEFT JOIN li ON o_ok = l_ok "
+         "WHERE l_ok IS NULL")
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(b).collect()))
+        got = sorted(map(tuple, eng.view("unmatched").collect()))
+        assert got == want, (tag, got, want)
+
+    oos = [(k, "p" if k % 2 else "q") for k in range(6)]
+    eng.push("oo", spark.createDataFrame(oos, "o_ok long, pri string"))
+    eng.push("li", spark.createDataFrame([(0, 1), (2, 2)],
+                                         "l_ok long, qty long"))
+    eng.step()
+    check("insert")
+    eng.push("li", spark.createDataFrame([(0, 1)], "l_ok long, qty long"),
+             weight=-1)
+    eng.push("li", spark.createDataFrame([(4, 9)], "l_ok long, qty long"))
+    eng.step()
+    check("flip matches both ways")
