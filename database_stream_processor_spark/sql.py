@@ -3494,6 +3494,79 @@ def _filter_subquery_join_inner(eng: "Engine", name: str, flat: str):
         raise
 
 
+#: IN body whose select item is an EXPRESSION, not a bare column
+_IN_EXPR_INNER_RE = re.compile(
+    r"^SELECT\s+(?P<iexpr>.+?)\s+FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<ia>\w+))?(?:\s+WHERE\s+(?P<ipred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _filter_in_expr_inner(eng: "Engine", name: str, flat: str):
+    """[NOT] IN subqueries whose select item is an EXPRESSION —
+    ``o_ok NOT IN (SELECT l_ok + 1 FROM li WHERE qty > 0)`` — hoist the
+    inner into a hidden O(Δ) projection materializing the expression
+    (``SELECT l_ok + 1 AS __inx FROM …``) and re-lower the view with
+    the term probing the hidden view's column; the subquery-filter
+    machinery then applies unchanged, INCLUDING the three-valued
+    nullable NOT IN routing (the hidden column's nullability carries
+    the expression's)."""
+    m = _SUBQ_OUTER_RE.match(flat)
+    if m is None:
+        raise _UnloweredShape("not a filtered single-table SELECT")
+    if _mixed_top_and_or(m.group("body")):
+        raise _UnloweredShape("mixed top-level AND/OR")
+    terms = _split_top_and(m.group("body"))
+    registered: list[str] = []
+    out_terms, lifted = [], 0
+    try:
+        for t in terms:
+            im = _IN_TERM.match(t)
+            sm = (_IN_EXPR_INNER_RE.match(im.group("inner").strip())
+                  if im else None)
+            if (im is None or sm is None
+                    or re.match(r"^[\w.]+$", sm.group("iexpr").strip())
+                    or _SUBQ_BLOCKERS.search(im.group("inner"))
+                    or re.search(r"\(\s*SELECT", im.group("inner"),
+                                 re.IGNORECASE)):
+                out_terms.append(t)
+                continue
+            it = sm.group("it").lower()
+            if not (it in eng.tables or it in eng.views
+                    or it in eng._maintainers):
+                out_terms.append(t)
+                continue
+            ia = (sm.group("ia") or sm.group("it")).lower()
+            icols = {c.lower() for c in _source_rows0(eng, it).columns}
+            if not _refs_only(sm.group("iexpr"), {ia}, icols) \
+                    or (sm.group("ipred")
+                        and not _refs_only(sm.group("ipred"), {ia},
+                                           icols)):
+                out_terms.append(t)        # correlated: not this pass
+                continue
+            hid = f"__{name}_inx{lifted}"
+            hsql = (f"SELECT {sm.group('iexpr')} AS __inx FROM {it}"
+                    + (f" {sm.group('ia')}" if sm.group("ia") else "")
+                    + (f" WHERE {sm.group('ipred')}"
+                       if sm.group("ipred") else ""))
+            _register_hidden(eng, hid, hsql, registered)
+            neg = im.group("neg") or ""
+            out_terms.append(
+                f"{im.group('col')} {neg}IN (SELECT __inx FROM {hid})")
+            lifted += 1
+        if not lifted:
+            raise _UnloweredShape("no expression-bodied IN terms")
+        new = (f"SELECT {m.group('sel')} FROM {m.group('ot')}"
+               + (f" {m.group('oa')}" if m.group("oa") else "")
+               + " WHERE " + " AND ".join(out_terms))
+        fm = _lower_view(eng, name, new)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("rewritten IN filter snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
     """Recognize ``SELECT … FROM outer WHERE [pre AND] [NOT] EXISTS
     (SELECT … FROM inner WHERE corr [AND ipred]) [AND post]`` and the
@@ -6934,6 +7007,12 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             # EXISTS bodies that are JOIN chains: pre-lower each body's
             # join to a hidden view, then re-lower through the matcher
             r = _try(_filter_subquery_join_inner, eng, name, flat)
+            if r is not None:
+                return r
+        if re.search(r"\bIN\s*\(\s*SELECT", flat, re.IGNORECASE):
+            # IN bodies selecting an EXPRESSION: hoist the expression
+            # into a hidden projection, then re-lower
+            r = _try(_filter_in_expr_inner, eng, name, flat)
             if r is not None:
                 return r
     if (re.search(r"\(\s*SELECT", flat, re.IGNORECASE)

@@ -4648,3 +4648,43 @@ def test_left_join_bare_on_and_is_null_antijoin(spark):
     eng.push("li", spark.createDataFrame([(4, 9)], "l_ok long, qty long"))
     eng.step()
     check("flip matches both ways")
+
+
+def test_in_subquery_expression_body(spark):
+    """[NOT] IN whose body selects an EXPRESSION — the expression
+    materializes in a hidden projection and the filter maintains,
+    including three-valued NOT IN when the expression is nullable (one
+    NULL in the inner empties the view; retracting it restores)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE oo (o_ok BIGINT NOT NULL, price BIGINT);
+        CREATE TABLE li (l_ok BIGINT, qty BIGINT);
+        CREATE VIEW v as
+            SELECT o_ok, price FROM oo
+            WHERE o_ok NOT IN (SELECT l_ok + 1 FROM li WHERE qty > 0);
+    """)
+    assert eng.view_strategy("v") == "not_in_nullable"
+    assert eng.view_strategy("__v_inx0") == "project"
+    b = ("SELECT o_ok, price FROM oo WHERE o_ok NOT IN "
+         "(SELECT l_ok + 1 FROM li WHERE qty > 0)")
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(b).collect()))
+        got = sorted(map(tuple, eng.view("v").collect()))
+        assert got == want, (tag, got, want)
+
+    eng.push("oo", spark.createDataFrame([(k, 10 * k) for k in range(1, 6)],
+                                         "o_ok long, price long"))
+    eng.push("li", spark.createDataFrame([(1, 5), (3, 2)],
+                                         "l_ok long, qty long"))
+    eng.step()
+    check("insert")
+    null_row = spark.createDataFrame([(None, 9)], "l_ok long, qty long")
+    eng.push("li", null_row)
+    eng.step()
+    check("NULL joins the inner (view empties)")
+    eng.push("li", null_row, weight=-1)
+    eng.push("li", spark.createDataFrame([(1, 5)], "l_ok long, qty long"),
+             weight=-1)
+    eng.step()
+    check("NULL retracts, member retracts")
