@@ -6196,6 +6196,168 @@ def q138_sql_engine_recursive_cte(spark, sf_dir):
     return eng.view("reach")
 
 
+@register("q139_sql_engine_union_of_aggs", oracle="""
+SELECT o_orderpriority AS grp,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS m
+FROM orders WHERE o_orderkey % 4 <> 0 GROUP BY o_orderpriority
+UNION ALL
+SELECT l_returnflag AS grp,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS m
+FROM lineitem GROUP BY l_returnflag
+""")
+def q139_sql_engine_union_of_aggs(spark, sf_dir):
+    """UNION ALL over two grouped-aggregate branches — NEW r9: each
+    branch hoists into a hidden linear-agg view (`_union_branch_lift`)
+    and the union maintains over branch deltas by Z-set weights, so a
+    retraction deflating one branch's group flows straight through
+    (reference: plus over aggregate outputs, zset.py §2.7 / SURVEY
+    §2.5).  Two insert ticks, then retraction of every 4th order."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderpriority VARCHAR,
+                             o_totalprice BIGINT);
+        CREATE TABLE lineitem (l_returnflag VARCHAR,
+                               l_extendedprice BIGINT);
+        CREATE VIEW u as
+            select o_orderpriority as grp, sum(o_totalprice) as m
+            from orders group by o_orderpriority
+            union all
+            select l_returnflag as grp, sum(l_extendedprice) as m
+            from lineitem group by l_returnflag;
+    """)
+    assert eng.view_strategy("u") == "union_all"
+    assert eng.view_strategy("__u_u0") == "linear_agg"
+    assert eng.view_strategy("__u_u1") == "linear_agg"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+         .alias("o_totalprice"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+         .alias("l_extendedprice"))
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i)
+                            .drop("o_orderkey"))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.step()
+    eng.push("orders", o.filter(F.col("o_orderkey") % 4 == 0)
+                        .drop("o_orderkey"), weight=-1)
+    eng.step()
+    return eng.view("u").select(
+        "grp", F.col("m").cast("long").alias("m"))
+
+
+@register("q140_sql_engine_unmatched_antijoin", oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+LEFT JOIN (SELECT o_custkey FROM orders
+           WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0) o
+    ON c_custkey = o_custkey
+WHERE o_custkey IS NULL
+""")
+def q140_sql_engine_unmatched_antijoin(spark, sf_dir):
+    """The unmatched-rows anti-join idiom — ``LEFT JOIN … WHERE
+    right_key IS NULL`` (customers with no orders; the find-orphans
+    staple of ETL/dedup pipelines) — NEW r9: the BARE ON equality
+    resolves by schema side-attribution and the touched-key outer-join
+    maintainer handles the IS NULL flip exactly: a customer enters the
+    view when their last order retracts and leaves when a first order
+    arrives (reference: antijoin via outer join, join.rs:338).  Only
+    even orderkeys are loaded (so the unmatched set is non-empty at
+    every SF), two insert ticks, then retraction of the multiples of
+    3 — customers whose only orders retract ENTER the view."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_mktsegment VARCHAR);
+        CREATE TABLE orders (o_custkey BIGINT, o_orderkey BIGINT);
+        CREATE VIEW unmatched as
+            select c_custkey, c_mktsegment from customer
+            left join orders on c_custkey = o_custkey
+            where o_custkey is null;
+    """)
+    assert eng.view_strategy("unmatched") == "left_join"
+    c = load(spark, sf_dir, "customer").select("c_custkey",
+                                               "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey") \
+        .filter(F.col("o_orderkey") % 2 == 0)
+    eng.push("customer", c)
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 4 == 2 * i))
+        eng.step()
+    eng.push("orders", o.filter(F.col("o_orderkey") % 3 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("unmatched")
+
+
+@register("q141_sql_engine_join_of_derived_aggs", oracle="""
+SELECT x.grp AS grp, x.order_total AS order_total,
+       y.item_total AS item_total
+FROM (SELECT o_custkey % 100 AS grp,
+             CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                  AS BIGINT) AS order_total
+      FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_custkey % 100) x
+JOIN (SELECT l_suppkey % 100 AS grp,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS item_total
+      FROM lineitem GROUP BY l_suppkey % 100) y
+ON x.grp = y.grp
+""")
+def q141_sql_engine_join_of_derived_aggs(spark, sf_dir):
+    """A join of TWO derived-table aggregates — ``FROM (SELECT agg) x
+    JOIN (SELECT agg) y ON x.grp = y.grp`` — NEW r9: both derived
+    tables hoist into hidden views with aliases kept
+    (`_from_multi_subquery_lift`), each re-lowering through the
+    expression-GROUP-BY pass (`% 100` bucket keys materialize in
+    hidden projections), and the outer join maintains bilinearly over
+    the two aggregates' deltas.  Two insert ticks, then retraction of
+    every 5th order (groups deflate; a group whose orders all retract
+    leaves the join)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT, o_totalprice BIGINT);
+        CREATE TABLE lineitem (l_suppkey BIGINT, l_quantity BIGINT);
+        CREATE VIEW jd as
+            select x.grp as grp, x.order_total as order_total,
+                   y.item_total as item_total
+            from (select o_custkey % 100 as grp,
+                         sum(o_totalprice) as order_total
+                  from orders group by o_custkey % 100) x
+            join (select l_suppkey % 100 as grp,
+                         sum(l_quantity) as item_total
+                  from lineitem group by l_suppkey % 100) y
+            on x.grp = y.grp;
+    """)
+    assert eng.view_strategy("jd") == "join"
+    assert eng.view_strategy("__jd_sub0") != "differentiate"
+    assert eng.view_strategy("__jd_sub1") != "differentiate"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+         .alias("o_totalprice"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.col("l_quantity").cast("long").alias("l_quantity"))
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.step()
+    eng.push("orders", o.filter(F.col("o_orderkey") % 5 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("jd").select(
+        "grp", F.col("order_total").cast("long").alias("order_total"),
+        F.col("item_total").cast("long").alias("item_total"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -6230,6 +6392,12 @@ _WINDOW_ORDER = [
     "q137_sql_engine_cte_chain",
     # (q138 takes q19's slot: tumbling windows keep q43 in this window)
     "q138_sql_engine_recursive_cte",
+    # r9 lift evidence (slots from q09/q96/nx_q06: join-agg holds
+    # q133/q126/q137 in-window, ROLLUP holds q114 at r7, AVG-by-seller
+    # holds nx_q04 here plus the r8 nx_q05/nx_q07 rows)
+    "q139_sql_engine_union_of_aggs",
+    "q140_sql_engine_unmatched_antijoin",
+    "q141_sql_engine_join_of_derived_aggs",
     # round-9 priority 2: the 12 rows whose latest driver evidence is
     # round 5 (nexmark batch variants + the MIN/MAX view).
     "nx_q01_currency",
@@ -6259,7 +6427,6 @@ _WINDOW_ORDER = [
     "q05_supplier_volume",
     "q06_forecast_revenue",
     "q08_active_suppliers",
-    "q09_nation_customer_counts",
     "q10_signup_to_purchase",
     "q11_distinct_parts_per_flag",
     "q15_topk_orders_per_priority",
@@ -6275,7 +6442,6 @@ _WINDOW_ORDER = [
     "q48_rolling_linear",
     "q57_fold_topk_prices",
     "q58_circuit_revenue",
-    "q96_sql_engine_rollup",
     "q97_token_chunking",
     "q98_sql_engine_setops_all",
     "q100_sql_engine_nullable_not_in",
@@ -6283,7 +6449,6 @@ _WINDOW_ORDER = [
     "q108_sql_engine_tpch_q2",
     "q109_sql_engine_tpch_q22_one_view",
     "nx_q04_avg_closing_price",
-    "nx_q06_avg_selling_price_by_seller",
     "nx_q12_processing_time_windows",
 ]
 
