@@ -1835,7 +1835,8 @@ def _scalar_sq_spans(text: str) -> list[tuple[int, int]]:
 
 
 def _scalar_sq_join_src(eng: "Engine", name: str, body: str, sel: str,
-                        pred: str | None, register) -> tuple:
+                        pred: str | None, register,
+                        extras: list | None = None) -> tuple:
     """JOIN-chain outer FROM for a scalar-subquery view: synthesize a
     hidden maintained view ``__{name}_src`` carrying every column the
     outer select/WHERE/correlation terms reference (the
@@ -1865,7 +1866,7 @@ def _scalar_sq_join_src(eng: "Engine", name: str, body: str, sel: str,
     # subquery span reduced to ONLY its chain-qualified correlation refs
     # (the span's inner alias/table tokens must not leak into claims)
     pieces = []
-    for text in [sel] + ([pred] if pred else []):
+    for text in [sel] + ([pred] if pred else []) + list(extras or []):
         last = 0
         for a, b in _scalar_sq_spans(text):
             pieces.append(text[last:a])
@@ -1940,6 +1941,9 @@ def _scalar_sq_join_src(eng: "Engine", name: str, body: str, sel: str,
     sel = _sub_outside_literals(qual_re, _requal, sel)
     if pred:
         pred = _sub_outside_literals(qual_re, _requal, pred)
+    if extras is not None:
+        return hidden, "o0", sel, pred, [
+            _sub_outside_literals(qual_re, _requal, x) for x in extras]
     return hidden, "o0", sel, pred
 
 
@@ -6048,6 +6052,90 @@ def _match_distinct_agg_items(sel: str, keys: list[str]) -> dict | None:
     return {"expr": expr, "items": items, "out": out}
 
 
+def _multi_distinct_split(eng: "Engine", name: str, flat: str, m,
+                          keys: list[str]):
+    """≥2 DIFFERENT distinct expressions in one grouped select —
+    ``COUNT(DISTINCT a), COUNT(DISTINCT b) … GROUP BY k`` — split into
+    one hidden single-expression distinct-agg view per expression
+    (each carrying the group keys) and re-lower the view as their
+    equi-join on the keys: every hidden view has exactly the same
+    group-key set (same GROUP BY over the same rows), so the inner
+    join is total and each maintains O(Δ) independently.  NULLABLE
+    keys refuse (a NULL-keyed group would drop through the equi-join;
+    the single-expression maintainer handles those shapes)."""
+    tbl = m.group("tbl").lower()
+    try:
+        fields = {f.name.lower(): f
+                  for f in _source_rows0(eng, tbl).schema.fields}
+    except Exception:
+        raise _UnloweredShape(f"unknown table {tbl}")
+    for k in keys:
+        if k.lower() not in fields or fields[k.lower()].nullable:
+            raise _UnloweredShape(
+                f"key {k} must be NOT NULL for the distinct split")
+    groups: dict[str, list[str]] = {}    # expr -> item SQL texts
+    out_items: list[tuple[str, str]] = []   # (hidden idx|key, out sql)
+    key_out: list[str] = []
+    for it in (i.strip() for i in _split_top_level(m.group("sel"))):
+        dm = _DISTINCT_AGG_ITEM.match(it)
+        if not dm:
+            raise _UnloweredShape(f"unrecognized item: {it}")
+        if dm.group("key"):
+            key_out.append(it)
+            continue
+        if dm.group("starn"):
+            groups.setdefault("__star__", []).append(it)
+            out_items.append(("__star__", dm.group("starn")))
+            continue
+        e = " ".join((dm.group("ce") or dm.group("se")
+                      or dm.group("ae")).split())
+        groups.setdefault(e, []).append(it)
+        out_items.append((e, dm.group("cn") or dm.group("sn")
+                          or dm.group("an")))
+    exprs = [e for e in groups if e != "__star__"]
+    if len(exprs) < 2:
+        raise _UnloweredShape("fewer than two distinct expressions")
+    # COUNT(*) items ride with the first expression's hidden view
+    if "__star__" in groups:
+        groups[exprs[0]].extend(groups.pop("__star__"))
+    hid_of: dict[str, str] = {}
+    registered: list[str] = []
+    pred = f" WHERE {m.group('pred')}" if m.group("pred") else ""
+    if m.group("having"):
+        raise _UnloweredShape("HAVING over the distinct split")
+    try:
+        for i, e in enumerate(exprs):
+            hid = f"__{name}_d{i}"
+            hsql = ("SELECT " + ", ".join(keys + groups[e])
+                    + f" FROM {tbl}{pred} GROUP BY " + ", ".join(keys))
+            _register_hidden(eng, hid, hsql, registered)
+            hid_of[e] = hid
+        h0 = hid_of[exprs[0]]
+        # output: the SELECTED keys (with their aliases) read from the
+        # first hidden, then each aggregate column from its own hidden
+        sel_parts = []
+        for it in key_out:
+            dm = _DISTINCT_AGG_ITEM.match(it)
+            sel_parts.append(f"{h0}.{dm.group('key')} AS "
+                             f"{dm.group('kal') or dm.group('key')}")
+        for e2, n in out_items:
+            src = h0 if e2 == "__star__" else hid_of[e2]
+            sel_parts.append(f"{src}.{n} AS {n}")
+        chain = h0
+        for e in exprs[1:]:
+            h = hid_of[e]
+            on = " AND ".join(f"{h0}.{k} = {h}.{k}" for k in keys)
+            chain += f" JOIN {h} ON {on}"
+        outer = f"SELECT {', '.join(sel_parts)} FROM {chain}"
+        fm = _lower_view(eng, name, outer)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("distinct-split join snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 class _DistinctAggMaintainer(_GroupMergeMaintainer):
     """SELECT keys, COUNT(DISTINCT e)/SUM(DISTINCT e) [, COUNT(*)] FROM t
     [WHERE p] GROUP BY keys [HAVING …] — the reference's DISTINCT
@@ -6641,6 +6729,54 @@ def _rewrite_having(having: str | None, spec: dict,
 _LOG = logging.getLogger("database_stream_processor_spark.sql")
 
 
+def _shape_over_join_lift(eng: "Engine", name: str, flat: str):
+    """Catch-all composition for shapes the join-aware recognizers
+    don't cover directly — ``MIN/MAX GROUP BY`` over a join chain,
+    ``GROUP BY ROLLUP`` over a join, ``SELECT DISTINCT`` over a join,
+    multi-item ``COUNT(DISTINCT)`` over a join: synthesize the hidden
+    maintained join view ``__{name}_src`` carrying exactly the claimed
+    columns (the `_scalar_sq_join_src` claims discipline, WHERE pushed
+    in), strip the chain qualifiers, and re-lower the rest of the text
+    over the hidden view's O(Δ) delta.  Tried LAST — anything a direct
+    recognizer lowers never reaches here — and both stages must lower
+    or the view falls back."""
+    parts = _split_select_from(flat)
+    if parts is None:
+        raise _UnloweredShape("not a SELECT…FROM")
+    sel, rest = parts
+    g = _find_top_kw(rest, ("GROUP", "HAVING", "ORDER", "LIMIT"))
+    head = rest if g < 0 else rest[:g]
+    tail = "" if g < 0 else rest[g:]
+    if re.search(r"\(\s*SELECT", tail, re.IGNORECASE):
+        raise _UnloweredShape("subquery in the tail")
+    body, pred = _split_where(head)
+    if not re.search(r"\bJOIN\b", body, re.IGNORECASE):
+        raise _UnloweredShape("FROM is not a join chain")
+    registered: list[str] = []
+
+    def _register(hname: str, hsql: str) -> None:
+        _register_hidden(eng, hname, hsql, registered)
+
+    try:
+        hidden, _oa, sel2, pred2, (tail2,) = _scalar_sq_join_src(
+            eng, name, body, sel, pred, _register, extras=[tail])
+        strip = lambda t: _sub_outside_literals(r"\bo0\s*\.\s*", "", t,
+                                                re.IGNORECASE)
+        outer = f"SELECT {strip(sel2)} FROM {hidden}"
+        if pred2:
+            outer += f" WHERE {strip(pred2)}"
+        if tail2:
+            outer += f" {strip(tail2)}"
+        fm = _lower_view(eng, name, outer)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("shape over the join view "
+                                  "snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
     """Pick the cheapest maintainer whose shape matches; fall back to
     snapshot-diff for anything unrecognized (correct but O(view) per
@@ -6921,6 +7057,12 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
                      m.group("tbl").lower(), keys, spec)
             if r is not None:
                 return r
+        elif len(re.findall(r"\bDISTINCT\b", flat, re.IGNORECASE)) >= 2:
+            # several DIFFERENT distinct expressions: split into one
+            # hidden distinct-agg view per expression, joined on keys
+            r = _try(_multi_distinct_split, eng, name, flat, m, keys)
+            if r is not None:
+                return r
     # expression GROUP BY keys (the SQL tumbling-window idiom) — a
     # hidden projection materializes each expression, then the agg
     # re-lowers with plain keys
@@ -7059,6 +7201,15 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             and not _analyzed_has_aggregate(eng, flat)):
         r = _try(_LeftJoinMaintainer, eng, name, flat,
                  m.group("lt").lower(), m.group("rt").lower(), m)
+        if r is not None:
+            return r
+    if (re.search(r"\bJOIN\b", flat, re.IGNORECASE)
+            and not re.search(r"\bOVER\b|\bUNION\b|\bINTERSECT\b"
+                              r"|\bEXCEPT\b", flat, re.IGNORECASE)):
+        # last resort before the fallback: hoist the join chain into a
+        # hidden view and re-lower the remaining shape over its delta
+        # (MIN/MAX-over-join, ROLLUP-over-join, DISTINCT-over-join, …)
+        r = _try(_shape_over_join_lift, eng, name, flat)
         if r is not None:
             return r
     _LOG.warning(

@@ -4688,3 +4688,93 @@ def test_in_subquery_expression_body(spark):
              weight=-1)
     eng.step()
     check("NULL retracts, member retracts")
+
+
+def test_shape_over_join_lift(spark):
+    """Shapes the direct join recognizers don't cover — MIN/MAX GROUP
+    BY over a join, ROLLUP over a join, SELECT DISTINCT over a join —
+    hoist the chain into a hidden claims-projected join view and
+    re-lower over its delta."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE oo (o_ok BIGINT NOT NULL, ck BIGINT NOT NULL,
+                         price BIGINT, pri VARCHAR NOT NULL);
+        CREATE TABLE cu (ck BIGINT NOT NULL, seg VARCHAR NOT NULL);
+        CREATE VIEW mm as
+            SELECT pri, MIN(price) AS mn, MAX(price) AS mx
+            FROM oo JOIN cu ON oo.ck = cu.ck GROUP BY pri;
+        CREATE VIEW du as
+            SELECT DISTINCT pri, seg FROM oo JOIN cu ON oo.ck = cu.ck;
+        CREATE VIEW ru as
+            SELECT pri, seg, SUM(price) AS sp
+            FROM oo JOIN cu ON oo.ck = cu.ck
+            GROUP BY ROLLUP (pri, seg);
+    """)
+    assert eng.view_strategy("mm") == "nonlinear_agg"
+    assert eng.view_strategy("__mm_src") == "join"
+    assert eng.view_strategy("du") == "distinct"
+    assert eng.view_strategy("ru") == "grouping_sets_agg"
+    checks = {
+        "mm": "SELECT pri, MIN(price) AS mn, MAX(price) AS mx "
+              "FROM oo JOIN cu ON oo.ck = cu.ck GROUP BY pri",
+        "du": "SELECT DISTINCT pri, seg FROM oo JOIN cu "
+              "ON oo.ck = cu.ck",
+        "ru": "SELECT pri, seg, SUM(price) AS sp FROM oo JOIN cu "
+              "ON oo.ck = cu.ck GROUP BY ROLLUP (pri, seg)",
+    }
+
+    def check(tag):
+        for view, b in checks.items():
+            want = sorted(map(tuple, spark.sql(b).collect()), key=str)
+            got = sorted(map(tuple, eng.view(view).collect()), key=str)
+            assert got == want, (tag, view, got, want)
+
+    oos = [(k, k % 4, 10 * (k % 7), "p" if k % 2 else "q")
+           for k in range(24)]
+    cus = [(c, "x" if c % 2 else "y") for c in range(4)]
+    eng.push("oo", spark.createDataFrame(
+        oos, "o_ok long, ck long, price long, pri string"))
+    eng.push("cu", spark.createDataFrame(cus, "ck long, seg string"))
+    eng.step()
+    check("insert")
+    eng.push("oo", spark.createDataFrame(
+        oos[:12], "o_ok long, ck long, price long, pri string"),
+        weight=-1)
+    eng.push("cu", spark.createDataFrame(cus[:1], "ck long, seg string"),
+             weight=-1)
+    eng.step()
+    check("retract both sides")
+
+
+def test_multi_distinct_expressions_split(spark):
+    """COUNT(DISTINCT a), COUNT(DISTINCT b), COUNT(*) in one grouped
+    select — splits into one hidden distinct-agg view per expression
+    joined on the group keys; retraction deflates each independently."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k VARCHAR NOT NULL, a BIGINT, b BIGINT);
+        CREATE VIEW v as
+            SELECT k, COUNT(DISTINCT a) AS da, COUNT(DISTINCT b) AS db,
+                   COUNT(*) AS n
+            FROM t WHERE a >= 0 GROUP BY k;
+    """)
+    assert eng.view_strategy("v") == "join"
+    assert eng.view_strategy("__v_d0") == "distinct_agg"
+    assert eng.view_strategy("__v_d1") == "distinct_agg"
+    b = ("SELECT k, COUNT(DISTINCT a) AS da, COUNT(DISTINCT b) AS db, "
+         "COUNT(*) AS n FROM t WHERE a >= 0 GROUP BY k")
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(b).collect()), key=str)
+        got = sorted(map(tuple, eng.view("v").collect()), key=str)
+        assert got == want, (tag, got, want)
+
+    rows = [("g" + str(k % 2), k % 5, (k * 3) % 4) for k in range(30)]
+    eng.push("t", spark.createDataFrame(rows, "k string, a long, b long"))
+    eng.step()
+    check("insert")
+    eng.push("t", spark.createDataFrame(rows[:18],
+                                        "k string, a long, b long"),
+             weight=-1)
+    eng.step()
+    check("retract")
