@@ -3571,6 +3571,64 @@ def _filter_in_expr_inner(eng: "Engine", name: str, flat: str):
         raise
 
 
+def _having_key_subquery_split(eng: "Engine", name: str, flat: str):
+    """Grouped selects whose HAVING carries [NOT] IN subquery terms
+    over GROUP KEYS — ``GROUP BY ck HAVING ck IN (SELECT ck FROM cu
+    WHERE seg = 'gold')`` — split: the aggregate (with any remaining
+    HAVING conjuncts) becomes a hidden maintained view, and the
+    key-only subquery terms move OUT to a WHERE over it, which the
+    subquery-filter machinery maintains as a semi/anti-join on the
+    view's delta.  A key-only HAVING predicate commutes with
+    post-filtering the group rows, so the split is always sound; terms
+    referencing aggregates (or keys aliased away in the select list)
+    refuse."""
+    m = _AGG_RE.match(flat)
+    if m is None or not m.group("having"):
+        raise _UnloweredShape("not a grouped HAVING select")
+    tbl = m.group("tbl").lower()
+    if not (tbl in eng.tables or tbl in eng.views
+            or tbl in eng._maintainers):
+        raise _UnloweredShape(f"unknown table {tbl}")
+    keys = [k.strip() for k in m.group("keys").split(",")]
+    # every moved key must appear UNALIASED in the select list (the
+    # outer WHERE references the hidden view's output columns)
+    sel_items = {i.strip().lower()
+                 for i in _split_top_level(m.group("sel"))}
+    if _mixed_top_and_or(m.group("having")):
+        raise _UnloweredShape("mixed top-level AND/OR in HAVING")
+    moved, kept = [], []
+    for t in _split_top_and(m.group("having")):
+        im = _IN_TERM.match(t)
+        col = im.group("col").split(".")[-1].lower() if im else None
+        if (im and col in [k.lower() for k in keys]
+                and col in sel_items
+                and not re.search(rf"\b{tbl}\b", im.group("inner"),
+                                  re.IGNORECASE)):
+            moved.append(t)
+        else:
+            kept.append(t)
+    if not moved:
+        raise _UnloweredShape("no key-only IN subquery terms in HAVING")
+    hidden = f"__{name}_hg"
+    hsql = (f"SELECT {m.group('sel')} FROM {m.group('tbl')}"
+            + (f" WHERE {m.group('pred')}" if m.group("pred") else "")
+            + f" GROUP BY {m.group('keys')}"
+            + (f" HAVING {' AND '.join(kept)}" if kept else ""))
+    registered: list[str] = []
+    try:
+        _register_hidden(eng, hidden, hsql, registered)
+        cols = ", ".join(_source_rows0(eng, hidden).columns)
+        outer = (f"SELECT {cols} FROM {hidden} WHERE "
+                 + " AND ".join(moved))
+        fm = _lower_view(eng, name, outer)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("split HAVING filter snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
     """Recognize ``SELECT … FROM outer WHERE [pre AND] [NOT] EXISTS
     (SELECT … FROM inner WHERE corr [AND ipred]) [AND post]`` and the
@@ -7123,6 +7181,11 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         # scalar path can't parse a GROUP BY body
         if _top_level_having(flat) >= 0:
             r = _try(_scalar_having_from, eng, name, flat)
+            if r is not None:
+                return r
+            # [NOT] IN subquery terms over GROUP KEYS in the HAVING:
+            # hidden aggregate + semi/anti filter over its delta
+            r = _try(_having_key_subquery_split, eng, name, flat)
             if r is not None:
                 return r
         # scalar-aggregate subqueries in the SELECT list / WHERE lower

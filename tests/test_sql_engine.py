@@ -4778,3 +4778,44 @@ def test_multi_distinct_expressions_split(spark):
              weight=-1)
     eng.step()
     check("retract")
+
+
+def test_having_key_in_subquery_split(spark):
+    """[NOT] IN subquery terms over GROUP KEYS inside a HAVING — the
+    aggregate (with remaining HAVING conjuncts) becomes a hidden view
+    and the key terms move out to a maintained semi/anti filter;
+    membership-set retractions flow through."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE oo (o_ok BIGINT NOT NULL, ck BIGINT, price BIGINT);
+        CREATE TABLE cu (ck BIGINT NOT NULL, seg VARCHAR);
+        CREATE VIEW v as
+            SELECT ck, COUNT(*) AS n, SUM(price) AS sp FROM oo
+            GROUP BY ck
+            HAVING ck IN (SELECT ck FROM cu WHERE seg = 'gold')
+               AND COUNT(*) > 1;
+    """)
+    assert eng.view_strategy("v") == "in"
+    assert eng.view_strategy("__v_hg") == "linear_agg"
+    b = ("SELECT ck, COUNT(*) AS n, SUM(price) AS sp FROM oo GROUP BY "
+         "ck HAVING ck IN (SELECT ck FROM cu WHERE seg = 'gold') AND "
+         "COUNT(*) > 1")
+
+    def check(tag):
+        want = sorted(map(tuple, spark.sql(b).collect()))
+        got = sorted(map(tuple, eng.view("v").collect()))
+        assert got == want, (tag, got, want)
+
+    rows = [(k, k % 5, 10 * k) for k in range(25)]
+    cus = [(c, "gold" if c % 2 else "base") for c in range(5)]
+    eng.push("oo", spark.createDataFrame(rows, "o_ok long, ck long, price long"))
+    eng.push("cu", spark.createDataFrame(cus, "ck long, seg string"))
+    eng.step()
+    check("insert")
+    eng.push("oo", spark.createDataFrame(rows[:15],
+                                         "o_ok long, ck long, price long"),
+             weight=-1)
+    eng.push("cu", spark.createDataFrame([(1, "gold")], "ck long, seg string"),
+             weight=-1)
+    eng.step()
+    check("retract rows and gold membership")
