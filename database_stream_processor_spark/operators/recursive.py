@@ -805,6 +805,19 @@ class IncrementalFixpointOp:
     current input relation and the accumulated view; ``base(input_rows)``
     produces the seed (default: the input itself, matching the
     seed-with-input convention of :func:`fixpoint`).
+
+    **Multi-input mode** (the reference maintains recursion over
+    arbitrary nested circuits with several imported streams,
+    recursive.rs:255 + delta0.rs): pass ``empty_input`` as a dict
+    ``{name: empty ZSetFrame}``; then ``step(delta)`` takes a dict of
+    per-input deltas (missing/None = unchanged) and every callback
+    receives ``{name: DataFrame}`` maps in the input positions —
+    ``base(rows_map)``, ``step(rows_map, acc)``,
+    ``delta_base(full_map, d_map)``, ``delta_step(full_map, d_map,
+    acc)``, ``delta_step_out(full_map, s, acc)``.  ``base`` and the
+    delta rules are then required (no defaults).  Delta rules must
+    return every derivation using ≥1 delta atom of ANY input
+    (over-approximating is fine — the set fixpoint dedups).
     """
 
     def __init__(self, empty_input, step, base=None, delta_base=None,
@@ -812,10 +825,31 @@ class IncrementalFixpointOp:
                  max_iterations: int = 100):
         from database_stream_processor_spark.plans.incremental import (
             StateTable)
+        self._multi = isinstance(empty_input, dict)
+        if not self._multi:
+            # normalize the classic single-input surface onto the
+            # dict-mode internals: one anonymous input "__in"
+            empty_input = {"__in": empty_input}
+            u1 = lambda f: f and (lambda m, *a: f(m["__in"], *a))
+            u2 = lambda f: f and (
+                lambda fm, dm, *a: f(fm["__in"], dm["__in"], *a))
+            if base is None:
+                base = lambda rows: rows
+                if delta_base is None:
+                    delta_base = lambda full, d: d
+            step, base = u1(step), u1(base)
+            delta_base = u2(delta_base)
+            delta_step = u2(delta_step)
+            if delta_step_out is not None:
+                dso = delta_step_out
+                delta_step_out = lambda fm, s, acc: dso(fm["__in"], s,
+                                                        acc)
+        else:
+            if base is None:
+                raise ValueError("multi-input mode requires base")
         self.step_fn = step
-        self.base_fn = base if base is not None else (lambda rows: rows)
-        self.delta_base = delta_base if delta_base is not None else (
-            None if base is not None else (lambda full, d: d))
+        self.base_fn = base
+        self.delta_base = delta_base
         self.delta_step = delta_step
         #: ``delta_step_out(full, s, acc)`` = every derivation using ≥1
         #: acc-atom from ``s``, with the rule's remaining acc-atoms drawn
@@ -827,29 +861,52 @@ class IncrementalFixpointOp:
         #: supply its own, e.g. ``step(full, s) ∪ step'(full, acc, s)``,
         #: or deletions will both under-suspect and over-retract.
         self.delta_step_out = delta_step_out if delta_step_out is not None \
-            else (lambda full, s, acc: step(full, s))
+            else (lambda full, s, acc: self.step_fn(full, s))
         self.max_iterations = max_iterations
-        self.integral = StateTable(empty_input, name="fixpoint_input")
+        self.inputs = list(empty_input)
+        self._integrals = {k: StateTable(z, name=f"fixpoint_input_{k}")
+                           for k, z in empty_input.items()}
+        #: single-input mode keeps the classic attribute: THE input's
+        #: StateTable (tests and callers read ``op.integral.current``)
+        self.integral = (self._integrals if self._multi
+                         else self._integrals["__in"])
         self._prev: DataFrame | None = None
         self.last_stats: dict | None = None
 
+    def _currents(self):
+        """{input: integrated rows} checkpointed — the callbacks' full
+        bindings."""
+        return {k: st.current.consolidate().rows()
+                .localCheckpoint(eager=True)
+                for k, st in self._integrals.items()}
+
     def step(self, delta) -> "object":
         from database_stream_processor_spark.zset import ZSetFrame
-        d = delta.consolidate()
-        insert_only = d.df.filter(d.weight < 0).isEmpty()
+        if not self._multi:
+            delta = {"__in": delta}
+        d = {k: z.consolidate() for k, z in delta.items()
+             if z is not None}
+        empties = {k: ZSetFrame(self._integrals[k].current.df.limit(0))
+                   for k in self.inputs if k not in d}
+        d.update(empties)
+        insert_only = all(z.df.filter(z.weight < 0).isEmpty()
+                          for z in d.values())
         have_rules = (self.delta_step is not None
                       and self.delta_base is not None)
         if insert_only and self._prev is not None and have_rules:
             return self._step_seminaive(d)
         if not insert_only and self._prev is not None and have_rules:
-            neg = ZSetFrame(d.df.filter(d.weight < 0))
-            pos = ZSetFrame(d.df.filter(d.weight > 0))
-            out = self._step_dred(neg.consolidate())
-            if not pos.df.isEmpty():
-                out = out.plus(self._step_seminaive(pos.consolidate()))
+            neg = {k: ZSetFrame(z.df.filter(z.weight < 0)).consolidate()
+                   for k, z in d.items()}
+            pos = {k: ZSetFrame(z.df.filter(z.weight > 0)).consolidate()
+                   for k, z in d.items()}
+            out = self._step_dred(neg)
+            if any(not z.df.isEmpty() for z in pos.values()):
+                out = out.plus(self._step_seminaive(pos))
             return out.consolidate()
-        rows = self.integral.update(d).consolidate().rows() \
-            .localCheckpoint(eager=True)
+        for k, z in d.items():
+            self._integrals[k].update(z)
+        rows = self._currents()
         out = fixpoint(self.base_fn(rows),
                        lambda acc: self.step_fn(rows, acc),
                        max_iterations=self.max_iterations)
@@ -881,11 +938,12 @@ class IncrementalFixpointOp:
         output lives in memory, so the scan is one partition-local pass).
         """
         from database_stream_processor_spark.zset import ZSetFrame
-        d_rows = dneg.neg().rows().localCheckpoint(eager=True)
-        i_old = (self.integral.current.consolidate().rows()
-                 .localCheckpoint(eager=True))
-        full = (self.integral.update(dneg).consolidate().rows()
-                .localCheckpoint(eager=True))
+        d_rows = {k: z.neg().rows().localCheckpoint(eager=True)
+                  for k, z in dneg.items()}
+        i_old = self._currents()
+        for k, z in dneg.items():
+            self._integrals[k].update(z)
+        full = self._currents()
         acc = self._prev
         s = (self.delta_base(i_old, d_rows)
              .unionByName(self.delta_step(i_old, d_rows, acc))
@@ -893,7 +951,8 @@ class IncrementalFixpointOp:
              .localCheckpoint(eager=True))
         suspects = s
         s_rounds = 0
-        with _loop_shuffle_partitions(d_rows) as resize:
+        with _loop_shuffle_partitions(next(iter(d_rows.values()))) \
+                as resize:
             for _ in range(self.max_iterations):
                 if s.isEmpty():
                     break
@@ -943,9 +1002,11 @@ class IncrementalFixpointOp:
 
     def _step_seminaive(self, d) -> "object":
         from database_stream_processor_spark.zset import ZSetFrame
-        d_rows = d.rows().localCheckpoint(eager=True)
-        full = self.integral.update(d).consolidate().rows() \
-            .localCheckpoint(eager=True)
+        d_rows = {k: z.rows().localCheckpoint(eager=True)
+                  for k, z in d.items()}
+        for k, z in d.items():
+            self._integrals[k].update(z)
+        full = self._currents()
         acc = self._prev
         seed = (self.delta_base(full, d_rows)
                 .unionByName(self.delta_step(full, d_rows, acc))
@@ -953,7 +1014,8 @@ class IncrementalFixpointOp:
         frontier = seed.exceptAll(acc).localCheckpoint(eager=True)
         new = frontier
         rounds = 0
-        with _loop_shuffle_partitions(d_rows) as resize:
+        with _loop_shuffle_partitions(next(iter(d_rows.values()))) \
+                as resize:
             for _ in range(self.max_iterations):
                 if frontier.isEmpty():
                     break
@@ -982,6 +1044,89 @@ class IncrementalFixpointOp:
     @property
     def current(self) -> DataFrame | None:
         return self._prev
+
+
+class ZSetBagFixpointOp:
+    """UNION ALL (bag) recursion as a Z-set LINEAR fixpoint: the output
+    solves ``R = base(I) ⊎ step(I, R)`` with multiplicities = number of
+    derivation paths — the reference's weighted recursion (Z-set
+    weights ARE derivation counts; recursive.rs:255, vldb23 §5), which
+    is exactly standard SQL's ``WITH RECURSIVE … UNION ALL`` working-
+    table semantics: ``R = Σ_k step^k(base)``.
+
+    ``z_base(ΔI) -> ZSetFrame`` must be linear in I, ``z_step(I, R) ->
+    ZSetFrame`` bilinear in (I, R) — weighted relational algebra with
+    no distinct/aggregation.  Because everything is linear over the
+    weight ring, the per-tick delta solves the SAME equation restricted
+    to deltas:
+
+        ΔR = Σ_k  S(I_new)^k ( Δbase(ΔI) ⊎ step(ΔI, R_old) )
+
+    evaluated semi-naively (seed, then rounds ``f ← step(I_new, f)``
+    until ``f`` consolidates to ∅).  Inserts AND deletes flow through
+    the same path — negative weights propagate and cancel; **no DRed is
+    needed**, the ring does the retraction arithmetic.  This is the
+    capability the set-semantics fixpoint cannot express (multiplicity
+    = path count) and the reason DBSP computes over Z-sets at all.
+
+    ``z_step_delta(ΔI, R_old)`` must return exactly the derivations
+    using the ΔI atom (default: ``z_step`` itself — correct when the
+    step branch references the input; pass an empty-returning callback
+    when it does not, or the seed would double-count).
+
+    Termination requires finitely many derivation paths per fact
+    (acyclic derivations): on a cyclic graph standard UNION ALL
+    recursion itself diverges, and this op faithfully raises instead of
+    silently converging to the wrong (set) answer."""
+
+    def __init__(self, empty_input, empty_output, z_base, z_step,
+                 z_step_delta=None, max_iterations: int = 100):
+        from database_stream_processor_spark.plans.incremental import (
+            StateTable)
+        self.z_base, self.z_step = z_base, z_step
+        self.z_step_delta = (z_step_delta if z_step_delta is not None
+                             else z_step)
+        self.max_iterations = max_iterations
+        self.integral = StateTable(empty_input, name="bag_fixpoint_input")
+        self._empty_out = empty_output
+        self._acc = None
+        self.last_stats: dict | None = None
+
+    def step(self, delta) -> "object":
+        from database_stream_processor_spark.zset import ZSetFrame
+        d = delta.consolidate()
+        i_new = self.integral.update(d).consolidate()
+        first = self._acc is None
+        acc_old = self._empty_out if first else self._acc
+        seed = (self.z_base(d).plus(self.z_step_delta(d, acc_old))
+                .consolidate())
+        f = ZSetFrame(seed.df.localCheckpoint(eager=True))
+        total = f
+        rounds = 0
+        with _loop_shuffle_partitions(f.df) as resize:
+            for _ in range(self.max_iterations):
+                if f.df.isEmpty():
+                    break
+                rounds += 1
+                resize(f.df.count())
+                f = self.z_step(i_new, f).consolidate()
+                f = ZSetFrame(f.df.localCheckpoint(eager=True))
+                total = total.plus(f)
+            else:
+                raise RuntimeError(
+                    "bag fixpoint did not converge in "
+                    f"{self.max_iterations} rounds (cyclic derivations "
+                    "make UNION ALL recursion itself infinite)")
+        total = total.consolidate()
+        total = ZSetFrame(total.df.localCheckpoint(eager=True))
+        self._acc = ZSetFrame(acc_old.plus(total).consolidate()
+                              .df.localCheckpoint(eager=True))
+        self.last_stats = {"mode": "bag-linear", "rounds": rounds}
+        return total
+
+    @property
+    def current(self) -> "object | None":
+        return self._acc
 
 
 def iterate_until(seed: DataFrame, step: Callable[[DataFrame], DataFrame],

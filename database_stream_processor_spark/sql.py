@@ -1216,6 +1216,67 @@ def _sub_outside_literals(pattern: str, repl: str, text: str,
                    for seg in segments)
 
 
+def _blank_literals(text: str) -> str:
+    """Same-length copy with single-quoted literal CONTENT blanked to
+    spaces — positional scans run on the copy, splices on the
+    original."""
+    return re.sub(r"'[^']*'",
+                  lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+                  text)
+
+
+def _search_outside_literals(pattern: str, text: str,
+                             flags: int = 0) -> bool:
+    """``re.search`` over the non-literal segments of ``text`` only —
+    the search twin of :func:`_sub_outside_literals`."""
+    segments = re.split(r"('(?:[^']*)')", text)
+    return any(re.search(pattern, seg, flags)
+               for seg in segments if not seg.startswith("'"))
+
+
+#: one ``table [AS alias],`` member of a comma-FROM list
+_FROM_LIST_ENTRY = r"(?:\w+(?:\s+(?:AS\s+)?\w+)?\s*,\s*)"
+
+
+def _sub_table_refs(name: str, hid: str, text: str) -> str | None:
+    """Rewrite references to CTE ``name`` in TABLE positions only —
+    ``FROM name`` / ``JOIN name`` legs, comma-FROM list members, and
+    ``name.`` qualifiers — leaving every other occurrence untouched; in
+    particular an output alias ``… AS name`` keeps the view's declared
+    column name (ADVICE r9 #1: the old whole-word rewrite renamed it).
+
+    Returns None (caller refuses → snapshot-diff of the ORIGINAL text,
+    always correct) when ``name`` is also used as a RELATION alias
+    (``FROM t AS name`` / ``t name``): the qualifier rewrite would
+    capture that alias's qualifiers.  Occurrences this helper cannot
+    classify are left alone — an unrewritten table reference fails
+    analysis (the bare CTE name is never registered as a view), so
+    under-rewriting falls back, never corrupts; the lifts refuse CTE
+    names that shadow a real source upfront, which is what makes the
+    fail-safe argument hold."""
+    esc = re.escape(name)
+    if _search_outside_literals(
+            rf"\b(FROM|JOIN|,)\s*\w+\s+(AS\s+)?{esc}\b", text,
+            re.IGNORECASE):
+        return None
+    out = _sub_outside_literals(rf"\b(FROM|JOIN)(\s+){esc}\b(?!\s*\.)",
+                                rf"\g<1>\g<2>{hid}", text,
+                                re.IGNORECASE)
+    # comma-FROM list members: FROM t1 [a1], name [an], …
+    comma_pat = rf"(\bFROM\s+{_FROM_LIST_ENTRY}+){esc}\b(?!\s*\.)"
+    while True:
+        new = _sub_outside_literals(comma_pat, rf"\g<1>{hid}", out,
+                                    re.IGNORECASE)
+        if new == out:
+            break
+        out = new
+    # relation qualifiers: name.col → hid.col (safe: the alias-usage
+    # guard above ran, and the lifts refuse CTE names colliding with
+    # source columns, so no struct-field access can match)
+    return _sub_outside_literals(rf"\b{esc}\s*\.", f"{hid}.", out,
+                                 re.IGNORECASE)
+
+
 def _split_top_kw(s: str, kw: str) -> list[str]:
     """Split ``s`` on whole-word ``kw`` at top level (``_top_mask``
     semantics: outside parens/literals/CASE…END spans).  A refused scan
@@ -3604,7 +3665,14 @@ def _having_key_subquery_split(eng: "Engine", name: str, flat: str):
                 and col in sel_items
                 and not re.search(rf"\b{tbl}\b", im.group("inner"),
                                   re.IGNORECASE)):
-            moved.append(t)
+            # requalify to the hidden view's bare output column: a
+            # qualifier-carrying spelling (``t.ck IN (…)``) would
+            # otherwise reference a nonexistent alias in the outer
+            # WHERE over the hidden view (ADVICE r9 #3)
+            bare = im.group("col").split(".")[-1]
+            neg = "NOT " if im.group("neg") else ""
+            moved.append(f"{bare} {neg}IN "
+                         f"({im.group('inner').strip()})")
         else:
             kept.append(t)
     if not moved:
@@ -4868,6 +4936,47 @@ def _parse_with_clause(flat: str) -> tuple[list[tuple[str, str]], str]:
     return ctes, main
 
 
+#: keywords that cannot be a table alias after ``FROM x`` / ``JOIN x``
+_NOT_ALIAS_KW = {
+    "ON", "WHERE", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+    "GROUP", "ORDER", "UNION", "INTERSECT", "EXCEPT", "HAVING",
+    "LIMIT", "AND", "OR"}
+
+
+def _rec_occurrence_variants(step_sql: str, rname: str,
+                             fname: str) -> list[str] | None:
+    """Non-linear recursion support: one copy of ``step_sql`` per
+    FROM/JOIN-position occurrence of the CTE name, with THAT occurrence
+    renamed to the frontier binding ``fname`` (its alias kept).  The
+    union of their evaluations — ``fname`` → frontier, ``rname`` → the
+    accumulated output — is every derivation using ≥1 frontier atom
+    (derivations with several frontier atoms appear in several
+    variants; the set fixpoint dedups), exactly the op's
+    ``delta_step_out`` contract (operators/recursive.py; reference
+    recursive.rs:255 maintains arbitrary nested circuits).
+
+    Returns None (caller refuses) when any occurrence is not an ALIASED
+    table reference — the splice needs the alias to keep qualifiers
+    resolving, and a qualifier occurrence (``rname.col``) would mean
+    the positional scan missed a reference."""
+    blanked = _blank_literals(step_sql)
+    esc = re.escape(rname)
+    total = len(re.findall(rf"\b{esc}\b", blanked, re.IGNORECASE))
+    occs = list(re.finditer(rf"\b(?:FROM|JOIN)\s+({esc})\b(?!\s*\.)",
+                            blanked, re.IGNORECASE))
+    if len(occs) != total:
+        return None
+    variants = []
+    for m in occs:
+        am = re.match(r"\s+(?:AS\s+)?(\w+)", blanked[m.end(1):],
+                      re.IGNORECASE)
+        if not am or am.group(1).upper() in _NOT_ALIAS_KW:
+            return None
+        variants.append(step_sql[:m.start(1)] + fname
+                        + step_sql[m.end(1):])
+    return variants
+
+
 class _RecursiveCteMaintainer(_ViewMaintainer):
     """``WITH RECURSIVE r AS (base UNION step) …`` — the recursive view
     maintained by :class:`~database_stream_processor_spark.operators.
@@ -4876,29 +4985,41 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
     maintenance, recursive.rs:255, nested clocks time/mod.rs:20-48).
 
     The SQL branches become the op's rule callbacks via ``eval_on``
-    rebinding: ``base(I)`` / ``step(I, acc)`` evaluate the branch texts
-    with the input table bound to ``I`` and the CTE name bound to
-    ``acc``; their delta forms rebind the table to the tick's delta —
-    exact because the lift enforces LINEAR recursion (the step branch
-    references the CTE once and the input table at most once, the base
-    branch the table at most once), matching the op's default
-    ``delta_step_out``.  UNION's set semantics = the fixpoint's
-    monotone set closure (UNION ALL — a bag fixpoint — refuses)."""
+    rebinding: ``base(I…)`` / ``step(I…, acc)`` evaluate the branch
+    texts with each input source bound to its integrated rows and the
+    CTE name bound to ``acc``.  The delta forms leg over the inputs
+    (one evaluation per touched input with that input rebound to the
+    tick's delta — every derivation using ≥1 delta atom, since each
+    branch references each input at most once; multi-leg
+    over-approximation dedups in the set fixpoint).
+
+    NON-LINEAR recursion (the CTE joined with itself, e.g. the doubling
+    transitive closure) is driven by ``step_variants``: one step text
+    per CTE occurrence with that occurrence rebound to the frontier
+    binding ``fname`` — their union is the op's ``delta_step_out``
+    (every derivation using ≥1 frontier atom), which powers both
+    semi-naive rounds and DRed suspect/re-derivation
+    (delta_step_out contract, operators/recursive.py).  UNION's set
+    semantics = the fixpoint's monotone set closure (UNION ALL — a bag
+    fixpoint — routes to :class:`_RecursiveCteBagMaintainer`)."""
 
     kind = "recursive"
 
-    def __init__(self, eng: "Engine", name: str, rname: str, tbl: str,
-                 base_sql: str, step_sql: str):
+    def __init__(self, eng: "Engine", name: str, rname: str,
+                 tbls: list[str], base_sql: str, step_sql: str,
+                 step_variants: list[str] | None = None,
+                 fname: str | None = None):
         from database_stream_processor_spark.operators.recursive import (
             IncrementalFixpointOp)
         self.name, self.sql = name, base_sql
-        self.table, self.rname = tbl, rname
-        empty_in = _source_rows0(eng, tbl).limit(0)
-        snap = eng.eval_on(base_sql, {tbl: empty_in})
+        self.tables, self.rname = list(tbls), rname
+        self._fname = fname
+        empty_in = {t: _source_rows0(eng, t).limit(0) for t in tbls}
+        snap = eng.eval_on(base_sql, dict(empty_in))
         out_cols = list(snap.columns)
         try:
             step_snap = eng.eval_on(
-                step_sql, {tbl: empty_in,
+                step_sql, {**empty_in,
                            rname: eng.spark.createDataFrame([], snap.schema)})
             if len(step_snap.columns) != len(out_cols):
                 raise _UnloweredShape(
@@ -4912,20 +5033,49 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
         empty = eng.spark.createDataFrame([], snap.schema)
         self.state = StateTable(ZSetFrame.from_df(empty),
                                 name=f"view_{name}")
+        self._empty_out = empty
 
         def _norm(df):
             return df.toDF(*out_cols)
 
-        base = lambda rows: _norm(eng.eval_on(base_sql, {tbl: rows}))
+        scrub = lambda t: re.sub(r"'[^']*'", " ", t)
+        in_branch = lambda sql_t, t: bool(
+            re.search(rf"\b{re.escape(t)}\b", scrub(sql_t),
+                      re.IGNORECASE))
+        base_tbls = [t for t in tbls if in_branch(base_sql, t)]
+        step_tbls = [t for t in tbls if in_branch(step_sql, t)]
+        self._touched: set[str] = set(tbls)
+
+        def _legs(sql_t, refd, full, d, acc=None):
+            extra = {} if acc is None else {rname: acc}
+            parts = [
+                _norm(eng.eval_on(sql_t, {**full, t: d[t], **extra}))
+                for t in refd if t in self._touched]
+            out = self._empty_out
+            for p in parts:
+                out = out.unionByName(p) if out is not None else p
+            return out
+
+        base = lambda rows: _norm(eng.eval_on(base_sql, dict(rows)))
         step = lambda rows, acc: _norm(
-            eng.eval_on(step_sql, {tbl: rows, rname: acc}))
+            eng.eval_on(step_sql, {**rows, rname: acc}))
+        dso = None
+        if step_variants:
+            def dso(full, s, acc):
+                out = self._empty_out
+                for v in step_variants:
+                    out = out.unionByName(_norm(eng.eval_on(
+                        v, {**full, fname: s, rname: acc})))
+                return out
         self._op = IncrementalFixpointOp(
-            empty_input=ZSetFrame.from_df(empty_in),
+            empty_input={t: ZSetFrame.from_df(df)
+                         for t, df in empty_in.items()},
             step=step, base=base,
-            delta_base=lambda full, d: _norm(
-                eng.eval_on(base_sql, {tbl: d})),
-            delta_step=lambda full, d, acc: _norm(
-                eng.eval_on(step_sql, {tbl: d, rname: acc})))
+            delta_base=lambda full, d: _legs(base_sql, base_tbls,
+                                             full, d),
+            delta_step=lambda full, d, acc: _legs(step_sql, step_tbls,
+                                                  full, d, acc),
+            delta_step_out=dso)
         self._eng = eng
 
     @property
@@ -4933,24 +5083,32 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
         return self._op.last_stats
 
     def step(self, eng, combined, old):
-        z = combined.get(self.table)
-        if z is None:
+        deltas = {t: combined.get(t) for t in self.tables}
+        if all(z is None for z in deltas.values()):
             return self._empty()
+        # delta legs skip inputs untouched this tick (their empty
+        # deltas would contribute nothing but still schedule jobs)
+        self._touched = {t for t, z in deltas.items() if z is not None}
         try:
             # the fixpoint loop localCheckpoints plans whose lineage ran
             # through eval_on's deduplicated temp-view rebindings — the
             # Spark 4 constraint-propagation crash class (see
             # _no_constraint_propagation)
             with _no_constraint_propagation(eng.spark):
-                delta = self._op.step(z).consolidate()
+                delta = self._op.step(deltas).consolidate()
         finally:
-            try:
-                # the callbacks bound the CTE name as a session temp
-                # view; sweep it so nothing outside this maintainer can
-                # read a mid-fixpoint accumulator
-                eng.spark.catalog.dropTempView(self.rname)
-            except Exception:
-                pass
+            self._touched = set(self.tables)
+            for v in (self.rname, self._fname):
+                if not v:
+                    continue
+                try:
+                    # the callbacks bound the CTE name (and the
+                    # non-linear frontier) as session temp views; sweep
+                    # them so nothing outside this maintainer can read
+                    # a mid-fixpoint accumulator
+                    eng.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
         self.apply_delta(delta)
         return delta
 
@@ -5015,13 +5173,21 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                 raise _UnloweredShape(
                     f"CTE name {cname!r} shadows a known source")
             for prev, hid in mapping.items():
-                body = _sub_outside_literals(rf"\b{prev}\b", hid, body,
-                                             re.IGNORECASE)
+                body = _sub_table_refs(prev, hid, body)
+                if body is None:
+                    raise _UnloweredShape(
+                        f"CTE name {prev!r} also used as a relation "
+                        "alias")
             if i != ri:
                 # ordinary CTE: hoist through the regular machinery
                 body = _normalize_comma_from(eng, body)
                 hid = f"__{name}_cte_{cname}"
                 _register_hidden(eng, hid, body, registered)
+                # ADVICE r9 #2: later CTE names must not collide with
+                # this hidden view's output columns
+                src_cols.update(
+                    c.lower()
+                    for c in _source_rows0(eng, hid).columns)
                 mapping[cname] = hid
                 continue
             # the recursive CTE
@@ -5040,39 +5206,55 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                     raise _UnloweredShape("both branches reference "
                                           "the CTE")
                 base_sql, step_sql = step_sql, base_sql
-            if refs(step_sql, rname) != 1:
-                raise _UnloweredShape(
-                    "non-linear recursion (CTE referenced more than "
-                    "once in the step branch)")
-            # the single-input restriction applies to the RECURSION
-            # (the op integrates one input relation) — earlier CTEs
-            # count as inputs through their hidden views; the main
-            # SELECT may freely join other tables
+            # non-linear recursion (the CTE joined with itself): one
+            # step-text variant per CTE occurrence drives the op's
+            # delta_step_out — every occurrence must be an aliased
+            # table reference for the variant splice to be sound
+            fname = f"__{name}_rec_f"
+            n_self = refs(step_sql, rname)
+            variants = None
+            if n_self > 1:
+                variants = _rec_occurrence_variants(step_sql, rname,
+                                                    fname)
+                if variants is None:
+                    raise _UnloweredShape(
+                        "non-linear recursion with unaliased or "
+                        "non-table CTE occurrences")
+            # the recursion's inputs: tables / maintained views
+            # (earlier CTEs count through their hidden views) the
+            # branches reference; the op integrates each — the main
+            # SELECT may freely join other tables.  The input count is
+            # capped: every input adds a delta leg per tick.
             bw = {w.lower()
                   for w in re.findall(r"\b\w+\b", scrub(base_sql) + " "
                                       + scrub(step_sql))}
-            tbls = {w for w in bw if w in eng.tables or w in eng.views
-                    or w in eng._maintainers}
-            if len(tbls) != 1:
+            tbls = sorted(w for w in bw
+                          if w in eng.tables or w in eng.views
+                          or w in eng._maintainers)
+            if not 1 <= len(tbls) <= 3:
                 raise _UnloweredShape(
                     f"recursion over {len(tbls)} input tables "
-                    "(exactly one is lowerable)")
-            tbl = next(iter(tbls))
-            if refs(base_sql, tbl) > 1 or refs(step_sql, tbl) > 1:
-                raise _UnloweredShape(
-                    "input table referenced twice in one branch "
-                    "(linear delta forms would under-approximate)")
+                    "(1-3 are lowerable)")
+            for t in tbls:
+                if refs(base_sql, t) > 1 or refs(step_sql, t) > 1:
+                    raise _UnloweredShape(
+                        "input table referenced twice in one branch "
+                        "(linear delta forms would under-approximate)")
             hid = f"__{name}_rec"
             registered.append(hid)
-            hm = _RecursiveCteMaintainer(eng, hid, rname, tbl,
-                                         base_sql, step_sql)
+            hm = _RecursiveCteMaintainer(eng, hid, rname, tbls,
+                                         base_sql, step_sql,
+                                         step_variants=variants,
+                                         fname=fname)
             eng._maintainers[hid] = hm
-            eng._sources[hid] = {tbl}
+            eng._sources[hid] = set(tbls)
             hm.state.current.rows().createOrReplaceTempView(hid)
             mapping[cname] = hid
         for prev, hid in mapping.items():
-            main = _sub_outside_literals(rf"\b{prev}\b", hid, main,
-                                         re.IGNORECASE)
+            main = _sub_table_refs(prev, hid, main)
+            if main is None:
+                raise _UnloweredShape(
+                    f"CTE name {prev!r} also used as a relation alias")
         main = _normalize_comma_from(eng, main)
         return _lower_view(eng, name, main)
     except Exception:
@@ -5096,13 +5278,18 @@ def _cte_lift(eng: "Engine", name: str, flat: str):
     base table inside its body); the main SELECT sees all of them.
 
     Refused shapes (→ snapshot-diff of the original text): RECURSIVE,
-    column-alias lists, a CTE name that collides with a column of any
-    referenced source (the whole-word rewrite could then corrupt an
-    expression), or any stage that itself only snapshot-diffs."""
+    column-alias lists, a CTE name that shadows a known source, that
+    collides with a column of any referenced source or earlier hidden
+    CTE view (the qualifier rewrite could then corrupt a struct-field
+    access; ADVICE r9 #2), that is also used as a relation alias, or
+    any stage that itself only snapshot-diffs.  The rewrite itself is
+    TABLE-POSITION-ONLY (:func:`_sub_table_refs`), so select-list
+    aliases equal to a CTE name survive verbatim (ADVICE r9 #1)."""
     ctes, main = _parse_with_clause(flat)
-    # column-collision guard: the rewrite below is whole-word over the
-    # SQL text, so a CTE named like a column of any referenced source
-    # would get mangled — refuse those (rare; users name CTEs as tables)
+    # column-collision guard: the ``name.`` qualifier rewrite inside
+    # _sub_table_refs could still capture a struct-field access on a
+    # column named like the CTE — refuse those (rare; users name CTEs
+    # as tables)
     words = {w.lower() for w in re.findall(r"\b\w+\b", flat)}
     src_cols: set[str] = set()
     for t in words:
@@ -5113,22 +5300,44 @@ def _cte_lift(eng: "Engine", name: str, flat: str):
             src_cols.update(c.lower()
                             for c in _source_rows0(eng, t).columns)
     registered: list[str] = []
+    # a CTE may shadow a real source (standard scoping: its own body
+    # still sees the source; consumers see the CTE) — but then a
+    # leftover unclassified occurrence after the table-position rewrite
+    # would silently read the base table instead of failing analysis,
+    # so those names get a stricter post-rewrite check
+    shadows = {c for c, _ in ctes
+               if c in eng.tables or c in eng.views
+               or c in eng._maintainers}
+
+    def _rewrite_refs(txt: str, mapping: dict[str, str]) -> str:
+        for prev, hid in mapping.items():
+            txt = _sub_table_refs(prev, hid, txt)
+            if txt is None:
+                raise _UnloweredShape(
+                    f"CTE name {prev!r} also used as a relation alias")
+            if prev in shadows and _search_outside_literals(
+                    rf"\b{re.escape(prev)}\b", txt, re.IGNORECASE):
+                raise _UnloweredShape(
+                    f"unclassified occurrence of shadowing CTE name "
+                    f"{prev!r}")
+        return txt
+
     try:
         mapping: dict[str, str] = {}
         for cname, body in ctes:
             if cname in src_cols:
                 raise _UnloweredShape(
                     f"CTE name {cname!r} collides with a source column")
-            for prev, hid in mapping.items():
-                body = _sub_outside_literals(rf"\b{prev}\b", hid, body,
-                                             re.IGNORECASE)
+            body = _rewrite_refs(body, mapping)
             body = _normalize_comma_from(eng, body)
             hid = f"__{name}_cte_{cname}"
             _register_hidden(eng, hid, body, registered)
+            # ADVICE r9 #2: later CTE names must not collide with this
+            # hidden view's output columns either
+            src_cols.update(c.lower()
+                            for c in _source_rows0(eng, hid).columns)
             mapping[cname] = hid
-        for prev, hid in mapping.items():
-            main = _sub_outside_literals(rf"\b{prev}\b", hid, main,
-                                         re.IGNORECASE)
+        main = _rewrite_refs(main, mapping)
         main = _normalize_comma_from(eng, main)
         fm = _lower_view(eng, name, main)
         if fm.kind == "differentiate":

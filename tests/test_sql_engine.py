@@ -4231,6 +4231,67 @@ def test_select_list_scalar_subquery_bare_correlation(spark):
     check("retract orders")
 
 
+def test_cte_name_equal_to_output_alias_keeps_schema(spark):
+    """ADVICE r9 #1: a select-list alias equal to a CTE name must
+    survive the rewrite verbatim — the old whole-word rewrite renamed
+    the output column to the hidden view name."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (x BIGINT NOT NULL);
+        CREATE VIEW v as
+            WITH total AS (SELECT x FROM t WHERE x > 1)
+            SELECT SUM(x) AS total FROM total;
+    """)
+    eng.push("t", spark.createDataFrame([(1,), (2,), (3,)], "x long"))
+    eng.step()
+    out = eng.view("v")
+    assert out.columns == ["total"], out.columns
+    assert [tuple(r) for r in out.collect()] == [(5,)]
+
+
+def test_cte_name_colliding_with_earlier_cte_column(spark):
+    """ADVICE r9 #2: a CTE named after an EARLIER CTE's output column
+    refuses the lift (snapshot-diff keeps results correct) instead of
+    shipping a mangled main text."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE t (a BIGINT NOT NULL);")
+    eng._create_view(
+        "v", "WITH c1 AS (SELECT a AS q FROM t), "
+             "q AS (SELECT q AS r FROM c1 WHERE q > 1) "
+             "SELECT r FROM q")
+    eng.push("t", spark.createDataFrame([(1,), (2,), (3,)], "a long"))
+    eng.step()
+    assert sorted(r[0] for r in eng.view("v").collect()) == [2, 3]
+    assert not [h for h in eng._maintainers if h.startswith("__v_")]
+
+
+def test_having_key_in_subquery_split_qualified(spark):
+    """ADVICE r9 #3: a qualifier-carrying HAVING key term (``t.ck IN
+    (…)``) requalifies to the hidden view's bare output column, so the
+    lift applies instead of falling back."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE oo (o_ok BIGINT NOT NULL, ck BIGINT, price BIGINT);
+        CREATE TABLE cu (ck BIGINT NOT NULL, seg VARCHAR);
+        CREATE VIEW v as
+            SELECT ck, SUM(price) AS sp FROM oo
+            GROUP BY ck
+            HAVING oo.ck IN (SELECT ck FROM cu WHERE seg = 'gold');
+    """)
+    assert eng.view_strategy("v") == "in"
+    rows = [(k, k % 4, 10 * k) for k in range(12)]
+    cus = [(c, "gold" if c % 2 else "base") for c in range(4)]
+    eng.push("oo", spark.createDataFrame(
+        rows, "o_ok long, ck long, price long"))
+    eng.push("cu", spark.createDataFrame(cus, "ck long, seg string"))
+    eng.step()
+    b = ("SELECT ck, SUM(price) AS sp FROM oo GROUP BY ck "
+         "HAVING ck IN (SELECT ck FROM cu WHERE seg = 'gold')")
+    want = sorted(map(tuple, spark.sql(b).collect()))
+    got = sorted(map(tuple, eng.view("v").collect()))
+    assert got == want, (got, want)
+
+
 def test_cte_union_branches(spark):
     """UNION (set semantics) whose branches read hidden CTE views —
     the setop maintainers accept hidden views as branch sources, and
@@ -4371,10 +4432,110 @@ def test_recursive_cte_lowers_and_maintains(spark):
     check((set(e1) | set(e2)) - {(2, 3)}, "cut the cycle (DRed)")
 
 
+def test_recursive_cte_nonlinear_doubling(spark):
+    """NON-LINEAR recursion — the doubling closure ``p ∘ p`` (the CTE
+    joined with itself; reference recursive.rs:255 maintains arbitrary
+    nested circuits) — lowers via per-occurrence step variants driving
+    the op's delta_step_out: semi-naive inserts, DRed deletes, snapshot
+    equals the closure every tick."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW reach as
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed
+                UNION
+                SELECT a.src, b.dst FROM p a JOIN p b ON a.dst = b.src)
+            SELECT src, dst FROM p;
+    """)
+    assert eng.view_strategy("__reach_rec") == "recursive"
+
+    def check(live, tag):
+        want = sorted(_py_closure(live))
+        got = sorted(map(tuple, eng.view("reach").collect()))
+        assert got == want, (tag, got, want)
+
+    e1 = [(1, 2), (2, 3), (3, 4), (7, 1)]
+    eng.push("ed", spark.createDataFrame(e1, "src long, dst long"))
+    eng.step()
+    check(set(e1), "seed")
+    m = eng._maintainers["__reach_rec"]
+    e2 = [(4, 5), (5, 2)]        # creates a cycle 2-3-4-5-2
+    eng.push("ed", spark.createDataFrame(e2, "src long, dst long"))
+    eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    check(set(e1) | set(e2), "cycle insert (semi-naive)")
+    eng.push("ed", spark.createDataFrame([(2, 3)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    check((set(e1) | set(e2)) - {(2, 3)}, "cut the cycle (DRed)")
+
+
+def test_recursive_cte_second_input_table(spark):
+    """Recursion whose base reads one table and whose step joins a
+    SECOND — the multi-input fixpoint: deltas of either table drive
+    their own legs; deletes on the join table run DRed."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW reach as
+            WITH RECURSIVE r AS (
+                SELECT k FROM seeds
+                UNION
+                SELECT e.dst AS k FROM r x JOIN ed e ON x.k = e.src)
+            SELECT k FROM r;
+    """)
+    assert eng.view_strategy("__reach_rec") == "recursive"
+
+    def py_reach(seeds, edges):
+        out = set(seeds)
+        while True:
+            new = {d for s, d in edges if s in out} - out
+            if not new:
+                return out
+            out |= new
+
+    def check(seeds, edges, tag):
+        want = sorted((k,) for k in py_reach(seeds, edges))
+        got = sorted(map(tuple, eng.view("reach").collect()))
+        assert got == want, (tag, got, want)
+
+    seeds = [1, 10]
+    edges = [(1, 2), (2, 3), (5, 6), (10, 11)]
+    eng.push("seeds", spark.createDataFrame([(k,) for k in seeds],
+                                            "k long"))
+    eng.push("ed", spark.createDataFrame(edges, "src long, dst long"))
+    eng.step()
+    check(set(seeds), set(edges), "seed")
+    m = eng._maintainers["__reach_rec"]
+    # edge insert alone (connects 3 -> 5 chain)
+    eng.push("ed", spark.createDataFrame([(3, 5)], "src long, dst long"))
+    eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    check(set(seeds), set(edges) | {(3, 5)}, "edge insert")
+    # seed insert alone
+    eng.push("seeds", spark.createDataFrame([(20,)], "k long"))
+    eng.step()
+    check(set(seeds) | {20}, set(edges) | {(3, 5)}, "seed insert")
+    # delete the bridging edge: DRed must retract the 5-6 tail
+    eng.push("ed", spark.createDataFrame([(3, 5)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    check(set(seeds) | {20}, set(edges), "edge delete (DRed)")
+    # delete a seed: its whole unreachable component retracts
+    eng.push("seeds", spark.createDataFrame([(10,)], "k long"),
+             weight=-1)
+    eng.step()
+    check((set(seeds) | {20}) - {10}, set(edges), "seed delete")
+
+
 def test_recursive_cte_refusal_shapes(spark):
-    """UNION ALL, non-linear recursion, two input tables, and a CTE
-    name shadowing a source all refuse (error or fallback — for
-    recursion Spark can't snapshot-diff either, so _create_view
+    """Mutual recursion, an input table referenced twice in one branch,
+    and a CTE name shadowing a source all refuse (error or fallback —
+    for recursion Spark can't snapshot-diff either, so _create_view
     surfaces the refusal loudly rather than mis-maintaining)."""
     eng = Engine(spark)
     eng.execute("""
@@ -4382,17 +4543,17 @@ def test_recursive_cte_refusal_shapes(spark):
         CREATE TABLE ed2 (src BIGINT NOT NULL, dst BIGINT NOT NULL);
     """)
     shapes = {
-        "union all": """WITH RECURSIVE p AS (
-            SELECT src, dst FROM ed UNION ALL
-            SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src)
-            SELECT src, dst FROM p""",
-        "non-linear": """WITH RECURSIVE p AS (
+        "mutual recursion": """WITH RECURSIVE p AS (
             SELECT src, dst FROM ed UNION
-            SELECT a.src, b.dst FROM p a JOIN p b ON a.dst = b.src)
-            SELECT src, dst FROM p""",
-        "two tables": """WITH RECURSIVE p AS (
-            SELECT src, dst FROM ed UNION
+            SELECT q.src, e.dst FROM q JOIN ed e ON q.dst = e.src),
+            q AS (
+            SELECT src, dst FROM ed2 UNION
             SELECT p.src, e.dst FROM p JOIN ed2 e ON p.dst = e.src)
+            SELECT src, dst FROM p""",
+        "table twice in a branch": """WITH RECURSIVE p AS (
+            SELECT src, dst FROM ed UNION
+            SELECT p.src, f.dst FROM p JOIN ed e ON p.dst = e.src
+                JOIN ed f ON e.dst = f.src)
             SELECT src, dst FROM p""",
         "shadows table": """WITH RECURSIVE ed AS (
             SELECT src, dst FROM ed UNION
