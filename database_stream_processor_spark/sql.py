@@ -5113,6 +5113,149 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
         return delta
 
 
+#: shapes a weighted (bag) branch cannot carry: anything non-linear in
+#: the weight ring — aggregation, distinct, outer joins, set ops — plus
+#: subqueries (own lowering) and SELECT * (the weight column would leak)
+_BAG_BRANCH_BLOCKERS = re.compile(
+    r"\bGROUP\s+BY\b|\bDISTINCT\b|\bOVER\b|\bUNION\b|\bINTERSECT\b"
+    r"|\bEXCEPT\b|\bLIMIT\b|\bORDER\s+BY\b|\bHAVING\b|\(\s*SELECT"
+    r"|\b(LEFT|RIGHT|FULL|CROSS|OUTER|SEMI|ANTI)\b"
+    r"|\b(SUM|COUNT|AVG|MIN|MAX|STDDEV\w*|VAR\w*|COLLECT\w*|FIRST"
+    r"|LAST)\s*\(", re.IGNORECASE)
+
+
+def _weighted_branch(text: str, atoms: list[str]) -> str | None:
+    """Rewrite an SPJ recursion branch to carry Z-set weights: the
+    select list gains the PRODUCT of the atoms' ``__weight`` columns
+    (join multiplies multiplicities — the bilinear Z-set join,
+    reference join.rs:226) so the branch evaluates weighted relational
+    algebra when its atoms are bound to weighted DataFrames.  Atom
+    names stay as-is (``eval_on`` rebinds them); the weight reference
+    uses each atom's alias when present, its own name otherwise.
+
+    None (caller refuses) on non-linear shapes (aggregates, DISTINCT,
+    outer joins, set ops, subqueries, ``SELECT *``), a FROM-less
+    branch, or an atom not referenced exactly once in table position."""
+    if _BAG_BRANCH_BLOCKERS.search(text):
+        return None
+    parts = _split_select_from(text)
+    if parts is None:
+        return None
+    sel, rest = parts
+    if "*" in sel:
+        return None
+    blanked = _blank_literals("FROM " + rest)
+    wrefs = []
+    from database_stream_processor_spark.zset import WEIGHT_COL
+    for a in atoms:
+        esc = re.escape(a)
+        occs = list(re.finditer(
+            rf"\b(?:FROM|JOIN)\s+({esc})\b(?!\s*\.)", blanked,
+            re.IGNORECASE))
+        if len(occs) != 1:
+            return None
+        am = re.match(r"\s+(?:AS\s+)?(\w+)", blanked[occs[0].end(1):],
+                      re.IGNORECASE)
+        alias = (am.group(1) if am
+                 and am.group(1).upper() not in _NOT_ALIAS_KW else a)
+        wrefs.append(f"{alias}.{WEIGHT_COL}")
+    w = " * ".join(wrefs) if wrefs else "1"
+    return (f"SELECT {sel}, CAST({w} AS BIGINT) AS {WEIGHT_COL} "
+            f"FROM {rest}")
+
+
+class _RecursiveCteBagMaintainer(_ViewMaintainer):
+    """``WITH RECURSIVE r AS (base UNION ALL step) …`` — the BAG
+    fixpoint: multiplicities count derivation paths (standard SQL
+    working-table semantics), maintained by :class:`~database_stream_
+    processor_spark.operators.recursive.ZSetBagFixpointOp`.  The
+    branches rewrite through :func:`_weighted_branch` so joins multiply
+    weights; inserts and deletes then flow through ONE linear path —
+    the Z-set ring cancels retracted derivations, no DRed (the
+    reference's weighted recursion, recursive.rs:255, vldb23 §5).
+    Restrictions: linear recursion (one CTE atom in the step), a single
+    input table, SPJ branches."""
+
+    kind = "recursive_bag"
+
+    def __init__(self, eng: "Engine", name: str, rname: str, tbl: str,
+                 base_sql: str, step_sql: str):
+        from database_stream_processor_spark.operators.recursive import (
+            ZSetBagFixpointOp)
+        scrub = lambda t: re.sub(r"'[^']*'", " ", t)
+        refs = lambda t, w: len(re.findall(rf"\b{w}\b", scrub(t),
+                                           re.IGNORECASE))
+        base_has_tbl = refs(base_sql, tbl) > 0
+        step_has_tbl = refs(step_sql, tbl) > 0
+        wb = _weighted_branch(base_sql, [tbl] if base_has_tbl else [])
+        ws = _weighted_branch(step_sql,
+                              ([tbl] if step_has_tbl else []) + [rname])
+        if wb is None or ws is None:
+            raise _UnloweredShape(
+                "UNION ALL recursion branch is not a weighted-SPJ shape")
+        self.name, self.sql = name, base_sql
+        self.table, self.rname = tbl, rname
+        empty_zin = ZSetFrame.from_df(_source_rows0(eng, tbl).limit(0))
+        snap = eng.eval_on(wb, {tbl: empty_zin.df})
+        cols = list(snap.columns)           # …items, __weight last
+        try:
+            step_snap = eng.eval_on(
+                ws, {tbl: empty_zin.df,
+                     rname: eng.spark.createDataFrame([], snap.schema)})
+            if len(step_snap.columns) != len(cols):
+                raise _UnloweredShape(
+                    f"recursive branch arity {len(step_snap.columns)}"
+                    f" != base arity {len(cols)}")
+        finally:
+            try:
+                eng.spark.catalog.dropTempView(rname)
+            except Exception:
+                pass
+        empty_out = ZSetFrame(eng.spark.createDataFrame([], snap.schema))
+        self.state = StateTable(empty_out, name=f"view_{name}")
+
+        znorm = lambda df: ZSetFrame(df.toDF(*cols))
+        if base_has_tbl:
+            z_base = lambda d: znorm(eng.eval_on(wb, {tbl: d.df}))
+        else:
+            # constant base: contributes once (the first tick), never
+            # to later input deltas
+            state = {"first": True}
+
+            def z_base(d):
+                if state["first"]:
+                    state["first"] = False
+                    return znorm(eng.eval_on(wb, {}))
+                return ZSetFrame(empty_out.df)
+        z_step = lambda a, b: znorm(
+            eng.eval_on(ws, {tbl: a.df, rname: b.df}))
+        z_step_delta = (z_step if step_has_tbl
+                        else (lambda d, acc: ZSetFrame(empty_out.df)))
+        self._op = ZSetBagFixpointOp(
+            empty_input=empty_zin, empty_output=empty_out,
+            z_base=z_base, z_step=z_step, z_step_delta=z_step_delta)
+        self._eng = eng
+
+    @property
+    def last_stats(self):
+        return self._op.last_stats
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None:
+            return self._empty()
+        try:
+            with _no_constraint_propagation(eng.spark):
+                delta = self._op.step(z).consolidate()
+        finally:
+            try:
+                eng.spark.catalog.dropTempView(self.rname)
+            except Exception:
+                pass
+        self.apply_delta(delta)
+        return delta
+
+
 def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     """``WITH RECURSIVE r AS (SELECT base … UNION SELECT step … FROM
     … r …) SELECT …`` — the SQL spelling of the reference's recursive
@@ -5196,9 +5339,7 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
             if u is None or len(u[0]) != 2:
                 raise _UnloweredShape("recursive body is not "
                                       "base UNION step")
-            if u[1]:
-                raise _UnloweredShape("UNION ALL recursion (bag "
-                                      "fixpoint) is not lowered")
+            is_bag = u[1]
             base_sql, step_sql = u[0][0].strip(), u[0][1].strip()
             if refs(base_sql, rname):
                 # branches may be written in either order
@@ -5213,7 +5354,7 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
             fname = f"__{name}_rec_f"
             n_self = refs(step_sql, rname)
             variants = None
-            if n_self > 1:
+            if n_self > 1 and not is_bag:
                 variants = _rec_occurrence_variants(step_sql, rname,
                                                     fname)
                 if variants is None:
@@ -5242,10 +5383,21 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                         "(linear delta forms would under-approximate)")
             hid = f"__{name}_rec"
             registered.append(hid)
-            hm = _RecursiveCteMaintainer(eng, hid, rname, tbls,
-                                         base_sql, step_sql,
-                                         step_variants=variants,
-                                         fname=fname)
+            if is_bag:
+                # UNION ALL: the Z-set bag fixpoint (weights count
+                # derivation paths) — linear, single-input only
+                if len(tbls) != 1:
+                    raise _UnloweredShape(
+                        "UNION ALL recursion over several input "
+                        "tables is not lowerable")
+                hm = _RecursiveCteBagMaintainer(eng, hid, rname,
+                                                tbls[0], base_sql,
+                                                step_sql)
+            else:
+                hm = _RecursiveCteMaintainer(eng, hid, rname, tbls,
+                                             base_sql, step_sql,
+                                             step_variants=variants,
+                                             fname=fname)
             eng._maintainers[hid] = hm
             eng._sources[hid] = set(tbls)
             hm.state.current.rows().createOrReplaceTempView(hid)

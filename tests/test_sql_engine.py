@@ -4532,6 +4532,66 @@ def test_recursive_cte_second_input_table(spark):
     check((set(seeds) | {20}) - {10}, set(edges), "seed delete")
 
 
+def test_recursive_cte_union_all_bag(spark):
+    """UNION ALL recursion — the Z-set BAG fixpoint: multiplicities
+    count derivation paths (standard SQL working-table semantics, and
+    the reference's weighted recursion).  A diamond graph yields
+    n_paths = 2; deletions retract through the ring with NO DRed
+    (mode stays bag-linear)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW paths as
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed
+                UNION ALL
+                SELECT x.src, e.dst FROM p x JOIN ed e ON x.dst = e.src)
+            SELECT src, dst, COUNT(*) AS n_paths FROM p
+            GROUP BY src, dst;
+    """)
+    assert eng.view_strategy("__paths_rec") == "recursive_bag"
+
+    def py_paths(edges):
+        from collections import Counter
+        ew = Counter(edges)
+        acc = Counter(ew)
+        frontier = Counter(ew)
+        while frontier:
+            new = Counter()
+            for (s, d), w in frontier.items():
+                for (s2, d2), w2 in ew.items():
+                    if d == s2:
+                        new[(s, d2)] += w * w2
+            frontier = new
+            acc.update(new)
+        return acc
+
+    def check(live, tag):
+        want = sorted((s, d, n) for (s, d), n in py_paths(live).items())
+        got = sorted(map(tuple, eng.view("paths").collect()))
+        assert got == want, (tag, got, want)
+
+    m = None
+    diamond = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    eng.push("ed", spark.createDataFrame(diamond, "src long, dst long"))
+    eng.step()
+    check(diamond, "diamond insert: (1,4) has 2 paths, (1,5) has 2")
+    m = eng._maintainers["__paths_rec"]
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    # a second bridge 1->4: (1,4) now 3 paths, (1,5) 3
+    eng.push("ed", spark.createDataFrame([(1, 4)], "src long, dst long"))
+    eng.step()
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    check(diamond + [(1, 4)], "extra bridge")
+    # delete one diamond arm: retraction flows through the SAME linear
+    # path (negative weights cancel), no DRed anywhere
+    eng.push("ed", spark.createDataFrame([(1, 2)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    check([(1, 3), (2, 4), (3, 4), (4, 5), (1, 4)], "arm delete")
+
+
 def test_recursive_cte_refusal_shapes(spark):
     """Mutual recursion, an input table referenced twice in one branch,
     and a CTE name shadowing a source all refuse (error or fallback —
