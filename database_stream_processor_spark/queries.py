@@ -6358,6 +6358,435 @@ def q141_sql_engine_join_of_derived_aggs(spark, sf_dir):
         F.col("item_total").cast("long").alias("item_total"))
 
 
+@register("q142_sql_engine_recursive_nonlinear", oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 1 AND 255
+    AND c_custkey % 5 <> 0),
+paths AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT p.src, e.dst FROM paths p JOIN edges e ON p.dst = e.src)
+SELECT src, dst FROM paths
+""")
+def q142_sql_engine_recursive_nonlinear(spark, sf_dir):
+    """NON-LINEAR recursion at the SQL level — NEW r10 (r9 verdict ask
+    #1a): the doubling closure ``paths ∘ paths`` (the CTE joined with
+    ITSELF) lowers through per-occurrence step variants feeding the
+    fixpoint op's ``delta_step_out`` (reference recursive.rs:255
+    maintains arbitrary nested circuits; the default hook is only exact
+    for linear rules, so the variants ARE the capability).  Same
+    custkey//2 ancestor graph as q138, whose linear spelling the DuckDB
+    oracle uses — the doubling closure computes the same transitive
+    closure in ⌈log₂ diameter⌉ rounds.  Two insert ticks (semi-naive,
+    stats-asserted), then retraction of every 5th customer (DRed over
+    the non-linear rule: suspects and re-derivations both go through
+    the occurrence variants)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_name VARCHAR);
+        CREATE VIEW reach as
+            with recursive edges as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 1 and 255),
+            paths as (
+                select src, dst from edges
+                union
+                select a.src, b.dst from paths a join paths b
+                    on a.dst = b.src)
+            select src, dst from paths;
+    """)
+    assert eng.view_strategy("__reach_rec") == "recursive"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.step()
+    m = eng._maintainers["__reach_rec"]
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    eng.push("customer", c.filter(F.col("c_custkey") % 5 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    return eng.view("reach")
+
+
+@register("q143_sql_engine_recursive_union_all", oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 2 AND 127
+    AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey AS src, c_custkey // 3 AS dst
+  FROM customer WHERE c_custkey BETWEEN 3 AND 127
+    AND c_custkey % 7 <> 0),
+paths AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT p.src, e.dst FROM paths p JOIN edges e ON p.dst = e.src)
+SELECT src, dst, COUNT(*) AS n_paths FROM paths GROUP BY src, dst
+""")
+def q143_sql_engine_recursive_union_all(spark, sf_dir):
+    """UNION ALL recursion — NEW r10 (r9 verdict ask #1, top_next): the
+    Z-set BAG fixpoint, where multiplicities count derivation paths —
+    the reference's weighted recursion (recursive.rs:255; weights ARE
+    derivation counts, vldb23 §5) and exactly standard SQL's
+    working-table semantics.  The //2 + //3 double-edge DAG gives real
+    path multiplicities (n_paths > 1 on most reachable pairs), and the
+    main GROUP BY counts them through the linear-agg maintainer.
+    Inserts AND the retraction tick flow through ONE linear path (mode
+    asserted ``bag-linear`` on every tick): negative weights cancel
+    retracted derivations in the ring — **no DRed** — the capability
+    the set-semantics fixpoint cannot express and the reason DBSP
+    computes over Z-sets at all."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_name VARCHAR);
+        CREATE VIEW pathcount as
+            with recursive edges as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 2 and 127
+                union all
+                select c_custkey as src,
+                       cast(c_custkey / 3 as bigint) as dst
+                from customer where c_custkey between 3 and 127),
+            paths as (
+                select src, dst from edges
+                union all
+                select p.src, e.dst from paths p join edges e
+                    on p.dst = e.src)
+            select src, dst, count(*) as n_paths from paths
+            group by src, dst;
+    """)
+    assert eng.view_strategy("__pathcount_rec") == "recursive_bag"
+    assert eng.view_strategy("pathcount") == "linear_agg"
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.step()
+    m = eng._maintainers["__pathcount_rec"]
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    eng.push("customer", c.filter(F.col("c_custkey") % 7 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    return eng.view("pathcount")
+
+
+@register("q144_sql_engine_recursive_two_inputs", oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 2 AND 255
+    AND c_custkey % 9 <> 0),
+reach0 AS (
+  SELECT o_custkey AS k FROM orders
+  WHERE o_totalprice > 150000 AND o_orderkey % 7 <> 0
+  UNION
+  SELECT e.dst FROM reach0 r JOIN edges e ON r.k = e.src)
+SELECT k FROM reach0
+""")
+def q144_sql_engine_recursive_two_inputs(spark, sf_dir):
+    """Recursion over TWO input relations — NEW r10 (r9 verdict ask
+    #1b): the base branch seeds from ``orders`` while the step joins a
+    SECOND input, the hidden ``edges`` CTE view over ``customer`` —
+    driving the fixpoint op's multi-input mode (per-input integrals,
+    delta legs per touched input; reference: recursion imports several
+    parent streams through delta0, delta0.rs:21 + recursive.rs:255).
+    Ticks touch each input separately: orders seed inserts (semi-naive
+    legs over the seed delta), then BOTH inputs retract in one tick —
+    seed deletions and edge deletions run DRed together."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE VIEW reach as
+            with recursive edges as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 2 and 255),
+            reach0 as (
+                select o_custkey as k from orders
+                where o_totalprice > 150000
+                union
+                select e.dst as k from reach0 r join edges e
+                    on r.k = e.src)
+            select k from reach0;
+    """)
+    assert eng.view_strategy("__reach_rec") == "recursive"
+    m = eng._maintainers["__reach_rec"]
+    assert len(m.tables) == 2, m.tables
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("customer", c)
+    eng.step()
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    eng.push("orders", o.filter(F.col("o_orderkey") % 7 == 0),
+             weight=-1)
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    return eng.view("reach")
+
+
+@register("q145_sql_engine_quantified_all", oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > ALL (SELECT l_extendedprice FROM lineitem
+                          WHERE l_quantity >= 49
+                            AND l_orderkey % 3 <> 0)
+""")
+def q145_sql_engine_quantified_all(spark, sf_dir):
+    """``> ALL (SELECT …)`` — NEW r10 (r9 verdict ask #2): quantified
+    comparison subqueries (the reference's Calcite frontend accepts
+    them, sql-to-dbsp §3.2; Spark SQL has NO surface for them, so there
+    is no snapshot-diff net — the lift is the only path).  The value
+    multiset folds to a hidden 1-row scalars view (empty/has-null flag
+    + min/max, O(Δ) counters, extreme-retraction recompute) and the
+    outer becomes a bilinear JOIN on the rewritten three-valued
+    predicate — DuckDB-probed semantics: ALL over an empty set is TRUE.
+    The retraction tick removes every 3rd order's lineitems, dropping
+    the max threshold — the Δscalars ⋈ orders leg re-derives the flip
+    exactly."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_totalprice DOUBLE);
+        CREATE TABLE lineitem (l_orderkey BIGINT,
+                               l_extendedprice DOUBLE,
+                               l_quantity DOUBLE);
+        CREATE VIEW above_all as
+            select o_orderkey, o_totalprice from orders
+            where o_totalprice > ALL (
+                select l_extendedprice from lineitem
+                where l_quantity >= 49);
+    """)
+    assert eng.view_strategy("__above_all_qs") == "quant_scalars"
+    assert eng.view_strategy("above_all") == "join"
+    o = load(spark, sf_dir, "orders").select("o_orderkey",
+                                             "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity")
+    eng.push("orders", o.filter(F.col("o_orderkey") % 2 == 0))
+    eng.step()                      # empty set: every order qualifies
+    eng.push("lineitem", li)
+    eng.push("orders", o.filter(F.col("o_orderkey") % 2 == 1))
+    eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 3 == 0),
+             weight=-1)
+    eng.step()                      # extreme retraction -> threshold drop
+    return eng.view("above_all")
+
+
+@register("q146_sql_engine_quantified_any", oracle="""
+SELECT s_suppkey, s_acctbal FROM supplier
+WHERE s_nationkey < 20
+  AND s_acctbal > ANY (SELECT c_acctbal FROM customer
+                       WHERE c_mktsegment = 'BUILDING'
+                         AND c_acctbal >= 0)
+""")
+def q146_sql_engine_quantified_any(spark, sf_dir):
+    """``> ANY (SELECT …)`` with a companion outer predicate — NEW r10
+    (r9 verdict ask #2): suppliers above the MINIMUM non-negative
+    BUILDING-customer balance.  The retraction tick removes all
+    negative-balance BUILDING customers, raising the min — the scalars
+    view flips once and the bilinear join retracts exactly the
+    suppliers that fell below.  NULL-element and NULL-lhs semantics
+    ride the same rewritten predicate (probed against DuckDB)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_nationkey BIGINT,
+                               s_acctbal DOUBLE);
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_mktsegment VARCHAR,
+                               c_acctbal DOUBLE);
+        CREATE VIEW above_any as
+            select s_suppkey, s_acctbal from supplier
+            where s_nationkey < 20
+              and s_acctbal > ANY (
+                select c_acctbal from customer
+                where c_mktsegment = 'BUILDING');
+    """)
+    assert eng.view_strategy("__above_any_qs") == "quant_scalars"
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    eng.push("supplier", s)
+    eng.push("customer", c.filter(F.col("c_custkey") % 2 == 0))
+    eng.step()
+    eng.push("customer", c.filter(F.col("c_custkey") % 2 == 1))
+    eng.step()
+    eng.push("customer",
+             c.filter((F.col("c_mktsegment") == "BUILDING")
+                      & (F.col("c_acctbal") < 0)), weight=-1)
+    eng.step()                      # min rises: some suppliers drop out
+    return eng.view("above_any")
+
+
+@register("q147_sql_engine_tuple_in", oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_id % 5 <> 0
+  AND (user_id, event_type) IN
+      (SELECT (user_id, event_type) FROM events
+       WHERE value > 180 AND value <= 195)
+""")
+def q147_sql_engine_tuple_in(spark, sf_dir):
+    """Row-value ``(a, b) IN (SELECT x, y …)`` — NEW r10 (r9 verdict
+    ask #2): the tuple spelling lowers onto the SAME composite-key
+    semi-join machinery the EXISTS path always ran on (okeys/ikeys are
+    key LISTS; reference semijoin.rs); Calcite accepts row-value IN
+    (sql-to-dbsp §3.2).  The membership table receives (user, type)
+    pairs of high-value events and then RETRACTS the top band — the
+    Z-set multiset difference leaves exactly the pairs with some event
+    in (180, 195], which the oracle states as a plain range — while the
+    outer retracts every 5th event."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE events (event_id BIGINT NOT NULL,
+                             user_id BIGINT,
+                             event_type VARCHAR,
+                             value DOUBLE);
+        CREATE TABLE hot_pairs (user_id BIGINT,
+                                event_type VARCHAR);
+        CREATE VIEW hot_events as
+            select event_id, user_id, event_type, value from events
+            where (user_id, event_type) in
+                (select user_id, event_type from hot_pairs);
+    """)
+    assert eng.view_strategy("hot_events") == "in"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    pairs = ev.filter(F.col("value") > 180).select("user_id",
+                                                   "event_type")
+    eng.push("events", ev.filter(F.col("event_id") % 2 == 0))
+    eng.push("hot_pairs", pairs)
+    eng.step()
+    eng.push("events", ev.filter(F.col("event_id") % 2 == 1))
+    eng.step()
+    eng.push("events", ev.filter(F.col("event_id") % 5 == 0),
+             weight=-1)
+    eng.push("hot_pairs",
+             ev.filter(F.col("value") > 195).select("user_id",
+                                                    "event_type"),
+             weight=-1)
+    eng.step()
+    return eng.view("hot_events")
+
+
+@register("q148_sql_engine_decimal_minmax", oracle="""
+SELECT l_returnflag,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(15,2)))*100 AS BIGINT)
+           AS mn_price_c,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(15,2)))*100 AS BIGINT)
+           AS mx_price_c,
+       COUNT(*) AS n
+FROM lineitem WHERE l_orderkey % 4 <> 0
+GROUP BY l_returnflag
+""")
+def q148_sql_engine_decimal_minmax(spark, sf_dir):
+    """DECIMAL through the NONLINEAR aggregate path — NEW r10 (r9
+    verdict ask #7): MIN/MAX over ``DECIMAL(15,2)`` with retractions
+    forces the touched-group recompute to re-derive extremes in the
+    decimal domain (q131–q133 proved the LINEAR partials; this row
+    proves the order-dependent path).  The retraction removes every 4th
+    order's lineitems — including group extremes — and the recompute
+    must find the next exact decimal value, not a float approximation.
+    Fixed-point cents at compare time only."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE lineitem (l_returnflag VARCHAR,
+                               l_extendedprice DECIMAL(15,2));
+        CREATE VIEW extremes as
+            select l_returnflag,
+                   min(l_extendedprice) as mn_price,
+                   max(l_extendedprice) as mx_price,
+                   count(*) as n
+            from lineitem group by l_returnflag;
+    """)
+    assert eng.view_strategy("extremes") == "nonlinear_agg"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(15,2)")
+         .alias("l_extendedprice"))
+    for i in range(2):
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i)
+                               .drop("l_orderkey"))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 4 == 0)
+                           .drop("l_orderkey"), weight=-1)
+    eng.step()
+    return eng.view("extremes").select(
+        "l_returnflag",
+        (F.col("mn_price") * 100).cast("long").alias("mn_price_c"),
+        (F.col("mx_price") * 100).cast("long").alias("mx_price_c"),
+        "n")
+
+
+@register("q149_sql_engine_date_expr_key", oracle="""
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+           AS omonth,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))*100 AS BIGINT)
+           AS total_c
+FROM orders WHERE o_orderkey % 6 <> 0
+GROUP BY 1
+""")
+def q149_sql_engine_date_expr_key(spark, sf_dir):
+    """DATE-keyed expression GROUP BY — NEW r10 (r9 verdict ask #7):
+    ``GROUP BY date_trunc('month', o_orderdate)`` is the
+    Calcite-normalized TPC-H reporting idiom; the expr-key pass (q135)
+    materializes the month through a hidden projection and the linear
+    aggregate maintains per-month decimal sums, proving the expr-key
+    machinery carries DATE keys and DECIMAL values together.  Two
+    insert ticks, then retraction of every 6th order."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_orderdate DATE,
+                             o_totalprice DECIMAL(15,2));
+        CREATE VIEW monthly as
+            select cast(date_trunc('month', o_orderdate) as date)
+                       as omonth,
+                   count(*) as n_orders,
+                   sum(o_totalprice) as total
+            from orders
+            group by cast(date_trunc('month', o_orderdate) as date);
+    """)
+    assert eng.view_strategy("monthly") != "differentiate"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_totalprice").cast("decimal(15,2)")
+         .alias("o_totalprice"))
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    eng.push("orders", o.filter(F.col("o_orderkey") % 6 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("monthly").select(
+        "omonth", "n_orders",
+        (F.col("total") * 100).cast("long").alias("total_c"))
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -6375,81 +6804,69 @@ from database_stream_processor_spark import nexmark  # noqa: E402,F401
 # --------------------------------------------------------------------- #
 
 _WINDOW_ORDER = [
-    # round-9 priority 1: this round's additions (never driver-checked)
-    # — the DATE/DECIMAL-typed verbatim TPC-H rows (the r8 verdict's top
-    # ask: no prior driver row exercised real DATE/DECIMAL columns) and
-    # the TIMESTAMP/INTERVAL-framed rolling-feature view.
-    "q131_sql_engine_tpch_q6_typed",
-    "q132_sql_engine_tpch_q1_typed",
-    "q133_sql_engine_tpch_q3_typed",
-    "q134_sql_rolling_features_timestamp",
-    "q135_sql_engine_expr_group_keys",
-    # r9 late additions: the WITH-clause CTE lift (verbatim TPC-H q15 +
-    # a CTE→CTE chain).  They take the q14/q45 slots: scalar date
-    # functions hold a fresh r8 row via q40, Fold keeps q57 in-window
-    # (both displaced rows stay registered and replica-checked).
-    "q136_sql_engine_tpch_q15_cte",
-    "q137_sql_engine_cte_chain",
-    # (q138 takes q19's slot: tumbling windows keep q43 in this window)
-    "q138_sql_engine_recursive_cte",
-    # r9 lift evidence (slots from q09/q96/nx_q06: join-agg holds
-    # q133/q126/q137 in-window, ROLLUP holds q114 at r7, AVG-by-seller
-    # holds nx_q04 here plus the r8 nx_q05/nx_q07 rows)
-    "q139_sql_engine_union_of_aggs",
-    "q140_sql_engine_unmatched_antijoin",
-    "q141_sql_engine_join_of_derived_aggs",
-    # round-9 priority 2: the 12 rows whose latest driver evidence is
-    # round 5 (nexmark batch variants + the MIN/MAX view).
-    "nx_q01_currency",
-    "nx_q02_selection",
-    "nx_q03_local_item_suggestion",
-    "nx_q13_side_input_join",
-    "nx_q14_calculation",
-    "nx_q15_bidding_statistics",
-    "nx_q16_channel_statistics",
-    "nx_q18_find_last_bid",
-    "nx_q20_expand_bid_with_auction",
-    "nx_q21_add_channel_id",
-    "nx_q22_get_url_directories",
-    "q63_sql_engine_minmax_view",
-    # round-9 priority 3: 34 of the 42 round-6-era rows — everything
-    # except the 8 whose component has a fresher sibling row (deferred,
-    # replica-checked meanwhile: nx_q04_inc_avg_closing /
-    # nx_q07_inc_highest_bid / nx_q18_inc_last_bid share operators with
-    # their windowed siblings; nx_q19 with the q15/q80 top-k rows;
-    # nx_q09 with the as-of/monotonic-join rows; q30 is the labeled
-    # brute-force baseline superseded by q46/q47; q36 multimodal is
-    # covered by q60/q61/q88/q93/q94; q21 rolling by q42/q48/q92/q134).
-    # (q01_pricing_summary yields its slot to q135: the brand-new
-    # expr-key lowering needs driver evidence more than a third
-    # pricing-summary row — q122 holds r7 and q132 is in this window)
-    "q02_revenue_by_nation",
-    "q05_supplier_volume",
-    "q06_forecast_revenue",
-    "q08_active_suppliers",
-    "q10_signup_to_purchase",
-    "q11_distinct_parts_per_flag",
-    "q15_topk_orders_per_priority",
-    "q16_acctbal_extremes",
-    "q17_union_except_intersect",
-    "q20_hopping_window",
-    "q24_latest_state_per_key",
-    "q35_fingerprint_dedup",
-    "q37_incremental_revenue",
-    "q39_transitive_closure",
-    "q42_incremental_rolling",
-    "q44_incremental_closure",
-    "q48_rolling_linear",
-    "q57_fold_topk_prices",
-    "q58_circuit_revenue",
-    "q97_token_chunking",
-    "q98_sql_engine_setops_all",
-    "q100_sql_engine_nullable_not_in",
-    "q105_sql_engine_tpch_q20",
-    "q108_sql_engine_tpch_q2",
-    "q109_sql_engine_tpch_q22_one_view",
-    "nx_q04_avg_closing_price",
-    "nx_q12_processing_time_windows",
+    # round-10 priority 1: this round's additions (never driver-checked)
+    # — non-linear / UNION-ALL-bag / two-input recursion, quantified
+    # ANY/ALL, tuple IN, DECIMAL through the nonlinear path, DATE expr
+    # GROUP BY keys (r9 verdict asks #1, #2, #7).
+    "q142_sql_engine_recursive_nonlinear",
+    "q143_sql_engine_recursive_union_all",
+    "q144_sql_engine_recursive_two_inputs",
+    "q145_sql_engine_quantified_all",
+    "q146_sql_engine_quantified_any",
+    "q147_sql_engine_tuple_in",
+    "q148_sql_engine_decimal_minmax",
+    "q149_sql_engine_date_expr_key",
+    # round-10 priority 2 (r9 verdict ask #3): the 15 rows whose latest
+    # driver evidence still dates to round 6 — after this window no
+    # registered query's latest driver row predates r7.
+    "nx_q04_inc_avg_closing",
+    "nx_q06_avg_selling_price_by_seller",
+    "nx_q07_inc_highest_bid",
+    "nx_q09_winning_bids",
+    "nx_q18_inc_last_bid",
+    "nx_q19_auction_top10_prices",
+    "q01_pricing_summary",
+    "q09_nation_customer_counts",
+    "q14_order_date_parts",
+    "q19_tumbling_window",
+    "q21_rolling_per_user",
+    "q30_cosine_topk",
+    "q36_multimodal_features",
+    "q45_fold_latest_event",
+    "q96_sql_engine_rollup",
+    # round-10 priority 3: 27 of the ~35 round-7-era rows — everything
+    # except 8 whose component has a fresher sibling row (q111/q112/
+    # q122/q123 superseded by the r9 typed re-proofs q131-q133 and the
+    # r9 one-view q108; q25/q26/q60/q61 covered by the r8-green q40
+    # scalar-function row, the q27 LSH chain, and the r8 multimodal
+    # codec rows q88/q93/q94 — they rotate into the r11 window).
+    "q22_asof_enrich",
+    "q23_watermark_window",
+    "q27_lsh_near_dup_pairs",
+    "q28_simhash",
+    "q29_ngram_jaccard_pairs",
+    "q31_lsh_ann_topk",
+    "q32_language_id",
+    "q33_quality_score",
+    "q34_token_counts",
+    "q43_incremental_tumbling",
+    "q55_upsert_commands",
+    "q59_corpus_dedup",
+    "q77_streaming_circuit_revenue",
+    "q99_sql_engine_global_window",
+    "q110_sql_engine_global_window_desc",
+    "q113_sql_engine_tpch_q5_verbatim",
+    "q114_sql_engine_rollup_aliased_keys",
+    "q115_sql_engine_tpch_q10_verbatim",
+    "q116_sql_engine_tpch_q14_verbatim",
+    "q117_sql_engine_tpch_q4_verbatim",
+    "q118_sql_engine_tpch_q9_verbatim",
+    "q119_sql_engine_tpch_q7_verbatim",
+    "q120_sql_engine_tpch_q8_verbatim",
+    "q121_sql_engine_tpch_q12_verbatim",
+    "q124_sql_engine_tpch_q13_verbatim",
+    "q125_sql_engine_tpch_q19_verbatim",
+    "nx_q17_auction_statistics",
 ]
 
 

@@ -3249,9 +3249,12 @@ def _split_top_and(s: str) -> list[str]:
 #: one top-level-AND term of the form ``[NOT] EXISTS (SELECT …)``
 _EXISTS_TERM = re.compile(r"^(?P<neg>NOT\s+)?EXISTS\s*\((?P<inner>.+)\)\s*$",
                           re.IGNORECASE | re.DOTALL)
-#: one top-level-AND term of the form ``col IN (SELECT …)``
+#: one top-level-AND term of the form ``col IN (SELECT …)`` or the
+#: tuple form ``(c1, c2) IN (SELECT …)`` (Calcite accepts row-value
+#: IN; sql-to-dbsp §3.2)
 _IN_TERM = re.compile(
-    r"^(?P<col>[\w.]+)\s+(?P<neg>NOT\s+)?IN\s*\(\s*(?P<inner>SELECT\b.+)"
+    r"^(?P<col>[\w.]+|\(\s*[\w.]+(?:\s*,\s*[\w.]+)+\s*\))\s+"
+    r"(?P<neg>NOT\s+)?IN\s*\(\s*(?P<inner>SELECT\b.+)"
     r"\)\s*$",
     re.IGNORECASE | re.DOTALL)
 #: outer query around a subquery filter
@@ -3262,11 +3265,22 @@ _SUBQ_OUTER_RE = re.compile(
 _SUBQ_INNER_RE = re.compile(
     r"^SELECT\s+.+?\s+FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?(?P<ia>\w+))?"
     r"\s+WHERE\s+(?P<icond>.+)$", re.IGNORECASE | re.DOTALL)
-#: IN subquery body (single select item; WHERE optional, inner-only)
+#: IN subquery body (column select items — several for the tuple form;
+#: WHERE optional, inner-only)
 _IN_INNER_RE = re.compile(
-    r"^SELECT\s+(?P<icol>[\w.]+)\s+FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?"
+    r"^SELECT\s+(?P<icol>[\w.]+(?:\s*,\s*[\w.]+)*)\s+FROM\s+"
+    r"(?P<it>\w+)(?:\s+(?:AS\s+)?"
     r"(?P<ia>\w+))?(?:\s+WHERE\s+(?P<ipred>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL)
+
+
+def _in_term_cols(col_group: str) -> list[str]:
+    """The outer column list of an ``_IN_TERM`` match: one bare/qualified
+    column, or the members of a ``(c1, c2, …)`` tuple."""
+    g = col_group.strip()
+    if g.startswith("("):
+        return [c.strip() for c in g[1:-1].split(",")]
+    return [g]
 
 _SUBQ_BLOCKERS = re.compile(
     r"\b(GROUP\s+BY|DISTINCT|UNION|INTERSECT|EXCEPT|OVER|HAVING"
@@ -3793,6 +3807,9 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
             except Exception:
                 return None
             ocol, icol = subq.group("col"), sm2.group("icol")
+            if "(" in ocol or "," in icol:
+                # tuple IN inside a multi-term body: single-term only
+                return None
             oc, ic = ocol.split(".")[-1], icol.split(".")[-1]
             if "." in ocol and ocol.split(".")[0].lower() != oa:
                 return None
@@ -3846,18 +3863,24 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
             icols = set(ifields)
         except Exception:
             return None
-        ocol = subq.group("col")
-        oc = ocol.split(".")[-1]
-        if "." in ocol and ocol.split(".")[0].lower() != oa:
-            return None
-        if oc.lower() not in ocols:
-            return None
-        icol = sm.group("icol")
-        ic = icol.split(".")[-1]
-        if "." in icol and icol.split(".")[0].lower() != ia:
-            return None
-        if ic.lower() not in icols:
-            return None
+        out_cols = _in_term_cols(subq.group("col"))
+        in_cols = [c.strip() for c in sm.group("icol").split(",")]
+        if len(out_cols) != len(in_cols):
+            return None          # tuple arity mismatch
+        okeys, ikeys = [], []
+        for ocol, icol in zip(out_cols, in_cols):
+            oc = ocol.split(".")[-1]
+            if "." in ocol and ocol.split(".")[0].lower() != oa:
+                return None
+            if oc.lower() not in ocols:
+                return None
+            ic = icol.split(".")[-1]
+            if "." in icol and icol.split(".")[0].lower() != ia:
+                return None
+            if ic.lower() not in icols:
+                return None
+            okeys.append(oc)
+            ikeys.append(ic)
         if sm.group("ipred") and not _refs_only(sm.group("ipred"), {ia},
                                                 icols):
             return None
@@ -3868,12 +3891,18 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
             # semantics: outer-NULL rows are always filtered, one inner
             # NULL empties the whole view).  With nullable columns the
             # dedicated _NotInNullableMaintainer carries the global
-            # null/row counters that make those flips maintainable.
+            # null/row counters that make those flips maintainable —
+            # for SINGLE columns; a nullable tuple NOT IN stays with
+            # the snapshot-diff fallback (Spark parses the row-value
+            # form, so the fallback is available and correct).
             ofields = {f.name.lower(): f
                        for f in _source_rows0(eng, ot).schema.fields}
-            nullable_not_in = (ofields[oc.lower()].nullable
-                               or ifields[ic.lower()].nullable)
-        okeys, ikeys = [oc], [ic]
+            nullable_not_in = any(
+                ofields[oc.lower()].nullable
+                or ifields[ic.lower()].nullable
+                for oc, ic in zip(okeys, ikeys))
+            if nullable_not_in and len(okeys) > 1:
+                return None
     if not okeys:
         return None  # uncorrelated subquery flips globally; keep fallback
     from_clause = m.group("ot") + (f" {m.group('oa')}" if m.group("oa")
@@ -4265,6 +4294,230 @@ class _NotInNullableMaintainer(_SubqueryFilterMaintainer):
         delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
         self.apply_delta(delta)
         return delta
+
+
+#: one top-level-AND term ``lhs <op> ANY|ALL|SOME (SELECT …)``
+_QUANT_TERM = re.compile(
+    r"^(?P<lhs>[\w.]+|\([^()]*\))\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*"
+    r"(?P<q>ANY|ALL|SOME)\s*\(\s*(?P<inner>SELECT\b.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+#: quantified-subquery inner body: one select EXPRESSION over one table
+_QUANT_INNER_RE = re.compile(
+    r"^SELECT\s+(?P<icol>.+?)\s+FROM\s+(?P<it>\w+)(?:\s+(?:AS\s+)?"
+    r"(?P<ia>\w+))?(?:\s+WHERE\s+(?P<ipred>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_AGG_FN_RE = re.compile(
+    r"\b(SUM|COUNT|AVG|MIN|MAX|STDDEV\w*|VAR\w*|COLLECT\w*|FIRST"
+    r"|LAST)\s*\(", re.IGNORECASE)
+
+#: filter-TRUE rewrites of ``lhs op ALL/ANY (S)`` over the quantifier
+#: scalars view (__q_empty, __q_hasnull, __qmn, __qmx) — derived from
+#: the three-valued semantics and probed against DuckDB: ALL over an
+#: empty set is TRUE (even for NULL lhs); any NULL element blocks ALL
+#: and never satisfies ANY; NULL lhs with a non-empty set is UNKNOWN.
+_QUANT_PREDS = {
+    (">", "ALL"): "__q_empty OR (NOT __q_hasnull AND {L} > __qmx)",
+    (">=", "ALL"): "__q_empty OR (NOT __q_hasnull AND {L} >= __qmx)",
+    ("<", "ALL"): "__q_empty OR (NOT __q_hasnull AND {L} < __qmn)",
+    ("<=", "ALL"): "__q_empty OR (NOT __q_hasnull AND {L} <= __qmn)",
+    ("=", "ALL"): ("__q_empty OR (NOT __q_hasnull AND __qmn = __qmx "
+                   "AND {L} = __qmn)"),
+    (">", "ANY"): "{L} > __qmn",
+    (">=", "ANY"): "{L} >= __qmn",
+    ("<", "ANY"): "{L} < __qmx",
+    ("<=", "ANY"): "{L} <= __qmx",
+    ("<>", "ANY"): ("{L} IS NOT NULL AND (__qmn <> __qmx "
+                    "OR {L} <> __qmn)"),
+}
+
+
+class _QuantScalarMaintainer(_ViewMaintainer):
+    """Hidden 1-row scalars view behind a quantified comparison —
+    ``(__q_empty, __q_hasnull, __qmn, __qmx)`` over the subquery's
+    value multiset.  Counters maintain in O(Δ) from each inner delta;
+    MIN/MAX update in O(Δ) on inserts and recompute from the integrated
+    table only when a retraction touches the current extreme (the
+    engine's touched-group discipline, collapsed to one global group —
+    the reference maintains these through its aggregate operators,
+    aggregate/mod.rs).  The row exists from the FIRST engine tick even
+    if the inner table never receives data — ALL over an empty set is
+    TRUE, so downstream must always see one row."""
+
+    kind = "quant_scalars"
+
+    def __init__(self, eng: "Engine", name: str, tbl: str, alias: str,
+                 icol: str, ipred: str | None):
+        self.name, self.table = name, tbl
+        self._icol, self._ipred = icol, ipred
+        a = f" {alias}" if alias != tbl else ""
+        w = f" WHERE {ipred}" if ipred else ""
+        self._agg_sql = (
+            f"SELECT COUNT(*) AS __qn, COUNT({icol}) AS __qnn, "
+            f"MIN({icol}) AS __qmn, MAX({icol}) AS __qmx "
+            f"FROM {tbl}{a}{w}")
+        self.sql = self._agg_sql
+        probe = eng.eval_on(self._agg_sql,
+                            {tbl: _source_rows0(eng, tbl)})
+        vt = dict(probe.dtypes)["__qmn"]
+        schema = (f"__q_empty boolean, __q_hasnull boolean, "
+                  f"__qmn {vt}, __qmx {vt}")
+        empty = eng.spark.createDataFrame([], schema)
+        self.state = StateTable(ZSetFrame.from_df(empty),
+                                name=f"view_{name}")
+        self._schema = empty.schema
+        self._n = self._nn = 0
+        self._mn = self._mx = None
+        self._eng = eng
+        # the row exists from CREATE time: the engine skips untouched
+        # views entirely, and an outer-only tick must still see the
+        # empty-set scalars (ALL over an empty set is TRUE)
+        self.state.update(ZSetFrame.from_df(self._row_df(), 1))
+        self._emitted = True
+
+    def _row_df(self):
+        row = (self._n == 0, self._n > self._nn, self._mn, self._mx)
+        return self._eng.spark.createDataFrame([row], self._schema)
+
+    def _agg_over(self, df: DataFrame):
+        r = self._eng.eval_on(self._agg_sql, {self.table: df}) \
+            .collect()[0]
+        return (int(r["__qn"]), int(r["__qnn"]), r["__qmn"], r["__qmx"])
+
+    def step(self, eng, combined, old):
+        z = combined.get(self.table)
+        if z is None and self._emitted:
+            return self._empty()
+        old_row = self._row_df() if self._emitted else None
+        if z is not None:
+            pos, neg = _split_parts(z)
+            pn, pnn, pmn, pmx = self._agg_over(pos)
+            nn_, nnn, nmn, nmx = self._agg_over(neg)
+            self._n += pn - nn_
+            self._nn += pnn - nnn
+            recompute = (nmn is not None and self._mn is not None
+                         and (nmn <= self._mn or nmx >= self._mx))
+            if recompute:
+                # a retraction may have removed the extreme: one
+                # aggregate scan of the integrated inner table
+                _, _, self._mn, self._mx = self._agg_over(
+                    _current_rows(eng, self.table))
+            else:
+                if pmn is not None:
+                    self._mn = pmn if self._mn is None \
+                        else min(self._mn, pmn)
+                    self._mx = pmx if self._mx is None \
+                        else max(self._mx, pmx)
+                if self._nn == 0:
+                    self._mn = self._mx = None
+        delta = ZSetFrame.from_df(self._row_df(), 1)
+        if old_row is not None:
+            delta = delta.plus(ZSetFrame.from_df(old_row, -1))
+        self._emitted = True
+        delta = delta.consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+def _quantified_lift(eng: "Engine", name: str, flat: str):
+    """``SELECT … FROM t WHERE [pre AND] lhs op ANY|ALL|SOME (SELECT
+    expr FROM inner [WHERE ipred]) [AND post]`` — quantified comparison
+    subqueries (the reference's Calcite frontend accepts these,
+    sql-to-dbsp §3.2; Spark SQL has no surface for them at all, so
+    there is no snapshot-diff net and refusals raise loudly).
+
+    ``= ANY`` / ``= SOME`` ≡ ``IN`` and ``<> ALL`` ≡ ``NOT IN`` —
+    rewritten textually and re-lowered through the (three-valued) IN
+    machinery.  Order comparisons and ``= ALL`` / ``<> ANY`` depend on
+    the value multiset only through (empty, has-null, min, max): a
+    hidden :class:`_QuantScalarMaintainer` maintains that 1-row view,
+    and the outer becomes a 2-table JOIN on the rewritten predicate —
+    the bilinear join delta then gives O(Δ outer) ticks, and a scalar
+    flip retracts/re-derives through the Δscalars ⋈ outer leg."""
+    m = _SUBQ_OUTER_RE.match(flat)
+    if not m:
+        raise _UnloweredShape("not an outer WHERE shape")
+    ot = m.group("ot").lower()
+    if not (ot in eng.tables or ot in eng.views
+            or ot in eng._maintainers):
+        raise _UnloweredShape(f"unknown table {ot}")
+    oa = (m.group("oa") or m.group("ot")).lower()
+    body = m.group("body")
+    if _mixed_top_and_or(body):
+        raise _UnloweredShape("mixed top-level AND/OR")
+    quant, rest = None, []
+    for t in _split_top_and(body):
+        qm = _QUANT_TERM.match(t.strip())
+        if qm and quant is None:
+            quant = qm
+        elif qm:
+            raise _UnloweredShape("several quantified terms")
+        else:
+            if re.search(r"\(\s*SELECT", t, re.IGNORECASE):
+                raise _UnloweredShape(
+                    "quantified term mixed with other subqueries")
+            rest.append(t.strip())
+    if quant is None:
+        raise _UnloweredShape("no quantified term")
+    op = quant.group("op").replace("!=", "<>")
+    q = quant.group("q").upper()
+    q = "ANY" if q == "SOME" else q
+    lhs, inner_sql = quant.group("lhs"), quant.group("inner").strip()
+    alias = f" {m.group('oa')}" if m.group("oa") else ""
+    if (op, q) in {("=", "ANY"), ("<>", "ALL")}:
+        # exact membership semantics — the IN machinery's job
+        neg = "NOT " if op == "<>" else ""
+        new_body = " AND ".join(
+            rest + [f"{lhs} {neg}IN ({inner_sql})"])
+        return _lower_view(
+            eng, name,
+            f"SELECT {m.group('sel')} FROM {m.group('ot')}{alias} "
+            f"WHERE {new_body}")
+    if (op, q) not in _QUANT_PREDS:
+        raise _UnloweredShape(f"unsupported quantifier {op} {q}")
+    if _SUBQ_BLOCKERS.search(inner_sql) or \
+            re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE):
+        raise _UnloweredShape("complex quantified inner body")
+    im = _QUANT_INNER_RE.match(inner_sql)
+    if not im:
+        raise _UnloweredShape("unparsed quantified inner body")
+    it = im.group("it").lower()
+    ia = (im.group("ia") or im.group("it")).lower()
+    if not (it in eng.tables or it in eng.views
+            or it in eng._maintainers):
+        raise _UnloweredShape(f"unknown inner table {it}")
+    if _AGG_FN_RE.search(im.group("icol")):
+        raise _UnloweredShape("aggregate in quantified inner select")
+    try:
+        icols = {f.name.lower()
+                 for f in _source_rows0(eng, it).schema.fields}
+    except Exception:
+        raise _UnloweredShape(f"unreadable inner {it}")
+    if not _refs_only(im.group("icol"), {ia}, icols) or (
+            im.group("ipred")
+            and not _refs_only(im.group("ipred"), {ia}, icols)):
+        raise _UnloweredShape("correlated quantified subquery")
+    hid = f"__{name}_qs"
+    registered: list[str] = [hid]
+    try:
+        hm = _QuantScalarMaintainer(eng, hid, it,
+                                    (im.group("ia") or it).lower(),
+                                    im.group("icol"), im.group("ipred"))
+        eng._maintainers[hid] = hm
+        eng._sources[hid] = {it}
+        hm.state.current.rows().createOrReplaceTempView(hid)
+        pred = _QUANT_PREDS[(op, q)].format(L=f"({lhs})")
+        where = f" WHERE {' AND '.join(rest)}" if rest else ""
+        main = (f"SELECT {m.group('sel')} FROM {m.group('ot')}{alias} "
+                f"JOIN {hid} ON ({pred}){where}")
+        fm = _lower_view(eng, name, main)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("quantified main snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
 
 
 #: SELECT … FROM (SELECT …, ROW_NUMBER() OVER (PARTITION BY … ORDER BY …)
@@ -7535,6 +7788,12 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         # complex body before the ORDER BY … LIMIT tail: hidden
         # maintained view for the body, global top-k layered on top
         r = _try(_topk_over_from, eng, name, flat)
+        if r is not None:
+            return r
+    if re.search(r"\b(ANY|ALL|SOME)\s*\(\s*SELECT", flat, re.IGNORECASE):
+        # quantified comparison subqueries FIRST: Spark SQL cannot even
+        # parse them, so no later recognizer or fallback applies
+        r = _try(_quantified_lift, eng, name, flat)
         if r is not None:
             return r
     if re.search(r"\(\s*SELECT", flat, re.IGNORECASE):

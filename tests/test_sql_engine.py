@@ -5040,3 +5040,166 @@ def test_having_key_in_subquery_split(spark):
              weight=-1)
     eng.step()
     check("retract rows and gold membership")
+
+
+# --------------------------------------------------------------------- #
+# Quantified comparisons (r10): ANY / ALL / SOME subqueries
+# --------------------------------------------------------------------- #
+
+def test_quantified_any_all(spark):
+    """``op ANY/ALL (SELECT …)`` — maintained through the hidden 1-row
+    quantifier-scalars view + bilinear join; three-valued semantics
+    (empty set, NULL elements, NULL lhs) probed against DuckDB and
+    asserted here through every regime transition."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE s (x BIGINT, grp VARCHAR);
+        CREATE VIEW v_all as
+            SELECT k, v FROM t
+            WHERE v > ALL (SELECT x FROM s WHERE grp = 'a');
+        CREATE VIEW v_any as
+            SELECT k, v FROM t
+            WHERE v <= ANY (SELECT x FROM s WHERE grp = 'a');
+        CREATE VIEW v_neq as
+            SELECT k, v FROM t
+            WHERE v <> ANY (SELECT x FROM s WHERE grp = 'a');
+    """)
+    assert eng.view_strategy("__v_all_qs") == "quant_scalars"
+    assert eng.view_strategy("v_all") == "join"
+
+    def oracle(rows, s_rows):
+        S = [x for x, g in s_rows if g == "a"]
+        nn = [x for x in S if x is not None]
+        has_null = any(x is None for x in S)
+        v_all, v_any, v_neq = [], [], []
+        for k, v in rows:
+            if not S:
+                v_all.append((k, v))
+            elif v is not None and not has_null and v > max(nn):
+                v_all.append((k, v))
+            if v is not None and nn and v <= max(nn):
+                v_any.append((k, v))
+            if v is not None and any(x != v for x in nn):
+                v_neq.append((k, v))
+        return v_all, v_any, v_neq
+
+    def check(rows, s_rows, tag):
+        for vn, want in zip(("v_all", "v_any", "v_neq"),
+                            oracle(rows, s_rows)):
+            got = sorted(map(tuple, eng.view(vn).collect()),
+                         key=str)
+            assert got == sorted(want, key=str), (tag, vn, got, want)
+
+    rows = [(1, 5), (2, 50), (3, None), (4, 10), (5, 7)]
+    eng.push("t", spark.createDataFrame(rows, "k long, v long"))
+    eng.step()
+    check(rows, [], "empty set: ALL keeps all, ANY none")
+    s1 = [(7, "a"), (10, "a"), (3, "b")]
+    eng.push("s", spark.createDataFrame(s1, "x long, grp string"))
+    eng.step()
+    check(rows, s1, "populated set")
+    # retract the max (recompute-extreme path) -> threshold drops to 7
+    eng.push("s", spark.createDataFrame([(10, "a")], "x long, grp string"),
+             weight=-1)
+    eng.step()
+    s2 = [(7, "a"), (3, "b")]
+    check(rows, s2, "extreme retracted")
+    # NULL lands in the set: ALL empties (except nothing), <> ANY keeps
+    s3 = s2 + [(None, "a")]
+    eng.push("s", spark.createDataFrame([(None, "a")],
+                                        "x long, grp string"))
+    eng.step()
+    check(rows, s3, "NULL element: ALL blocked")
+    # outer-only tick in the has-null regime stays O(delta)
+    rows2 = rows + [(6, 100)]
+    eng.push("t", spark.createDataFrame([(6, 100)], "k long, v long"))
+    eng.step()
+    check(rows2, s3, "outer delta under has-null")
+    # drain the subquery entirely: back to the empty regime
+    eng.push("s", spark.createDataFrame(s3, "x long, grp string"),
+             weight=-1)
+    eng.step()
+    check(rows2, [], "drained: ALL keeps all again")
+
+
+def test_quantified_eq_any_rewrites_to_in(spark):
+    """``= ANY`` ≡ IN and ``<> ALL`` ≡ NOT IN — textual rewrite into
+    the membership machinery (incl. the three-valued NOT IN
+    maintainer), value-checked with retractions."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE s (x BIGINT);
+        CREATE VIEW v_in as
+            SELECT k FROM t WHERE v = ANY (SELECT x FROM s);
+        CREATE VIEW v_nin as
+            SELECT k FROM t WHERE v <> ALL (SELECT x FROM s);
+    """)
+    assert eng.view_strategy("v_in") == "in"
+    assert eng.view_strategy("v_nin") == "not_in_nullable"
+    eng.push("t", spark.createDataFrame([(1, 5), (2, 7), (3, None)],
+                                        "k long, v long"))
+    eng.push("s", spark.createDataFrame([(5,)], "x long"))
+    eng.step()
+    assert sorted(r[0] for r in eng.view("v_in").collect()) == [1]
+    assert sorted(r[0] for r in eng.view("v_nin").collect()) == [2]
+    # NULL into s: NOT IN view empties (three-valued), IN unchanged
+    eng.push("s", spark.createDataFrame([(None,)], "x long"))
+    eng.step()
+    assert sorted(r[0] for r in eng.view("v_in").collect()) == [1]
+    assert eng.view("v_nin").count() == 0
+    # retract the NULL: NOT IN returns
+    eng.push("s", spark.createDataFrame([(None,)], "x long"), weight=-1)
+    eng.step()
+    assert sorted(r[0] for r in eng.view("v_nin").collect()) == [2]
+
+
+def test_tuple_in_subquery(spark):
+    """Row-value ``(a, b) IN (SELECT x, y FROM …)`` — the composite-key
+    semi-join: the IN maintainer's touched-key machinery already runs
+    on key LISTS, so the tuple spelling lowers to the same plan;
+    membership retractions flow through.  Nullable tuple NOT IN
+    refuses (snapshot-diff keeps three-valued semantics correct)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (a BIGINT NOT NULL, b BIGINT NOT NULL,
+                        v BIGINT NOT NULL);
+        CREATE TABLE s (x BIGINT NOT NULL, y BIGINT NOT NULL);
+        CREATE VIEW v_in as
+            SELECT a, b, v FROM t WHERE (a, b) IN (SELECT x, y FROM s);
+        CREATE VIEW v_nin as
+            SELECT a, b, v FROM t
+            WHERE (a, b) NOT IN (SELECT x, y FROM s);
+    """)
+    assert eng.view_strategy("v_in") == "in"
+    assert eng.view_strategy("v_nin") == "not_in"
+    batch_in = "SELECT a, b, v FROM t WHERE (a, b) IN (SELECT x, y FROM s)"
+    batch_nin = ("SELECT a, b, v FROM t WHERE (a, b) NOT IN "
+                 "(SELECT x, y FROM s)")
+
+    def check(tag):
+        for vn, b in (("v_in", batch_in), ("v_nin", batch_nin)):
+            want = sorted(map(tuple, spark.sql(b).collect()))
+            got = sorted(map(tuple, eng.view(vn).collect()))
+            assert got == want, (tag, vn, got, want)
+
+    rows = [(k % 4, k % 3, k) for k in range(12)]
+    mem = [(1, 1), (2, 2), (0, 1)]
+    eng.push("t", spark.createDataFrame(rows, "a long, b long, v long"))
+    eng.push("s", spark.createDataFrame(mem, "x long, y long"))
+    eng.step()
+    check("insert")
+    # retract one membership pair and some outer rows
+    eng.push("s", spark.createDataFrame([(1, 1)], "x long, y long"),
+             weight=-1)
+    eng.push("t", spark.createDataFrame(rows[:5], "a long, b long, v long"),
+             weight=-1)
+    eng.step()
+    check("retract membership and rows")
+    # nullable tuple NOT IN -> fallback (correct via snapshot-diff)
+    eng.execute("CREATE TABLE tn (a BIGINT, b BIGINT);")
+    eng._create_view(
+        "v_nn", "SELECT a, b FROM tn WHERE (a, b) NOT IN "
+                "(SELECT x, y FROM s)")
+    assert eng.view_strategy("v_nn") == "differentiate"
