@@ -142,12 +142,28 @@ def main() -> None:
         except Exception as e:  # a warm-up failure must not kill the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    job_counts: dict[str, list[int]] = {}
+
     def time_one(name: str, r) -> float:
+        """Time one run inside its own job group so the run's Spark JOB
+        COUNT is recorded alongside (r9 verdict ask #6): job-dense
+        queries (fixpoints, multi-tick engines) are bounded by per-job
+        scheduler latency, and `jobs x job_ms` makes that component of
+        a round-over-round delta directly attributable."""
         fn = REGISTRY[name].fn
+        group = f"bench-{name}-{r}"
+        spark.sparkContext.setJobGroup(group, name)
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         took = round(time.time() - t0, 3)
-        print(f"# run{r} {name}: {took}s ({n} rows)", file=sys.stderr)
+        try:
+            jn = len(spark.sparkContext.statusTracker()
+                     .getJobIdsForGroup(group))
+        except Exception:
+            jn = -1
+        job_counts.setdefault(name, []).append(jn)
+        print(f"# run{r} {name}: {took}s ({n} rows, {jn} jobs)",
+              file=sys.stderr)
         return took
 
     def best3_spread(ts: list[float]) -> float:
@@ -214,6 +230,15 @@ def main() -> None:
 
     timings = {name: min(ts) for name, ts in runs.items()}
     spread = {name: best3_spread(ts) for name, ts in runs.items()}
+    jobs = {name: min(c for c in cs if c >= 0) if any(c >= 0 for c in cs)
+            else None for name, cs in job_counts.items()}
+    # job-bound rows: scheduling latency (jobs x job_ms) explains over
+    # half the best timing — their round-over-round deltas track the
+    # host's job_ms, not code (r9 verdict ask #6)
+    job_bound = sorted(
+        name for name, t in timings.items()
+        if jobs.get(name) and t > 0
+        and jobs[name] * job_ms_start / 1000.0 > 0.5 * t)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_time",
@@ -221,6 +246,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "jobs": jobs,
+        "job_bound": job_bound,
         "runs": n_runs,
         "calibration": {"start_sec": cal_start, "end_sec": cal_end,
                         "par_start_sec": par_start,

@@ -5214,7 +5214,10 @@ def _rec_occurrence_variants(step_sql: str, rname: str,
     the positional scan missed a reference."""
     blanked = _blank_literals(step_sql)
     esc = re.escape(rname)
-    total = len(re.findall(rf"\b{esc}\b", blanked, re.IGNORECASE))
+    # qualifier occurrences (``rname.col``) are column references of an
+    # unaliased atom, not extra atoms — exclude them from the count
+    total = len(re.findall(rf"\b{esc}\b(?!\s*\.)", blanked,
+                           re.IGNORECASE))
     occs = list(re.finditer(rf"\b(?:FROM|JOIN)\s+({esc})\b(?!\s*\.)",
                             blanked, re.IGNORECASE))
     if len(occs) != total:
@@ -5537,7 +5540,10 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
         raise _UnloweredShape("not a WITH RECURSIVE clause")
     ctes, main = _parse_with_clause("WITH " + flat[m.end():])
     scrub = lambda t: re.sub(r"'[^']*'", " ", t)
-    refs = lambda t, w: len(re.findall(rf"\b{w}\b", scrub(t),
+    # count TABLE-position references only: a ``name.col`` qualifier is
+    # not a second atom — ``FROM p … WHERE p.dst = e.src`` is LINEAR
+    # (the r10 fuzz caught the inflated count refusing that spelling)
+    refs = lambda t, w: len(re.findall(rf"\b{w}\b(?!\s*\.)", scrub(t),
                                        re.IGNORECASE))
     rec_idx = [i for i, (n, b) in enumerate(ctes) if refs(b, n)]
     if not rec_idx:
