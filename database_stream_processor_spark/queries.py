@@ -6787,6 +6787,154 @@ def q149_sql_engine_date_expr_key(spark, sf_dir):
         (F.col("total") * 100).cast("long").alias("total_c"))
 
 
+@register("q150_demo01_enrich_verbatim", oracle="""
+SELECT CAST(o.o_orderdate AS TIMESTAMP) AS trans_date_trans_time,
+       CAST(o.o_custkey AS DOUBLE) AS cc_num,
+       c.c_name AS first,
+       c.c_mktsegment AS city
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 4 <> 0
+""")
+def q150_demo01_enrich_verbatim(spark, sf_dir):
+    """The reference's demo01-TimeSeriesEnrich ``project.sql`` run
+    VERBATIM (read from the reference tree at runtime, never copied) —
+    r9 verdict ask #8: the demo scripts ran only in acceptance tests
+    with synthetic rows; this row gives the file a DRIVER oracle over
+    the shared parquet tables.  Transactions derive from orders,
+    demographics from customer (unused demo columns ride as typed
+    NULLs); the enrich view is the reference's own join shape
+    (demo/project_demo01-TimeSeriesEnrich/project.sql) and lowers to
+    the bilinear join maintainer.  Two insert ticks, then retraction of
+    every 4th transaction."""
+    from database_stream_processor_spark.sql import Engine
+    with open("/root/reference/demo/project_demo01-TimeSeriesEnrich"
+              "/project.sql") as f:
+        ddl = f.read()
+    eng = Engine(spark)
+    eng.execute(ddl)
+    assert eng.view_strategy("transactions_with_demographics") == "join"
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    nul = lambda t: F.lit(None).cast(t)
+    tx = lambda df: df.select(
+        F.col("o_orderdate").cast("timestamp")
+         .alias("trans_date_trans_time"),
+        F.col("o_custkey").cast("double").alias("cc_num"),
+        nul("string").alias("merchant"), nul("string").alias("category"),
+        F.col("o_totalprice").cast("double").alias("amt"),
+        nul("string").alias("trans_num"), nul("int").alias("unix_time"),
+        nul("double").alias("merch_lat"),
+        nul("double").alias("merch_long"), nul("int").alias("is_fraud"))
+    dem = c.select(
+        F.col("c_custkey").cast("double").alias("cc_num"),
+        F.col("c_name").alias("first"), nul("string").alias("gender"),
+        nul("string").alias("street"),
+        F.col("c_mktsegment").alias("city"), nul("string").alias("state"),
+        nul("int").alias("zip"), nul("double").alias("lat"),
+        nul("double").alias("long"), nul("int").alias("city_pop"),
+        nul("string").alias("job"), nul("date").alias("dob"))
+    eng.push("demographics", dem)
+    for i in range(2):
+        eng.push("transactions",
+                 tx(o.filter(F.col("o_orderkey") % 2 == i)))
+        eng.step()
+    eng.push("transactions", tx(o.filter(F.col("o_orderkey") % 4 == 0)),
+             weight=-1)
+    eng.step()
+    return eng.view("transactions_with_demographics")
+
+
+@register("q151_demo03_greentrip_verbatim", oracle="""
+WITH trips AS (
+  SELECT CAST(ts AS TIMESTAMP) AS lpep_pickup_datetime,
+         CAST(ts AS TIMESTAMP)
+             + (CAST(FLOOR(value) AS INT) % 90) * INTERVAL 1 MINUTE
+             AS lpep_dropoff_datetime,
+         user_id % 50 AS pickup_location_id,
+         user_id % 37 AS dropoff_location_id,
+         value / 10 AS trip_distance,
+         value AS fare_amount
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+    AND event_id % 7 <> 0)
+SELECT lpep_pickup_datetime, lpep_dropoff_datetime,
+       pickup_location_id, dropoff_location_id,
+       ROUND(trip_distance, 4) AS trip_distance, fare_amount,
+       count_trips_window_1h_pickup_zip,
+       ROUND(mean_fare_window_1h_pickup_zip, 4)
+           AS mean_fare_window_1h_pickup_zip,
+       count_trips_window_30m_dropoff_zip, dropoff_is_weekend
+FROM (
+  SELECT *,
+    COUNT(*) OVER(PARTITION BY pickup_location_id
+      ORDER BY CAST(FLOOR(extract(epoch FROM lpep_pickup_datetime))
+                    AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+        AS count_trips_window_1h_pickup_zip,
+    AVG(fare_amount) OVER(PARTITION BY pickup_location_id
+      ORDER BY CAST(FLOOR(extract(epoch FROM lpep_pickup_datetime))
+                    AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+        AS mean_fare_window_1h_pickup_zip,
+    COUNT(*) OVER(PARTITION BY dropoff_location_id
+      ORDER BY CAST(FLOOR(extract(epoch FROM lpep_dropoff_datetime))
+                    AS BIGINT)
+      RANGE BETWEEN 1800 PRECEDING AND 1 PRECEDING)
+        AS count_trips_window_30m_dropoff_zip,
+    CASE WHEN extract(isodow FROM lpep_dropoff_datetime) > 5
+         THEN 1 ELSE 0 END AS dropoff_is_weekend
+  FROM trips) f
+""")
+def q151_demo03_greentrip_verbatim(spark, sf_dir):
+    """The reference's demo03-GreenTrip ``project.sql`` run VERBATIM
+    (read from the reference tree at runtime) — r9 verdict ask #8: the
+    NYC-taxi rolling-feature stack (three RANGE-framed epoch windows +
+    an ISODOW weekend flag) with a DRIVER oracle.  Trips derive
+    deterministically from the events table (FLOOR before the int cast
+    — DuckDB rounds half-even on CAST, Spark truncates — and the
+    oracle's frame ORDER BY floors epoch(): DuckDB keeps microseconds
+    where Spark's unix_timestamp truncates to whole seconds); the view
+    lowers to the partitioned rolling maintainer (demo02's shape,
+    q134's machinery).  Two insert ticks, then retraction of every 7th
+    trip — frames recompute only over touched partitions' affected
+    ranges."""
+    from database_stream_processor_spark.sql import Engine
+    with open("/root/reference/demo/project_demo03-GreenTrip"
+              "/project.sql") as f:
+        ddl = f.read()
+    eng = Engine(spark)
+    eng.execute(ddl)
+    assert eng.view_strategy("features") != "differentiate"
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull())
+    trips = lambda df: df.select(
+        F.col("ts").cast("timestamp").alias("lpep_pickup_datetime"),
+        F.expr("CAST(ts AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, "
+               "CAST(FLOOR(value) AS INT) % 90, 0)")
+         .alias("lpep_dropoff_datetime"),
+        (F.col("user_id") % 50).alias("pickup_location_id"),
+        (F.col("user_id") % 37).alias("dropoff_location_id"),
+        (F.col("value") / 10).alias("trip_distance"),
+        F.col("value").alias("fare_amount"))
+    for i in range(2):
+        eng.push("green_tripdata",
+                 trips(ev.filter(F.col("event_id") % 2 == i)))
+        eng.step()
+    eng.push("green_tripdata",
+             trips(ev.filter(F.col("event_id") % 7 == 0)), weight=-1)
+    eng.step()
+    v = eng.view("features")
+    return v.select(
+        "lpep_pickup_datetime", "lpep_dropoff_datetime",
+        "pickup_location_id", "dropoff_location_id",
+        F.round("trip_distance", 4).alias("trip_distance"),
+        "fare_amount", "count_trips_window_1h_pickup_zip",
+        F.round("mean_fare_window_1h_pickup_zip", 4)
+         .alias("mean_fare_window_1h_pickup_zip"),
+        "count_trips_window_30m_dropoff_zip", "dropoff_is_weekend")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -6816,6 +6964,8 @@ _WINDOW_ORDER = [
     "q147_sql_engine_tuple_in",
     "q148_sql_engine_decimal_minmax",
     "q149_sql_engine_date_expr_key",
+    "q150_demo01_enrich_verbatim",
+    "q151_demo03_greentrip_verbatim",
     # round-10 priority 2 (r9 verdict ask #3): the 15 rows whose latest
     # driver evidence still dates to round 6 — after this window no
     # registered query's latest driver row predates r7.
@@ -6839,12 +6989,13 @@ _WINDOW_ORDER = [
     # q122/q123 superseded by the r9 typed re-proofs q131-q133 and the
     # r9 one-view q108; q25/q26/q60/q61 covered by the r8-green q40
     # scalar-function row, the q27 LSH chain, and the r8 multimodal
-    # codec rows q88/q93/q94 — they rotate into the r11 window).
+    # codec rows q88/q93/q94 — they rotate into the r11 window; q28/q29
+    # yielded their slots to the new demo-file rows q150/q151: the
+    # dedup family keeps q27 here plus the r8/r9-green q35/q59/q90
+    # siblings, and q29 runs in every round's HEADLINE bench).
     "q22_asof_enrich",
     "q23_watermark_window",
     "q27_lsh_near_dup_pairs",
-    "q28_simhash",
-    "q29_ngram_jaccard_pairs",
     "q31_lsh_ann_topk",
     "q32_language_id",
     "q33_quality_score",
