@@ -6787,6 +6787,54 @@ def q149_sql_engine_date_expr_key(spark, sf_dir):
         (F.col("total") * 100).cast("long").alias("total_c"))
 
 
+@register("q152_sql_engine_quantified_correlated", oracle="""
+SELECT o.o_orderkey, o.o_totalprice FROM orders o
+WHERE o.o_totalprice > ALL (SELECT l_extendedprice FROM lineitem
+                            WHERE l_orderkey = o.o_orderkey
+                              AND l_linenumber < 5)
+""")
+def q152_sql_engine_quantified_correlated(spark, sf_dir):
+    """CORRELATED ``> ALL`` — NEW r10, beyond the r9 ask: the value
+    multiset is per correlation key, so the lift composes two existing
+    maintainers — a hidden per-key grouped scalars view
+    (COUNT/COUNT/MIN/MAX, nonlinear-agg touched-group recompute) LEFT
+    JOINed on the key with the three-valued predicate in the WHERE
+    (absent group = empty set = ALL holds; a NULL element in a group
+    blocks that key's rows).  Orders priced strictly above every one of
+    their own early lineitems; orders with NO lineitems qualify by the
+    empty-set rule.  The retraction tick removes the late lineitems
+    (l_linenumber >= 5), shrinking groups and emptying some — both
+    flip directions exercised through the touched keys only."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_totalprice DOUBLE);
+        CREATE TABLE lineitem (l_orderkey BIGINT,
+                               l_linenumber BIGINT,
+                               l_extendedprice DOUBLE);
+        CREATE VIEW above_own as
+            select o.o_orderkey, o.o_totalprice from orders o
+            where o.o_totalprice > ALL (
+                select l_extendedprice from lineitem
+                where l_orderkey = o.o_orderkey);
+    """)
+    assert eng.view_strategy("__above_own_qs") == "nonlinear_agg"
+    assert eng.view_strategy("above_own") == "left_join"
+    o = load(spark, sf_dir, "orders").select("o_orderkey",
+                                             "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_linenumber") >= 5),
+             weight=-1)
+    eng.step()
+    return eng.view("above_own")
+
+
 @register("q150_demo01_enrich_verbatim", oracle="""
 SELECT CAST(o.o_orderdate AS TIMESTAMP) AS trans_date_trans_time,
        CAST(o.o_custkey AS DOUBLE) AS cc_num,
@@ -6965,6 +7013,7 @@ _WINDOW_ORDER = [
     "q148_sql_engine_decimal_minmax",
     "q149_sql_engine_date_expr_key",
     "q150_demo01_enrich_verbatim",
+    "q152_sql_engine_quantified_correlated",
     "q151_demo03_greentrip_verbatim",
     # round-10 priority 2 (r9 verdict ask #3): the 15 rows whose latest
     # driver evidence still dates to round 6 — after this window no
@@ -6989,8 +7038,9 @@ _WINDOW_ORDER = [
     # q122/q123 superseded by the r9 typed re-proofs q131-q133 and the
     # r9 one-view q108; q25/q26/q60/q61 covered by the r8-green q40
     # scalar-function row, the q27 LSH chain, and the r8 multimodal
-    # codec rows q88/q93/q94 — they rotate into the r11 window; q28/q29
-    # yielded their slots to the new demo-file rows q150/q151: the
+    # codec rows q88/q93/q94 — they rotate into the r11 window; q28/q29/q34
+    # yielded their slots to the new demo-file rows q150/q151 and the
+    # correlated-quantified row q152: the
     # dedup family keeps q27 here plus the r8/r9-green q35/q59/q90
     # siblings, and q29 runs in every round's HEADLINE bench).
     "q22_asof_enrich",
@@ -6999,7 +7049,6 @@ _WINDOW_ORDER = [
     "q31_lsh_ann_topk",
     "q32_language_id",
     "q33_quality_score",
-    "q34_token_counts",
     "q43_incremental_tumbling",
     "q55_upsert_commands",
     "q59_corpus_dedup",

@@ -3160,6 +3160,13 @@ class _LeftJoinMaintainer(_ViewMaintainer):
         da, db = combined.get(self.left), combined.get(self.right)
         if da is None and db is None:
             return self._empty()
+        # the guard matters when a side is a hidden maintained view
+        # whose delta lineage went through eval_on rebindings (the
+        # correlated-quantified composition crashed here without it)
+        with _no_constraint_propagation(eng.spark):
+            return self._step_guarded(eng, da, db)
+
+    def _step_guarded(self, eng, da, db):
         parts = []
         if da is not None:
             parts.append(da.df.select(
@@ -4333,6 +4340,26 @@ _QUANT_PREDS = {
 }
 
 
+#: the CORRELATED variants read the hidden per-key grouped view after a
+#: LEFT JOIN: an absent group (``__qn IS NULL``) is the empty set —
+#: ALL holds (even for a NULL outer key, which correlates to nothing),
+#: ANY fails; ``__qn = __qnn`` is the no-NULL-element condition
+_QUANT_PREDS_CORR = {
+    (">", "ALL"): "(__qn IS NULL OR (__qn = __qnn AND {L} > __qmx))",
+    (">=", "ALL"): "(__qn IS NULL OR (__qn = __qnn AND {L} >= __qmx))",
+    ("<", "ALL"): "(__qn IS NULL OR (__qn = __qnn AND {L} < __qmn))",
+    ("<=", "ALL"): "(__qn IS NULL OR (__qn = __qnn AND {L} <= __qmn))",
+    ("=", "ALL"): ("(__qn IS NULL OR (__qn = __qnn AND __qmn = __qmx "
+                   "AND {L} = __qmn))"),
+    (">", "ANY"): "({L} > __qmn)",
+    (">=", "ANY"): "({L} >= __qmn)",
+    ("<", "ANY"): "({L} < __qmx)",
+    ("<=", "ANY"): "({L} <= __qmx)",
+    ("<>", "ANY"): ("({L} IS NOT NULL AND (__qmn <> __qmx "
+                    "OR {L} <> __qmn))"),
+}
+
+
 class _QuantScalarMaintainer(_ViewMaintainer):
     """Hidden 1-row scalars view behind a quantified comparison —
     ``(__q_empty, __q_hasnull, __qmn, __qmx)`` over the subquery's
@@ -4494,23 +4521,82 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
                  for f in _source_rows0(eng, it).schema.fields}
     except Exception:
         raise _UnloweredShape(f"unreadable inner {it}")
-    if not _refs_only(im.group("icol"), {ia}, icols) or (
-            im.group("ipred")
-            and not _refs_only(im.group("ipred"), {ia}, icols)):
-        raise _UnloweredShape("correlated quantified subquery")
+    if not _refs_only(im.group("icol"), {ia}, icols):
+        raise _UnloweredShape("outer reference in quantified select")
+    # split the inner WHERE into correlation equalities (outer side
+    # explicitly qualified with the outer alias) and inner-only terms
+    corr = None
+    inner_terms: list[str] = []
+    if im.group("ipred"):
+        if _mixed_top_and_or(im.group("ipred")):
+            raise _UnloweredShape("mixed AND/OR in quantified inner")
+        for t in _split_top_and(im.group("ipred")):
+            t = t.strip()
+            cm = re.match(
+                rf"^{re.escape(oa)}\.(\w+)\s*=\s*([\w.]+)$"
+                rf"|^([\w.]+)\s*=\s*{re.escape(oa)}\.(\w+)$",
+                t, re.IGNORECASE)
+            ocol_c = cm and (cm.group(1) or cm.group(4))
+            icol_c = cm and (cm.group(2) or cm.group(3))
+            if cm and icol_c.split(".")[0].lower() != oa:
+                ic_b = icol_c.split(".")[-1]
+                if "." in icol_c and \
+                        icol_c.split(".")[0].lower() != ia:
+                    raise _UnloweredShape(
+                        f"unattributable qualifier in {t!r}")
+                if ic_b.lower() not in icols:
+                    raise _UnloweredShape(
+                        f"correlation inner side {ic_b!r} unknown")
+                if corr is not None:
+                    raise _UnloweredShape(
+                        "several correlation equalities")
+                corr = (ocol_c, icol_c)
+                continue
+            if not _refs_only(t, {ia}, icols):
+                raise _UnloweredShape(
+                    f"outer reference outside a correlation "
+                    f"equality: {t!r}")
+            inner_terms.append(t)
     hid = f"__{name}_qs"
     registered: list[str] = [hid]
     try:
-        hm = _QuantScalarMaintainer(eng, hid, it,
-                                    (im.group("ia") or it).lower(),
-                                    im.group("icol"), im.group("ipred"))
-        eng._maintainers[hid] = hm
-        eng._sources[hid] = {it}
-        hm.state.current.rows().createOrReplaceTempView(hid)
-        pred = _QUANT_PREDS[(op, q)].format(L=f"({lhs})")
-        where = f" WHERE {' AND '.join(rest)}" if rest else ""
-        main = (f"SELECT {m.group('sel')} FROM {m.group('ot')}{alias} "
-                f"JOIN {hid} ON ({pred}){where}")
+        ia_txt = f" {im.group('ia')}" if im.group("ia") else ""
+        if corr is not None:
+            # CORRELATED: per-key scalars — a hidden grouped view
+            # (nonlinear agg: COUNT/COUNT/MIN/MAX per correlation key)
+            # LEFT JOINed on the key; an absent group (__qn IS NULL) is
+            # the empty set, so ALL holds and ANY fails — including for
+            # a NULL outer key, which correlates to nothing.  Both
+            # stages are existing maintainers: per tick ∝ touched keys.
+            ocol_c, icol_c = corr
+            iw = (" WHERE " + " AND ".join(inner_terms)
+                  if inner_terms else "")
+            hsql = (f"SELECT {icol_c} AS __qk, COUNT(*) AS __qn, "
+                    f"COUNT({im.group('icol')}) AS __qnn, "
+                    f"MIN({im.group('icol')}) AS __qmn, "
+                    f"MAX({im.group('icol')}) AS __qmx "
+                    f"FROM {im.group('it')}{ia_txt}{iw} "
+                    f"GROUP BY {icol_c}")
+            _register_hidden(eng, hid, hsql, registered)
+            pred = _QUANT_PREDS_CORR[(op, q)].format(
+                L=f"({lhs})", H=hid)
+            where = f" WHERE {' AND '.join(rest + [pred])}"
+            main = (f"SELECT {m.group('sel')} "
+                    f"FROM {m.group('ot')}{alias} "
+                    f"LEFT JOIN {hid} ON {oa}.{ocol_c} = {hid}.__qk"
+                    f"{where}")
+        else:
+            hm = _QuantScalarMaintainer(
+                eng, hid, it, (im.group("ia") or it).lower(),
+                im.group("icol"), im.group("ipred"))
+            eng._maintainers[hid] = hm
+            eng._sources[hid] = {it}
+            hm.state.current.rows().createOrReplaceTempView(hid)
+            pred = _QUANT_PREDS[(op, q)].format(L=f"({lhs})")
+            where = f" WHERE {' AND '.join(rest)}" if rest else ""
+            main = (f"SELECT {m.group('sel')} "
+                    f"FROM {m.group('ot')}{alias} "
+                    f"JOIN {hid} ON ({pred}){where}")
         fm = _lower_view(eng, name, main)
         if fm.kind == "differentiate":
             raise _UnloweredShape("quantified main snapshot-diffs")

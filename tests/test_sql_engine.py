@@ -5311,3 +5311,77 @@ def test_recursive_lifts_randomized_tick_equivalence(spark):
         for v in ("lin", "dbl"):
             got = sorted(map(tuple, eng.view(v).collect()))
             assert got == want, (tick, v, got, want)
+
+
+def test_quantified_correlated(spark):
+    """CORRELATED quantified comparisons — ``v > ALL (SELECT x FROM s
+    WHERE s.k = t.k)`` — lower as a hidden per-key grouped scalars view
+    (nonlinear agg) LEFT JOINed on the correlation key; an absent group
+    is the empty set (ALL holds, ANY fails), NULL elements block ALL,
+    and a NULL outer key correlates to nothing."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE t (k BIGINT, v BIGINT);
+        CREATE TABLE s (k BIGINT, x BIGINT);
+        CREATE VIEW v_call as
+            SELECT k, v FROM t
+            WHERE v > ALL (SELECT x FROM s WHERE s.k = t.k);
+        CREATE VIEW v_cany as
+            SELECT k, v FROM t
+            WHERE v <= ANY (SELECT x FROM s WHERE s.k = t.k);
+        CREATE VIEW v_cneq as
+            SELECT k, v FROM t
+            WHERE v <> ANY (SELECT x FROM s WHERE s.k = t.k);
+    """)
+    assert eng.view_strategy("__v_call_qs") == "nonlinear_agg"
+    assert eng.view_strategy("v_call") == "left_join"
+
+    def oracle(rows, s_rows):
+        v_all, v_any, v_neq = [], [], []
+        for k, v in rows:
+            S = [] if k is None else [x for sk, x in s_rows
+                                      if sk == k and sk is not None]
+            nn = [x for x in S if x is not None]
+            has_null = any(x is None for x in S)
+            if not S or (v is not None and not has_null
+                         and v > max(nn)):
+                v_all.append((k, v))
+            if v is not None and nn and v <= max(nn):
+                v_any.append((k, v))
+            if v is not None and any(x != v for x in nn):
+                v_neq.append((k, v))
+        return v_all, v_any, v_neq
+
+    def check(rows, s_rows, tag):
+        for vn, want in zip(("v_call", "v_cany", "v_cneq"),
+                            oracle(rows, s_rows)):
+            got = sorted(map(tuple, eng.view(vn).collect()), key=str)
+            assert got == sorted(want, key=str), (tag, vn, got, want)
+
+    rows = [(1, 5), (1, 50), (2, 7), (2, None), (None, 9), (3, 4)]
+    s1 = [(1, 10), (1, 40), (2, 7), (4, 99)]
+    eng.push("t", spark.createDataFrame(rows, "k long, v long"))
+    eng.push("s", spark.createDataFrame(s1, "k long, x long"))
+    eng.step()
+    check(rows, s1, "insert: key 3 has no group -> ALL")
+    # retract key 1's max (touched-group recompute) -> 50 still above
+    eng.push("s", spark.createDataFrame([(1, 40)], "k long, x long"),
+             weight=-1)
+    eng.step()
+    s2 = [(1, 10), (2, 7), (4, 99)]
+    check(rows, s2, "extreme retracted for key 1")
+    # NULL element lands in key 2's group: ALL blocked there
+    s3 = s2 + [(2, None)]
+    eng.push("s", spark.createDataFrame([(2, None)], "k long, x long"))
+    eng.step()
+    check(rows, s3, "NULL element in key 2")
+    # drain key 1's group entirely: its rows flip back to ALL
+    eng.push("s", spark.createDataFrame([(1, 10)], "k long, x long"),
+             weight=-1)
+    eng.step()
+    check(rows, [(2, 7), (2, None), (4, 99)], "key 1 group drained")
+    # outer-only tick
+    eng.push("t", spark.createDataFrame([(2, 100)], "k long, v long"))
+    eng.step()
+    check(rows + [(2, 100)], [(2, 7), (2, None), (4, 99)],
+          "outer delta")
