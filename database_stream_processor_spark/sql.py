@@ -5615,12 +5615,19 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     machinery, and the recursion's input table may BE such a hidden
     view.  Exactly one CTE may reference itself.
 
-    Refused shapes (→ error or fallback upstream): UNION ALL (bag
-    fixpoint), non-linear recursion (the CTE name twice in the step
-    branch), more than one distinct input table in the recursive
-    branches, a branch referencing the input table twice (the linear
-    delta forms would under-approximate), or a CTE name colliding with
-    a known source or column."""
+    Since r10: NON-LINEAR steps (the CTE joined with itself) lower via
+    per-occurrence step variants (:func:`_rec_occurrence_variants`);
+    the recursion may span up to THREE input relations; and ``UNION
+    ALL`` routes to the Z-set bag fixpoint
+    (:class:`_RecursiveCteBagMaintainer` — multiplicities count
+    derivation paths).
+
+    Refused shapes (→ error or fallback upstream): mutual recursion,
+    >3 input relations, a branch referencing an input table twice in
+    table position (the linear delta forms would under-approximate),
+    non-linear steps with unaliased CTE occurrences, UNION ALL with a
+    non-linear or multi-input or non-SPJ body, or a CTE name colliding
+    with a known source or column."""
     m = re.match(r"^WITH\s+RECURSIVE\s+", flat, re.IGNORECASE)
     if not m:
         raise _UnloweredShape("not a WITH RECURSIVE clause")
