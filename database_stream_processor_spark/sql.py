@@ -4377,7 +4377,11 @@ class _QuantScalarMaintainer(_ViewMaintainer):
     def __init__(self, eng: "Engine", name: str, tbl: str, alias: str,
                  icol: str, ipred: str | None):
         self.name, self.table = name, tbl
-        self._icol, self._ipred = icol, ipred
+        # alias-stripped copies: _delta_scalars evaluates directly over
+        # the bound delta DataFrame, where the FROM alias doesn't exist
+        strip = lambda t: _sub_outside_literals(
+            rf"\b{alias}\s*\.\s*", "", t, re.IGNORECASE)
+        self._icol, self._ipred = strip(icol), (ipred and strip(ipred))
         a = f" {alias}" if alias != tbl else ""
         w = f" WHERE {ipred}" if ipred else ""
         self._agg_sql = (
@@ -4412,17 +4416,41 @@ class _QuantScalarMaintainer(_ViewMaintainer):
             .collect()[0]
         return (int(r["__qn"]), int(r["__qnn"]), r["__qmn"], r["__qmx"])
 
+    def _delta_scalars(self, z: ZSetFrame):
+        """Signed counters and per-sign extremes of ONE delta in ONE
+        aggregate job (the pos/neg split would schedule two): counts
+        sum the weights, extremes take MIN/MAX over the matching sign's
+        rows only."""
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        ic, w = self._icol, WEIGHT_COL
+        d = z.df
+        if self._ipred:
+            d = d.filter(F.expr(self._ipred))
+        r = d.agg(
+            F.sum(F.col(w)).alias("n"),
+            F.sum(F.col(w) * F.expr(
+                f"CAST(({ic}) IS NOT NULL AS INT)")).alias("nn"),
+            F.min(F.expr(f"CASE WHEN {w} > 0 THEN ({ic}) END"))
+             .alias("pmn"),
+            F.max(F.expr(f"CASE WHEN {w} > 0 THEN ({ic}) END"))
+             .alias("pmx"),
+            F.min(F.expr(f"CASE WHEN {w} < 0 THEN ({ic}) END"))
+             .alias("nmn"),
+            F.max(F.expr(f"CASE WHEN {w} < 0 THEN ({ic}) END"))
+             .alias("nmx")).collect()[0]
+        return (int(r["n"] or 0), int(r["nn"] or 0),
+                r["pmn"], r["pmx"], r["nmn"], r["nmx"])
+
     def step(self, eng, combined, old):
         z = combined.get(self.table)
         if z is None and self._emitted:
             return self._empty()
         old_row = self._row_df() if self._emitted else None
         if z is not None:
-            pos, neg = _split_parts(z)
-            pn, pnn, pmn, pmx = self._agg_over(pos)
-            nn_, nnn, nmn, nmx = self._agg_over(neg)
-            self._n += pn - nn_
-            self._nn += pnn - nnn
+            dn, dnn, pmn, pmx, nmn, nmx = self._delta_scalars(
+                z.consolidate())
+            self._n += dn
+            self._nn += dnn
             recompute = (nmn is not None and self._mn is not None
                          and (nmn <= self._mn or nmx >= self._mx))
             if recompute:
