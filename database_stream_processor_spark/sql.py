@@ -4622,7 +4622,12 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
             hm.state.current.rows().createOrReplaceTempView(hid)
             pred = _QUANT_PREDS[(op, q)].format(L=f"({lhs})")
             where = f" WHERE {' AND '.join(rest)}" if rest else ""
-            main = (f"SELECT {m.group('sel')} "
+            # pin the broadcast to the 1-row scalars side: the state-
+            # backed view has no stats, and Catalyst otherwise builds
+            # on the parquet side — at scale that broadcasts the TABLE
+            # (the correlated path below deliberately has no hint: its
+            # hidden view is per-key and may not fit a broadcast)
+            main = (f"SELECT /*+ BROADCAST({hid}) */ {m.group('sel')} "
                     f"FROM {m.group('ot')}{alias} "
                     f"JOIN {hid} ON ({pred}){where}")
         fm = _lower_view(eng, name, main)
