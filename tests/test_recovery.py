@@ -407,3 +407,98 @@ def test_recursive_cte_view_survives_suspend_resume(spark, tmp_path):
     eng2.step()
     assert sorted(map(tuple, eng2.view("reach").collect())) == \
         sorted(closure((set(e1) | set(e2)) - {(2, 3)}))
+
+
+def test_bag_recursive_view_survives_suspend_resume(spark, tmp_path):
+    """Suspend/resume under a UNION ALL (bag) recursion: the bootstrap
+    tick replays the recovered edge snapshot as one insert delta through
+    the Z-set bag fixpoint, and later insert AND retraction ticks keep
+    multiplicities (derivation-path counts) exact."""
+    from collections import Counter
+
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW pc AS
+            with recursive p as (
+                select src, dst from ed
+                union all
+                select x.src, e.dst from p x join ed e on x.dst = e.src)
+            select src, dst, count(*) as n from p group by src, dst;
+    """
+
+    def bag(live):
+        ew = Counter(live)
+        acc = Counter(ew)
+        frontier = Counter(ew)
+        while frontier:
+            new = Counter()
+            for (s, d), w in frontier.items():
+                for (s2, d2), w2 in ew.items():
+                    if d == s2:
+                        new[(s, d2)] += w * w2
+            frontier = new
+            acc.update(new)
+        return sorted((s, d, n) for (s, d), n in acc.items())
+
+    path = str(tmp_path / "bag_state")
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    e1 = [(1, 2), (1, 3), (2, 4), (3, 4)]
+    eng.push("ed", spark.createDataFrame(e1, "src long, dst long"))
+    eng.step()
+    assert sorted(map(tuple, eng.view("pc").collect())) == bag(e1)
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    assert eng2.view_strategy("__pc_rec") == "recursive_bag"
+    assert sorted(map(tuple, eng2.view("pc").collect())) == bag(e1)
+    eng2.push("ed", spark.createDataFrame([(4, 5)], "src long, dst long"))
+    eng2.step()
+    assert sorted(map(tuple, eng2.view("pc").collect())) == \
+        bag(e1 + [(4, 5)])
+    eng2.push("ed", spark.createDataFrame([(1, 2)], "src long, dst long"),
+              weight=-1)
+    eng2.step()
+    assert sorted(map(tuple, eng2.view("pc").collect())) == \
+        bag([(1, 3), (2, 4), (3, 4), (4, 5)])
+
+
+def test_quantified_view_survives_suspend_resume(spark, tmp_path):
+    """Suspend/resume under a quantified (> ALL) view: the hidden
+    scalars maintainer rebuilds its counters from the recovered inner
+    snapshot during bootstrap, and post-resume retractions of the
+    extreme still flip the outer rows correctly."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE t (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE s (x BIGINT);
+        CREATE VIEW v AS
+            select k, v from t
+            where v > ALL (select x from s);
+    """
+    path = str(tmp_path / "q_state")
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    eng.push("t", spark.createDataFrame([(1, 5), (2, 50), (3, 20)],
+                                        "k long, v long"))
+    eng.push("s", spark.createDataFrame([(10,), (30,)], "x long"))
+    eng.step()
+    assert sorted(r[0] for r in eng.view("v").collect()) == [2]
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    assert eng2.view_strategy("__v_qs") == "quant_scalars"
+    assert sorted(r[0] for r in eng2.view("v").collect()) == [2]
+    # retract the max: threshold falls to 10, k=3 flips in
+    eng2.push("s", spark.createDataFrame([(30,)], "x long"), weight=-1)
+    eng2.step()
+    assert sorted(r[0] for r in eng2.view("v").collect()) == [2, 3]
+    # drain: ALL over the empty set keeps every row
+    eng2.push("s", spark.createDataFrame([(10,)], "x long"), weight=-1)
+    eng2.step()
+    assert sorted(r[0] for r in eng2.view("v").collect()) == [1, 2, 3]
