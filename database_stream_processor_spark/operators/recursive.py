@@ -1074,32 +1074,105 @@ class ZSetBagFixpointOp:
     step branch references the input; pass an empty-returning callback
     when it does not, or the seed would double-count).
 
+    **Multi-input mode** (the reference's weighted recursion imports
+    several parent streams, delta0.rs:21 + recursive.rs:255): pass
+    ``empty_input`` as a dict ``{name: empty ZSetFrame}`` plus
+    ``base_tbls`` / ``step_tbls`` — the ORDERED lists of inputs each
+    branch references.  Callbacks then take binding maps:
+    ``z_base({name: DataFrame})``, ``z_step({name: DataFrame}, R)``;
+    ``step(delta)`` takes ``{name: ZSetFrame | None}`` (None =
+    unchanged).  The per-tick seed expands multilinearly over each
+    branch's referenced inputs — leg *i* binds inputs before *i* to
+    their NEW integral, input *i* to its delta, inputs after *i* to the
+    OLD integral (the telescoping sum Δ(A⊗B) = ΔA⊗B_old + A_new⊗ΔB,
+    the bilinear Z-set join delta of join.rs:226 iterated) — so inserts
+    and deletes still flow through ONE linear path with ring
+    cancellation, no DRed.  A branch with an empty ``base_tbls``
+    (constant base) contributes once, on the first tick.
+
     Termination requires finitely many derivation paths per fact
     (acyclic derivations): on a cyclic graph standard UNION ALL
     recursion itself diverges, and this op faithfully raises instead of
     silently converging to the wrong (set) answer."""
 
     def __init__(self, empty_input, empty_output, z_base, z_step,
-                 z_step_delta=None, max_iterations: int = 100):
+                 z_step_delta=None, base_tbls=None, step_tbls=None,
+                 max_iterations: int = 100):
         from database_stream_processor_spark.plans.incremental import (
             StateTable)
+        self._multi = isinstance(empty_input, dict)
         self.z_base, self.z_step = z_base, z_step
         self.z_step_delta = (z_step_delta if z_step_delta is not None
                              else z_step)
         self.max_iterations = max_iterations
-        self.integral = StateTable(empty_input, name="bag_fixpoint_input")
+        if self._multi:
+            self.inputs = list(empty_input)
+            self._integrals = {
+                k: StateTable(z, name=f"bag_fixpoint_input_{k}")
+                for k, z in empty_input.items()}
+            self.integral = self._integrals
+            self._base_tbls = list(base_tbls or [])
+            self._step_tbls = list(step_tbls or [])
+            self._base_done = False
+        else:
+            self.integral = StateTable(empty_input,
+                                       name="bag_fixpoint_input")
         self._empty_out = empty_output
         self._acc = None
         self.last_stats: dict | None = None
 
-    def step(self, delta) -> "object":
+    def _seed_multi(self, delta) -> "object":
+        """Multilinear delta seed: one leg per (branch, referenced
+        input), old/new mixing per the telescoping expansion; untouched
+        inputs (delta None) contribute nothing and schedule no jobs."""
         from database_stream_processor_spark.zset import ZSetFrame
-        d = delta.consolidate()
-        i_new = self.integral.update(d).consolidate()
+        d = {k: (delta.get(k).consolidate()
+                 if delta.get(k) is not None else None)
+             for k in self.inputs}
+        old = {k: st.current.consolidate().df
+               for k, st in self._integrals.items()}
+        new = {}
+        for k in self.inputs:
+            if d[k] is not None:
+                self._integrals[k].update(d[k])
+            new[k] = self._integrals[k].current.consolidate().df
+
+        def leg(refs, i):
+            b = dict(new)
+            for j, t in enumerate(refs):
+                b[t] = new[t] if j < i else (d[t].df if j == i
+                                             else old[t])
+            return b
+
         first = self._acc is None
         acc_old = self._empty_out if first else self._acc
-        seed = (self.z_base(d).plus(self.z_step_delta(d, acc_old))
-                .consolidate())
+        seed = ZSetFrame(self._empty_out.df)
+        if self._base_tbls:
+            for i, t in enumerate(self._base_tbls):
+                if d[t] is None:
+                    continue
+                seed = seed.plus(self.z_base(leg(self._base_tbls, i)))
+        elif not self._base_done:
+            # constant base: contributes once, on the first tick
+            seed = seed.plus(self.z_base(dict(new)))
+        self._base_done = True
+        for i, t in enumerate(self._step_tbls):
+            if d[t] is None:
+                continue
+            seed = seed.plus(
+                self.z_step(leg(self._step_tbls, i), acc_old))
+        return seed.consolidate(), new
+
+    def step(self, delta) -> "object":
+        from database_stream_processor_spark.zset import ZSetFrame
+        acc_old = self._empty_out if self._acc is None else self._acc
+        if self._multi:
+            seed, i_new = self._seed_multi(delta)
+        else:
+            d = delta.consolidate()
+            i_new = self.integral.update(d).consolidate()
+            seed = (self.z_base(d).plus(self.z_step_delta(d, acc_old))
+                    .consolidate())
         f = ZSetFrame(seed.df.localCheckpoint(eager=True))
         total = f
         rounds = 0

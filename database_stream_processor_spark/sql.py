@@ -5548,34 +5548,38 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
     weights; inserts and deletes then flow through ONE linear path —
     the Z-set ring cancels retracted derivations, no DRed (the
     reference's weighted recursion, recursive.rs:255, vldb23 §5).
-    Restrictions: linear recursion (one CTE atom in the step), a single
-    input table, SPJ branches."""
+    Since r11 the branches may span SEVERAL input relations (the op's
+    multi-input mode expands each branch's delta multilinearly — one
+    leg per referenced input, old/new mixed per the telescoping
+    bilinear-join expansion, join.rs:226).  Restrictions: linear
+    recursion (one CTE atom in the step), SPJ branches."""
 
     kind = "recursive_bag"
 
-    def __init__(self, eng: "Engine", name: str, rname: str, tbl: str,
-                 base_sql: str, step_sql: str):
+    def __init__(self, eng: "Engine", name: str, rname: str,
+                 tbls: list[str], base_sql: str, step_sql: str):
         from database_stream_processor_spark.operators.recursive import (
             ZSetBagFixpointOp)
         scrub = lambda t: re.sub(r"'[^']*'", " ", t)
         refs = lambda t, w: len(re.findall(rf"\b{w}\b", scrub(t),
                                            re.IGNORECASE))
-        base_has_tbl = refs(base_sql, tbl) > 0
-        step_has_tbl = refs(step_sql, tbl) > 0
-        wb = _weighted_branch(base_sql, [tbl] if base_has_tbl else [])
-        ws = _weighted_branch(step_sql,
-                              ([tbl] if step_has_tbl else []) + [rname])
+        base_tbls = [t for t in tbls if refs(base_sql, t) > 0]
+        step_tbls = [t for t in tbls if refs(step_sql, t) > 0]
+        wb = _weighted_branch(base_sql, base_tbls)
+        ws = _weighted_branch(step_sql, step_tbls + [rname])
         if wb is None or ws is None:
             raise _UnloweredShape(
                 "UNION ALL recursion branch is not a weighted-SPJ shape")
         self.name, self.sql = name, base_sql
-        self.table, self.rname = tbl, rname
-        empty_zin = ZSetFrame.from_df(_source_rows0(eng, tbl).limit(0))
-        snap = eng.eval_on(wb, {tbl: empty_zin.df})
+        self.tables, self.rname = list(tbls), rname
+        empty_zin = {t: ZSetFrame.from_df(_source_rows0(eng, t).limit(0))
+                     for t in tbls}
+        zin_dfs = {t: z.df for t, z in empty_zin.items()}
+        snap = eng.eval_on(wb, dict(zin_dfs))
         cols = list(snap.columns)           # …items, __weight last
         try:
             step_snap = eng.eval_on(
-                ws, {tbl: empty_zin.df,
+                ws, {**zin_dfs,
                      rname: eng.spark.createDataFrame([], snap.schema)})
             if len(step_snap.columns) != len(cols):
                 raise _UnloweredShape(
@@ -5590,25 +5594,13 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
         self.state = StateTable(empty_out, name=f"view_{name}")
 
         znorm = lambda df: ZSetFrame(df.toDF(*cols))
-        if base_has_tbl:
-            z_base = lambda d: znorm(eng.eval_on(wb, {tbl: d.df}))
-        else:
-            # constant base: contributes once (the first tick), never
-            # to later input deltas
-            state = {"first": True}
-
-            def z_base(d):
-                if state["first"]:
-                    state["first"] = False
-                    return znorm(eng.eval_on(wb, {}))
-                return ZSetFrame(empty_out.df)
-        z_step = lambda a, b: znorm(
-            eng.eval_on(ws, {tbl: a.df, rname: b.df}))
-        z_step_delta = (z_step if step_has_tbl
-                        else (lambda d, acc: ZSetFrame(empty_out.df)))
+        z_base = lambda bmap: znorm(eng.eval_on(wb, dict(bmap)))
+        z_step = lambda bmap, acc: znorm(
+            eng.eval_on(ws, {**bmap, rname: acc.df}))
         self._op = ZSetBagFixpointOp(
             empty_input=empty_zin, empty_output=empty_out,
-            z_base=z_base, z_step=z_step, z_step_delta=z_step_delta)
+            z_base=z_base, z_step=z_step,
+            base_tbls=base_tbls, step_tbls=step_tbls)
         self._eng = eng
 
     @property
@@ -5616,12 +5608,12 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
         return self._op.last_stats
 
     def step(self, eng, combined, old):
-        z = combined.get(self.table)
-        if z is None:
+        deltas = {t: combined.get(t) for t in self.tables}
+        if all(z is None for z in deltas.values()):
             return self._empty()
         try:
             with _no_constraint_propagation(eng.spark):
-                delta = self._op.step(z).consolidate()
+                delta = self._op.step(deltas).consolidate()
         finally:
             try:
                 eng.spark.catalog.dropTempView(self.rname)
@@ -5770,13 +5762,10 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
             registered.append(hid)
             if is_bag:
                 # UNION ALL: the Z-set bag fixpoint (weights count
-                # derivation paths) — linear, single-input only
-                if len(tbls) != 1:
-                    raise _UnloweredShape(
-                        "UNION ALL recursion over several input "
-                        "tables is not lowerable")
+                # derivation paths) — linear in the CTE atom; branches
+                # may span several inputs (multilinear delta legs)
                 hm = _RecursiveCteBagMaintainer(eng, hid, rname,
-                                                tbls[0], base_sql,
+                                                tbls, base_sql,
                                                 step_sql)
             else:
                 hm = _RecursiveCteMaintainer(eng, hid, rname, tbls,
