@@ -1046,6 +1046,246 @@ class IncrementalFixpointOp:
         return self._prev
 
 
+class MutualFixpointOp:
+    """Vector fixpoint: incremental maintenance of SEVERAL mutually
+    recursive monotone views ``R_n = base_n(I) ∪ step_n(I, R_1…R_k)``
+    under input deltas — the reference maintains arbitrary nested
+    circuits, where a recursive scope may export several mutually
+    referencing streams (recursive.rs:255; the galen Datalog bench,
+    crates/dbsp/benches/galen.rs, is mutually recursive rules).  This
+    is :class:`IncrementalFixpointOp` with the accumulator, frontier,
+    suspect and re-derivation sets each lifted to a dict keyed by view
+    name; the three execution paths (semi-naive insert, DRed delete,
+    recompute-and-diff fallback) round over ALL rules until every
+    per-name frontier is empty.
+
+    Callbacks all take/return ``{name: DataFrame}`` dicts:
+
+    - ``base(full)`` — per-name seeds (must not read any recursive
+      view);
+    - ``step(full, acc)`` — per-name full step bodies over the current
+      accumulator vector;
+    - ``delta_base(full, d)`` / ``delta_step(full, d, acc)`` — every
+      derivation using ≥1 delta atom of any INPUT (recursive atoms
+      bound to ``acc``);
+    - ``delta_step_out(full, s, acc)`` — every derivation using ≥1
+      frontier atom of ANY recursive view from ``s``, remaining
+      recursive atoms drawn from ``acc`` (for a rule body with one
+      atom of view *m*, that's the body with *m* bound to ``s[m]``;
+      a body with several atoms of the same view needs one variant
+      per occurrence, exactly the non-linear contract of
+      :class:`IncrementalFixpointOp`).
+
+    Over-approximation is fine everywhere — the set fixpoint dedups."""
+
+    def __init__(self, empty_input: dict, names: list[str],
+                 empty_out: dict, base, step, delta_base, delta_step,
+                 delta_step_out, max_iterations: int = 100):
+        from database_stream_processor_spark.plans.incremental import (
+            StateTable)
+        self.names = list(names)
+        self.base_fn, self.step_fn = base, step
+        self.delta_base, self.delta_step = delta_base, delta_step
+        self.delta_step_out = delta_step_out
+        self.max_iterations = max_iterations
+        self.inputs = list(empty_input)
+        self._integrals = {k: StateTable(z, name=f"mutual_input_{k}")
+                           for k, z in empty_input.items()}
+        self._empty_out = empty_out          # {name: empty DataFrame}
+        self._prev: dict | None = None       # {name: DataFrame}
+        self.last_stats: dict | None = None
+
+    def _currents(self):
+        return {k: st.current.consolidate().rows()
+                .localCheckpoint(eager=True)
+                for k, st in self._integrals.items()}
+
+    # ---- dict-of-DataFrame helpers (names of self.names) ----
+    def _map(self, fn, *dicts):
+        return {n: fn(*(d[n] for d in dicts)) for n in self.names}
+
+    def _ckpt(self, m):
+        return {n: df.localCheckpoint(eager=True) for n, df in m.items()}
+
+    def _all_empty(self, m):
+        return all(df.isEmpty() for df in m.values())
+
+    def _total_count(self, m):
+        return sum(df.count() for df in m.values())
+
+    def step(self, delta) -> "dict":
+        """``{input: ZSetFrame | None}`` in, ``{name: ZSetFrame}``
+        output deltas out."""
+        from database_stream_processor_spark.zset import ZSetFrame
+        d = {k: z.consolidate() for k, z in delta.items()
+             if z is not None}
+        empties = {k: ZSetFrame(self._integrals[k].current.df.limit(0))
+                   for k in self.inputs if k not in d}
+        d.update(empties)
+        insert_only = all(z.df.filter(z.weight < 0).isEmpty()
+                          for z in d.values())
+        if insert_only and self._prev is not None:
+            return self._step_seminaive(d)
+        if not insert_only and self._prev is not None:
+            neg = {k: ZSetFrame(z.df.filter(z.weight < 0)).consolidate()
+                   for k, z in d.items()}
+            pos = {k: ZSetFrame(z.df.filter(z.weight > 0)).consolidate()
+                   for k, z in d.items()}
+            out = self._step_dred(neg)
+            if any(not z.df.isEmpty() for z in pos.values()):
+                pout = self._step_seminaive(pos)
+                out = {n: out[n].plus(pout[n]).consolidate()
+                       for n in self.names}
+            return out
+        for k, z in d.items():
+            self._integrals[k].update(z)
+        rows = self._currents()
+        acc = self._ckpt(self._map(
+            lambda df: df.dropDuplicates(), self.base_fn(rows)))
+        for _ in range(self.max_iterations):
+            stepped = self.step_fn(rows, acc)
+            frontier = self._ckpt(self._map(
+                lambda s, a: s.dropDuplicates().exceptAll(a),
+                stepped, acc))
+            if self._all_empty(frontier):
+                break
+            acc = self._ckpt(self._map(
+                lambda a, f: a.unionByName(f), acc, frontier))
+        else:
+            raise RuntimeError("mutual fixpoint did not converge")
+        if self._prev is None:
+            diff = {n: ZSetFrame.from_df(acc[n], 1).consolidate()
+                    for n in self.names}
+        else:
+            diff = {n: ZSetFrame.from_df(acc[n]
+                                         .exceptAll(self._prev[n]), 1)
+                    .plus(ZSetFrame.from_df(
+                        self._prev[n].exceptAll(acc[n]), -1))
+                    .consolidate()
+                    for n in self.names}
+        self._prev = acc
+        self.last_stats = {"mode": "recompute", "rounds": None,
+                           "new_rows": None}
+        return diff
+
+    def _step_seminaive(self, d) -> "dict":
+        from database_stream_processor_spark.zset import ZSetFrame
+        d_rows = {k: z.rows().localCheckpoint(eager=True)
+                  for k, z in d.items()}
+        for k, z in d.items():
+            self._integrals[k].update(z)
+        full = self._currents()
+        acc = self._prev
+        db = self.delta_base(full, d_rows)
+        ds = self.delta_step(full, d_rows, acc)
+        frontier = self._ckpt(self._map(
+            lambda b, s, a: b.unionByName(s).dropDuplicates()
+            .exceptAll(a), db, ds, acc))
+        new = dict(frontier)
+        rounds = 0
+        with _loop_shuffle_partitions(next(iter(d_rows.values()))) \
+                as resize:
+            for _ in range(self.max_iterations):
+                if self._all_empty(frontier):
+                    break
+                rounds += 1
+                acc = self._ckpt(self._map(
+                    lambda a, f: a.unionByName(f), acc, frontier))
+                resize(self._total_count(frontier))
+                stepped = self.delta_step_out(full, frontier, acc)
+                frontier = self._ckpt(self._map(
+                    lambda s, a: s.dropDuplicates().exceptAll(a),
+                    stepped, acc))
+                new = self._map(lambda a, f: a.unionByName(f),
+                                new, frontier)
+            else:
+                raise RuntimeError(
+                    "mutual semi-naive fixpoint did not converge")
+        new = self._ckpt(new)
+        self._prev = acc
+        self.last_stats = {"mode": "seminaive", "rounds": rounds,
+                           "new_rows": self._total_count(new)}
+        return {n: ZSetFrame.from_df(new[n], 1).consolidate()
+                for n in self.names}
+
+    def _step_dred(self, dneg) -> "dict":
+        """Vector delete-and-rederive — the scalar
+        :meth:`IncrementalFixpointOp._step_dred` with suspects /
+        keep / re-derivation sets per view name; both closures round
+        until every per-name frontier is empty."""
+        from database_stream_processor_spark.zset import ZSetFrame
+        d_rows = {k: z.neg().rows().localCheckpoint(eager=True)
+                  for k, z in dneg.items()}
+        i_old = self._currents()
+        for k, z in dneg.items():
+            self._integrals[k].update(z)
+        full = self._currents()
+        acc = self._prev
+        db = self.delta_base(i_old, d_rows)
+        ds = self.delta_step(i_old, d_rows, acc)
+        s = self._ckpt(self._map(
+            lambda b, t, a: b.unionByName(t).dropDuplicates()
+            .intersect(a), db, ds, acc))
+        suspects = dict(s)
+        s_rounds = 0
+        with _loop_shuffle_partitions(next(iter(d_rows.values()))) \
+                as resize:
+            for _ in range(self.max_iterations):
+                if self._all_empty(s):
+                    break
+                s_rounds += 1
+                resize(self._total_count(s))
+                stepped = self.delta_step_out(i_old, s, acc)
+                s = self._ckpt(self._map(
+                    lambda t, a, su: t.dropDuplicates().intersect(a)
+                    .exceptAll(su), stepped, acc, suspects))
+                suspects = self._ckpt(self._map(
+                    lambda su, t: su.unionByName(t), suspects, s))
+            else:
+                raise RuntimeError(
+                    "mutual DRed suspect closure did not converge")
+            n_s = self._total_count(suspects)
+            keep = self._ckpt(self._map(
+                lambda a, su: a.exceptAll(su), acc, suspects))
+            bn = self.base_fn(full)
+            sk = self.step_fn(full, keep)
+            red = self._ckpt(self._map(
+                lambda b, t, su: b.intersect(su)
+                .unionByName(t.intersect(su)).dropDuplicates(),
+                bn, sk, suspects))
+            frontier = dict(red)
+            r_rounds = 0
+            for _ in range(self.max_iterations):
+                if self._all_empty(frontier):
+                    break
+                r_rounds += 1
+                resize(n_s)
+                ctx = self._map(lambda k_, r: k_.unionByName(r),
+                                keep, red)
+                stepped = self.delta_step_out(full, frontier, ctx)
+                frontier = self._ckpt(self._map(
+                    lambda t, su, r: t.dropDuplicates().intersect(su)
+                    .exceptAll(r), stepped, suspects, red))
+                red = self._ckpt(self._map(
+                    lambda r, f: r.unionByName(f), red, frontier))
+            else:
+                raise RuntimeError(
+                    "mutual DRed re-derivation did not converge")
+        dead = self._ckpt(self._map(
+            lambda su, r: su.exceptAll(r), suspects, red))
+        self._prev = self._ckpt(self._map(
+            lambda k_, r: k_.unionByName(r), keep, red))
+        self.last_stats = {"mode": "dred", "suspects": n_s,
+                           "rounds": s_rounds + r_rounds,
+                           "new_rows": None}
+        return {n: ZSetFrame.from_df(dead[n], -1).consolidate()
+                for n in self.names}
+
+    @property
+    def current(self) -> "dict | None":
+        return self._prev
+
+
 class ZSetBagFixpointOp:
     """UNION ALL (bag) recursion as a Z-set LINEAR fixpoint: the output
     solves ``R = base(I) ⊎ step(I, R)`` with multiplicities = number of

@@ -5488,6 +5488,250 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
         return delta
 
 
+class _RecursiveCteMutualMaintainer(_ViewMaintainer):
+    """MUTUAL recursion — ``WITH RECURSIVE a AS (… b …), b AS (… a …)
+    …``: one vector fixpoint (:class:`~database_stream_processor_spark.
+    operators.recursive.MutualFixpointOp`) maintains every view of the
+    strongly-connected CTE group together (the reference maintains
+    arbitrary nested circuits exporting several mutually referencing
+    streams, recursive.rs:255; galen.rs is the mutually-recursive
+    Datalog model).  This maintainer owns the op and the FIRST group
+    member's state; the other members' hidden views are
+    :class:`_RecursiveSatelliteMaintainer` rows registered right after
+    it, which pop their per-tick deltas from ``self._stash`` (the
+    engine steps maintainers in registration order, so the stash is
+    always filled first).
+
+    Each member body is a UNION of branches: branches referencing no
+    group name are base rules, the rest are step rules (a member may be
+    pure-step — e.g. the ``odd`` of even/odd reachability — its schema
+    then derives from its step rule over the already-typed members).
+    Delta rules follow the single-CTE maintainer: one leg per (branch,
+    touched input) for input deltas, and for the frontier the
+    ``delta_step_out`` legs bind ONE group atom to that name's frontier
+    (per-occurrence variants when a branch references the same group
+    name twice — the non-linear contract)."""
+
+    kind = "recursive_mutual"
+
+    def __init__(self, eng: "Engine", name: str, rnames: list[str],
+                 tbls: list[str],
+                 branches: dict[str, tuple[list[str], list[str]]]):
+        from database_stream_processor_spark.operators.recursive import (
+            MutualFixpointOp)
+        self.name = name
+        self.tables, self.rnames = list(tbls), list(rnames)
+        self._stash: dict[str, ZSetFrame] = {}
+        scrub = lambda t: re.sub(r"'[^']*'", " ", t)
+        refs = lambda t, w: len(re.findall(rf"\b{re.escape(w)}\b"
+                                           r"(?!\s*\.)", scrub(t),
+                                           re.IGNORECASE))
+        empty_in = {t: _source_rows0(eng, t).limit(0) for t in tbls}
+        self._fnames = {rn: f"__{name}_f_{rn}" for rn in rnames}
+        # per-branch frontier legs: (sql, bound_rname, is_variant) —
+        # one per (branch, group-name occurrence); a multi-occurrence
+        # branch splices per-occurrence variants binding the frontier
+        # under the hidden fname, a single occurrence just rebinds the
+        # group name itself
+        self._out_legs: dict[str, list[tuple[str, str, bool]]] = {}
+        for rn in rnames:
+            legs = []
+            for sb in branches[rn][1]:
+                for m_ in rnames:
+                    k = refs(sb, m_)
+                    if k == 0:
+                        continue
+                    if k == 1:
+                        legs.append((sb, m_, False))
+                        continue
+                    vs = _rec_occurrence_variants(sb, m_,
+                                                  self._fnames[m_])
+                    if vs is None:
+                        raise _UnloweredShape(
+                            "non-linear mutual step with unaliased "
+                            "or non-table group occurrences")
+                    legs.extend((v, m_, True) for v in vs)
+            if not legs:
+                raise _UnloweredShape(
+                    f"group member {rn!r} has no step rule")
+            self._out_legs[rn] = legs
+        # schema resolution: base-carrying members type from their
+        # first base rule; pure-step members type from a step rule once
+        # every group name it references is typed — iterate to a fixed
+        # point (an all-pure-step typing cycle is unresolvable)
+        schemas: dict[str, object] = {}
+        b0 = branches[rnames[0]]
+        self.sql = (b0[0] or b0[1])[0]
+        try:
+            pending = list(rnames)
+            while pending:
+                progressed = False
+                for rn in list(pending):
+                    bases, steps = branches[rn]
+                    if bases:
+                        snap = eng.eval_on(bases[0], dict(empty_in))
+                    else:
+                        need = {m_ for m_ in rnames
+                                if refs(steps[0], m_)}
+                        if not need <= set(schemas):
+                            continue
+                        snap = eng.eval_on(steps[0], {
+                            **empty_in,
+                            **{m_: eng.spark.createDataFrame(
+                                [], schemas[m_]) for m_ in need}})
+                    schemas[rn] = snap.schema
+                    pending.remove(rn)
+                    progressed = True
+                if not progressed:
+                    raise _UnloweredShape(
+                        "mutual recursion with an untypable pure-step "
+                        "cycle (no base rule reachable)")
+            # arity check: every rule of a member matches its schema
+            empty_rec = {rn: eng.spark.createDataFrame([], schemas[rn])
+                         for rn in rnames}
+            for rn in rnames:
+                for br in branches[rn][0] + branches[rn][1]:
+                    probe = eng.eval_on(br, {**empty_in, **empty_rec})
+                    if len(probe.columns) != len(schemas[rn].fields):
+                        raise _UnloweredShape(
+                            f"rule arity {len(probe.columns)} != "
+                            f"member {rn!r} arity "
+                            f"{len(schemas[rn].fields)}")
+        finally:
+            for rn in rnames:
+                try:
+                    eng.spark.catalog.dropTempView(rn)
+                except Exception:
+                    pass
+        out_cols = {rn: [f.name for f in schemas[rn].fields]
+                    for rn in rnames}
+        self._schemas = schemas
+        empty_out = {rn: eng.spark.createDataFrame([], schemas[rn])
+                     for rn in rnames}
+        self.state = StateTable(
+            ZSetFrame.from_df(empty_out[rnames[0]]),
+            name=f"view_{name}")
+        self._empty_out = empty_out
+        self._touched: set[str] = set(tbls)
+        norm = lambda rn, df: df.toDF(*out_cols[rn])
+
+        def _eval_union(rn, sqls, binds):
+            out = empty_out[rn]
+            for s_ in sqls:
+                out = out.unionByName(norm(rn, eng.eval_on(s_, binds)))
+            return out
+
+        def base(full):
+            return {rn: _eval_union(rn, branches[rn][0], dict(full))
+                    for rn in rnames}
+
+        def step(full, acc):
+            return {rn: _eval_union(rn, branches[rn][1],
+                                    {**full, **acc})
+                    for rn in rnames}
+
+        def delta_base(full, dm):
+            out = {}
+            for rn in rnames:
+                legs = [(bb, t) for bb in branches[rn][0]
+                        for t in tbls
+                        if t in self._touched and refs(bb, t)]
+                out[rn] = empty_out[rn]
+                for bb, t in legs:
+                    out[rn] = out[rn].unionByName(
+                        norm(rn, eng.eval_on(bb, {**full, t: dm[t]})))
+            return out
+
+        def delta_step(full, dm, acc):
+            out = {}
+            for rn in rnames:
+                out[rn] = empty_out[rn]
+                for sb in branches[rn][1]:
+                    for t in tbls:
+                        if t not in self._touched or not refs(sb, t):
+                            continue
+                        out[rn] = out[rn].unionByName(norm(
+                            rn, eng.eval_on(
+                                sb, {**full, t: dm[t], **acc})))
+            return out
+
+        def delta_step_out(full, s, acc):
+            out = {}
+            for rn in rnames:
+                out[rn] = empty_out[rn]
+                for v, m_, is_var in self._out_legs[rn]:
+                    binds = ({**full, **acc, self._fnames[m_]: s[m_]}
+                             if is_var
+                             else {**full, **acc, m_: s[m_]})
+                    out[rn] = out[rn].unionByName(
+                        norm(rn, eng.eval_on(v, binds)))
+            return out
+
+        self._op = MutualFixpointOp(
+            empty_input={t: ZSetFrame.from_df(df)
+                         for t, df in empty_in.items()},
+            names=list(rnames), empty_out=empty_out,
+            base=base, step=step, delta_base=delta_base,
+            delta_step=delta_step, delta_step_out=delta_step_out)
+        self._eng = eng
+
+    @property
+    def last_stats(self):
+        return self._op.last_stats
+
+    def step(self, eng, combined, old):
+        deltas = {t: combined.get(t) for t in self.tables}
+        if all(z is None for z in deltas.values()):
+            self._stash = {}
+            return self._empty()
+        self._touched = {t for t, z in deltas.items() if z is not None}
+        try:
+            with _no_constraint_propagation(eng.spark):
+                out = self._op.step(deltas)
+        finally:
+            self._touched = set(self.tables)
+            for v in (list(self.rnames)
+                      + list(self._fnames.values())):
+                try:
+                    eng.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+        self._stash = {rn: out[rn] for rn in self.rnames[1:]}
+        delta = out[self.rnames[0]]
+        self.apply_delta(delta)
+        return delta
+
+
+class _RecursiveSatelliteMaintainer(_ViewMaintainer):
+    """A non-primary member of a mutual-recursion group: its per-tick
+    delta was already computed by the group's
+    :class:`_RecursiveCteMutualMaintainer` (registered immediately
+    before it — the engine steps maintainers in registration order);
+    this row just pops it from the primary's stash and applies it to
+    its own state."""
+
+    kind = "recursive_mutual"
+
+    def __init__(self, eng: "Engine", name: str, rname: str,
+                 primary: _RecursiveCteMutualMaintainer):
+        self.name, self.sql = name, primary.sql
+        self._primary, self._rname = primary, rname
+        empty = eng.spark.createDataFrame([], primary._schemas[rname])
+        self.state = StateTable(ZSetFrame.from_df(empty),
+                                name=f"view_{name}")
+
+    @property
+    def last_stats(self):
+        return self._primary.last_stats
+
+    def step(self, eng, combined, old):
+        z = self._primary._stash.pop(self._rname, None)
+        if z is None:
+            return self._empty()
+        self.apply_delta(z)
+        return z
+
+
 #: shapes a weighted (bag) branch cannot carry: anything non-linear in
 #: the weight ring — aggregation, distinct, outer joins, set ops — plus
 #: subqueries (own lowering) and SELECT * (the weight column would leak)
@@ -5638,21 +5882,31 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     (the classic ``WITH RECURSIVE edges AS (…), paths AS (… FROM edges
     … UNION … paths …)`` spelling): they hoist through the ordinary CTE
     machinery, and the recursion's input table may BE such a hidden
-    view.  Exactly one CTE may reference itself.
+    view.
 
     Since r10: NON-LINEAR steps (the CTE joined with itself) lower via
     per-occurrence step variants (:func:`_rec_occurrence_variants`);
     the recursion may span up to THREE input relations; and ``UNION
     ALL`` routes to the Z-set bag fixpoint
     (:class:`_RecursiveCteBagMaintainer` — multiplicities count
-    derivation paths).
+    derivation paths; since r11 its branches may span several inputs).
 
-    Refused shapes (→ error or fallback upstream): mutual recursion,
-    >3 input relations, a branch referencing an input table twice in
-    table position (the linear delta forms would under-approximate),
+    Since r11: MUTUAL recursion — CTEs forming ONE strongly-connected
+    reference cycle (``a`` reads ``b``, ``b`` reads ``a``; possibly
+    through pure-step intermediaries) lower onto a single vector
+    fixpoint (:class:`_RecursiveCteMutualMaintainer` + satellites), the
+    reference's nested circuits with several mutually referencing
+    exports (recursive.rs:255, galen.rs).
+
+    Refused shapes (→ error or fallback upstream): SEVERAL disjoint
+    recursive components, UNION ALL (bag) mutual recursion, >3 input
+    relations, a branch referencing an input table twice in table
+    position (the linear delta forms would under-approximate),
     non-linear steps with unaliased CTE occurrences, UNION ALL with a
-    non-linear or multi-input or non-SPJ body, or a CTE name colliding
-    with a known source or column."""
+    non-linear or non-SPJ body, a CTE name colliding with a known
+    source or column, or a non-recursive CTE that reads a group member
+    but precedes the group's last member (consumers go after the
+    group)."""
     m = re.match(r"^WITH\s+RECURSIVE\s+", flat, re.IGNORECASE)
     if not m:
         raise _UnloweredShape("not a WITH RECURSIVE clause")
@@ -5663,13 +5917,31 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     # (the r10 fuzz caught the inflated count refusing that spelling)
     refs = lambda t, w: len(re.findall(rf"\b{w}\b(?!\s*\.)", scrub(t),
                                        re.IGNORECASE))
-    rec_idx = [i for i, (n, b) in enumerate(ctes) if refs(b, n)]
-    if not rec_idx:
-        # RECURSIVE keyword with no self-reference: plain CTE semantics
+    # recursive set = CTEs on a reference cycle (self-loops AND mutual
+    # cycles, possibly through intermediaries): reachability closure
+    # over the name-reference graph
+    cnames = [n for n, _ in ctes]
+    body_of = dict(ctes)
+    reach = {n: {m_ for m_ in cnames if refs(body_of[n], m_)}
+             for n in cnames}
+    changed = True
+    while changed:
+        changed = False
+        for n in cnames:
+            add = set().union(*(reach[m_] for m_ in reach[n])) \
+                - reach[n] if reach[n] else set()
+            if add:
+                reach[n] |= add
+                changed = True
+    rec_set = {n for n in cnames if n in reach[n]}
+    if not rec_set:
+        # RECURSIVE keyword with no reference cycle: plain CTE semantics
         return _cte_lift(eng, name, "WITH " + flat[m.end():])
-    if len(rec_idx) > 1:
-        raise _UnloweredShape("more than one self-referencing CTE")
-    ri = rec_idx[0]
+    for a_ in rec_set:
+        for b_ in rec_set:
+            if a_ != b_ and b_ not in reach[a_]:
+                raise _UnloweredShape(
+                    "several disjoint recursive components")
     # column-collision guard over every known source in the text (the
     # whole-word rewrite discipline of _cte_lift)
     words = {w.lower() for w in re.findall(r"\b\w+\b", scrub(flat))}
@@ -5684,6 +5956,7 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     registered: list[str] = []
     try:
         mapping: dict[str, str] = {}
+        gbodies: dict[str, str] = {}
         for i, (cname, body) in enumerate(ctes):
             if cname in src_cols:
                 raise _UnloweredShape(
@@ -5698,7 +5971,7 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                     raise _UnloweredShape(
                         f"CTE name {prev!r} also used as a relation "
                         "alias")
-            if i != ri:
+            if cname not in rec_set:
                 # ordinary CTE: hoist through the regular machinery
                 body = _normalize_comma_from(eng, body)
                 hid = f"__{name}_cte_{cname}"
@@ -5710,7 +5983,67 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                     for c in _source_rows0(eng, hid).columns)
                 mapping[cname] = hid
                 continue
-            # the recursive CTE
+            if len(rec_set) > 1:
+                # mutual group member: collect its (mapping-rewritten)
+                # body; the whole group registers once the LAST member
+                # arrives — interleaved non-recursive CTEs the later
+                # members read are hoisted by then
+                gbodies[cname] = body
+                if len(gbodies) < len(rec_set):
+                    continue
+                group = [n for n in cnames if n in rec_set]
+                gbranches: dict[str, tuple[list[str], list[str]]] = {}
+                for gn in group:
+                    u = _split_union(gbodies[gn])
+                    parts, is_bag = ((u[0], u[1]) if u is not None
+                                     else ([gbodies[gn]], False))
+                    if is_bag:
+                        raise _UnloweredShape(
+                            "UNION ALL mutual recursion is not "
+                            "lowerable")
+                    bases = [p.strip() for p in parts
+                             if not any(refs(p, m_) for m_ in group)]
+                    steps = [p.strip() for p in parts
+                             if any(refs(p, m_) for m_ in group)]
+                    gbranches[gn] = (bases, steps)
+                gw = {w.lower() for gn in group for w in re.findall(
+                    r"\b\w+\b", scrub(gbodies[gn]))}
+                tbls = sorted(w for w in gw
+                              if w in eng.tables or w in eng.views
+                              or w in eng._maintainers)
+                if not 1 <= len(tbls) <= 3:
+                    raise _UnloweredShape(
+                        f"mutual recursion over {len(tbls)} input "
+                        "tables (1-3 are lowerable)")
+                for t in tbls:
+                    for gn in group:
+                        for br in (gbranches[gn][0]
+                                   + gbranches[gn][1]):
+                            if refs(br, t) > 1:
+                                raise _UnloweredShape(
+                                    "input table referenced twice in "
+                                    "one rule (linear delta forms "
+                                    "would under-approximate)")
+                hidp = f"__{name}_rec_{group[0]}"
+                registered.append(hidp)
+                hm = _RecursiveCteMutualMaintainer(
+                    eng, hidp, group, tbls, gbranches)
+                eng._maintainers[hidp] = hm
+                eng._sources[hidp] = set(tbls)
+                hm.state.current.rows().createOrReplaceTempView(hidp)
+                mapping[group[0]] = hidp
+                for gn in group[1:]:
+                    hids = f"__{name}_rec_{gn}"
+                    registered.append(hids)
+                    sm = _RecursiveSatelliteMaintainer(eng, hids, gn,
+                                                       hm)
+                    eng._maintainers[hids] = sm
+                    eng._sources[hids] = {hidp}
+                    sm.state.current.rows() \
+                        .createOrReplaceTempView(hids)
+                    mapping[gn] = hids
+                continue
+            # the (single) recursive CTE
             rname = cname
             u = _split_union(body)
             if u is None or len(u[0]) != 2:

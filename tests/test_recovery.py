@@ -466,6 +466,73 @@ def test_bag_recursive_view_survives_suspend_resume(spark, tmp_path):
         bag([(1, 3), (2, 4), (3, 4), (4, 5)])
 
 
+def test_mutual_recursive_view_survives_suspend_resume(spark, tmp_path):
+    """Suspend/resume under MUTUAL recursion: the bootstrap tick replays
+    the recovered table snapshots as one insert delta through the vector
+    fixpoint (primary + satellite both re-seed), and later inserts and a
+    DRed retraction stay exact in both members."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW parity AS
+            WITH RECURSIVE ev AS (
+                SELECT k FROM seeds
+                UNION
+                SELECT e.dst AS k FROM od o JOIN ed e ON o.k = e.src),
+            od AS (
+                SELECT e.dst AS k FROM ev v JOIN ed e ON v.k = e.src)
+            SELECT k, 'even' AS par FROM ev
+            UNION
+            SELECT k, 'odd' AS par FROM od;
+    """
+
+    def evenodd(seeds, edges):
+        ev, od = set(seeds), set()
+        changed = True
+        while changed:
+            changed = False
+            ne = {d for (s, d) in edges if s in od} - ev
+            no = {d for (s, d) in edges if s in ev} - od
+            if ne:
+                ev |= ne
+                changed = True
+            if no:
+                od |= no
+                changed = True
+        return sorted([(k, "even") for k in ev]
+                      + [(k, "odd") for k in od])
+
+    path = str(tmp_path / "mutual_state")
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    seeds, chain = [0], [(i, i + 1) for i in range(4)]
+    eng.push("seeds", spark.createDataFrame([(k,) for k in seeds],
+                                            "k long"))
+    eng.push("ed", spark.createDataFrame(chain, "src long, dst long"))
+    eng.step()
+    assert sorted(map(tuple, eng.view("parity").collect())) == \
+        evenodd(seeds, chain)
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    assert eng2.view_strategy("__parity_rec_ev") == "recursive_mutual"
+    assert eng2.view_strategy("__parity_rec_od") == "recursive_mutual"
+    assert sorted(map(tuple, eng2.view("parity").collect())) == \
+        evenodd(seeds, chain)
+    eng2.push("ed", spark.createDataFrame([(4, 5)], "src long, dst long"))
+    eng2.step()
+    assert sorted(map(tuple, eng2.view("parity").collect())) == \
+        evenodd(seeds, chain + [(4, 5)])
+    eng2.push("ed", spark.createDataFrame([(2, 3)], "src long, dst long"),
+              weight=-1)
+    eng2.step()
+    assert sorted(map(tuple, eng2.view("parity").collect())) == \
+        evenodd(seeds, [(0, 1), (1, 2), (3, 4), (4, 5)])
+
+
 def test_quantified_view_survives_suspend_resume(spark, tmp_path):
     """Suspend/resume under a quantified (> ALL) view: the hidden
     scalars maintainer rebuilds its counters from the recovered inner

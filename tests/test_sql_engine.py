@@ -4671,22 +4671,166 @@ def test_recursive_cte_union_all_bag_two_inputs(spark):
           "mixed retract")
 
 
+def test_recursive_cte_mutual_even_odd(spark):
+    """MUTUAL recursion (r10 verdict ask #2): even/odd reachability —
+    ``ev`` seeds from an input and steps through ``od``; ``od`` is a
+    PURE-STEP member (no base rule, schema derived from ``ev``).  The
+    group lowers onto ONE vector fixpoint with a primary + satellite
+    hidden view; inserts run semi-naive, the edge delete runs vector
+    DRed and must retract rows from BOTH members."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW parity as
+            WITH RECURSIVE ev AS (
+                SELECT k FROM seeds
+                UNION
+                SELECT e.dst AS k FROM od o JOIN ed e ON o.k = e.src),
+            od AS (
+                SELECT e.dst AS k FROM ev v JOIN ed e ON v.k = e.src)
+            SELECT k, 'even' AS par FROM ev
+            UNION
+            SELECT k, 'odd' AS par FROM od;
+    """)
+    assert eng.view_strategy("__parity_rec_ev") == "recursive_mutual"
+    assert eng.view_strategy("__parity_rec_od") == "recursive_mutual"
+    m = eng._maintainers["__parity_rec_ev"]
+    assert sorted(m.tables) == ["ed", "seeds"], m.tables
+
+    def py_evenodd(seeds, edges):
+        ev, od = set(seeds), set()
+        changed = True
+        while changed:
+            changed = False
+            ne = {d for (s, d) in edges if s in od} - ev
+            no = {d for (s, d) in edges if s in ev} - od
+            if ne:
+                ev |= ne
+                changed = True
+            if no:
+                od |= no
+                changed = True
+        return ev, od
+
+    def check(seeds, edges, tag):
+        ev, od = py_evenodd(set(seeds), set(edges))
+        want = sorted([(k, "even") for k in ev]
+                      + [(k, "odd") for k in od])
+        got = sorted(map(tuple, eng.view("parity").collect()))
+        assert got == want, (tag, got, want)
+
+    seeds = [0]
+    chain = [(i, i + 1) for i in range(6)] + [(10, 11), (11, 10)]
+    eng.push("seeds", spark.createDataFrame([(k,) for k in seeds],
+                                            "k long"))
+    eng.push("ed", spark.createDataFrame(chain, "src long, dst long"))
+    eng.step()
+    check(seeds, chain, "initial")
+    # edge insert reaches the 10<->11 cycle: both nodes become even AND
+    # odd (the vector fixpoint must close across members)
+    eng.push("ed", spark.createDataFrame([(6, 10)],
+                                         "src long, dst long"))
+    eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    check(seeds, chain + [(6, 10)], "edge insert")
+    # seed-only tick
+    eng.push("seeds", spark.createDataFrame([(3,)], "k long"))
+    eng.step()
+    check(seeds + [3], chain + [(6, 10)], "seed insert")
+    # delete the bridging edge: vector DRed retracts the cycle's rows
+    # from BOTH members
+    eng.push("ed", spark.createDataFrame([(6, 10)],
+                                         "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    check(seeds + [3], chain, "edge delete (DRed)")
+    eng.push("seeds", spark.createDataFrame([(3,)], "k long"),
+             weight=-1)
+    eng.step()
+    check(seeds, chain, "seed delete")
+
+
+def test_recursive_cte_mutual_nonlinear_same_generation(spark):
+    """Mutual group where one member is NON-LINEAR in another: ``link``
+    (pure-step) reads ``reach`` TWICE (link = reach ∘ reach), so its
+    frontier legs go through the per-occurrence spliced variants INSIDE
+    a mutual group; ``reach`` folds ``link`` back in.  The fixpoint is
+    the doubling transitive closure, checked through insert and DRed
+    ticks."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW clo as
+            WITH RECURSIVE reach AS (
+                SELECT src, dst FROM ed
+                UNION
+                SELECT l.src, l.dst FROM link l),
+            link AS (
+                SELECT a.src, b.dst FROM reach a JOIN reach b
+                    ON a.dst = b.src)
+            SELECT src, dst FROM reach;
+    """)
+    assert eng.view_strategy("__clo_rec_reach") == "recursive_mutual"
+    m = eng._maintainers["__clo_rec_reach"]
+    # link's two reach-occurrences must have produced spliced variants
+    assert any(is_var for _, _, is_var in m._out_legs["link"]), \
+        m._out_legs["link"]
+
+    def tc(edges):
+        acc = set(edges)
+        while True:
+            new = {(a, d) for (a, b) in acc for (c, d) in acc
+                   if b == c} - acc
+            if not new:
+                return acc
+            acc |= new
+
+    def check(live, tag):
+        want = sorted(tc(set(live)))
+        got = sorted(map(tuple, eng.view("clo").collect()))
+        assert got == want, (tag, got, want)
+
+    e1 = [(1, 2), (2, 3), (3, 4), (8, 9)]
+    eng.push("ed", spark.createDataFrame(e1, "src long, dst long"))
+    eng.step()
+    check(e1, "initial")
+    eng.push("ed", spark.createDataFrame([(4, 8)], "src long, dst long"))
+    eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    check(e1 + [(4, 8)], "insert")
+    eng.push("ed", spark.createDataFrame([(2, 3)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    check([(1, 2), (3, 4), (8, 9), (4, 8)], "delete (DRed)")
+
+
 def test_recursive_cte_refusal_shapes(spark):
-    """Mutual recursion, an input table referenced twice in one branch,
-    and a CTE name shadowing a source all refuse (error or fallback —
-    for recursion Spark can't snapshot-diff either, so _create_view
-    surfaces the refusal loudly rather than mis-maintaining)."""
+    """Disjoint recursive components, an input table referenced twice
+    in one branch, UNION ALL mutual recursion, and a CTE name shadowing
+    a source all refuse (error or fallback — for recursion Spark can't
+    snapshot-diff either, so _create_view surfaces the refusal loudly
+    rather than mis-maintaining)."""
     eng = Engine(spark)
     eng.execute("""
         CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
         CREATE TABLE ed2 (src BIGINT NOT NULL, dst BIGINT NOT NULL);
     """)
     shapes = {
-        "mutual recursion": """WITH RECURSIVE p AS (
+        "two disjoint recursive components": """WITH RECURSIVE p AS (
             SELECT src, dst FROM ed UNION
-            SELECT q.src, e.dst FROM q JOIN ed e ON q.dst = e.src),
+            SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src),
             q AS (
             SELECT src, dst FROM ed2 UNION
+            SELECT q.src, e.dst FROM q JOIN ed2 e ON q.dst = e.src)
+            SELECT p.src, q.dst FROM p JOIN q ON p.dst = q.src""",
+        "UNION ALL mutual recursion": """WITH RECURSIVE p AS (
+            SELECT src, dst FROM ed UNION ALL
+            SELECT q.src, e.dst FROM q JOIN ed e ON q.dst = e.src),
+            q AS (
+            SELECT src, dst FROM ed2 UNION ALL
             SELECT p.src, e.dst FROM p JOIN ed2 e ON p.dst = e.src)
             SELECT src, dst FROM p""",
         "table twice in a branch": """WITH RECURSIVE p AS (
@@ -4707,7 +4851,7 @@ def test_recursive_cte_refusal_shapes(spark):
         except Exception:
             pass        # loud refusal is acceptable for recursion
         assert not [h for h in eng._maintainers
-                    if h.endswith("_rec")], tag
+                    if "_rec" in h], tag
 
 
 def test_agg_over_scalar_subquery(spark):
