@@ -6835,6 +6835,81 @@ def q152_sql_engine_quantified_correlated(spark, sf_dir):
     return eng.view("above_own")
 
 
+@register("q155_sql_engine_tuple_not_in_nullable", oracle="""
+SELECT u, t, v FROM (
+  SELECT NULLIF(user_id % 50, 7) AS u,
+         NULLIF(event_type, 'click') AS t,
+         value AS v
+  FROM events WHERE event_id % 5 <> 0) o
+WHERE v > 100 AND NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT NULLIF(user_id % 50, 13) AS bu,
+           NULLIF(event_type, 'view') AS bt
+    FROM events
+    WHERE value > 190
+      AND NOT (user_id % 50 = 13 AND event_type = 'view')) b
+  WHERE (o.u = b.bu OR o.u IS NULL OR b.bu IS NULL)
+    AND (o.t = b.bt OR o.t IS NULL OR b.bt IS NULL))
+""")
+def q155_sql_engine_tuple_not_in_nullable(spark, sf_dir):
+    """Row-value ``(u, t) NOT IN`` over NULLABLE columns — NEW r11 (r10
+    verdict ask #4): full three-valued tuple semantics, the shape that
+    stayed on the snapshot-diff fallback in r10.  NULLs appear in BOTH
+    tuple positions on both sides (NULLIF-manufactured).  DuckDB has no
+    multi-column IN subquery (its struct spelling is null-SAFE equality,
+    probed), so the oracle is the equivalent lenient NOT EXISTS —
+    ``∀i: o_i = b_i OR o_i IS NULL OR b_i IS NULL`` is exactly "row-eq
+    is not FALSE", and NOT IN is TRUE iff no such inner row exists.
+    The tick sequence drives every regime: B2 (inner empty) → B1 with
+    partial-null inner rows (lenient-overlap touched restriction) → A
+    (an ALL-null inner row empties the view) → the verdict's
+    NULL-empties-view RETRACTION tick (A→B1, the view refills) → an
+    outer retraction inside B1."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (u BIGINT, t VARCHAR, v DOUBLE NOT NULL);
+        CREATE TABLE blk (u BIGINT, t VARCHAR);
+        CREATE VIEW f as
+            SELECT u, t, v FROM ev
+            WHERE v > 100 AND (u, t) NOT IN (SELECT u, t FROM blk);
+    """)
+    assert eng.view_strategy("f") == "not_in_nullable_tuple"
+    m = eng._maintainers["f"]
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        F.expr("NULLIF(user_id % 50, 7)").alias("u"),
+        F.expr("NULLIF(event_type, 'click')").alias("t"),
+        F.col("value").alias("v"),
+        "event_id")
+    blk = e.filter(F.col("value") > 190).filter(
+        "NOT (user_id % 50 = 13 AND event_type = 'view')").select(
+        F.expr("NULLIF(user_id % 50, 13)").alias("u"),
+        F.expr("NULLIF(event_type, 'view')").alias("t"))
+    for i in range(2):
+        eng.push("ev", ev.filter(F.col("event_id") % 2 == i)
+                 .drop("event_id"))
+        eng.step()
+    assert m._regime() == "B2", m._regime()
+    eng.push("blk", blk)
+    eng.step()
+    assert m._regime() == "B1", m._regime()
+    # an all-null inner row: the view empties globally …
+    allnull = spark.createDataFrame([(None, None)], "u long, t string")
+    eng.push("blk", allnull)
+    eng.step()
+    assert m._regime() == "A", m._regime()
+    assert eng.view("f").isEmpty()
+    # … and the retraction tick refills it (r10 verdict's "Done" bar)
+    eng.push("blk", allnull, weight=-1)
+    eng.step()
+    assert m._regime() == "B1", m._regime()
+    eng.push("ev", ev.filter(F.col("event_id") % 5 == 0)
+             .drop("event_id"), weight=-1)
+    eng.step()
+    return eng.view("f")
+
+
 @register("q153_sql_engine_recursive_mutual", oracle="""
 WITH RECURSIVE r AS (
   SELECT o_custkey AS k, 0 AS par FROM orders

@@ -3897,19 +3897,16 @@ def _match_subquery_filter(eng: "Engine", flat: str) -> dict | None:
             # (a NULL on either side flips rows through the three-valued
             # semantics: outer-NULL rows are always filtered, one inner
             # NULL empties the whole view).  With nullable columns the
-            # dedicated _NotInNullableMaintainer carries the global
-            # null/row counters that make those flips maintainable —
-            # for SINGLE columns; a nullable tuple NOT IN stays with
-            # the snapshot-diff fallback (Spark parses the row-value
-            # form, so the fallback is available and correct).
+            # dedicated _NotInNullableMaintainer (single column) /
+            # _NotInNullableTupleMaintainer (row-value form, r10 verdict
+            # ask #4) carry the null/row counters and lenient-overlap
+            # restriction that make those flips maintainable.
             ofields = {f.name.lower(): f
                        for f in _source_rows0(eng, ot).schema.fields}
             nullable_not_in = any(
                 ofields[oc.lower()].nullable
                 or ifields[ic.lower()].nullable
                 for oc, ic in zip(okeys, ikeys))
-            if nullable_not_in and len(okeys) > 1:
-                return None
     if not okeys:
         return None  # uncorrelated subquery flips globally; keep fallback
     from_clause = m.group("ot") + (f" {m.group('oa')}" if m.group("oa")
@@ -4294,6 +4291,160 @@ class _NotInNullableMaintainer(_SubqueryFilterMaintainer):
                                            hidden))
         new_out = ZSetFrame.from_df(
             eng.eval_on(sqltxt, {self.outer: o_t, self.inner: i_t})
+            .localCheckpoint(eager=True), 1)
+        keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
+                                .df.localCheckpoint(eager=True))
+        self._out.update(keyed_delta)
+        delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
+        self.apply_delta(delta)
+        return delta
+
+
+class _NotInNullableTupleMaintainer(_SubqueryFilterMaintainer):
+    """``(a, b[, c]) NOT IN (SELECT x, y[, z] FROM inner [WHERE
+    ipred])`` over NULLABLE columns — full three-valued ROW-VALUE
+    semantics (r10 verdict ask #4; Calcite accepts the form,
+    sql-to-dbsp §3.2; probed against Spark's own null-aware anti-join):
+    row-eq is TRUE iff every column pair is equal-non-null, FALSE iff
+    SOME column pair differs non-null, else UNKNOWN; an outer row
+    passes iff every inner row compares FALSE.
+
+    Counters from each inner delta in O(Δ) decide three regimes:
+
+    * A  (an inner row with ALL compared columns NULL) → NO comparison
+      can be FALSE → the view is globally EMPTY;
+    * B2 (inner empty) → every outer row qualifies, even all-NULL keys;
+    * B1 (otherwise)  → maintained by touched-key recompute, where —
+      unlike the single-column case — the dependency relation is not
+      key equality: inner row r affects outer row o iff they LENIENTLY
+      overlap (∀i: o_i IS NULL OR r_i IS NULL OR o_i = r_i — exactly
+      "row-eq is not FALSE").  The restriction therefore uses a
+      lenient-overlap semi-join against the delta-sized touched set
+      (broadcast nested-loop: one pass over the outer/state, predicate
+      per row), then restricts the inner to the lenient partners of the
+      recomputed outer keys — dropping a FALSE-comparing inner row
+      never changes any kept row's verdict, so the slice is exact.
+      A regime TRANSITION re-diffs the whole view that tick (inherent:
+      the view genuinely flips globally)."""
+
+    kind = "not_in_nullable_tuple"
+
+    def __init__(self, eng, name, sql, spec):
+        super().__init__(eng, name, sql, spec)
+        self.kind = "not_in_nullable_tuple"
+        ia = spec["ia"]
+        ipred = spec.get("ipred")
+        self._ipred = (_sub_outside_literals(rf"\b{ia}\s*\.\s*", "",
+                                             ipred, re.IGNORECASE)
+                       if ipred else None)
+        self._allnull = " AND ".join(f"({c}) IS NULL"
+                                     for c in self.ikeys)
+        inner_now = _current_rows(eng, self.inner)
+        if self._ipred:
+            inner_now = inner_now.filter(F.expr(self._ipred))
+        r = inner_now.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"CAST(({self._allnull}) AS INT)"))
+            .alias("z")).collect()[0]
+        self._n_inner = int(r["n"] or 0)
+        self._n_allnull = int(r["z"] or 0)
+
+    def _regime(self) -> str:
+        if self._n_allnull > 0:
+            return "A"
+        return "B1" if self._n_inner > 0 else "B2"
+
+    @staticmethod
+    def _lenient_semi(df, cols, probe):
+        """Rows of ``df`` whose ``cols`` tuple LENIENTLY overlaps some
+        probe key (``__t_i`` columns): the exact dependency relation of
+        three-valued row comparison.  The probe side is delta-sized →
+        broadcast nested-loop, one pass over ``df``."""
+        cond = None
+        for i, c in enumerate(cols):
+            t = (df[c].isNull() | probe[f"__t_{i}"].isNull()
+                 | (df[c] == probe[f"__t_{i}"]))
+            cond = t if cond is None else (cond & t)
+        return df.join(F.broadcast(probe), cond, "leftsemi")
+
+    def step(self, eng, combined, old):
+        da, db = combined.get(self.outer), combined.get(self.inner)
+        if da is None and db is None:
+            return self._empty()
+        with _no_constraint_propagation(eng.spark):
+            return self._nnt_step(eng, da, db)
+
+    def _nnt_step(self, eng, da, db):
+        from database_stream_processor_spark.zset import WEIGHT_COL
+        prev = self._regime()
+        if db is not None:
+            d = db.df
+            if self._ipred:
+                d = d.filter(F.expr(self._ipred))
+            r = d.agg(
+                F.sum(F.col(WEIGHT_COL)).alias("n"),
+                F.sum(F.col(WEIGHT_COL)
+                      * F.expr(f"CAST(({self._allnull}) AS INT)"))
+                .alias("z")).collect()[0]
+            self._n_inner += int(r["n"] or 0)
+            self._n_allnull += int(r["z"] or 0)
+        cur = self._regime()
+        hidden = [f"__k_{i}" for i in range(len(self.okeys))]
+        if cur == "A":
+            if prev == "A":            # state already empty
+                return self._empty()
+            keyed_delta = ZSetFrame(self._out.current.neg().df
+                                    .localCheckpoint(eager=True))
+            self._out.update(keyed_delta)
+            delta = ZSetFrame(keyed_delta.df.drop(*hidden)).consolidate()
+            self.apply_delta(delta)
+            return delta
+        if prev != cur:                # global flip: full re-diff
+            o_t = _current_rows(eng, self.outer) \
+                .localCheckpoint(eager=True)
+            i_t = _current_rows(eng, self.inner) \
+                .localCheckpoint(eager=True)
+            old_t = ZSetFrame(self._out.current.df)
+        else:
+            parts = []
+            if da is not None:
+                parts.append(da.df.select(
+                    *[F.col(c).alias(f"__t_{i}")
+                      for i, c in enumerate(self.okeys)]))
+            if db is not None:
+                parts.append(db.df.select(
+                    *[F.col(c).alias(f"__t_{i}")
+                      for i, c in enumerate(self.ikeys)]))
+            touched = parts[0]
+            for p in parts[1:]:
+                touched = touched.unionByName(p)
+            touched = touched.dropDuplicates().localCheckpoint(eager=True)
+            if cur == "B2":
+                # inner is empty — only outer-side deltas matter and the
+                # dependency degenerates to the row itself
+                o_t = _ns_semi_pos(_current_rows(eng, self.outer),
+                                   touched, self.okeys) \
+                    .localCheckpoint(eager=True)
+                i_t = _current_rows(eng, self.inner) \
+                    .localCheckpoint(eager=True)
+                old_t = ZSetFrame(_ns_semi_pos(self._out.current.df,
+                                               touched, hidden))
+            else:
+                o_t = self._lenient_semi(
+                    _current_rows(eng, self.outer), self.okeys,
+                    touched).localCheckpoint(eager=True)
+                okeys_t = o_t.select(
+                    *[F.col(c).alias(f"__t_{i}")
+                      for i, c in enumerate(self.okeys)]) \
+                    .dropDuplicates().localCheckpoint(eager=True)
+                i_t = self._lenient_semi(
+                    _current_rows(eng, self.inner), self.ikeys,
+                    okeys_t).localCheckpoint(eager=True)
+                old_t = ZSetFrame(self._lenient_semi(
+                    self._out.current.df, hidden, touched))
+        new_out = ZSetFrame.from_df(
+            eng.eval_on(self._delta_sql, {self.outer: o_t,
+                                          self.inner: i_t})
             .localCheckpoint(eager=True), 1)
         keyed_delta = ZSetFrame(new_out.minus(old_t).consolidate()
                                 .df.localCheckpoint(eager=True))
@@ -8275,7 +8426,9 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
             if spec.get("terms"):
                 ctor = _MultiSubqueryFilterMaintainer
             elif spec.get("nullable_not_in"):
-                ctor = _NotInNullableMaintainer
+                ctor = (_NotInNullableMaintainer
+                        if len(spec["okeys"]) == 1
+                        else _NotInNullableTupleMaintainer)
             else:
                 ctor = _SubqueryFilterMaintainer
             r = _try(ctor, eng, name, flat, spec)

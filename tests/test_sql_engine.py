@@ -2745,6 +2745,90 @@ def test_nullable_not_in_three_valued_regimes(spark):
     eng.step(); check("outer delta incl NULL key in B1")
 
 
+def test_nullable_tuple_not_in_three_valued_regimes(spark):
+    """Row-value ``(a, b) NOT IN`` over NULLABLE columns (r10 verdict
+    ask #4) — every tick compared against Spark's OWN null-aware
+    anti-join on the same data, through all three regimes and every
+    transition: B2 (empty inner), B1 with a PARTIAL-null inner row
+    (lenient-overlap touched restriction), A (an ALL-null inner row
+    empties the view), A→B1 on retraction of the all-null row, B1→B2
+    on the inner emptying, and a mixed outer-retract + inner-insert
+    tick.  NULLs appear in BOTH tuple positions on both sides."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE o (a BIGINT, b BIGINT, v BIGINT NOT NULL);
+        CREATE TABLE i1 (x BIGINT, y BIGINT);
+        CREATE VIEW f as
+            SELECT a, b, v FROM o
+            WHERE v > 0 AND (a, b) NOT IN (SELECT x, y FROM i1);
+    """)
+    assert eng.view_strategy("f") == "not_in_nullable_tuple"
+    O, I = [], []
+    TO, TI = "a long, b long, v long", "x long, y long"
+
+    def check(tag, regime):
+        odf = (spark.createDataFrame(O, TO) if O
+               else spark.createDataFrame([], TO))
+        idf = (spark.createDataFrame(I, TI) if I
+               else spark.createDataFrame([], TI))
+        odf.createOrReplaceTempView("__po")
+        idf.createOrReplaceTempView("__pi")
+        want = sorted(map(tuple, spark.sql(
+            "SELECT a,b,v FROM __po WHERE v > 0 "
+            "AND (a,b) NOT IN (SELECT x,y FROM __pi)").collect()),
+            key=str)
+        got = sorted(map(tuple, eng.view("f").collect()), key=str)
+        assert got == want, (tag, got, want)
+        assert eng._maintainers["f"]._regime() == regime, tag
+
+    def push(tbl, rows, schema, w=1):
+        eng.push(tbl, spark.createDataFrame(rows, schema), weight=w)
+
+    t1 = [(1, 1, 5), (1, 2, 5), (2, 5, 5), (None, 5, 5), (None, 7, 5),
+          (3, None, 5), (None, None, 5), (9, 9, 0)]
+    push("o", t1, TO)
+    O += t1
+    eng.step()
+    check("outer insert", "B2")
+    t2 = [(1, 2), (2, 5), (1, None)]
+    push("i1", t2, TI)
+    I += t2
+    eng.step()
+    check("inner insert w/ partial null (B2->B1)", "B1")
+    t3 = [(2, 6, 5), (None, 2, 5), (1, 3, 5)]
+    push("o", t3, TO)
+    O += t3
+    eng.step()
+    check("outer insert under lenient restriction", "B1")
+    push("i1", [(None, None)], TI)
+    I += [(None, None)]
+    eng.step()
+    check("all-null inner row empties the view (B1->A)", "A")
+    push("o", [(7, 7, 5)], TO)
+    O += [(7, 7, 5)]
+    eng.step()
+    check("outer insert while in A", "A")
+    push("i1", [(None, None)], TI, w=-1)
+    I.remove((None, None))
+    eng.step()
+    check("all-null retract refills (A->B1)", "B1")
+    push("i1", [(1, None)], TI, w=-1)
+    I.remove((1, None))
+    eng.step()
+    check("partial-null retract", "B1")
+    push("i1", [(1, 2), (2, 5)], TI, w=-1)
+    I.remove((1, 2))
+    I.remove((2, 5))
+    eng.step()
+    check("inner empties (B1->B2)", "B2")
+    push("o", [(1, 1, 5)], TO, w=-1)
+    O.remove((1, 1, 5))
+    push("i1", [(None, 5)], TI)
+    I += [(None, 5)]
+    eng.step()
+    check("mixed outer-retract + partial-null insert", "B1")
+
+
 def test_not_null_not_in_still_uses_plain_antijoin(spark):
     """Declared-NOT-NULL columns keep the cheaper touched-key path
     without the counter machinery."""
