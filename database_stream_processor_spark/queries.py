@@ -6835,6 +6835,144 @@ def q152_sql_engine_quantified_correlated(spark, sf_dir):
     return eng.view("above_own")
 
 
+@register("q156_sql_engine_quantified_routed", oracle="""
+WITH evx AS (
+  SELECT NULLIF(user_id % 40, 3) AS u, value AS v
+  FROM events WHERE event_id % 5 <> 0),
+blkx AS (
+  SELECT NULLIF(user_id % 40, 11) AS u, value AS w
+  FROM events WHERE value > 195 AND user_id % 40 <> 11)
+SELECT u, v, 'neq_all' AS leg FROM evx
+WHERE v > 150 AND u NOT IN (SELECT u FROM blkx)
+UNION ALL
+SELECT u, v, 'eq_any' AS leg FROM evx
+WHERE v <= 150 AND u IN (SELECT u FROM blkx)
+UNION ALL
+SELECT u, v, 'expr' AS leg FROM evx
+WHERE v > 480 AND v * 2 > ALL (SELECT w + 5 FROM blkx)
+""")
+def q156_sql_engine_quantified_routed(spark, sf_dir):
+    """The quantified rewrite corners — NEW r11 (r10 verdict ask #5):
+    three legs through one engine, union-tagged.  ``<> ALL`` routes
+    textually to the three-valued NOT IN maintainer and ``= ANY`` to
+    the IN semi-join (the routed paths existed since r10 but had no
+    driver row); the third leg is an arithmetic EXPRESSION on both
+    sides (``v * 2 > ALL (SELECT w + 5 …)``), newly accepted by the
+    widened lhs grammar.  NULLs flow through the routed paths: the
+    blocklist receives NULL members mid-stream (the NOT-IN leg empties
+    — one NULL blocks ``<> ALL``) and a retraction tick removes them
+    again; outer NULL keys stay in the final state.  DuckDB's native
+    ``ALL`` evaluates the expression leg's oracle."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (u BIGINT, v DOUBLE NOT NULL);
+        CREATE TABLE blk (u BIGINT, w DOUBLE NOT NULL);
+        CREATE VIEW f_all as
+            SELECT u, v FROM ev
+            WHERE v > 150 AND u <> ALL (SELECT u FROM blk);
+        CREATE VIEW f_any as
+            SELECT u, v FROM ev
+            WHERE v <= 150 AND u = ANY (SELECT u FROM blk);
+        CREATE VIEW f_expr as
+            SELECT u, v FROM ev
+            WHERE v > 480 AND v * 2 > ALL (SELECT w + 5 FROM blk);
+        CREATE VIEW f as
+            SELECT u, v, 'neq_all' AS leg FROM f_all
+            UNION ALL
+            SELECT u, v, 'eq_any' AS leg FROM f_any
+            UNION ALL
+            SELECT u, v, 'expr' AS leg FROM f_expr;
+    """)
+    assert eng.view_strategy("f_all") == "not_in_nullable"
+    assert eng.view_strategy("f_any") == "in"
+    assert eng.view_strategy("f_expr") == "join"
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        F.expr("NULLIF(user_id % 40, 3)").alias("u"),
+        F.col("value").alias("v"), "event_id")
+    blk = e.filter((F.col("value") > 195)
+                   & (F.col("user_id") % 40 != 11)).select(
+        F.expr("NULLIF(user_id % 40, 11)").alias("u"),
+        F.col("value").alias("w"))
+    for i in range(2):
+        eng.push("ev", ev.filter(F.col("event_id") % 2 == i)
+                 .drop("event_id"))
+        eng.step()
+    eng.push("blk", blk)
+    eng.step()
+    # NULL members mid-stream: the <> ALL leg empties (one NULL blocks
+    # ALL) …
+    nulls = spark.createDataFrame([(None, 500.0)], "u long, w double")
+    eng.push("blk", nulls)
+    eng.step()
+    assert eng.view("f_all").isEmpty()
+    # … and the retraction refills it
+    eng.push("blk", nulls, weight=-1)
+    eng.step()
+    eng.push("ev", ev.filter(F.col("event_id") % 5 == 0)
+             .drop("event_id"), weight=-1)
+    eng.step()
+    return eng.view("f")
+
+
+@register("q157_sql_engine_quantified_having", oracle="""
+SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS s
+FROM orders WHERE o_orderkey % 9 <> 0
+GROUP BY o_custkey
+HAVING SUM(o_totalprice) > ALL (SELECT l_extendedprice * 3
+                                FROM lineitem
+                                WHERE l_quantity >= 48
+                                  AND l_orderkey % 4 <> 0)
+""")
+def q157_sql_engine_quantified_having(spark, sf_dir):
+    """Quantified comparison UNDER HAVING — NEW r11 (r10 verdict ask
+    #5): ``HAVING SUM(x) > ALL (SELECT expr …)`` splits into a hidden
+    linear-agg view plus a quantified WHERE over its output column
+    (the same split discipline as the HAVING-IN lift), which then rides
+    the 1-row scalars maintainer — O(Δ) grouped maintenance composed
+    with O(Δ) quantifier scalars.  The inner selects an EXPRESSION
+    (``l_extendedprice * 3``).  Retraction tick removes every 4th
+    lineitem (shrinking the scalar extremes — the flip re-derives
+    through the Δscalars ⋈ view leg) and every 9th order."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE TABLE lineitem (l_orderkey BIGINT,
+                               l_quantity DOUBLE,
+                               l_extendedprice DOUBLE);
+        CREATE VIEW big_cust as
+            SELECT o_custkey, SUM(o_totalprice) AS s
+            FROM orders GROUP BY o_custkey
+            HAVING SUM(o_totalprice) > ALL (
+                SELECT l_extendedprice * 3 FROM lineitem
+                WHERE l_quantity >= 48);
+    """)
+    assert eng.view_strategy("__big_cust_hq") == "linear_agg"
+    assert eng.view_strategy("__big_cust_qs") == "quant_scalars"
+    assert eng.view_strategy("big_cust") == "join"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 4 == 0),
+             weight=-1)
+    eng.push("orders", o.filter(F.col("o_orderkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    # double SUMs differ in the low bits between the incremental path
+    # and DuckDB's one-shot sum order — round for the value-hash only
+    return eng.view("big_cust").select(
+        "o_custkey", F.round("s", 2).alias("s"))
+
+
 @register("q155_sql_engine_tuple_not_in_nullable", oracle="""
 SELECT u, t, v FROM (
   SELECT NULLIF(user_id % 50, 7) AS u,

@@ -4454,9 +4454,14 @@ class _NotInNullableTupleMaintainer(_SubqueryFilterMaintainer):
         return delta
 
 
-#: one top-level-AND term ``lhs <op> ANY|ALL|SOME (SELECT …)``
+#: one top-level-AND term ``lhs <op> ANY|ALL|SOME (SELECT …)`` — the
+#: lhs may be an arithmetic EXPRESSION chain over columns, parenthesized
+#: groups, or single function calls (``o_totalprice * 2``, ``(a+b)/c``,
+#: ``SUM(x)`` in a HAVING; r10 verdict ask #5b), not just a column
 _QUANT_TERM = re.compile(
-    r"^(?P<lhs>[\w.]+|\([^()]*\))\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*"
+    r"^(?P<lhs>(?:\w+\s*\([^()]*\)|[\w.]+|\([^()]*\))"
+    r"(?:\s*[-+*/%]\s*(?:\w+\s*\([^()]*\)|[\w.]+|\([^()]*\)))*)\s*"
+    r"(?P<op>>=|<=|<>|!=|=|>|<)\s*"
     r"(?P<q>ANY|ALL|SOME)\s*\(\s*(?P<inner>SELECT\b.+)\)\s*$",
     re.IGNORECASE | re.DOTALL)
 
@@ -4624,6 +4629,82 @@ class _QuantScalarMaintainer(_ViewMaintainer):
         delta = delta.consolidate()
         self.apply_delta(delta)
         return delta
+
+
+def _having_quantified_lift(eng: "Engine", name: str, flat: str):
+    """Quantified comparison under HAVING (r10 verdict ask #5b) —
+    ``SELECT k, SUM(x) AS s FROM t [WHERE p] GROUP BY k HAVING [pre
+    AND] <agg-or-key> op ANY|ALL (SELECT …) [AND post]``: the grouped
+    body (with the remaining HAVING conjuncts) becomes a hidden
+    maintained view, the quantified term moves OUT to a WHERE over its
+    output column, and the rewritten text re-lowers through
+    :func:`_quantified_lift` — the same split discipline as
+    :func:`_having_key_subquery_split`, sound because the quantified
+    predicate only reads the group's OUTPUT row.  The lhs must resolve
+    to a select-list item (by alias or normalized expression text) and
+    the inner must not reference the grouped table (correlated
+    HAVING-quantifiers refuse)."""
+    m = _AGG_RE.match(flat)
+    if m is None or not m.group("having"):
+        raise _UnloweredShape("not a grouped HAVING select")
+    tbl = m.group("tbl").lower()
+    if not (tbl in eng.tables or tbl in eng.views
+            or tbl in eng._maintainers):
+        raise _UnloweredShape(f"unknown table {tbl}")
+    having = m.group("having")
+    if _mixed_top_and_or(having):
+        raise _UnloweredShape("mixed top-level AND/OR in HAVING")
+    moved, kept = [], []
+    for t in _split_top_and(having):
+        qm = _QUANT_TERM.match(t.strip())
+        if qm and moved:
+            raise _UnloweredShape("several quantified HAVING terms")
+        (moved if qm else kept).append(qm or t)
+    if not moved:
+        raise _UnloweredShape("no quantified term in HAVING")
+    qm = moved[0]
+    if re.search(rf"\b{re.escape(tbl)}\b", qm.group("inner"),
+                 re.IGNORECASE):
+        raise _UnloweredShape("correlated quantified HAVING term")
+    # resolve the lhs to the hidden view's OUTPUT column: a select-list
+    # alias, a bare unaliased item, or a normalized expression match
+    norm = lambda s: re.sub(r"\s+", "", s).lower()
+    out_col = None
+    for it in _split_top_level(m.group("sel")):
+        am = re.match(r"^(?P<e>.+?)\s+AS\s+(?P<a>\w+)\s*$",
+                      it.strip(), re.IGNORECASE | re.DOTALL)
+        e, a = ((am.group("e"), am.group("a")) if am
+                else (it.strip(), it.strip()))
+        if norm(qm.group("lhs")) in (norm(e), norm(a)):
+            if not re.match(r"^\w+$", a):
+                raise _UnloweredShape(
+                    "quantified HAVING lhs matches an unaliased "
+                    "expression")
+            out_col = a
+            break
+    if out_col is None:
+        raise _UnloweredShape(
+            "quantified HAVING lhs is not a select-list output")
+    hidden = f"__{name}_hq"
+    kept_txt = (" HAVING " + " AND ".join(kept)) if kept else ""
+    hsql = (f"SELECT {m.group('sel')} FROM {m.group('tbl')}"
+            + (f" WHERE {m.group('pred')}" if m.group("pred") else "")
+            + f" GROUP BY {m.group('keys')}" + kept_txt)
+    registered: list[str] = []
+    try:
+        _register_hidden(eng, hidden, hsql, registered)
+        cols = ", ".join(_source_rows0(eng, hidden).columns)
+        outer = (f"SELECT {cols} FROM {hidden} WHERE {out_col} "
+                 f"{qm.group('op')} {qm.group('q')} "
+                 f"({qm.group('inner').strip()})")
+        fm = _lower_view(eng, name, outer)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("split quantified HAVING "
+                                  "snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
 
 
 def _quantified_lift(eng: "Engine", name: str, flat: str):
@@ -8395,12 +8476,26 @@ def _lower_view(eng: "Engine", name: str, sql: str) -> _ViewMaintainer:
         r = _try(_topk_over_from, eng, name, flat)
         if r is not None:
             return r
-    if re.search(r"\b(ANY|ALL|SOME)\s*\(\s*SELECT", flat, re.IGNORECASE):
-        # quantified comparison subqueries FIRST: Spark SQL cannot even
-        # parse them, so no later recognizer or fallback applies
+    if re.search(r"(?:>=|<=|<>|!=|=|>|<)\s*(?:ANY|ALL|SOME)"
+                 r"\s*\(\s*SELECT", flat, re.IGNORECASE):
+        # quantified comparison subqueries (the comparison-op prefix
+        # keeps set-op ``UNION/EXCEPT ALL (SELECT`` spellings out)
+        # FIRST: Spark SQL cannot even parse them, so no later
+        # recognizer or fallback applies.  A grouped HAVING carrier
+        # splits first (hidden aggregate view + quantified WHERE over
+        # it), then the plain WHERE shape.
+        if _top_level_having(flat) >= 0:
+            r = _try(_having_quantified_lift, eng, name, flat)
+            if r is not None:
+                return r
         r = _try(_quantified_lift, eng, name, flat)
         if r is not None:
             return r
+        # terminal: no later recognizer (nor the snapshot-diff net) can
+        # even PARSE a quantified comparison — fail loudly here instead
+        # of a ParseException from an unrelated gate downstream
+        raise _UnloweredShape("quantified comparison shape is not "
+                              "lowerable")
     if re.search(r"\(\s*SELECT", flat, re.IGNORECASE):
         # scalar subqueries in HAVING (TPC-H q11) first — the generic
         # scalar path can't parse a GROUP BY body

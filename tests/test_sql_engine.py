@@ -5462,6 +5462,89 @@ def test_quantified_eq_any_rewrites_to_in(spark):
     assert sorted(r[0] for r in eng.view("v_nin").collect()) == [2]
 
 
+def test_quantified_expr_lhs_and_having(spark):
+    """r10 verdict ask #5: the quantified rewrite corners — an
+    arithmetic EXPRESSION lhs (``x * 2 > ALL``), a quantified term
+    under HAVING (``HAVING SUM(x) > ALL``, split into a hidden grouped
+    view + quantified WHERE), and ``<> ALL`` routed through the
+    three-valued NOT IN machinery — every tick value-checked against
+    DuckDB, including ALL-over-empty = TRUE, a NULL element blocking
+    ALL, its retraction, and an extreme retraction."""
+    import duckdb
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE o (k BIGINT NOT NULL, g BIGINT NOT NULL,
+                        x DOUBLE NOT NULL);
+        CREATE TABLE i1 (v DOUBLE);
+        CREATE VIEW f_expr as
+            SELECT k, x FROM o WHERE x * 2 > ALL (SELECT v FROM i1);
+        CREATE VIEW f_hav as
+            SELECT g, SUM(x) AS s FROM o GROUP BY g
+            HAVING SUM(x) > ALL (SELECT v FROM i1);
+        CREATE VIEW f_neq as
+            SELECT k, x FROM o WHERE x <> ALL (SELECT v FROM i1);
+    """)
+    assert eng.view_strategy("f_expr") == "join"
+    assert eng.view_strategy("f_hav") == "join"
+    assert eng.view_strategy("__f_hav_hq") == "linear_agg"
+    assert eng.view_strategy("f_neq") == "not_in_nullable"
+
+    con = duckdb.connect()
+    O, I = [], []
+
+    def check(tag):
+        con.execute("DROP TABLE IF EXISTS o; DROP TABLE IF EXISTS i1")
+        con.execute("CREATE TABLE o(k BIGINT, g BIGINT, x DOUBLE); "
+                    "CREATE TABLE i1(v DOUBLE)")
+        for r in O:
+            con.execute("INSERT INTO o VALUES (?,?,?)", r)
+        for r in I:
+            con.execute("INSERT INTO i1 VALUES (?)", r)
+        for view, sql in [
+            ("f_expr", "SELECT k, x FROM o "
+                       "WHERE x * 2 > ALL (SELECT v FROM i1)"),
+            ("f_hav", "SELECT g, SUM(x) AS s FROM o GROUP BY g "
+                      "HAVING SUM(x) > ALL (SELECT v FROM i1)"),
+            ("f_neq", "SELECT k, x FROM o "
+                      "WHERE x NOT IN (SELECT v FROM i1)"),
+        ]:
+            want = sorted(map(tuple, con.execute(sql).fetchall()),
+                          key=str)
+            got = sorted(map(tuple, eng.view(view).collect()), key=str)
+            assert got == want, (tag, view, got, want)
+
+    def push(tbl, rows, schema, w=1):
+        eng.push(tbl, spark.createDataFrame(rows, schema), weight=w)
+
+    t1 = [(1, 1, 10.0), (2, 1, 3.0), (3, 2, 50.0)]
+    push("o", t1, "k long, g long, x double")
+    O += t1
+    eng.step()
+    check("empty inner: ALL=TRUE everywhere")
+    push("i1", [(15.0,), (4.0,)], "v double")
+    I += [(15.0,), (4.0,)]
+    eng.step()
+    check("inner insert")
+    push("i1", [(None,)], "v double")
+    I += [(None,)]
+    eng.step()
+    check("NULL element blocks ALL")
+    push("i1", [(None,)], "v double", w=-1)
+    I.remove((None,))
+    eng.step()
+    check("NULL retract refills")
+    push("o", [(4, 2, 7.0)], "k long, g long, x double")
+    O += [(4, 2, 7.0)]
+    push("o", [(2, 1, 3.0)], "k long, g long, x double", w=-1)
+    O.remove((2, 1, 3.0))
+    eng.step()
+    check("outer churn")
+    push("i1", [(15.0,)], "v double", w=-1)
+    I.remove((15.0,))
+    eng.step()
+    check("extreme retract")
+
+
 def test_tuple_in_subquery(spark):
     """Row-value ``(a, b) IN (SELECT x, y FROM …)`` — the composite-key
     semi-join: the IN maintainer's touched-key machinery already runs
@@ -5504,12 +5587,13 @@ def test_tuple_in_subquery(spark):
              weight=-1)
     eng.step()
     check("retract membership and rows")
-    # nullable tuple NOT IN -> fallback (correct via snapshot-diff)
+    # nullable tuple NOT IN now lowers to the dedicated three-valued
+    # maintainer (r10 verdict ask #4) instead of the fallback
     eng.execute("CREATE TABLE tn (a BIGINT, b BIGINT);")
     eng._create_view(
         "v_nn", "SELECT a, b FROM tn WHERE (a, b) NOT IN "
                 "(SELECT x, y FROM s)")
-    assert eng.view_strategy("v_nn") == "differentiate"
+    assert eng.view_strategy("v_nn") == "not_in_nullable_tuple"
 
 
 def test_composition_lifts_randomized_tick_equivalence(spark):
