@@ -7353,73 +7353,66 @@ from database_stream_processor_spark import nexmark  # noqa: E402,F401
 # --------------------------------------------------------------------- #
 
 _WINDOW_ORDER = [
-    # round-10 priority 1: this round's additions (never driver-checked)
-    # — non-linear / UNION-ALL-bag / two-input recursion, quantified
-    # ANY/ALL, tuple IN, DECIMAL through the nonlinear path, DATE expr
-    # GROUP BY keys (r9 verdict asks #1, #2, #7).
-    "q142_sql_engine_recursive_nonlinear",
-    "q143_sql_engine_recursive_union_all",
-    "q144_sql_engine_recursive_two_inputs",
-    "q145_sql_engine_quantified_all",
-    "q146_sql_engine_quantified_any",
-    "q147_sql_engine_tuple_in",
-    "q148_sql_engine_decimal_minmax",
-    "q149_sql_engine_date_expr_key",
-    "q150_demo01_enrich_verbatim",
-    "q152_sql_engine_quantified_correlated",
-    "q151_demo03_greentrip_verbatim",
-    # round-10 priority 2 (r9 verdict ask #3): the 15 rows whose latest
-    # driver evidence still dates to round 6 — after this window no
-    # registered query's latest driver row predates r7.
-    "nx_q04_inc_avg_closing",
-    "nx_q06_avg_selling_price_by_seller",
-    "nx_q07_inc_highest_bid",
-    "nx_q09_winning_bids",
-    "nx_q18_inc_last_bid",
-    "nx_q19_auction_top10_prices",
-    "q01_pricing_summary",
-    "q09_nation_customer_counts",
-    "q14_order_date_parts",
-    "q19_tumbling_window",
-    "q21_rolling_per_user",
-    "q30_cosine_topk",
-    "q36_multimodal_features",
-    "q45_fold_latest_event",
-    "q96_sql_engine_rollup",
-    # round-10 priority 3: 27 of the ~35 round-7-era rows — everything
-    # except 8 whose component has a fresher sibling row (q111/q112/
-    # q122/q123 superseded by the r9 typed re-proofs q131-q133 and the
-    # r9 one-view q108; q25/q26/q60/q61 covered by the r8-green q40
-    # scalar-function row, the q27 LSH chain, and the r8 multimodal
-    # codec rows q88/q93/q94 — they rotate into the r11 window; q28/q29/q34
-    # yielded their slots to the new demo-file rows q150/q151 and the
-    # correlated-quantified row q152: the
-    # dedup family keeps q27 here plus the r8/r9-green q35/q59/q90
-    # siblings, and q29 runs in every round's HEADLINE bench).
-    "q22_asof_enrich",
-    "q23_watermark_window",
-    "q27_lsh_near_dup_pairs",
-    "q31_lsh_ann_topk",
-    "q32_language_id",
-    "q33_quality_score",
-    "q43_incremental_tumbling",
-    "q55_upsert_commands",
-    "q59_corpus_dedup",
-    "q77_streaming_circuit_revenue",
-    "q99_sql_engine_global_window",
-    "q110_sql_engine_global_window_desc",
-    "q113_sql_engine_tpch_q5_verbatim",
-    "q114_sql_engine_rollup_aliased_keys",
-    "q115_sql_engine_tpch_q10_verbatim",
-    "q116_sql_engine_tpch_q14_verbatim",
-    "q117_sql_engine_tpch_q4_verbatim",
-    "q118_sql_engine_tpch_q9_verbatim",
-    "q119_sql_engine_tpch_q7_verbatim",
-    "q120_sql_engine_tpch_q8_verbatim",
-    "q121_sql_engine_tpch_q12_verbatim",
-    "q124_sql_engine_tpch_q13_verbatim",
-    "q125_sql_engine_tpch_q19_verbatim",
-    "nx_q17_auction_statistics",
+    # round-11 priority 1: this round's additions (never driver-checked)
+    # — mutual recursion, multi-input bag recursion, nullable tuple
+    # NOT IN, the routed/expression/HAVING quantified corners (r10
+    # verdict asks #2-#5).
+    "q153_sql_engine_recursive_mutual",
+    "q154_sql_engine_recursive_bag_two_inputs",
+    "q155_sql_engine_tuple_not_in_nullable",
+    "q156_sql_engine_quantified_routed",
+    "q157_sql_engine_quantified_having",
+    # round-11 priority 2 (r10 verdict ask #1b): ALL 26 rows whose
+    # latest driver evidence still dates to round 7 — after this window
+    # no registered query's latest driver row predates r8.
+    "q03_top_orders",
+    "q04_order_priority",
+    "q07_customers_without_recent_orders",
+    "q12_rollup_sales",
+    "q13_order_classification",
+    "q18_event_type_pivot",
+    "q25_json_props_extract",
+    "q26_minhash_signatures",
+    "q28_simhash",
+    "q29_ngram_jaccard_pairs",
+    "q34_token_counts",
+    "q54_incremental_outer_enrich",
+    "q56_incremental_hot_items",
+    "q60_multimodal_resize",
+    "q61_multimodal_frames",
+    "q62_sql_engine_view",
+    "q101_sql_engine_scalar_subquery",
+    "q102_sql_engine_scalar_where",
+    "q103_sql_engine_tpch_q17",
+    "q104_sql_engine_tpch_q15",
+    "q106_sql_engine_tpch_q22",
+    "q107_sql_engine_tpch_q11",
+    "q111_sql_engine_tpch_q2_verbatim",
+    "q112_sql_engine_tpch_q3_verbatim",
+    "q122_sql_engine_tpch_q1_verbatim",
+    "q123_sql_engine_tpch_q6_verbatim",
+    # round-11 priority 3: 19 of the 50 round-8-era rows (the whole
+    # registry's oldest remaining band), spread across operator
+    # families — the other 31 r8 rows rotate into the r12 window.
+    "nx_q00_passthrough",
+    "nx_q08_monitor_new_users",
+    "q126_sql_engine_tpch_q18_verbatim",
+    "q127_sql_engine_tpch_q16_verbatim",
+    "q128_sql_engine_tpch_q21_verbatim",
+    "q130_sql_engine_multi_inner_filters",
+    "q38_incremental_distinct",
+    "q40_scalar_functions",
+    "q41_full_outer_default",
+    "q47_cosine_near_dup",
+    "q49_window_contents",
+    "q50_stream_fold",
+    "q51_monotonic_stream_join",
+    "q52_set_input",
+    "q53_differentiate_snapshots",
+    "q64_weigh_weighted_count",
+    "q65_z1_delay",
+    "q66_apply2_except",
+    "q67_gather_inspect",
 ]
 
 
