@@ -5584,6 +5584,28 @@ def _rec_occurrence_variants(step_sql: str, rname: str,
     return variants
 
 
+def _input_delta_legs(branch_sql: str, tbl: str, dname: str,
+                      n_refs: int) -> list[tuple[str, str]]:
+    """Delta legs of one recursion branch w.r.t. input ``tbl``: with a
+    single table-position occurrence the branch evaluates once with the
+    name itself rebound to the delta; with SEVERAL occurrences (the
+    branch joins the input with itself — r10's refusal, lifted r11) one
+    spliced variant per occurrence rebinds THAT occurrence to ``dname``
+    while the others stay on the integral.  The union over legs covers
+    every derivation using ≥1 delta atom (a derivation using deltas at
+    both positions appears in both legs — over-approximation the SET
+    fixpoint dedups; the BAG path must keep its exact telescoping
+    expansion and still refuses).  Raises on unaliased occurrences."""
+    if n_refs == 1:
+        return [(branch_sql, tbl)]
+    vs = _rec_occurrence_variants(branch_sql, tbl, dname)
+    if vs is None:
+        raise _UnloweredShape(
+            f"input {tbl!r} referenced twice with unaliased or "
+            "non-table occurrences")
+    return [(v, dname) for v in vs]
+
+
 class _RecursiveCteMaintainer(_ViewMaintainer):
     """``WITH RECURSIVE r AS (base UNION step) …`` — the recursive view
     maintained by :class:`~database_stream_processor_spark.operators.
@@ -5649,15 +5671,31 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
         in_branch = lambda sql_t, t: bool(
             re.search(rf"\b{re.escape(t)}\b", scrub(sql_t),
                       re.IGNORECASE))
-        base_tbls = [t for t in tbls if in_branch(base_sql, t)]
-        step_tbls = [t for t in tbls if in_branch(step_sql, t)]
+        tp_refs = lambda sql_t, t: len(re.findall(
+            rf"\b{re.escape(t)}\b(?!\s*\.)", scrub(sql_t),
+            re.IGNORECASE))
         self._touched: set[str] = set(tbls)
+        # per-branch input delta legs: (text, bind_name, input) — a
+        # branch joining an input with ITSELF gets one spliced variant
+        # per occurrence (_input_delta_legs; r10's twice-referenced
+        # refusal, lifted r11 for the set fixpoint)
+        self._dnames = {t: f"__{name}_d_{t}" for t in tbls}
+        base_legs = [(v, bn, t) for t in tbls
+                     if in_branch(base_sql, t) and tp_refs(base_sql, t)
+                     for v, bn in _input_delta_legs(
+                         base_sql, t, self._dnames[t],
+                         tp_refs(base_sql, t))]
+        step_legs = [(v, bn, t) for t in tbls
+                     if in_branch(step_sql, t) and tp_refs(step_sql, t)
+                     for v, bn in _input_delta_legs(
+                         step_sql, t, self._dnames[t],
+                         tp_refs(step_sql, t))]
 
-        def _legs(sql_t, refd, full, d, acc=None):
+        def _legs(leglist, full, d, acc=None):
             extra = {} if acc is None else {rname: acc}
             parts = [
-                _norm(eng.eval_on(sql_t, {**full, t: d[t], **extra}))
-                for t in refd if t in self._touched]
+                _norm(eng.eval_on(v, {**full, bn: d[t], **extra}))
+                for v, bn, t in leglist if t in self._touched]
             out = self._empty_out
             for p in parts:
                 out = out.unionByName(p) if out is not None else p
@@ -5678,10 +5716,9 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
             empty_input={t: ZSetFrame.from_df(df)
                          for t, df in empty_in.items()},
             step=step, base=base,
-            delta_base=lambda full, d: _legs(base_sql, base_tbls,
-                                             full, d),
-            delta_step=lambda full, d, acc: _legs(step_sql, step_tbls,
-                                                  full, d, acc),
+            delta_base=lambda full, d: _legs(base_legs, full, d),
+            delta_step=lambda full, d, acc: _legs(step_legs, full, d,
+                                                  acc),
             delta_step_out=dso)
         self._eng = eng
 
@@ -5705,14 +5742,16 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
                 delta = self._op.step(deltas).consolidate()
         finally:
             self._touched = set(self.tables)
-            for v in (self.rname, self._fname):
+            for v in (self.rname, self._fname,
+                      *self._dnames.values()):
                 if not v:
                     continue
                 try:
                     # the callbacks bound the CTE name (and the
-                    # non-linear frontier) as session temp views; sweep
-                    # them so nothing outside this maintainer can read
-                    # a mid-fixpoint accumulator
+                    # non-linear frontier / per-occurrence delta
+                    # names) as session temp views; sweep them so
+                    # nothing outside this maintainer can read a
+                    # mid-fixpoint accumulator
                     eng.spark.catalog.dropTempView(v)
                 except Exception:
                     pass
@@ -5838,6 +5877,23 @@ class _RecursiveCteMutualMaintainer(_ViewMaintainer):
         out_cols = {rn: [f.name for f in schemas[rn].fields]
                     for rn in rnames}
         self._schemas = schemas
+        # per-branch input delta legs (an input joined with itself gets
+        # per-occurrence spliced variants — _input_delta_legs)
+        self._dnames_in = {t: f"__{name}_d_{t}" for t in tbls}
+        self._in_legs: dict[str, list[tuple[str, str, str, bool]]] = {}
+        for rn in rnames:
+            legs = []
+            for which, brs in enumerate(branches[rn]):
+                for br in brs:
+                    for t in tbls:
+                        n = refs(br, t)
+                        if not n:
+                            continue
+                        legs.extend(
+                            (v, bn, t, which == 1)
+                            for v, bn in _input_delta_legs(
+                                br, t, self._dnames_in[t], n))
+            self._in_legs[rn] = legs
         empty_out = {rn: eng.spark.createDataFrame([], schemas[rn])
                      for rn in rnames}
         self.state = StateTable(
@@ -5865,26 +5921,24 @@ class _RecursiveCteMutualMaintainer(_ViewMaintainer):
         def delta_base(full, dm):
             out = {}
             for rn in rnames:
-                legs = [(bb, t) for bb in branches[rn][0]
-                        for t in tbls
-                        if t in self._touched and refs(bb, t)]
                 out[rn] = empty_out[rn]
-                for bb, t in legs:
+                for v, bn, t, is_step in self._in_legs[rn]:
+                    if is_step or t not in self._touched:
+                        continue
                     out[rn] = out[rn].unionByName(
-                        norm(rn, eng.eval_on(bb, {**full, t: dm[t]})))
+                        norm(rn, eng.eval_on(v, {**full, bn: dm[t]})))
             return out
 
         def delta_step(full, dm, acc):
             out = {}
             for rn in rnames:
                 out[rn] = empty_out[rn]
-                for sb in branches[rn][1]:
-                    for t in tbls:
-                        if t not in self._touched or not refs(sb, t):
-                            continue
-                        out[rn] = out[rn].unionByName(norm(
-                            rn, eng.eval_on(
-                                sb, {**full, t: dm[t], **acc})))
+                for v, bn, t, is_step in self._in_legs[rn]:
+                    if not is_step or t not in self._touched:
+                        continue
+                    out[rn] = out[rn].unionByName(norm(
+                        rn, eng.eval_on(
+                            v, {**full, bn: dm[t], **acc})))
             return out
 
         def delta_step_out(full, s, acc):
@@ -5923,7 +5977,8 @@ class _RecursiveCteMutualMaintainer(_ViewMaintainer):
         finally:
             self._touched = set(self.tables)
             for v in (list(self.rnames)
-                      + list(self._fnames.values())):
+                      + list(self._fnames.values())
+                      + list(self._dnames_in.values())):
                 try:
                     eng.spark.catalog.dropTempView(v)
                 except Exception:
@@ -6247,15 +6302,6 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                     raise _UnloweredShape(
                         f"mutual recursion over {len(tbls)} input "
                         "tables (1-3 are lowerable)")
-                for t in tbls:
-                    for gn in group:
-                        for br in (gbranches[gn][0]
-                                   + gbranches[gn][1]):
-                            if refs(br, t) > 1:
-                                raise _UnloweredShape(
-                                    "input table referenced twice in "
-                                    "one rule (linear delta forms "
-                                    "would under-approximate)")
                 hidp = f"__{name}_rec_{group[0]}"
                 registered.append(hidp)
                 hm = _RecursiveCteMutualMaintainer(
@@ -6318,11 +6364,16 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                 raise _UnloweredShape(
                     f"recursion over {len(tbls)} input tables "
                     "(1-3 are lowerable)")
-            for t in tbls:
-                if refs(base_sql, t) > 1 or refs(step_sql, t) > 1:
-                    raise _UnloweredShape(
-                        "input table referenced twice in one branch "
-                        "(linear delta forms would under-approximate)")
+            if is_bag:
+                # the bag path's multilinear expansion is EXACT in each
+                # atom — a twice-referenced input would double-count
+                # (the set paths instead splice per-occurrence delta
+                # legs, _input_delta_legs)
+                for t in tbls:
+                    if refs(base_sql, t) > 1 or refs(step_sql, t) > 1:
+                        raise _UnloweredShape(
+                            "input table referenced twice in one "
+                            "UNION ALL branch")
             hid = f"__{name}_rec"
             registered.append(hid)
             if is_bag:

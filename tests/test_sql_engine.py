@@ -4891,9 +4891,61 @@ def test_recursive_cte_mutual_nonlinear_same_generation(spark):
     check([(1, 2), (3, 4), (8, 9), (4, 8)], "delete (DRed)")
 
 
+def test_recursive_cte_input_twice_in_branch(spark):
+    """A step branch joining the INPUT with itself (two-hop step:
+    p ∘ ed ∘ ed) — r10's twice-referenced refusal, lifted r11 for the
+    set fixpoint: each occurrence gets a spliced per-occurrence delta
+    leg (over-approximation the set fixpoint dedups).  The view is all
+    ODD-length paths; insert and DRed ticks checked against a python
+    model."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW oddpaths as
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed
+                UNION
+                SELECT x.src, f.dst FROM p x
+                    JOIN ed e ON x.dst = e.src
+                    JOIN ed f ON e.dst = f.src)
+            SELECT src, dst FROM p;
+    """)
+    assert eng.view_strategy("__oddpaths_rec") == "recursive"
+    m = eng._maintainers["__oddpaths_rec"]
+
+    def odd(edges):
+        acc = set(edges)
+        while True:
+            new = {(a, d2) for (a, b) in acc for (c, d) in edges
+                   for (c2, d2) in edges if b == c and d == c2} - acc
+            if not new:
+                return acc
+            acc |= new
+
+    def check(live, tag):
+        want = sorted(odd(set(live)))
+        got = sorted(map(tuple, eng.view("oddpaths").collect()))
+        assert got == want, (tag, got, want)
+
+    e1 = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    eng.push("ed", spark.createDataFrame(e1, "src long, dst long"))
+    eng.step()
+    check(e1, "initial")
+    eng.push("ed", spark.createDataFrame([(6, 7)], "src long, dst long"))
+    eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    check(e1 + [(6, 7)], "edge insert")
+    eng.push("ed", spark.createDataFrame([(3, 4)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    check([(1, 2), (2, 3), (4, 5), (5, 6), (6, 7)], "edge delete")
+
+
 def test_recursive_cte_refusal_shapes(spark):
     """Disjoint recursive components, an input table referenced twice
-    in one branch, UNION ALL mutual recursion, and a CTE name shadowing
+    in one UNION ALL branch (exact bag multilinearity would
+    double-count), UNION ALL mutual recursion, and a CTE name shadowing
     a source all refuse (error or fallback — for recursion Spark can't
     snapshot-diff either, so _create_view surfaces the refusal loudly
     rather than mis-maintaining)."""
@@ -4917,8 +4969,8 @@ def test_recursive_cte_refusal_shapes(spark):
             SELECT src, dst FROM ed2 UNION ALL
             SELECT p.src, e.dst FROM p JOIN ed2 e ON p.dst = e.src)
             SELECT src, dst FROM p""",
-        "table twice in a branch": """WITH RECURSIVE p AS (
-            SELECT src, dst FROM ed UNION
+        "table twice in a UNION ALL branch": """WITH RECURSIVE p AS (
+            SELECT src, dst FROM ed UNION ALL
             SELECT p.src, f.dst FROM p JOIN ed e ON p.dst = e.src
                 JOIN ed f ON e.dst = f.src)
             SELECT src, dst FROM p""",
