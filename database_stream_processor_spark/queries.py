@@ -6835,6 +6835,73 @@ def q152_sql_engine_quantified_correlated(spark, sf_dir):
     return eng.view("above_own")
 
 
+@register("q158_sql_engine_quantified_composed", oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey % 9 <> 0
+  AND o_totalprice > ALL (SELECT l_extendedprice FROM lineitem
+                          WHERE l_quantity >= 49
+                            AND l_orderkey % 4 <> 0)
+  AND o_totalprice < ANY (SELECT l_extendedprice * 5 FROM lineitem
+                          WHERE l_quantity <= 2
+                            AND l_orderkey % 4 <> 0)
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+""")
+def q158_sql_engine_quantified_composed(spark, sf_dir):
+    """TWO quantified terms PLUS an IN subquery in ONE WHERE — NEW r11:
+    the composition r10 refused outright ("several quantified terms" /
+    "mixed with other subqueries").  The first quantified term peels
+    into a hidden stage projecting the outer's full column set; the
+    remainder re-lowers over it — here a 3-stage stack
+    (> ALL scalars join → < ANY scalars join → IN semi-join), each an
+    existing O(Δ) maintainer.  Retraction tick removes every 4th
+    lineitem (moving BOTH scalar bounds) and every 9th order."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL,
+                               c_mktsegment VARCHAR);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE TABLE lineitem (l_orderkey BIGINT,
+                               l_quantity DOUBLE,
+                               l_extendedprice DOUBLE);
+        CREATE VIEW picked as
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > ALL (
+                    SELECT l_extendedprice FROM lineitem
+                    WHERE l_quantity >= 49)
+              AND o_totalprice < ANY (
+                    SELECT l_extendedprice * 5 FROM lineitem
+                    WHERE l_quantity <= 2)
+              AND o_custkey IN (
+                    SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING');
+    """)
+    assert eng.view_strategy("picked") == "in"
+    assert eng.view_strategy("__picked_qp") == "join"
+    assert eng.view_strategy("__picked_qp1") == "join"
+    c = load(spark, sf_dir, "customer").select("c_custkey",
+                                               "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    eng.push("customer", c)
+    eng.step()
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 4 == 0),
+             weight=-1)
+    eng.push("orders", o.filter(F.col("o_orderkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("picked")
+
+
 @register("q156_sql_engine_quantified_routed", oracle="""
 WITH evx AS (
   SELECT NULLIF(user_id % 40, 3) AS u, value AS v
@@ -7362,6 +7429,7 @@ _WINDOW_ORDER = [
     "q155_sql_engine_tuple_not_in_nullable",
     "q156_sql_engine_quantified_routed",
     "q157_sql_engine_quantified_having",
+    "q158_sql_engine_quantified_composed",
     # round-11 priority 2 (r10 verdict ask #1b): ALL 26 rows whose
     # latest driver evidence still dates to round 7 — after this window
     # no registered query's latest driver row predates r8.
@@ -7391,9 +7459,9 @@ _WINDOW_ORDER = [
     "q112_sql_engine_tpch_q3_verbatim",
     "q122_sql_engine_tpch_q1_verbatim",
     "q123_sql_engine_tpch_q6_verbatim",
-    # round-11 priority 3: 19 of the 50 round-8-era rows (the whole
+    # round-11 priority 3: 18 of the 50 round-8-era rows (the whole
     # registry's oldest remaining band), spread across operator
-    # families — the other 31 r8 rows rotate into the r12 window.
+    # families — the other 32 r8 rows rotate into the r12 window.
     "nx_q00_passthrough",
     "nx_q08_monitor_new_users",
     "q126_sql_engine_tpch_q18_verbatim",
@@ -7412,7 +7480,6 @@ _WINDOW_ORDER = [
     "q64_weigh_weighted_count",
     "q65_z1_delay",
     "q66_apply2_except",
-    "q67_gather_inspect",
 ]
 
 

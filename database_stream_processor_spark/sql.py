@@ -4733,17 +4733,18 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
     body = m.group("body")
     if _mixed_top_and_or(body):
         raise _UnloweredShape("mixed top-level AND/OR")
-    quant, rest = None, []
+    quant, rest, peel = None, [], False
     for t in _split_top_and(body):
         qm = _QUANT_TERM.match(t.strip())
         if qm and quant is None:
             quant = qm
-        elif qm:
-            raise _UnloweredShape("several quantified terms")
         else:
-            if re.search(r"\(\s*SELECT", t, re.IGNORECASE):
-                raise _UnloweredShape(
-                    "quantified term mixed with other subqueries")
+            if qm or re.search(r"\(\s*SELECT", t, re.IGNORECASE):
+                # several quantified terms / a quantified term mixed
+                # with IN/EXISTS/scalar subqueries (both refused ≤r10):
+                # peel the first quantified term into a hidden stage
+                # below, the remainder re-lowers over it
+                peel = True
             rest.append(t.strip())
     if quant is None:
         raise _UnloweredShape("no quantified term")
@@ -4763,6 +4764,36 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
             f"WHERE {new_body}")
     if (op, q) not in _QUANT_PREDS:
         raise _UnloweredShape(f"unsupported quantifier {op} {q}")
+    if peel:
+        # hidden stage carrying ONLY this quantified term over the
+        # outer's full column set (aliased back to the outer's name so
+        # the remainder's qualifiers keep resolving); the rest of the
+        # WHERE — further quantified terms, IN/EXISTS subqueries,
+        # plain predicates — re-lowers over the hidden view, one term
+        # class per stage
+        # unique per stage: re-lowering the remainder re-enters this
+        # lift under the SAME view name (a 3-term stack peels twice)
+        hidden, i_ = f"__{name}_qp", 0
+        while hidden in eng._maintainers:
+            i_ += 1
+            hidden = f"__{name}_qp{i_}"
+        registered: list[str] = []
+        try:
+            _register_hidden(
+                eng, hidden,
+                f"SELECT {oa}.* FROM {m.group('ot')}{alias} "
+                f"WHERE {quant.group(0).strip()}", registered)
+            fm = _lower_view(
+                eng, name,
+                f"SELECT {m.group('sel')} FROM {hidden} {oa} "
+                f"WHERE {' AND '.join(rest)}")
+            if fm.kind == "differentiate":
+                raise _UnloweredShape("peeled quantified remainder "
+                                      "snapshot-diffs")
+            return fm
+        except Exception:
+            _cleanup_hidden(eng, registered)
+            raise
     if _SUBQ_BLOCKERS.search(inner_sql) or \
             re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE):
         raise _UnloweredShape("complex quantified inner body")

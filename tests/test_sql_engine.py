@@ -5597,6 +5597,115 @@ def test_quantified_expr_lhs_and_having(spark):
     check("extreme retract")
 
 
+def test_quantified_peeling_composition(spark):
+    """SEVERAL quantified terms in one WHERE, and quantified terms
+    mixed with IN subqueries — both refused ≤r10: the first quantified
+    term peels into a hidden stage projecting the outer's full column
+    set (aliased back to the outer's name), the remainder re-lowers
+    over it, one term class per stage.  Every tick value-checked
+    against DuckDB's native ANY/ALL."""
+    import duckdb
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE o (k BIGINT NOT NULL, x DOUBLE NOT NULL,
+                        g BIGINT NOT NULL);
+        CREATE TABLE lo (v DOUBLE);
+        CREATE TABLE hi (v DOUBLE);
+        CREATE TABLE mem (g BIGINT NOT NULL);
+        CREATE VIEW two_quant as
+            SELECT k, x FROM o
+            WHERE x > ALL (SELECT v FROM lo)
+              AND x < ANY (SELECT v FROM hi);
+        CREATE VIEW quant_plus_in as
+            SELECT k, x FROM o
+            WHERE x > ALL (SELECT v FROM lo)
+              AND g IN (SELECT g FROM mem);
+        CREATE VIEW quant_corr_mix as
+            SELECT k, x FROM o
+            WHERE x >= ANY (SELECT v FROM hi)
+              AND g IN (SELECT g FROM mem) AND k < 90;
+    """)
+    # the outermost stage of each peeled stack
+    assert eng.view_strategy("two_quant") == "join"
+    assert eng.view_strategy("quant_plus_in") == "in"
+    assert eng.view_strategy("quant_corr_mix") == "in"
+    assert eng.view_strategy("__two_quant_qp") == "join"
+
+    con = duckdb.connect()
+    O, LO, HI, MEM = [], [], [], []
+
+    def check(tag):
+        con.execute("DROP TABLE IF EXISTS o; DROP TABLE IF EXISTS lo;"
+                    "DROP TABLE IF EXISTS hi; DROP TABLE IF EXISTS mem")
+        con.execute("CREATE TABLE o(k BIGINT, x DOUBLE, g BIGINT);"
+                    "CREATE TABLE lo(v DOUBLE);"
+                    "CREATE TABLE hi(v DOUBLE);"
+                    "CREATE TABLE mem(g BIGINT)")
+        for r in O:
+            con.execute("INSERT INTO o VALUES (?,?,?)", r)
+        for r in LO:
+            con.execute("INSERT INTO lo VALUES (?)", r)
+        for r in HI:
+            con.execute("INSERT INTO hi VALUES (?)", r)
+        for r in MEM:
+            con.execute("INSERT INTO mem VALUES (?)", r)
+        for view, sql in [
+            ("two_quant", "SELECT k, x FROM o "
+                          "WHERE x > ALL (SELECT v FROM lo) "
+                          "AND x < ANY (SELECT v FROM hi)"),
+            ("quant_plus_in", "SELECT k, x FROM o "
+                              "WHERE x > ALL (SELECT v FROM lo) "
+                              "AND g IN (SELECT g FROM mem)"),
+            ("quant_corr_mix", "SELECT k, x FROM o "
+                               "WHERE x >= ANY (SELECT v FROM hi) "
+                               "AND g IN (SELECT g FROM mem) "
+                               "AND k < 90"),
+        ]:
+            want = sorted(map(tuple, con.execute(sql).fetchall()),
+                          key=str)
+            got = sorted(map(tuple, eng.view(view).collect()), key=str)
+            assert got == want, (tag, view, got, want)
+
+    def push(tbl, rows, schema, w=1):
+        eng.push(tbl, spark.createDataFrame(rows, schema), weight=w)
+
+    rows0 = [(1, 10.0, 1), (2, 3.0, 2), (3, 50.0, 1), (95, 20.0, 2)]
+    push("o", rows0, "k long, x double, g long")
+    O += rows0
+    eng.step()
+    check("outer only (both inners empty)")
+    push("lo", [(5.0,)], "v double")
+    LO += [(5.0,)]
+    push("hi", [(30.0,)], "v double")
+    HI += [(30.0,)]
+    eng.step()
+    check("inner bounds")
+    push("mem", [(1,)], "g long")
+    MEM += [(1,)]
+    eng.step()
+    check("membership insert")
+    push("lo", [(None,)], "v double")
+    LO += [(None,)]
+    eng.step()
+    check("NULL blocks the ALL leg")
+    push("lo", [(None,)], "v double", w=-1)
+    LO.remove((None,))
+    push("mem", [(1,)], "g long", w=-1)
+    MEM.remove((1,))
+    push("mem", [(2,)], "g long")
+    MEM += [(2,)]
+    eng.step()
+    check("mixed retract + membership swap")
+    push("o", [(1, 10.0, 1)], "k long, x double, g long", w=-1)
+    O.remove((1, 10.0, 1))
+    push("hi", [(30.0,)], "v double", w=-1)
+    HI.remove((30.0,))
+    push("hi", [(8.0,)], "v double")
+    HI += [(8.0,)]
+    eng.step()
+    check("outer retract + extreme swap")
+
+
 def test_tuple_in_subquery(spark):
     """Row-value ``(a, b) IN (SELECT x, y FROM …)`` — the composite-key
     semi-join: the IN maintainer's touched-key machinery already runs
