@@ -6835,6 +6835,58 @@ def q152_sql_engine_quantified_correlated(spark, sf_dir):
     return eng.view("above_own")
 
 
+@register("q159_sql_engine_quantified_grouped_inner", oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey % 9 <> 0
+  AND o_totalprice > ALL (
+    SELECT SUM(l_extendedprice) FROM lineitem
+    WHERE l_quantity >= 45 AND l_orderkey % 4 <> 0
+    GROUP BY l_orderkey HAVING COUNT(*) > 1)
+""")
+def q159_sql_engine_quantified_grouped_inner(spark, sf_dir):
+    """Quantified comparison over a GROUPED inner — NEW r11: ``> ALL
+    (SELECT SUM(…) FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >
+    1)`` was refused ≤r10 ("complex quantified inner body").  The
+    grouped body pre-lowers into a hidden linear-agg view carrying its
+    keys plus the quantified value, and the simple-inner quantifier
+    scalars ride its deltas — grouped O(Δ) maintenance composed with
+    the O(Δ) scalars view.  Retraction ticks shrink group sums and drop
+    HAVING groups (both flip directions through the scalar extremes);
+    DuckDB's native ALL evaluates the oracle."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_totalprice DOUBLE);
+        CREATE TABLE lineitem (l_orderkey BIGINT,
+                               l_quantity DOUBLE,
+                               l_extendedprice DOUBLE);
+        CREATE VIEW picked as
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > ALL (
+                SELECT SUM(l_extendedprice) FROM lineitem
+                WHERE l_quantity >= 45
+                GROUP BY l_orderkey HAVING COUNT(*) > 1);
+    """)
+    assert eng.view_strategy("picked") == "join"
+    assert eng.view_strategy("__picked_qi") == "linear_agg"
+    assert eng.view_strategy("__picked_qs") == "quant_scalars"
+    o = load(spark, sf_dir, "orders").select("o_orderkey",
+                                             "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.push("lineitem", li.filter(F.col("l_orderkey") % 2 == i))
+        eng.step()
+    eng.push("lineitem", li.filter(F.col("l_orderkey") % 4 == 0),
+             weight=-1)
+    eng.push("orders", o.filter(F.col("o_orderkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    return eng.view("picked")
+
+
 @register("q158_sql_engine_quantified_composed", oracle="""
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey % 9 <> 0
@@ -7430,6 +7482,7 @@ _WINDOW_ORDER = [
     "q156_sql_engine_quantified_routed",
     "q157_sql_engine_quantified_having",
     "q158_sql_engine_quantified_composed",
+    "q159_sql_engine_quantified_grouped_inner",
     # round-11 priority 2 (r10 verdict ask #1b): ALL 26 rows whose
     # latest driver evidence still dates to round 7 — after this window
     # no registered query's latest driver row predates r8.
@@ -7459,9 +7512,9 @@ _WINDOW_ORDER = [
     "q112_sql_engine_tpch_q3_verbatim",
     "q122_sql_engine_tpch_q1_verbatim",
     "q123_sql_engine_tpch_q6_verbatim",
-    # round-11 priority 3: 18 of the 50 round-8-era rows (the whole
+    # round-11 priority 3: 17 of the 50 round-8-era rows (the whole
     # registry's oldest remaining band), spread across operator
-    # families — the other 32 r8 rows rotate into the r12 window.
+    # families — the other 33 r8 rows rotate into the r12 window.
     "nx_q00_passthrough",
     "nx_q08_monitor_new_users",
     "q126_sql_engine_tpch_q18_verbatim",
@@ -7479,7 +7532,6 @@ _WINDOW_ORDER = [
     "q53_differentiate_snapshots",
     "q64_weigh_weighted_count",
     "q65_z1_delay",
-    "q66_apply2_except",
 ]
 
 

@@ -4794,6 +4794,52 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
         except Exception:
             _cleanup_hidden(eng, registered)
             raise
+    if re.search(r"\bGROUP\s+BY\b", inner_sql, re.IGNORECASE) \
+            and not re.search(rf"\b{re.escape(oa)}\s*\.", inner_sql,
+                              re.IGNORECASE):
+        # GROUPED inner (r11): ``x > ALL (SELECT SUM(v) FROM t GROUP BY
+        # g [HAVING …])`` — the grouped body pre-lowers into a hidden
+        # maintained view carrying its keys plus the quantified value
+        # as ``__qv``, and the view text re-lowers with the inner
+        # replaced by the simple ``SELECT __qv FROM <hidden>`` shape
+        gm = _AGG_RE.match(inner_sql)
+        sel_items = (gm and _split_top_level(gm.group("sel")))
+        if gm and len(sel_items) == 1:
+            e_ = re.match(r"^(?P<e>.+?)(?:\s+AS\s+\w+)?\s*$",
+                          sel_items[0].strip(),
+                          re.IGNORECASE | re.DOTALL).group("e")
+            keys = [k.strip()
+                    for k in _split_top_level(gm.group("keys"))]
+            key_cols = ", ".join(f"{k} AS __qk_{i}"
+                                 for i, k in enumerate(keys))
+            hidq, j_ = f"__{name}_qi", 0
+            while hidq in eng._maintainers:
+                j_ += 1
+                hidq = f"__{name}_qi{j_}"
+            hsql = (f"SELECT {key_cols}, {e_} AS __qv "
+                    f"FROM {gm.group('tbl')}"
+                    + (f" WHERE {gm.group('pred')}"
+                       if gm.group("pred") else "")
+                    + f" GROUP BY {gm.group('keys')}"
+                    + (f" HAVING {gm.group('having')}"
+                       if gm.group("having") else ""))
+            registered = []
+            try:
+                _register_hidden(eng, hidq, hsql, registered)
+                new_body = " AND ".join(
+                    rest + [f"({lhs}) {op} {q} "
+                            f"(SELECT __qv FROM {hidq})"])
+                fm = _lower_view(
+                    eng, name,
+                    f"SELECT {m.group('sel')} "
+                    f"FROM {m.group('ot')}{alias} WHERE {new_body}")
+                if fm.kind == "differentiate":
+                    raise _UnloweredShape(
+                        "grouped quantified inner snapshot-diffs")
+                return fm
+            except Exception:
+                _cleanup_hidden(eng, registered)
+                raise
     if _SUBQ_BLOCKERS.search(inner_sql) or \
             re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE):
         raise _UnloweredShape("complex quantified inner body")

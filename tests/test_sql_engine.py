@@ -5706,6 +5706,81 @@ def test_quantified_peeling_composition(spark):
     check("outer retract + extreme swap")
 
 
+def test_quantified_grouped_inner(spark):
+    """Quantified comparison over a GROUPED inner (r11): ``x > ALL
+    (SELECT SUM(v) FROM t GROUP BY g [HAVING …])`` — the grouped body
+    pre-lowers into a hidden maintained view carrying keys + ``__qv``,
+    then the simple-inner quantifier machinery rides its deltas.
+    Value-checked against DuckDB through group growth, a HAVING-
+    dropping retraction, and a mixed tick."""
+    import duckdb
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE o (k BIGINT NOT NULL, x DOUBLE NOT NULL);
+        CREATE TABLE t (g BIGINT NOT NULL, v DOUBLE NOT NULL);
+        CREATE VIEW above_every_group as
+            SELECT k, x FROM o
+            WHERE x > ALL (SELECT SUM(v) FROM t GROUP BY g);
+        CREATE VIEW above_some_avg as
+            SELECT k, x FROM o
+            WHERE x >= ANY (SELECT AVG(v) FROM t GROUP BY g
+                            HAVING COUNT(*) > 1);
+    """)
+    assert eng.view_strategy("above_every_group") == "join"
+    assert eng.view_strategy("__above_every_group_qi") == "linear_agg"
+    assert eng.view_strategy("above_some_avg") == "join"
+
+    con = duckdb.connect()
+    O, T = [], []
+
+    def check(tag):
+        con.execute("DROP TABLE IF EXISTS o; DROP TABLE IF EXISTS t")
+        con.execute("CREATE TABLE o(k BIGINT, x DOUBLE); "
+                    "CREATE TABLE t(g BIGINT, v DOUBLE)")
+        for r in O:
+            con.execute("INSERT INTO o VALUES (?,?)", r)
+        for r in T:
+            con.execute("INSERT INTO t VALUES (?,?)", r)
+        for view, sql in [
+            ("above_every_group",
+             "SELECT k, x FROM o WHERE x > ALL "
+             "(SELECT SUM(v) FROM t GROUP BY g)"),
+            ("above_some_avg",
+             "SELECT k, x FROM o WHERE x >= ANY "
+             "(SELECT AVG(v) FROM t GROUP BY g HAVING COUNT(*) > 1)"),
+        ]:
+            want = sorted(map(tuple, con.execute(sql).fetchall()),
+                          key=str)
+            got = sorted(map(tuple, eng.view(view).collect()), key=str)
+            assert got == want, (tag, view, got, want)
+
+    def push(tbl, rows, schema, w=1):
+        eng.push(tbl, spark.createDataFrame(rows, schema), weight=w)
+
+    push("o", [(1, 10.0), (2, 25.0), (3, 4.0)], "k long, x double")
+    O += [(1, 10.0), (2, 25.0), (3, 4.0)]
+    eng.step()
+    check("outer only (no groups: ALL=TRUE, ANY=FALSE)")
+    push("t", [(1, 5.0), (1, 3.0), (2, 20.0)], "g long, v double")
+    T += [(1, 5.0), (1, 3.0), (2, 20.0)]
+    eng.step()
+    check("groups appear")
+    push("t", [(2, 9.0)], "g long, v double")
+    T += [(2, 9.0)]
+    eng.step()
+    check("group sum grows past an outer row")
+    push("t", [(1, 3.0)], "g long, v double", w=-1)
+    T.remove((1, 3.0))
+    eng.step()
+    check("retract shrinks a group (HAVING drops it)")
+    push("o", [(2, 25.0)], "k long, x double", w=-1)
+    O.remove((2, 25.0))
+    push("t", [(3, 1.0)], "g long, v double")
+    T += [(3, 1.0)]
+    eng.step()
+    check("mixed outer retract + new group")
+
+
 def test_tuple_in_subquery(spark):
     """Row-value ``(a, b) IN (SELECT x, y FROM …)`` — the composite-key
     semi-join: the IN maintainer's touched-key machinery already runs
