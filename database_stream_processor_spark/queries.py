@@ -6835,6 +6835,63 @@ def q152_sql_engine_quantified_correlated(spark, sf_dir):
     return eng.view("above_own")
 
 
+@register("q160_sql_engine_quantified_correlated_composite", oracle="""
+WITH evx AS (
+  SELECT user_id % 30 AS u, event_type AS t, value AS v, event_id
+  FROM events),
+px AS (
+  SELECT user_id % 30 AS u, event_type AS t, value * 2 AS w
+  FROM events WHERE event_id % 3 = 0 AND event_id % 5 <> 0)
+SELECT u, t, v FROM evx e
+WHERE e.event_id % 3 <> 0
+  AND e.v > ALL (SELECT w FROM px
+                 WHERE px.u = e.u AND px.t = e.t AND w > 100)
+""")
+def q160_sql_engine_quantified_correlated_composite(spark, sf_dir):
+    """Correlated quantifier with a COMPOSITE correlation key — NEW
+    r11 (refused ≤r10 as "several correlation equalities"): the hidden
+    per-key scalars view groups on BOTH equalities' inner columns and
+    the LEFT JOIN carries the conjunction; maintenance stays touched-
+    key on the composite group.  Events priced above every doubled
+    same-(user,type) price; the retraction tick removes every 5th
+    blocklist row (shrinking per-key extremes and emptying groups —
+    both flip directions per key)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ev (u BIGINT NOT NULL, t VARCHAR,
+                         v DOUBLE NOT NULL);
+        CREATE TABLE px (u BIGINT NOT NULL, t VARCHAR,
+                         w DOUBLE NOT NULL);
+        CREATE VIEW f as
+            SELECT u, t, v FROM ev e
+            WHERE e.v > ALL (SELECT w FROM px
+                             WHERE px.u = e.u AND px.t = e.t
+                               AND w > 100);
+    """)
+    assert eng.view_strategy("f") == "left_join"
+    assert eng.view_strategy("__f_qs") == "nonlinear_agg"
+    ee = load(spark, sf_dir, "events")
+    ev = ee.filter(F.col("event_id") % 3 != 0).select(
+        (F.col("user_id") % 30).alias("u"),
+        F.col("event_type").alias("t"),
+        F.col("value").alias("v"))
+    px = ee.filter(F.col("event_id") % 3 == 0).select(
+        (F.col("user_id") % 30).alias("u"),
+        F.col("event_type").alias("t"),
+        (F.col("value") * 2).alias("w"),
+        "event_id")
+    for i in range(2):
+        eng.push("ev", ev.filter(F.col("u") % 2 == i))
+        eng.push("px", px.filter(F.col("u") % 2 == i)
+                 .drop("event_id"))
+        eng.step()
+    eng.push("px", px.filter(F.col("event_id") % 5 == 0)
+             .drop("event_id"), weight=-1)
+    eng.step()
+    return eng.view("f")
+
+
 @register("q159_sql_engine_quantified_grouped_inner", oracle="""
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE o_orderkey % 9 <> 0
@@ -7483,6 +7540,7 @@ _WINDOW_ORDER = [
     "q157_sql_engine_quantified_having",
     "q158_sql_engine_quantified_composed",
     "q159_sql_engine_quantified_grouped_inner",
+    "q160_sql_engine_quantified_correlated_composite",
     # round-11 priority 2 (r10 verdict ask #1b): ALL 26 rows whose
     # latest driver evidence still dates to round 7 — after this window
     # no registered query's latest driver row predates r8.
@@ -7512,9 +7570,9 @@ _WINDOW_ORDER = [
     "q112_sql_engine_tpch_q3_verbatim",
     "q122_sql_engine_tpch_q1_verbatim",
     "q123_sql_engine_tpch_q6_verbatim",
-    # round-11 priority 3: 17 of the 50 round-8-era rows (the whole
+    # round-11 priority 3: 16 of the 50 round-8-era rows (the whole
     # registry's oldest remaining band), spread across operator
-    # families — the other 33 r8 rows rotate into the r12 window.
+    # families — the other 34 r8 rows rotate into the r12 window.
     "nx_q00_passthrough",
     "nx_q08_monitor_new_users",
     "q126_sql_engine_tpch_q18_verbatim",
@@ -7531,7 +7589,6 @@ _WINDOW_ORDER = [
     "q52_set_input",
     "q53_differentiate_snapshots",
     "q64_weigh_weighted_count",
-    "q65_z1_delay",
 ]
 
 

@@ -4861,8 +4861,9 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
     if not _refs_only(im.group("icol"), {ia}, icols):
         raise _UnloweredShape("outer reference in quantified select")
     # split the inner WHERE into correlation equalities (outer side
-    # explicitly qualified with the outer alias) and inner-only terms
-    corr = None
+    # explicitly qualified with the outer alias; SEVERAL equalities
+    # compose into one multi-key group since r11) and inner-only terms
+    corr: list = []
     inner_terms: list[str] = []
     if im.group("ipred"):
         if _mixed_top_and_or(im.group("ipred")):
@@ -4884,10 +4885,7 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
                 if ic_b.lower() not in icols:
                     raise _UnloweredShape(
                         f"correlation inner side {ic_b!r} unknown")
-                if corr is not None:
-                    raise _UnloweredShape(
-                        "several correlation equalities")
-                corr = (ocol_c, icol_c)
+                corr.append((ocol_c, icol_c))
                 continue
             if not _refs_only(t, {ia}, icols):
                 raise _UnloweredShape(
@@ -4898,30 +4896,35 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
     registered: list[str] = [hid]
     try:
         ia_txt = f" {im.group('ia')}" if im.group("ia") else ""
-        if corr is not None:
+        if corr:
             # CORRELATED: per-key scalars — a hidden grouped view
-            # (nonlinear agg: COUNT/COUNT/MIN/MAX per correlation key)
-            # LEFT JOINed on the key; an absent group (__qn IS NULL) is
-            # the empty set, so ALL holds and ANY fails — including for
-            # a NULL outer key, which correlates to nothing.  Both
-            # stages are existing maintainers: per tick ∝ touched keys.
-            ocol_c, icol_c = corr
+            # (nonlinear agg: COUNT/COUNT/MIN/MAX per correlation key,
+            # possibly COMPOSITE) LEFT JOINed on the key(s); an absent
+            # group (__qn IS NULL) is the empty set, so ALL holds and
+            # ANY fails — including for a NULL outer key, which
+            # correlates to nothing.  Both stages are existing
+            # maintainers: per tick ∝ touched keys.
+            key_cols = ", ".join(f"{ic} AS __qk_{i}"
+                                 for i, (_, ic) in enumerate(corr))
+            key_grp = ", ".join(ic for _, ic in corr)
             iw = (" WHERE " + " AND ".join(inner_terms)
                   if inner_terms else "")
-            hsql = (f"SELECT {icol_c} AS __qk, COUNT(*) AS __qn, "
+            hsql = (f"SELECT {key_cols}, COUNT(*) AS __qn, "
                     f"COUNT({im.group('icol')}) AS __qnn, "
                     f"MIN({im.group('icol')}) AS __qmn, "
                     f"MAX({im.group('icol')}) AS __qmx "
                     f"FROM {im.group('it')}{ia_txt}{iw} "
-                    f"GROUP BY {icol_c}")
+                    f"GROUP BY {key_grp}")
             _register_hidden(eng, hid, hsql, registered)
             pred = _QUANT_PREDS_CORR[(op, q)].format(
                 L=f"({lhs})", H=hid)
+            on = " AND ".join(
+                f"{oa}.{oc} = {hid}.__qk_{i}"
+                for i, (oc, _) in enumerate(corr))
             where = f" WHERE {' AND '.join(rest + [pred])}"
             main = (f"SELECT {m.group('sel')} "
                     f"FROM {m.group('ot')}{alias} "
-                    f"LEFT JOIN {hid} ON {oa}.{ocol_c} = {hid}.__qk"
-                    f"{where}")
+                    f"LEFT JOIN {hid} ON {on}{where}")
         else:
             hm = _QuantScalarMaintainer(
                 eng, hid, it, (im.group("ia") or it).lower(),

@@ -5781,6 +5781,71 @@ def test_quantified_grouped_inner(spark):
     check("mixed outer retract + new group")
 
 
+def test_quantified_correlated_composite_key(spark):
+    """Correlated quantifier with SEVERAL correlation equalities (r11;
+    refused ≤r10): the hidden per-key scalars view groups on the
+    COMPOSITE key and the LEFT JOIN carries all equalities.  Checked
+    against DuckDB's native correlated ALL, including a per-key NULL
+    element and an extreme retraction."""
+    import duckdb
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE o (a BIGINT NOT NULL, b BIGINT NOT NULL,
+                        x DOUBLE NOT NULL);
+        CREATE TABLE t (g BIGINT NOT NULL, h BIGINT NOT NULL,
+                        v DOUBLE);
+        CREATE VIEW f as
+            SELECT a, b, x FROM o oo
+            WHERE oo.x > ALL (SELECT v FROM t
+                              WHERE oo.a = g AND h = oo.b AND v > 0);
+    """)
+    assert eng.view_strategy("f") == "left_join"
+    assert eng.view_strategy("__f_qs") == "nonlinear_agg"
+    con = duckdb.connect()
+    O, T = [], []
+
+    def check(tag):
+        con.execute("DROP TABLE IF EXISTS o; DROP TABLE IF EXISTS t")
+        con.execute("CREATE TABLE o(a BIGINT, b BIGINT, x DOUBLE); "
+                    "CREATE TABLE t(g BIGINT, h BIGINT, v DOUBLE)")
+        for r in O:
+            con.execute("INSERT INTO o VALUES (?,?,?)", r)
+        for r in T:
+            con.execute("INSERT INTO t VALUES (?,?,?)", r)
+        sql = ("SELECT a, b, x FROM o oo WHERE oo.x > ALL "
+               "(SELECT v FROM t WHERE oo.a = g AND h = oo.b "
+               "AND v > 0)")
+        want = sorted(map(tuple, con.execute(sql).fetchall()), key=str)
+        got = sorted(map(tuple, eng.view("f").collect()), key=str)
+        assert got == want, (tag, got, want)
+
+    def push(tbl, rows, schema, w=1):
+        eng.push(tbl, spark.createDataFrame(rows, schema), weight=w)
+
+    push("o", [(1, 1, 10.0), (1, 2, 3.0), (2, 1, 50.0)],
+         "a long, b long, x double")
+    O += [(1, 1, 10.0), (1, 2, 3.0), (2, 1, 50.0)]
+    eng.step()
+    check("outer only (all groups empty: ALL=TRUE)")
+    push("t", [(1, 1, 5.0), (1, 1, 20.0), (1, 2, 1.0), (9, 9, 99.0)],
+         "g long, h long, v double")
+    T += [(1, 1, 5.0), (1, 1, 20.0), (1, 2, 1.0), (9, 9, 99.0)]
+    eng.step()
+    check("groups per composite key")
+    push("t", [(1, 1, 20.0)], "g long, h long, v double", w=-1)
+    T.remove((1, 1, 20.0))
+    eng.step()
+    check("extreme retract in one group")
+    push("t", [(2, 1, None)], "g long, h long, v double")
+    T += [(2, 1, None)]
+    eng.step()
+    check("NULL element blocks that key's ALL")
+    push("o", [(1, 2, 3.0)], "a long, b long, x double", w=-1)
+    O.remove((1, 2, 3.0))
+    eng.step()
+    check("outer retract")
+
+
 def test_tuple_in_subquery(spark):
     """Row-value ``(a, b) IN (SELECT x, y FROM …)`` — the composite-key
     semi-join: the IN maintainer's touched-key machinery already runs
