@@ -4840,6 +4840,46 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
             except Exception:
                 _cleanup_hidden(eng, registered)
                 raise
+    if (_SUBQ_BLOCKERS.search(inner_sql)
+            or re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE)) \
+            and not re.search(rf"\b{re.escape(oa)}\s*\.", inner_sql,
+                              re.IGNORECASE):
+        # other complex UNCORRELATED inners (JOIN chains, DISTINCT,
+        # set ops, …): pre-lower the whole inner into a hidden
+        # maintained view with its single select item aliased ``__qv``
+        # — _register_hidden refuses if the body itself cannot lower,
+        # so nothing silently snapshot-diffs (r11)
+        parts_i = _split_select_from(inner_sql)
+        items_i = (parts_i and _split_top_level(parts_i[0]))
+        if items_i and len(items_i) == 1 \
+                and items_i[0].strip() != "*" \
+                and not items_i[0].strip().endswith(".*"):
+            e_ = re.match(r"^(?P<e>.+?)(?:\s+AS\s+\w+)?\s*$",
+                          items_i[0].strip(),
+                          re.IGNORECASE | re.DOTALL).group("e")
+            hidq, j_ = f"__{name}_qi", 0
+            while hidq in eng._maintainers:
+                j_ += 1
+                hidq = f"__{name}_qi{j_}"
+            registered = []
+            try:
+                _register_hidden(eng, hidq,
+                                 f"SELECT {e_} AS __qv "
+                                 f"FROM {parts_i[1]}", registered)
+                new_body = " AND ".join(
+                    rest + [f"({lhs}) {op} {q} "
+                            f"(SELECT __qv FROM {hidq})"])
+                fm = _lower_view(
+                    eng, name,
+                    f"SELECT {m.group('sel')} "
+                    f"FROM {m.group('ot')}{alias} WHERE {new_body}")
+                if fm.kind == "differentiate":
+                    raise _UnloweredShape(
+                        "complex quantified inner snapshot-diffs")
+                return fm
+            except Exception:
+                _cleanup_hidden(eng, registered)
+                raise
     if _SUBQ_BLOCKERS.search(inner_sql) or \
             re.search(r"\(\s*SELECT", inner_sql, re.IGNORECASE):
         raise _UnloweredShape("complex quantified inner body")

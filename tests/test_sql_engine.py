@@ -5781,6 +5781,81 @@ def test_quantified_grouped_inner(spark):
     check("mixed outer retract + new group")
 
 
+def test_quantified_complex_inner(spark):
+    """Quantified comparison over JOIN-chain and DISTINCT inners (r11):
+    any lowerable uncorrelated inner pre-lowers into a hidden view with
+    its single select item aliased ``__qv``; the quantifier scalars
+    ride its deltas.  Value-checked against DuckDB through insert and
+    retraction ticks."""
+    import duckdb
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE o (k BIGINT NOT NULL, x DOUBLE NOT NULL);
+        CREATE TABLE a (id BIGINT NOT NULL, v DOUBLE NOT NULL);
+        CREATE TABLE b (id BIGINT NOT NULL, m DOUBLE NOT NULL);
+        CREATE VIEW f_join as
+            SELECT k, x FROM o
+            WHERE x > ALL (SELECT a.v * b.m FROM a JOIN b
+                           ON a.id = b.id);
+        CREATE VIEW f_dist as
+            SELECT k, x FROM o
+            WHERE x < ANY (SELECT DISTINCT v FROM a WHERE v > 1);
+    """)
+    assert eng.view_strategy("f_join") == "join"
+    assert eng.view_strategy("__f_join_qi") == "join"
+    assert eng.view_strategy("f_dist") == "join"
+    con = duckdb.connect()
+    O, A, B = [], [], []
+
+    def check(tag):
+        con.execute("DROP TABLE IF EXISTS o; DROP TABLE IF EXISTS a;"
+                    "DROP TABLE IF EXISTS b")
+        con.execute("CREATE TABLE o(k BIGINT, x DOUBLE);"
+                    "CREATE TABLE a(id BIGINT, v DOUBLE);"
+                    "CREATE TABLE b(id BIGINT, m DOUBLE)")
+        for r in O:
+            con.execute("INSERT INTO o VALUES (?,?)", r)
+        for r in A:
+            con.execute("INSERT INTO a VALUES (?,?)", r)
+        for r in B:
+            con.execute("INSERT INTO b VALUES (?,?)", r)
+        for view, sql in [
+            ("f_join", "SELECT k, x FROM o WHERE x > ALL "
+                       "(SELECT a.v * b.m FROM a JOIN b "
+                       "ON a.id = b.id)"),
+            ("f_dist", "SELECT k, x FROM o WHERE x < ANY "
+                       "(SELECT DISTINCT v FROM a WHERE v > 1)"),
+        ]:
+            want = sorted(map(tuple, con.execute(sql).fetchall()),
+                          key=str)
+            got = sorted(map(tuple, eng.view(view).collect()), key=str)
+            assert got == want, (tag, view, got, want)
+
+    def push(tbl, rows, schema, w=1):
+        eng.push(tbl, spark.createDataFrame(rows, schema), weight=w)
+
+    push("o", [(1, 10.0), (2, 100.0)], "k long, x double")
+    O += [(1, 10.0), (2, 100.0)]
+    eng.step()
+    check("outer only")
+    push("a", [(1, 4.0), (2, 2.0)], "id long, v double")
+    A += [(1, 4.0), (2, 2.0)]
+    push("b", [(1, 5.0)], "id long, m double")
+    B += [(1, 5.0)]
+    eng.step()
+    check("join products appear")
+    push("b", [(2, 60.0)], "id long, m double")
+    B += [(2, 60.0)]
+    eng.step()
+    check("second product blocks everything")
+    push("b", [(2, 60.0)], "id long, m double", w=-1)
+    B.remove((2, 60.0))
+    push("a", [(1, 4.0)], "id long, v double", w=-1)
+    A.remove((1, 4.0))
+    eng.step()
+    check("retractions shrink the product set")
+
+
 def test_quantified_correlated_composite_key(spark):
     """Correlated quantifier with SEVERAL correlation equalities (r11;
     refused ≤r10): the hidden per-key scalars view groups on the
