@@ -4721,7 +4721,16 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
     hidden :class:`_QuantScalarMaintainer` maintains that 1-row view,
     and the outer becomes a 2-table JOIN on the rewritten predicate —
     the bilinear join delta then gives O(Δ outer) ticks, and a scalar
-    flip retracts/re-derives through the Δscalars ⋈ outer leg."""
+    flip retracts/re-derives through the Δscalars ⋈ outer leg.
+
+    Since r11: the lhs may be an arithmetic expression / function
+    call; SEVERAL quantified terms (or a quantified term mixed with
+    IN/EXISTS/scalar subqueries) PEEL one hidden stage per term class;
+    GROUPED inners pre-lower into a hidden keyed view carrying the
+    quantified value as ``__qv``; other complex UNCORRELATED inners
+    (JOIN chains, DISTINCT, nested subqueries) pre-lower generically
+    the same way; and correlated quantifiers may carry a COMPOSITE
+    correlation key (several equalities → one multi-key group)."""
     m = _SUBQ_OUTER_RE.match(flat)
     if not m:
         raise _UnloweredShape("not an outer WHERE shape")
@@ -6305,12 +6314,16 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     reference's nested circuits with several mutually referencing
     exports (recursive.rs:255, galen.rs).
 
+    Since r11 a SET-fixpoint branch may reference an input table twice
+    (per-occurrence spliced delta legs, :func:`_input_delta_legs`).
+
     Refused shapes (→ error or fallback upstream): SEVERAL disjoint
     recursive components, UNION ALL (bag) mutual recursion, >3 input
-    relations, a branch referencing an input table twice in table
-    position (the linear delta forms would under-approximate),
-    non-linear steps with unaliased CTE occurrences, UNION ALL with a
-    non-linear or non-SPJ body, a CTE name colliding with a known
+    relations, a UNION ALL branch referencing an input table twice
+    (the bag path's multilinear expansion is exact per atom — a double
+    reference would double-count weights), non-linear steps or
+    twice-referenced inputs with unaliased occurrences, UNION ALL with
+    a non-linear or non-SPJ body, a CTE name colliding with a known
     source or column, or a non-recursive CTE that reads a group member
     but precedes the group's last member (consumers go after the
     group)."""
