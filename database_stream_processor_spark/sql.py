@@ -4240,7 +4240,9 @@ class _NotInNullableMaintainer(_SubqueryFilterMaintainer):
     def _nn_step(self, eng, da, db):
         from database_stream_processor_spark.zset import WEIGHT_COL
         prev = self._regime()
-        if db is not None:
+        # __init__ already counted the RECOVERED inner snapshot — the
+        # bootstrap replay of that same snapshot must not re-count it
+        if db is not None and not getattr(eng, "_in_bootstrap", False):
             d = db.df
             if self._ipred:
                 d = d.filter(F.expr(self._ipred))
@@ -4377,7 +4379,9 @@ class _NotInNullableTupleMaintainer(_SubqueryFilterMaintainer):
     def _nnt_step(self, eng, da, db):
         from database_stream_processor_spark.zset import WEIGHT_COL
         prev = self._regime()
-        if db is not None:
+        # __init__ already counted the RECOVERED inner snapshot — the
+        # bootstrap replay of that same snapshot must not re-count it
+        if db is not None and not getattr(eng, "_in_bootstrap", False):
             d = db.df
             if self._ipred:
                 d = d.filter(F.expr(self._ipred))
@@ -8851,6 +8855,7 @@ class Engine:
         self._maintainers: dict[str, _ViewMaintainer] = {}
         self._sources: dict[str, set[str]] = {}
         self._pending: dict[str, list[ZSetFrame]] = {}
+        self._in_bootstrap = False
         #: per-view output connectors (attach_output)
         self._outputs: dict[str, list] = {}
         self._tick = 0
@@ -8928,20 +8933,32 @@ class Engine:
         old.update({n: m._empty() for n, m in self._maintainers.items()})
 
         # maintainers read post-tick table rows via the temp views — the
-        # recovered snapshots are already bound by _create_table
-        for name, m in self._maintainers.items():
-            if name in self._bootstrapped:
-                # an already-bootstrapped view still feeds downstream
-                # maintainers created in a LATER execute(): to them its
-                # whole current state is "new", so contribute it as one
-                # insert delta (mirroring the table snapshots above), not
-                # _empty() — else the late view silently seeds empty.
-                combined[name] = m.state.current
-                continue
-            delta = m.step(self, dict(combined), old)
-            m.state.current.rows().createOrReplaceTempView(name)
-            combined[name] = delta
-            self._bootstrapped.add(name)
+        # recovered snapshots are already bound by _create_table.  The
+        # flag lets maintainers that derived O(1) counters from the
+        # RECOVERED tables at construction (the nullable NOT IN family)
+        # skip re-counting the replayed snapshot — without it the
+        # bootstrap delta double-counted them (found r11: a recovered
+        # single-column NOT IN reported n_inner=2 for a 1-row inner and
+        # then mis-tracked the B1→B2 regime flip).
+        self._in_bootstrap = True
+        try:
+            for name, m in self._maintainers.items():
+                if name in self._bootstrapped:
+                    # an already-bootstrapped view still feeds
+                    # downstream maintainers created in a LATER
+                    # execute(): to them its whole current state is
+                    # "new", so contribute it as one insert delta
+                    # (mirroring the table snapshots above), not
+                    # _empty() — else the late view silently seeds
+                    # empty.
+                    combined[name] = m.state.current
+                    continue
+                delta = m.step(self, dict(combined), old)
+                m.state.current.rows().createOrReplaceTempView(name)
+                combined[name] = delta
+                self._bootstrapped.add(name)
+        finally:
+            self._in_bootstrap = False
 
     def _create_view(self, name: str, select_sql: str) -> None:
         # Calcite-style normalization first: implicit comma joins become

@@ -533,6 +533,95 @@ def test_mutual_recursive_view_survives_suspend_resume(spark, tmp_path):
         evenodd(seeds, [(0, 1), (1, 2), (3, 4), (4, 5)])
 
 
+def test_single_col_not_in_counters_survive_suspend_resume(
+        spark, tmp_path):
+    """Regression (found r11): the nullable NOT IN maintainer counts
+    the recovered inner at construction AND the bootstrap tick replayed
+    the same snapshot as an insert delta — n_inner doubled, so a later
+    inner drain left the regime stuck at B1 (wrongly excluding NULL
+    outer keys instead of the B2 everyone-qualifies rule)."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE t (k BIGINT NOT NULL, v BIGINT);
+        CREATE TABLE s (x BIGINT);
+        CREATE VIEW f AS
+            SELECT k, v FROM t WHERE v NOT IN (SELECT x FROM s);
+    """
+    path = str(tmp_path / "nn_state")
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    eng.push("t", spark.createDataFrame([(1, 5), (2, 7), (3, None)],
+                                        "k long, v long"))
+    eng.push("s", spark.createDataFrame([(5,)], "x long"))
+    eng.step()
+    assert sorted(r[0] for r in eng.view("f").collect()) == [2]
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    m = eng2._maintainers["f"]
+    assert m.kind == "not_in_nullable"
+    assert m._n_inner == 1, m._n_inner
+    assert sorted(r[0] for r in eng2.view("f").collect()) == [2]
+    # drain the inner: B1→B2 — every row qualifies, INCLUDING the
+    # NULL-key row the stuck-B1 regime wrongly excluded
+    eng2.push("s", spark.createDataFrame([(5,)], "x long"), weight=-1)
+    eng2.step()
+    assert m._regime() == "B2", m._regime()
+    assert sorted((r[0] for r in eng2.view("f").collect())) == [1, 2, 3]
+
+
+def test_tuple_not_in_view_survives_suspend_resume(spark, tmp_path):
+    """Suspend/resume under a nullable row-value NOT IN view: the tuple
+    maintainer re-derives its regime counters from the recovered inner
+    snapshot at construction, and post-resume ticks keep the
+    three-valued semantics — including an all-NULL insert that empties
+    the view and its retraction that refills it."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE o (a BIGINT, b BIGINT, v BIGINT NOT NULL);
+        CREATE TABLE i1 (x BIGINT, y BIGINT);
+        CREATE VIEW f AS
+            SELECT a, b, v FROM o
+            WHERE v > 0 AND (a, b) NOT IN (SELECT x, y FROM i1);
+    """
+    TO, TI = "a long, b long, v long", "x long, y long"
+    path = str(tmp_path / "tnn_state")
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    eng.push("o", spark.createDataFrame(
+        [(1, 1, 5), (1, 2, 5), (None, 5, 5), (3, None, 5)], TO))
+    eng.push("i1", spark.createDataFrame([(1, 2), (9, None)], TI))
+    eng.step()
+    keep = sorted(map(tuple, eng.view("f").collect()), key=str)
+    assert (1, 1, 5) in keep and (1, 2, 5) not in keep
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    m = eng2._maintainers["f"]
+    assert m.kind == "not_in_nullable_tuple"
+    assert m._regime() == "B1" and m._n_inner == 2
+    assert sorted(map(tuple, eng2.view("f").collect()), key=str) == keep
+    # all-NULL inner row post-resume: the view empties …
+    an = spark.createDataFrame([(None, None)], TI)
+    eng2.push("i1", an)
+    eng2.step()
+    assert m._regime() == "A" and eng2.view("f").isEmpty()
+    # … and its retraction refills it
+    eng2.push("i1", an, weight=-1)
+    eng2.step()
+    assert m._regime() == "B1"
+    assert sorted(map(tuple, eng2.view("f").collect()), key=str) == keep
+    # membership retraction inside B1 un-blocks (1,2)
+    eng2.push("i1", spark.createDataFrame([(1, 2)], TI), weight=-1)
+    eng2.step()
+    got = sorted(map(tuple, eng2.view("f").collect()), key=str)
+    assert (1, 2, 5) in got
+
+
 def test_quantified_view_survives_suspend_resume(spark, tmp_path):
     """Suspend/resume under a quantified (> ALL) view: the hidden
     scalars maintainer rebuilds its counters from the recovered inner
