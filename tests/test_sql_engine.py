@@ -4891,6 +4891,73 @@ def test_recursive_cte_mutual_nonlinear_same_generation(spark):
     check([(1, 2), (3, 4), (8, 9), (4, 8)], "delete (DRed)")
 
 
+def test_recursive_cte_mutual_three_members(spark):
+    """A THREE-member mutual group — mod-3 hop reachability (r0 seeds,
+    r1 = r0→edge, r2 = r1→edge, r0 also ← r2→edge): the SCC detection
+    and the vector fixpoint are size-generic; r1/r2 are pure-step
+    members typed iteratively.  Insert then DRed ticks checked against
+    a python model."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW mods as
+            WITH RECURSIVE r0 AS (
+                SELECT k FROM seeds
+                UNION
+                SELECT e.dst AS k FROM r2 x JOIN ed e ON x.k = e.src),
+            r1 AS (
+                SELECT e.dst AS k FROM r0 x JOIN ed e ON x.k = e.src),
+            r2 AS (
+                SELECT e.dst AS k FROM r1 x JOIN ed e ON x.k = e.src)
+            SELECT k, 0 AS m FROM r0
+            UNION
+            SELECT k, 1 AS m FROM r1
+            UNION
+            SELECT k, 2 AS m FROM r2;
+    """)
+    for rn in ("r0", "r1", "r2"):
+        assert eng.view_strategy(f"__mods_rec_{rn}") \
+            == "recursive_mutual"
+    m = eng._maintainers["__mods_rec_r0"]
+
+    def py_mod3(seeds, edges):
+        rs = [set(seeds), set(), set()]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(3):
+                nxt = {d for (s, d) in edges if s in rs[i]} \
+                    - rs[(i + 1) % 3]
+                if nxt:
+                    rs[(i + 1) % 3] |= nxt
+                    changed = True
+        return sorted((k, i) for i in range(3) for k in rs[i])
+
+    def check(seeds, edges, tag):
+        want = py_mod3(set(seeds), set(edges))
+        got = sorted(map(tuple, eng.view("mods").collect()))
+        assert got == want, (tag, got, want)
+
+    seeds = [0]
+    chain = [(i, i + 1) for i in range(7)]
+    eng.push("seeds", spark.createDataFrame([(k,) for k in seeds],
+                                            "k long"))
+    eng.push("ed", spark.createDataFrame(chain, "src long, dst long"))
+    eng.step()
+    check(seeds, chain, "initial")
+    eng.push("ed", spark.createDataFrame([(7, 8)], "src long, dst long"))
+    eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    check(seeds, chain + [(7, 8)], "edge insert")
+    eng.push("ed", spark.createDataFrame([(3, 4)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    check(seeds, [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 7),
+                  (7, 8)], "edge delete (DRed)")
+
+
 def test_recursive_cte_input_twice_in_branch(spark):
     """A step branch joining the INPUT with itself (two-hop step:
     p ∘ ed ∘ ed) — r10's twice-referenced refusal, lifted r11 for the
