@@ -6835,6 +6835,59 @@ def q152_sql_engine_quantified_correlated(spark, sf_dir):
     return eng.view("above_own")
 
 
+@register("q161_sql_engine_recursive_input_twice", oracle="""
+WITH RECURSIVE ed AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 2 AND 255
+    AND c_custkey % 9 <> 0),
+p AS (
+  SELECT src, dst FROM ed
+  UNION
+  SELECT x.src, f.dst FROM p x
+      JOIN ed e ON x.dst = e.src
+      JOIN ed f ON e.dst = f.src)
+SELECT src, dst FROM p
+""")
+def q161_sql_engine_recursive_input_twice(spark, sf_dir):
+    """A recursion step joining the INPUT with itself (two-hop step:
+    p ∘ ed ∘ ed — all ODD-length ancestor paths) — NEW r11: the
+    twice-referenced-input refusal, lifted for the set fixpoint via
+    per-occurrence spliced delta legs (occurrence i rebinds to a hidden
+    delta name, others stay on the integral; the union over-covers and
+    the set fixpoint dedups — _input_delta_legs, sql.py).  Insert ticks
+    run semi-naive (stats asserted), the customer retraction runs DRed
+    whose suspect legs also go through the spliced variants."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE VIEW oddpaths as
+            with recursive ed as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 2 and 255),
+            p as (
+                select src, dst from ed
+                union
+                select x.src, f.dst from p x
+                    join ed e on x.dst = e.src
+                    join ed f on e.dst = f.src)
+            select src, dst from p;
+    """)
+    assert eng.view_strategy("__oddpaths_rec") == "recursive"
+    m = eng._maintainers["__oddpaths_rec"]
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    return eng.view("oddpaths")
+
+
 @register("q160_sql_engine_quantified_correlated_composite", oracle="""
 WITH evx AS (
   SELECT user_id % 30 AS u, event_type AS t, value AS v, event_id
