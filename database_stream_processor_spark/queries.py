@@ -7582,66 +7582,67 @@ from database_stream_processor_spark import nexmark  # noqa: E402,F401
 # --------------------------------------------------------------------- #
 
 _WINDOW_ORDER = [
-    # round-11 priority 1: this round's additions (never driver-checked)
-    # — mutual recursion, multi-input bag recursion, nullable tuple
-    # NOT IN, the routed/expression/HAVING quantified corners (r10
-    # verdict asks #2-#5).
-    "q153_sql_engine_recursive_mutual",
-    "q154_sql_engine_recursive_bag_two_inputs",
+    # round-12 priority 1 (r11 verdict ask #1): q161 landed after the
+    # r11 window was composed — grade it first.
+    "q161_sql_engine_recursive_input_twice",
+    # round-12 priority 2 (r11 verdict ask #1): ALL 34 rows whose
+    # latest driver evidence dates to round 8 — after this window the
+    # evidence histogram bottoms at r9.
+    "nx_q05_hot_items",
+    "nx_q07_highest_bid",
+    "q129_sql_engine_partition_window_desc",
+    "q46_ivf_topk",
+    "q65_z1_delay",
+    "q66_apply2_except",
+    "q67_gather_inspect",
+    "q68_iterate_until_depth",
+    "q69_csv_source_roundtrip",
+    "q70_generator_stream_input",
+    "q71_http_transport_roundtrip",
+    "q72_indexed_input_shard",
+    "q73_sql_engine_layered_having",
+    "q74_same_generation",
+    "q75_sql_engine_left_join",
+    "q76_sql_engine_join_agg_view",
+    "q78_sql_engine_distinct_full_join",
+    "q79_sql_engine_exists_filter",
+    "q80_sql_engine_topk_view",
+    "q81_dedup_cluster_assignment",
+    "q82_sql_engine_multijoin",
+    "q83_sql_engine_distinct_agg",
+    "q84_sql_engine_star_agg",
+    "q85_sql_engine_global_topk",
+    "q86_streaming_sql_engine",
+    "q87_sql_engine_setops",
+    "q88_multimodal_audio_chunks",
+    "q89_deterministic_split_sample",
+    "q90_sql_engine_incremental_dedup",
+    "q91_embedding_quantize",
+    "q92_sql_rolling_features",
+    "q93_png_decode_real",
+    "q94_wav_chunks_real",
+    "q95_sql_lag_sequence_features",
+    # round-12 priority 3: rows whose maintainers this round's work
+    # touches (tuple NOT-IN fast path, quantifier stacks) — regrade on
+    # the new code.
     "q155_sql_engine_tuple_not_in_nullable",
-    "q156_sql_engine_quantified_routed",
-    "q157_sql_engine_quantified_having",
     "q158_sql_engine_quantified_composed",
-    "q159_sql_engine_quantified_grouped_inner",
-    "q160_sql_engine_quantified_correlated_composite",
-    # round-11 priority 2 (r10 verdict ask #1b): ALL 26 rows whose
-    # latest driver evidence still dates to round 7 — after this window
-    # no registered query's latest driver row predates r8.
-    "q03_top_orders",
-    "q04_order_priority",
-    "q07_customers_without_recent_orders",
-    "q12_rollup_sales",
-    "q13_order_classification",
-    "q18_event_type_pivot",
-    "q25_json_props_extract",
-    "q26_minhash_signatures",
-    "q28_simhash",
-    "q29_ngram_jaccard_pairs",
-    "q34_token_counts",
-    "q54_incremental_outer_enrich",
-    "q56_incremental_hot_items",
-    "q60_multimodal_resize",
-    "q61_multimodal_frames",
-    "q62_sql_engine_view",
-    "q101_sql_engine_scalar_subquery",
-    "q102_sql_engine_scalar_where",
-    "q103_sql_engine_tpch_q17",
-    "q104_sql_engine_tpch_q15",
-    "q106_sql_engine_tpch_q22",
-    "q107_sql_engine_tpch_q11",
-    "q111_sql_engine_tpch_q2_verbatim",
-    "q112_sql_engine_tpch_q3_verbatim",
-    "q122_sql_engine_tpch_q1_verbatim",
-    "q123_sql_engine_tpch_q6_verbatim",
-    # round-11 priority 3: 16 of the 50 round-8-era rows (the whole
-    # registry's oldest remaining band), spread across operator
-    # families — the other 34 r8 rows rotate into the r12 window.
-    "nx_q00_passthrough",
-    "nx_q08_monitor_new_users",
-    "q126_sql_engine_tpch_q18_verbatim",
-    "q127_sql_engine_tpch_q16_verbatim",
-    "q128_sql_engine_tpch_q21_verbatim",
-    "q130_sql_engine_multi_inner_filters",
-    "q38_incremental_distinct",
-    "q40_scalar_functions",
-    "q41_full_outer_default",
-    "q47_cosine_near_dup",
-    "q49_window_contents",
-    "q50_stream_fold",
-    "q51_monotonic_stream_join",
-    "q52_set_input",
-    "q53_differentiate_snapshots",
-    "q64_weigh_weighted_count",
+    # round-12 priority 4: r9-evidence rows (the registry's oldest
+    # remaining band) — displaced one-for-one by this round's new
+    # queries as they land.
+    "q131_sql_engine_tpch_q6_typed",
+    "q134_sql_rolling_features_timestamp",
+    "q136_sql_engine_tpch_q15_cte",
+    "q138_sql_engine_recursive_cte",
+    "q139_sql_engine_union_of_aggs",
+    "q140_sql_engine_unmatched_antijoin",
+    "nx_q01_currency",
+    "nx_q04_avg_closing_price",
+    "q02_revenue_by_nation",
+    "q39_transitive_closure",
+    "q42_incremental_rolling",
+    "q63_sql_engine_minmax_view",
+    "q100_sql_engine_nullable_not_in",
 ]
 
 
