@@ -1317,17 +1317,26 @@ class ZSetBagFixpointOp:
     **Multi-input mode** (the reference's weighted recursion imports
     several parent streams, delta0.rs:21 + recursive.rs:255): pass
     ``empty_input`` as a dict ``{name: empty ZSetFrame}`` plus
-    ``base_tbls`` / ``step_tbls`` — the ORDERED lists of inputs each
-    branch references.  Callbacks then take binding maps:
-    ``z_base({name: DataFrame})``, ``z_step({name: DataFrame}, R)``;
-    ``step(delta)`` takes ``{name: ZSetFrame | None}`` (None =
-    unchanged).  The per-tick seed expands multilinearly over each
-    branch's referenced inputs — leg *i* binds inputs before *i* to
-    their NEW integral, input *i* to its delta, inputs after *i* to the
-    OLD integral (the telescoping sum Δ(A⊗B) = ΔA⊗B_old + A_new⊗ΔB,
-    the bilinear Z-set join delta of join.rs:226 iterated) — so inserts
-    and deletes still flow through ONE linear path with ring
-    cancellation, no DRed.  A branch with an empty ``base_tbls``
+    ``base_tbls`` / ``step_tbls`` — the ORDERED lists of input
+    OCCURRENCES each branch references.  An occurrence is either a
+    plain input name (referenced once, bound under its own name) or a
+    ``(binding_name, input_name)`` pair — the same input referenced at
+    several atom positions in one branch appears once PER POSITION,
+    each under a DISTINCT binding name (the caller splices the branch
+    text accordingly).  Callbacks then take binding maps keyed by
+    binding names: ``z_base({bind: DataFrame})``, ``z_step({bind:
+    DataFrame}, R)``; ``step(delta)`` takes ``{input: ZSetFrame |
+    None}`` (None = unchanged).  The per-tick seed expands
+    multilinearly over each branch's occurrences — leg *i* binds
+    occurrences before *i* to their input's NEW integral, occurrence
+    *i* to its input's delta, occurrences after *i* to the OLD integral
+    (the telescoping sum Δ(A⊗B) = ΔA⊗B_old + A_new⊗ΔB, the bilinear
+    Z-set join delta of join.rs:226 iterated; a repeated input mixes
+    old and new of the SAME relation across its positions — that is
+    why the bindings must be distinct, r11 verdict ask #2b) — so
+    inserts and deletes still flow through ONE linear path with ring
+    cancellation, no DRed, and the expansion stays EXACT (each
+    derivation counted once).  A branch with an empty ``base_tbls``
     (constant base) contributes once, on the first tick.
 
     Termination requires finitely many derivation paths per fact
@@ -1351,8 +1360,9 @@ class ZSetBagFixpointOp:
                 k: StateTable(z, name=f"bag_fixpoint_input_{k}")
                 for k, z in empty_input.items()}
             self.integral = self._integrals
-            self._base_tbls = list(base_tbls or [])
-            self._step_tbls = list(step_tbls or [])
+            occ = lambda e: (e, e) if isinstance(e, str) else tuple(e)
+            self._base_occs = [occ(e) for e in (base_tbls or [])]
+            self._step_occs = [occ(e) for e in (step_tbls or [])]
             self._base_done = False
         else:
             self.integral = StateTable(empty_input,
@@ -1362,9 +1372,13 @@ class ZSetBagFixpointOp:
         self.last_stats: dict | None = None
 
     def _seed_multi(self, delta) -> "object":
-        """Multilinear delta seed: one leg per (branch, referenced
-        input), old/new mixing per the telescoping expansion; untouched
-        inputs (delta None) contribute nothing and schedule no jobs."""
+        """Multilinear delta seed: one leg per (branch, input
+        OCCURRENCE), old/new mixing per the telescoping expansion;
+        untouched inputs (delta None) contribute nothing and schedule
+        no jobs.  A repeated input's positions carry distinct binding
+        names, so leg *i* can bind position *i* to the delta while
+        earlier/later positions of the SAME input read its new/old
+        integral — the exact expansion, no double counting."""
         from database_stream_processor_spark.zset import ZSetFrame
         d = {k: (delta.get(k).consolidate()
                  if delta.get(k) is not None else None)
@@ -1376,32 +1390,33 @@ class ZSetBagFixpointOp:
             if d[k] is not None:
                 self._integrals[k].update(d[k])
             new[k] = self._integrals[k].current.consolidate().df
+        newb = {b: new[t] for b, t in self._base_occs + self._step_occs}
 
-        def leg(refs, i):
-            b = dict(new)
-            for j, t in enumerate(refs):
-                b[t] = new[t] if j < i else (d[t].df if j == i
-                                             else old[t])
+        def leg(occs, i):
+            b = dict(newb)
+            for j, (bn, t) in enumerate(occs):
+                b[bn] = new[t] if j < i else (d[t].df if j == i
+                                              else old[t])
             return b
 
         first = self._acc is None
         acc_old = self._empty_out if first else self._acc
         seed = ZSetFrame(self._empty_out.df)
-        if self._base_tbls:
-            for i, t in enumerate(self._base_tbls):
+        if self._base_occs:
+            for i, (bn, t) in enumerate(self._base_occs):
                 if d[t] is None:
                     continue
-                seed = seed.plus(self.z_base(leg(self._base_tbls, i)))
+                seed = seed.plus(self.z_base(leg(self._base_occs, i)))
         elif not self._base_done:
             # constant base: contributes once, on the first tick
-            seed = seed.plus(self.z_base(dict(new)))
+            seed = seed.plus(self.z_base(dict(newb)))
         self._base_done = True
-        for i, t in enumerate(self._step_tbls):
+        for i, (bn, t) in enumerate(self._step_occs):
             if d[t] is None:
                 continue
             seed = seed.plus(
-                self.z_step(leg(self._step_tbls, i), acc_old))
-        return seed.consolidate(), new
+                self.z_step(leg(self._step_occs, i), acc_old))
+        return seed.consolidate(), newb
 
     def step(self, delta) -> "object":
         from database_stream_processor_spark.zset import ZSetFrame

@@ -7565,6 +7565,72 @@ def q151_demo03_greentrip_verbatim(spark, sf_dir):
         "count_trips_window_30m_dropoff_zip", "dropoff_is_weekend")
 
 
+@register("q164_sql_engine_recursive_bag_input_twice", oracle="""
+WITH RECURSIVE ed AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 2 AND 127 AND c_custkey % 9 <> 0),
+p AS (
+  SELECT o_custkey AS src, o_custkey AS dst FROM orders
+  WHERE o_totalprice > 150000 AND o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT x.src, f.dst FROM p x
+      JOIN ed e ON x.dst = e.src
+      JOIN ed f ON e.dst = f.src)
+SELECT src, dst, COUNT(*) AS n_paths FROM p GROUP BY src, dst
+""")
+def q164_sql_engine_recursive_bag_input_twice(spark, sf_dir):
+    """UNION ALL recursion whose step joins the INPUT with itself (a
+    two-hop bag step: p ∘ ed ∘ ed, multiplicities = derivation paths) —
+    NEW r12 (r11 verdict ask #2b): the bag path's multilinear delta
+    expansion is exact per atom OCCURRENCE, so the repeated input's two
+    positions splice to DISTINCT binding names and a leg can bind one
+    position to the tick's delta while the other reads the old/new
+    integral (_splice_input_occurrences, sql.py; telescoping bilinear
+    expansion join.rs:226 iterated, weighted recursion recursive.rs:255
+    vldb23 §5).  Insert ticks per input, then a tick retracting rows of
+    BOTH inputs — every tick stays on the ONE linear path (mode
+    asserted ``bag-linear``), ring cancellation, no DRed."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE VIEW twohop as
+            with recursive ed as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 2 and 127),
+            p as (
+                select o.o_custkey as src, o.o_custkey as dst
+                from orders o where o.o_totalprice > 150000
+                union all
+                select x.src, f.dst from p x
+                    join ed e on x.dst = e.src
+                    join ed f on e.dst = f.src)
+            select src, dst, count(*) as n_paths from p
+            group by src, dst;
+    """)
+    assert eng.view_strategy("__twohop_rec") == "recursive_bag"
+    m = eng._maintainers["__twohop_rec"]
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+        assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.push("orders", o.filter(F.col("o_orderkey") % 7 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    return eng.view("twohop")
+
+
 @register("q162_demo00_simple_select_verbatim", oracle="""
 SELECT c_name AS name FROM customer WHERE c_custkey % 5 <> 0
 """)
@@ -7769,10 +7835,10 @@ _WINDOW_ORDER = [
     "nx_q04_avg_closing_price",
     "q02_revenue_by_nation",
     "q39_transitive_closure",
-    "q42_incremental_rolling",
     # round-12 new rows (never driver-checked)
     "q162_demo00_simple_select_verbatim",
     "q163_demo02_fraud_features_verbatim",
+    "q164_sql_engine_recursive_bag_input_twice",
 ]
 
 

@@ -6203,6 +6203,53 @@ def _weighted_branch(text: str, atoms: list[str]) -> str | None:
             f"FROM {rest}")
 
 
+def _splice_input_occurrences(branch_sql: str, tbls: list[str],
+                              prefix: str):
+    """Per-occurrence splice of a weighted (bag) recursion branch: each
+    FROM/JOIN-position occurrence of every input in ``tbls`` is renamed
+    to a DISTINCT binding name (its alias kept), so the bag fixpoint's
+    exact multilinear expansion can bind old and new integrals of the
+    SAME input at different positions of one leg (r11 verdict ask #2b;
+    the set paths' over-approximating variants are
+    :func:`_input_delta_legs` — the bag path must not over-count, so it
+    splices ALL positions at once instead).  Returns ``(text, occs)``
+    with ``occs`` the ordered ``[(binding_name, input_name)]`` list; an
+    input referenced once keeps its own name (no alias required).
+    Raises on a repeated input with unaliased or non-table occurrences
+    (the rename needs the alias to keep qualifiers resolving)."""
+    occs: list[tuple[str, str]] = []
+    text = branch_sql
+    for t in tbls:
+        esc = re.escape(t)
+        blanked = _blank_literals(text)
+        total = len(re.findall(rf"\b{esc}\b(?!\s*\.)", blanked,
+                               re.IGNORECASE))
+        poss = list(re.finditer(rf"\b(?:FROM|JOIN)\s+({esc})\b(?!\s*\.)",
+                                blanked, re.IGNORECASE))
+        if not poss:
+            continue
+        if len(poss) == 1 and total == 1:
+            occs.append((t, t))
+            continue
+        if len(poss) != total:
+            raise _UnloweredShape(
+                f"input {t!r} referenced twice with unaliased or "
+                "non-table occurrences in a UNION ALL branch")
+        binds = []
+        for i, m in enumerate(poss):
+            am = re.match(r"\s+(?:AS\s+)?(\w+)", blanked[m.end(1):],
+                          re.IGNORECASE)
+            if not am or am.group(1).upper() in _NOT_ALIAS_KW:
+                raise _UnloweredShape(
+                    f"input {t!r} referenced twice with unaliased or "
+                    "non-table occurrences in a UNION ALL branch")
+            binds.append(f"__{prefix}_{t}_{i}")
+        for i, m in reversed(list(enumerate(poss))):
+            text = text[:m.start(1)] + binds[i] + text[m.end(1):]
+        occs.extend((b, t) for b in binds)
+    return text, occs
+
+
 class _RecursiveCteBagMaintainer(_ViewMaintainer):
     """``WITH RECURSIVE r AS (base UNION ALL step) …`` — the BAG
     fixpoint: multiplicities count derivation paths (standard SQL
@@ -6224,13 +6271,13 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
                  tbls: list[str], base_sql: str, step_sql: str):
         from database_stream_processor_spark.operators.recursive import (
             ZSetBagFixpointOp)
-        scrub = lambda t: re.sub(r"'[^']*'", " ", t)
-        refs = lambda t, w: len(re.findall(rf"\b{w}\b", scrub(t),
-                                           re.IGNORECASE))
-        base_tbls = [t for t in tbls if refs(base_sql, t) > 0]
-        step_tbls = [t for t in tbls if refs(step_sql, t) > 0]
-        wb = _weighted_branch(base_sql, base_tbls)
-        ws = _weighted_branch(step_sql, step_tbls + [rname])
+        base_txt, base_occs = _splice_input_occurrences(
+            base_sql, tbls, f"{name}_b")
+        step_txt, step_occs = _splice_input_occurrences(
+            step_sql, tbls, f"{name}_s")
+        wb = _weighted_branch(base_txt, [b for b, _ in base_occs])
+        ws = _weighted_branch(step_txt,
+                              [b for b, _ in step_occs] + [rname])
         if wb is None or ws is None:
             raise _UnloweredShape(
                 "UNION ALL recursion branch is not a weighted-SPJ shape")
@@ -6238,7 +6285,7 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
         self.tables, self.rname = list(tbls), rname
         empty_zin = {t: ZSetFrame.from_df(_source_rows0(eng, t).limit(0))
                      for t in tbls}
-        zin_dfs = {t: z.df for t, z in empty_zin.items()}
+        zin_dfs = {b: empty_zin[t].df for b, t in base_occs + step_occs}
         snap = eng.eval_on(wb, dict(zin_dfs))
         cols = list(snap.columns)           # …items, __weight last
         try:
@@ -6264,7 +6311,7 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
         self._op = ZSetBagFixpointOp(
             empty_input=empty_zin, empty_output=empty_out,
             z_base=z_base, z_step=z_step,
-            base_tbls=base_tbls, step_tbls=step_tbls)
+            base_tbls=base_occs, step_tbls=step_occs)
         self._eng = eng
 
     @property
@@ -6479,6 +6526,14 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
             fname = f"__{name}_rec_f"
             n_self = refs(step_sql, rname)
             variants = None
+            if n_self > 1 and is_bag:
+                # the bag rounds are linear in the CTE atom; a doubled
+                # atom would need the quadratic frontier expansion AND
+                # diverges under SQL's own working-table semantics on
+                # most graphs — keep refusing
+                raise _UnloweredShape(
+                    "non-linear UNION ALL recursion (the CTE "
+                    "referenced twice in the step) is not lowerable")
             if n_self > 1 and not is_bag:
                 variants = _rec_occurrence_variants(step_sql, rname,
                                                     fname)
@@ -6501,16 +6556,6 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                 raise _UnloweredShape(
                     f"recursion over {len(tbls)} input tables "
                     "(1-3 are lowerable)")
-            if is_bag:
-                # the bag path's multilinear expansion is EXACT in each
-                # atom — a twice-referenced input would double-count
-                # (the set paths instead splice per-occurrence delta
-                # legs, _input_delta_legs)
-                for t in tbls:
-                    if refs(base_sql, t) > 1 or refs(step_sql, t) > 1:
-                        raise _UnloweredShape(
-                            "input table referenced twice in one "
-                            "UNION ALL branch")
             hid = f"__{name}_rec"
             registered.append(hid)
             if is_bag:

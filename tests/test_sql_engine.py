@@ -4755,6 +4755,90 @@ def test_recursive_cte_union_all_bag_two_inputs(spark):
           "mixed retract")
 
 
+def test_recursive_cte_union_all_bag_input_twice(spark):
+    """UNION ALL recursion whose STEP joins the input with itself (a
+    two-hop step — r11 verdict ask #2b, refused ≤r11): the repeated
+    input's two atom positions splice to DISTINCT binding names, so the
+    exact multilinear expansion can bind one position to the tick's
+    delta while the other reads the old/new integral — no
+    double-counting, and retractions cancel in the ring (mode stays
+    bag-linear on every tick)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW paths as
+            WITH RECURSIVE p AS (
+                SELECT s.k AS src, s.k AS dst FROM seeds s
+                UNION ALL
+                SELECT x.src, f.dst FROM p x
+                    JOIN ed e ON x.dst = e.src
+                    JOIN ed f ON e.dst = f.src)
+            SELECT src, dst, COUNT(*) AS n_paths FROM p
+            GROUP BY src, dst;
+    """)
+    assert eng.view_strategy("__paths_rec") == "recursive_bag"
+    m = eng._maintainers["__paths_rec"]
+    assert sorted(m.tables) == ["ed", "seeds"], m.tables
+
+    def py_paths(seeds, edges):
+        from collections import Counter
+        sw, ew = Counter(seeds), Counter(edges)
+        two = Counter()                     # the two-hop edge relation
+        for (a, b), w1 in ew.items():
+            for (b2, c), w2 in ew.items():
+                if b == b2:
+                    two[(a, c)] += w1 * w2
+        frontier = Counter({(k, k): w for k, w in sw.items()})
+        acc = Counter(frontier)
+        for _ in range(40):
+            new = Counter()
+            for (s, d), w in frontier.items():
+                for (a, c), w2 in two.items():
+                    if d == a:
+                        new[(s, c)] += w * w2
+            new = +new
+            if not new:
+                break
+            frontier = new
+            acc.update(new)
+        return acc
+
+    def check(seeds, edges, tag):
+        want = sorted((s, d, n)
+                      for (s, d), n in py_paths(seeds, edges).items()
+                      if n)
+        got = sorted(map(tuple, eng.view("paths").collect()))
+        assert got == want, (tag, got, want)
+        assert m.last_stats["mode"] == "bag-linear", (tag, m.last_stats)
+
+    seeds = [1, 1, 2]                       # duplicate seed: weight 2
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 4)]
+    eng.push("seeds", spark.createDataFrame([(k,) for k in seeds],
+                                            "k long"))
+    eng.push("ed", spark.createDataFrame(chain, "src long, dst long"))
+    eng.step()
+    check(seeds, chain, "both-input insert")
+    # edge-only tick: the delta leg must mix Δed with old/new ed at the
+    # OTHER position — new two-hop pairs use the new edge at either hop
+    eng.push("ed", spark.createDataFrame([(5, 6)], "src long, dst long"))
+    eng.step()
+    check(seeds, chain + [(5, 6)], "edge insert")
+    # retract an edge and a seed in ONE tick — both positions of the
+    # repeated atom see the negative delta exactly once
+    eng.push("ed", spark.createDataFrame([(2, 4)], "src long, dst long"),
+             weight=-1)
+    eng.push("seeds", spark.createDataFrame([(1,)], "k long"), weight=-1)
+    eng.step()
+    check([1, 2], [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+          "mixed retract")
+    # duplicate EDGE: multiplicities multiply across both positions
+    eng.push("ed", spark.createDataFrame([(2, 3)], "src long, dst long"))
+    eng.step()
+    check([1, 2], [(1, 2), (2, 3), (2, 3), (3, 4), (4, 5), (5, 6)],
+          "duplicate edge")
+
+
 def test_recursive_cte_mutual_even_odd(spark):
     """MUTUAL recursion (r10 verdict ask #2): even/odd reachability —
     ``ev`` seeds from an input and steps through ``od``; ``od`` is a
@@ -5036,10 +5120,9 @@ def test_recursive_cte_refusal_shapes(spark):
             SELECT src, dst FROM ed2 UNION ALL
             SELECT p.src, e.dst FROM p JOIN ed2 e ON p.dst = e.src)
             SELECT src, dst FROM p""",
-        "table twice in a UNION ALL branch": """WITH RECURSIVE p AS (
+        "CTE twice in a UNION ALL step": """WITH RECURSIVE p AS (
             SELECT src, dst FROM ed UNION ALL
-            SELECT p.src, f.dst FROM p JOIN ed e ON p.dst = e.src
-                JOIN ed f ON e.dst = f.src)
+            SELECT a.src, b.dst FROM p a JOIN p b ON a.dst = b.src)
             SELECT src, dst FROM p""",
         "shadows table": """WITH RECURSIVE ed AS (
             SELECT src, dst FROM ed UNION
