@@ -1457,6 +1457,151 @@ class ZSetBagFixpointOp:
         return self._acc
 
 
+class VectorBagFixpointOp:
+    """MUTUAL (vector) UNION ALL recursion over Z-sets: members
+    ``R_1..R_k`` jointly solve ``R_m = Σ_b branch_b(I, R)`` with
+    multiplicities = derivation paths — the bag analog of
+    :class:`MutualFixpointOp` (the reference maintains nested circuits
+    exporting several mutually referencing weighted streams,
+    recursive.rs:255; vldb23 §5).  Because the weight ring does the
+    retraction arithmetic, this is STRICTLY simpler than the set
+    vector fixpoint: no DRed, no suspects — inserts and deletes flow
+    through the one linear path and cancel.
+
+    ``branches`` is a flat list of rules, each a dict:
+
+    - ``member``: which R_m the rule feeds;
+    - ``eval``: ``callable({bind: DataFrame}) -> ZSetFrame`` — the
+      weighted branch body over its bindings;
+    - ``occs``: ordered ``[(binding_name, input_name)]`` input atom
+      occurrences (a repeated input appears once per position, distinct
+      binding names — the caller splices);
+    - ``rec``: ``(binding_name, member_name)`` for the ONE member atom
+      of a step rule, ``None`` for a base rule.  Rules must be LINEAR
+      in the member vector (at most one member atom): the per-round
+      frontier propagation ``f'_m = Σ_b b(I_new, f_{j(b)})`` is then
+      exact, and the tick delta solves ``Δ = Σ_k T^k(seed)`` for the
+      linear member-matrix ``T`` — the vector telescoping identity.
+
+    Per tick: input integrals update; the seed expands multilinearly
+    over each rule's input occurrences (earlier positions new, position
+    *i* the delta, later positions old; the member atom — the LAST
+    conceptual occurrence — stays on the OLD accumulator, matching the
+    single-member :class:`ZSetBagFixpointOp`); rounds then propagate
+    member frontiers until every member's frontier consolidates to ∅.
+    Termination requires finitely many derivation paths (acyclic
+    derivations) — cyclic derivation graphs make UNION ALL recursion
+    itself infinite, and the op raises rather than silently converging
+    to the wrong (set) answer."""
+
+    def __init__(self, empty_inputs: dict, members: list[str],
+                 empty_out: dict, branches: list[dict],
+                 max_iterations: int = 100):
+        from database_stream_processor_spark.plans.incremental import (
+            StateTable)
+        self.members = list(members)
+        self.inputs = list(empty_inputs)
+        self._integrals = {
+            k: StateTable(z, name=f"vbag_fixpoint_input_{k}")
+            for k, z in empty_inputs.items()}
+        self.integral = self._integrals
+        self._branches = list(branches)
+        self._empty_out = dict(empty_out)
+        self.max_iterations = max_iterations
+        self._acc: dict | None = None
+        self._base_done = False
+        self.last_stats: dict | None = None
+
+    def step(self, delta: dict) -> dict:
+        from database_stream_processor_spark.zset import ZSetFrame
+        d = {k: (delta.get(k).consolidate()
+                 if delta.get(k) is not None else None)
+             for k in self.inputs}
+        old = {k: st.current.consolidate().df
+               for k, st in self._integrals.items()}
+        new = {}
+        for k in self.inputs:
+            if d[k] is not None:
+                self._integrals[k].update(d[k])
+            new[k] = self._integrals[k].current.consolidate().df
+        first = self._acc is None
+        acc_old = (self._empty_out if first else self._acc)
+        seed = {m: ZSetFrame(self._empty_out[m].df)
+                for m in self.members}
+        for br in self._branches:
+            occs, rec = br["occs"], br["rec"]
+            if not occs:
+                # constant base rule: contributes once, on the first
+                # tick; an input-less STEP rule changes only through
+                # its member atom — the rounds propagate it, no seed leg
+                if rec is None and not self._base_done:
+                    seed[br["member"]] = seed[br["member"]].plus(
+                        br["eval"]({}))
+                continue
+            for i, (bn, t) in enumerate(occs):
+                if d[t] is None:
+                    continue
+                b = {b2: new[t2] for b2, t2 in occs}
+                for j, (bj, tj) in enumerate(occs):
+                    b[bj] = new[tj] if j < i else (d[tj].df if j == i
+                                                   else old[tj])
+                if rec is not None:
+                    b[rec[0]] = acc_old[rec[1]].df
+                seed[br["member"]] = seed[br["member"]].plus(
+                    br["eval"](b))
+        self._base_done = True
+        f, total = {}, {}
+        for m in self.members:
+            f[m] = ZSetFrame(seed[m].consolidate()
+                             .df.localCheckpoint(eager=True))
+            total[m] = f[m]
+        rounds = 0
+        with _loop_shuffle_partitions(f[self.members[0]].df) as resize:
+            for _ in range(self.max_iterations):
+                counts = {m: f[m].df.count() for m in self.members}
+                if not any(counts.values()):
+                    break
+                rounds += 1
+                resize(sum(counts.values()))
+                nxt = {m: ZSetFrame(self._empty_out[m].df)
+                       for m in self.members}
+                for br in self._branches:
+                    if br["rec"] is None:
+                        continue
+                    bn, mj = br["rec"]
+                    if not counts[mj]:
+                        continue
+                    b = {b2: new[t2] for b2, t2 in br["occs"]}
+                    b[bn] = f[mj].df
+                    nxt[br["member"]] = nxt[br["member"]].plus(
+                        br["eval"](b))
+                for m in self.members:
+                    nxt[m] = ZSetFrame(nxt[m].consolidate()
+                                       .df.localCheckpoint(eager=True))
+                    total[m] = total[m].plus(nxt[m])
+                f = nxt
+            else:
+                raise RuntimeError(
+                    "mutual bag fixpoint did not converge in "
+                    f"{self.max_iterations} rounds (cyclic derivations "
+                    "make UNION ALL recursion itself infinite)")
+        out = {}
+        acc_new = {}
+        for m in self.members:
+            out[m] = ZSetFrame(total[m].consolidate()
+                               .df.localCheckpoint(eager=True))
+            acc_new[m] = ZSetFrame(
+                acc_old[m].plus(out[m]).consolidate()
+                .df.localCheckpoint(eager=True))
+        self._acc = acc_new
+        self.last_stats = {"mode": "bag-linear", "rounds": rounds}
+        return out
+
+    @property
+    def current(self) -> "dict | None":
+        return self._acc
+
+
 def iterate_until(seed: DataFrame, step: Callable[[DataFrame], DataFrame],
                   condition: Callable[[DataFrame], bool],
                   max_iterations: int = 100) -> DataFrame:

@@ -7631,6 +7631,75 @@ def q164_sql_engine_recursive_bag_input_twice(spark, sf_dir):
     return eng.view("twohop")
 
 
+@register("q165_sql_engine_recursive_mutual_bag", oracle="""
+WITH RECURSIVE r AS (
+  SELECT o_custkey AS k, 0 AS par FROM orders
+  WHERE o_totalprice > 180000 AND o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT c.c_custkey // 2 AS k, 1 - r.par AS par
+  FROM r JOIN customer c ON r.k = c.c_custkey
+  WHERE c.c_custkey BETWEEN 2 AND 255 AND c.c_custkey % 9 <> 0)
+SELECT k, COUNT(*) AS n_even FROM r WHERE par = 0 GROUP BY k
+""")
+def q165_sql_engine_recursive_mutual_bag(spark, sf_dir):
+    """MUTUAL ``UNION ALL`` recursion — NEW r12 (r11 verdict ask #2a,
+    refused ≤r11): even/odd path COUNTS as two CTEs referencing each
+    other under bag semantics (``ev`` steps through ``od``, ``od`` is
+    pure-step through ``ev``; multiplicities = derivation paths — here
+    several qualifying orders per custkey weight the seeds and COUNT(*)
+    multiplies down the //2 chain).  The group lowers onto ONE vector
+    bag fixpoint (VectorBagFixpointOp, operators/recursive.py: rounds
+    propagate the linear member matrix, the weight ring cancels
+    retractions — no DRed; the reference's nested circuits with several
+    mutually referencing weighted exports, recursive.rs:255, vldb23
+    §5).  DuckDB cannot run mutual recursion, so the oracle is the
+    parity-tagged SINGLE bag recursion restricted to even parity —
+    semantically the same vector fixpoint.  Insert ticks per input,
+    then a tick retracting rows of BOTH inputs at once."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE VIEW evens as
+            with recursive edges as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 2 and 255),
+            ev as (
+                select o_custkey as k from orders
+                where o_totalprice > 180000
+                union all
+                select e.dst as k from od o join edges e
+                    on o.k = e.src),
+            od as (
+                select e.dst as k from ev v join edges e
+                    on v.k = e.src)
+            select k, count(*) as n_even from ev group by k;
+    """)
+    assert eng.view_strategy("__evens_rec_ev") == "recursive_bag_mutual"
+    assert eng.view_strategy("__evens_rec_od") == "recursive_bag_mutual"
+    m = eng._maintainers["__evens_rec_ev"]
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("customer", c)
+    eng.step()
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+        assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    eng.push("orders", o.filter(F.col("o_orderkey") % 7 == 0),
+             weight=-1)
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    return eng.view("evens")
+
+
 @register("q162_demo00_simple_select_verbatim", oracle="""
 SELECT c_name AS name FROM customer WHERE c_custkey % 5 <> 0
 """)
@@ -7834,11 +7903,11 @@ _WINDOW_ORDER = [
     "nx_q01_currency",
     "nx_q04_avg_closing_price",
     "q02_revenue_by_nation",
-    "q39_transitive_closure",
     # round-12 new rows (never driver-checked)
     "q162_demo00_simple_select_verbatim",
     "q163_demo02_fraud_features_verbatim",
     "q164_sql_engine_recursive_bag_input_twice",
+    "q165_sql_engine_recursive_mutual_bag",
 ]
 
 

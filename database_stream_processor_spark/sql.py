@@ -6334,6 +6334,163 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
         return delta
 
 
+class _RecursiveCteBagMutualMaintainer(_ViewMaintainer):
+    """MUTUAL ``UNION ALL`` recursion — ``WITH RECURSIVE a AS (… ALL …
+    b …), b AS (… ALL … a …) …``: the group lowers onto ONE vector bag
+    fixpoint (:class:`~database_stream_processor_spark.operators.
+    recursive.VectorBagFixpointOp` — multiplicities count derivation
+    paths across the whole member vector; the reference's nested
+    circuits with several mutually referencing weighted exports,
+    recursive.rs:255, vldb23 §5).  Strictly simpler than the set
+    vector fixpoint: the weight ring cancels retractions, no DRed.
+
+    This maintainer owns the op and the FIRST member's state; the
+    other members are :class:`_RecursiveSatelliteMaintainer` rows that
+    pop their per-tick deltas from ``self._stash``.  Every rule must
+    be weighted-SPJ and LINEAR in the member vector (at most one
+    member atom per rule — a doubled member atom would need the
+    quadratic frontier expansion and diverges under SQL's own
+    working-table semantics); input atoms may repeat (per-occurrence
+    spliced bindings, :func:`_splice_input_occurrences`)."""
+
+    kind = "recursive_bag_mutual"
+
+    def __init__(self, eng: "Engine", name: str, rnames: list[str],
+                 tbls: list[str],
+                 branches: dict[str, tuple[list[str], list[str]]]):
+        from database_stream_processor_spark.operators.recursive import (
+            VectorBagFixpointOp)
+        self.name = name
+        self.tables, self.rnames = list(tbls), list(rnames)
+        self._stash: dict[str, ZSetFrame] = {}
+        scrub = lambda t: re.sub(r"'[^']*'", " ", t)
+        refs = lambda t, w: len(re.findall(rf"\b{re.escape(w)}\b"
+                                           r"(?!\s*\.)", scrub(t),
+                                           re.IGNORECASE))
+        b0 = branches[rnames[0]]
+        self.sql = (b0[0] or b0[1])[0]
+        # weighted per-rule texts: splice repeated inputs, classify the
+        # (single) member atom
+        built: list[tuple[str, str, list, str | None]] = []
+        for rn in rnames:
+            bases, steps = branches[rn]
+            if not steps:
+                raise _UnloweredShape(
+                    f"group member {rn!r} has no step rule")
+            for idx, br in enumerate(bases + steps):
+                mrefs = [(m_, refs(br, m_)) for m_ in rnames
+                         if refs(br, m_)]
+                total = sum(k for _, k in mrefs)
+                if total > 1:
+                    raise _UnloweredShape(
+                        "non-linear UNION ALL mutual step (a rule may "
+                        "reference at most one member atom)")
+                recm = mrefs[0][0] if mrefs else None
+                text, occs = _splice_input_occurrences(
+                    br, tbls, f"{name}_{rn}_{idx}")
+                wt = _weighted_branch(
+                    text, [b for b, _ in occs]
+                    + ([recm] if recm else []))
+                if wt is None:
+                    raise _UnloweredShape(
+                        "UNION ALL recursion branch is not a "
+                        "weighted-SPJ shape")
+                built.append((rn, wt, occs, recm))
+        empty_zin = {t: ZSetFrame.from_df(_source_rows0(eng, t).limit(0))
+                     for t in tbls}
+        empty_in = {t: z.df for t, z in empty_zin.items()}
+        # schema resolution (weighted schemas: …items, __weight last):
+        # base-carrying members type from a base rule; pure-step
+        # members type once their referenced member is typed — iterate
+        # to a fixed point
+        schemas: dict[str, object] = {}
+        try:
+            pending = list(rnames)
+            while pending:
+                progressed = False
+                for rn in list(pending):
+                    for rn2, wt, occs, recm in built:
+                        if rn2 != rn or (recm is not None
+                                         and recm not in schemas):
+                            continue
+                        bm = {b: empty_in[t] for b, t in occs}
+                        if recm is not None:
+                            bm[recm] = eng.spark.createDataFrame(
+                                [], schemas[recm])
+                        snap = eng.eval_on(wt, bm)
+                        schemas[rn] = snap.schema
+                        pending.remove(rn)
+                        progressed = True
+                        break
+                if not progressed:
+                    raise _UnloweredShape(
+                        "mutual recursion with an untypable pure-step "
+                        "cycle (no base rule reachable)")
+            # arity check: every rule of a member matches its schema
+            for rn, wt, occs, recm in built:
+                bm = {b: empty_in[t] for b, t in occs}
+                if recm is not None:
+                    bm[recm] = eng.spark.createDataFrame(
+                        [], schemas[recm])
+                probe = eng.eval_on(wt, bm)
+                if len(probe.columns) != len(schemas[rn].fields):
+                    raise _UnloweredShape(
+                        f"rule arity {len(probe.columns)} != member "
+                        f"{rn!r} arity {len(schemas[rn].fields)}")
+        finally:
+            for rn in rnames:
+                try:
+                    eng.spark.catalog.dropTempView(rn)
+                except Exception:
+                    pass
+        out_cols = {rn: [f.name for f in schemas[rn].fields]
+                    for rn in rnames}
+        self._schemas = schemas
+        empty_out = {rn: ZSetFrame(eng.spark.createDataFrame(
+            [], schemas[rn])) for rn in rnames}
+        self.state = StateTable(
+            ZSetFrame(eng.spark.createDataFrame(
+                [], schemas[rnames[0]])),
+            name=f"view_{name}")
+
+        def mk_eval(rn, wt):
+            return lambda bm: ZSetFrame(
+                eng.eval_on(wt, dict(bm)).toDF(*out_cols[rn]))
+
+        rules = [{"member": rn, "eval": mk_eval(rn, wt),
+                  "occs": list(occs),
+                  "rec": ((recm, recm) if recm is not None else None)}
+                 for rn, wt, occs, recm in built]
+        self._op = VectorBagFixpointOp(
+            empty_inputs=empty_zin,
+            members=list(rnames), empty_out=empty_out,
+            branches=rules)
+        self._eng = eng
+
+    @property
+    def last_stats(self):
+        return self._op.last_stats
+
+    def step(self, eng, combined, old):
+        deltas = {t: combined.get(t) for t in self.tables}
+        if all(z is None for z in deltas.values()):
+            self._stash = {}
+            return self._empty()
+        try:
+            with _no_constraint_propagation(eng.spark):
+                out = self._op.step(deltas)
+        finally:
+            for v in self.rnames:
+                try:
+                    eng.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+        self._stash = {rn: out[rn] for rn in self.rnames[1:]}
+        delta = out[self.rnames[0]]
+        self.apply_delta(delta)
+        return delta
+
+
 def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     """``WITH RECURSIVE r AS (SELECT base … UNION SELECT step … FROM
     … r …) SELECT …`` — the SQL spelling of the reference's recursive
@@ -6464,19 +6621,24 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                     continue
                 group = [n for n in cnames if n in rec_set]
                 gbranches: dict[str, tuple[list[str], list[str]]] = {}
+                gflags: list[bool] = []
                 for gn in group:
                     u = _split_union(gbodies[gn])
-                    parts, is_bag = ((u[0], u[1]) if u is not None
-                                     else ([gbodies[gn]], False))
-                    if is_bag:
-                        raise _UnloweredShape(
-                            "UNION ALL mutual recursion is not "
-                            "lowerable")
+                    parts, flag = ((u[0], u[1]) if u is not None
+                                   else ([gbodies[gn]], None))
+                    if flag is not None:
+                        gflags.append(flag)
                     bases = [p.strip() for p in parts
                              if not any(refs(p, m_) for m_ in group)]
                     steps = [p.strip() for p in parts
                              if any(refs(p, m_) for m_ in group)]
                     gbranches[gn] = (bases, steps)
+                # a single-branch (pure-step, no UNION) member joins
+                # either camp; explicit UNION and UNION ALL must not mix
+                group_bag = bool(gflags) and all(gflags)
+                if gflags and any(gflags) and not group_bag:
+                    raise _UnloweredShape(
+                        "mixed UNION / UNION ALL mutual recursion")
                 gw = {w.lower() for gn in group for w in re.findall(
                     r"\b\w+\b", scrub(gbodies[gn]))}
                 tbls = sorted(w for w in gw
@@ -6488,8 +6650,9 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                         "tables (1-3 are lowerable)")
                 hidp = f"__{name}_rec_{group[0]}"
                 registered.append(hidp)
-                hm = _RecursiveCteMutualMaintainer(
-                    eng, hidp, group, tbls, gbranches)
+                mcls = (_RecursiveCteBagMutualMaintainer if group_bag
+                        else _RecursiveCteMutualMaintainer)
+                hm = mcls(eng, hidp, group, tbls, gbranches)
                 eng._maintainers[hidp] = hm
                 eng._sources[hidp] = set(tbls)
                 hm.state.current.rows().createOrReplaceTempView(hidp)
@@ -6499,6 +6662,8 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                     registered.append(hids)
                     sm = _RecursiveSatelliteMaintainer(eng, hids, gn,
                                                        hm)
+                    if group_bag:
+                        sm.kind = "recursive_bag_mutual"
                     eng._maintainers[hids] = sm
                     eng._sources[hids] = {hidp}
                     sm.state.current.rows() \

@@ -4839,6 +4839,80 @@ def test_recursive_cte_union_all_bag_input_twice(spark):
           "duplicate edge")
 
 
+def test_recursive_cte_mutual_union_all_bag(spark):
+    """MUTUAL UNION ALL recursion (r11 verdict ask #2a, refused ≤r11):
+    even/odd path COUNTS — ``ev`` seeds from an input and steps through
+    ``od``; ``od`` is a pure-step member through ``ev``; multiplicities
+    are derivation paths.  The group lowers onto ONE vector bag
+    fixpoint (VectorBagFixpointOp: per-member frontiers, rounds
+    propagate the linear member matrix; the weight ring cancels
+    retractions — no DRed, strictly simpler than the set vector
+    fixpoint)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW evens as
+            WITH RECURSIVE ev AS (
+                SELECT s.k AS k FROM seeds s
+                UNION ALL
+                SELECT e.dst AS k FROM od o JOIN ed e ON o.k = e.src),
+            od AS (
+                SELECT e.dst AS k FROM ev v JOIN ed e ON v.k = e.src)
+            SELECT k, COUNT(*) AS n FROM ev GROUP BY k;
+    """)
+    assert eng.view_strategy("__evens_rec_ev") == "recursive_bag_mutual"
+    assert eng.view_strategy("__evens_rec_od") == "recursive_bag_mutual"
+    m = eng._maintainers["__evens_rec_ev"]
+    assert sorted(m.tables) == ["ed", "seeds"], m.tables
+
+    def model(seeds, edges):
+        # even-length weighted path counts from any seed
+        from collections import Counter
+        sw, ew = Counter(seeds), Counter(edges)
+        acc_ev = Counter(sw)                # length-0 paths
+        f, par = Counter(sw), 0
+        for _ in range(40):
+            new = Counter()
+            for k, w in f.items():
+                for (a, b), w2 in ew.items():
+                    if k == a:
+                        new[b] += w * w2
+            f = +new
+            par ^= 1
+            if not f:
+                break
+            if par == 0:
+                acc_ev.update(f)
+        return acc_ev
+
+    def check(seeds, edges, tag):
+        want = sorted((k, n) for k, n in model(seeds, edges).items()
+                      if n)
+        got = sorted(map(tuple, eng.view("evens").collect()))
+        assert got == want, (tag, got, want)
+        assert m.last_stats["mode"] == "bag-linear", (tag, m.last_stats)
+
+    seeds = [1, 1, 2]                       # duplicate seed: weight 2
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 4)]
+    eng.push("seeds", spark.createDataFrame([(k,) for k in seeds],
+                                            "k long"))
+    eng.push("ed", spark.createDataFrame(chain, "src long, dst long"))
+    eng.step()
+    check(seeds, chain, "both-input insert")
+    eng.push("ed", spark.createDataFrame([(5, 6)], "src long, dst long"))
+    eng.step()
+    check(seeds, chain + [(5, 6)], "edge insert")
+    # retract an edge and a seed in ONE tick — ring cancellation
+    # across BOTH members of the vector, no DRed
+    eng.push("ed", spark.createDataFrame([(2, 4)], "src long, dst long"),
+             weight=-1)
+    eng.push("seeds", spark.createDataFrame([(1,)], "k long"), weight=-1)
+    eng.step()
+    check([1, 2], [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+          "mixed retract")
+
+
 def test_recursive_cte_mutual_even_odd(spark):
     """MUTUAL recursion (r10 verdict ask #2): even/odd reachability —
     ``ev`` seeds from an input and steps through ``od``; ``od`` is a
@@ -5113,12 +5187,20 @@ def test_recursive_cte_refusal_shapes(spark):
             SELECT src, dst FROM ed2 UNION
             SELECT q.src, e.dst FROM q JOIN ed2 e ON q.dst = e.src)
             SELECT p.src, q.dst FROM p JOIN q ON p.dst = q.src""",
-        "UNION ALL mutual recursion": """WITH RECURSIVE p AS (
+        "mixed UNION / UNION ALL mutual recursion": """WITH RECURSIVE p AS (
+            SELECT src, dst FROM ed UNION ALL
+            SELECT q.src, e.dst FROM q JOIN ed e ON q.dst = e.src),
+            q AS (
+            SELECT src, dst FROM ed2 UNION
+            SELECT p.src, e.dst FROM p JOIN ed2 e ON p.dst = e.src)
+            SELECT src, dst FROM p""",
+        "non-linear mutual bag step (two member atoms)": """
+            WITH RECURSIVE p AS (
             SELECT src, dst FROM ed UNION ALL
             SELECT q.src, e.dst FROM q JOIN ed e ON q.dst = e.src),
             q AS (
             SELECT src, dst FROM ed2 UNION ALL
-            SELECT p.src, e.dst FROM p JOIN ed2 e ON p.dst = e.src)
+            SELECT p.src, x.dst FROM p JOIN q x ON p.dst = x.src)
             SELECT src, dst FROM p""",
         "CTE twice in a UNION ALL step": """WITH RECURSIVE p AS (
             SELECT src, dst FROM ed UNION ALL
