@@ -6525,13 +6525,21 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     Since r11 a SET-fixpoint branch may reference an input table twice
     (per-occurrence spliced delta legs, :func:`_input_delta_legs`).
 
-    Refused shapes (→ error or fallback upstream): SEVERAL disjoint
-    recursive components, UNION ALL (bag) mutual recursion, >3 input
-    relations, a UNION ALL branch referencing an input table twice
-    (the bag path's multilinear expansion is exact per atom — a double
-    reference would double-count weights), non-linear steps or
-    twice-referenced inputs with unaliased occurrences, UNION ALL with
-    a non-linear or non-SPJ body, a CTE name colliding with a known
+    Since r12: MUTUAL ``UNION ALL`` recursion lowers onto the vector
+    bag fixpoint (:class:`_RecursiveCteBagMutualMaintainer` — rules
+    linear in the member vector, no DRed); a bag branch may reference
+    an input table TWICE (exact per-occurrence spliced bindings,
+    :func:`_splice_input_occurrences`); and SEVERAL DISJOINT recursive
+    components each lower onto their own independent fixpoint (a later
+    component may read an earlier one's members as inputs).
+
+    Refused shapes (→ error or fallback upstream): a recursive
+    component reading a LATER component's members, mixed UNION /
+    UNION ALL within one mutual group, >3 input relations, non-linear
+    steps or twice-referenced inputs with unaliased occurrences,
+    non-linear UNION ALL (the CTE or a member atom referenced twice in
+    one bag branch — diverges under SQL's own working-table semantics),
+    UNION ALL with a non-SPJ body, a CTE name colliding with a known
     source or column, or a non-recursive CTE that reads a group member
     but precedes the group's last member (consumers go after the
     group)."""
@@ -6565,11 +6573,26 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
     if not rec_set:
         # RECURSIVE keyword with no reference cycle: plain CTE semantics
         return _cte_lift(eng, name, "WITH " + flat[m.end():])
-    for a_ in rec_set:
-        for b_ in rec_set:
-            if a_ != b_ and b_ not in reach[a_]:
-                raise _UnloweredShape(
-                    "several disjoint recursive components")
+    # SCC partition: DISJOINT recursive components each lower onto
+    # their own independent fixpoint (r11 verdict ask #7; refused
+    # ≤r11).  Components may read earlier components' members — those
+    # references rewrite to the earlier component's hidden maintained
+    # views and count as recursion INPUTS — but not later ones (forward
+    # references across components would need a combined fixpoint).
+    comp_of = {n: frozenset({n} | {m_ for m_ in rec_set
+                                   if m_ in reach[n] and n in reach[m_]})
+               for n in rec_set}
+    n_comps = len(set(comp_of.values()))
+    order = {n: i for i, n in enumerate(cnames)}
+    for n in rec_set:
+        later = {m_ for m_ in rec_set if m_ not in comp_of[n]
+                 and m_ in reach[n]
+                 and max(order[x] for x in comp_of[m_])
+                 > max(order[x] for x in comp_of[n])}
+        if later:
+            raise _UnloweredShape(
+                f"recursive component of {n!r} references a LATER "
+                f"component ({sorted(later)}) — reorder the CTEs")
     # column-collision guard over every known source in the text (the
     # whole-word rewrite discipline of _cte_lift)
     words = {w.lower() for w in re.findall(r"\b\w+\b", scrub(flat))}
@@ -6611,15 +6634,28 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                     for c in _source_rows0(eng, hid).columns)
                 mapping[cname] = hid
                 continue
-            if len(rec_set) > 1:
+            if len(comp_of[cname]) > 1:
                 # mutual group member: collect its (mapping-rewritten)
-                # body; the whole group registers once the LAST member
+                # body; the COMPONENT registers once its LAST member
                 # arrives — interleaved non-recursive CTEs the later
                 # members read are hoisted by then
                 gbodies[cname] = body
-                if len(gbodies) < len(rec_set):
+                group = [n for n in cnames if n in comp_of[cname]]
+                if any(n not in gbodies for n in group):
                     continue
-                group = [n for n in cnames if n in rec_set]
+                # re-apply the full mapping: a member collected BEFORE
+                # an interleaved earlier component registered missed
+                # that component's hidden names (idempotent — already-
+                # rewritten hidden names never re-match)
+                for gn in group:
+                    b_ = gbodies[gn]
+                    for prev, hid_ in mapping.items():
+                        b_ = _sub_table_refs(prev, hid_, b_)
+                        if b_ is None:
+                            raise _UnloweredShape(
+                                f"CTE name {prev!r} also used as a "
+                                "relation alias")
+                    gbodies[gn] = b_
                 gbranches: dict[str, tuple[list[str], list[str]]] = {}
                 gflags: list[bool] = []
                 for gn in group:
@@ -6721,7 +6757,10 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                 raise _UnloweredShape(
                     f"recursion over {len(tbls)} input tables "
                     "(1-3 are lowerable)")
-            hid = f"__{name}_rec"
+            # sole component keeps the historical name; several
+            # disjoint components need distinct hidden views
+            hid = (f"__{name}_rec" if n_comps == 1
+                   else f"__{name}_rec_{cname}")
             registered.append(hid)
             if is_bag:
                 # UNION ALL: the Z-set bag fixpoint (weights count

@@ -4755,6 +4755,97 @@ def test_recursive_cte_union_all_bag_two_inputs(spark):
           "mixed retract")
 
 
+def test_recursive_cte_disjoint_components(spark):
+    """SEVERAL DISJOINT recursive components in one WITH RECURSIVE
+    (r11 verdict ask #7, refused ≤r11): each strongly-connected CTE
+    group lowers onto its OWN independent fixpoint; the main SELECT
+    joins the two closures.  A second engine chains them — the later
+    component reads the earlier one's members, which rewrite to its
+    hidden maintained view and count as recursion INPUTS (deltas flow
+    fixpoint → fixpoint).  A component reading a LATER component still
+    refuses."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE ed2 (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW bridged as
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed UNION
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src),
+            q AS (
+                SELECT src, dst FROM ed2 UNION
+                SELECT q.src, e.dst FROM q JOIN ed2 e ON q.dst = e.src)
+            SELECT p.src, q.dst FROM p JOIN q ON p.dst = q.src;
+        CREATE VIEW chained as
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed UNION
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src),
+            q AS (
+                SELECT src, dst FROM p UNION
+                SELECT q.src, e.dst FROM q JOIN ed2 e ON q.dst = e.src)
+            SELECT src, dst FROM q;
+    """)
+    for hid in ["__bridged_rec_p", "__bridged_rec_q",
+                "__chained_rec_p", "__chained_rec_q"]:
+        assert eng.view_strategy(hid) == "recursive", hid
+    assert eng.view_strategy("bridged") == "join"
+
+    def closure(ed):
+        s, ch = set(ed), True
+        while ch:
+            ch = False
+            for (a, b) in list(s):
+                for (c, d) in list(s):
+                    if b == c and (a, d) not in s:
+                        s.add((a, d))
+                        ch = True
+        return s
+
+    def check(e1, e2, tag):
+        p, q = closure(e1), closure(e2)
+        want_b = sorted({(a, d) for (a, b) in p for (c, d) in q
+                         if b == c})
+        got_b = sorted(set(map(tuple, eng.view("bridged").collect())))
+        assert got_b == want_b, (tag, got_b, want_b)
+        # chained q = p · e2* (p-paths extended by ed2 edges only)
+        qc, ch = set(p), True
+        while ch:
+            ch = False
+            for (a, b) in list(qc):
+                for (c, d) in e2:
+                    if b == c and (a, d) not in qc:
+                        qc.add((a, d))
+                        ch = True
+        want_c = sorted(qc)
+        got_c = sorted(set(map(tuple, eng.view("chained").collect())))
+        assert got_c == want_c, (tag, got_c, want_c)
+
+    e1 = [(1, 2), (2, 3)]
+    e2 = [(3, 4), (4, 5)]
+    eng.push("ed", spark.createDataFrame(e1, "src long, dst long"))
+    eng.push("ed2", spark.createDataFrame(e2, "src long, dst long"))
+    eng.step()
+    check(e1, e2, "insert")
+    eng.push("ed2", spark.createDataFrame([(5, 6)], "src long, dst long"))
+    eng.push("ed", spark.createDataFrame([(2, 3)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    check([(1, 2)], e2 + [(5, 6)], "mixed tick")
+    # forward reference: an EARLIER component reading a LATER one
+    # must refuse (a combined fixpoint would be needed)
+    try:
+        eng._create_view("fwd", """WITH RECURSIVE p AS (
+            SELECT src, dst FROM q UNION
+            SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src),
+            q AS (
+            SELECT src, dst FROM ed2 UNION
+            SELECT q.src, e.dst FROM q JOIN ed2 e ON q.dst = e.src)
+            SELECT src, dst FROM p""")
+    except Exception:
+        pass        # loud refusal is acceptable for recursion
+    assert not [h for h in eng._maintainers if "fwd" in h]
+
+
 def test_recursive_cte_union_all_bag_input_twice(spark):
     """UNION ALL recursion whose STEP joins the input with itself (a
     two-hop step — r11 verdict ask #2b, refused ≤r11): the repeated
@@ -5168,20 +5259,25 @@ def test_recursive_cte_input_twice_in_branch(spark):
 
 
 def test_recursive_cte_refusal_shapes(spark):
-    """Disjoint recursive components, an input table referenced twice
-    in one UNION ALL branch (exact bag multilinearity would
-    double-count), UNION ALL mutual recursion, and a CTE name shadowing
-    a source all refuse (error or fallback — for recursion Spark can't
+    """A recursive component reading a LATER component, mixed UNION /
+    UNION ALL in one mutual group, non-linear bag shapes (the CTE or a
+    member atom referenced twice in a UNION ALL step — divergent under
+    SQL's own working-table semantics), and a CTE name shadowing a
+    source all refuse (error or fallback — for recursion Spark can't
     snapshot-diff either, so _create_view surfaces the refusal loudly
-    rather than mis-maintaining)."""
+    rather than mis-maintaining).  Disjoint components, mutual UNION
+    ALL, and twice-referenced INPUTS lower since r12
+    (test_recursive_cte_disjoint_components,
+    test_recursive_cte_mutual_union_all_bag,
+    test_recursive_cte_union_all_bag_input_twice)."""
     eng = Engine(spark)
     eng.execute("""
         CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
         CREATE TABLE ed2 (src BIGINT NOT NULL, dst BIGINT NOT NULL);
     """)
     shapes = {
-        "two disjoint recursive components": """WITH RECURSIVE p AS (
-            SELECT src, dst FROM ed UNION
+        "earlier component reads a later one": """WITH RECURSIVE p AS (
+            SELECT src, dst FROM q UNION
             SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src),
             q AS (
             SELECT src, dst FROM ed2 UNION
