@@ -2745,6 +2745,51 @@ def test_nullable_not_in_three_valued_regimes(spark):
     eng.step(); check("outer delta incl NULL key in B1")
 
 
+def test_lenient_semi_null_free_fast_path(spark):
+    """r11 verdict ask #5: the tuple-NOT-IN B1 restriction's NULL-free
+    leg must be a broadcast HASH semi-join, with the nested-loop pass
+    reserved for NULL-carriers.  (a) Non-nullable schema: the BNL legs
+    are skipped STATICALLY — plan has a BroadcastHashJoin and ZERO
+    BroadcastNestedLoopJoin; (b) nullable data with NULLs sprinkled on
+    both sides: the split result equals the one-pass lenient BNL
+    row-for-row (disjoint legs — no duplication)."""
+    from database_stream_processor_spark.sql import (
+        _NotInNullableTupleMaintainer as M)
+    import random
+    # (a) statically null-free
+    df = spark.createDataFrame(
+        [(k % 5, k % 3) for k in range(30)],
+        "a long not null, b long not null")
+    probe = spark.createDataFrame(
+        [(1, 1), (2, 0)], "__t_0 long not null, __t_1 long not null")
+    out = M._lenient_semi_split(df, ["a", "b"], probe)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    want = sorted(map(tuple, M._lenient_semi(df, ["a", "b"], probe)
+                      .collect()))
+    assert sorted(map(tuple, out.collect())) == want
+    # (b) nullable, NULLs on both sides, duplicate df rows
+    rng = random.Random(7)
+    rows = [(rng.choice([None, 0, 1, 2]), rng.choice([None, 0, 1, 2]))
+            for _ in range(60)]
+    pr = [(rng.choice([None, 0, 1, 2]), rng.choice([None, 0, 1, 2]))
+          for _ in range(6)]
+    dfn = spark.createDataFrame(rows, "a long, b long")
+    prn = spark.createDataFrame(pr, "__t_0 long, __t_1 long")
+    got = sorted(map(tuple, M._lenient_semi_split(dfn, ["a", "b"], prn)
+                     .collect()), key=str)
+    want = sorted(map(tuple, M._lenient_semi(dfn, ["a", "b"], prn)
+                      .collect()), key=str)
+    assert got == want, (got, want)
+    # null-free probe, nullable df: the null-free df slice goes hash
+    prx = spark.createDataFrame([(1, 1)], "__t_0 long, __t_1 long") \
+        .filter("__t_0 IS NOT NULL AND __t_1 IS NOT NULL")
+    out2 = M._lenient_semi_split(dfn, ["a", "b"], prx)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2, plan2
+
+
 def test_nullable_tuple_not_in_three_valued_regimes(spark):
     """Row-value ``(a, b) NOT IN`` over NULLABLE columns (r10 verdict
     ask #4) — every tick compared against Spark's OWN null-aware
