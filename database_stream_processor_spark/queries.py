@@ -7010,13 +7010,13 @@ WHERE o_orderkey % 9 <> 0
                     WHERE c_mktsegment = 'BUILDING')
 """)
 def q158_sql_engine_quantified_composed(spark, sf_dir):
-    """TWO quantified terms PLUS an IN subquery in ONE WHERE — NEW r11:
-    the composition r10 refused outright ("several quantified terms" /
-    "mixed with other subqueries").  The first quantified term peels
-    into a hidden stage projecting the outer's full column set; the
-    remainder re-lowers over it — here a 3-stage stack
-    (> ALL scalars join → < ANY scalars join → IN semi-join), each an
-    existing O(Δ) maintainer.  Retraction tick removes every 4th
+    """TWO quantified terms PLUS an IN subquery in ONE WHERE — NEW r11;
+    SINGLE-STAGE since r12 (r11 verdict ask #6): both scalar-routed
+    quantified terms fold into ONE hidden stage — the outer joined to
+    both 1-row scalars views in one multilinear-join maintainer
+    (_quantified_multi_stage) — instead of one peeled outer-sized state
+    copy per term; the IN remainder re-lowers over it.  Stack is now
+    2 outer-sized stages (was 3).  Retraction tick removes every 4th
     lineitem (moving BOTH scalar bounds) and every 9th order."""
     from database_stream_processor_spark.sql import Engine
     eng = Engine(spark)
@@ -7042,8 +7042,8 @@ def q158_sql_engine_quantified_composed(spark, sf_dir):
                     WHERE c_mktsegment = 'BUILDING');
     """)
     assert eng.view_strategy("picked") == "in"
-    assert eng.view_strategy("__picked_qp") == "join"
-    assert eng.view_strategy("__picked_qp1") == "join"
+    assert eng.view_strategy("__picked_qp") == "multi_join"
+    assert "__picked_qp1" not in eng._maintainers  # single stage (r12)
     c = load(spark, sf_dir, "customer").select("c_custkey",
                                                "c_mktsegment")
     o = load(spark, sf_dir, "orders").select(

@@ -4751,6 +4751,84 @@ def _having_quantified_lift(eng: "Engine", name: str, flat: str):
         raise
 
 
+def _quantified_multi_stage(eng: "Engine", name: str, m,
+                            qterms: list, rest: list[str]):
+    """SEVERAL uncorrelated order-quantified terms in ONE stage (r11
+    verdict ask #6 — replaces the k peeled outer-sized state copies):
+    one hidden 1-row :class:`_QuantScalarMaintainer` per term, and ONE
+    view joining the outer to all of them — ``outer JOIN qs0 ON
+    (pred0) JOIN qs1 ON (pred1) … WHERE plain-rest``.  Each scalars
+    view is 1 row (broadcast-pinned), so the chain is k broadcast
+    filters in one maintained stage; per tick ∝ Δouter, and a scalar
+    flip retracts/re-derives through that view's Δ leg of the
+    multilinear join.  Raises (caller falls back to peeling) on a
+    correlated term, a complex/grouped inner, or a membership-routed
+    op."""
+    ot = m.group("ot").lower()
+    oa = (m.group("oa") or m.group("ot")).lower()
+    alias = f" {m.group('oa')}" if m.group("oa") else ""
+    hids, preds, registered = [], [], []
+    try:
+        for i, qm in enumerate(qterms):
+            op = qm.group("op").replace("!=", "<>")
+            q = qm.group("q").upper()
+            q = "ANY" if q == "SOME" else q
+            if (op, q) not in _QUANT_PREDS:
+                raise _UnloweredShape(
+                    f"membership quantifier {op} {q} in multi-stage")
+            inner_sql = qm.group("inner").strip()
+            if _SUBQ_BLOCKERS.search(inner_sql) or re.search(
+                    r"\(\s*SELECT", inner_sql, re.IGNORECASE):
+                raise _UnloweredShape("complex inner in multi-stage")
+            im = _QUANT_INNER_RE.match(inner_sql)
+            if not im:
+                raise _UnloweredShape("unparsed inner in multi-stage")
+            it = im.group("it").lower()
+            ia = (im.group("ia") or im.group("it")).lower()
+            if not (it in eng.tables or it in eng.views
+                    or it in eng._maintainers):
+                raise _UnloweredShape(f"unknown inner table {it}")
+            if _AGG_FN_RE.search(im.group("icol")):
+                raise _UnloweredShape(
+                    "aggregate in quantified inner select")
+            try:
+                icols = {f.name.lower()
+                         for f in _source_rows0(eng, it).schema.fields}
+            except Exception:
+                raise _UnloweredShape(f"unreadable inner {it}")
+            if not _refs_only(im.group("icol"), {ia}, icols) \
+                    or (im.group("ipred") and not _refs_only(
+                        im.group("ipred"), {ia}, icols)):
+                # correlated term: the peel path handles it per-term
+                raise _UnloweredShape("correlated term in multi-stage")
+            hid = f"__{name}_qs{i}"
+            hm = _QuantScalarMaintainer(eng, hid, it, ia,
+                                        im.group("icol"),
+                                        im.group("ipred"))
+            eng._maintainers[hid] = hm
+            eng._sources[hid] = {it}
+            hm.state.current.rows().createOrReplaceTempView(hid)
+            registered.append(hid)
+            hids.append(hid)
+            p = _QUANT_PREDS[(op, q)].format(L=f"({qm.group('lhs')})")
+            preds.append(re.sub(
+                r"\b(__q_empty|__q_hasnull|__qmn|__qmx)\b",
+                lambda mm: f"{hid}.{mm.group(1)}", p))
+        joins = " ".join(f"JOIN {h} ON ({p})"
+                         for h, p in zip(hids, preds))
+        where = f" WHERE {' AND '.join(rest)}" if rest else ""
+        main = (f"SELECT /*+ BROADCAST({', '.join(hids)}) */ "
+                f"{m.group('sel')} FROM {m.group('ot')}{alias} "
+                f"{joins}{where}")
+        fm = _lower_view(eng, name, main)
+        if fm.kind == "differentiate":
+            raise _UnloweredShape("multi-quantifier main snapshot-diffs")
+        return fm
+    except Exception:
+        _cleanup_hidden(eng, registered)
+        raise
+
+
 def _quantified_lift(eng: "Engine", name: str, flat: str):
     """``SELECT … FROM t WHERE [pre AND] lhs op ANY|ALL|SOME (SELECT
     expr FROM inner [WHERE ipred]) [AND post]`` — quantified comparison
@@ -4786,9 +4864,62 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
     body = m.group("body")
     if _mixed_top_and_or(body):
         raise _UnloweredShape("mixed top-level AND/OR")
+    terms = [(t.strip(), _QUANT_TERM.match(t.strip()))
+             for t in _split_top_and(body)]
+
+    def _scalar_routed(qm) -> bool:
+        if not qm:
+            return False
+        op_ = qm.group("op").replace("!=", "<>")
+        q_ = qm.group("q").upper()
+        return (op_, "ANY" if q_ == "SOME" else q_) in _QUANT_PREDS
+    squant = [(t, qm) for t, qm in terms if _scalar_routed(qm)]
+    others = [t for t, qm in terms if not _scalar_routed(qm)]
+    if len(squant) >= 2:
+        # SEVERAL scalar-routed quantified terms (r11 verdict ask #6):
+        # fold them into ONE stage — k 1-row scalar views joined to the
+        # outer in a single maintained view — instead of one peeled
+        # outer-sized state copy per term
+        if not any(re.search(r"\(\s*SELECT", t, re.IGNORECASE)
+                   for t in others):
+            try:
+                return _quantified_multi_stage(
+                    eng, name, m, [qm for _, qm in squant], others)
+            except _UnloweredShape:
+                pass
+        else:
+            # other subquery terms (IN/EXISTS/scalar) remain: peel ALL
+            # scalar-quantified terms together as ONE hidden stage (it
+            # re-enters this lift and takes the multi-stage route);
+            # the remainder re-lowers over it
+            oa_ = (m.group("oa") or m.group("ot")).lower()
+            alias_ = f" {m.group('oa')}" if m.group("oa") else ""
+            hidden, i_ = f"__{name}_qp", 0
+            while hidden in eng._maintainers:
+                i_ += 1
+                hidden = f"__{name}_qp{i_}"
+            registered: list[str] = []
+            try:
+                _register_hidden(
+                    eng, hidden,
+                    f"SELECT {oa_}.* FROM {m.group('ot')}{alias_} "
+                    f"WHERE {' AND '.join(t for t, _ in squant)}",
+                    registered)
+                fm = _lower_view(
+                    eng, name,
+                    f"SELECT {m.group('sel')} FROM {hidden} {oa_} "
+                    f"WHERE {' AND '.join(others)}")
+                if fm.kind != "differentiate":
+                    return fm
+                _cleanup_hidden(eng, registered)
+                registered = []
+            except _UnloweredShape:
+                _cleanup_hidden(eng, registered)
+            except Exception:
+                _cleanup_hidden(eng, registered)
+                raise
     quant, rest, peel = None, [], False
-    for t in _split_top_and(body):
-        qm = _QUANT_TERM.match(t.strip())
+    for t, qm in terms:
         if qm and quant is None:
             quant = qm
         else:
@@ -4798,7 +4929,7 @@ def _quantified_lift(eng: "Engine", name: str, flat: str):
                 # peel the first quantified term into a hidden stage
                 # below, the remainder re-lowers over it
                 peel = True
-            rest.append(t.strip())
+            rest.append(t)
     if quant is None:
         raise _UnloweredShape("no quantified term")
     op = quant.group("op").replace("!=", "<>")

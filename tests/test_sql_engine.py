@@ -5972,11 +5972,14 @@ def test_quantified_expr_lhs_and_having(spark):
 
 def test_quantified_peeling_composition(spark):
     """SEVERAL quantified terms in one WHERE, and quantified terms
-    mixed with IN subqueries — both refused ≤r10: the first quantified
-    term peels into a hidden stage projecting the outer's full column
-    set (aliased back to the outer's name), the remainder re-lowers
-    over it, one term class per stage.  Every tick value-checked
-    against DuckDB's native ANY/ALL."""
+    mixed with IN subqueries — both refused ≤r10.  Since r12 (r11
+    verdict ask #6) several scalar-routed terms fold into ONE stage:
+    the outer joins ALL their 1-row scalars views in one multilinear-
+    join maintainer — NO peeled outer-sized state copy per term
+    (two_quant has no hidden __qp stage at all).  A quantified term
+    mixed with an IN still peels one stage; the remainder re-lowers
+    over it.  Every tick value-checked against DuckDB's native
+    ANY/ALL."""
     import duckdb
     eng = Engine(spark)
     eng.execute("""
@@ -5998,11 +6001,15 @@ def test_quantified_peeling_composition(spark):
             WHERE x >= ANY (SELECT v FROM hi)
               AND g IN (SELECT g FROM mem) AND k < 90;
     """)
+    # single-stage: both scalar terms in ONE multilinear join, no
+    # hidden outer-sized copy (r12)
+    assert eng.view_strategy("two_quant") == "multi_join"
+    assert "__two_quant_qp" not in eng._maintainers
+    assert eng.view_strategy("__two_quant_qs0") == "quant_scalars"
+    assert eng.view_strategy("__two_quant_qs1") == "quant_scalars"
     # the outermost stage of each peeled stack
-    assert eng.view_strategy("two_quant") == "join"
     assert eng.view_strategy("quant_plus_in") == "in"
     assert eng.view_strategy("quant_corr_mix") == "in"
-    assert eng.view_strategy("__two_quant_qp") == "join"
 
     con = duckdb.connect()
     O, LO, HI, MEM = [], [], [], []
