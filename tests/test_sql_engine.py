@@ -6460,6 +6460,177 @@ def test_recursive_lifts_randomized_tick_equivalence(spark):
             assert got == want, (tick, v, got, want)
 
 
+def test_quant_scalars_randomized_tick_equivalence(spark):
+    """r11 verdict ask #3 (quantifier half): a seeded random
+    insert/delete walk over the inner value multiset and the outer —
+    deletes crossing the current extreme, NULL injections, and
+    empty↔non-empty flips — through all four scalar-routed quantifier
+    ops at once (> ALL, < ANY, = ALL, <> ANY), each tick checked
+    against DuckDB's native quantifiers on the live data.  This is the
+    reference's proptest idiom (SURVEY §5.3) over
+    _QuantScalarMaintainer's regime machinery."""
+    import duckdb
+    import random
+    rng = random.Random(20260816)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE o (k BIGINT NOT NULL, x DOUBLE);
+        CREATE TABLE i1 (v DOUBLE);
+        CREATE VIEW gall as SELECT k, x FROM o
+            WHERE x > ALL (SELECT v FROM i1);
+        CREATE VIEW lany as SELECT k, x FROM o
+            WHERE x < ANY (SELECT v FROM i1);
+        CREATE VIEW eall as SELECT k, x FROM o
+            WHERE x = ALL (SELECT v FROM i1);
+        CREATE VIEW nany as SELECT k, x FROM o
+            WHERE x <> ANY (SELECT v FROM i1);
+    """)
+    for v in ("gall", "lany", "eall", "nany"):
+        assert eng.view_strategy(v) == "join", v
+        assert eng.view_strategy(f"__{v}_qs") == "quant_scalars", v
+    con = duckdb.connect()
+    O, I = [], []
+    dom = [None, 5.0, 11.0, 12.0, 20.0, 30.0]
+    kseq = iter(range(10_000))
+    for tick in range(8):
+        for _ in range(rng.randint(1, 4)):
+            side = rng.random()
+            if side < 0.5:
+                if I and rng.random() < 0.45:
+                    row = I.pop(rng.randrange(len(I)))
+                    eng.push("i1", spark.createDataFrame(
+                        [row], "v double"), weight=-1)
+                else:
+                    row = (rng.choice(dom),)
+                    I.append(row)
+                    eng.push("i1", spark.createDataFrame(
+                        [row], "v double"))
+            else:
+                if O and rng.random() < 0.3:
+                    row = O.pop(rng.randrange(len(O)))
+                    eng.push("o", spark.createDataFrame(
+                        [row], "k long, x double"), weight=-1)
+                else:
+                    row = (next(kseq), rng.choice(dom))
+                    O.append(row)
+                    eng.push("o", spark.createDataFrame(
+                        [row], "k long, x double"))
+        eng.step()
+        con.execute("DROP TABLE IF EXISTS o; DROP TABLE IF EXISTS i1")
+        con.execute("CREATE TABLE o(k BIGINT, x DOUBLE);"
+                    "CREATE TABLE i1(v DOUBLE)")
+        for r in O:
+            con.execute("INSERT INTO o VALUES (?,?)", r)
+        for r in I:
+            con.execute("INSERT INTO i1 VALUES (?)", r)
+        for view, op in [("gall", "> ALL"), ("lany", "< ANY"),
+                         ("eall", "= ALL"), ("nany", "<> ANY")]:
+            want = sorted(map(tuple, con.execute(
+                f"SELECT k, x FROM o WHERE x {op} "
+                "(SELECT v FROM i1)").fetchall()), key=str)
+            got = sorted(map(tuple, eng.view(view).collect()), key=str)
+            assert got == want, (tick, view, got, want, O, I)
+
+
+def test_bag_fixpoint_randomized_tick_equivalence(spark):
+    """r11 verdict ask #3 (bag half): seeded random acyclic multigraphs
+    with DUPLICATE edge/seed multiplicities and delete ticks, through
+    all three bag fixpoints at once — linear single-input
+    (ZSetBagFixpointOp), the two-hop spliced repeated-atom step, and
+    the MUTUAL vector bag (VectorBagFixpointOp) — each tick checked
+    against DuckDB's native UNION ALL recursion (the mutual pair via
+    the parity-tagged single-recursion encoding).  Edges only go
+    low→high node id, so derivations stay finite at every tick."""
+    import duckdb
+    import random
+    rng = random.Random(97)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW paths as
+            WITH RECURSIVE p AS (
+                SELECT s.k AS src, s.k AS dst FROM seeds s
+                UNION ALL
+                SELECT x.src, e.dst FROM p x JOIN ed e ON x.dst = e.src)
+            SELECT src, dst, COUNT(*) AS n FROM p GROUP BY src, dst;
+        CREATE VIEW paths2 as
+            WITH RECURSIVE p AS (
+                SELECT s.k AS src, s.k AS dst FROM seeds s
+                UNION ALL
+                SELECT x.src, f.dst FROM p x
+                    JOIN ed e ON x.dst = e.src
+                    JOIN ed f ON e.dst = f.src)
+            SELECT src, dst, COUNT(*) AS n FROM p GROUP BY src, dst;
+        CREATE VIEW evens as
+            WITH RECURSIVE ev AS (
+                SELECT s.k AS k FROM seeds s
+                UNION ALL
+                SELECT e.dst AS k FROM od o JOIN ed e ON o.k = e.src),
+            od AS (
+                SELECT e.dst AS k FROM ev v JOIN ed e ON v.k = e.src)
+            SELECT k, COUNT(*) AS n FROM ev GROUP BY k;
+    """)
+    assert eng.view_strategy("__paths_rec") == "recursive_bag"
+    assert eng.view_strategy("__paths2_rec") == "recursive_bag"
+    assert eng.view_strategy("__evens_rec_ev") == "recursive_bag_mutual"
+    con = duckdb.connect()
+    S, E = [], []
+    oracle = {
+        "paths": """WITH RECURSIVE p AS (
+              SELECT k AS src, k AS dst FROM seeds
+              UNION ALL
+              SELECT x.src, e.dst FROM p x JOIN ed e ON x.dst = e.src)
+            SELECT src, dst, COUNT(*) AS n FROM p GROUP BY src, dst""",
+        "paths2": """WITH RECURSIVE p AS (
+              SELECT k AS src, k AS dst FROM seeds
+              UNION ALL
+              SELECT x.src, f.dst FROM p x
+                  JOIN ed e ON x.dst = e.src
+                  JOIN ed f ON e.dst = f.src)
+            SELECT src, dst, COUNT(*) AS n FROM p GROUP BY src, dst""",
+        "evens": """WITH RECURSIVE r AS (
+              SELECT k, 0 AS par FROM seeds
+              UNION ALL
+              SELECT e.dst, 1 - r.par FROM r JOIN ed e ON r.k = e.src)
+            SELECT k, COUNT(*) AS n FROM r WHERE par = 0 GROUP BY k""",
+    }
+    for tick in range(6):
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.35:
+                if E and rng.random() < 0.6:
+                    row = E.pop(rng.randrange(len(E)))
+                    eng.push("ed", spark.createDataFrame(
+                        [row], "src long, dst long"), weight=-1)
+                elif S:
+                    row = S.pop(rng.randrange(len(S)))
+                    eng.push("seeds", spark.createDataFrame(
+                        [row], "k long"), weight=-1)
+            elif rng.random() < 0.7:
+                a = rng.randint(0, 5)
+                row = (a, rng.randint(a + 1, 6))    # DAG: low → high
+                E.append(row)
+                eng.push("ed", spark.createDataFrame(
+                    [row], "src long, dst long"))
+            else:
+                row = (rng.randint(0, 4),)
+                S.append(row)
+                eng.push("seeds", spark.createDataFrame(
+                    [row], "k long"))
+        eng.step()
+        con.execute("DROP TABLE IF EXISTS seeds; DROP TABLE IF EXISTS ed")
+        con.execute("CREATE TABLE seeds(k BIGINT);"
+                    "CREATE TABLE ed(src BIGINT, dst BIGINT)")
+        for r in S:
+            con.execute("INSERT INTO seeds VALUES (?)", r)
+        for r in E:
+            con.execute("INSERT INTO ed VALUES (?,?)", r)
+        for view, sql in oracle.items():
+            want = sorted(map(tuple, con.execute(sql).fetchall()))
+            got = sorted(map(tuple, eng.view(view).collect()))
+            assert got == want, (tick, view, got, want, S, E)
+
+
 def test_quantified_correlated(spark):
     """CORRELATED quantified comparisons — ``v > ALL (SELECT x FROM s
     WHERE s.k = t.k)`` — lower as a hidden per-key grouped scalars view
