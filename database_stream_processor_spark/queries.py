@@ -7774,6 +7774,136 @@ def q166_sql_engine_recursive_disjoint(spark, sf_dir):
     return eng.view("bridged")
 
 
+@register("q167_sql_engine_recursive_multi_branch", oracle="""
+WITH RECURSIVE p AS (
+  SELECT o_custkey AS k FROM orders
+  WHERE o_totalprice > 180000 AND o_orderkey % 7 <> 0
+  UNION
+  SELECT c_custkey AS k FROM customer
+  WHERE c_custkey % 11 = 0 AND c_custkey BETWEEN 2 AND 255
+    AND c_custkey % 9 <> 0
+  UNION
+  SELECT c.c_custkey // 2 AS k
+  FROM p JOIN customer c ON p.k = c.c_custkey
+  WHERE c.c_custkey BETWEEN 2 AND 255 AND c.c_custkey % 9 <> 0)
+SELECT k FROM p
+""")
+def q167_sql_engine_recursive_multi_branch(spark, sf_dir):
+    """MULTI-BRANCH set recursion — NEW r12 (refused ≤r11 as
+    "recursive body is not base UNION step"): TWO base branches
+    seeding from different relations plus the halving step, routed
+    through the vector fixpoint as a one-member group (the set mutual
+    maintainer evaluates arbitrary rule lists per member;
+    recursive.rs:255 — a nested circuit imports any number of parent
+    streams).  Insert ticks per input run semi-naive; the final tick
+    retracts rows of BOTH inputs (vector DRed through both base
+    rules)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE VIEW reach as
+            with recursive p as (
+                select o_custkey as k from orders
+                where o_totalprice > 180000
+                union
+                select c_custkey as k from customer
+                where c_custkey % 11 = 0
+                  and c_custkey between 2 and 255
+                union
+                select cast(c.c_custkey / 2 as bigint) as k
+                from p join customer c on p.k = c.c_custkey
+                where c.c_custkey between 2 and 255)
+            select k from p;
+    """)
+    assert eng.view_strategy("__reach_rec") == "recursive_mutual"
+    m = eng._maintainers["__reach_rec"]
+    assert sorted(m.tables) == ["customer", "orders"], m.tables
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("customer", c)
+    eng.step()
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    eng.push("orders", o.filter(F.col("o_orderkey") % 7 == 0),
+             weight=-1)
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    return eng.view("reach")
+
+
+@register("q168_sql_engine_recursive_multi_branch_bag", oracle="""
+WITH RECURSIVE p AS (
+  SELECT o_custkey AS k FROM orders
+  WHERE o_totalprice > 180000 AND o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey AS k FROM customer
+  WHERE c_custkey % 11 = 0 AND c_custkey BETWEEN 2 AND 255
+    AND c_custkey % 9 <> 0
+  UNION ALL
+  SELECT c.c_custkey // 2 AS k
+  FROM p JOIN customer c ON p.k = c.c_custkey
+  WHERE c.c_custkey BETWEEN 2 AND 255 AND c.c_custkey % 9 <> 0)
+SELECT k, COUNT(*) AS n_paths FROM p GROUP BY k
+""")
+def q168_sql_engine_recursive_multi_branch_bag(spark, sf_dir):
+    """MULTI-BRANCH ``UNION ALL`` recursion — NEW r12: two base
+    branches plus the halving step under BAG semantics (multiplicities
+    add across base branches and multiply down the chain), routed
+    through the vector bag fixpoint as a one-member group
+    (VectorBagFixpointOp evaluates arbitrary rule lists; weighted
+    recursion recursive.rs:255, vldb23 §5).  Every tick — including
+    the both-input retraction — stays on the ONE linear path (mode
+    asserted ``bag-linear``), ring cancellation, no DRed."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE VIEW npaths as
+            with recursive p as (
+                select o_custkey as k from orders
+                where o_totalprice > 180000
+                union all
+                select c_custkey as k from customer
+                where c_custkey % 11 = 0
+                  and c_custkey between 2 and 255
+                union all
+                select cast(c.c_custkey / 2 as bigint) as k
+                from p join customer c on p.k = c.c_custkey
+                where c.c_custkey between 2 and 255)
+            select k, count(*) as n_paths from p group by k;
+    """)
+    assert eng.view_strategy("__npaths_rec") == "recursive_bag_mutual"
+    m = eng._maintainers["__npaths_rec"]
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    eng.push("customer", c)
+    eng.step()
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+        assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    eng.push("orders", o.filter(F.col("o_orderkey") % 7 == 0),
+             weight=-1)
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    return eng.view("npaths")
+
+
 @register("q162_demo00_simple_select_verbatim", oracle="""
 SELECT c_name AS name FROM customer WHERE c_custkey % 5 <> 0
 """)
@@ -7968,12 +8098,10 @@ _WINDOW_ORDER = [
     # round-12 priority 4: r9-evidence rows (the registry's oldest
     # remaining band) — displaced one-for-one by this round's new
     # queries as they land.
-    "q131_sql_engine_tpch_q6_typed",
     "q134_sql_rolling_features_timestamp",
     "q136_sql_engine_tpch_q15_cte",
     "q139_sql_engine_union_of_aggs",
     "q140_sql_engine_unmatched_antijoin",
-    "nx_q01_currency",
     "nx_q04_avg_closing_price",
     "q02_revenue_by_nation",
     # round-12 new rows (never driver-checked)
@@ -7982,6 +8110,8 @@ _WINDOW_ORDER = [
     "q164_sql_engine_recursive_bag_input_twice",
     "q165_sql_engine_recursive_mutual_bag",
     "q166_sql_engine_recursive_disjoint",
+    "q167_sql_engine_recursive_multi_branch",
+    "q168_sql_engine_recursive_multi_branch_bag",
 ]
 
 

@@ -6681,7 +6681,7 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
 
     Since r10: NON-LINEAR steps (the CTE joined with itself) lower via
     per-occurrence step variants (:func:`_rec_occurrence_variants`);
-    the recursion may span up to THREE input relations; and ``UNION
+    the recursion may span up to FOUR input relations (the cap was three through r11); and ``UNION
     ALL`` routes to the Z-set bag fixpoint
     (:class:`_RecursiveCteBagMaintainer` — multiplicities count
     derivation paths; since r11 its branches may span several inputs).
@@ -6851,10 +6851,10 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
                 tbls = sorted(w for w in gw
                               if w in eng.tables or w in eng.views
                               or w in eng._maintainers)
-                if not 1 <= len(tbls) <= 3:
+                if not 1 <= len(tbls) <= 4:
                     raise _UnloweredShape(
                         f"mutual recursion over {len(tbls)} input "
-                        "tables (1-3 are lowerable)")
+                        "tables (1-4 are lowerable)")
                 hidp = f"__{name}_rec_{group[0]}"
                 registered.append(hidp)
                 mcls = (_RecursiveCteBagMutualMaintainer if group_bag
@@ -6880,9 +6880,42 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
             # the (single) recursive CTE
             rname = cname
             u = _split_union(body)
-            if u is None or len(u[0]) != 2:
+            if u is None or len(u[0]) < 2:
                 raise _UnloweredShape("recursive body is not "
                                       "base UNION step")
+            if len(u[0]) > 2:
+                # MULTI-BRANCH body (several bases and/or several
+                # steps — NEW r12): route through the vector
+                # maintainers as a ONE-member group (they already
+                # evaluate arbitrary rule lists per member; the set
+                # path keeps per-occurrence variants, the bag path its
+                # exact multilinear legs)
+                parts_mb = [p.strip() for p in u[0]]
+                bases_mb = [p for p in parts_mb if not refs(p, rname)]
+                steps_mb = [p for p in parts_mb if refs(p, rname)]
+                if not steps_mb:
+                    raise _UnloweredShape("no recursive branch")
+                bw = {w.lower() for p in parts_mb
+                      for w in re.findall(r"\b\w+\b", scrub(p))}
+                tbls = sorted(w for w in bw
+                              if w in eng.tables or w in eng.views
+                              or w in eng._maintainers)
+                if not 1 <= len(tbls) <= 4:
+                    raise _UnloweredShape(
+                        f"recursion over {len(tbls)} input tables "
+                        "(1-4 are lowerable)")
+                hid = (f"__{name}_rec" if n_comps == 1
+                       else f"__{name}_rec_{cname}")
+                registered.append(hid)
+                mcls = (_RecursiveCteBagMutualMaintainer if u[1]
+                        else _RecursiveCteMutualMaintainer)
+                hm = mcls(eng, hid, [rname], tbls,
+                          {rname: (bases_mb, steps_mb)})
+                eng._maintainers[hid] = hm
+                eng._sources[hid] = set(tbls)
+                hm.state.current.rows().createOrReplaceTempView(hid)
+                mapping[cname] = hid
+                continue
             is_bag = u[1]
             base_sql, step_sql = u[0][0].strip(), u[0][1].strip()
             if refs(base_sql, rname):
@@ -6924,10 +6957,10 @@ def _recursive_cte_lift(eng: "Engine", name: str, flat: str):
             tbls = sorted(w for w in bw
                           if w in eng.tables or w in eng.views
                           or w in eng._maintainers)
-            if not 1 <= len(tbls) <= 3:
+            if not 1 <= len(tbls) <= 4:
                 raise _UnloweredShape(
                     f"recursion over {len(tbls)} input tables "
-                    "(1-3 are lowerable)")
+                    "(1-4 are lowerable)")
             # sole component keeps the historical name; several
             # disjoint components need distinct hidden views
             hid = (f"__{name}_rec" if n_comps == 1

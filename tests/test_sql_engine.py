@@ -4891,6 +4891,146 @@ def test_recursive_cte_disjoint_components(spark):
     assert not [h for h in eng._maintainers if "fwd" in h]
 
 
+def test_recursive_cte_multi_branch(spark):
+    """MULTI-BRANCH recursive bodies — NEW r12 (refused ≤r11 as
+    "recursive body is not base UNION step"): a single CTE with several
+    UNION/UNION ALL branches routes through the vector maintainers as a
+    one-member group (they evaluate arbitrary rule lists).  Covers: two
+    bases + one step (set), the same under bag semantics
+    (multiplicities add across base branches), TWO STEP branches (the
+    undirected closure — DRed re-derivation through both rules), and a
+    FOUR-input recursion (the per-input cap was three through r11)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE s1 (k BIGINT NOT NULL);
+        CREATE TABLE s2 (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE ed2 (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW ms as
+            WITH RECURSIVE p AS (
+                SELECT k FROM s1
+                UNION
+                SELECT k FROM s2
+                UNION
+                SELECT e.dst AS k FROM p JOIN ed e ON p.k = e.src)
+            SELECT k FROM p;
+        CREATE VIEW mb as
+            WITH RECURSIVE p AS (
+                SELECT k FROM s1
+                UNION ALL
+                SELECT k FROM s2
+                UNION ALL
+                SELECT e.dst AS k FROM p JOIN ed e ON p.k = e.src)
+            SELECT k, COUNT(*) AS n FROM p GROUP BY k;
+        CREATE VIEW undir as
+            WITH RECURSIVE p AS (
+                SELECT k FROM s1
+                UNION
+                SELECT e.dst AS k FROM p JOIN ed e ON p.k = e.src
+                UNION
+                SELECT e.src AS k FROM p JOIN ed e ON p.k = e.dst)
+            SELECT k FROM p;
+        CREATE VIEW four as
+            WITH RECURSIVE p AS (
+                SELECT k FROM s1
+                UNION
+                SELECT k FROM s2
+                UNION
+                SELECT e.dst AS k FROM p JOIN ed e ON p.k = e.src
+                UNION
+                SELECT e.dst AS k FROM p JOIN ed2 e ON p.k = e.src)
+            SELECT k FROM p;
+    """)
+    assert eng.view_strategy("__ms_rec") == "recursive_mutual"
+    assert eng.view_strategy("__mb_rec") == "recursive_bag_mutual"
+    assert eng.view_strategy("__undir_rec") == "recursive_mutual"
+    assert eng.view_strategy("__four_rec") == "recursive_mutual"
+    assert sorted(eng._maintainers["__four_rec"].tables) == \
+        ["ed", "ed2", "s1", "s2"]
+
+    from collections import Counter
+
+    def models(S1, S2, E, E2):
+        ks = set(k for (k,) in S1) | set(k for (k,) in S2)
+        ch = True
+        while ch:
+            ch = False
+            for (a, b) in E:
+                if a in ks and b not in ks:
+                    ks.add(b)
+                    ch = True
+        ms = sorted((k,) for k in ks)
+        # bag: path counts over the DAG from the seed multiset
+        f = Counter(k for (k,) in S1) + Counter(k for (k,) in S2)
+        acc = Counter(f)
+        for _ in range(30):
+            new = Counter()
+            for k, w in f.items():
+                for (a, b) in E:
+                    if k == a:
+                        new[b] += w
+            new = +new
+            if not new:
+                break
+            f = new
+            acc.update(new)
+        mb = sorted((k, n) for k, n in acc.items() if n)
+        # undirected closure from s1 only
+        us = set(k for (k,) in S1)
+        ch = True
+        while ch:
+            ch = False
+            for (a, b) in E:
+                if a in us and b not in us:
+                    us.add(b)
+                    ch = True
+                if b in us and a not in us:
+                    us.add(a)
+                    ch = True
+        undir = sorted((k,) for k in us)
+        # four-input: closure over ed ∪ ed2 from both seed sets
+        fs = set(k for (k,) in S1) | set(k for (k,) in S2)
+        ch = True
+        while ch:
+            ch = False
+            for (a, b) in list(E) + list(E2):
+                if a in fs and b not in fs:
+                    fs.add(b)
+                    ch = True
+        four = sorted((k,) for k in fs)
+        return ms, mb, undir, four
+
+    def check(S1, S2, E, E2, tag):
+        ms, mb, undir, four = models(S1, S2, E, E2)
+        for view, want in [("ms", ms), ("mb", mb), ("undir", undir),
+                           ("four", four)]:
+            got = sorted(map(tuple, eng.view(view).collect()))
+            assert got == want, (tag, view, got, want)
+
+    S1, S2 = [(1,)], [(5,), (5,)]
+    E, E2 = [(1, 2), (2, 3), (3, 4), (5, 6)], [(4, 9)]
+    eng.push("s1", spark.createDataFrame(S1, "k long"))
+    eng.push("s2", spark.createDataFrame(S2, "k long"))
+    eng.push("ed", spark.createDataFrame(E, "src long, dst long"))
+    eng.push("ed2", spark.createDataFrame(E2, "src long, dst long"))
+    eng.step()
+    check(S1, S2, E, E2, "insert")
+    eng.push("ed", spark.createDataFrame([(6, 7)], "src long, dst long"))
+    eng.push("s2", spark.createDataFrame([(5,)], "k long"), weight=-1)
+    E.append((6, 7))
+    S2.remove((5,))
+    eng.step()
+    check(S1, S2, E, E2, "mixed tick")
+    eng.push("ed", spark.createDataFrame([(2, 3)], "src long, dst long"),
+             weight=-1)
+    eng.push("ed2", spark.createDataFrame([(4, 9)], "src long, dst long"),
+             weight=-1)
+    E.remove((2, 3))
+    E2.remove((4, 9))
+    eng.step()
+    check(S1, S2, E, E2, "edge retract (both graphs)")
+
+
 def test_recursive_cte_union_all_bag_input_twice(spark):
     """UNION ALL recursion whose STEP joins the input with itself (a
     two-hop step — r11 verdict ask #2b, refused ≤r11): the repeated
