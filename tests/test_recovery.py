@@ -658,3 +658,138 @@ def test_quantified_view_survives_suspend_resume(spark, tmp_path):
     eng2.push("s", spark.createDataFrame([(10,)], "x long"), weight=-1)
     eng2.step()
     assert sorted(r[0] for r in eng2.view("v").collect()) == [1, 2, 3]
+
+
+def test_mutual_bag_recursive_view_survives_suspend_resume(
+        spark, tmp_path):
+    """Suspend/resume under MUTUAL UNION ALL recursion (r12): the
+    bootstrap tick replays the recovered snapshots through the vector
+    BAG fixpoint (primary + satellite both re-seed, multiplicities =
+    derivation paths), and later inserts and a ring-cancellation
+    retraction stay exact in both members."""
+    from collections import Counter
+
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW evens AS
+            WITH RECURSIVE ev AS (
+                SELECT s.k AS k FROM seeds s
+                UNION ALL
+                SELECT e.dst AS k FROM od o JOIN ed e ON o.k = e.src),
+            od AS (
+                SELECT e.dst AS k FROM ev v JOIN ed e ON v.k = e.src)
+            SELECT k, COUNT(*) AS n FROM ev GROUP BY k;
+    """
+
+    def evens(seeds, edges):
+        sw, ew = Counter(seeds), Counter(edges)
+        acc = Counter(sw)
+        f, par = Counter(sw), 0
+        for _ in range(40):
+            new = Counter()
+            for k, w in f.items():
+                for (a, b), w2 in ew.items():
+                    if k == a:
+                        new[b] += w * w2
+            f = +new
+            par ^= 1
+            if not f:
+                break
+            if par == 0:
+                acc.update(f)
+        return sorted((k, n) for k, n in acc.items() if n)
+
+    path = str(tmp_path / "mbag_state")
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    seeds, chain = [0, 0], [(i, i + 1) for i in range(4)]
+    eng.push("seeds", spark.createDataFrame([(k,) for k in seeds],
+                                            "k long"))
+    eng.push("ed", spark.createDataFrame(chain, "src long, dst long"))
+    eng.step()
+    assert sorted(map(tuple, eng.view("evens").collect())) == \
+        evens(seeds, chain)
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    assert eng2.view_strategy("__evens_rec_ev") == "recursive_bag_mutual"
+    assert eng2.view_strategy("__evens_rec_od") == "recursive_bag_mutual"
+    assert sorted(map(tuple, eng2.view("evens").collect())) == \
+        evens(seeds, chain)
+    eng2.push("ed", spark.createDataFrame([(4, 5)], "src long, dst long"))
+    eng2.step()
+    assert sorted(map(tuple, eng2.view("evens").collect())) == \
+        evens(seeds, chain + [(4, 5)])
+    eng2.push("seeds", spark.createDataFrame([(0,)], "k long"),
+              weight=-1)
+    eng2.push("ed", spark.createDataFrame([(1, 2)], "src long, dst long"),
+              weight=-1)
+    eng2.step()
+    assert sorted(map(tuple, eng2.view("evens").collect())) == \
+        evens([0], [(0, 1), (2, 3), (3, 4), (4, 5)])
+
+
+def test_disjoint_recursive_components_survive_suspend_resume(
+        spark, tmp_path):
+    """Suspend/resume with TWO disjoint recursive components (r12):
+    each component's fixpoint re-seeds from the bootstrap replay
+    independently; a post-resume retraction drives BOTH components'
+    DRed in one tick."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE ed2 (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW bridged AS
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed UNION
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src),
+            q AS (
+                SELECT src, dst FROM ed2 UNION
+                SELECT q.src, e.dst FROM q JOIN ed2 e ON q.dst = e.src)
+            SELECT p.src, q.dst FROM p JOIN q ON p.dst = q.src;
+    """
+
+    def closure(ed):
+        s, ch = set(ed), True
+        while ch:
+            ch = False
+            for (a, b) in list(s):
+                for (c, d) in list(s):
+                    if b == c and (a, d) not in s:
+                        s.add((a, d))
+                        ch = True
+        return s
+
+    def bridged(e1, e2):
+        p, q = closure(e1), closure(e2)
+        return sorted({(a, d) for (a, b) in p for (c, d) in q
+                       if b == c})
+
+    path = str(tmp_path / "disjoint_state")
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    e1, e2 = [(1, 2), (2, 3)], [(3, 4), (4, 5)]
+    eng.push("ed", spark.createDataFrame(e1, "src long, dst long"))
+    eng.push("ed2", spark.createDataFrame(e2, "src long, dst long"))
+    eng.step()
+    assert sorted(set(map(tuple, eng.view("bridged").collect()))) == \
+        bridged(e1, e2)
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    assert eng2.view_strategy("__bridged_rec_p") == "recursive"
+    assert eng2.view_strategy("__bridged_rec_q") == "recursive"
+    assert sorted(set(map(tuple, eng2.view("bridged").collect()))) == \
+        bridged(e1, e2)
+    eng2.push("ed", spark.createDataFrame([(2, 3)], "src long, dst long"),
+              weight=-1)
+    eng2.push("ed2", spark.createDataFrame([(5, 6)], "src long, dst long"))
+    eng2.step()
+    assert sorted(set(map(tuple, eng2.view("bridged").collect()))) == \
+        bridged([(1, 2)], e2 + [(5, 6)])
