@@ -8033,6 +8033,134 @@ def q163_demo02_fraud_features_verbatim(spark, sf_dir):
         "unix_time", "city_pop", "merchant", "is_fraud")
 
 
+@register("q169_sql_engine_recursive_stratified_chain", oracle="""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 2 AND 255 AND c_custkey % 9 <> 0
+  UNION
+  SELECT p.src, c.c_custkey // 2 AS dst
+  FROM p JOIN customer c ON p.dst = c.c_custkey
+  WHERE c.c_custkey BETWEEN 2 AND 255 AND c.c_custkey % 9 <> 0),
+q AS (
+  SELECT src, dst FROM p WHERE dst >= 2
+  UNION
+  SELECT q.src, c.c_custkey // 3 AS dst
+  FROM q JOIN customer c ON q.dst = c.c_custkey
+  WHERE c.c_custkey BETWEEN 3 AND 255 AND c.c_custkey % 9 <> 0)
+SELECT src, dst FROM q
+""")
+def q169_sql_engine_recursive_stratified_chain(spark, sf_dir):
+    """STRATIFIED recursion chain — NEW r12: a second recursive CTE
+    SEEDS FROM the first one's closure (``q``'s base branch reads
+    ``p``, a filtered halving closure) and then steps on its own
+    thirding rule.  The components are separate strongly-connected
+    groups, so each lowers onto its OWN IncrementalFixpointOp and the
+    EARLIER component's maintained view becomes a recursion INPUT of
+    the later one — deltas flow fixpoint → fixpoint, the reference's
+    stacked nested circuits (recursive.rs:255: a child circuit imports
+    any parent stream, including another recursion scope's export;
+    galen.rs chains scopes the same way).  Insert ticks run semi-naive
+    through BOTH scopes; the retraction tick drives p's DRed, whose
+    output delta (deleted closure rows) feeds q's DRed in the SAME
+    tick."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE VIEW chained as
+            with recursive p as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 2 and 255
+                union
+                select p.src, cast(c.c_custkey / 2 as bigint) as dst
+                from p join customer c on p.dst = c.c_custkey
+                where c.c_custkey between 2 and 255),
+            q as (
+                select src, dst from p where dst >= 2
+                union
+                select q.src, cast(c.c_custkey / 3 as bigint) as dst
+                from q join customer c on q.dst = c.c_custkey
+                where c.c_custkey between 3 and 255)
+            select src, dst from q;
+    """)
+    assert eng.view_strategy("__chained_rec_p") == "recursive"
+    assert eng.view_strategy("__chained_rec_q") == "recursive"
+    mp = eng._maintainers["__chained_rec_p"]
+    mq = eng._maintainers["__chained_rec_q"]
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.step()
+    assert mp.last_stats["mode"] == "seminaive", mp.last_stats
+    assert mq.last_stats["mode"] == "seminaive", mq.last_stats
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    assert mp.last_stats["mode"] == "dred", mp.last_stats
+    assert mq.last_stats["mode"] == "dred", mq.last_stats
+    return eng.view("chained")
+
+
+@register("q170_sql_engine_recursive_over_agg_cte", oracle="""
+WITH RECURSIVE ed AS (
+  SELECT o_custkey AS src, o_custkey // 2 AS dst
+  FROM orders WHERE o_orderkey % 2 <> 0 AND o_custkey BETWEEN 2 AND 127
+  GROUP BY o_custkey, o_custkey // 2
+  HAVING SUM(o_totalprice) > 300000),
+p AS (
+  SELECT src, dst FROM ed UNION
+  SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src)
+SELECT src, dst FROM p
+""")
+def q170_sql_engine_recursive_over_agg_cte(spark, sf_dir):
+    """Recursion over a MAINTAINED AGGREGATE edge relation — NEW r12:
+    the edge CTE is a grouped HAVING filter (an expression group key +
+    a SUM threshold, lowered onto the expression-key projection + the
+    linear aggregate maintainer), and the closure's fixpoint consumes
+    the AGGREGATE VIEW'S DELTA as its input — the reference's circuit
+    composition where any operator output, including aggregates, can
+    feed a nested recursion scope (recursive.rs:255; aggregates as
+    first-class streams, vldb23 §4-5).  The retraction tick removes
+    the even-orderkey half, which drops seven customers' spend below
+    the HAVING threshold: the aggregate maintainer emits edge DELETES
+    and the fixpoint runs DRed on them (asserted)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE VIEW reach as
+            with recursive ed as (
+                select o_custkey as src,
+                       cast(o_custkey / 2 as bigint) as dst
+                from orders
+                where o_custkey between 2 and 127
+                group by o_custkey, cast(o_custkey / 2 as bigint)
+                having sum(o_totalprice) > 300000),
+            p as (
+                select src, dst from ed
+                union
+                select p.src, e.dst from p join ed e on p.dst = e.src)
+            select src, dst from p;
+    """)
+    assert eng.view_strategy("__reach_cte_ed") == "linear_agg"
+    assert eng.view_strategy("__reach_rec") == "recursive"
+    m = eng._maintainers["__reach_rec"]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    eng.push("orders", o.filter(F.col("o_orderkey") % 2 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    return eng.view("reach")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -8097,13 +8225,11 @@ _WINDOW_ORDER = [
     "q158_sql_engine_quantified_composed",
     # round-12 priority 4: r9-evidence rows (the registry's oldest
     # remaining band) — displaced one-for-one by this round's new
-    # queries as they land.
+    # queries as they land (nx_q04 and q02 displaced by q169/q170).
     "q134_sql_rolling_features_timestamp",
     "q136_sql_engine_tpch_q15_cte",
     "q139_sql_engine_union_of_aggs",
     "q140_sql_engine_unmatched_antijoin",
-    "nx_q04_avg_closing_price",
-    "q02_revenue_by_nation",
     # round-12 new rows (never driver-checked)
     "q162_demo00_simple_select_verbatim",
     "q163_demo02_fraud_features_verbatim",
@@ -8112,6 +8238,8 @@ _WINDOW_ORDER = [
     "q166_sql_engine_recursive_disjoint",
     "q167_sql_engine_recursive_multi_branch",
     "q168_sql_engine_recursive_multi_branch_bag",
+    "q169_sql_engine_recursive_stratified_chain",
+    "q170_sql_engine_recursive_over_agg_cte",
 ]
 
 

@@ -5595,6 +5595,51 @@ def test_recursive_cte_with_companion_cte(spark):
     assert got == sorted(closure(live2)), len(got)
 
 
+def test_recursive_over_aggregated_cte(spark):
+    """Recursion over a MAINTAINED AGGREGATE edge relation (the q170
+    driver-row shape): the edge CTE is a grouped HAVING threshold, so
+    a retraction that drops a group's SUM below it makes the linear
+    aggregate maintainer emit edge DELETES — the fixpoint must consume
+    them as DRed input in the same tick (delta flows linear_agg →
+    fixpoint)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE raw (src BIGINT NOT NULL, dst BIGINT NOT NULL,
+                          w BIGINT);
+        CREATE VIEW reach as
+            WITH RECURSIVE ed AS (
+                SELECT src, dst FROM raw GROUP BY src, dst
+                HAVING SUM(w) > 0),
+            p AS (
+                SELECT src, dst FROM ed UNION
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src)
+            SELECT src, dst FROM p;
+    """)
+    assert eng.view_strategy("__reach_cte_ed") == "linear_agg"
+    assert eng.view_strategy("__reach_rec") == "recursive"
+    m = eng._maintainers["__reach_rec"]
+    eng.push("raw", spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, w long"))
+    eng.step()
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], got
+    # flip group (2,3) OFF: sum 1-5 = -4 fails HAVING -> edge delete
+    eng.push("raw", spark.createDataFrame(
+        [(2, 3, -5)], "src long, dst long, w long"))
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == [(1, 2), (3, 4)], got
+    # flip it back ON in the same breath as a brand-new edge: mixed
+    # insert delta through the aggregate view, semi-naive round
+    eng.push("raw", spark.createDataFrame(
+        [(2, 3, 6), (4, 5, 1)], "src long, dst long, w long"))
+    eng.step()
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4),
+                   (2, 5), (3, 4), (3, 5), (4, 5)], got
+
+
 def test_nested_cte_in_cte_body(spark):
     """A WITH inside a CTE body (nested CTE): the hidden registration
     re-enters the lifts, so the inner stack lowers too."""
