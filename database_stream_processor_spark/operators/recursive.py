@@ -880,7 +880,13 @@ class IncrementalFixpointOp:
                 .localCheckpoint(eager=True)
                 for k, st in self._integrals.items()}
 
-    def step(self, delta) -> "object":
+    def step(self, delta, force_recompute: bool = False) -> "object":
+        """One input tick.  ``force_recompute`` bypasses the semi-naive
+        and DRed paths and re-runs the full fixpoint against the updated
+        integrals (diffed against the previous output) — callers use it
+        for ticks that touch an input whose role in the rules is not
+        delta-linear (e.g. inside a NOT EXISTS / scalar subquery), where
+        rebinding that input to its delta would be semantically wrong."""
         from database_stream_processor_spark.zset import ZSetFrame
         if not self._multi:
             delta = {"__in": delta}
@@ -891,7 +897,8 @@ class IncrementalFixpointOp:
         d.update(empties)
         insert_only = all(z.df.filter(z.weight < 0).isEmpty()
                           for z in d.values())
-        have_rules = (self.delta_step is not None
+        have_rules = (not force_recompute
+                      and self.delta_step is not None
                       and self.delta_base is not None)
         if insert_only and self._prev is not None and have_rules:
             return self._step_seminaive(d)

@@ -8161,6 +8161,82 @@ def q170_sql_engine_recursive_over_agg_cte(spark, sf_dir):
     return eng.view("reach")
 
 
+@register("q171_sql_engine_recursive_stratified_negation", oracle="""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 2 AND 255 AND c_custkey % 9 <> 0
+  UNION
+  SELECT p.src, c.c_custkey // 2 AS dst
+  FROM p JOIN customer c ON p.dst = c.c_custkey
+  WHERE c.c_custkey BETWEEN 2 AND 255 AND c.c_custkey % 9 <> 0
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000
+                      AND o.o_orderkey % 5 <> 0))
+SELECT src, dst FROM p
+""")
+def q171_sql_engine_recursive_stratified_negation(spark, sf_dir):
+    """STRATIFIED NEGATION in recursion — NEW r12: the step carries a
+    ``NOT EXISTS`` over a non-recursive input (customers with a
+    big-ticket order block the halving walk).  ``orders`` is a
+    SUBQUERY-ROLE input: it gets NO delta legs (rebinding it to a
+    tick's delta would evaluate the NOT EXISTS against the delta
+    instead of the integral — this shape produced wrong answers before
+    r12's classification), so ticks touching it force the fixpoint's
+    full recompute-and-diff, while customer-only ticks stay semi-naive
+    / DRed with the subquery reading orders' INTEGRAL (sound: for
+    fixed inputs the step is monotone in the accumulator — stratified
+    Datalog; the reference stratifies negated atoms outside the
+    recursion scope, recursive.rs:255 + distinct/antijoin composition,
+    vldb23 §5).  Tick script: customer in two semi-naive halves, orders
+    in one recompute tick, an orders retraction (19 blockers lift —
+    recompute re-admits their walks), then a customer retraction
+    (DRed, orders untouched)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE VIEW guarded as
+            with recursive p as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 2 and 255
+                union
+                select p.src, cast(c.c_custkey / 2 as bigint) as dst
+                from p join customer c on p.dst = c.c_custkey
+                where c.c_custkey between 2 and 255
+                  and not exists (select 1 from orders o
+                                  where o.o_custkey = c.c_custkey
+                                    and o.o_totalprice > 450000))
+            select src, dst from p;
+    """)
+    assert eng.view_strategy("__guarded_rec") == "recursive"
+    m = eng._maintainers["__guarded_rec"]
+    assert m._sq_inputs == {"orders"}, m._sq_inputs
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    for i in range(2):
+        eng.push("customer", c.filter(F.col("c_custkey") % 2 == i))
+        eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    eng.push("orders", o)
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    eng.push("orders", o.filter(F.col("o_orderkey") % 5 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    return eng.view("guarded")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -8225,8 +8301,7 @@ _WINDOW_ORDER = [
     "q158_sql_engine_quantified_composed",
     # round-12 priority 4: r9-evidence rows (the registry's oldest
     # remaining band) — displaced one-for-one by this round's new
-    # queries as they land (nx_q04 and q02 displaced by q169/q170).
-    "q134_sql_rolling_features_timestamp",
+    # queries as they land (nx_q04/q02/q134 displaced by q169-q171).
     "q136_sql_engine_tpch_q15_cte",
     "q139_sql_engine_union_of_aggs",
     "q140_sql_engine_unmatched_antijoin",
@@ -8240,6 +8315,7 @@ _WINDOW_ORDER = [
     "q168_sql_engine_recursive_multi_branch_bag",
     "q169_sql_engine_recursive_stratified_chain",
     "q170_sql_engine_recursive_over_agg_cte",
+    "q171_sql_engine_recursive_stratified_negation",
 ]
 
 

@@ -5979,17 +5979,39 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
             rf"\b{re.escape(t)}\b(?!\s*\.)", scrub(sql_t),
             re.IGNORECASE))
         self._touched: set[str] = set(tbls)
+        # inputs referenced inside a SUBQUERY span ((NOT) EXISTS / IN /
+        # scalar — NEW r12) are not delta-linear: rebinding one to a
+        # tick's delta would evaluate the subquery against the delta
+        # instead of the integral (wrong answers, not missed rows — a
+        # NOT EXISTS would re-admit everything the integral blocks).
+        # They carry NO delta legs; a tick touching one forces the op's
+        # full recompute-and-diff (sound: for FIXED inputs the step
+        # stays monotone in acc — stratified negation, the reference
+        # stratifies negated atoms outside the recursion scope the same
+        # way).  The CTE's OWN name inside a span (non-qualifier; a
+        # ``p.col`` correlation is a per-row filter and stays monotone)
+        # would be non-stratified — refuse.
+        sqt = scrub(" ".join(
+            [base_sql[s:e] for s, e in _scalar_sq_spans(base_sql)]
+            + [step_sql[s:e] for s, e in _scalar_sq_spans(step_sql)]))
+        if re.search(rf"\b{re.escape(rname)}\b(?!\s*\.)", sqt,
+                     re.IGNORECASE):
+            raise _UnloweredShape(
+                f"recursive CTE {rname!r} referenced inside a subquery "
+                "of its own body (non-stratified negation/aggregation)")
+        self._sq_inputs = {t for t in tbls if re.search(
+            rf"\b{re.escape(t)}\b(?!\s*\.)", sqt, re.IGNORECASE)}
         # per-branch input delta legs: (text, bind_name, input) — a
         # branch joining an input with ITSELF gets one spliced variant
         # per occurrence (_input_delta_legs; r10's twice-referenced
         # refusal, lifted r11 for the set fixpoint)
         self._dnames = {t: f"__{name}_d_{t}" for t in tbls}
-        base_legs = [(v, bn, t) for t in tbls
+        base_legs = [(v, bn, t) for t in tbls if t not in self._sq_inputs
                      if in_branch(base_sql, t) and tp_refs(base_sql, t)
                      for v, bn in _input_delta_legs(
                          base_sql, t, self._dnames[t],
                          tp_refs(base_sql, t))]
-        step_legs = [(v, bn, t) for t in tbls
+        step_legs = [(v, bn, t) for t in tbls if t not in self._sq_inputs
                      if in_branch(step_sql, t) and tp_refs(step_sql, t)
                      for v, bn in _input_delta_legs(
                          step_sql, t, self._dnames[t],
@@ -6037,13 +6059,17 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
         # delta legs skip inputs untouched this tick (their empty
         # deltas would contribute nothing but still schedule jobs)
         self._touched = {t for t, z in deltas.items() if z is not None}
+        # a tick touching a subquery-role input (NOT EXISTS / IN /
+        # scalar over it) has no sound delta legs — full recompute diff
+        force = bool(self._touched & self._sq_inputs)
         try:
             # the fixpoint loop localCheckpoints plans whose lineage ran
             # through eval_on's deduplicated temp-view rebindings — the
             # Spark 4 constraint-propagation crash class (see
             # _no_constraint_propagation)
             with _no_constraint_propagation(eng.spark):
-                delta = self._op.step(deltas).consolidate()
+                delta = self._op.step(
+                    deltas, force_recompute=force).consolidate()
         finally:
             self._touched = set(self.tables)
             for v in (self.rname, self._fname,
@@ -6097,6 +6123,16 @@ class _RecursiveCteMutualMaintainer(_ViewMaintainer):
         self.name = name
         self.tables, self.rnames = list(tbls), list(rnames)
         self._stash: dict[str, ZSetFrame] = {}
+        # subqueries in mutual/multi-branch recursion bodies refuse —
+        # the vector delta legs rebind inputs to deltas, which is wrong
+        # for subquery-role atoms (NEW r12; the single-CTE path handles
+        # them via forced recompute ticks, this path does not yet)
+        for rn_ in rnames:
+            for b_ in branches[rn_][0] + branches[rn_][1]:
+                if _scalar_sq_spans(b_):
+                    raise _UnloweredShape(
+                        "subquery in a mutual/multi-branch recursion "
+                        "body is not lowerable")
         scrub = lambda t: re.sub(r"'[^']*'", " ", t)
         refs = lambda t, w: len(re.findall(rf"\b{re.escape(w)}\b"
                                            r"(?!\s*\.)", scrub(t),
@@ -6534,6 +6570,16 @@ class _RecursiveCteBagMutualMaintainer(_ViewMaintainer):
         self.name = name
         self.tables, self.rnames = list(tbls), list(rnames)
         self._stash: dict[str, ZSetFrame] = {}
+        # subqueries in mutual/multi-branch recursion bodies refuse —
+        # the vector delta legs rebind inputs to deltas, which is wrong
+        # for subquery-role atoms (NEW r12; the single-CTE path handles
+        # them via forced recompute ticks, this path does not yet)
+        for rn_ in rnames:
+            for b_ in branches[rn_][0] + branches[rn_][1]:
+                if _scalar_sq_spans(b_):
+                    raise _UnloweredShape(
+                        "subquery in a mutual/multi-branch recursion "
+                        "body is not lowerable")
         scrub = lambda t: re.sub(r"'[^']*'", " ", t)
         refs = lambda t, w: len(re.findall(rf"\b{re.escape(w)}\b"
                                            r"(?!\s*\.)", scrub(t),

@@ -5640,6 +5640,82 @@ def test_recursive_over_aggregated_cte(spark):
                    (2, 5), (3, 4), (3, 5), (4, 5)], got
 
 
+def test_recursive_with_stratified_negation(spark):
+    """NOT EXISTS over a non-recursive input inside a recursion step
+    (the q171 driver-row shape): the blocked relation is a
+    SUBQUERY-ROLE input — no delta legs (rebinding it to a delta would
+    evaluate the NOT EXISTS against the delta, wrong answers); ticks
+    touching it force the fixpoint's full recompute diff, while
+    edge-only ticks stay semi-naive (insert) / DRed (delete) with the
+    subquery reading blocked's INTEGRAL.  The CTE's own name inside a
+    subquery (non-stratified) refuses."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE blocked (k BIGINT NOT NULL);
+        CREATE VIEW reach AS
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed
+                UNION
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src
+                WHERE NOT EXISTS (SELECT 1 FROM blocked b
+                                  WHERE b.k = e.dst))
+            SELECT src, dst FROM p;
+    """)
+    m = eng._maintainers["__reach_rec"]
+    assert m._sq_inputs == {"blocked"}
+    eng.push("ed", spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                         "src long, dst long"))
+    eng.push("blocked", spark.createDataFrame([(4,)], "k long"))
+    eng.step()
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == [(1, 2), (1, 3), (2, 3), (3, 4)], got
+    # blocking node 3 cuts the step-derived (1,3): recompute tick
+    eng.push("blocked", spark.createDataFrame([(3,)], "k long"))
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == [(1, 2), (2, 3), (3, 4)], got
+    # edge-only insert tick: semi-naive, NOT EXISTS reads the integral
+    eng.push("ed", spark.createDataFrame([(4, 5), (5, 6)],
+                                         "src long, dst long"))
+    eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == [(1, 2), (2, 3), (3, 4), (3, 5), (3, 6), (4, 5),
+                   (4, 6), (5, 6)], got
+    # un-blocking node 3 re-admits (1,3): recompute tick
+    eng.push("blocked", spark.createDataFrame([(3,)], "k long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert (1, 3) in got and len(got) == 9, got
+    # edge delete with blocked fixed: ordinary DRed
+    eng.push("ed", spark.createDataFrame([(1, 2)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == [(2, 3), (3, 4), (3, 5), (3, 6), (4, 5), (4, 6),
+                   (5, 6)], got
+    # the CTE's own name inside the subquery = non-stratified: refuses
+    # (falls through to the snapshot path, which Spark cannot run for
+    # WITH RECURSIVE + UNION — loud error at CREATE VIEW time)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        eng.execute("""
+            CREATE VIEW bad AS
+                WITH RECURSIVE p AS (
+                    SELECT src, dst FROM ed
+                    UNION
+                    SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src
+                    WHERE NOT EXISTS (SELECT 1 FROM p x
+                                      WHERE x.dst = e.dst))
+                SELECT src, dst FROM p;
+        """)
+
+
 def test_nested_cte_in_cte_body(spark):
     """A WITH inside a CTE body (nested CTE): the hidden registration
     re-enters the lifts, so the inner stack lowers too."""
