@@ -5888,6 +5888,40 @@ def _rec_occurrence_variants(step_sql: str, rname: str,
     return variants
 
 
+#: shapes a SET-recursion branch cannot carry (NEW r12 — both were
+#: silently ACCEPTED before and produced wrong answers): outer/anti
+#: joins (the delta leg's NULL-extension/negation is computed against
+#: the delta instead of the full relation — e.g. a cyclic graph grows
+#: spurious (x, NULL) rows on unrelated inserts) and aggregation /
+#: window functions (non-monotone in the accumulator: the set fixpoint
+#: keeps stale intermediate aggregates — Postgres/DuckDB refuse these
+#: outright, and so does the reference's Calcite frontend).  Subquery
+#: spans are exempt: they evaluate exactly each round and their inputs
+#: are recompute-role (see _sq_inputs).  DISTINCT, inner/cross joins
+#: and LEFT SEMI JOIN stay allowed (idempotent / bilinear in the set
+#: ring).
+_REC_BRANCH_BLOCKERS = re.compile(
+    r"\b(LEFT|RIGHT|FULL)\s+(OUTER\s+)?JOIN\b"
+    r"|\b(LEFT\s+|RIGHT\s+)?ANTI\s+JOIN\b"
+    r"|\bGROUP\s+BY\b|\bHAVING\b|\bOVER\s*\("
+    r"|\b(SUM|COUNT|AVG|MIN|MAX|STDDEV\w*|VAR\w*|COLLECT\w*|FIRST"
+    r"|LAST)\s*\(", re.IGNORECASE)
+
+
+def _rec_branch_guard(text: str) -> None:
+    """Refuse non-delta-linear recursion branch shapes (see
+    :data:`_REC_BRANCH_BLOCKERS`) — raising beats the pre-r12 behavior
+    of accepting them and maintaining wrong answers."""
+    blanked = text
+    for s, e in reversed(_scalar_sq_spans(text)):
+        blanked = blanked[:s] + " " * (e - s) + blanked[e:]
+    m = _REC_BRANCH_BLOCKERS.search(_blank_literals(blanked))
+    if m:
+        raise _UnloweredShape(
+            f"recursion branch contains {m.group(0)!r} — not "
+            "delta-linear (hoist aggregation into a companion CTE)")
+
+
 def _input_delta_legs(branch_sql: str, tbl: str, dname: str,
                       n_refs: int) -> list[tuple[str, str]]:
     """Delta legs of one recursion branch w.r.t. input ``tbl``: with a
@@ -5944,6 +5978,8 @@ class _RecursiveCteMaintainer(_ViewMaintainer):
                  fname: str | None = None):
         from database_stream_processor_spark.operators.recursive import (
             IncrementalFixpointOp)
+        _rec_branch_guard(base_sql)
+        _rec_branch_guard(step_sql)
         self.name, self.sql = name, base_sql
         self.tables, self.rname = list(tbls), rname
         self._fname = fname
@@ -6133,6 +6169,7 @@ class _RecursiveCteMutualMaintainer(_ViewMaintainer):
                     raise _UnloweredShape(
                         "subquery in a mutual/multi-branch recursion "
                         "body is not lowerable")
+                _rec_branch_guard(b_)
         scrub = lambda t: re.sub(r"'[^']*'", " ", t)
         refs = lambda t, w: len(re.findall(rf"\b{re.escape(w)}\b"
                                            r"(?!\s*\.)", scrub(t),
@@ -6580,6 +6617,7 @@ class _RecursiveCteBagMutualMaintainer(_ViewMaintainer):
                     raise _UnloweredShape(
                         "subquery in a mutual/multi-branch recursion "
                         "body is not lowerable")
+                _rec_branch_guard(b_)
         scrub = lambda t: re.sub(r"'[^']*'", " ", t)
         refs = lambda t, w: len(re.findall(rf"\b{re.escape(w)}\b"
                                            r"(?!\s*\.)", scrub(t),

@@ -5716,6 +5716,66 @@ def test_recursive_with_stratified_negation(spark):
         """)
 
 
+def test_recursive_branch_blockers_refuse(spark):
+    """Outer joins and aggregation INSIDE a recursion branch refuse
+    (r12 — both were silently accepted before and maintained wrong
+    answers: the outer-join delta leg NULL-extends against the DELTA,
+    a branch aggregate keeps stale intermediate extremes in the
+    accumulated set).  Postgres/DuckDB refuse these shapes too.  The
+    refusal falls through to the snapshot path, which Spark cannot run
+    for WITH RECURSIVE + UNION — loud error at CREATE VIEW time."""
+    import pytest as _pytest
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE ed (src BIGINT NOT NULL, "
+                "dst BIGINT NOT NULL);")
+    with _pytest.raises(Exception):
+        eng.execute("""
+            CREATE VIEW bad1 AS
+                WITH RECURSIVE p AS (
+                    SELECT src, dst FROM ed
+                    UNION
+                    SELECT p.src, COALESCE(e.dst, -1) AS dst
+                    FROM p LEFT JOIN ed e ON p.dst = e.src)
+                SELECT src, dst FROM p;
+        """)
+    with _pytest.raises(Exception):
+        eng.execute("""
+            CREATE VIEW bad2 AS
+                WITH RECURSIVE p AS (
+                    SELECT src, dst FROM ed
+                    UNION
+                    SELECT p.src, MAX(e.dst) AS dst
+                    FROM p JOIN ed e ON p.dst = e.src GROUP BY p.src)
+                SELECT src, dst FROM p;
+        """)
+    # aggregates INSIDE a subquery span stay allowed (the span is
+    # exempt — its input is recompute-role) and the view still lowers
+    eng.execute("""
+        CREATE TABLE cap (k BIGINT NOT NULL);
+        CREATE VIEW ok AS
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed
+                UNION
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src
+                WHERE e.dst <= (SELECT MAX(k) FROM cap))
+            SELECT src, dst FROM p;
+    """)
+    m = eng._maintainers["__ok_rec"]
+    assert m._sq_inputs == {"cap"}
+    eng.push("ed", spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                         "src long, dst long"))
+    eng.push("cap", spark.createDataFrame([(3,)], "k long"))
+    eng.step()
+    got = sorted(map(tuple, eng.view("ok").collect()))
+    assert got == [(1, 2), (1, 3), (2, 3), (3, 4)], got
+    # raising the cap re-admits dst=4 walks: recompute tick
+    eng.push("cap", spark.createDataFrame([(9,)], "k long"))
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    got = sorted(map(tuple, eng.view("ok").collect()))
+    assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], got
+
+
 def test_nested_cte_in_cte_body(spark):
     """A WITH inside a CTE body (nested CTE): the hidden registration
     re-enters the lifts, so the inner stack lowers too."""
