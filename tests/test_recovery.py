@@ -793,3 +793,68 @@ def test_disjoint_recursive_components_survive_suspend_resume(
     eng2.step()
     assert sorted(set(map(tuple, eng2.view("bridged").collect()))) == \
         bridged([(1, 2)], e2 + [(5, 6)])
+
+
+def test_stratified_negation_view_survives_suspend_resume(
+        spark, tmp_path):
+    """Suspend/resume under the r12 stratified-negation recursion (a
+    NOT EXISTS over a subquery-role input in the step): the bootstrap
+    recomputes the guarded closure from the recovered snapshots, a
+    blocked-set tick after resume forces recompute, and an edge
+    retraction with blocked fixed runs DRed."""
+    from database_stream_processor_spark.sql import Engine
+
+    ddl = """
+        CREATE TABLE edges (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE blocked (k BIGINT NOT NULL);
+        CREATE VIEW reach AS
+            with recursive p as (
+                select src, dst from edges
+                union
+                select p.src, e.dst from p join edges e on p.dst = e.src
+                where not exists (select 1 from blocked b
+                                  where b.k = e.dst))
+            select src, dst from p;
+    """
+
+    def guarded(live, blk):
+        paths = set(live)
+        while True:
+            new = {(s, d2) for (s, d) in paths for (d1, d2) in live
+                   if d == d1 and d2 not in blk} - paths
+            if not new:
+                return paths
+            paths |= new
+
+    path = str(tmp_path / "neg_state")
+    eng = Engine(spark, state_path=path)
+    eng.execute(ddl)
+    e1 = [(1, 2), (2, 3), (3, 4)]
+    eng.push("edges", spark.createDataFrame(e1, "src long, dst long"))
+    eng.push("blocked", spark.createDataFrame([(4,)], "k long"))
+    eng.step()
+    assert sorted(map(tuple, eng.view("reach").collect())) == \
+        sorted(guarded(set(e1), {4}))
+    del eng
+
+    eng2 = Engine(spark, state_path=path, recover=True)
+    eng2.execute(ddl)
+    m = eng2._maintainers["__reach_rec"]
+    assert m._sq_inputs == {"blocked"}
+    assert sorted(map(tuple, eng2.view("reach").collect())) == \
+        sorted(guarded(set(e1), {4}))
+    # blocked tick after resume: forced recompute against recovered
+    # integrals
+    eng2.push("blocked", spark.createDataFrame([(3,)], "k long"))
+    eng2.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    assert sorted(map(tuple, eng2.view("reach").collect())) == \
+        sorted(guarded(set(e1), {3, 4}))
+    # edge retraction with blocked fixed: DRed over recovered state
+    eng2.push("edges", spark.createDataFrame([(1, 2)],
+                                             "src long, dst long"),
+              weight=-1)
+    eng2.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    assert sorted(map(tuple, eng2.view("reach").collect())) == \
+        sorted(guarded(set(e1) - {(1, 2)}, {3, 4}))

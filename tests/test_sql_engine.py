@@ -6781,6 +6781,67 @@ def test_recursive_lifts_randomized_tick_equivalence(spark):
             assert got == want, (tick, v, got, want)
 
 
+def test_stratified_negation_randomized_tick_equivalence(spark):
+    """Seeded random walk for the r12 stratified-negation maintainer:
+    edge AND blocked-set inserts/deletes mixed freely per tick (so the
+    forced-recompute, semi-naive, DRed, and mixed regimes all get
+    exercised by whatever the seed produces), each tick checked
+    against a Python guarded closure of the live state."""
+    import random
+    rng = random.Random(8712)
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE blocked (k BIGINT NOT NULL);
+        CREATE VIEW reach AS
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed
+                UNION
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src
+                WHERE NOT EXISTS (SELECT 1 FROM blocked b
+                                  WHERE b.k = e.dst))
+            SELECT src, dst FROM p;
+    """)
+    assert eng._maintainers["__reach_rec"]._sq_inputs == {"blocked"}
+
+    def guarded_closure(edges, blocked):
+        paths = set(edges)
+        while True:
+            new = {(s, d2) for (s, d) in paths for (d1, d2) in edges
+                   if d == d1 and d2 not in blocked} - paths
+            if not new:
+                return paths
+            paths |= new
+
+    live_e: list = []
+    live_b: list = []
+    for tick in range(6):
+        for _ in range(rng.randint(1, 4)):
+            r = rng.random()
+            if live_e and r < 0.3:
+                row = live_e.pop(rng.randrange(len(live_e)))
+                eng.push("ed", spark.createDataFrame(
+                    [row], "src long, dst long"), weight=-1)
+            elif r < 0.55 and live_b:
+                k = live_b.pop(rng.randrange(len(live_b)))
+                eng.push("blocked", spark.createDataFrame(
+                    [(k,)], "k long"), weight=-1)
+            elif r < 0.75:
+                k = rng.randint(0, 7)
+                live_b.append(k)
+                eng.push("blocked", spark.createDataFrame(
+                    [(k,)], "k long"))
+            else:
+                row = (rng.randint(0, 7), rng.randint(0, 7))
+                live_e.append(row)
+                eng.push("ed", spark.createDataFrame(
+                    [row], "src long, dst long"))
+        eng.step()
+        want = sorted(guarded_closure(set(live_e), set(live_b)))
+        got = sorted(map(tuple, eng.view("reach").collect()))
+        assert got == want, (tick, got, want, live_e, live_b)
+
+
 def test_quant_scalars_randomized_tick_equivalence(spark):
     """r11 verdict ask #3 (quantifier half): a seeded random
     insert/delete walk over the inner value multiset and the outer —
