@@ -1120,9 +1120,12 @@ class MutualFixpointOp:
     def _total_count(self, m):
         return sum(df.count() for df in m.values())
 
-    def step(self, delta) -> "dict":
+    def step(self, delta, force_recompute: bool = False) -> "dict":
         """``{input: ZSetFrame | None}`` in, ``{name: ZSetFrame}``
-        output deltas out."""
+        output deltas out.  ``force_recompute`` bypasses the semi-naive
+        and DRed paths (same contract as
+        :meth:`IncrementalFixpointOp.step` — for ticks touching an
+        input whose role in the rules is not delta-linear)."""
         from database_stream_processor_spark.zset import ZSetFrame
         d = {k: z.consolidate() for k, z in delta.items()
              if z is not None}
@@ -1131,9 +1134,12 @@ class MutualFixpointOp:
         d.update(empties)
         insert_only = all(z.df.filter(z.weight < 0).isEmpty()
                           for z in d.values())
+        if force_recompute:
+            insert_only = False          # fall through to recompute
         if insert_only and self._prev is not None:
             return self._step_seminaive(d)
-        if not insert_only and self._prev is not None:
+        if not insert_only and not force_recompute \
+                and self._prev is not None:
             neg = {k: ZSetFrame(z.df.filter(z.weight < 0)).consolidate()
                    for k, z in d.items()}
             pos = {k: ZSetFrame(z.df.filter(z.weight > 0)).consolidate()

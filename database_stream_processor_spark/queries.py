@@ -8237,6 +8237,97 @@ def q171_sql_engine_recursive_stratified_negation(spark, sf_dir):
     return eng.view("guarded")
 
 
+@register("q172_sql_engine_recursive_multi_branch_negation", oracle="""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS src, c_custkey // 2 AS dst
+  FROM customer WHERE c_custkey BETWEEN 64 AND 255 AND c_custkey % 9 <> 0
+  UNION
+  SELECT o_custkey AS src, o_custkey // 2 AS dst
+  FROM orders WHERE o_totalprice > 450000 AND o_custkey BETWEEN 2 AND 63
+    AND o_orderkey % 7 <> 0
+  UNION
+  SELECT p.src, c.c_custkey // 2 AS dst
+  FROM p JOIN customer c ON p.dst = c.c_custkey
+  WHERE c.c_custkey BETWEEN 2 AND 255 AND c.c_custkey % 9 <> 0
+    AND NOT EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_suppkey = c.c_custkey
+                      AND s.s_acctbal < 3000
+                      AND s.s_suppkey % 3 <> 0))
+SELECT src, dst FROM p
+""")
+def q172_sql_engine_recursive_multi_branch_negation(spark, sf_dir):
+    """MULTI-BRANCH recursion with STRATIFIED NEGATION — NEW r12: two
+    base branches (customer walks + big-ticket order walks) and a step
+    guarded by ``NOT EXISTS`` over supplier, routed through the VECTOR
+    fixpoint (multi-branch bodies lower as a one-member mutual group)
+    with ``supplier`` classified subquery-role: its ticks force the
+    vector recompute diff, other ticks keep vector semi-naive / DRed
+    (MutualFixpointOp grew the same forced-recompute contract as the
+    single-CTE op this round; reference: nested circuits compose
+    negation via distinct/antijoin outside the recursion scope,
+    recursive.rs:255, vldb23 §5).  The guard BITES: ungated 1119 rows,
+    fully-blocked 554, final 688 after the supplier retraction
+    re-admits 134 walks.  Tick script: customer, orders halves
+    (semi-naive), supplier (recompute), supplier retraction
+    (recompute), customer+orders retraction in one tick (vector
+    DRed)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_acctbal DOUBLE);
+        CREATE VIEW guarded as
+            with recursive p as (
+                select c_custkey as src,
+                       cast(c_custkey / 2 as bigint) as dst
+                from customer where c_custkey between 64 and 255
+                union
+                select o_custkey as src,
+                       cast(o_custkey / 2 as bigint) as dst
+                from orders where o_totalprice > 450000
+                  and o_custkey between 2 and 63
+                union
+                select p.src, cast(c.c_custkey / 2 as bigint) as dst
+                from p join customer c on p.dst = c.c_custkey
+                where c.c_custkey between 2 and 255
+                  and not exists (select 1 from supplier s
+                                  where s.s_suppkey = c.c_custkey
+                                    and s.s_acctbal < 3000))
+            select src, dst from p;
+    """)
+    assert eng.view_strategy("__guarded_rec") == "recursive_mutual"
+    m = eng._maintainers["__guarded_rec"]
+    assert m._sq_inputs == {"supplier"}, m._sq_inputs
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    eng.push("customer", c)
+    eng.step()
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    eng.push("supplier", s)
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    eng.push("supplier", s.filter(F.col("s_suppkey") % 3 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    eng.push("customer", c.filter(F.col("c_custkey") % 9 == 0),
+             weight=-1)
+    eng.push("orders", o.filter(F.col("o_orderkey") % 7 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    return eng.view("guarded")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -8301,9 +8392,9 @@ _WINDOW_ORDER = [
     "q158_sql_engine_quantified_composed",
     # round-12 priority 4: r9-evidence rows (the registry's oldest
     # remaining band) — displaced one-for-one by this round's new
-    # queries as they land (nx_q04/q02/q134 displaced by q169-q171).
+    # queries as they land (nx_q04/q02/q134/q139 displaced by
+    # q169-q172).
     "q136_sql_engine_tpch_q15_cte",
-    "q139_sql_engine_union_of_aggs",
     "q140_sql_engine_unmatched_antijoin",
     # round-12 new rows (never driver-checked)
     "q162_demo00_simple_select_verbatim",
@@ -8316,6 +8407,7 @@ _WINDOW_ORDER = [
     "q169_sql_engine_recursive_stratified_chain",
     "q170_sql_engine_recursive_over_agg_cte",
     "q171_sql_engine_recursive_stratified_negation",
+    "q172_sql_engine_recursive_multi_branch_negation",
 ]
 
 

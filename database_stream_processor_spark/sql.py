@@ -6159,18 +6159,29 @@ class _RecursiveCteMutualMaintainer(_ViewMaintainer):
         self.name = name
         self.tables, self.rnames = list(tbls), list(rnames)
         self._stash: dict[str, ZSetFrame] = {}
-        # subqueries in mutual/multi-branch recursion bodies refuse —
-        # the vector delta legs rebind inputs to deltas, which is wrong
-        # for subquery-role atoms (NEW r12; the single-CTE path handles
-        # them via forced recompute ticks, this path does not yet)
+        # subquery-role inputs ((NOT) EXISTS / IN / scalar spans in any
+        # branch — same classification as the single-CTE path): no
+        # delta legs, ticks touching them force the vector recompute
+        # diff.  A GROUP MEMBER inside a span would be non-stratified —
+        # refuse.  (r12: first refused outright, then lifted to the
+        # forced-recompute contract once MutualFixpointOp grew the
+        # hook.)
+        sq_parts = []
         for rn_ in rnames:
             for b_ in branches[rn_][0] + branches[rn_][1]:
-                if _scalar_sq_spans(b_):
-                    raise _UnloweredShape(
-                        "subquery in a mutual/multi-branch recursion "
-                        "body is not lowerable")
                 _rec_branch_guard(b_)
+                sq_parts.extend(b_[s:e]
+                                for s, e in _scalar_sq_spans(b_))
         scrub = lambda t: re.sub(r"'[^']*'", " ", t)
+        sqt = scrub(" ".join(sq_parts))
+        for rn_ in rnames:
+            if re.search(rf"\b{re.escape(rn_)}\b(?!\s*\.)", sqt,
+                         re.IGNORECASE):
+                raise _UnloweredShape(
+                    f"group member {rn_!r} referenced inside a "
+                    "subquery (non-stratified negation/aggregation)")
+        self._sq_inputs = {t for t in tbls if re.search(
+            rf"\b{re.escape(t)}\b(?!\s*\.)", sqt, re.IGNORECASE)}
         refs = lambda t, w: len(re.findall(rf"\b{re.escape(w)}\b"
                                            r"(?!\s*\.)", scrub(t),
                                            re.IGNORECASE))
@@ -6263,6 +6274,8 @@ class _RecursiveCteMutualMaintainer(_ViewMaintainer):
             for which, brs in enumerate(branches[rn]):
                 for br in brs:
                     for t in tbls:
+                        if t in self._sq_inputs:
+                            continue    # recompute-role: no legs
                         n = refs(br, t)
                         if not n:
                             continue
@@ -6348,9 +6361,12 @@ class _RecursiveCteMutualMaintainer(_ViewMaintainer):
             self._stash = {}
             return self._empty()
         self._touched = {t for t, z in deltas.items() if z is not None}
+        # subquery-role input touched: no sound delta legs — force the
+        # vector recompute diff (same contract as the single-CTE path)
+        force = bool(self._touched & self._sq_inputs)
         try:
             with _no_constraint_propagation(eng.spark):
-                out = self._op.step(deltas)
+                out = self._op.step(deltas, force_recompute=force)
         finally:
             self._touched = set(self.tables)
             for v in (list(self.rnames)

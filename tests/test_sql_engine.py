@@ -5776,6 +5776,92 @@ def test_recursive_branch_blockers_refuse(spark):
     assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], got
 
 
+def test_mutual_path_with_subquery_role_input(spark):
+    """Subquery-role inputs through the VECTOR fixpoint (the q172
+    driver-row shape): a multi-branch body (two bases + a NOT EXISTS
+    guarded step) routes to the mutual maintainer, whose ticks touching
+    the guarded relation force the vector recompute diff while other
+    ticks keep semi-naive / DRed.  A group member inside a subquery
+    still refuses (non-stratified)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE seeds (k BIGINT NOT NULL);
+        CREATE TABLE blocked (k BIGINT NOT NULL);
+        CREATE VIEW reach AS
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed WHERE src = 1
+                UNION
+                SELECT k AS src, k + 1 AS dst FROM seeds
+                UNION
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src
+                WHERE NOT EXISTS (SELECT 1 FROM blocked b
+                                  WHERE b.k = e.dst))
+            SELECT src, dst FROM p;
+    """)
+    assert eng.view_strategy("__reach_rec") == "recursive_mutual"
+    m = eng._maintainers["__reach_rec"]
+    assert m._sq_inputs == {"blocked"}
+
+    def model(ed, seeds, blocked):
+        paths = ({(s, d) for (s, d) in ed if s == 1}
+                 | {(k, k + 1) for k in seeds})
+        while True:
+            new = {(s, d2) for (s, d) in paths for (d1, d2) in ed
+                   if d == d1 and d2 not in blocked} - paths
+            if not new:
+                return paths
+            paths |= new
+
+    ed = [(1, 2), (2, 3), (3, 4), (5, 3)]
+    eng.push("ed", spark.createDataFrame(ed, "src long, dst long"))
+    eng.push("seeds", spark.createDataFrame([(5,)], "k long"))
+    eng.push("blocked", spark.createDataFrame([(4,)], "k long"))
+    eng.step()
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == sorted(model(set(ed), {5}, {4})), got
+    eng.push("blocked", spark.createDataFrame([(3,)], "k long"))
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == sorted(model(set(ed), {5}, {3, 4})), got
+    eng.push("seeds", spark.createDataFrame([(9,)], "k long"))
+    eng.step()
+    assert m.last_stats["mode"] == "seminaive", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == sorted(model(set(ed), {5, 9}, {3, 4})), got
+    eng.push("blocked", spark.createDataFrame([(3,)], "k long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "recompute", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == sorted(model(set(ed), {5, 9}, {4})), got
+    eng.push("ed", spark.createDataFrame([(2, 3)],
+                                         "src long, dst long"),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "dred", m.last_stats
+    got = sorted(map(tuple, eng.view("reach").collect()))
+    assert got == sorted(model(set(ed) - {(2, 3)}, {5, 9}, {4})), got
+    # a group member inside a subquery refuses (non-stratified)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        eng.execute("""
+            CREATE VIEW bad AS
+                WITH RECURSIVE a AS (
+                    SELECT src, dst FROM ed
+                    UNION
+                    SELECT b.src, b.dst FROM b
+                    WHERE NOT EXISTS (SELECT 1 FROM a x
+                                      WHERE x.dst = b.dst)),
+                b AS (
+                    SELECT src, dst FROM ed
+                    UNION
+                    SELECT a.src, a.dst FROM a)
+                SELECT src, dst FROM a;
+        """)
+
+
 def test_nested_cte_in_cte_body(spark):
     """A WITH inside a CTE body (nested CTE): the hidden registration
     re-enters the lifts, so the inner stack lowers too."""
