@@ -5862,6 +5862,70 @@ def test_mutual_path_with_subquery_role_input(spark):
         """)
 
 
+def test_stratified_negation_across_components(spark):
+    """TWO-STRATA Datalog: a later recursive component guarded by NOT
+    EXISTS over an EARLIER component's closure.  The earlier fixpoint's
+    hidden view classifies as a subquery-role input of the later one,
+    so a tick that grows stratum 1 forces stratum 2's recompute diff in
+    the SAME engine tick — classic stratified evaluation, composed
+    entirely from the r12 pieces (independent component fixpoints +
+    subquery-role classification)."""
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE ed2 (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE VIEW v AS
+            WITH RECURSIVE a AS (
+                SELECT src, dst FROM ed UNION
+                SELECT a.src, e.dst FROM a JOIN ed e ON a.dst = e.src),
+            b AS (
+                SELECT src, dst FROM ed2 UNION
+                SELECT b.src, e.dst FROM b JOIN ed2 e ON b.dst = e.src
+                WHERE NOT EXISTS (SELECT 1 FROM a x
+                                  WHERE x.src = b.src
+                                    AND x.dst = e.dst))
+            SELECT src, dst FROM b;
+    """)
+    assert eng._maintainers["__v_rec_b"]._sq_inputs == {"__v_rec_a"}
+
+    def clos(E):
+        p = set(E)
+        while True:
+            n = {(s, d2) for (s, d) in p for (d1, d2) in E
+                 if d == d1} - p
+            if not n:
+                return p
+            p |= n
+
+    def guarded(E2, A):
+        p = set(E2)
+        while True:
+            n = {(s, d2) for (s, d) in p for (d1, d2) in E2
+                 if d == d1 and (s, d2) not in A} - p
+            if not n:
+                return p
+            p |= n
+
+    E = [(1, 2), (2, 3)]
+    E2 = [(1, 2), (2, 3), (3, 4)]
+    eng.push("ed", spark.createDataFrame(E, "src long, dst long"))
+    eng.push("ed2", spark.createDataFrame(E2, "src long, dst long"))
+    eng.step()
+    got = sorted(map(tuple, eng.view("v").collect()))
+    assert got == sorted(guarded(set(E2), clos(set(E)))), got
+    # growing stratum 1 retracts stratum-2 rows mid-pipeline
+    eng.push("ed", spark.createDataFrame([(3, 4)], "src long, dst long"))
+    eng.step()
+    got = sorted(map(tuple, eng.view("v").collect()))
+    assert got == sorted(guarded(set(E2), clos(set(E) | {(3, 4)}))), got
+    # shrinking stratum 1 re-admits them
+    eng.push("ed", spark.createDataFrame([(3, 4)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    got = sorted(map(tuple, eng.view("v").collect()))
+    assert got == sorted(guarded(set(E2), clos(set(E)))), got
+
+
 def test_nested_cte_in_cte_body(spark):
     """A WITH inside a CTE body (nested CTE): the hidden registration
     re-enters the lifts, so the inner stack lowers too."""
