@@ -1404,6 +1404,12 @@ class ZSetBagFixpointOp:
                 self._integrals[k].update(d[k])
             new[k] = self._integrals[k].current.consolidate().df
         newb = {b: new[t] for b, t in self._base_occs + self._step_occs}
+        # inputs with no occurrence binding (subquery-role atoms —
+        # referenced only inside (NOT) EXISTS / IN spans) stay bound
+        # under their OWN name to the NEW integral: legs only run on
+        # ticks that leave them untouched (new == old), their changes
+        # route through _step_recompute
+        newb.update({t: new[t] for t in self.inputs})
 
         def leg(occs, i):
             b = dict(newb)
@@ -1431,8 +1437,57 @@ class ZSetBagFixpointOp:
                 self.z_step(leg(self._step_occs, i), acc_old))
         return seed.consolidate(), newb
 
-    def step(self, delta) -> "object":
+    def _step_recompute(self, delta) -> "object":
+        """Full weighted fixpoint from the updated integrals, diffed
+        against the previous accumulator IN THE RING (new ⊕ old⁻¹) —
+        for ticks touching an input whose role in the rules is not
+        delta-linear (a subquery-role atom: rebinding it to a delta
+        would evaluate the subquery against the delta).  Multi-input
+        mode only; the diff is exact because Z-set subtraction is."""
         from database_stream_processor_spark.zset import ZSetFrame
+        d = {k: (delta.get(k).consolidate()
+                 if delta.get(k) is not None else None)
+             for k in self.inputs}
+        for k in self.inputs:
+            if d[k] is not None:
+                self._integrals[k].update(d[k])
+        new = {k: st.current.consolidate().df
+               for k, st in self._integrals.items()}
+        newb = {b: new[t]
+                for b, t in self._base_occs + self._step_occs}
+        newb.update({t: new[t] for t in self.inputs})
+        acc_old = self._empty_out if self._acc is None else self._acc
+        f = self.z_base(dict(newb)).consolidate()
+        f = ZSetFrame(f.df.localCheckpoint(eager=True))
+        total = f
+        rounds = 0
+        with _loop_shuffle_partitions(f.df) as resize:
+            for _ in range(self.max_iterations):
+                if f.df.isEmpty():
+                    break
+                rounds += 1
+                resize(f.df.count())
+                f = self.z_step(dict(newb), f).consolidate()
+                f = ZSetFrame(f.df.localCheckpoint(eager=True))
+                total = total.plus(f)
+            else:
+                raise RuntimeError(
+                    "bag fixpoint did not converge in "
+                    f"{self.max_iterations} rounds (cyclic derivations "
+                    "make UNION ALL recursion itself infinite)")
+        total = total.consolidate()
+        total = ZSetFrame(total.df.localCheckpoint(eager=True))
+        self._base_done = True
+        diff = total.plus(acc_old.neg()).consolidate()
+        self._acc = total
+        self.last_stats = {"mode": "bag-recompute", "rounds": rounds}
+        return diff
+
+    def step(self, delta, force_recompute: bool = False) -> "object":
+        from database_stream_processor_spark.zset import ZSetFrame
+        if force_recompute:
+            assert self._multi, "recompute path is multi-input only"
+            return self._step_recompute(delta)
         acc_old = self._empty_out if self._acc is None else self._acc
         if self._multi:
             seed, i_new = self._seed_multi(delta)

@@ -8328,6 +8328,91 @@ def q172_sql_engine_recursive_multi_branch_negation(spark, sf_dir):
     return eng.view("guarded")
 
 
+@register("q173_sql_engine_recursive_bag_negation", oracle="""
+WITH RECURSIVE p AS (
+  SELECT o_custkey AS src, o_custkey // 2 AS dst
+  FROM orders WHERE o_totalprice > 150000 AND o_custkey BETWEEN 2 AND 255
+    AND o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT p.src, c.c_custkey // 2 AS dst
+  FROM p JOIN customer c ON p.dst = c.c_custkey
+  WHERE c.c_custkey BETWEEN 2 AND 255
+    AND NOT EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_suppkey = c.c_custkey
+                      AND s.s_acctbal < 3000
+                      AND s.s_suppkey % 3 <> 0))
+SELECT src, dst, COUNT(*) AS n_paths FROM p GROUP BY src, dst
+""")
+def q173_sql_engine_recursive_bag_negation(spark, sf_dir):
+    """STRATIFIED NEGATION under BAG semantics — NEW r12: a ``NOT
+    EXISTS`` guard inside a UNION ALL recursion step, where
+    multiplicities count derivation paths (duplicate base edges come
+    from several qualifying orders per customer — path counts reach
+    14).  Presence tests are multiplicity-insensitive, so the span is
+    sound over the weighted bindings; ``supplier`` is subquery-role:
+    its ticks run the op's RING recompute-diff (``new ⊕ old⁻¹`` —
+    exact Z-set subtraction, `ZSetBagFixpointOp._step_recompute`),
+    while edge ticks keep the linear telescoping path with ring
+    cancellation (weighted recursion recursive.rs:255, vldb23 §5;
+    negation stratified outside the scope).  The guard BITES: ungated
+    1538 groups, fully-blocked 718, final 982 after the supplier
+    retraction.  A span using aggregates refuses (the weighted
+    bindings are multiplicity-symbolic).  Tick script: customer,
+    orders halves (bag-linear), supplier (bag-recompute), supplier
+    retraction (bag-recompute), orders retraction (bag-linear ring
+    cancellation)."""
+    from database_stream_processor_spark.sql import Engine
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE customer (c_custkey BIGINT NOT NULL);
+        CREATE TABLE orders (o_orderkey BIGINT NOT NULL,
+                             o_custkey BIGINT,
+                             o_totalprice DOUBLE);
+        CREATE TABLE supplier (s_suppkey BIGINT NOT NULL,
+                               s_acctbal DOUBLE);
+        CREATE VIEW npaths as
+            with recursive p as (
+                select o_custkey as src,
+                       cast(o_custkey / 2 as bigint) as dst
+                from orders where o_totalprice > 150000
+                  and o_custkey between 2 and 255
+                union all
+                select p.src, cast(c.c_custkey / 2 as bigint) as dst
+                from p join customer c on p.dst = c.c_custkey
+                where c.c_custkey between 2 and 255
+                  and not exists (select 1 from supplier s
+                                  where s.s_suppkey = c.c_custkey
+                                    and s.s_acctbal < 3000))
+            select src, dst, count(*) as n_paths from p
+            group by src, dst;
+    """)
+    assert eng.view_strategy("__npaths_rec") == "recursive_bag"
+    m = eng._maintainers["__npaths_rec"]
+    assert m._sq_inputs == {"supplier"}, m._sq_inputs
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    eng.push("customer", c)
+    eng.step()
+    for i in range(2):
+        eng.push("orders", o.filter(F.col("o_orderkey") % 2 == i))
+        eng.step()
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    eng.push("supplier", s)
+    eng.step()
+    assert m.last_stats["mode"] == "bag-recompute", m.last_stats
+    eng.push("supplier", s.filter(F.col("s_suppkey") % 3 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "bag-recompute", m.last_stats
+    eng.push("orders", o.filter(F.col("o_orderkey") % 7 == 0),
+             weight=-1)
+    eng.step()
+    assert m.last_stats["mode"] == "bag-linear", m.last_stats
+    return eng.view("npaths")
+
+
 # Nexmark-style suite (the reference's own 22 test queries) registers itself
 # on import; placed at module end so `register` exists when it loads.
 from database_stream_processor_spark import nexmark  # noqa: E402,F401
@@ -8392,10 +8477,9 @@ _WINDOW_ORDER = [
     "q158_sql_engine_quantified_composed",
     # round-12 priority 4: r9-evidence rows (the registry's oldest
     # remaining band) — displaced one-for-one by this round's new
-    # queries as they land (nx_q04/q02/q134/q139 displaced by
-    # q169-q172).
+    # queries as they land (nx_q04/q02/q134/q139/q140 displaced by
+    # q169-q173; q140's outer-join family stays in-window via q75/q78).
     "q136_sql_engine_tpch_q15_cte",
-    "q140_sql_engine_unmatched_antijoin",
     # round-12 new rows (never driver-checked)
     "q162_demo00_simple_select_verbatim",
     "q163_demo02_fraud_features_verbatim",
@@ -8408,6 +8492,7 @@ _WINDOW_ORDER = [
     "q170_sql_engine_recursive_over_agg_cte",
     "q171_sql_engine_recursive_stratified_negation",
     "q172_sql_engine_recursive_multi_branch_negation",
+    "q173_sql_engine_recursive_bag_negation",
 ]
 
 

@@ -6423,6 +6423,26 @@ _BAG_BRANCH_BLOCKERS = re.compile(
     r"|LAST)\s*\(", re.IGNORECASE)
 
 
+def _mask_sq_spans(text: str) -> str:
+    """*text* with its balanced ``(SELECT …)`` spans blanked to spaces
+    (length-preserving) — so the bag branch recognizers see only the
+    OUTER query's shape."""
+    out = text
+    for s, e in reversed(_scalar_sq_spans(text)):
+        out = out[:s] + " " * (e - s) + out[e:]
+    return out
+
+
+#: shapes a subquery span inside a WEIGHTED (bag) branch cannot carry:
+#: the span's bindings are multiplicity-symbolic ZSet frames (rows +
+#: ``__weight``), so presence tests ((NOT) EXISTS / IN, DISTINCT,
+#: GROUP BY keys) are sound but anything that COUNTS rows would read
+#: raw row counts, not multiplicities.
+_BAG_SPAN_BLOCKERS = re.compile(
+    r"\b(SUM|COUNT|AVG|MIN|MAX|STDDEV\w*|VAR\w*|COLLECT\w*|FIRST"
+    r"|LAST)\s*\(|\bLIMIT\b|\bOVER\s*\(", re.IGNORECASE)
+
+
 def _weighted_branch(text: str, atoms: list[str]) -> str | None:
     """Rewrite an SPJ recursion branch to carry Z-set weights: the
     select list gains the PRODUCT of the atoms' ``__weight`` columns
@@ -6432,18 +6452,30 @@ def _weighted_branch(text: str, atoms: list[str]) -> str | None:
     names stay as-is (``eval_on`` rebinds them); the weight reference
     uses each atom's alias when present, its own name otherwise.
 
-    None (caller refuses) on non-linear shapes (aggregates, DISTINCT,
-    outer joins, set ops, subqueries, ``SELECT *``), a FROM-less
-    branch, or an atom not referenced exactly once in table position."""
-    if _BAG_BRANCH_BLOCKERS.search(text):
+    Since r12 a branch may carry SUBQUERY spans ((NOT) EXISTS / IN —
+    presence tests are multiplicity-insensitive, so a span over a
+    weighted binding stays sound): spans are MASKED for the blocker
+    and atom-occurrence scans (a span atom carries no weight factor —
+    the maintainer classifies it subquery-role and forces recompute
+    ticks instead), but a span using aggregates / LIMIT / windows
+    refuses (those would read symbolic multiplicities as row counts).
+
+    None (caller refuses) on non-linear outer shapes (aggregates,
+    DISTINCT, outer joins, set ops, ``SELECT *``), a FROM-less branch,
+    or an atom not referenced exactly once in table position."""
+    masked = _mask_sq_spans(text)
+    if _BAG_BRANCH_BLOCKERS.search(masked):
         return None
+    for s, e in _scalar_sq_spans(text):
+        if _BAG_SPAN_BLOCKERS.search(text[s:e]):
+            return None
     parts = _split_select_from(text)
     if parts is None:
         return None
     sel, rest = parts
     if "*" in sel:
         return None
-    blanked = _blank_literals("FROM " + rest)
+    blanked = _mask_sq_spans(_blank_literals("FROM " + rest))
     wrefs = []
     from database_stream_processor_spark.zset import WEIGHT_COL
     for a in atoms:
@@ -6481,7 +6513,10 @@ def _splice_input_occurrences(branch_sql: str, tbls: list[str],
     text = branch_sql
     for t in tbls:
         esc = re.escape(t)
-        blanked = _blank_literals(text)
+        # subquery spans are masked: a span atom is subquery-role (no
+        # weight factor, no splice — the caller excludes it from tbls
+        # and the maintainer forces recompute ticks for it)
+        blanked = _mask_sq_spans(_blank_literals(text))
         total = len(re.findall(rf"\b{esc}\b(?!\s*\.)", blanked,
                                re.IGNORECASE))
         poss = list(re.finditer(rf"\b(?:FROM|JOIN)\s+({esc})\b(?!\s*\.)",
@@ -6531,10 +6566,39 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
                  tbls: list[str], base_sql: str, step_sql: str):
         from database_stream_processor_spark.operators.recursive import (
             ZSetBagFixpointOp)
+        # subquery-role classification (NEW r12, mirroring the set
+        # path): an input referenced inside a ((NOT) EXISTS / IN) span
+        # carries no weight factor and no delta occurrence — its ticks
+        # run the op's ring recompute-diff.  The CTE's own name inside
+        # a span is non-stratified — refuse; an input appearing BOTH at
+        # table position and inside a span refuses too (its weight
+        # factor could not be carried while excluded from the atoms).
+        scrub_ = lambda t_: re.sub(r"'[^']*'", " ", t_)
+        sqt = scrub_(" ".join(
+            b[s:e] for b in (base_sql, step_sql)
+            for s, e in _scalar_sq_spans(b)))
+        if re.search(rf"\b{re.escape(rname)}\b(?!\s*\.)", sqt,
+                     re.IGNORECASE):
+            raise _UnloweredShape(
+                f"recursive CTE {rname!r} referenced inside a subquery "
+                "of its own body (non-stratified negation/aggregation)")
+        self._sq_inputs = {t for t in tbls if re.search(
+            rf"\b{re.escape(t)}\b(?!\s*\.)", sqt, re.IGNORECASE)}
+        for t in self._sq_inputs:
+            for b in (base_sql, step_sql):
+                if re.search(
+                        rf"\b(?:FROM|JOIN)\s+{re.escape(t)}\b(?!\s*\.)",
+                        _mask_sq_spans(_blank_literals(b)),
+                        re.IGNORECASE):
+                    raise _UnloweredShape(
+                        f"input {t!r} referenced both in table "
+                        "position and inside a subquery of a UNION "
+                        "ALL branch")
+        lin = [t for t in tbls if t not in self._sq_inputs]
         base_txt, base_occs = _splice_input_occurrences(
-            base_sql, tbls, f"{name}_b")
+            base_sql, lin, f"{name}_b")
         step_txt, step_occs = _splice_input_occurrences(
-            step_sql, tbls, f"{name}_s")
+            step_sql, lin, f"{name}_s")
         wb = _weighted_branch(base_txt, [b for b, _ in base_occs])
         ws = _weighted_branch(step_txt,
                               [b for b, _ in step_occs] + [rname])
@@ -6546,6 +6610,7 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
         empty_zin = {t: ZSetFrame.from_df(_source_rows0(eng, t).limit(0))
                      for t in tbls}
         zin_dfs = {b: empty_zin[t].df for b, t in base_occs + step_occs}
+        zin_dfs.update({t: empty_zin[t].df for t in self._sq_inputs})
         snap = eng.eval_on(wb, dict(zin_dfs))
         cols = list(snap.columns)           # …items, __weight last
         try:
@@ -6582,9 +6647,14 @@ class _RecursiveCteBagMaintainer(_ViewMaintainer):
         deltas = {t: combined.get(t) for t in self.tables}
         if all(z is None for z in deltas.values()):
             return self._empty()
+        # a tick touching a subquery-role input has no sound weighted
+        # delta legs — run the op's ring recompute-diff instead
+        force = bool(self._sq_inputs
+                     & {t for t, z in deltas.items() if z is not None})
         try:
             with _no_constraint_propagation(eng.spark):
-                delta = self._op.step(deltas).consolidate()
+                delta = self._op.step(
+                    deltas, force_recompute=force).consolidate()
         finally:
             try:
                 eng.spark.catalog.dropTempView(self.rname)

@@ -5862,6 +5862,100 @@ def test_mutual_path_with_subquery_role_input(spark):
         """)
 
 
+def test_bag_recursion_with_stratified_negation(spark):
+    """NOT EXISTS over a subquery-role input inside a UNION ALL (bag)
+    recursion step (the q173 driver-row shape): presence tests are
+    multiplicity-insensitive, so the span is sound over the weighted
+    bindings; guarded-relation ticks run the op's RING recompute-diff
+    (new ⊕ old⁻¹ — exact Z-set subtraction), other ticks keep the
+    linear telescoping path with ring cancellation.  Checked per tick
+    against a Python weighted path-count model."""
+    from collections import Counter
+    eng = Engine(spark)
+    eng.execute("""
+        CREATE TABLE ed (src BIGINT NOT NULL, dst BIGINT NOT NULL);
+        CREATE TABLE blocked (k BIGINT NOT NULL);
+        CREATE VIEW npaths AS
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed
+                UNION ALL
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src
+                WHERE NOT EXISTS (SELECT 1 FROM blocked b
+                                  WHERE b.k = e.dst))
+            SELECT src, dst, COUNT(*) AS n FROM p GROUP BY src, dst;
+    """)
+    m = eng._maintainers["__npaths_rec"]
+    assert eng.view_strategy("__npaths_rec") == "recursive_bag"
+    assert m._sq_inputs == {"blocked"}
+
+    def model(E, B):
+        ew = Counter(E)
+        acc = Counter(ew)
+        f = Counter(ew)
+        for _ in range(50):
+            nf = Counter()
+            for (s, d), w in f.items():
+                for (d1, d2), w2 in ew.items():
+                    if d == d1 and d2 not in B:
+                        nf[(s, d2)] += w * w2
+            if not nf:
+                break
+            acc.update(nf)
+            f = nf
+        return sorted((s, d, n) for (s, d), n in acc.items())
+
+    def check(E, B, mode):
+        got = sorted(map(tuple, eng.view("npaths").collect()))
+        assert got == model(E, B), (got, model(E, B))
+        assert m.last_stats["mode"] == mode, m.last_stats
+
+    E = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    eng.push("ed", spark.createDataFrame(E, "src long, dst long"))
+    eng.step()
+    check(E, set(), "bag-linear")
+    # block the diamond's meet node: recompute tick kills path counts
+    eng.push("blocked", spark.createDataFrame([(4,)], "k long"))
+    eng.step()
+    check(E, {4}, "bag-recompute")
+    # edge tick with blocked fixed: linear path, span reads integral
+    E = E + [(5, 6)]
+    eng.push("ed", spark.createDataFrame([(5, 6)], "src long, dst long"))
+    eng.step()
+    check(E, {4}, "bag-linear")
+    # unblock: the two 1->4 derivations return, recompute diff
+    eng.push("blocked", spark.createDataFrame([(4,)], "k long"),
+             weight=-1)
+    eng.step()
+    check(E, set(), "bag-recompute")
+    # retraction: ring cancellation on the linear path
+    E = [e for e in E if e != (1, 3)]
+    eng.push("ed", spark.createDataFrame([(1, 3)], "src long, dst long"),
+             weight=-1)
+    eng.step()
+    check(E, set(), "bag-linear")
+    # duplicate edge + blocked tick MIXED in one step: recompute
+    # handles both (multiplicity 2 on (1,2) doubles its path counts)
+    eng.push("ed", spark.createDataFrame([(1, 2)], "src long, dst long"))
+    eng.push("blocked", spark.createDataFrame([(6,)], "k long"))
+    eng.step()
+    E = E + [(1, 2)]
+    check(E, {6}, "bag-recompute")
+    # a span using aggregates is NOT weighted-lowerable (the weighted
+    # bindings are multiplicity-symbolic: COUNT would read row
+    # counts) — it falls back to snapshot-diff, which Spark 4 CAN run
+    # for UNION ALL recursion (correct answers, non-incremental)
+    eng.execute("""
+        CREATE VIEW agg_span AS
+            WITH RECURSIVE p AS (
+                SELECT src, dst FROM ed
+                UNION ALL
+                SELECT p.src, e.dst FROM p JOIN ed e ON p.dst = e.src
+                WHERE (SELECT COUNT(*) FROM blocked) = 0)
+            SELECT src, dst FROM p;
+    """)
+    assert eng.view_strategy("agg_span") == "differentiate"
+
+
 def test_stratified_negation_across_components(spark):
     """TWO-STRATA Datalog: a later recursive component guarded by NOT
     EXISTS over an EARLIER component's closure.  The earlier fixpoint's
