@@ -114,7 +114,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
 
     ``max_bucket`` drops degenerate buckets (e.g. empty-text docs) before
     the within-bucket self-join — the skew guard that keeps the pair stage
-    from going quadratic on boilerplate at scale."""
+    from going quadratic on boilerplate at scale.
+
+    The signature plan (typically a shingle-explode + md5 + groupBy over
+    the full corpus) is materialized ONCE via ``localCheckpoint``: the
+    banded frame is referenced four times downstream (bucket counts +
+    both self-join sides), and without the cut Catalyst re-executes the
+    signature pipeline per reference — 4 corpus scans and 4× the md5
+    work (the r12 plan audit showed exactly that).  The checkpointed
+    frame is one row of k ints per doc — tiny next to the corpus at any
+    scale."""
+    signatures = signatures.localCheckpoint(eager=True)
     r = k // bands
     band_structs = [
         F.struct(F.lit(b).alias("band"),
@@ -181,9 +191,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         toked = spread(df).select(
             F.col(id_col),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+        # materialize the per-doc shingle sets once: they are joined onto
+        # the pair list twice (id_a and id_b sides), and without the cut
+        # the tokenize+shingle pipeline runs twice over the corpus
         sets = toked.select(
             F.col(id_col),
-            shingles_from_tokens(F.col("__toks"), n).alias("__set"))
+            shingles_from_tokens(F.col("__toks"), n).alias("__set")
+        ).localCheckpoint(eager=True)
         sa = sets.select(F.col(id_col).alias("id_a"),
                          F.col("__set").alias("__seta"))
         sb = sets.select(F.col(id_col).alias("id_b"),
@@ -241,42 +255,55 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     Labels only ever decrease, so the sum of labels is a strictly
     decreasing convergence measure — the loop exits on the first round
-    with an unchanged sum (one cheap global agg per round; no
-    row-by-row diffing).  Each round's label table is delta-small state
-    checkpointed to cut lineage, the per-round driver work is two
-    scalars, and every join key is the node id — at 100 TB the rounds
-    are plain co-partitioned shuffles with no all-pairs stage."""
-    sym = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
-    sym = (sym.union(sym.select(F.col("__b").alias("__a"),
-                                F.col("__a").alias("__b")))
-           .dropDuplicates().localCheckpoint(eager=True))
-    verts = sym.select(F.col("__a").alias(id_col))
-    if nodes is not None:
-        verts = verts.union(nodes.select(F.col(nodes.columns[0])
-                                         .alias(id_col)))
-    labels = (verts.dropDuplicates()
-              .select(id_col, F.col(id_col).alias("component"))
-              .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
-        nbr = (sym.join(labels, sym["__a"] == labels[id_col])
-               .select(F.col("__b").alias(id_col), "component"))
-        new = (labels.unionByName(nbr)
-               .groupBy(id_col).agg(F.min("component").alias("component")))
-        l2 = new.select(F.col(id_col).alias("__cid"),
-                        F.col("component").alias("__cc"))
-        new = (new.join(l2, new["component"] == l2["__cid"], "left")
-               .select(F.col(id_col),
-                       F.coalesce(F.col("__cc"), F.col("component"))
-                       .alias("component"))
-               .localCheckpoint(eager=True))
-        cur_sum = new.agg(F.sum("component")).collect()[0][0]
-        labels = new
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+    with an unchanged sum.  Each round's label table is delta-small state
+    checkpointed LAZILY and materialized by the same job that computes the
+    convergence sum (one scheduled job per round, not two), and every join
+    key is the node id — at 100 TB the rounds are plain co-partitioned
+    shuffles with no all-pairs stage."""
+    from database_stream_processor_spark.tuning import (leaf_bytes,
+                                                        small_tick_conf)
+    # symmetrize with a single reference to the (possibly expensive)
+    # edges plan: explode both orientations per row instead of a UNION
+    # whose two branches each recompute the upstream pipeline
+    sym = (edges.select(F.explode(F.array(
+        F.struct(F.col(src).alias("__a"), F.col(dst).alias("__b")),
+        F.struct(F.col(dst).alias("__a"), F.col(src).alias("__b"))))
+        .alias("__e"))
+        .select("__e.__a", "__e.__b")
+        .dropDuplicates().localCheckpoint(eager=True))
+    # the loop's working set is bounded by |sym| + |labels| ≈ 2·|sym|:
+    # size-gate the rounds on the MATERIALIZED edge bytes (driver-side
+    # block-manager metadata, no job) — small graphs run each round as
+    # one exactly-sized job, big graphs keep AQE
+    with small_tick_conf(edges.sparkSession, 4 * leaf_bytes(sym)):
+        verts = sym.select(F.col("__a").alias(id_col))
+        if nodes is not None:
+            verts = verts.union(nodes.select(F.col(nodes.columns[0])
+                                             .alias(id_col)))
+        labels = (verts.dropDuplicates()
+                  .select(id_col, F.col(id_col).alias("component"))
+                  .localCheckpoint(eager=False))
+        # one job: materializes the lazy checkpoint and returns the sum
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        converged = False
+        for _ in range(max_iter):
+            nbr = (sym.join(labels, sym["__a"] == labels[id_col])
+                   .select(F.col("__b").alias(id_col), "component"))
+            new = (labels.unionByName(nbr)
+                   .groupBy(id_col).agg(F.min("component").alias("component")))
+            l2 = new.select(F.col(id_col).alias("__cid"),
+                            F.col("component").alias("__cc"))
+            new = (new.join(l2, new["component"] == l2["__cid"], "left")
+                   .select(F.col(id_col),
+                           F.coalesce(F.col("__cc"), F.col("component"))
+                           .alias("component"))
+                   .localCheckpoint(eager=False))
+            cur_sum = new.agg(F.sum("component")).collect()[0][0]
+            labels = new
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
     if not converged:
         # same contract as fixpoint/iterate_until elsewhere in the repo:
         # never hand back possibly-wrong labels silently

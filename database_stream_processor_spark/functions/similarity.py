@@ -13,6 +13,10 @@ oracle computes the identical fold).
 
 from __future__ import annotations
 
+import hashlib
+import os
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -60,15 +64,22 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     shuffle-free until the final (tiny) top-k aggregation.
 
     Output: (query_id, neighbor_id, cosine_sim), excluding self-matches.
+
+    Each side's norm is projected per ROW before the pair product —
+    ``cosine()`` inline would re-fold both norms per PAIR (n·m extra
+    array folds); dot/(qn·cn) is the identical IEEE computation.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("__qv"))
+    q = q.withColumn("__qn", norm(F.col("__qv")))
     c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                               _as_double(F.col(vec_col)).alias("__cv"))
+    c = c.withColumn("__cn", norm(F.col("__cv")))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"))
+        F.round(dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")), 6).alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("__rk", F.row_number().over(w))
@@ -82,17 +93,60 @@ def hyperplane_component(plane: int, dim_index: Column) -> Column:
     return (h % 2001 - 1000) / F.lit(1000.0)
 
 
+#: dims covered by the precomputed literal plane arrays; vectors longer
+#: than this fall back to the per-element md5 expression (identical
+#: values).  Env-tunable: higher-dim production embeddings trade a bigger
+#: constant-folded plan for removing the md5-per-element work.
+_PLANE_LIT_DIMS = int(os.environ.get("SPARK_GRAFT_PLANE_LIT_DIMS", "256"))
+
+
+@lru_cache(maxsize=None)
+def _plane_literals(plane: int, dims: int) -> tuple[float, ...]:
+    """The first ``dims`` components of hyperplane ``plane``, computed in
+    Python with bit-identical arithmetic to :func:`hyperplane_component`
+    (md5 hex → int → % 2001 − 1000 → /1000.0 — all exact in double)."""
+    out = []
+    for i in range(dims):
+        h = int(hashlib.md5(f"plane{plane}_{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def _plane_literal_col(plane: int, dims: int) -> Column:
+    """The plane's component array as ONE literal Column.  A single
+    ``F.lit(list)`` py4j call — building it element-wise
+    (``F.array(*[F.lit(c) ...])``) costs ~dims py4j round-trips per
+    plane per call site, which showed up as ~38 s of driver-side plan
+    construction for one query (8 planes × 256 components × 2 sides).
+    Cached per process: Columns are unbound expression trees, safe to
+    reuse across DataFrames within the session."""
+    return F.lit(list(_plane_literals(plane, dims)))
+
+
 def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH signature: bit p = sign(v · plane_p).
     Packed into an int — cosine-similar vectors collide with high
-    probability."""
+    probability.
+
+    The plane components depend only on (plane, dim index), so for
+    vectors up to :data:`_PLANE_LIT_DIMS` dims they are baked in as
+    constant-folded literal arrays — the md5-per-element-per-plane
+    expression work (8 planes × dim md5+conv calls PER ROW) disappears
+    from the hot loop.  Longer vectors take the original expression
+    path; both branches produce identical doubles."""
     v = _as_double(vec_col)
+    fold = lambda arr: F.aggregate(
+        arr, F.lit(0).cast(ACC),
+        lambda acc, x: (acc + x.cast(ACC)).cast(ACC)).cast("double")
     bits = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
-                       lambda x, i: x * hyperplane_component(p, i)),
-            F.lit(0).cast(ACC), lambda acc, x: (acc + x.cast(ACC)).cast(ACC)).cast("double")
+        lit = _plane_literal_col(p, _PLANE_LIT_DIMS)
+        fast = fold(F.zip_with(v, F.slice(lit, 1, F.size(v)),
+                               lambda x, c: x * c))
+        slow = fold(F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
+                               lambda x, i: x * hyperplane_component(p, i)))
+        proj = F.when(F.size(v) <= _PLANE_LIT_DIMS, fast).otherwise(slow)
         bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0]).cast("long")
 
@@ -114,12 +168,17 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                                 lsh_signature(F.col(vec_col), n_planes))
     a = sig.select(F.col(id_col).alias("id_a"),
                    _as_double(F.col(vec_col)).alias("__va"), "__bucket")
+    a = a.withColumn("__na", norm(F.col("__va")))
     b = sig.select(F.col(id_col).alias("id_b"),
                    _as_double(F.col(vec_col)).alias("__vb"), "__bucket")
+    b = b.withColumn("__nb", norm(F.col("__vb")))
     pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
+    # per-row norms hoisted ahead of the bucket join (identical doubles;
+    # inline cosine() would re-fold both norms per surviving pair)
     scored = pairs.select(
         "id_a", "id_b",
-        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"))
+        F.round(dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")), 6).alias("cosine_sim"))
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
@@ -136,33 +195,70 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     unchanged: both produce a small centroid table that is broadcast).
     Assignment and probing rank by round-6 cosine with centroid-id
     tie-break, so any engine reproduces the partition exactly.
+
+    Assignment/probing are pure per-row PROJECTIONS against the collected
+    centroid literals: the previous crossJoin→window formulation shuffled
+    the whole corpus by row id and sorted it just to rank 16 candidate
+    rows generated from the same input row (2 corpus-wide Exchanges + 2
+    Sorts + 2 Windows in the plan).  The collect is O(n_centroids) rows
+    regardless of corpus size — the standard broadcast-centroid IVF
+    shape — and each centroid's norm is computed IN that job by the same
+    decimal-fold expression used everywhere, so scores stay bit-identical
+    to the join formulation.  The scoring join broadcasts the (queries ×
+    n_probe)-row probe side, so the corpus is never shuffled at all; the
+    only remaining Exchange is the per-query top-k.
     """
-    cents = (corpus.filter(F.col(id_col) < n_centroids)
-             .select(F.col(id_col).alias("__cent_id"),
-                     _as_double(F.col(vec_col)).alias("__cent")))
+    cent_rows = (corpus.filter(F.col(id_col) < n_centroids)
+                 .select(F.col(id_col).cast("long"),
+                         _as_double(F.col(vec_col)),
+                         norm(_as_double(F.col(vec_col))))
+                 .collect())
+    cents = sorted((int(r[0]), list(r[1]), float(r[2])) for r in cent_rows)
 
-    def nearest(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        scored = (spread(df)
-                  .select(F.col(id_col).alias(out_id),
-                          _as_double(F.col(vec_col)).alias("__v"))
-                  .crossJoin(F.broadcast(cents))
-                  .select(out_id, "__v", "__cent_id",
-                          F.round(cosine(F.col("__v"), F.col("__cent")), 6)
-                          .alias("__cs")))
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("__cs").desc(), F.col("__cent_id").asc())
-        return (scored.withColumn("__rk", F.row_number().over(w))
-                .filter(F.col("__rk") <= n)
-                .select(out_id, "__v", "__cent_id"))
+    def scores(v: Column, vn: Column) -> list[tuple[int, Column]]:
+        return [(cid, F.round(dot(v, F.lit(cvec)) / (vn * F.lit(cn)), 6))
+                for cid, cvec, cn in cents]
 
-    assigned = nearest(corpus, "neighbor_id", 1)
-    probes = nearest(queries, "query_id", n_probe)
-    pairs = (probes.withColumnRenamed("__v", "__qv")
-             .join(assigned.withColumnRenamed("__v", "__cv"), on="__cent_id")
+    # top-1 via struct-max: (cs, -cent_id) max ⇔ cs desc, cent_id asc —
+    # exactly the old window's (cs desc, cent_id asc) row_number()=1
+    def best1(v: Column, vn: Column) -> Column:
+        return F.array_max(F.array(*[
+            F.struct(cs.alias("cs"), F.lit(-cid).alias("ncid"))
+            for cid, cs in scores(v, vn)]))
+
+    c = (spread(corpus)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 _as_double(F.col(vec_col)).alias("__cv")))
+    c = c.withColumn("__cn", norm(F.col("__cv")))
+    assigned = c.select(
+        "neighbor_id", "__cv", "__cn",
+        (-best1(F.col("__cv"), F.col("__cn")).getField("ncid"))
+        .alias("__cent_id"))
+
+    # top-n_probe via sort_array desc on (cs, -cent_id) structs: orders
+    # cs desc then cent_id asc — the old window order — then slice+explode
+    def topn(v: Column, vn: Column, n: int) -> Column:
+        arr = F.array(*[F.struct(cs.alias("cs"), F.lit(-cid).alias("ncid"))
+                        for cid, cs in scores(v, vn)])
+        return F.slice(F.sort_array(arr, asc=False), 1, n)
+
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv")))
+    q = q.withColumn("__qn", norm(F.col("__qv")))
+    probes = (q.select("query_id", "__qv", "__qn",
+                       F.explode(topn(F.col("__qv"), F.col("__qn"), n_probe))
+                       .alias("__p"))
+              .select("query_id", "__qv", "__qn",
+                      (-F.col("__p.ncid")).alias("__cent_id")))
+
+    pairs = (assigned.join(F.broadcast(probes), on="__cent_id")
              .filter(F.col("query_id") != F.col("neighbor_id")))
+    # per-row norms hoisted (identical doubles; inline cosine() would
+    # re-fold both norms per candidate pair)
     scored = pairs.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"))
+        F.round(dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")), 6).alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     # each corpus vector lives in exactly one posting list, so (query,

@@ -153,7 +153,22 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
       cost claim, recursive.rs:14-21).  Prefer it when the closure is
       huge and the diameter is small.
     """
-    edges = edges.select(src, dst).dropDuplicates().localCheckpoint(eager=True)
+    from database_stream_processor_spark.tuning import (leaf_bytes,
+                                                        small_tick_conf)
+    # size-gate the WHOLE fixpoint (not just the loop rounds): on a small
+    # edge set the pre-loop dedup/count and the final exceptAll schedule
+    # one job each instead of one per exchange under AQE; at scale the
+    # gate never fires
+    with small_tick_conf(edges.sparkSession, leaf_bytes(edges)):
+        return _transitive_closure_gated(edges, src, dst,
+                                         max_iterations, method)
+
+
+def _transitive_closure_gated(edges: DataFrame, src: str, dst: str,
+                              max_iterations: int,
+                              method: str) -> DataFrame:
+    # lazy checkpoint: the count below materializes it in the same job
+    edges = edges.select(src, dst).dropDuplicates().localCheckpoint(eager=False)
     acc = edges
 
     def compose(left: DataFrame, right: DataFrame,
@@ -267,6 +282,15 @@ class _PartitionedPairStore:
         return [b for b in buckets
                 if fs.exists(P(f"{self.path}/__b={b}"))]
 
+    def total_bytes(self) -> int:
+        """On-disk size of the store — driver-side FS metadata (no job);
+        the size signal for the per-tick AQE/partition gate."""
+        fs, jvm = self._fs()
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(p):
+            return 0
+        return int(fs.getContentSummary(p).getLength())
+
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], self.schema)
 
@@ -300,16 +324,26 @@ class _PartitionedPairStore:
         """Replace exactly ``buckets`` with ``df`` (which must contain the
         buckets' full new content, and ONLY rows belonging to them).
 
-        The caller must eagerly materialize ``df`` first if it derives
-        from this store's files — the target directories are deleted
-        before the write."""
+        The write lands in a sibling temp directory first, then the bucket
+        directories are swapped in via FS rename — so ``df`` may read this
+        store's LIVE files (they survive until the write job finishes) and
+        the caller no longer pays a separate materialization job before
+        the rewrite: one write job per store per tick, half the previous
+        job count and half the data movement."""
         fs, jvm = self._fs()
         P = jvm.org.apache.hadoop.fs.Path
-        for b in buckets:
-            fs.delete(P(f"{self.path}/__b={b}"), True)
+        tmp = f"{self.path}__tmp"
+        fs.delete(P(tmp), True)
         (df.withColumn("__b", self.bucket_expr(self.key))
          .repartition(max(1, len(buckets)), F.col("__b"))
-         .write.mode("append").partitionBy("__b").parquet(self.path))
+         .write.mode("overwrite").partitionBy("__b").parquet(tmp))
+        for b in buckets:
+            fs.delete(P(f"{self.path}/__b={b}"), True)
+        for st in fs.listStatus(P(tmp)):
+            name = st.getPath().getName()
+            if name.startswith("__b="):
+                fs.rename(st.getPath(), P(f"{self.path}/{name}"))
+        fs.delete(P(tmp), True)
 
 
 class IncrementalTransitiveClosureOp:
@@ -362,6 +396,10 @@ class IncrementalTransitiveClosureOp:
         self._schema = schema
         self._edges = spark.createDataFrame([], schema)
         self._tc = spark.createDataFrame([], schema)
+        #: True until the first step() — the initial in-memory empty
+        #: frames have unknowable leaf stats but hold nothing, so the
+        #: first tick's size gate scores them 0
+        self._virgin = True
         self._n = 0  # last known |closure|, sizes the loop's shuffles
         #: (suspects, rederive_rounds[, *_buckets_scanned, n_buckets]) of
         #: the latest deletion tick — lets tests assert deletion cost ∝
@@ -396,39 +434,85 @@ class IncrementalTransitiveClosureOp:
                 .select(src, dst).dropDuplicates())
 
     def step(self, edge_delta) -> "object":
+        from database_stream_processor_spark.tuning import (leaf_bytes,
+                                                            small_tick_conf)
+        d = edge_delta.consolidate()
+        # Tick-wide size gate (the r9 loop-AQE gate generalized): when the
+        # delta + maintained state are provably small, the WHOLE tick runs
+        # with AQE off and exact shuffle sizing — every materialization/
+        # probe schedules as one job instead of one per exchange.  State
+        # size is FS metadata for the bucketed stores (no job) and the
+        # checkpointed plan's leaf bytes otherwise; anything unknown
+        # saturates to huge, so at scale the gate never fires and AQE
+        # keeps its coalescing/skew handling.
+        if self._bucketed:
+            state_bytes = (self._s_src.total_bytes()
+                           + self._s_dst.total_bytes())
+            # pre-init the edge set is empty by construction; afterwards
+            # it is a checkpoint whose actual bytes leaf_bytes resolves
+            edges_bytes = (leaf_bytes(self._edges) if self._initialized
+                           else 0)
+        else:
+            state_bytes = 0 if self._virgin else leaf_bytes(self._tc)
+            edges_bytes = 0 if self._virgin else leaf_bytes(self._edges)
+        size = leaf_bytes(d.df) + edges_bytes + state_bytes
+        self._virgin = False
+        with small_tick_conf(self.spark, size):
+            return self._step_gated(d)
+
+    def _bucket_set(self, col: str):
+        """collect_set aggregate of a column's bucket id — both stores
+        share the bucket function, so one set serves either store."""
+        return F.collect_set(self._s_src.bucket_expr(col))
+
+    def _step_gated(self, d) -> "object":
         from database_stream_processor_spark.zset import (WEIGHT_COL,
                                                           ZSetFrame)
         src, dst = self.src, self.dst
-        d = edge_delta.consolidate()
-        # one materialization + one tiny agg decide which branches run —
-        # the old per-branch isEmpty() each recomputed the full
-        # intersect/exceptAll plan before the branch then recomputed it
-        # AGAIN under localCheckpoint (2 extra full jobs per tick)
-        dd = d.df.localCheckpoint(eager=True)
+        # one LAZY materialization whose first consumer is the sign probe:
+        # the agg job materializes the checkpoint as it runs — one job,
+        # where the old eager-checkpoint + agg pair was two
+        dd = d.df.localCheckpoint(eager=False)
         sign = dd.agg(F.max(WEIGHT_COL).alias("mx"),
                       F.min(WEIGHT_COL).alias("mn")).collect()[0]
         out = None
         if (sign["mn"] or 0) < 0:
             deletes = (dd.filter(F.col(WEIGHT_COL) < 0).select(src, dst)
                        .intersect(self._edges)
-                       .localCheckpoint(eager=True))
+                       .localCheckpoint(eager=False))
             # Retracting never-inserted edges leaves deletes∩edges empty:
-            # gate the whole DRed suspect machinery on the materialized
-            # frame (one cheap job on the checkpointed plan).  This also
-            # keeps a delete-bearing FIRST tick away from the bucketed
-            # stores before _insert_bucketed has bootstrapped them —
-            # _edges is empty until the first insert, so the intersect
-            # is empty too (ADVICE r6 #4).
-            if not deletes.isEmpty():
+            # gate the whole DRed suspect machinery on one probe job that
+            # ALSO materializes the checkpoint and (bucketed mode) returns
+            # the deleted srcs' bucket ids — emptiness test, bucket
+            # selection and materialization fused into a single job.
+            # An empty intersect also keeps a delete-bearing FIRST tick
+            # away from the bucketed stores before _insert_bucketed has
+            # bootstrapped them (ADVICE r6 #4).
+            if self._bucketed:
+                row = deletes.agg(F.count(F.lit(1)).alias("n"),
+                                  self._bucket_set(src).alias("bs")
+                                  ).collect()[0]
+                if row["n"]:
+                    out = self._delete_bucketed(deletes, sorted(row["bs"]))
+            elif deletes.count():
                 out = self._delete(deletes)
         if (sign["mx"] or 0) > 0:
             # exceptAll against post-deletion edges: a same-tick ±pair
             # cancelled in consolidate(), so the sets are equivalent
             inserts = (dd.filter(F.col(WEIGHT_COL) > 0).select(src, dst)
                        .exceptAll(self._edges).dropDuplicates()
-                       .localCheckpoint(eager=True))
-            ins = self._insert(inserts)
-            out = ins if out is None else out.plus(ins)
+                       .localCheckpoint(eager=False))
+            if self._bucketed and self._initialized:
+                # same fused probe on the insert side
+                row = inserts.agg(F.count(F.lit(1)).alias("n"),
+                                  self._bucket_set(src).alias("bs")
+                                  ).collect()[0]
+                ins = (self._insert_bucketed(inserts, sorted(row["bs"]))
+                       if row["n"] else None)
+            else:
+                ins = self._insert(inserts)
+            if ins is not None:
+                out = ins if out is None else out.plus(ins)
         if out is None:
             return ZSetFrame.from_df(
                 self.spark.createDataFrame([], self._schema), 1)
@@ -576,16 +660,19 @@ class IncrementalTransitiveClosureOp:
     # bucketed backend: every read pruned to delta-adjacent buckets
     # ------------------------------------------------------------- #
 
-    def _insert_bucketed(self, added: DataFrame) -> "object":
+    def _insert_bucketed(self, added: DataFrame,
+                         src_buckets: list[int] | None = None) -> "object":
         """Frontier insertion over the partitioned stores: all closure
         reads are pruned to the buckets adjacent to the new edges /
         current frontier; only the buckets receiving new pairs are
-        rewritten."""
+        rewritten.  ``src_buckets`` (the new edges' src bucket ids) comes
+        precomputed from step()'s fused probe on post-init ticks."""
         from database_stream_processor_spark.zset import ZSetFrame
         src, dst = self.src, self.dst
         self._edges = (self._edges.unionByName(added)
                        .localCheckpoint(eager=True))
-        # `added` arrives materialized from step() — no re-checkpoint
+        # `added` is a lazy checkpoint: the edges-union job above (or the
+        # fused probe in step()) materializes it
 
         if not self._initialized:
             # first tick: full fixpoint (everything is new), write both
@@ -598,22 +685,24 @@ class IncrementalTransitiveClosureOp:
             self._n = tc.count()
             return ZSetFrame.from_df(tc, 1)
 
-        if added.isEmpty():
-            return ZSetFrame.from_df(
-                self.spark.createDataFrame([], self._schema), 1)
+        if src_buckets is None:
+            if added.isEmpty():
+                return ZSetFrame.from_df(
+                    self.spark.createDataFrame([], self._schema), 1)
+            src_buckets = self._s_dst.buckets_of(added, src)
 
         # seed = (I ∪ TC) ∘ ΔE ∘ (I ∪ TC), with each TC read pruned:
         # prefixes end at a new edge's source (dst-store buckets of
         # added.src), suffixes start at a new edge's dst (src-store
         # buckets of added.dst)
-        tc_pre = self._s_dst.read_buckets(
-            self._s_dst.buckets_of(added, src))
+        tc_pre = self._s_dst.read_buckets(src_buckets)
         pre = (self._compose(tc_pre, added).unionByName(added)
-               .dropDuplicates().localCheckpoint(eager=True))
-        tc_mid = self._s_src.read_buckets(
-            self._s_src.buckets_of(pre, dst))
+               .dropDuplicates().localCheckpoint(eager=False))
+        # one probe job: materializes `pre` and returns its dst buckets
+        prow = pre.agg(self._bucket_set(dst).alias("bs")).collect()[0]
+        tc_mid = self._s_src.read_buckets(sorted(prow["bs"]))
         seed = (self._compose(pre, tc_mid).unionByName(pre)
-                .dropDuplicates().localCheckpoint(eager=True))
+                .dropDuplicates().localCheckpoint(eager=False))
 
         # Close the seed by doubling over the seed set ALONE — no TC reads
         # inside the loop.  Sound because every new path factors into seed
@@ -622,47 +711,60 @@ class IncrementalTransitiveClosureOp:
         # covers every maximal-old-prefix/suffix single-new-edge segment),
         # so ⌈log₂(new edges per path)⌉ rounds of acc∘acc reach them all.
         acc = seed
-        n = acc.count()
+        # each round's probe job materializes the lazy checkpoint, counts
+        # it, AND collects its src buckets — when the loop converges the
+        # final round's bucket set feeds the `have` read with no extra job
+        arow = acc.agg(F.count(F.lit(1)).alias("n"),
+                       self._bucket_set(src).alias("bs")).collect()[0]
+        n = int(arow["n"])
         with _loop_shuffle_partitions(added) as resize:
             for _ in range(self.max_iterations):
                 resize(n)
-                # lazy checkpoint: the count materializes it (1 job)
                 acc2 = (self._compose(acc, acc).unionByName(acc)
                         .dropDuplicates().localCheckpoint(eager=False))
-                n2 = acc2.count()
+                arow2 = acc2.agg(F.count(F.lit(1)).alias("n"),
+                                 self._bucket_set(src).alias("bs")
+                                 ).collect()[0]
+                n2 = int(arow2["n"])
                 if n2 == n:
                     break
-                acc, n = acc2, n2
+                acc, n, arow = acc2, n2, arow2
             else:
                 raise RuntimeError("incremental TC did not converge")
         # pairs already reachable through old edges are not new — one
         # pruned exceptAll against the src-store buckets acc touches
-        have = self._s_src.read_buckets(self._s_src.buckets_of(acc, src))
+        have = self._s_src.read_buckets(sorted(arow["bs"]))
         new = acc.exceptAll(have).localCheckpoint(eager=False)
-        n_new = new.count()        # materializes the lazy checkpoint        # one job doubles as the isEmpty gate
+        # one probe job: materializes `new`, the emptiness gate, and both
+        # stores' rewrite bucket sets
+        nrow = new.agg(F.count(F.lit(1)).alias("n"),
+                       self._bucket_set(src).alias("sb"),
+                       self._bucket_set(dst).alias("db")).collect()[0]
+        n_new = int(nrow["n"])
         if n_new == 0:
             return ZSetFrame.from_df(
                 self.spark.createDataFrame([], self._schema), 1)
 
         # rewrite only the buckets that received new pairs, in each copy;
-        # both endpoint bucket sets come from one job
-        sb, db = _PartitionedPairStore.buckets_of_both(
-            self._s_src, src, self._s_dst, dst, new)
-        content = (self._s_src.read_buckets(sb).unionByName(new)
-                   .localCheckpoint(eager=True))
-        self._s_src.overwrite_buckets(content, sb)
-        content = (self._s_dst.read_buckets(db).unionByName(new)
-                   .localCheckpoint(eager=True))
-        self._s_dst.overwrite_buckets(content, db)
+        # overwrite_buckets reads the live dirs inside its own write job
+        # (temp-dir swap), so no caller-side materialization is needed
+        sb, db = sorted(nrow["sb"]), sorted(nrow["db"])
+        self._s_src.overwrite_buckets(
+            self._s_src.read_buckets(sb).unionByName(new), sb)
+        self._s_dst.overwrite_buckets(
+            self._s_dst.read_buckets(db).unionByName(new), db)
         self._n += n_new
         return ZSetFrame.from_df(new, 1)
 
-    def _delete_bucketed(self, deleted: DataFrame) -> "object":
+    def _delete_bucketed(self, deleted: DataFrame,
+                         src_buckets: list[int] | None = None) -> "object":
         """DRed over the partitioned stores: suspect generation, the
         keep-split, and re-derivation all read ONLY the buckets adjacent
         to the deleted edges' endpoints — the closure-wide scan + shuffle
         of the in-memory path disappears entirely (the reference's
-        deletion cost ∝ affected derivations, time/mod.rs:20-48)."""
+        deletion cost ∝ affected derivations, time/mod.rs:20-48).
+        ``src_buckets`` (deleted srcs' bucket ids) comes precomputed from
+        step()'s fused probe."""
         from database_stream_processor_spark.zset import ZSetFrame
         src, dst = self.src, self.dst
         if not self._initialized:
@@ -676,27 +778,37 @@ class IncrementalTransitiveClosureOp:
             self._initialized = True
         scanned0 = (self._s_src.scanned_buckets,
                     self._s_dst.scanned_buckets)
-        e_new = self._edges.exceptAll(deleted).localCheckpoint(eager=True)
+        # lazy: the first re-derivation round's probe job materializes it
+        e_new = self._edges.exceptAll(deleted).localCheckpoint(eager=False)
         self._edges = e_new
 
         # 1. over-delete: (I ∪ TC) ∘ ΔE⁻ ∘ (I ∪ TC); prefixes live in the
         # dst-store buckets of the deleted srcs, the mid-compose reads the
         # src-store buckets of the deleted dsts
-        tc_pre = self._s_dst.read_buckets(
-            self._s_dst.buckets_of(deleted, src))
+        if src_buckets is None:
+            src_buckets = self._s_dst.buckets_of(deleted, src)
+        tc_pre = self._s_dst.read_buckets(src_buckets)
         pre = (self._compose(tc_pre, deleted).unionByName(deleted)
-               .dropDuplicates().localCheckpoint(eager=True))
-        tc_mid = self._s_src.read_buckets(
-            self._s_src.buckets_of(pre, dst))
+               .dropDuplicates().localCheckpoint(eager=False))
+        # one probe job: materializes `pre` and returns its dst buckets
+        prow = pre.agg(self._bucket_set(dst).alias("bs")).collect()[0]
+        tc_mid = self._s_src.read_buckets(sorted(prow["bs"]))
         suspects = (self._compose(pre, tc_mid).unionByName(pre)
                     .dropDuplicates().localCheckpoint(eager=False))
-        n_d = suspects.count()     # materializes the lazy checkpoint
+        # one probe job: materializes `suspects`, counts it, and returns
+        # its src buckets (the keep-split scan set)
+        srow = suspects.agg(F.count(F.lit(1)).alias("n"),
+                            self._bucket_set(src).alias("bs")).collect()[0]
+        n_d = int(srow["n"])
 
         # 2. keep-split + re-derivation, all inside the suspects' src
         # buckets: unaffected buckets are never read, let alone shuffled
-        sb = self._s_src.buckets_of(suspects, src)
+        sb = sorted(srow["bs"])
         affected = self._s_src.read_buckets(sb)
-        keep = affected.exceptAll(suspects).localCheckpoint(eager=True)
+        # keep/e_r/base checkpoint LAZILY: they all feed the first
+        # re-derivation round, whose single probe job materializes the
+        # whole chain at once (3 fewer scheduled jobs per deletion tick)
+        keep = affected.exceptAll(suspects).localCheckpoint(eager=False)
         rounds = 0
         with _loop_shuffle_partitions(deleted) as resize:
             resize(n_d)
@@ -705,13 +817,13 @@ class IncrementalTransitiveClosureOp:
                       .select(src, dst))
             e_r = (e_new.join(suspects.select(dst).dropDuplicates(),
                               on=dst, how="left_semi")
-                   .select(src, dst).localCheckpoint(eager=True))
+                   .select(src, dst).localCheckpoint(eager=False))
             base = (e_r.intersect(suspects)
                     .unionByName(
                         self._compose(keep_r, e_r).intersect(suspects))
-                    .dropDuplicates().localCheckpoint(eager=True))
+                    .dropDuplicates().localCheckpoint(eager=False))
             rederived = base
-            frontier, n_f = base, 1   # base materialized above
+            frontier, n_f = base, 1   # materialized by round 1's probe
             for _ in range(self.max_iterations):
                 if n_f == 0:
                     break
@@ -730,21 +842,20 @@ class IncrementalTransitiveClosureOp:
         # 3. retract the still-dead suspects; rewrite only the affected
         # buckets of each copy (keep ∪ rederived all live in sb; the dead
         # pairs' dst buckets bound the dst-store rewrite)
-        dead = suspects.exceptAll(rederived).localCheckpoint(eager=True)
-        # keep/rederived are checkpointed pieces, so the union is safe to
-        # write over the directories it was read from — no re-checkpoint
-        new_affected = keep.unionByName(rederived)
-        self._s_src.overwrite_buckets(new_affected, sb)
-        # one job fuses the dead count with its dst-bucket selection
+        dead = suspects.exceptAll(rederived).localCheckpoint(eager=False)
+        # one probe job: materializes `dead`, counts it, and returns its
+        # dst-bucket selection
         drow = dead.agg(
             F.count(F.lit(1)).alias("n"),
             F.collect_set(self._s_dst.bucket_expr(dst)).alias("bs")
         ).collect()[0]
+        # keep/rederived are checkpointed pieces, and overwrite_buckets
+        # writes through a temp-dir swap — no caller-side materialization
+        new_affected = keep.unionByName(rederived)
+        self._s_src.overwrite_buckets(new_affected, sb)
         db = sorted(drow["bs"])
-        self._s_dst.scanned_buckets += 0  # read below tracks its own
-        content = (self._s_dst.read_buckets(db).exceptAll(dead)
-                   .localCheckpoint(eager=True))
-        self._s_dst.overwrite_buckets(content, db)
+        self._s_dst.overwrite_buckets(
+            self._s_dst.read_buckets(db).exceptAll(dead), db)
         self._n = max(1, self._n - int(drow["n"]))
         self.last_delete_stats = {
             "suspects": n_d, "rounds": rounds,

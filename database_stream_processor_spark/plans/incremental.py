@@ -182,8 +182,13 @@ class StateTable:
         # memory backend: cut lineage so N steps don't stack N plans.
         # materialize_every > 1 trades lineage depth for fewer Spark jobs —
         # right for short incremental runs where each state is read once.
+        # Small states materialize with AQE off + exact shuffle sizing
+        # (tuning.checkpoint_small): one scheduled job instead of one per
+        # exchange — at scale the size gate keeps AQE on.
         if self._epoch % self.materialize_every == 0:
-            return ZSetFrame(z.df.localCheckpoint(eager=True))
+            from database_stream_processor_spark.tuning import (
+                checkpoint_small)
+            return ZSetFrame(checkpoint_small(z.df, eager=True))
         return z
 
 

@@ -1,0 +1,139 @@
+"""Size-adaptive execution tuning for incremental tick loops.
+
+Every incremental operator materializes per-tick state with
+``localCheckpoint``.  Under AQE each materialization of a plan with k
+exchanges is scheduled as k+1 Spark jobs (the driver re-plans between
+stages), so a tick over a small delta pays per-job scheduling latency
+several times for work that is a single small shuffle.  The r9 round
+established the fix for fixpoint loops (`_loop_shuffle_partitions` in
+operators/recursive.py: size shuffles to the round's working set and gate
+AQE on it); this module generalizes it to any materialization point using
+Catalyst's own plan statistics, so it needs **no extra job** to decide.
+
+Scale behaviour: the gate reads ``sizeInBytes`` of the optimized plan.
+Unknown statistics report ``Long.MAX`` (e.g. fresh in-memory relations),
+and anything at or above :data:`SMALL_PLAN_BYTES` keeps today's behaviour
+(AQE on, configured shuffle width) — so at 100 TB nothing changes; only
+provably-small ticks drop to exact small shuffles with AQE off.  The
+threshold is env-tunable (``SPARK_GRAFT_SMALL_TICK_BYTES``), default 64 MB
+— below AQE's own 256 MB advisory partition size, a shuffle this small
+coalesces to 1-2 partitions anyway; we just skip the per-exchange
+re-planning jobs that discover it.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+#: plans estimated below this are "small ticks": AQE off, exact partitions
+SMALL_PLAN_BYTES = int(os.environ.get("SPARK_GRAFT_SMALL_TICK_BYTES",
+                                      str(64 * 2 ** 20)))
+#: bytes per shuffle partition for small ticks (≤ 4 partitions at 64 MB)
+_PARTITION_BYTES = 16 * 2 ** 20
+_UNKNOWN = 1 << 62
+
+
+def plan_size_bytes(*dfs: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the union of ``dfs`` — a pure
+    driver-side read of the optimized plan's statistics (no job).
+    ``localCheckpoint`` propagates the origin plan's stats, so checkpointed
+    state frames keep real sizes; unknown stats saturate to huge."""
+    total = 0
+    for df in dfs:
+        try:
+            s = int(df._jdf.queryExecution().optimizedPlan()
+                    .stats().sizeInBytes())
+        except Exception:
+            return _UNKNOWN
+        if s >= _UNKNOWN:
+            return _UNKNOWN
+        total += s
+    return total
+
+
+def leaf_bytes(df: DataFrame) -> int:
+    """Sum of the plan's LEAF relation sizes — the honest upper-bound proxy
+    for a tick's working set (every row a tick touches enters through a
+    leaf).  Catalyst's own plan-level ``sizeInBytes`` multiplies through
+    joins (a 25-row state estimated at terabytes two ticks in), so it
+    cannot gate ticks; leaves can:
+
+    - file relations report true file bytes;
+    - ``localCheckpoint``-ed state resolves to its ACTUAL materialized
+      bytes from the block manager (RDD storage info — driver metadata,
+      no job);
+    - anything unresolvable saturates to unknown (treated as huge, i.e.
+      today's behaviour — the gate can only mis-fire towards "big").
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+        stored = {}
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            stored[info.id()] = info.memSize() + info.diskSize()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        leaves = plan.collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            kind = leaf.getClass().getSimpleName()
+            if kind == "LogicalRDD":
+                rdd = leaf.rdd()
+                if rdd.id() in stored:
+                    total += stored[rdd.id()]
+                elif len(rdd.partitions()) == 0:
+                    pass  # empty in-memory relation (createDataFrame([]))
+                else:
+                    return _UNKNOWN
+                continue
+            s = int(leaf.stats().sizeInBytes())
+            if s >= _UNKNOWN:
+                # empty in-memory relations report "unknown"; they hold
+                # nothing, so they cannot make a tick big
+                if kind == "LocalRelation" and leaf.data().isEmpty():
+                    continue
+                return _UNKNOWN
+            total += s
+        return total
+    except Exception:
+        return _UNKNOWN
+
+
+@contextmanager
+def small_tick_conf(spark, size_bytes: int):
+    """When ``size_bytes`` is provably small, run the enclosed
+    materializations with AQE off and shuffle partitions sized to the
+    data; otherwise a no-op.  Restores both confs on exit."""
+    if size_bytes >= SMALL_PLAN_BYTES:
+        yield False
+        return
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    cap = int(old_parts) if old_parts.isdigit() else 2 ** 30
+    want = max(1, min(cap, size_bytes // _PARTITION_BYTES + 1))
+    conf.set("spark.sql.shuffle.partitions", str(want))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield True
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def checkpoint_small(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Drop-in for ``df.localCheckpoint(eager)`` that sizes the shuffles
+    feeding the materialization when the plan is provably small.
+
+    The result's columns are re-aliased so the checkpointed frame carries
+    FRESH attribute ids: a state snapshot otherwise keeps the ids of the
+    source relations it was built from, and a later join of that state
+    against a new delta over the same base relation hits Spark's
+    "conflicting references" resolver error (column names must be unique,
+    which holds for every state table in this engine)."""
+    with small_tick_conf(df.sparkSession, leaf_bytes(df)):
+        out = df.localCheckpoint(eager=eager)
+    from pyspark.sql import functions as F
+    return out.select(*[F.col(c).alias(c) for c in out.columns])

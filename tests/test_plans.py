@@ -84,3 +84,18 @@ def test_q15_topk_uses_window_group_limit(spark):
     # rank-filter plans as WindowGroupLimit: partial top-k before shuffle,
     # no full per-group materialization
     assert "WindowGroupLimit" in plan
+
+
+def test_q46_ivf_assignment_is_projection_and_probe_join_broadcasts(spark):
+    df = REGISTRY["q46_ivf_topk"].fn(spark, SF)
+    plan = _physical(df)
+    # centroid assignment/probing are per-row projections against literal
+    # centroids: no crossJoin-with-centroids round trip, no corpus-wide
+    # window rank — the only Window left is the final per-query top-k
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window (") == 1  # only the final per-query top-k
+    # the scoring join broadcasts the tiny probe side; the corpus is
+    # never hash-shuffled into a sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
