@@ -96,14 +96,37 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """MinHash signature per document: k universal hashes over 32-bit
     word-shingle hashes.  Output: (id, h0..h{k-1}).
 
-    One explode + one groupBy(doc) with k min() aggregates — min() combines
-    map-side so shuffle volume is one row per (doc, partial)."""
-    sh = _shingle_rows(df, id_col, text_col, shingle_n)
-    x = (hash32(F.col("__sh")) % MERSENNE).alias("__x")
-    sh = sh.select(id_col, x)
-    aggs = [F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MERSENNE).alias(f"h{i}")
+    Pure per-row PROJECTION: the shingle set stays an array column, each
+    shingle is md5-hashed once into a parallel array, and each signature
+    component is an ``array_min`` over a cheap arithmetic ``transform`` —
+    no explode, no groupBy, NO SHUFFLE anywhere.  (The previous
+    explode + k·min() groupBy shuffled one partial row per doc per map
+    partition — a corpus-wide exchange that pure row-local work never
+    needed.)  Documents with no shingles produce no signature row,
+    exactly as the explode path's empty groups did."""
+    toked = spread(df).select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+    # "has at least one shingle" ⇔ "has at least n tokens": filter at the
+    # TOKEN level, not on size(__shs) — a filter on the shingle array gets
+    # pushed below the projections and Catalyst substitutes the whole
+    # shingle pipeline into the condition, re-evaluating the split per
+    # sequence element (O(tokens²) per row; the r12 plan audit caught
+    # exactly this).  size(split(...)) inlines the split once.
+    toked = toked.filter(F.size("__toks") >= shingle_n)
+    withsh = toked.select(
+        F.col(id_col),
+        shingles_from_tokens(F.col("__toks"), shingle_n).alias("__shs"))
+    withx = withsh.select(F.col(id_col),
+                          F.transform(F.col("__shs"),
+                                      lambda s: hash32(s) % MERSENNE)
+                          .alias("__xs"))
+    sigs = [F.array_min(F.transform(
+                F.col("__xs"),
+                lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE))
+            .alias(f"h{i}")
             for i, (a, b) in enumerate(_minhash_coeffs(k))]
-    return sh.groupBy(id_col).agg(*aggs)
+    return withx.select(id_col, *sigs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
@@ -151,18 +174,30 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """SimHash fingerprint per document over token 32-bit hashes: for each
     bit position, sum ±1 contributions across tokens (with multiplicity);
     the sign vector packs into an integer.  Hamming-near fingerprints =
-    near-dup texts.  Output: (id, simhash)."""
-    toks = spread(df).select(
+    near-dup texts.  Output: (id, simhash).
+
+    Pure per-row PROJECTION like :func:`minhash_signatures`: token hashes
+    land in an array column (hashed once), each bit's ±1 sum is an
+    ``aggregate`` fold over it, and the sign vector packs in the same
+    projection — the explode + groupBy formulation shuffled every (doc,
+    token) partial for what is row-local arithmetic.  Docs whose token
+    array is empty produced no group before and produce no row now."""
+    toked = spread(df).select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"))
-    x = hash32(F.col("__t"))
-    toks = toks.select(id_col, x.alias("__x"))
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+    withx = (toked.filter(F.size("__toks") > 0)
+             .select(F.col(id_col),
+                     F.transform(F.col("__toks"),
+                                 lambda t: hash32(t)).alias("__xs")))
     bit_sums = [
-        F.sum(2 * (F.shiftright(F.col("__x"), j).bitwiseAND(F.lit(1))) - 1)
+        F.aggregate(
+            F.col("__xs"), F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + (2 * (F.shiftright(x, j).bitwiseAND(F.lit(1))) - 1))
         .alias(f"b{j}")
         for j in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = withx.select(id_col, *bit_sums)
     packed = sum(
         (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
          for j in range(bits)),
@@ -275,7 +310,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # size-gate the rounds on the MATERIALIZED edge bytes (driver-side
     # block-manager metadata, no job) — small graphs run each round as
     # one exactly-sized job, big graphs keep AQE
-    with small_tick_conf(edges.sparkSession, 4 * leaf_bytes(sym)):
+    with small_tick_conf(edges.sparkSession, 4 * leaf_bytes(sym),
+                         aqe_off=True):
         verts = sym.select(F.col("__a").alias(id_col))
         if nodes is not None:
             verts = verts.union(nodes.select(F.col(nodes.columns[0])

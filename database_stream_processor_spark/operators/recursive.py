@@ -159,7 +159,8 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
     # edge set the pre-loop dedup/count and the final exceptAll schedule
     # one job each instead of one per exchange under AQE; at scale the
     # gate never fires
-    with small_tick_conf(edges.sparkSession, leaf_bytes(edges)):
+    with small_tick_conf(edges.sparkSession, leaf_bytes(edges),
+                         aqe_off=True):
         return _transitive_closure_gated(edges, src, dst,
                                          max_iterations, method)
 
@@ -457,7 +458,7 @@ class IncrementalTransitiveClosureOp:
             edges_bytes = 0 if self._virgin else leaf_bytes(self._edges)
         size = leaf_bytes(d.df) + edges_bytes + state_bytes
         self._virgin = False
-        with small_tick_conf(self.spark, size):
+        with small_tick_conf(self.spark, size, aqe_off=True):
             return self._step_gated(d)
 
     def _bucket_set(self, col: str):

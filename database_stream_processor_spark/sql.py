@@ -5511,6 +5511,14 @@ class _GroupMergeMaintainer(_ViewMaintainer):
         live = new_rows.filter(F.col(self._CNT) > 0)
         group_delta = (ZSetFrame.from_df(live, 1)
                        .minus(ZSetFrame.from_df(old_groups, 1)).consolidate())
+        # Materialize the group delta ONCE before anything consumes it:
+        # its plan embeds partition-order-sensitive double sums, and the
+        # group state, the emitted view delta, and downstream maintainers
+        # must all read the SAME bits — a re-execution under a different
+        # shuffle layout can flip low-order bits, after which a later
+        # retraction of the stored row no longer cancels the emitted one.
+        from database_stream_processor_spark.tuning import checkpoint_small
+        group_delta = ZSetFrame(checkpoint_small(group_delta.df, eager=True))
         self._out.update(group_delta)
         # finalize projection (row-wise) then consolidate: ± rows that
         # agree post-projection cancel, so diff-then-project ≡

@@ -102,10 +102,21 @@ def leaf_bytes(df: DataFrame) -> int:
 
 
 @contextmanager
-def small_tick_conf(spark, size_bytes: int):
+def small_tick_conf(spark, size_bytes: int, aqe_off: bool = False):
     """When ``size_bytes`` is provably small, run the enclosed
-    materializations with AQE off and shuffle partitions sized to the
-    data; otherwise a no-op.  Restores both confs on exit."""
+    materializations with shuffle partitions sized to the data; otherwise
+    a no-op.  Restores the conf on exit.
+
+    By default AQE stays ON even for small ticks: an earlier variant
+    disabled it everywhere, which made long verbatim-TPC-H tick runs
+    (q118/q119) OOM — a small-gated materialization under AQE-off +
+    1-partition shuffles pushed the 1 GiB default driver heap over the
+    edge during a later broadcast build.  ``aqe_off=True`` opts a caller
+    into the r9 fixpoint-loop behaviour (AQE fully off for the scope,
+    skipping the per-exchange re-planning jobs); reserve it for bounded
+    loop/tick bodies whose whole working set the gate has measured —
+    the transitive-closure and connected-components loops that ran three
+    rounds green under exactly this conf."""
     if size_bytes >= SMALL_PLAN_BYTES:
         yield False
         return
@@ -115,12 +126,14 @@ def small_tick_conf(spark, size_bytes: int):
     cap = int(old_parts) if old_parts.isdigit() else 2 ** 30
     want = max(1, min(cap, size_bytes // _PARTITION_BYTES + 1))
     conf.set("spark.sql.shuffle.partitions", str(want))
-    conf.set("spark.sql.adaptive.enabled", "false")
+    if aqe_off:
+        conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield True
     finally:
         conf.set("spark.sql.shuffle.partitions", old_parts)
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        if aqe_off:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def checkpoint_small(df: DataFrame, eager: bool = True) -> DataFrame:
