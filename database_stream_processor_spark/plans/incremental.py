@@ -147,8 +147,32 @@ class StateTable:
                 f"state table `{self.name}` columns "
                 f"{sorted(f.name for f in self._schema.fields)} != delta columns "
                 f"{sorted(delta.df.columns)}")
+        consolidating = (self._epoch + 1) % self.consolidate_every == 0
+        if self.path is None and not consolidating:
+            # Spine-style fueled merge, O(Δ) edition: on non-consolidating
+            # epochs only the DELTA is materialized and the state stays a
+            # union of already-checkpointed pieces (bounded by
+            # consolidate_every) — the previous behaviour re-checkpointed
+            # the FULL state ∪ delta union every tick, an O(|state|)
+            # read+rewrite for O(|Δ|) of new information.  The union adds
+            # no exchange and readers are weight-additive by contract
+            # (see consolidate_every above).
+            self._epoch += 1
+            if self._epoch % self.materialize_every == 0:
+                from database_stream_processor_spark.tuning import (
+                    checkpoint_small)
+                # LAZY checkpoint: the logical plan is truncated to a
+                # LogicalRDD immediately (no lineage growth), but the
+                # compute fuses into whichever downstream job reads the
+                # state first instead of scheduling its own — after that
+                # first execution the blocks are cached, so every
+                # consumer still reads the SAME bits (the q157
+                # discipline).
+                delta = ZSetFrame(checkpoint_small(delta.df, eager=False))
+            self._current = self._current.plus(delta)
+            return self._current
         merged = self._current.plus(delta)
-        if (self._epoch + 1) % self.consolidate_every == 0:
+        if consolidating:
             merged = merged.consolidate()
         self._current = self._materialize(merged)
         return self._current
