@@ -31,6 +31,17 @@ from pyspark.sql import DataFrame
 #: plans estimated below this are "small ticks": AQE off, exact partitions
 SMALL_PLAN_BYTES = int(os.environ.get("SPARK_GRAFT_SMALL_TICK_BYTES",
                                       str(64 * 2 ** 20)))
+
+import re as _re
+
+#: RDDInfo.toString: RDD "name" (id) StorageLevel: ...; CachedPartitions:
+#: n; TotalPartitions: n; MemorySize: 1.5 KiB; DiskSize: 0.0 B
+_RDD_INFO_RE = _re.compile(
+    r"\((\d+)\) StorageLevel: [^;]*; CachedPartitions: \d+; "
+    r"TotalPartitions: \d+; MemorySize: ([\d.]+) ([KMGTPE]iB|B); "
+    r"DiskSize: ([\d.]+) ([KMGTPE]iB|B)")
+_UNITS = {"B": 1, "KiB": 2 ** 10, "MiB": 2 ** 20, "GiB": 2 ** 30,
+          "TiB": 2 ** 40, "PiB": 2 ** 50, "EiB": 2 ** 60}
 #: bytes per shuffle partition for small ticks (≤ 4 partitions at 64 MB)
 _PARTITION_BYTES = 16 * 2 ** 20
 _UNKNOWN = 1 << 62
@@ -70,9 +81,22 @@ def leaf_bytes(df: DataFrame) -> int:
     """
     try:
         sc = df.sparkSession.sparkContext
+        # ONE py4j round trip for the whole storage listing: the naive
+        # per-info accessor loop costs 3 py4j calls per stored RDD per
+        # invocation, which grows linearly with session age (hundreds of
+        # checkpointed states late in a long session made every gate
+        # probe cost ~seconds of driver time).  RDDInfo.toString carries
+        # id + MemorySize + DiskSize; parse those.  bytesToString rounds
+        # to 1 decimal — irrelevant against a 64 MB threshold.  Any
+        # format surprise falls through to the UNKNOWN (= big) path for
+        # the affected leaf.
+        listing = sc._jvm.scala.runtime.ScalaRunTime.stringOf(
+            sc._jsc.sc().getRDDStorageInfo())
         stored = {}
-        for info in sc._jsc.sc().getRDDStorageInfo():
-            stored[info.id()] = info.memSize() + info.diskSize()
+        for m in _RDD_INFO_RE.finditer(listing):
+            rid, mem, mu, dsk, du = m.groups()
+            stored[int(rid)] = int(float(mem) * _UNITS[mu]
+                                   + float(dsk) * _UNITS[du])
         plan = df._jdf.queryExecution().optimizedPlan()
         leaves = plan.collectLeaves()
         total = 0
