@@ -32,8 +32,29 @@ def spread(df: DataFrame) -> DataFrame:
     CONDITIONAL: only repartitions when the input has fewer than half the
     default parallelism in partitions.  At cluster scale inputs are already
     well-partitioned and an unconditional round-robin repartition would be
-    a full shuffle of the corpus — the dominant cost at 100 TB."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a full shuffle of the corpus — the dominant cost at 100 TB.
+
+    The partition count is derived from the plan's LEAF bytes (a pure
+    driver-side stats read) instead of ``df.rdd.getNumPartitions()``:
+    the RDD probe pays full physical planning per call, a fixed driver
+    cost on every signature/similarity pipeline build.  A parquet scan
+    splits at ``spark.sql.files.maxPartitionBytes`` (128 MB default), so
+    leaf bytes bound the scan's task count; unknown stats fall back to
+    the exact RDD probe."""
+    sc = df.sparkSession.sparkContext
+    parallelism = sc.defaultParallelism
+    from database_stream_processor_spark import tuning
+    nbytes = tuning.leaf_bytes(df)
+    if nbytes < tuning._UNKNOWN:
+        try:
+            split = int(df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes").rstrip("b"))
+        except Exception:
+            split = 128 * 2 ** 20
+        est_parts = max(1, (nbytes + split - 1) // split)
+        if est_parts >= max(1, parallelism // 2):
+            return df
+        return df.repartition(parallelism)
     if df.rdd.getNumPartitions() >= max(1, parallelism // 2):
         return df
     return df.repartition(parallelism)

@@ -88,7 +88,14 @@ class StateTable:
         self._epoch = 0
         self._spark = empty.df.sparkSession
         self._schema = empty.df.schema
-        self._current: ZSetFrame = ZSetFrame(empty.df.limit(0))
+        # seed from a clean LocalRelation, NOT `empty.df.limit(0)`: a
+        # derived empty frame (e.g. limit 0 over an Aggregate) carries
+        # plan constraints referencing attributes below its projection,
+        # and Catalyst's Union constraint rewrite throws
+        # NoSuchElementException on them once the lazily-merged state
+        # unions that frame with checkpointed delta pieces
+        self._current: ZSetFrame = ZSetFrame(
+            self._spark.createDataFrame([], self._schema))
         if path:
             # namespace by table name: one operator owns several tables and
             # may pass them all the same base path
@@ -140,8 +147,15 @@ class StateTable:
     def current(self) -> ZSetFrame:
         return self._current
 
-    def update(self, delta: ZSetFrame) -> ZSetFrame:
-        """state ← state + delta (merged lazily); returns the new state."""
+    def update(self, delta: ZSetFrame,
+               pre_checkpointed: bool = False) -> ZSetFrame:
+        """state ← state + delta (merged lazily); returns the new state.
+
+        ``pre_checkpointed=True`` declares that ``delta`` is already a
+        checkpointed frame (the caller materialized it once so every
+        consumer — state, emission, downstream — reads the SAME bits, the
+        q157 discipline); the O(Δ) append path then skips its own
+        checkpoint instead of storing a second copy of the blocks."""
         if set(delta.df.columns) != {f.name for f in self._schema.fields}:
             raise ValueError(
                 f"state table `{self.name}` columns "
@@ -158,7 +172,8 @@ class StateTable:
             # no exchange and readers are weight-additive by contract
             # (see consolidate_every above).
             self._epoch += 1
-            if self._epoch % self.materialize_every == 0:
+            if (not pre_checkpointed
+                    and self._epoch % self.materialize_every == 0):
                 from database_stream_processor_spark.tuning import (
                     checkpoint_small)
                 # LAZY checkpoint: the logical plan is truncated to a
@@ -555,7 +570,15 @@ class AggregateOp:
             old_out_rows = ZSetFrame(
                 _ns_semi(self._out_state.current.df, touched, self.keys))
         out_delta = new_out_rows.minus(old_out_rows).consolidate()
-        self._out_state.update(out_delta)
+        # materialize the emitted delta ONCE (lazily): the output-state
+        # append, the caller, and any downstream view read the same bits —
+        # a non-linear agg over doubles recomputed per consumer could
+        # otherwise emit bits that differ from what the state stored (the
+        # q157 class) — and the O(Δ) state path appends it without a
+        # second block copy
+        from database_stream_processor_spark.tuning import checkpoint_small
+        out_delta = ZSetFrame(checkpoint_small(out_delta.df, eager=False))
+        self._out_state.update(out_delta, pre_checkpointed=True)
         return out_delta
 
     @property
@@ -617,6 +640,11 @@ class LinearAggregateOp:
                              for name, expr in self.aggs.items()]
         out_schema = (empty_in.df.groupBy(*self.keys).agg(*self._delta_exprs)
                       .withColumn(WEIGHT_COL, F.lit(1).cast("long")))
+        # spine-style lazy merge: per tick only the (touched-key-sized)
+        # output delta is appended to the state; the full merge +
+        # consolidate runs every Nth epoch.  step() merges the touched
+        # restriction on read, so the unmerged union is never observable.
+        state_kw.setdefault("consolidate_every", 4)
         self.state = StateTable(ZSetFrame(out_schema.limit(0)),
                                 name="linear_agg_output", **state_kw)
 
@@ -630,11 +658,18 @@ class LinearAggregateOp:
         return df.groupBy(*self.keys).agg(*self._delta_exprs)
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
+        from database_stream_processor_spark.tuning import checkpoint_small
         names = list(self.aggs)
         d = self._delta_agg(delta.df)
         old = self.state.current.df
-        old_touched = old.join(d.select(*self.keys), on=self.keys,
-                               how="left_semi")
+        # the state is lazily merged (may hold a key's live row alongside
+        # its cancelled predecessors), so merge just the touched-key
+        # restriction: the stale ±pairs cancel bit-exactly because every
+        # emitted delta is materialized ONCE below and the retraction is
+        # read back from those same stored bits
+        old_touched = ZSetFrame(
+            old.join(d.select(*self.keys), on=self.keys, how="left_semi")
+        ).consolidate().df
         old_renamed = old_touched.select(
             *self.keys, *[F.col(n).alias(f"__old_{n}") for n in names])
         merged = d.join(old_renamed, on=self.keys, how="left")
@@ -649,7 +684,12 @@ class LinearAggregateOp:
             nonzero = cond if nonzero is None else (nonzero | cond)
         inserts = ZSetFrame.from_df(new_rows.filter(nonzero), 1)
         out_delta = inserts.minus(ZSetFrame(old_touched)).consolidate()
-        self.state.update(out_delta)
+        # materialize the emitted delta ONCE (lazily — the compute fuses
+        # into the first consumer's job): state append, the caller, and
+        # any downstream view all read the same bits, and the O(Δ) state
+        # path appends it without a second copy
+        out_delta = ZSetFrame(checkpoint_small(out_delta.df, eager=False))
+        self.state.update(out_delta, pre_checkpointed=True)
         return out_delta
 
     @property
@@ -1062,9 +1102,15 @@ class PartitionedRollingAggregateLinearOp:
                 .drop("__bnd_pk"))
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
+        from database_stream_processor_spark.tuning import checkpoint_small
         names = list(self.aggs)
-        d = delta.consolidate()
-        new_in = self.integral.update(d)
+        # the consolidated delta is read THREE times per tick (integral
+        # append, per-(pk,s) contributions, the fresh-output probe side);
+        # materialize it once — lazily, so the consolidate groupBy fuses
+        # into the tick's first job — instead of re-executing the
+        # batch-wide groupBy per reference
+        d = ZSetFrame(checkpoint_small(delta.consolidate().df, eager=False))
+        new_in = self.integral.update(d, pre_checkpointed=True)
         ts = self._sec(F.col(self.ts))
         w = F.col(WEIGHT_COL)
 
@@ -1144,7 +1190,10 @@ class PartitionedRollingAggregateLinearOp:
 
         out_delta = ZSetFrame.sum(
             [minus_old, plus_adj, plus_fresh]).consolidate()
-        self.out.update(out_delta)
+        # single materialization of the emitted delta (q157 discipline +
+        # O(Δ) state append without a second block copy)
+        out_delta = ZSetFrame(checkpoint_small(out_delta.df, eager=False))
+        self.out.update(out_delta, pre_checkpointed=True)
         return out_delta
 
     @property
