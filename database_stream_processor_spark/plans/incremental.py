@@ -75,11 +75,18 @@ class StateTable:
                  partition_by: Sequence[str] | None = None,
                  materialize_every: int = 1,
                  consolidate_every: int = 1,
-                 recover: bool = False):
+                 recover: bool = False,
+                 aqe_off_ticks: bool = False):
         self.name = name
         self.path = path
         self.partition_by = list(partition_by or [])
         self.materialize_every = materialize_every
+        #: statically plan provably-small tick materializations (AQE off,
+        #: shuffle width untouched): an eager checkpoint schedules one job
+        #: instead of one per exchange, a lazy one schedules none.  The
+        #: size gate keeps AQE on at scale; see tuning.small_tick_conf
+        #: for the q118/q119 matrix this conf comes from.
+        self.aqe_off_ticks = aqe_off_ticks
         #: Spine-style fueled merge (spine_fueled.rs:1-60): appended deltas
         #: are NOT hash-consolidated on every update — weights are additive,
         #: so readers (joins/linear aggregates/distinct) are correct on the
@@ -88,14 +95,22 @@ class StateTable:
         self._epoch = 0
         self._spark = empty.df.sparkSession
         self._schema = empty.df.schema
-        # seed from a clean LocalRelation, NOT `empty.df.limit(0)`: a
-        # derived empty frame (e.g. limit 0 over an Aggregate) carries
-        # plan constraints referencing attributes below its projection,
-        # and Catalyst's Union constraint rewrite throws
+        # seed from a CLEAN empty relation, NOT `empty.df.limit(0)` of the
+        # caller's frame: a derived empty frame (e.g. limit 0 over an
+        # Aggregate) carries plan constraints referencing attributes below
+        # its projection, and Catalyst's Union constraint rewrite throws
         # NoSuchElementException on them once the lazily-merged state
-        # unions that frame with checkpointed delta pieces
-        self._current: ZSetFrame = ZSetFrame(
-            self._spark.createDataFrame([], self._schema))
+        # unions that frame with checkpointed delta pieces.  (A limit(0)
+        # over the clean frame re-triggers the same Catalyst bug, so the
+        # seed stays a bare RDD-backed plan.)  The seed's RDD is
+        # registered with the tuning gate: it holds nothing but is never
+        # cached, so without the registration every leaf_bytes probe that
+        # sees it through the state union would saturate to UNKNOWN and
+        # permanently disable the small-tick conf.
+        seed = self._spark.createDataFrame([], self._schema)
+        from database_stream_processor_spark import tuning
+        tuning.register_empty_seed(seed)
+        self._current: ZSetFrame = ZSetFrame(seed)
         if path:
             # namespace by table name: one operator owns several tables and
             # may pass them all the same base path
@@ -183,7 +198,8 @@ class StateTable:
                 # first execution the blocks are cached, so every
                 # consumer still reads the SAME bits (the q157
                 # discipline).
-                delta = ZSetFrame(checkpoint_small(delta.df, eager=False))
+                delta = ZSetFrame(checkpoint_small(
+                    delta.df, eager=False, aqe_off=self.aqe_off_ticks))
             self._current = self._current.plus(delta)
             return self._current
         merged = self._current.plus(delta)
@@ -227,7 +243,8 @@ class StateTable:
         if self._epoch % self.materialize_every == 0:
             from database_stream_processor_spark.tuning import (
                 checkpoint_small)
-            return ZSetFrame(checkpoint_small(z.df, eager=True))
+            return ZSetFrame(checkpoint_small(
+                z.df, eager=True, aqe_off=self.aqe_off_ticks))
         return z
 
 
@@ -303,6 +320,7 @@ class JoinOp:
         self.broadcast = broadcast
         # bilinear delta-join is weight-additive → spine-style lazy merge
         state_kw.setdefault("consolidate_every", 4)
+        state_kw.setdefault("aqe_off_ticks", True)
         left_kw = {**state_kw, **(left_state_kw or {})}
         right_kw = {**state_kw, **(right_state_kw or {})}
         self.left = StateTable(empty_left, name="join_left", **left_kw)
@@ -510,6 +528,7 @@ class DistinctOp:
     def __init__(self, empty: ZSetFrame, **state_kw):
         # distinct() re-consolidates per group internally → lazy merge is safe
         state_kw.setdefault("consolidate_every", 4)
+        state_kw.setdefault("aqe_off_ticks", True)
         self.integral = StateTable(empty, name="distinct_integral", **state_kw)
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
@@ -548,6 +567,7 @@ class AggregateOp:
         # subset before agg_fn so non-linear aggregates (rows() expansion)
         # see merged weights — cost ∝ touched groups, not state
         state_kw.setdefault("consolidate_every", 4)
+        state_kw.setdefault("aqe_off_ticks", True)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="agg_input", **state_kw)
         self._out_state: StateTable | None = None
@@ -577,7 +597,9 @@ class AggregateOp:
         # q157 class) — and the O(Δ) state path appends it without a
         # second block copy
         from database_stream_processor_spark.tuning import checkpoint_small
-        out_delta = ZSetFrame(checkpoint_small(out_delta.df, eager=False))
+        out_delta = ZSetFrame(checkpoint_small(
+            out_delta.df, eager=False,
+            aqe_off=self._out_state.aqe_off_ticks))
         self._out_state.update(out_delta, pre_checkpointed=True)
         return out_delta
 
@@ -645,6 +667,7 @@ class LinearAggregateOp:
         # consolidate runs every Nth epoch.  step() merges the touched
         # restriction on read, so the unmerged union is never observable.
         state_kw.setdefault("consolidate_every", 4)
+        state_kw.setdefault("aqe_off_ticks", True)
         self.state = StateTable(ZSetFrame(out_schema.limit(0)),
                                 name="linear_agg_output", **state_kw)
 
@@ -688,7 +711,8 @@ class LinearAggregateOp:
         # into the first consumer's job): state append, the caller, and
         # any downstream view all read the same bits, and the O(Δ) state
         # path appends it without a second copy
-        out_delta = ZSetFrame(checkpoint_small(out_delta.df, eager=False))
+        out_delta = ZSetFrame(checkpoint_small(
+            out_delta.df, eager=False, aqe_off=self.state.aqe_off_ticks))
         self.state.update(out_delta, pre_checkpointed=True)
         return out_delta
 
@@ -777,6 +801,7 @@ class PartitionedRollingAggregateOp:
         self.watermark_delay = watermark_delay
         self.numeric_ts = numeric_ts
         state_kw.setdefault("consolidate_every", 4)
+        state_kw.setdefault("aqe_off_ticks", True)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="rolling_input", **state_kw)
         # output state initialized from the probe schema (input cols +
@@ -1074,6 +1099,7 @@ class PartitionedRollingAggregateLinearOp:
         self._a_max = max(a for _, a in self.frames.values())
         self.numeric_ts = numeric_ts
         state_kw.setdefault("consolidate_every", 4)
+        state_kw.setdefault("aqe_off_ticks", True)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="rolling_lin_input",
                                    **state_kw)
@@ -1109,7 +1135,8 @@ class PartitionedRollingAggregateLinearOp:
         # materialize it once — lazily, so the consolidate groupBy fuses
         # into the tick's first job — instead of re-executing the
         # batch-wide groupBy per reference
-        d = ZSetFrame(checkpoint_small(delta.consolidate().df, eager=False))
+        d = ZSetFrame(checkpoint_small(delta.consolidate().df, eager=False,
+                                        aqe_off=self.integral.aqe_off_ticks))
         new_in = self.integral.update(d, pre_checkpointed=True)
         ts = self._sec(F.col(self.ts))
         w = F.col(WEIGHT_COL)
@@ -1192,7 +1219,8 @@ class PartitionedRollingAggregateLinearOp:
             [minus_old, plus_adj, plus_fresh]).consolidate()
         # single materialization of the emitted delta (q157 discipline +
         # O(Δ) state append without a second block copy)
-        out_delta = ZSetFrame(checkpoint_small(out_delta.df, eager=False))
+        out_delta = ZSetFrame(checkpoint_small(
+            out_delta.df, eager=False, aqe_off=self.out.aqe_off_ticks))
         self.out.update(out_delta, pre_checkpointed=True)
         return out_delta
 

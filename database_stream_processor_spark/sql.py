@@ -557,7 +557,8 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                 empty_in, f"__rw_pk{i}", f"__rw_ts{i}",
                 before=max(b for b, _ in frames[i].values()),
                 after=max(a for _, a in frames[i].values()),
-                aggs=aggs[i], frames=frames[i], numeric_ts=True)
+                aggs=aggs[i], frames=frames[i], numeric_ts=True,
+                aqe_off_ticks=False)
             self.ops.append(op)
             cur, first = op.out.current.df, False
         for (si, before, after), nl_aggs in nl.items():
@@ -566,7 +567,7 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             op = PartitionedRollingAggregateOp(
                 empty_in, f"__rw_pk{si}", f"__rw_ts{si}",
                 before=before, after=after, aggs=nl_aggs,
-                numeric_ts=True)
+                numeric_ts=True, aqe_off_ticks=False)
             self.ops.append(op)
             cur, first = op._out_state.current.df, False
 
@@ -2732,7 +2733,8 @@ class _UnionMaintainer(_ViewMaintainer):
             u = u.unionByName(p.toDF(*self._names))
         _ = u.schema
         self._op = None if is_all else DistinctOp(
-            ZSetFrame.from_df(eng.spark.createDataFrame([], u.schema)))
+            ZSetFrame.from_df(eng.spark.createDataFrame([], u.schema)),
+            aqe_off_ticks=False)
 
     def step(self, eng, combined, old):
         parts = []
@@ -2889,7 +2891,8 @@ class _SetOpMaintainer(_ViewMaintainer):
         self._schema = probes[0].unionByName(
             probes[1].toDF(*self._names)).schema
         empty = eng.spark.createDataFrame([], self._schema)
-        self._ops = [DistinctOp(ZSetFrame.from_df(empty))
+        self._ops = [DistinctOp(ZSetFrame.from_df(empty),
+                                aqe_off_ticks=False)
                      for _ in parsed]
         self._presence = [StateTable(ZSetFrame.from_df(empty),
                                      name=f"view_{name}_p{i}")
@@ -3083,7 +3086,8 @@ class _DistinctMaintainer(_ViewMaintainer):
         self._inner_sql = inner_sql
         probe = eng.eval_on(inner_sql, {table: _source_rows0(eng, table)})
         empty = eng.spark.createDataFrame([], probe.schema)
-        self._op = DistinctOp(ZSetFrame.from_df(empty))
+        self._op = DistinctOp(ZSetFrame.from_df(empty),
+                              aqe_off_ticks=False)
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -8367,7 +8371,8 @@ class _DistinctAggMaintainer(_GroupMergeMaintainer):
         probe = eng.eval_on(self._proj_sql,
                             {table: _source_rows0(eng, table)})
         self._dop = DistinctOp(ZSetFrame.from_df(
-            eng.spark.createDataFrame([], probe.schema)))
+            eng.spark.createDataFrame([], probe.schema)),
+            aqe_off_ticks=False)
         #: Σe partials carry SUM's widened type (int→long, decimal grows)
         #: so the group state schema is stable from the first tick
         from database_stream_processor_spark.zset import WEIGHT_COL
@@ -8590,7 +8595,8 @@ class _NonLinearAggMaintainer(_ViewMaintainer):
                 out = out.filter(F.expr(having))
             return ZSetFrame.from_df(out, 1)
 
-        self._op = AggregateOp(empty_in, self.keys, agg_fn)
+        self._op = AggregateOp(empty_in, self.keys, agg_fn,
+                               aqe_off_ticks=False)
         _ = self._emit(agg_fn(empty_in)).df.schema  # validate eagerly
 
     def _emit(self, delta: ZSetFrame) -> ZSetFrame:

@@ -46,6 +46,25 @@ _UNITS = {"B": 1, "KiB": 2 ** 10, "MiB": 2 ** 20, "GiB": 2 ** 30,
 _PARTITION_BYTES = 16 * 2 ** 20
 _UNKNOWN = 1 << 62
 
+#: RDD ids of registered provably-empty seed frames (state-table seeds):
+#: RDD-backed empty plans are never cached, so without the registry every
+#: gate probe seeing one through a state union would saturate to UNKNOWN
+_EMPTY_SEED_IDS: set[int] = set()
+
+
+def register_empty_seed(df: DataFrame) -> None:
+    """Record ``df``'s leaf RDD ids as known-empty for :func:`leaf_bytes`.
+    The caller guarantees the frame holds no rows (a state-table seed)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                _EMPTY_SEED_IDS.add(leaf.rdd().id())
+    except Exception:
+        pass
+
 
 def plan_size_bytes(*dfs: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for the union of ``dfs`` — a pure
@@ -107,8 +126,9 @@ def leaf_bytes(df: DataFrame) -> int:
                 rdd = leaf.rdd()
                 if rdd.id() in stored:
                     total += stored[rdd.id()]
-                elif len(rdd.partitions()) == 0:
-                    pass  # empty in-memory relation (createDataFrame([]))
+                elif (rdd.id() in _EMPTY_SEED_IDS
+                      or len(rdd.partitions()) == 0):
+                    pass  # registered state seed / empty in-memory relation
                 else:
                     return _UNKNOWN
                 continue
@@ -126,43 +146,64 @@ def leaf_bytes(df: DataFrame) -> int:
 
 
 @contextmanager
-def small_tick_conf(spark, size_bytes: int, aqe_off: bool = False):
+def small_tick_conf(spark, size_bytes: int, aqe_off: bool = False,
+                    resize: bool = True):
     """When ``size_bytes`` is provably small, run the enclosed
-    materializations with shuffle partitions sized to the data; otherwise
-    a no-op.  Restores the conf on exit.
+    materializations with shuffle partitions sized to the data
+    (``resize``) and/or AQE disabled (``aqe_off``); otherwise a no-op.
+    Restores the conf on exit.
 
-    By default AQE stays ON even for small ticks: an earlier variant
-    disabled it everywhere, which made long verbatim-TPC-H tick runs
-    (q118/q119) OOM — a small-gated materialization under AQE-off +
-    1-partition shuffles pushed the 1 GiB default driver heap over the
-    edge during a later broadcast build.  ``aqe_off=True`` opts a caller
-    into the r9 fixpoint-loop behaviour (AQE fully off for the scope,
-    skipping the per-exchange re-planning jobs); reserve it for bounded
-    loop/tick bodies whose whole working set the gate has measured —
-    the transitive-closure and connected-components loops that ran three
-    rounds green under exactly this conf."""
+    The two knobs are deliberately independent: the r12 regression hunt
+    established the empirical matrix on the long verbatim-TPC-H tick
+    runs (q118/q119, 1 GiB plain-session driver heap) — gate-off PASS,
+    resize-only PASS, AQE-off-only PASS, BOTH TOGETHER FAIL (a
+    small-gated materialization under AQE-off + 1-partition shuffles
+    pushed a later broadcast build over the heap).  So callers pick one:
+
+    - ``resize=True`` (default, AQE on): exact small shuffle widths, AQE
+      keeps its per-exchange re-planning jobs;
+    - ``aqe_off=True, resize=False``: one statically-planned job per
+      eager materialization (and ZERO scheduled jobs for a lazy one —
+      the stages fuse into the first consumer's job), shuffle width
+      untouched — the state-tick conf;
+    - ``aqe_off=True, resize=True``: the r9 fixpoint-loop conf; reserve
+      it for bounded loop bodies whose WHOLE working set the gate has
+      measured (the transitive-closure and connected-components loops
+      that ran three rounds green under exactly this conf) — never
+      combine the two for long many-tick engine runs (the q118/q119
+      failure mode above)."""
     if size_bytes >= SMALL_PLAN_BYTES:
         yield False
         return
     conf = spark.conf
     old_parts = conf.get("spark.sql.shuffle.partitions")
     old_aqe = conf.get("spark.sql.adaptive.enabled")
-    cap = int(old_parts) if old_parts.isdigit() else 2 ** 30
-    want = max(1, min(cap, size_bytes // _PARTITION_BYTES + 1))
-    conf.set("spark.sql.shuffle.partitions", str(want))
+    if resize:
+        cap = int(old_parts) if old_parts.isdigit() else 2 ** 30
+        want = max(1, min(cap, size_bytes // _PARTITION_BYTES + 1))
+        conf.set("spark.sql.shuffle.partitions", str(want))
     if aqe_off:
         conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield True
     finally:
-        conf.set("spark.sql.shuffle.partitions", old_parts)
+        if resize:
+            conf.set("spark.sql.shuffle.partitions", old_parts)
         if aqe_off:
             conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
-def checkpoint_small(df: DataFrame, eager: bool = True) -> DataFrame:
+def checkpoint_small(df: DataFrame, eager: bool = True,
+                     aqe_off: bool = False) -> DataFrame:
     """Drop-in for ``df.localCheckpoint(eager)`` that sizes the shuffles
     feeding the materialization when the plan is provably small.
+
+    ``aqe_off=True`` switches the small-tick conf from partition resize
+    to static planning (see :func:`small_tick_conf`): an eager
+    materialization of a k-exchange plan schedules ONE job instead of
+    k+1, and a lazy one schedules NOTHING at call time — with AQE on,
+    ``toRdd`` eagerly submits every exchange's stage job even for a lazy
+    checkpoint, which is where tick loops' job counts came from.
 
     The result's columns are re-aliased so the checkpointed frame carries
     FRESH attribute ids: a state snapshot otherwise keeps the ids of the
@@ -170,7 +211,18 @@ def checkpoint_small(df: DataFrame, eager: bool = True) -> DataFrame:
     against a new delta over the same base relation hits Spark's
     "conflicting references" resolver error (column names must be unique,
     which holds for every state table in this engine)."""
-    with small_tick_conf(df.sparkSession, leaf_bytes(df)):
-        out = df.localCheckpoint(eager=eager)
+    with small_tick_conf(df.sparkSession, leaf_bytes(df),
+                         aqe_off=aqe_off, resize=not aqe_off) as fired:
+        # when the small gate fires under static planning, materialize
+        # EAGERLY even if the caller asked for lazy: the whole plan runs
+        # as one job anyway, and a pending (never-computed) lazy piece
+        # has no storage entry, so every LATER gate probe that sees it
+        # through a state union saturates to UNKNOWN and turns the conf
+        # off for the rest of the run (measured on q37: the cascade kept
+        # the per-tick job count at the AQE-on level)
+        if aqe_off and fired:
+            out = df.localCheckpoint(eager=True)
+        else:
+            out = df.localCheckpoint(eager=eager)
     from pyspark.sql import functions as F
     return out.select(*[F.col(c).alias(c) for c in out.columns])
