@@ -168,7 +168,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     work (the r12 plan audit showed exactly that).  The checkpointed
     frame is one row of k ints per doc — tiny next to the corpus at any
     scale."""
-    signatures = signatures.localCheckpoint(eager=True)
+    from database_stream_processor_spark.tuning import checkpoint_small
+    signatures = checkpoint_small(signatures, eager=True, aqe_off=True)
     r = k // bands
     band_structs = [
         F.struct(F.lit(b).alias("band"),
@@ -253,7 +254,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         sets = toked.select(
             F.col(id_col),
             shingles_from_tokens(F.col("__toks"), n).alias("__set")
-        ).localCheckpoint(eager=True)
+        )
+        from database_stream_processor_spark.tuning import checkpoint_small
+        sets = checkpoint_small(sets, eager=True, aqe_off=True)
         sa = sets.select(F.col(id_col).alias("id_a"),
                          F.col("__set").alias("__seta"))
         sb = sets.select(F.col(id_col).alias("id_b"),
@@ -326,7 +329,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         F.struct(F.col(dst).alias("__a"), F.col(src).alias("__b"))))
         .alias("__e"))
         .select("__e.__a", "__e.__b")
-        .dropDuplicates().localCheckpoint(eager=True))
+        .dropDuplicates())
+    from database_stream_processor_spark.tuning import checkpoint_small
+    sym = checkpoint_small(sym, eager=True, aqe_off=True)
     # the loop's working set is bounded by |sym| + |labels| ≈ 2·|sym|:
     # size-gate the rounds on the MATERIALIZED edge bytes (driver-side
     # block-manager metadata, no job) — small graphs run each round as
