@@ -75,18 +75,11 @@ class StateTable:
                  partition_by: Sequence[str] | None = None,
                  materialize_every: int = 1,
                  consolidate_every: int = 1,
-                 recover: bool = False,
-                 aqe_off_ticks: bool = False):
+                 recover: bool = False):
         self.name = name
         self.path = path
         self.partition_by = list(partition_by or [])
         self.materialize_every = materialize_every
-        #: statically plan provably-small tick materializations (AQE off,
-        #: shuffle width untouched): an eager checkpoint schedules one job
-        #: instead of one per exchange, a lazy one schedules none.  The
-        #: size gate keeps AQE on at scale; see tuning.small_tick_conf
-        #: for the q118/q119 matrix this conf comes from.
-        self.aqe_off_ticks = aqe_off_ticks
         #: Spine-style fueled merge (spine_fueled.rs:1-60): appended deltas
         #: are NOT hash-consolidated on every update — weights are additive,
         #: so readers (joins/linear aggregates/distinct) are correct on the
@@ -95,22 +88,7 @@ class StateTable:
         self._epoch = 0
         self._spark = empty.df.sparkSession
         self._schema = empty.df.schema
-        # seed from a CLEAN empty relation, NOT `empty.df.limit(0)` of the
-        # caller's frame: a derived empty frame (e.g. limit 0 over an
-        # Aggregate) carries plan constraints referencing attributes below
-        # its projection, and Catalyst's Union constraint rewrite throws
-        # NoSuchElementException on them once the lazily-merged state
-        # unions that frame with checkpointed delta pieces.  (A limit(0)
-        # over the clean frame re-triggers the same Catalyst bug, so the
-        # seed stays a bare RDD-backed plan.)  The seed's RDD is
-        # registered with the tuning gate: it holds nothing but is never
-        # cached, so without the registration every leaf_bytes probe that
-        # sees it through the state union would saturate to UNKNOWN and
-        # permanently disable the small-tick conf.
-        seed = self._spark.createDataFrame([], self._schema)
-        from database_stream_processor_spark import tuning
-        tuning.register_empty_seed(seed)
-        self._current: ZSetFrame = ZSetFrame(seed)
+        self._current: ZSetFrame = ZSetFrame(empty.df.limit(0))
         if path:
             # namespace by table name: one operator owns several tables and
             # may pass them all the same base path
@@ -162,48 +140,15 @@ class StateTable:
     def current(self) -> ZSetFrame:
         return self._current
 
-    def update(self, delta: ZSetFrame,
-               pre_checkpointed: bool = False) -> ZSetFrame:
-        """state ← state + delta (merged lazily); returns the new state.
-
-        ``pre_checkpointed=True`` declares that ``delta`` is already a
-        checkpointed frame (the caller materialized it once so every
-        consumer — state, emission, downstream — reads the SAME bits, the
-        q157 discipline); the O(Δ) append path then skips its own
-        checkpoint instead of storing a second copy of the blocks."""
+    def update(self, delta: ZSetFrame) -> ZSetFrame:
+        """state ← state + delta (merged lazily); returns the new state."""
         if set(delta.df.columns) != {f.name for f in self._schema.fields}:
             raise ValueError(
                 f"state table `{self.name}` columns "
                 f"{sorted(f.name for f in self._schema.fields)} != delta columns "
                 f"{sorted(delta.df.columns)}")
-        consolidating = (self._epoch + 1) % self.consolidate_every == 0
-        if self.path is None and not consolidating:
-            # Spine-style fueled merge, O(Δ) edition: on non-consolidating
-            # epochs only the DELTA is materialized and the state stays a
-            # union of already-checkpointed pieces (bounded by
-            # consolidate_every) — the previous behaviour re-checkpointed
-            # the FULL state ∪ delta union every tick, an O(|state|)
-            # read+rewrite for O(|Δ|) of new information.  The union adds
-            # no exchange and readers are weight-additive by contract
-            # (see consolidate_every above).
-            self._epoch += 1
-            if (not pre_checkpointed
-                    and self._epoch % self.materialize_every == 0):
-                from database_stream_processor_spark.tuning import (
-                    checkpoint_small)
-                # LAZY checkpoint: the logical plan is truncated to a
-                # LogicalRDD immediately (no lineage growth), but the
-                # compute fuses into whichever downstream job reads the
-                # state first instead of scheduling its own — after that
-                # first execution the blocks are cached, so every
-                # consumer still reads the SAME bits (the q157
-                # discipline).
-                delta = ZSetFrame(checkpoint_small(
-                    delta.df, eager=False, aqe_off=self.aqe_off_ticks))
-            self._current = self._current.plus(delta)
-            return self._current
         merged = self._current.plus(delta)
-        if consolidating:
+        if (self._epoch + 1) % self.consolidate_every == 0:
             merged = merged.consolidate()
         self._current = self._materialize(merged)
         return self._current
@@ -243,8 +188,7 @@ class StateTable:
         if self._epoch % self.materialize_every == 0:
             from database_stream_processor_spark.tuning import (
                 checkpoint_small)
-            return ZSetFrame(checkpoint_small(
-                z.df, eager=True, aqe_off=self.aqe_off_ticks))
+            return ZSetFrame(checkpoint_small(z.df, eager=True))
         return z
 
 
@@ -320,7 +264,6 @@ class JoinOp:
         self.broadcast = broadcast
         # bilinear delta-join is weight-additive → spine-style lazy merge
         state_kw.setdefault("consolidate_every", 4)
-        state_kw.setdefault("aqe_off_ticks", True)
         left_kw = {**state_kw, **(left_state_kw or {})}
         right_kw = {**state_kw, **(right_state_kw or {})}
         self.left = StateTable(empty_left, name="join_left", **left_kw)
@@ -528,7 +471,6 @@ class DistinctOp:
     def __init__(self, empty: ZSetFrame, **state_kw):
         # distinct() re-consolidates per group internally → lazy merge is safe
         state_kw.setdefault("consolidate_every", 4)
-        state_kw.setdefault("aqe_off_ticks", True)
         self.integral = StateTable(empty, name="distinct_integral", **state_kw)
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
@@ -567,7 +509,6 @@ class AggregateOp:
         # subset before agg_fn so non-linear aggregates (rows() expansion)
         # see merged weights — cost ∝ touched groups, not state
         state_kw.setdefault("consolidate_every", 4)
-        state_kw.setdefault("aqe_off_ticks", True)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="agg_input", **state_kw)
         self._out_state: StateTable | None = None
@@ -590,17 +531,7 @@ class AggregateOp:
             old_out_rows = ZSetFrame(
                 _ns_semi(self._out_state.current.df, touched, self.keys))
         out_delta = new_out_rows.minus(old_out_rows).consolidate()
-        # materialize the emitted delta ONCE (lazily): the output-state
-        # append, the caller, and any downstream view read the same bits —
-        # a non-linear agg over doubles recomputed per consumer could
-        # otherwise emit bits that differ from what the state stored (the
-        # q157 class) — and the O(Δ) state path appends it without a
-        # second block copy
-        from database_stream_processor_spark.tuning import checkpoint_small
-        out_delta = ZSetFrame(checkpoint_small(
-            out_delta.df, eager=False,
-            aqe_off=self._out_state.aqe_off_ticks))
-        self._out_state.update(out_delta, pre_checkpointed=True)
+        self._out_state.update(out_delta)
         return out_delta
 
     @property
@@ -662,12 +593,6 @@ class LinearAggregateOp:
                              for name, expr in self.aggs.items()]
         out_schema = (empty_in.df.groupBy(*self.keys).agg(*self._delta_exprs)
                       .withColumn(WEIGHT_COL, F.lit(1).cast("long")))
-        # spine-style lazy merge: per tick only the (touched-key-sized)
-        # output delta is appended to the state; the full merge +
-        # consolidate runs every Nth epoch.  step() merges the touched
-        # restriction on read, so the unmerged union is never observable.
-        state_kw.setdefault("consolidate_every", 4)
-        state_kw.setdefault("aqe_off_ticks", True)
         self.state = StateTable(ZSetFrame(out_schema.limit(0)),
                                 name="linear_agg_output", **state_kw)
 
@@ -681,18 +606,11 @@ class LinearAggregateOp:
         return df.groupBy(*self.keys).agg(*self._delta_exprs)
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
-        from database_stream_processor_spark.tuning import checkpoint_small
         names = list(self.aggs)
         d = self._delta_agg(delta.df)
         old = self.state.current.df
-        # the state is lazily merged (may hold a key's live row alongside
-        # its cancelled predecessors), so merge just the touched-key
-        # restriction: the stale ±pairs cancel bit-exactly because every
-        # emitted delta is materialized ONCE below and the retraction is
-        # read back from those same stored bits
-        old_touched = ZSetFrame(
-            old.join(d.select(*self.keys), on=self.keys, how="left_semi")
-        ).consolidate().df
+        old_touched = old.join(d.select(*self.keys), on=self.keys,
+                               how="left_semi")
         old_renamed = old_touched.select(
             *self.keys, *[F.col(n).alias(f"__old_{n}") for n in names])
         merged = d.join(old_renamed, on=self.keys, how="left")
@@ -707,13 +625,7 @@ class LinearAggregateOp:
             nonzero = cond if nonzero is None else (nonzero | cond)
         inserts = ZSetFrame.from_df(new_rows.filter(nonzero), 1)
         out_delta = inserts.minus(ZSetFrame(old_touched)).consolidate()
-        # materialize the emitted delta ONCE (lazily — the compute fuses
-        # into the first consumer's job): state append, the caller, and
-        # any downstream view all read the same bits, and the O(Δ) state
-        # path appends it without a second copy
-        out_delta = ZSetFrame(checkpoint_small(
-            out_delta.df, eager=False, aqe_off=self.state.aqe_off_ticks))
-        self.state.update(out_delta, pre_checkpointed=True)
+        self.state.update(out_delta)
         return out_delta
 
     @property
@@ -801,7 +713,6 @@ class PartitionedRollingAggregateOp:
         self.watermark_delay = watermark_delay
         self.numeric_ts = numeric_ts
         state_kw.setdefault("consolidate_every", 4)
-        state_kw.setdefault("aqe_off_ticks", True)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="rolling_input", **state_kw)
         # output state initialized from the probe schema (input cols +
@@ -1099,7 +1010,6 @@ class PartitionedRollingAggregateLinearOp:
         self._a_max = max(a for _, a in self.frames.values())
         self.numeric_ts = numeric_ts
         state_kw.setdefault("consolidate_every", 4)
-        state_kw.setdefault("aqe_off_ticks", True)
         self._state_kw = dict(state_kw)
         self.integral = StateTable(empty_in, name="rolling_lin_input",
                                    **state_kw)
@@ -1128,16 +1038,9 @@ class PartitionedRollingAggregateLinearOp:
                 .drop("__bnd_pk"))
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
-        from database_stream_processor_spark.tuning import checkpoint_small
         names = list(self.aggs)
-        # the consolidated delta is read THREE times per tick (integral
-        # append, per-(pk,s) contributions, the fresh-output probe side);
-        # materialize it once — lazily, so the consolidate groupBy fuses
-        # into the tick's first job — instead of re-executing the
-        # batch-wide groupBy per reference
-        d = ZSetFrame(checkpoint_small(delta.consolidate().df, eager=False,
-                                        aqe_off=self.integral.aqe_off_ticks))
-        new_in = self.integral.update(d, pre_checkpointed=True)
+        d = delta.consolidate()
+        new_in = self.integral.update(d)
         ts = self._sec(F.col(self.ts))
         w = F.col(WEIGHT_COL)
 
@@ -1217,11 +1120,7 @@ class PartitionedRollingAggregateLinearOp:
 
         out_delta = ZSetFrame.sum(
             [minus_old, plus_adj, plus_fresh]).consolidate()
-        # single materialization of the emitted delta (q157 discipline +
-        # O(Δ) state append without a second block copy)
-        out_delta = ZSetFrame(checkpoint_small(
-            out_delta.df, eager=False, aqe_off=self.out.aqe_off_ticks))
-        self.out.update(out_delta, pre_checkpointed=True)
+        self.out.update(out_delta)
         return out_delta
 
     @property

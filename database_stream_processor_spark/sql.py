@@ -557,8 +557,7 @@ class _RollingWindowMaintainer(_ViewMaintainer):
                 empty_in, f"__rw_pk{i}", f"__rw_ts{i}",
                 before=max(b for b, _ in frames[i].values()),
                 after=max(a for _, a in frames[i].values()),
-                aggs=aggs[i], frames=frames[i], numeric_ts=True,
-                aqe_off_ticks=False)
+                aggs=aggs[i], frames=frames[i], numeric_ts=True)
             self.ops.append(op)
             cur, first = op.out.current.df, False
         for (si, before, after), nl_aggs in nl.items():
@@ -567,7 +566,7 @@ class _RollingWindowMaintainer(_ViewMaintainer):
             op = PartitionedRollingAggregateOp(
                 empty_in, f"__rw_pk{si}", f"__rw_ts{si}",
                 before=before, after=after, aggs=nl_aggs,
-                numeric_ts=True, aqe_off_ticks=False)
+                numeric_ts=True)
             self.ops.append(op)
             cur, first = op._out_state.current.df, False
 
@@ -2733,8 +2732,7 @@ class _UnionMaintainer(_ViewMaintainer):
             u = u.unionByName(p.toDF(*self._names))
         _ = u.schema
         self._op = None if is_all else DistinctOp(
-            ZSetFrame.from_df(eng.spark.createDataFrame([], u.schema)),
-            aqe_off_ticks=False)
+            ZSetFrame.from_df(eng.spark.createDataFrame([], u.schema)))
 
     def step(self, eng, combined, old):
         parts = []
@@ -2891,8 +2889,7 @@ class _SetOpMaintainer(_ViewMaintainer):
         self._schema = probes[0].unionByName(
             probes[1].toDF(*self._names)).schema
         empty = eng.spark.createDataFrame([], self._schema)
-        self._ops = [DistinctOp(ZSetFrame.from_df(empty),
-                                aqe_off_ticks=False)
+        self._ops = [DistinctOp(ZSetFrame.from_df(empty))
                      for _ in parsed]
         self._presence = [StateTable(ZSetFrame.from_df(empty),
                                      name=f"view_{name}_p{i}")
@@ -3086,8 +3083,7 @@ class _DistinctMaintainer(_ViewMaintainer):
         self._inner_sql = inner_sql
         probe = eng.eval_on(inner_sql, {table: _source_rows0(eng, table)})
         empty = eng.spark.createDataFrame([], probe.schema)
-        self._op = DistinctOp(ZSetFrame.from_df(empty),
-                              aqe_off_ticks=False)
+        self._op = DistinctOp(ZSetFrame.from_df(empty))
 
     def step(self, eng, combined, old):
         z = combined.get(self.table)
@@ -8371,8 +8367,7 @@ class _DistinctAggMaintainer(_GroupMergeMaintainer):
         probe = eng.eval_on(self._proj_sql,
                             {table: _source_rows0(eng, table)})
         self._dop = DistinctOp(ZSetFrame.from_df(
-            eng.spark.createDataFrame([], probe.schema)),
-            aqe_off_ticks=False)
+            eng.spark.createDataFrame([], probe.schema)))
         #: Σe partials carry SUM's widened type (int→long, decimal grows)
         #: so the group state schema is stable from the first tick
         from database_stream_processor_spark.zset import WEIGHT_COL
@@ -8595,8 +8590,7 @@ class _NonLinearAggMaintainer(_ViewMaintainer):
                 out = out.filter(F.expr(having))
             return ZSetFrame.from_df(out, 1)
 
-        self._op = AggregateOp(empty_in, self.keys, agg_fn,
-                               aqe_off_ticks=False)
+        self._op = AggregateOp(empty_in, self.keys, agg_fn)
         _ = self._emit(agg_fn(empty_in)).df.schema  # validate eagerly
 
     def _emit(self, delta: ZSetFrame) -> ZSetFrame:
