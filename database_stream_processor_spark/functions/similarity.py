@@ -230,10 +230,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
          .select(F.col(id_col).alias("neighbor_id"),
                  _as_double(F.col(vec_col)).alias("__cv")))
     c = c.withColumn("__cn", norm(F.col("__cv")))
+    # coalesce to a non-nullable type: the assignment can never BE null
+    # (16 literal centroids), but array_max's nullable output would make
+    # the inner join below infer an IsNotNull(__cent_id) filter and push
+    # it beneath this projection, substituting the whole 16-centroid
+    # score expression into the Filter — the interpreted (CodegenFallback)
+    # higher-order-function dots would then run TWICE per corpus row.
+    # A non-nullable key infers no filter: one evaluation, in this Project.
     assigned = c.select(
         "neighbor_id", "__cv", "__cn",
-        (-best1(F.col("__cv"), F.col("__cn")).getField("ncid"))
-        .alias("__cent_id"))
+        F.coalesce(-best1(F.col("__cv"), F.col("__cn")).getField("ncid"),
+                   F.lit(-1)).alias("__cent_id"))
 
     # top-n_probe via sort_array desc on (cs, -cent_id) structs: orders
     # cs desc then cent_id asc — the old window order — then slice+explode

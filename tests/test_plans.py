@@ -102,3 +102,10 @@ def test_q46_ivf_assignment_is_projection_and_probe_join_broadcasts(spark):
     # never hash-shuffled into a sort-merge join
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+    # the join key is non-nullable (coalesced), so the inner join must NOT
+    # have inferred an IsNotNull(__cent_id) filter and pushed the whole
+    # 16-centroid assignment expression below the projection — that
+    # re-evaluates the interpreted higher-order-function dot products a
+    # second time per corpus row
+    assert not any("Filter" in line and "array_max" in line
+                   for line in final.splitlines())
