@@ -100,6 +100,18 @@ def hyperplane_component(plane: int, dim_index: Column) -> Column:
 _PLANE_LIT_DIMS = int(os.environ.get("SPARK_GRAFT_PLANE_LIT_DIMS", "256"))
 
 
+def _lit_double_array(vals) -> Column:
+    """Constant ``array<double>`` built in ONE py4j round trip.
+
+    ``F.lit(list)`` decomposes into one ``F.lit`` py4j call PER ELEMENT
+    (~0.4 ms each — a 1024-component centroid table cost ~0.5 s of
+    driver time per query build, measured r12); parsing a single SQL
+    array literal string is one round trip regardless of length.
+    ``repr(float)`` is the shortest decimal that round-trips, so
+    ``Double.parseDouble`` reconstructs bit-identical values."""
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
 @lru_cache(maxsize=None)
 def _plane_literals(plane: int, dims: int) -> tuple[float, ...]:
     """The first ``dims`` components of hyperplane ``plane``, computed in
@@ -113,15 +125,19 @@ def _plane_literals(plane: int, dims: int) -> tuple[float, ...]:
 
 
 @lru_cache(maxsize=None)
-def _plane_literal_col(plane: int, dims: int) -> Column:
-    """The plane's component array as ONE literal Column.  A single
-    ``F.lit(list)`` py4j call — building it element-wise
-    (``F.array(*[F.lit(c) ...])``) costs ~dims py4j round-trips per
-    plane per call site, which showed up as ~38 s of driver-side plan
-    construction for one query (8 planes × 256 components × 2 sides).
-    Cached per process: Columns are unbound expression trees, safe to
-    reuse across DataFrames within the session."""
-    return F.lit(list(_plane_literals(plane, dims)))
+def _planes_flat_col(n_planes: int, dims: int) -> Column:
+    """ALL planes' components concatenated as ONE flat literal Column
+    (``array<double>``, plane p at offset p·dims).  A single flat
+    ``F.lit(list)`` py4j call — ``F.lit`` on a NESTED list decomposes
+    into one py4j array call per sub-list (~1.4 s for 16×64, measured
+    r12), and building plane columns element-wise costs ~dims round
+    trips per plane per call site (~38 s for one query).  Cached per
+    process: Columns are unbound expression trees, safe to reuse across
+    DataFrames within the session."""
+    flat: list[float] = []
+    for p in range(n_planes):
+        flat.extend(_plane_literals(p, dims))
+    return _lit_double_array(flat)
 
 
 def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
@@ -134,21 +150,44 @@ def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
     constant-folded literal arrays — the md5-per-element-per-plane
     expression work (8 planes × dim md5+conv calls PER ROW) disappears
     from the hot loop.  Longer vectors take the original expression
-    path; both branches produce identical doubles."""
+    path; both branches produce identical doubles.
+
+    The plane loop runs INSIDE one JVM ``aggregate`` over
+    ``sequence(0, n_planes-1)`` rather than as n_planes separate Python-
+    built projection trees: per-plane arithmetic is unchanged (same fold,
+    same literals, ascending-p exact integer bit sum), but the expression
+    tree is built once — ~8× fewer py4j round trips and an ~8× smaller
+    tree for Catalyst to analyze (measured r12: the per-plane form cost
+    ~2.5 s of driver-side build per query at n_planes=8)."""
     v = _as_double(vec_col)
     fold = lambda arr: F.aggregate(
         arr, F.lit(0).cast(ACC),
         lambda acc, x: (acc + x.cast(ACC)).cast(ACC)).cast("double")
-    bits = []
-    for p in range(n_planes):
-        lit = _plane_literal_col(p, _PLANE_LIT_DIMS)
-        fast = fold(F.zip_with(v, F.slice(lit, 1, F.size(v)),
-                               lambda x, c: x * c))
+    planes = _planes_flat_col(n_planes, _PLANE_LIT_DIMS)
+    powers = F.lit([1 << q for q in range(n_planes)])  # exact bit values
+
+    def bit(p: Column) -> Column:
+        # plane p's first size(v) components = flat[p·dims+1 .. +size(v)]
+        fast = fold(F.zip_with(
+            v, F.slice(planes, p.cast("int") * _PLANE_LIT_DIMS + 1,
+                       F.size(v)),
+            lambda x, c: x * c))
+        # slow path (vectors longer than the literal planes): identical
+        # md5-derived component, plane index now a column
+        comp = lambda i: (
+            (hash32(F.concat(F.lit("plane"), p.cast("string"), F.lit("_"),
+                             i.cast("string"))) % 2001 - 1000)
+            / F.lit(1000.0))
         slow = fold(F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1),
-                               lambda x, i: x * hyperplane_component(p, i)))
+                               lambda x, i: x * comp(i)))
         proj = F.when(F.size(v) <= _PLANE_LIT_DIMS, fast).otherwise(slow)
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).cast("long")
+        return F.when(proj > 0,
+                      F.element_at(powers, (p + 1).cast("int")).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                       F.lit(0).cast("long"),
+                       lambda acc, p: acc + bit(p)).cast("long")
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float,
@@ -215,16 +254,46 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  .collect())
     cents = sorted((int(r[0]), list(r[1]), float(r[2])) for r in cent_rows)
 
-    def scores(v: Column, vn: Column) -> list[tuple[int, Column]]:
-        return [(cid, F.round(dot(v, F.lit(cvec)) / (vn * F.lit(cn)), 6))
-                for cid, cvec, cn in cents]
+    # the centroid table as FLAT literal columns (ids, concatenated
+    # vectors + offsets/lengths, norms) — one F.lit py4j call each (a
+    # NESTED F.lit decomposes into one py4j call per sub-list, ~1.4 s
+    # for 16×64, measured r12).  The per-centroid formulation built
+    # n_centroids separate dot-fold trees TWICE per side (~16k py4j round
+    # trips, ~3 s of driver-side build per query); the score loop now
+    # runs inside one JVM `transform` over the centroid indices with
+    # per-pair arithmetic unchanged (same fold, same literal doubles,
+    # same round-6 + (-cid) tie-break).
+    flat: list[float] = []
+    offs: list[int] = []
+    lens: list[int] = []
+    for _, cvec, _ in cents:
+        offs.append(len(flat))
+        lens.append(len(cvec))
+        flat.extend(cvec)
+    ids_lit = F.lit([c[0] for c in cents])          # array<long>, cid asc
+    flat_lit = _lit_double_array(flat)              # array<double>
+    offs_lit = F.lit(offs)
+    lens_lit = F.lit(lens)
+    norms_lit = _lit_double_array([c[2] for c in cents])  # array<double>
+    n_cents = len(cents)
+
+    def scores_arr(v: Column, vn: Column) -> Column:
+        """array<struct<cs,ncid>> of all centroid scores for one row."""
+        def cvec_at(i: Column) -> Column:
+            return F.slice(flat_lit, F.element_at(offs_lit, i) + 1,
+                           F.element_at(lens_lit, i))
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(n_cents)),
+            lambda i: F.struct(
+                F.round(dot(v, cvec_at(i.cast("int")))
+                        / (vn * F.element_at(norms_lit, i.cast("int"))), 6)
+                .alias("cs"),
+                (-F.element_at(ids_lit, i.cast("int"))).alias("ncid")))
 
     # top-1 via struct-max: (cs, -cent_id) max ⇔ cs desc, cent_id asc —
     # exactly the old window's (cs desc, cent_id asc) row_number()=1
     def best1(v: Column, vn: Column) -> Column:
-        return F.array_max(F.array(*[
-            F.struct(cs.alias("cs"), F.lit(-cid).alias("ncid"))
-            for cid, cs in scores(v, vn)]))
+        return F.array_max(scores_arr(v, vn))
 
     c = (spread(corpus)
          .select(F.col(id_col).alias("neighbor_id"),
@@ -245,9 +314,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # top-n_probe via sort_array desc on (cs, -cent_id) structs: orders
     # cs desc then cent_id asc — the old window order — then slice+explode
     def topn(v: Column, vn: Column, n: int) -> Column:
-        arr = F.array(*[F.struct(cs.alias("cs"), F.lit(-cid).alias("ncid"))
-                        for cid, cs in scores(v, vn)])
-        return F.slice(F.sort_array(arr, asc=False), 1, n)
+        return F.slice(F.sort_array(scores_arr(v, vn), asc=False), 1, n)
 
     q = (queries.select(F.col(id_col).alias("query_id"),
                         _as_double(F.col(vec_col)).alias("__qv")))
