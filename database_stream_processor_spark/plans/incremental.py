@@ -40,8 +40,9 @@ from pyspark.sql import functions as F
 from database_stream_processor_spark.zset import WEIGHT_COL, ZSetFrame
 
 
-def _ns_semi(df: DataFrame, touched: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """Null-safe left-semi join of ``df`` on ``touched``'s key columns.
+def _ns_semi(df: DataFrame, touched: DataFrame, keys: Sequence[str],
+             how: str = "left_semi") -> DataFrame:
+    """Null-safe left-semi (or anti) join of ``df`` on ``touched``'s keys.
 
     SQL GROUP BY (and outer joins) treat NULL as a real key value; Spark's
     column-list equi-join drops NULL matches, so touched-group restriction
@@ -52,7 +53,7 @@ def _ns_semi(df: DataFrame, touched: DataFrame, keys: Sequence[str]) -> DataFram
     for c in keys:
         e = df[c].eqNullSafe(F.col(f"__t_{c}"))
         cond = e if cond is None else (cond & e)
-    return df.join(probe, on=cond, how="left_semi")
+    return df.join(probe, on=cond, how=how)
 
 
 class StateTable:
@@ -138,6 +139,24 @@ class StateTable:
 
     @property
     def current(self) -> ZSetFrame:
+        return self._current
+
+    def replace(self, new_state: ZSetFrame) -> ZSetFrame:
+        """state ← ``new_state`` verbatim (no union with the old state).
+
+        For operators that rebuild the full state frame themselves as
+        ``untouched-rows ∪ replacement-rows`` (disjoint by key), this
+        skips :meth:`update`'s state-wide union + consolidate shuffle —
+        the caller's plan typically reaches the old checkpoint through
+        broadcast-able delta-sized joins only, so the materialization is
+        a single exchange-free job (guide §2.4).  The caller guarantees
+        the frame is already weight-consolidated."""
+        if set(new_state.df.columns) != {f.name for f in self._schema.fields}:
+            raise ValueError(
+                f"state table `{self.name}` columns "
+                f"{sorted(f.name for f in self._schema.fields)} != replacement "
+                f"columns {sorted(new_state.df.columns)}")
+        self._current = self._materialize(new_state)
         return self._current
 
     def update(self, delta: ZSetFrame) -> ZSetFrame:
@@ -514,8 +533,13 @@ class AggregateOp:
         self._out_state: StateTable | None = None
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
+        from database_stream_processor_spark.tuning import checkpoint_small
         new_in = self.integral.update(delta)
-        touched = delta.df.select(*self.keys).dropDuplicates()
+        # materialize the (delta-sized) touched-key set once: it is read
+        # by the touched restriction, the old-output semi AND the new-
+        # state anti below (§3.3)
+        touched = checkpoint_small(
+            delta.df.select(*self.keys).dropDuplicates(), eager=True)
         # null-safe restriction: SQL GROUP BY keeps a NULL group, and a
         # plain equi semi-join would never mark it touched
         new_touched = ZSetFrame(
@@ -531,7 +555,19 @@ class AggregateOp:
             old_out_rows = ZSetFrame(
                 _ns_semi(self._out_state.current.df, touched, self.keys))
         out_delta = new_out_rows.minus(old_out_rows).consolidate()
-        self._out_state.update(out_delta)
+        # new output state = untouched groups ∪ recomputed groups —
+        # disjoint by key, so no state-wide union+consolidate shuffle
+        # (§2.4): algebraically identical to update(out_delta) (touched
+        # old rows cancel, recomputed rows arrive at weight 1), and the
+        # state stays consolidated BY CONSTRUCTION (agg_fn emits one
+        # weight-1 row per surviving group; untouched rows are preserved
+        # verbatim from the previous replace).
+        out_cols = self._out_state.current.df.columns
+        untouched = _ns_semi(self._out_state.current.df, touched, self.keys,
+                             how="left_anti")
+        self._out_state.replace(ZSetFrame(
+            untouched.select(*out_cols)
+            .unionByName(new_out_rows.df.select(*out_cols))))
         return out_delta
 
     @property
@@ -606,8 +642,18 @@ class LinearAggregateOp:
         return df.groupBy(*self.keys).agg(*self._delta_exprs)
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
+        from database_stream_processor_spark.tuning import checkpoint_small
         names = list(self.aggs)
-        d = self._delta_agg(delta.df)
+        # materialize the per-key delta sums ONCE: the frame is read three
+        # times below (semi, left, anti) — lazy, each reference would
+        # re-execute the delta shuffle (guide §3.3), and a double-typed
+        # agg re-executed under different layouts could diverge in the
+        # low bits between the emitted delta and the stored state (the
+        # r12 q157 lesson).  Statically planning this (aqe_off) was
+        # measured SLOWER (q37 3.6 vs 2.8 s, q43 3.5 vs 2.2 s): AQE's
+        # extra per-exchange jobs are cheap shells, while a static job
+        # serializes the stages — keep AQE on.
+        d = checkpoint_small(self._delta_agg(delta.df), eager=True)
         old = self.state.current.df
         old_touched = old.join(d.select(*self.keys), on=self.keys,
                                how="left_semi")
@@ -625,7 +671,21 @@ class LinearAggregateOp:
             nonzero = cond if nonzero is None else (nonzero | cond)
         inserts = ZSetFrame.from_df(new_rows.filter(nonzero), 1)
         out_delta = inserts.minus(ZSetFrame(old_touched)).consolidate()
-        self.state.update(out_delta)
+        # new state = untouched old rows ∪ replacement rows — DISJOINT by
+        # key, so no consolidate shuffle: algebraically identical to
+        # state.update(out_delta) (old touched rows cancel to weight 0,
+        # inserts arrive at weight 1) but the state-wide union+groupBy
+        # per tick becomes a broadcast anti-join of the delta keys
+        # against the old checkpoint — the materialization schedules one
+        # exchange-free job instead of an AQE job per exchange (§2.4;
+        # state rows are weight-1 unique keys by induction: inserts are
+        # from_df(..., 1) and untouched rows are preserved verbatim).
+        untouched = old.join(d.select(*self.keys), on=self.keys,
+                             how="left_anti")
+        state_cols = [f.name for f in self.state._schema.fields]
+        self.state.replace(ZSetFrame(
+            untouched.select(*state_cols)
+            .unionByName(inserts.df.select(*state_cols))))
         return out_delta
 
     @property
@@ -659,7 +719,11 @@ class UpsertOp:
                 .filter(F.col("__rn") == 1).drop("__rn", "__seq"))
         value_cols = [c for c in last.columns if c not in (*self.keys, "__delete")]
 
+        from database_stream_processor_spark.tuning import checkpoint_small
         old = self.state.current
+        # the command batch is read four times below (touched keys ×2,
+        # inserts, and through the returned delta) — materialize once
+        last = checkpoint_small(last, eager=True)
         touched = last.select(*self.keys).dropDuplicates()
         old_touched = ZSetFrame(old.df.join(touched, on=self.keys, how="left_semi"))
 
@@ -667,7 +731,15 @@ class UpsertOp:
             last.filter(~F.col("__delete")).select(*self.keys, *value_cols), 1
         )
         delta = inserts.plus(old_touched.neg()).consolidate()
-        self.state.update(delta)
+        # new state = untouched keys ∪ new values — disjoint, so the
+        # state-wide union+consolidate becomes a delta-keyed anti join
+        # (§2.4; equivalent to update(delta): old touched rows cancel,
+        # inserts arrive at weight 1)
+        state_cols = old.df.columns
+        untouched = old.df.join(touched, on=self.keys, how="left_anti")
+        self.state.replace(ZSetFrame(
+            untouched.select(*state_cols)
+            .unionByName(inserts.df.select(*state_cols))))
         return delta
 
 
