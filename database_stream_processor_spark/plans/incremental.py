@@ -544,7 +544,14 @@ class AggregateOp:
         # plain equi semi-join would never mark it touched
         new_touched = ZSetFrame(
             _ns_semi(new_in.df, touched, self.keys)).consolidate()
-        new_out_rows = self.agg_fn(new_touched)  # weight-1 rows per surviving group
+        # weight-1 rows per surviving group, materialized ONCE: the frame
+        # is read by the emitted out_delta AND the replacement state below,
+        # and an order-sensitive float agg_fn re-executed under different
+        # shuffle layouts could diverge in the low bits between the two —
+        # the exact q157 hazard LinearAggregateOp guards against by
+        # checkpointing d (r12 post-mortem)
+        new_out_rows = ZSetFrame(
+            checkpoint_small(self.agg_fn(new_touched).df, eager=True))
 
         if self._out_state is None:
             empty_out = ZSetFrame(new_out_rows.df.limit(0))
