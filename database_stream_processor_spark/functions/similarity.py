@@ -108,8 +108,24 @@ def _lit_double_array(vals) -> Column:
     driver time per query build, measured r12); parsing a single SQL
     array literal string is one round trip regardless of length.
     ``repr(float)`` is the shortest decimal that round-trips, so
-    ``Double.parseDouble`` reconstructs bit-identical values."""
-    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    ``Double.parseDouble`` reconstructs bit-identical values.  Non-finite
+    and NULL components (possible in corpus embeddings) render as casts
+    — ``repr()`` would emit ``nanD``/``infD``/``NoneD``, which fail SQL
+    parsing (ADVICE r12)."""
+    import math
+
+    def fmt(v) -> str:
+        if v is None:
+            return "CAST(NULL AS DOUBLE)"
+        v = float(v)
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return ("CAST('Infinity' AS DOUBLE)" if v > 0
+                    else "CAST('-Infinity' AS DOUBLE)")
+        return f"{v!r}D"
+
+    return F.expr("array(" + ",".join(fmt(v) for v in vals) + ")")
 
 
 @lru_cache(maxsize=None)
@@ -190,6 +206,28 @@ def lsh_signature(vec_col: Column, n_planes: int = 8) -> Column:
                        lambda acc, p: acc + bit(p)).cast("long")
 
 
+@lru_cache(maxsize=None)
+def _bucket_col(vec_col_name: str, n_planes: int) -> Column:
+    """The LSH bucket expression for a named vector column, memoized per
+    process (Columns are unbound trees — safe to reuse across DataFrames,
+    same discipline as :func:`_planes_flat_col`; building the signature
+    tree costs ~0.13 s of py4j round trips per call, measured r13).
+
+    Wrapped in a NON-NULLABLE coalesce: the signature can never BE null
+    (a null/empty vector folds to bucket 0 — every per-plane bit is
+    ``when(proj > 0, …).otherwise(0)``, so a null proj contributes 0),
+    but the aggregate's output is *typed* nullable, so an equi-join on
+    the bucket would infer an ``IsNotNull(__bucket)`` filter and push it
+    beneath the projection, SUBSTITUTING the whole interpreted signature
+    expression into the Filter — the signature then ran twice per row,
+    once single-threaded below the spread exchange (the q46 r12 lesson;
+    the r13 plan audit found q31/q47 still carried it: 0.8 s of the
+    1.6 s wall was the substituted Filter stage).  A non-nullable key
+    infers no filter: one evaluation, in the Project."""
+    return F.coalesce(lsh_signature(F.col(vec_col_name), n_planes),
+                      F.lit(0).cast("long"))
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_planes: int = 8) -> DataFrame:
@@ -203,8 +241,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     corpus scale, run multiple independent plane sets (band OR) to raise
     recall; one set keeps the oracle tractable here.
     """
-    sig = spread(df).withColumn("__bucket",
-                                lsh_signature(F.col(vec_col), n_planes))
+    sig = spread(df).withColumn("__bucket", _bucket_col(vec_col, n_planes))
     a = sig.select(F.col(id_col).alias("id_a"),
                    _as_double(F.col(vec_col)).alias("__va"), "__bucket")
     a = a.withColumn("__na", norm(F.col("__va")))
@@ -252,7 +289,21 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                          _as_double(F.col(vec_col)),
                          norm(_as_double(F.col(vec_col))))
                  .collect())
-    cents = sorted((int(r[0]), list(r[1]), float(r[2])) for r in cent_rows)
+    # norms/components may be NULL (NaN/NULL embeddings cast to decimal →
+    # NULL) — keep them as None; the literal builder renders NULL casts
+    cents = sorted((int(r[0]), list(r[1] or []),
+                    None if r[2] is None else float(r[2]))
+                   for r in cent_rows)
+    if not cents:
+        # empty centroid set (empty corpus / no ids < n_centroids): the
+        # literal-offset probing below would build F.sequence(1, 0) =
+        # [1, 0] (negative default step) and throw at runtime — degrade
+        # to an empty result like the old join formulation did (ADVICE
+        # r12)
+        q0 = queries.select(F.col(id_col).alias("query_id")).limit(0)
+        c0 = corpus.select(F.col(id_col).alias("neighbor_id")).limit(0)
+        return (q0.crossJoin(c0)
+                .withColumn("cosine_sim", F.lit(None).cast("double")))
 
     # the centroid table as FLAT literal columns (ids, concatenated
     # vectors + offsets/lengths, norms) — one F.lit py4j call each (a
@@ -351,18 +402,23 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Output: (query_id, neighbor_id, cosine_sim) — top-k *within bucket*.
     """
-    sig = lambda df, n: spread(df).withColumn(
-        "__bucket", lsh_signature(F.col(vec_col), n))
+    sig = lambda df, n: spread(df).withColumn("__bucket",
+                                              _bucket_col(vec_col, n))
+    # per-row norms hoisted ahead of the bucket join (identical doubles;
+    # inline cosine() would re-fold both norms per surviving pair)
     q = sig(queries, n_planes).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"), "__bucket")
+    q = q.withColumn("__qn", norm(F.col("__qv")))
     c = sig(corpus, n_planes).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"), "__bucket")
+    c = c.withColumn("__cn", norm(F.col("__cv")))
     pairs = q.join(c, on="__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"))
+        F.round(dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")), 6).alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("__rk", F.row_number().over(w))

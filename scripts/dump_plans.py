@@ -28,7 +28,8 @@ def main() -> None:
         from bench import HEADLINE
         names = HEADLINE
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"))
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(app_name="dump_plans")
     for name in names:

@@ -58,6 +58,23 @@ def test_q31_ann_is_equi_join_on_bucket(spark):
     df = REGISTRY["q31_lsh_ann_topk"].fn(spark, SF)
     plan = _physical(df)
     assert "CartesianProduct" not in plan
+    # the bucket key is non-nullable (coalesced signature), so the bucket
+    # equi-join must NOT have inferred IsNotNull(__bucket) and pushed the
+    # whole interpreted LSH-signature aggregate below the projection —
+    # that re-evaluates the signature a second time per corpus row,
+    # single-threaded below the spread exchange (the r13 q31 root cause;
+    # same disease as q46's centroid assignment, fixed r12)
+    final = plan.split("== Initial Plan ==")[0]
+    assert not any("Filter" in line and "aggregate(" in line
+                   for line in final.splitlines())
+
+
+def test_q47_bucket_join_key_is_nonnullable(spark):
+    df = REGISTRY["q47_cosine_near_dup"].fn(spark, SF)
+    final = _physical(df).split("== Initial Plan ==")[0]
+    # same invariant as q31: no signature expression under any Filter
+    assert not any("Filter" in line and "aggregate(" in line
+                   for line in final.splitlines())
 
 
 def test_q33_text_scoring_stays_jvm_side(spark):
