@@ -274,6 +274,15 @@ def main() -> None:
         # a degraded run are NOT attributable to code changes
         "degraded": bool(degraded or cal_end > SERIAL_OK
                          or par_end > PAR_OK),
+        # the scheduling-latency probe, surfaced on the headline line
+        # (additions-only) so round-over-round wall comparisons can
+        # SELF-LABEL: the r12 verdict found a 55 → 95 ms job_ms swing
+        # between driver hosts poisoned the whole headline comparison
+        # (17/23 queries job_bound).  Two runs' per-query deltas are
+        # attributable only when their job_ms agree within ~20%; the
+        # quiet-gate probes cannot see this drift (serial CPU and
+        # parallel throughput both read clean at 95 ms/job).
+        "job_ms": [job_ms_start, job_ms_end],
         "sf": sf_dir,
     }
     line = json.dumps(headline)

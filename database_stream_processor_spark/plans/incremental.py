@@ -831,6 +831,13 @@ class PartitionedRollingAggregateOp:
         """
         from database_stream_processor_spark.operators.windows import (
             rolling_aggregate)
+        from database_stream_processor_spark.tuning import checkpoint_small
+        # materialize the incoming delta ONCE: the watermark derivation,
+        # the bounds aggregate and the integral update below each
+        # re-execute the whole upstream delta pipeline when it stays lazy
+        # (§3.3 — the r13 plan audit counted 6 delta-pipeline executions
+        # in one tick's out_delta plan)
+        delta = ZSetFrame(checkpoint_small(delta.df, eager=True))
         ts_sec = self._ts_sec()
         wmb = None
         if self.watermark_delay is not None:
@@ -853,9 +860,13 @@ class PartitionedRollingAggregateOp:
                 self._out_state.current.df.crossJoin(wmb)
                 .filter(ts_sec >= F.col("__wm")).drop("__wm"))
 
-        bounds = (delta.df.groupBy(self.pk)
-                  .agg(F.min(ts_sec).alias("__dmin"),
-                       F.max(ts_sec).alias("__dmax")))
+        # per-pk delta time bounds, materialized once: referenced by the
+        # input slice, the recomputed-output restriction AND the old-
+        # output slice (3 broadcast probes of a touched-pk-sized frame)
+        bounds = checkpoint_small(
+            delta.df.groupBy(self.pk)
+            .agg(F.min(ts_sec).alias("__dmin"),
+                 F.max(ts_sec).alias("__dmax")), eager=True)
         new_in = self.integral.update(delta)
 
         # the slice must cover the output rows AND their frames
@@ -1117,17 +1128,27 @@ class PartitionedRollingAggregateLinearOp:
                 .drop("__bnd_pk"))
 
     def step(self, delta: ZSetFrame) -> ZSetFrame:
+        from database_stream_processor_spark.tuning import checkpoint_small
         names = list(self.aggs)
-        d = delta.consolidate()
+        # materialize the consolidated delta ONCE: it is read by the
+        # contrib aggregate, the integral update AND the fresh-output
+        # join below — lazy, Catalyst re-executes the whole upstream
+        # delta pipeline per reference (the r13 plan audit counted 14
+        # executions of the events scan in ONE tick's out_delta plan,
+        # guide §3.3)
+        d = ZSetFrame(checkpoint_small(delta.consolidate().df, eager=True))
         new_in = self.integral.update(d)
         ts = self._sec(F.col(self.ts))
         w = F.col(WEIGHT_COL)
 
-        # per-(pk, s) delta contributions: Σ expr·w at each delta time
-        contrib = (d.df.groupBy(self.pk, ts.alias("__s"))
-                   .agg(*[F.sum((expr * w).cast(self._acc_type))
-                          .alias(f"__c_{n}")
-                          for n, expr in self.aggs.items()]))
+        # per-(pk, s) delta contributions: Σ expr·w at each delta time —
+        # materialized once too (read by the bounds aggregate twice and
+        # the adjustment join; delta-sized)
+        contrib = checkpoint_small(
+            d.df.groupBy(self.pk, ts.alias("__s"))
+            .agg(*[F.sum((expr * w).cast(self._acc_type))
+                   .alias(f"__c_{n}")
+                   for n, expr in self.aggs.items()]), eager=True)
 
         # (a) adjust existing outputs whose frame covers a delta time:
         # t ∈ [s − after_n, s + before_n]  ⇔  s ∈ [t − before_n, t + after_n]
@@ -1159,12 +1180,25 @@ class PartitionedRollingAggregateLinearOp:
                    F.sum(F.when(olap[n], F.col(f"__c_{n}"))),
                    F.lit(0).cast(self._acc_type)).alias(f"__a_{n}")
                    for n in names]))
-        minus_old = ZSetFrame(adj.select(*sl.columns)).neg()
-        plus_adj = ZSetFrame(adj.select(
-            *[c for c in sl.columns if c not in names],
-            *[(F.col(n) + F.col(f"__a_{n}")).cast(self._acc_type).alias(n)
-              for n in names]
-        ).select(*sl.columns))
+        # ONE execution of the adj subtree emits BOTH rows per adjusted
+        # output: the retraction of the old row (old values, −w) and the
+        # adjusted replacement (value + Σ contributions, +w) — exploded
+        # from a 2-struct array.  Two separate Union branches would
+        # re-execute the whole slice-join-aggregate subtree per branch
+        # (§3.3); values and weights are the identical expressions.
+        others = [c for c in sl.columns if c not in names and c != WEIGHT_COL]
+        pair = F.explode(F.array(
+            F.struct(*[F.col(n).alias(n) for n in names],
+                     (-F.col(WEIGHT_COL)).alias(WEIGHT_COL)),
+            F.struct(*[(F.col(n) + F.col(f"__a_{n}"))
+                       .cast(self._acc_type).alias(n) for n in names],
+                     F.col(WEIGHT_COL).alias(WEIGHT_COL))))
+        adj_both = ZSetFrame(
+            adj.select(*others, pair.alias("__pr"))
+            .select(*others,
+                    *[F.col(f"__pr.{n}").alias(n) for n in names],
+                    F.col(f"__pr.{WEIGHT_COL}").alias(WEIGHT_COL))
+            .select(*sl.columns))
 
         # (b) fresh outputs for the delta rows from the updated integral —
         # the state side is pre-restricted to delta-adjacent (pk, time)
@@ -1197,8 +1231,7 @@ class PartitionedRollingAggregateLinearOp:
             *names,
             F.col(f"__d_{WEIGHT_COL}").alias(WEIGHT_COL)))
 
-        out_delta = ZSetFrame.sum(
-            [minus_old, plus_adj, plus_fresh]).consolidate()
+        out_delta = ZSetFrame.sum([adj_both, plus_fresh]).consolidate()
         self.out.update(out_delta)
         return out_delta
 

@@ -57,10 +57,27 @@ def register(name: str, oracle: str | None):
 #: No DATA is cached — every action still scans the parquet files.  Keyed
 #: WEAKLY on the session so a stopped session's frames are dropped (and an
 #: id()-reuse after GC can never serve a dead session's plan).
+#:
+#: CONTRACT: the memo assumes the sf_dir is STATIC for the session —
+#: ``spark.read.parquet`` snapshots the file listing (InMemoryFileIndex)
+#: at first load, so files added/replaced under a memoized path mid-
+#: session would be invisible (or break reads of deleted files) exactly
+#: as they would for any held DataFrame.  The bench/oracle data dirs are
+#: immutable, which is why load() may memoize; callers that regenerate
+#: a directory in-session must call :func:`invalidate_load_memo` first.
 import weakref as _weakref
 
 _LOAD_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" \
     = _weakref.WeakKeyDictionary()
+
+
+def invalidate_load_memo(spark: SparkSession | None = None) -> None:
+    """Drop memoized scan frames (for ``spark``, or all sessions) — the
+    hook for callers that regenerate a data directory mid-session."""
+    if spark is None:
+        _LOAD_MEMO.clear()
+    else:
+        _LOAD_MEMO.pop(spark, None)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
