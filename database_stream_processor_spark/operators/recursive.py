@@ -321,50 +321,6 @@ class _PartitionedPairStore:
          .repartition(self.n, F.col("__b"))
          .write.mode("overwrite").partitionBy("__b").parquet(self.path))
 
-    @staticmethod
-    def write_pair(store_a: "_PartitionedPairStore", df_a: DataFrame,
-                   buckets_a: list[int] | None,
-                   store_b: "_PartitionedPairStore", df_b: DataFrame,
-                   buckets_b: list[int] | None) -> None:
-        """Write BOTH stores' replacement content in ONE Spark job (§6
-        I/O: the per-tick write-back rewrites the src- and dst-partitioned
-        copies of the same pair set; two separate write jobs doubled the
-        per-tick fixed cost).  The union of both contents, tagged by
-        orientation, lands in one temp directory partitioned by
-        (__o, __b); the bucket directories then swap into each store via
-        driver-side FS renames (no data movement).  ``buckets=None``
-        means a FULL overwrite of that store (the bootstrap tick).
-        Assumes both stores live on the same filesystem (they are sibling
-        subdirectories of one state path in the closure op)."""
-        fs, jvm = store_a._fs()
-        P = jvm.org.apache.hadoop.fs.Path
-        tmp = f"{store_a.path}__pairtmp"
-        fs.delete(P(tmp), True)
-        tag = lambda store, df, o: (
-            df.select(*store.columns)
-            .withColumn("__o", F.lit(o))
-            .withColumn("__b", store.bucket_expr(store.key)))
-        n_a = store_a.n if buckets_a is None else max(1, len(buckets_a))
-        n_b = store_b.n if buckets_b is None else max(1, len(buckets_b))
-        (tag(store_a, df_a, "a").unionByName(tag(store_b, df_b, "b"))
-         .repartition(n_a + n_b, F.col("__o"), F.col("__b"))
-         .write.mode("overwrite").partitionBy("__o", "__b").parquet(tmp))
-        for store, buckets, o in ((store_a, buckets_a, "a"),
-                                  (store_b, buckets_b, "b")):
-            if buckets is None:
-                fs.delete(P(store.path), True)
-                fs.mkdirs(P(store.path))
-            else:
-                for b in buckets:
-                    fs.delete(P(f"{store.path}/__b={b}"), True)
-            src_dir = P(f"{tmp}/__o={o}")
-            if fs.exists(src_dir):
-                for st in fs.listStatus(src_dir):
-                    name = st.getPath().getName()
-                    if name.startswith("__b="):
-                        fs.rename(st.getPath(), P(f"{store.path}/{name}"))
-        fs.delete(P(tmp), True)
-
     def overwrite_buckets(self, df: DataFrame, buckets: list[int]) -> None:
         """Replace exactly ``buckets`` with ``df`` (which must contain the
         buckets' full new content, and ONLY rows belonging to them).
@@ -563,29 +519,14 @@ class IncrementalTransitiveClosureOp:
                 self.spark.createDataFrame([], self._schema), 1)
         return out.consolidate()
 
-    def _coalesced(self, df: DataFrame) -> DataFrame:
-        """Clamp a tiny frame's partition count to the session's shuffle
-        width before checkpointing it: the edges union inherits the base
-        scan's partitions (33 near-empty partitions for a 170-row edge
-        set, measured r13), and every checkpoint job plus every later
-        read pays one task launch per partition.  ``coalesce`` only ever
-        REDUCES — when the small-tick gate resized the conf this clamps
-        to the gate's 1-4; at scale the configured width makes it a
-        no-op, so parallelism is never capped."""
-        try:
-            w = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            return df
-        return df.coalesce(w)
-
     def _insert(self, added: DataFrame) -> "object":
         """Frontier insertion: close the seed of one-new-edge paths
         against the (post-deletion) closure."""
         from database_stream_processor_spark.zset import ZSetFrame
         if self._bucketed:
             return self._insert_bucketed(added)
-        self._edges = self._coalesced(self._edges.unionByName(added)) \
-            .localCheckpoint(eager=True)
+        self._edges = (self._edges.unionByName(added)
+                       .localCheckpoint(eager=True))
         # seed: every path using exactly one new edge (old-path prefix/
         # suffix); multi-new-edge paths emerge from the closure loop
         # (I ∪ TC_old) ∘ ΔE — prefix reaches a new edge's source
@@ -729,8 +670,8 @@ class IncrementalTransitiveClosureOp:
         precomputed from step()'s fused probe on post-init ticks."""
         from database_stream_processor_spark.zset import ZSetFrame
         src, dst = self.src, self.dst
-        self._edges = self._coalesced(self._edges.unionByName(added)) \
-            .localCheckpoint(eager=True)
+        self._edges = (self._edges.unionByName(added)
+                       .localCheckpoint(eager=True))
         # `added` is a lazy checkpoint: the edges-union job above (or the
         # fused probe in step()) materializes it
 
@@ -739,9 +680,8 @@ class IncrementalTransitiveClosureOp:
             # partitioned copies once
             tc = transitive_closure(self._edges, src, dst,
                                     self.max_iterations, method="doubling")
-            # both partitioned copies in ONE write job (§6)
-            _PartitionedPairStore.write_pair(self._s_src, tc, None,
-                                             self._s_dst, tc, None)
+            self._s_src.write_full(tc)
+            self._s_dst.write_full(tc)
             self._initialized = True
             self._n = tc.count()
             return ZSetFrame.from_df(tc, 1)
@@ -806,13 +746,14 @@ class IncrementalTransitiveClosureOp:
             return ZSetFrame.from_df(
                 self.spark.createDataFrame([], self._schema), 1)
 
-        # rewrite only the buckets that received new pairs — BOTH copies
-        # in one write job (the temp-dir swap reads the live dirs inside
-        # the write, so no caller-side materialization is needed)
+        # rewrite only the buckets that received new pairs, in each copy;
+        # overwrite_buckets reads the live dirs inside its own write job
+        # (temp-dir swap), so no caller-side materialization is needed
         sb, db = sorted(nrow["sb"]), sorted(nrow["db"])
-        _PartitionedPairStore.write_pair(
-            self._s_src, self._s_src.read_buckets(sb).unionByName(new), sb,
-            self._s_dst, self._s_dst.read_buckets(db).unionByName(new), db)
+        self._s_src.overwrite_buckets(
+            self._s_src.read_buckets(sb).unionByName(new), sb)
+        self._s_dst.overwrite_buckets(
+            self._s_dst.read_buckets(db).unionByName(new), db)
         self._n += n_new
         return ZSetFrame.from_df(new, 1)
 
@@ -909,14 +850,13 @@ class IncrementalTransitiveClosureOp:
             F.count(F.lit(1)).alias("n"),
             F.collect_set(self._s_dst.bucket_expr(dst)).alias("bs")
         ).collect()[0]
-        # keep/rederived are checkpointed pieces, and the paired write
-        # goes through a temp-dir swap — no caller-side materialization;
-        # BOTH copies rewrite in one Spark job
+        # keep/rederived are checkpointed pieces, and overwrite_buckets
+        # writes through a temp-dir swap — no caller-side materialization
         new_affected = keep.unionByName(rederived)
+        self._s_src.overwrite_buckets(new_affected, sb)
         db = sorted(drow["bs"])
-        _PartitionedPairStore.write_pair(
-            self._s_src, new_affected, sb,
-            self._s_dst, self._s_dst.read_buckets(db).exceptAll(dead), db)
+        self._s_dst.overwrite_buckets(
+            self._s_dst.read_buckets(db).exceptAll(dead), db)
         self._n = max(1, self._n - int(drow["n"]))
         self.last_delete_stats = {
             "suspects": n_d, "rounds": rounds,
