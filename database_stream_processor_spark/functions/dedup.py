@@ -169,7 +169,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
     frame is one row of k ints per doc — tiny next to the corpus at any
     scale."""
     from database_stream_processor_spark.tuning import checkpoint_small
-    signatures = checkpoint_small(signatures, eager=True, aqe_off=True)
+    signatures = checkpoint_small(signatures, eager=True, aqe_off=False)
     r = k // bands
     band_structs = [
         F.struct(F.lit(b).alias("band"),
@@ -256,7 +256,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             shingles_from_tokens(F.col("__toks"), n).alias("__set")
         )
         from database_stream_processor_spark.tuning import checkpoint_small
-        sets = checkpoint_small(sets, eager=True, aqe_off=True)
+        sets = checkpoint_small(sets, eager=True, aqe_off=False)
         sa = sets.select(F.col(id_col).alias("id_a"),
                          F.col("__set").alias("__seta"))
         sb = sets.select(F.col(id_col).alias("id_b"),
@@ -331,7 +331,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         .select("__e.__a", "__e.__b")
         .dropDuplicates())
     from database_stream_processor_spark.tuning import checkpoint_small
-    sym = checkpoint_small(sym, eager=True, aqe_off=True)
+    sym = checkpoint_small(sym, eager=True, aqe_off=False)
     # the loop's working set is bounded by |sym| + |labels| ≈ 2·|sym|:
     # size-gate the rounds on the MATERIALIZED edge bytes (driver-side
     # block-manager metadata, no job) — small graphs run each round as
