@@ -90,6 +90,11 @@ class StateTable:
         self._spark = empty.df.sparkSession
         self._schema = empty.df.schema
         self._current: ZSetFrame = ZSetFrame(empty.df.limit(0))
+        #: deltas queued by :meth:`defer_update`, not yet folded into the
+        #: materialized state; and the count of deltas ever folded (the
+        #: read-tracking bookkeeping for pre-tick snapshot marks)
+        self._deferred: list[ZSetFrame] = []
+        self._seq = 0
         if path:
             # namespace by table name: one operator owns several tables and
             # may pass them all the same base path
@@ -139,7 +144,48 @@ class StateTable:
 
     @property
     def current(self) -> ZSetFrame:
+        """Materialized current state.  Reading it folds any deltas queued
+        by :meth:`defer_update` first — accessing ``current`` IS the read
+        that read-tracking materialization triggers on."""
+        self._fold()
         return self._current
+
+    def defer_update(self, delta: ZSetFrame) -> None:
+        """Queue ``delta`` without materializing the merged state (§5:
+        state that nothing reads this tick schedules no job).  The fold
+        into a materialized state happens on the first :attr:`current`
+        read — k queued deltas then fold in ONE materialization instead
+        of k.  Until then :meth:`peek` serves the logical state as a lazy
+        plan.  Memory backend only: the parquet backend's per-epoch write
+        is the durability contract, so callers must not defer it."""
+        if set(delta.df.columns) != {f.name for f in self._schema.fields}:
+            raise ValueError(
+                f"state table `{self.name}` columns "
+                f"{sorted(f.name for f in self._schema.fields)} != delta columns "
+                f"{sorted(delta.df.columns)}")
+        self._deferred.append(delta)
+
+    def _fold(self, upto: int | None = None) -> None:
+        """Fold the first ``upto`` queued deltas (default: all) into the
+        materialized state via one :meth:`update`."""
+        k = len(self._deferred) if upto is None else upto
+        if k <= 0:
+            return
+        batch = self._deferred[:k]
+        del self._deferred[:k]
+        self._seq += k
+        self.update(ZSetFrame.sum(batch))
+
+    def peek(self) -> ZSetFrame:
+        """Logical current state (materialized ∪ queued deltas) as a LAZY
+        plan — never schedules a job, never folds.  With nothing queued
+        this is exactly the materialized state; otherwise the plan
+        consolidates so ``rows()`` nets queued retractions correctly
+        (weights are ints, so the fold is bit-exact under any layout)."""
+        if not self._deferred:
+            return self._current
+        return self._current.plus(
+            ZSetFrame.sum(self._deferred)).consolidate()
 
     def replace(self, new_state: ZSetFrame) -> ZSetFrame:
         """state ← ``new_state`` verbatim (no union with the old state).

@@ -200,9 +200,11 @@ def _parse_columns(body: str) -> T.StructType:
 
 def _source_rows0(eng: "Engine", name: str) -> DataFrame:
     """Empty rows frame (schema probe) for a maintainer input — a base
-    table or an upstream maintained view."""
+    table or an upstream maintained view.  Probes are analysis-only, so
+    they read the table's lazy ``peek`` and never force a deferred state
+    fold (read-tracking materialization, StateTable.defer_update)."""
     if name in eng.tables:
-        return eng.tables[name].current.rows().limit(0)
+        return eng.tables[name].peek().rows().limit(0)
     return eng._maintainers[name].state.current.rows().limit(0)
 
 
@@ -210,16 +212,60 @@ def _current_rows(eng: "Engine", name: str) -> DataFrame:
     """Current (post-update-this-tick) rows of a base table or an
     upstream maintained view — maintainers step in dependency order, so
     an upstream view's state is already new when a downstream maintainer
-    reads it."""
+    reads it.  For a table this is a REAL integral read: accessing
+    ``current`` folds (materializes) any deferred deltas first."""
     if name in eng.tables:
         return eng.tables[name].current.rows()
     return eng._maintainers[name].state.current.rows()
 
 
+class _OldSnapshots(Mapping):
+    """Pre-tick state snapshots served lazily (read-tracking
+    materialization, §5): a table folds its queued deltas only when a
+    maintainer actually reads its snapshot, and a table whose fold
+    already advanced past the captured mark (because its POST-tick state
+    was read first by an earlier maintainer) serves the lazy plan
+    captured at tick start instead — same rows, plan-only, still valid
+    because it references the immutable pre-fold checkpoint and delta
+    plans.  View entries are plain values (views never defer)."""
+
+    def __init__(self, eng: "Engine"):
+        self._tables = {n: (t, t._seq + len(t._deferred), t.peek())
+                        for n, t in eng.tables.items()}
+        self._views = {n: m.state.current
+                       for n, m in eng._maintainers.items()}
+
+    def __getitem__(self, name):
+        if name in self._views:
+            return self._views[name]
+        t, mark, plan = self._tables[name]
+        if t._seq > mark:
+            return plan
+        t._fold(mark - t._seq)
+        return t._current
+
+    def __iter__(self):
+        yield from self._tables
+        yield from self._views
+
+    def __len__(self):
+        return len(self._tables) + len(self._views)
+
+
 def _split_parts(z: ZSetFrame) -> tuple[DataFrame, DataFrame]:
     """(positive rows expanded, |negative| rows expanded) — lets plain SQL
     evaluate weight-carrying deltas: run the view SQL on each part, emit
-    the results at weight +1 / −1."""
+    the results at weight +1 / −1.
+
+    Insert-only fast path (§2.4 — don't compute what you throw away):
+    a delta whose rows are provably all weight +1 (``ZSetFrame.w_one``,
+    the plain Engine.push case) needs no consolidate — the raw rows ARE
+    the bag — and its negative part is STATICALLY empty, so Catalyst's
+    PropagateEmptyRelation folds the entire retraction leg of every
+    maintainer out of the tick plan."""
+    if z.w_one:
+        data = z.df.select(*z.data_columns)
+        return data, data.limit(0)
     c = z.consolidate()
     return c.rows(), c.neg().rows()
 
@@ -231,6 +277,18 @@ class _ViewMaintainer:
     the view to the incremental operator layer."""
 
     kind = "differentiate"
+
+    #: True when step() may evaluate SQL that resolves source tables
+    #: through their CANONICAL temp views (the snapshot-diff fallback
+    #: re-runs the whole view SQL).  The engine force-folds such a
+    #: maintainer's deferred source tables before stepping it, so the
+    #: fallback keeps reading materialized state.  Vetted delta-only
+    #: subclasses that bind every source table explicitly in eval_on
+    #: (or read integrals via _current_rows/old[...], which fold on
+    #: their own) override this to False — their source tables can stay
+    #: deferred.  Safe default: an unvetted subclass behaves exactly as
+    #: before this optimization (one fold per delta'd table per tick).
+    sql_reads_sources = True
 
     def __init__(self, eng: "Engine", name: str, sql: str):
         self.name = name
@@ -264,6 +322,7 @@ class _ProjectMaintainer(_ViewMaintainer):
     rescanned."""
 
     kind = "project"
+    sql_reads_sources = False
 
     def __init__(self, eng, name, sql, table):
         super().__init__(eng, name, sql)
@@ -289,6 +348,7 @@ class _JoinMaintainer(_ViewMaintainer):
     work runs; a tick that changes neither table does nothing."""
 
     kind = "join"
+    sql_reads_sources = False
 
     def __init__(self, eng, name, sql, left, right):
         super().__init__(eng, name, sql)
@@ -354,6 +414,7 @@ class _MultiJoinMaintainer(_ViewMaintainer):
     ∝ Δ⋈dims, never a full re-join."""
 
     kind = "multi_join"
+    sql_reads_sources = False
 
     def __init__(self, eng, name, sql, tables):
         super().__init__(eng, name, sql)
@@ -4573,6 +4634,7 @@ class _QuantScalarMaintainer(_ViewMaintainer):
     TRUE, so downstream must always see one row."""
 
     kind = "quant_scalars"
+    sql_reads_sources = False
 
     def __init__(self, eng: "Engine", name: str, tbl: str, alias: str,
                  icol: str, ipred: str | None):
@@ -5541,6 +5603,7 @@ class _LinearAggMaintainer(_GroupMergeMaintainer):
     partials and finalized on emission."""
 
     kind = "linear_agg"
+    sql_reads_sources = False
 
     def __init__(self, eng, name, sql, table, keys, spec):
         super().__init__(eng, name, sql)
@@ -9615,7 +9678,11 @@ class Engine:
             .createOrReplaceTempView(name)
 
     def _refresh_table_view(self, name: str) -> None:
-        self.tables[name].current.rows().createOrReplaceTempView(name)
+        # bind the lazy peek, not current: rebinding must not force a
+        # deferred state fold (it would schedule a materialization job
+        # for tables nothing reads); with no deferred deltas peek IS the
+        # materialized state, exactly the old binding
+        self.tables[name].peek().rows().createOrReplaceTempView(name)
 
     # -------------------------------------------------------------- #
     # data in / incremental step / data out
@@ -9633,19 +9700,28 @@ class Engine:
         deltas, run each view's maintainer (delta plan for lowered views,
         snapshot-diff for the fallback), emit per-view output deltas."""
         combined: dict[str, ZSetFrame] = {}
-        old: dict[str, ZSetFrame] = {n: t.current
-                                     for n, t in self.tables.items()}
-        # pre-tick snapshots of maintained views too: a bilinear
-        # maintainer whose LEFT side is an upstream view needs A_old for
-        # the A_old ⋈ ΔB leg (the view's state is updated in-loop)
-        old.update({n: m.state.current
-                    for n, m in self._maintainers.items()})
+        # pre-tick snapshots, served LAZILY (read-tracking
+        # materialization): tables fold/materialize only when a
+        # maintainer actually reads them; maintained views are captured
+        # as plain values because a bilinear maintainer whose LEFT side
+        # is an upstream view needs A_old for the A_old ⋈ ΔB leg (the
+        # view's state is updated in-loop)
+        old: Mapping[str, ZSetFrame] = _OldSnapshots(self)
         for name, deltas in self._pending.items():
             if deltas:
                 combined[name] = ZSetFrame.sum(deltas)
             self._pending[name] = []
         for name, z in combined.items():
-            self.tables[name].update(z)
+            t = self.tables[name]
+            if t.path is None:
+                # memory backend: queue the delta; the state materializes
+                # on the first integral read (§5 — a source state no
+                # maintainer re-reads this tick schedules NO job).  The
+                # parquet backend keeps the eager write: the per-epoch
+                # file IS the durability contract.
+                t.defer_update(z)
+            else:
+                t.update(z)
             self._refresh_table_view(name)
 
         out: dict[str, ZSetFrame] = {}
@@ -9658,6 +9734,16 @@ class Engine:
             if not (self._sources[name] & touched):
                 out[name] = m._empty()
                 continue
+            if m.sql_reads_sources:
+                # this maintainer evaluates SQL that resolves source
+                # tables through their canonical temp views — fold any
+                # deferred deltas and rebind so it reads materialized
+                # state (exactly the pre-optimization behaviour)
+                for src in sorted(self._sources[name]):
+                    t = self.tables.get(src)
+                    if t is not None and t._deferred:
+                        t._fold()
+                        self._refresh_table_view(src)
             delta = m.step(self, combined, old)
             m.state.current.rows().createOrReplaceTempView(name)
             out[name] = delta

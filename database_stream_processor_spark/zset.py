@@ -50,13 +50,19 @@ class ZSetFrame:
     (positive weights only) for interop with vanilla Spark code.
     """
 
-    __slots__ = ("df",)
+    __slots__ = ("df", "w_one")
 
     def __init__(self, df: DataFrame):
         if WEIGHT_COL not in df.columns:
             raise ValueError(f"ZSetFrame requires a `{WEIGHT_COL}` column; "
                              f"use ZSetFrame.from_df() to lift a plain DataFrame")
         self.df = df
+        #: True only when every row's weight is provably the literal +1
+        #: (an insert-only delta): set by ``from_df(…, weight=1)``,
+        #: preserved by ``plus``/``sum``, False everywhere else.  Readers
+        #: may then treat the raw rows as the bag directly (no
+        #: consolidate) and the retraction part as STATICALLY empty.
+        self.w_one = False
 
     # ------------------------------------------------------------------ #
     # constructors
@@ -70,7 +76,9 @@ class ZSetFrame:
         (src/operator/input.rs:75).
         """
         w = F.lit(weight) if isinstance(weight, int) else weight
-        return cls(df.withColumn(WEIGHT_COL, w.cast("long")))
+        out = cls(df.withColumn(WEIGHT_COL, w.cast("long")))
+        out.w_one = isinstance(weight, int) and weight == 1
+        return out
 
     @classmethod
     def empty_like(cls, other: "ZSetFrame") -> "ZSetFrame":
@@ -161,7 +169,9 @@ class ZSetFrame:
 
     def plus(self, other: "ZSetFrame") -> "ZSetFrame":
         """Weight-wise union — UNION ALL in the ring (plus.rs:55)."""
-        return ZSetFrame(self.df.unionByName(other.df))
+        out = ZSetFrame(self.df.unionByName(other.df))
+        out.w_one = self.w_one and other.w_one
+        return out
 
     def minus(self, other: "ZSetFrame") -> "ZSetFrame":
         """A + (−B) — EXCEPT ALL in the ring (plus.rs:78)."""

@@ -47,10 +47,15 @@ def main() -> None:
     from pyspark.sql.readwriter import DataFrameWriter
 
     def _caller() -> str:
+        # skip the materialization helpers themselves (checkpoint_small,
+        # ZSetFrame plumbing) so jobs attribute to the OPERATOR that asked
+        # for the materialization, not the shared helper line
+        skip = ("tuning.py", "zset.py")
         for fr in reversed(traceback.extract_stack()[:-2]):
             f = fr.filename
             if ("database_stream_processor_spark" in f or
-                    f.endswith("queries.py")):
+                    f.endswith("queries.py")) and \
+                    os.path.basename(f) not in skip:
                 return f"{os.path.basename(f)}:{fr.lineno} {fr.name}"
         return "driver"
 
