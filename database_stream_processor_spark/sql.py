@@ -239,6 +239,13 @@ class _OldSnapshots(Mapping):
         if name in self._views:
             return self._views[name]
         t, mark, plan = self._tables[name]
+        if t.path is not None:
+            # parquet backend updates EAGERLY inside step(), outside the
+            # defer/fold bookkeeping — t._current is already post-tick by
+            # the time a maintainer reads the snapshot.  The captured
+            # value is the pre-tick frame (ZSetFrames are immutable;
+            # update() rebinds _current to a new object).
+            return plan
         if t._seq > mark:
             return plan
         t._fold(mark - t._seq)

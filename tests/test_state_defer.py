@@ -108,6 +108,29 @@ def test_old_snapshot_folds_to_mark_when_read_first(spark):
         == {1, 2}
 
 
+def test_durable_table_old_snapshot_is_pre_tick(spark, tmp_path):
+    """Parquet-backend tables update EAGERLY inside step(); the lazy
+    snapshot map must still serve the PRE-tick state (the A_old ⋈ ΔB leg
+    of a bilinear join double-counts otherwise — caught by
+    test_recovery's durable bootstrap test)."""
+    eng = Engine(spark, state_path=str(tmp_path / "st"))
+    eng.execute("""
+        CREATE TABLE a (k BIGINT, v BIGINT);
+        CREATE TABLE b (k BIGINT, w BIGINT);
+        CREATE VIEW j AS SELECT a.k, a.v, b.w FROM a JOIN b ON a.k = b.k;
+    """)
+    eng.push("a", spark.createDataFrame([(1, 10)], "k long, v long"))
+    eng.push("b", spark.createDataFrame([(1, 20)], "k long, w long"))
+    eng.step()
+    # second tick deltas BOTH sides: the ΔA⋈B_new + A_old⋈ΔB formula
+    # yields exactly one new (2,…) row and no duplicate (1,…) rows
+    eng.push("a", spark.createDataFrame([(2, 11)], "k long, v long"))
+    eng.push("b", spark.createDataFrame([(2, 21)], "k long, w long"))
+    eng.step()
+    got = sorted(tuple(r) for r in eng.view("j").collect())
+    assert got == [(1, 10, 20), (2, 11, 21)]
+
+
 def test_fallback_view_folds_sources_before_step(spark, monkeypatch):
     """The snapshot-diff fallback resolves tables through canonical temp
     views; the engine must fold deferred source state before stepping it
