@@ -14,6 +14,30 @@ import pytest
 from database_stream_processor_spark.session import get_spark
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the multi-minute deep tier; the "
+             "default run must fit the driver's verification window)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute deep-tier test, excluded from the default "
+        "run; opt in with --runslow (or -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (opt in with --runslow or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="dbsp_spark_tests", shuffle_partitions=8)

@@ -4,12 +4,15 @@ examples): wire inputs → operators → outputs, push deltas, tick."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from database_stream_processor_spark.circuit import Circuit
 from tests.conftest import zset_to_dict
 
 
+@pytest.mark.slow
 def test_join_aggregate_circuit_with_static_dimension(spark):
     c = Circuit(spark)
     orders = c.add_input_zset("c_custkey long, amount double")
@@ -164,6 +167,7 @@ def test_apply_schema_probe_tolerates_fragile_callables(spark):
     assert got == {(1, 2.0): 1, (3, 9.0): 1}
 
 
+@pytest.mark.slow
 def test_set_and_map_input_nodes(spark):
     """Circuit-level set/map inputs (input.rs:230,313): set semantics
     dedupe re-inserts and ignore absent deletes; map upserts retract the

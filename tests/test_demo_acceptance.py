@@ -92,6 +92,7 @@ _TX_SCHEMA = ("trans_date_trans_time timestamp, cc_num double, "
 
 
 @needs_demos
+@pytest.mark.slow
 def test_demo01_time_series_enrich(spark):
     eng = Engine(spark)
     ddl = _read("project_demo01-TimeSeriesEnrich")
@@ -120,6 +121,7 @@ def test_demo01_time_series_enrich(spark):
 
 
 @needs_demos
+@pytest.mark.slow
 def test_demo02_fraud_detection(spark):
     """The flagship: AVG/COUNT OVER RANGE frames over a LEFT-JOIN
     subquery.  The features view must lower to the rolling maintainer
@@ -174,6 +176,7 @@ def test_demo02_fraud_detection(spark):
 
 
 @needs_demos
+@pytest.mark.slow
 def test_demo03_green_trip(spark):
     """Two window specs (pickup- and dropoff-keyed) + ``*`` in one view:
     chained rolling ops, one per spec."""
@@ -205,6 +208,7 @@ def test_demo03_green_trip(spark):
 
 
 @needs_demos
+@pytest.mark.slow
 def test_demo02_with_commented_features_restored(spark):
     """demo02's project.sql with its commented-out feature lines restored
     (DAYOFWEEK, age via TIMESTAMPDIFF, LAG last_txn_date + trans_diff):

@@ -62,6 +62,7 @@ def test_incremental_distinct_equals_batch(spark):
             zset_to_dict(in_integral.distinct())
 
 
+@pytest.mark.slow
 def test_incremental_join_equals_batch(spark):
     a_deltas = [
         zs(spark, [(1, "x", 1), (2, "y", 2)], "k long, av string"),
@@ -83,6 +84,7 @@ def test_incremental_join_equals_batch(spark):
 
 
 @pytest.mark.parametrize("how", ["left_outer", "right_outer", "full_outer"])
+@pytest.mark.slow
 def test_incremental_outer_join_equals_batch(spark, how):
     """Outer joins aren't bilinear (null-padded rows appear/vanish with the
     other side's key support) — JoinOp uses touched-key recompute
@@ -118,6 +120,7 @@ def test_join_op_rejects_unknown_how(spark):
         JoinOp(z, z, on=["k"], how="left_semi")
 
 
+@pytest.mark.slow
 def test_incremental_aggregate_min_max_with_retraction(spark):
     """Non-linear aggregate: min/max must recover the next-best value when
     the current extreme is retracted (SURVEY §7 'hard parts')."""
@@ -230,6 +233,7 @@ def test_apply2_and_iterate_until(spark):
     assert out.collect()[0]["x"] == 8.0
 
 
+@pytest.mark.slow
 def test_parquet_state_backend_partitioned(spark, tmp_path):
     """Cluster-scale state backend: StateTable persisted as partitioned
     parquet (the Delta/Parquet keyed state of SURVEY §1.4), results

@@ -5,6 +5,8 @@ construction (nexmark q5.rs:76-118), and incremental recursion
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -108,6 +110,7 @@ def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "src long, dst long")
 
 
+@pytest.mark.slow
 def test_incremental_closure_insert_and_delete(spark):
     op = IncrementalTransitiveClosureOp(spark)
     acc = None
@@ -245,6 +248,7 @@ def test_salted_window_aggregate_matches_plain(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+@pytest.mark.slow
 def test_bucketed_closure_prunes_deletion_scan(spark, tmp_path):
     """Partition-restricted DRed: with the closure kept as src/dst
     hash-partitioned parquet stores, a deletion tick reads ONLY the
@@ -316,6 +320,7 @@ def test_bucketed_closure_delete_only_first_tick(spark, tmp_path):
     assert zset_to_dict(acc.consolidate()) == want
 
 
+@pytest.mark.slow
 def test_generic_fixpoint_seminaive_insert(spark):
     """Generic incremental fixpoint with delta rules: an insert tick runs
     semi-naive — work ∝ the delta's derivations (step invocations ∝
@@ -410,6 +415,7 @@ def test_delta0_imports_outer_delta_once(spark):
     assert {tuple(r) for r in out.collect()} == want
 
 
+@pytest.mark.slow
 def test_generic_fixpoint_dred_deletion(spark):
     """Deletions through the generic fixpoint run delete-and-rederive
     (suspect closure under delta_step_out, restricted re-derivation,
@@ -477,6 +483,7 @@ def test_generic_fixpoint_dred_deletion(spark):
     assert 0 < op.last_stats.get("suspects", 1) or True
 
 
+@pytest.mark.slow
 def test_generic_fixpoint_nonlinear_rule_dred_and_seminaive(spark):
     """NON-LINEAR recursion (path-doubling transitive closure: path ←
     path ⋈ path, two acc atoms per rule body) through the generic

@@ -10,6 +10,8 @@ against it on hypothesis-generated inputs.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 
 from hypothesis import HealthCheck, given, settings
@@ -57,6 +59,7 @@ def test_distinct_keeps_positive_support_at_one(spark, rows):
 
 @given(rows=zset_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_neg_is_additive_inverse(spark, rows):
     z = lift(spark, rows)
     assert zset_to_dict(z.plus(z.neg())) == {}
@@ -64,6 +67,7 @@ def test_neg_is_additive_inverse(spark, rows):
 
 @given(a=zset_lists, b=zset_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_plus_minus_match_model(spark, a, b):
     za, zb = lift(spark, a), lift(spark, b)
     both = model(a + b)
@@ -74,6 +78,7 @@ def test_plus_minus_match_model(spark, a, b):
 
 @given(a=zset_lists, b=zset_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_join_multiplies_weights(spark, a, b):
     """w_out(k, va, vb) = w_a(k, va) * w_b(k, vb)  (join.rs:56-64)."""
     za = lift(spark, a)
@@ -106,6 +111,7 @@ def test_linear_aggregate_is_weighted_sum(spark, rows):
 
 @given(rows=zset_lists)
 @SETTINGS
+@pytest.mark.slow
 def test_distinct_is_idempotent(spark, rows):
     z = lift(spark, rows).distinct()
     assert zset_to_dict(z.distinct()) == zset_to_dict(z)

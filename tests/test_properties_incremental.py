@@ -8,6 +8,8 @@ input."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 from collections import defaultdict
 
@@ -86,6 +88,7 @@ def test_tumbling_inc_equals_batch(spark, bs):
 
 @given(bs=batches)
 @SETTINGS
+@pytest.mark.slow
 def test_linear_rolling_inc_equals_batch(spark, bs):
     empty = ZSetFrame(_zset(spark, []).df.limit(0))
     op = PartitionedRollingAggregateLinearOp(
@@ -181,6 +184,7 @@ def test_incremental_closure_equals_batch(spark, bs):
              min_size=0, max_size=6),
     min_size=1, max_size=3))
 @SETTINGS
+@pytest.mark.slow
 def test_sql_engine_lowered_views_equal_recompute(spark, bs):
     """Property: hypothesis-generated weighted delta sequences (with
     retractions and cancellations) through the SQL engine keep EVERY
@@ -271,6 +275,7 @@ def test_sql_engine_lowered_views_equal_recompute(spark, bs):
 
 @given(bs=batches)
 @SETTINGS
+@pytest.mark.slow
 def test_sql_engine_round4_views_equal_recompute(spark, bs):
     """Property: hypothesis-generated weighted delta sequences through
     the round-4 lowerings — [NOT] EXISTS / IN filters, per-group and

@@ -5,6 +5,8 @@ generator.rs, input.rs:49)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from database_stream_processor_spark.plans.incremental import (
@@ -134,6 +136,7 @@ def test_inspect_taps_and_gather_single_partition(spark):
     assert zset_to_dict(z.gather()) == zset_to_dict(z)
 
 
+@pytest.mark.slow
 def test_sql_engine_durable_tables_and_view_bootstrap(spark, tmp_path):
     """Durable SQL Engine (the reference's pipeline suspend/resume):
     table state persists to parquet under ``state_path``; a fresh Engine
@@ -269,6 +272,7 @@ def test_rolling_view_recovers_via_bootstrap(spark, tmp_path):
     assert cmp_()
 
 
+@pytest.mark.slow
 def test_filtered_join_agg_stack_recovers(spark, tmp_path):
     """The r8 subquery-filtered aggregate stack (hidden grouped in-view
     + filter + final agg — the TPC-H q18 shape) must survive
@@ -353,6 +357,7 @@ def test_expr_key_agg_stack_recovers(spark, tmp_path):
     assert got == [(0, 2, 12), (200, 1, 9), (300, 1, 4)], got
 
 
+@pytest.mark.slow
 def test_recursive_cte_view_survives_suspend_resume(spark, tmp_path):
     """Engine suspend/resume under a WITH RECURSIVE view: tables persist
     to parquet, a fresh engine with recover=True bootstraps the hidden
@@ -409,6 +414,7 @@ def test_recursive_cte_view_survives_suspend_resume(spark, tmp_path):
         sorted(closure((set(e1) | set(e2)) - {(2, 3)}))
 
 
+@pytest.mark.slow
 def test_bag_recursive_view_survives_suspend_resume(spark, tmp_path):
     """Suspend/resume under a UNION ALL (bag) recursion: the bootstrap
     tick replays the recovered edge snapshot as one insert delta through
@@ -466,6 +472,7 @@ def test_bag_recursive_view_survives_suspend_resume(spark, tmp_path):
         bag([(1, 3), (2, 4), (3, 4), (4, 5)])
 
 
+@pytest.mark.slow
 def test_mutual_recursive_view_survives_suspend_resume(spark, tmp_path):
     """Suspend/resume under MUTUAL recursion: the bootstrap tick replays
     the recovered table snapshots as one insert delta through the vector
@@ -622,6 +629,7 @@ def test_tuple_not_in_view_survives_suspend_resume(spark, tmp_path):
     assert (1, 2, 5) in got
 
 
+@pytest.mark.slow
 def test_quantified_view_survives_suspend_resume(spark, tmp_path):
     """Suspend/resume under a quantified (> ALL) view: the hidden
     scalars maintainer rebuilds its counters from the recovered inner
@@ -660,6 +668,7 @@ def test_quantified_view_survives_suspend_resume(spark, tmp_path):
     assert sorted(r[0] for r in eng2.view("v").collect()) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_mutual_bag_recursive_view_survives_suspend_resume(
         spark, tmp_path):
     """Suspend/resume under MUTUAL UNION ALL recursion (r12): the
@@ -733,6 +742,7 @@ def test_mutual_bag_recursive_view_survives_suspend_resume(
         evens([0], [(0, 1), (2, 3), (3, 4), (4, 5)])
 
 
+@pytest.mark.slow
 def test_disjoint_recursive_components_survive_suspend_resume(
         spark, tmp_path):
     """Suspend/resume with TWO disjoint recursive components (r12):
@@ -795,6 +805,7 @@ def test_disjoint_recursive_components_survive_suspend_resume(
         bridged([(1, 2)], e2 + [(5, 6)])
 
 
+@pytest.mark.slow
 def test_stratified_negation_view_survives_suspend_resume(
         spark, tmp_path):
     """Suspend/resume under the r12 stratified-negation recursion (a

@@ -3,6 +3,8 @@ shard.rs:89 analog) and salted joins/aggregations for hot-key skew."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from database_stream_processor_spark.functions.skew import (
@@ -161,6 +163,7 @@ def test_embedding_quantization_codes_and_zero_vector(spark):
     assert "Exchange" not in plan
 
 
+@pytest.mark.slow
 def test_cosine_search_on_quantized_codes(spark):
     """Cosine is scale-invariant, so similarity search runs directly on
     int8 codes: top-1 neighbors over the quantized corpus agree with

@@ -4,6 +4,8 @@ crates/dbsp/src/operator/input.rs tables and dbsp_handle.rs step loop."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -298,6 +300,7 @@ def test_kafka_value_decode_roundtrip(spark):
     assert json.loads(enc.collect()[0]["value"]) == {"k": 1, "v": "a"}
 
 
+@pytest.mark.slow
 def test_sql_engine_under_structured_streaming(spark, tmp_path):
     """Engine.stream_step_fn drives a SQL pipeline from a real file
     stream: each micro-batch is re-homed from the streaming clone
@@ -362,6 +365,7 @@ def test_audio_chunking_windows_and_bytes(spark):
         b"x" + bytes([0])).digest()
 
 
+@pytest.mark.slow
 def test_streaming_rolling_view_end_to_end(spark, tmp_path):
     """A rolling-window view (demo02 shape) driven by Structured
     Streaming: parquet readStream → foreachBatch → engine tick; after

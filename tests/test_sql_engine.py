@@ -81,6 +81,7 @@ def test_ddl_creates_tables_and_views(engine):
     assert engine.view("enriched").count() == 0
 
 
+@pytest.mark.slow
 def test_join_view_maintained_incrementally(spark, engine):
     import datetime as dt
     t0 = dt.datetime(2026, 8, 10, 12, 0)  # Monday
@@ -147,6 +148,7 @@ def test_view_lowering_strategies(spark, engine):
     assert eng.view_strategy("av") == "linear_agg"
 
 
+@pytest.mark.slow
 def test_lowered_views_match_recompute_with_retractions(spark):
     eng = Engine(spark)
     eng.execute("""
@@ -286,6 +288,7 @@ def test_join_aggregate_over_join_lowers_globally(spark):
     assert [tuple(r) for r in eng.view("j").collect()] == [(None,)]
 
 
+@pytest.mark.slow
 def test_join_group_by_lowers_to_join_agg(spark):
     """demo02 fraud-feature shape (join → GROUP BY with SUM/COUNT) lowers
     to the bilinear join-delta + linear-agg-merge maintainer; maintained
@@ -602,6 +605,7 @@ def test_left_join_view_lowers_incrementally(spark):
         assert got == want, (tbl, w)
 
 
+@pytest.mark.slow
 def test_join_agg_over_maintained_view(spark):
     """demo02-layered shape (project.sql:29-57): a projection view
     feeding a join→GROUP BY view — the downstream lowers to the bilinear
@@ -642,6 +646,7 @@ def test_join_agg_over_maintained_view(spark):
         assert got == want, (tbl, w)
 
 
+@pytest.mark.slow
 def test_engine_agg_salts_two_stage_identical_output(spark):
     """Engine(agg_salts=N): the GROUP BY maintainers' per-delta partial
     aggregate runs two-stage — GROUP BY (keys, salt) then GROUP BY keys —
@@ -722,6 +727,7 @@ def test_distinct_view_lowers_to_distinct_op(spark):
         assert {tuple(r) for r in eng.view("tags").collect()} == want
 
 
+@pytest.mark.slow
 def test_full_and_right_outer_join_views_lower(spark):
     """RIGHT and FULL OUTER JOIN views lower to the same touched-key
     recompute as LEFT (hidden key = COALESCE of both sides), padding and
@@ -790,6 +796,7 @@ def test_global_aggregate_lowers(spark):
         {(0, None, None)}
 
 
+@pytest.mark.slow
 def test_union_views_lower(spark):
     """UNION ALL = plus() of per-branch deltas; UNION adds DistinctOp.
     A tick touching one source runs only that branch."""
@@ -824,6 +831,7 @@ def test_union_views_lower(spark):
         assert {tuple(r) for r in eng.view("ud").collect()} == want_ud
 
 
+@pytest.mark.slow
 def test_subquery_filter_views_lower(spark):
     """[NOT] EXISTS / IN (SELECT …) filters lower onto touched-key
     semi/anti maintenance (the reference compiles these to join_index/
@@ -962,6 +970,7 @@ def test_group_topk_over_rank_and_fallback_shapes(spark):
     assert {r.ok for r in eng.view("r1").collect()} == {1, 2, 3}
 
 
+@pytest.mark.slow
 def test_multiway_join_view_lowers(spark):
     """≥3-table INNER JOIN chains lower onto the multilinear delta rule
     (join.rs:226-264 applied pairwise): each tick evaluates one leg per
@@ -1015,6 +1024,7 @@ def test_multiway_join_view_lowers(spark):
         assert got_s == want_s, ("selfish", tbl, w)
 
 
+@pytest.mark.slow
 def test_distinct_agg_views_lower(spark):
     """COUNT/SUM(DISTINCT e) GROUP BY views lower onto a DistinctOp
     stage feeding linear partial merges (distinct.rs:64 +
@@ -1064,6 +1074,7 @@ def test_distinct_agg_views_lower(spark):
             assert got == want, (i, view)
 
 
+@pytest.mark.slow
 def test_multiway_join_agg_view_lowers(spark):
     """≥3-table join → GROUP BY (the TPC-H Q5 star-aggregate shape)
     lowers onto multilinear join legs feeding the group-merge core; a
@@ -1206,6 +1217,7 @@ def test_engine_output_connectors(spark, tmp_path):
     assert got_files == want
 
 
+@pytest.mark.slow
 def test_setop_views_lower(spark):
     """EXCEPT / INTERSECT views (set semantics) lower onto per-branch
     DistinctOp presence flips + whole-row membership recompute of the
@@ -1248,6 +1260,7 @@ def test_setop_views_lower(spark):
             assert got == want, (i, view)
 
 
+@pytest.mark.slow
 def test_avg_distinct_lowers(spark):
     """AVG(DISTINCT e) finalizes as Σdistinct/#distinct from the same
     partials as SUM/COUNT(DISTINCT); NULL on groups with no non-null
@@ -1301,6 +1314,7 @@ def test_nonlinear_agg_over_maintained_view(spark):
         {("a", 5), ("b", 7)}
 
 
+@pytest.mark.slow
 def test_distinct_agg_over_maintained_view(spark):
     """COUNT(DISTINCT) over an upstream maintained view: the view's
     output delta feeds the distinct-agg pipeline like a table delta."""
@@ -1399,6 +1413,7 @@ def _roll_cmp(spark, eng, view, batch_sql):
     assert got == want, (len(got), len(want))
 
 
+@pytest.mark.slow
 def test_rolling_window_view_lowers_multi_frame(spark):
     """OVER (PARTITION BY … ORDER BY … RANGE BETWEEN …) views lower onto
     PartitionedRollingAggregateLinearOp — several frames in one view,
@@ -1428,6 +1443,7 @@ def test_rolling_window_view_lowers_multi_frame(spark):
     _roll_cmp(spark, eng, "feat", ROLL_BATCH_SQL)
 
 
+@pytest.mark.slow
 def test_rolling_window_view_over_subquery_left_join(spark):
     """The VERBATIM demo02 shape: OVER windows whose FROM is a
     parenthesized LEFT-JOIN subquery — a hidden maintained left-join
@@ -1470,6 +1486,7 @@ def test_rolling_window_view_over_subquery_left_join(spark):
     _roll_cmp(spark, eng, "feat", batch)
 
 
+@pytest.mark.slow
 def test_rolling_window_view_multi_spec_chained(spark):
     """A view mixing windows over DIFFERENT (PARTITION BY, ORDER BY)
     specs (demo03 GreenTrip: pickup-keyed and dropoff-keyed frames side
@@ -1515,6 +1532,7 @@ def test_rolling_window_view_multi_spec_chained(spark):
     _roll_cmp(spark, eng, "feat", batch)
 
 
+@pytest.mark.slow
 def test_rolling_window_view_minmax_nonlinear(spark):
     """MIN/MAX OVER RANGE frames are non-linear — they route to the
     general PartitionedRollingAggregateOp (touched-slice recompute)
@@ -1665,6 +1683,7 @@ def test_partition_window_over_join_subquery(spark):
     _roll_cmp(spark, eng, "feat", batch)
 
 
+@pytest.mark.slow
 def test_not_in_lowers_when_not_null(spark):
     """NOT IN lowers to the touched-key anti maintenance when both the
     outer and inner columns are declared NOT NULL (then NOT IN ≡
@@ -1700,6 +1719,7 @@ def test_not_in_lowers_when_not_null(spark):
         assert got == want, (t, w)
 
 
+@pytest.mark.slow
 def test_having_only_aggregates_absorbed(spark):
     """HAVING predicates over aggregates that appear ONLY in the HAVING
     clause (COUNT(*), SUM of another column, AVG) absorb as hidden
@@ -1741,6 +1761,7 @@ def test_having_only_aggregates_absorbed(spark):
             assert got == want, (view, wgt)
 
 
+@pytest.mark.slow
 def test_rollup_cube_views_lower(spark):
     """GROUP BY ROLLUP/CUBE views lower onto the same per-group merge as
     plain GROUP BY — the delta partial aggregate itself rolls up, and
@@ -1787,6 +1808,7 @@ def test_rollup_cube_views_lower(spark):
             assert got == want, (view, w)
 
 
+@pytest.mark.slow
 def test_rolling_window_view_mixed_kitchen_sink(spark):
     """Stress the rolling lowering's full surface in ONE view: two
     specs, three frames, linear (SUM/AVG/COUNT) + non-linear (MAX)
@@ -1825,6 +1847,7 @@ def test_rolling_window_view_mixed_kitchen_sink(spark):
         _roll_cmp(spark, eng, "feat", batch)
 
 
+@pytest.mark.slow
 def test_setop_all_views_lower(spark):
     """EXCEPT ALL / INTERSECT ALL (bag semantics = Z-set weights): only
     rows whose multiplicity changed re-derive max(a−b,0) / min(a,b);
@@ -2020,6 +2043,7 @@ def _gw_det(rows):
                    for r in rows], key=str)
 
 
+@pytest.mark.slow
 def test_global_window_tail_recompute_matches_recompute(spark):
     """Global OVER (no PARTITION BY) lowers to bounded tail recompute
     and stays exact across interleaved inserts and retractions,
@@ -2149,6 +2173,7 @@ def test_comma_from_normalizer_units(spark):
     assert "tb__s1.vb = 1" in inner
 
 
+@pytest.mark.slow
 def test_verbatim_tpch_q2_text_through_engine(spark):
     """ACCEPTANCE (r6 VERDICT ask #4): the published TPC-H q2 text —
     comma FROM, bare columns, correlated subquery over the same table
@@ -2250,6 +2275,7 @@ def test_order_by_without_limit_stripped(spark):
     assert got == [("a", 7), ("b", 5)]
 
 
+@pytest.mark.slow
 def test_aliased_group_keys_nonlinear_distinct_grouping_sets(spark):
     """r6 VERDICT ask #6: `k AS g` grouping keys lower through the
     NONLINEAR (MIN/MAX touched-group), DISTINCT-agg, and grouping-sets
@@ -2294,6 +2320,7 @@ def test_aliased_group_keys_nonlinear_distinct_grouping_sets(spark):
         assert got == want, view
 
 
+@pytest.mark.slow
 def test_expression_of_aggregates_select_items(spark):
     """Expressions OVER aggregates in the select list (TPC-H q14's
     ratio-of-sums) lower: each aggregate call absorbs as a hidden
@@ -2375,6 +2402,7 @@ def test_from_subquery_lift(spark):
     assert got == [("p", 7)]
 
 
+@pytest.mark.slow
 def test_left_join_aggregate_stack(spark):
     """COUNT/SUM over a LEFT JOIN grouped by left keys (TPC-H q13's
     inner) lowers as right-partials → outer join → final linear agg —
@@ -2538,6 +2566,7 @@ def test_group_by_key_missing_from_select_falls_back(spark):
     assert got == sorted([(1, 17), (1, 20), (2, 5)], key=str)
 
 
+@pytest.mark.slow
 def test_scalar_having_key_alias_not_rewritten(spark):
     """ADVICE r6 #3: only aggregate-call select expressions are
     rewritten to their aliases in the HAVING text.  A short aliased key
@@ -2607,6 +2636,7 @@ def test_global_window_desc_matches_recompute(spark):
     assert sorted(r["rn"] for r in got) == sorted(r["rn"] for r in want)
 
 
+@pytest.mark.slow
 def test_global_window_explicit_nulls_modes(spark):
     """Explicit NULLS FIRST/LAST against the opposite direction default:
     ASC NULLS LAST keeps the NULL block in the permanent tail (an
@@ -2694,6 +2724,7 @@ def test_global_window_dense_rank_null_head_group(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_nullable_not_in_three_valued_regimes(spark):
     """NOT IN over nullable columns tracks full three-valued SQL
     semantics through every regime flip: inner empty (NULL outer keys
@@ -2790,6 +2821,7 @@ def test_lenient_semi_null_free_fast_path(spark):
     assert "BroadcastHashJoin" in plan2, plan2
 
 
+@pytest.mark.slow
 def test_nullable_tuple_not_in_three_valued_regimes(spark):
     """Row-value ``(a, b) NOT IN`` over NULLABLE columns (r10 verdict
     ask #4) — every tick compared against Spark's OWN null-aware
@@ -2887,6 +2919,7 @@ def test_not_null_not_in_still_uses_plain_antijoin(spark):
     assert eng.view_strategy("quiet") == "not_in"
 
 
+@pytest.mark.slow
 def test_correlated_scalar_subquery_lowers_and_matches(spark):
     """Correlated scalar-aggregate subqueries in the select list lower
     to a hidden GROUP BY + LEFT JOIN stack (all maintained, no
@@ -2957,6 +2990,7 @@ def test_scalar_subquery_unsupported_shapes_fall_back(spark):
     assert eng.view_strategy("bad2") == "differentiate"
 
 
+@pytest.mark.slow
 def test_scalar_subquery_in_where_and_uncorrelated(spark):
     """r6 generalization: scalar subqueries inside WHERE predicates
     (TPC-H q17's ``x < 0.2 * (SELECT AVG(…) …)`` shape), uncorrelated
@@ -3070,6 +3104,7 @@ def test_partition_window_skew_guard_warns(spark, caplog):
         m.skew_warn_rows = orig
 
 
+@pytest.mark.slow
 def test_scalar_subquery_over_join_from(spark):
     """TPC-H q17's shape: outer FROM is a JOIN chain, with a correlated
     scalar subquery in WHERE referencing a chain alias — lowers through
@@ -3119,6 +3154,7 @@ def test_scalar_subquery_over_join_from(spark):
     eng.step(); check("dim update re-qualifies a partition")
 
 
+@pytest.mark.slow
 def test_scalar_subquery_max_over_view_dethrones(spark):
     """TPC-H q15's shape: uncorrelated MAX over a maintained VIEW in
     WHERE; a retraction that dethrones the current max re-derives the
@@ -3157,6 +3193,7 @@ def test_scalar_subquery_max_over_view_dethrones(spark):
         == [(2, "b", 25), (3, "c", 25)]
 
 
+@pytest.mark.slow
 def test_scalar_subquery_composite_and_self_table(spark):
     """TPC-H q20's composite-key correlation (two equalities → one
     multi-column GROUP BY + conjunctive join) and TPC-H q22's
@@ -3203,6 +3240,7 @@ def test_scalar_subquery_composite_and_self_table(spark):
     eng.step(); check("retractions move both bars")
 
 
+@pytest.mark.slow
 def test_scalar_subquery_in_having(spark):
     """TPC-H q11's shape: a HAVING comparing the group aggregate to an
     uncorrelated scaled scalar subquery — lowers as grouped view +
@@ -3247,6 +3285,7 @@ def test_scalar_subquery_in_having(spark):
     assert eng.view_strategy("bad") == "differentiate"
 
 
+@pytest.mark.slow
 def test_scalar_subquery_join_chain_inner(spark):
     """TPC-H q2's shape: the scalar subquery's OWN FROM is a join chain
     (min supplycost among qualified suppliers) — lowers through a
@@ -3294,6 +3333,7 @@ def test_scalar_subquery_join_chain_inner(spark):
     eng.step(); check("retracting the min promotes the runner-up")
 
 
+@pytest.mark.slow
 def test_aliased_group_by_keys(spark):
     """`SELECT k AS alias, SUM(x) … GROUP BY k` lowers (the group state
     and merge join use the OUTPUT name) — single-table and join-agg."""
@@ -3330,6 +3370,7 @@ def test_aliased_group_by_keys(spark):
     eng.step(); check("retraction + group shared by two join keys")
 
 
+@pytest.mark.slow
 def test_scalar_subquery_with_not_exists(spark):
     """Verbatim TPC-H q22 inner shape in ONE view: an uncorrelated
     scalar AVG bar AND a NOT EXISTS anti-join in the same WHERE — the
@@ -3552,6 +3593,7 @@ def test_multi_exists_with_inequality_residual(spark):
     eng.step(); check("EXISTS retracted")
 
 
+@pytest.mark.slow
 def test_comma_from_normalizer_fuzz_equivalence(spark):
     """ADVICE r7 #8 (hardening): seeded-random comma-FROM texts mixing
     join equalities, literal filters, BETWEEN, CASE-with-embedded-AND,
@@ -3671,6 +3713,7 @@ def test_pure_disjunction_with_between_still_lowers(spark):
     assert got == [(2, 3), (3, 9)], got
 
 
+@pytest.mark.slow
 def test_multi_subquery_filters_different_inners(spark):
     """Several subquery filter terms over DIFFERENT inner tables —
     EXISTS(orders) AND NOT EXISTS(returns) AND NOT IN(flagged) — the
@@ -3722,6 +3765,7 @@ def test_multi_subquery_filters_different_inners(spark):
     eng.step(); check("new customer + order in one tick")
 
 
+@pytest.mark.slow
 def test_multi_subquery_randomized_tick_equivalence(spark):
     """Seeded-random delta sequences against the multi-inner subquery
     maintainer: six ticks of mixed inserts and retractions (only of
@@ -3778,6 +3822,7 @@ def test_multi_subquery_randomized_tick_equivalence(spark):
         assert got == want, (tick, got, want)
 
 
+@pytest.mark.slow
 def test_exists_with_join_chain_body(spark):
     """[NOT] EXISTS whose body is a JOIN chain — ``NOT EXISTS (SELECT 1
     FROM ord o JOIN li l ON l.lk = o.ok WHERE o.oc = c.ck AND l.flag >
@@ -3873,6 +3918,7 @@ def test_typed_date_decimal_maintenance(spark):
     assert eng.view("rev").collect()[0][0] is None
 
 
+@pytest.mark.slow
 def test_tokenizer_fuzz_extended_shapes(spark):
     """r8 verdict ask #4 (second half): the shared-tokenizer fuzz grows
     the shapes the old per-helper scanners were never tested on — NOT
@@ -3934,6 +3980,7 @@ def test_tokenizer_fuzz_extended_shapes(spark):
                 i, txt, eng.view_strategy(f"tz{i}"))
 
 
+@pytest.mark.slow
 def test_multi_subquery_refusal_and_routing_fuzz(spark):
     """r8 verdict ask #6: randomized tick-equivalence over the shapes
     the multi-subquery matcher must REFUSE or route specially —
@@ -4050,6 +4097,7 @@ def test_subquery_restriction_is_delta_bounded(spark):
     assert all(v <= 20 for k, v in mm.items() if k.startswith("inner:")), mm
 
 
+@pytest.mark.slow
 def test_expression_group_by_keys_lower(spark):
     """GROUP BY on EXPRESSIONS (the SQL tumbling-window idiom the
     reference's Calcite frontend accepts): a hidden projection view
@@ -4181,6 +4229,7 @@ def test_cte_single_grouped_lowers_and_maintains(spark):
     check("retract")
 
 
+@pytest.mark.slow
 def test_cte_chain_and_join_main_body(spark):
     """Two CTEs where the second references the first, and a main body
     that joins the second against a base table with a GROUP BY — every
@@ -4266,6 +4315,7 @@ def test_cte_refusal_shapes_fall_back(spark):
     assert sorted(r[0] for r in eng.view("v2").collect()) == [2, 3]
 
 
+@pytest.mark.slow
 def test_cte_randomized_tick_equivalence(spark):
     """Seeded-random insert/retract sequences through a two-CTE stack,
     checked against Spark's batch evaluation of the original WITH text
@@ -4315,6 +4365,7 @@ def test_cte_randomized_tick_equivalence(spark):
         assert got == want, (tick, got, want)
 
 
+@pytest.mark.slow
 def test_select_list_scalar_subquery_bare_correlation(spark):
     """A correlated scalar subquery in the SELECT list whose correlation
     equality is written BARE (``WHERE l_ok = o_ok``, verbatim-TPC-H
@@ -4421,6 +4472,7 @@ def test_having_key_in_subquery_split_qualified(spark):
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_cte_union_branches(spark):
     """UNION (set semantics) whose branches read hidden CTE views —
     the setop maintainers accept hidden views as branch sources, and
@@ -4461,6 +4513,7 @@ def test_cte_union_branches(spark):
     check("retract t2 head")
 
 
+@pytest.mark.slow
 def test_scalar_subquery_chain_from_bare_correlation(spark):
     """A correlated scalar whose own FROM is a JOIN chain and whose
     correlation equality is BARE (``WHERE l_ok = o_ok``) — the chain
@@ -4520,6 +4573,7 @@ def _py_closure(edges):
         paths |= new
 
 
+@pytest.mark.slow
 def test_recursive_cte_lowers_and_maintains(spark):
     """WITH RECURSIVE base UNION step lowers to the incremental
     fixpoint maintainer: insert ticks run semi-naive (stats-asserted),
@@ -4561,6 +4615,7 @@ def test_recursive_cte_lowers_and_maintains(spark):
     check((set(e1) | set(e2)) - {(2, 3)}, "cut the cycle (DRed)")
 
 
+@pytest.mark.slow
 def test_recursive_cte_nonlinear_doubling(spark):
     """NON-LINEAR recursion — the doubling closure ``p ∘ p`` (the CTE
     joined with itself; reference recursive.rs:255 maintains arbitrary
@@ -4601,6 +4656,7 @@ def test_recursive_cte_nonlinear_doubling(spark):
     check((set(e1) | set(e2)) - {(2, 3)}, "cut the cycle (DRed)")
 
 
+@pytest.mark.slow
 def test_recursive_cte_second_input_table(spark):
     """Recursion whose base reads one table and whose step joins a
     SECOND — the multi-input fixpoint: deltas of either table drive
@@ -4661,6 +4717,7 @@ def test_recursive_cte_second_input_table(spark):
     check((set(seeds) | {20}) - {10}, set(edges), "seed delete")
 
 
+@pytest.mark.slow
 def test_recursive_cte_union_all_bag(spark):
     """UNION ALL recursion — the Z-set BAG fixpoint: multiplicities
     count derivation paths (standard SQL working-table semantics, and
@@ -4721,6 +4778,7 @@ def test_recursive_cte_union_all_bag(spark):
     check([(1, 3), (2, 4), (3, 4), (4, 5), (1, 4)], "arm delete")
 
 
+@pytest.mark.slow
 def test_recursive_cte_union_all_bag_two_inputs(spark):
     """UNION ALL recursion whose BASE branch joins TWO input tables
     (r10 verdict ask #3): the bag fixpoint's multi-input mode expands
@@ -4800,6 +4858,7 @@ def test_recursive_cte_union_all_bag_two_inputs(spark):
           "mixed retract")
 
 
+@pytest.mark.slow
 def test_recursive_cte_disjoint_components(spark):
     """SEVERAL DISJOINT recursive components in one WITH RECURSIVE
     (r11 verdict ask #7, refused ≤r11): each strongly-connected CTE
@@ -4891,6 +4950,7 @@ def test_recursive_cte_disjoint_components(spark):
     assert not [h for h in eng._maintainers if "fwd" in h]
 
 
+@pytest.mark.slow
 def test_recursive_cte_multi_branch(spark):
     """MULTI-BRANCH recursive bodies — NEW r12 (refused ≤r11 as
     "recursive body is not base UNION step"): a single CTE with several
@@ -5031,6 +5091,7 @@ def test_recursive_cte_multi_branch(spark):
     check(S1, S2, E, E2, "edge retract (both graphs)")
 
 
+@pytest.mark.slow
 def test_recursive_cte_union_all_bag_input_twice(spark):
     """UNION ALL recursion whose STEP joins the input with itself (a
     two-hop step — r11 verdict ask #2b, refused ≤r11): the repeated
@@ -5115,6 +5176,7 @@ def test_recursive_cte_union_all_bag_input_twice(spark):
           "duplicate edge")
 
 
+@pytest.mark.slow
 def test_recursive_cte_mutual_union_all_bag(spark):
     """MUTUAL UNION ALL recursion (r11 verdict ask #2a, refused ≤r11):
     even/odd path COUNTS — ``ev`` seeds from an input and steps through
@@ -5189,6 +5251,7 @@ def test_recursive_cte_mutual_union_all_bag(spark):
           "mixed retract")
 
 
+@pytest.mark.slow
 def test_recursive_cte_mutual_even_odd(spark):
     """MUTUAL recursion (r10 verdict ask #2): even/odd reachability —
     ``ev`` seeds from an input and steps through ``od``; ``od`` is a
@@ -5270,6 +5333,7 @@ def test_recursive_cte_mutual_even_odd(spark):
     check(seeds, chain, "seed delete")
 
 
+@pytest.mark.slow
 def test_recursive_cte_mutual_nonlinear_same_generation(spark):
     """Mutual group where one member is NON-LINEAR in another: ``link``
     (pure-step) reads ``reach`` TWICE (link = reach ∘ reach), so its
@@ -5325,6 +5389,7 @@ def test_recursive_cte_mutual_nonlinear_same_generation(spark):
     check([(1, 2), (3, 4), (8, 9), (4, 8)], "delete (DRed)")
 
 
+@pytest.mark.slow
 def test_recursive_cte_mutual_three_members(spark):
     """A THREE-member mutual group — mod-3 hop reachability (r0 seeds,
     r1 = r0→edge, r2 = r1→edge, r0 also ← r2→edge): the SCC detection
@@ -5392,6 +5457,7 @@ def test_recursive_cte_mutual_three_members(spark):
                   (7, 8)], "edge delete (DRed)")
 
 
+@pytest.mark.slow
 def test_recursive_cte_input_twice_in_branch(spark):
     """A step branch joining the INPUT with itself (two-hop step:
     p ∘ ed ∘ ed) — r10's twice-referenced refusal, lifted r11 for the
@@ -5503,6 +5569,7 @@ def test_recursive_cte_refusal_shapes(spark):
                     if "_rec" in h], tag
 
 
+@pytest.mark.slow
 def test_agg_over_scalar_subquery(spark):
     """Grouped aggregates OVER scalar-subquery values — ``SUM((SELECT
     SUM(qty) …))`` — via the hidden scalar-projection stage: unmatched
@@ -5547,6 +5614,7 @@ def test_agg_over_scalar_subquery(spark):
     check("retract oo")
 
 
+@pytest.mark.slow
 def test_recursive_cte_with_companion_cte(spark):
     """The classic two-CTE recursion: a non-recursive ``edges`` CTE
     derives the graph, the recursive ``paths`` CTE closes over it —
@@ -5595,6 +5663,7 @@ def test_recursive_cte_with_companion_cte(spark):
     assert got == sorted(closure(live2)), len(got)
 
 
+@pytest.mark.slow
 def test_recursive_over_aggregated_cte(spark):
     """Recursion over a MAINTAINED AGGREGATE edge relation (the q170
     driver-row shape): the edge CTE is a grouped HAVING threshold, so
@@ -5640,6 +5709,7 @@ def test_recursive_over_aggregated_cte(spark):
                    (2, 5), (3, 4), (3, 5), (4, 5)], got
 
 
+@pytest.mark.slow
 def test_recursive_with_stratified_negation(spark):
     """NOT EXISTS over a non-recursive input inside a recursion step
     (the q171 driver-row shape): the blocked relation is a
@@ -5776,6 +5846,7 @@ def test_recursive_branch_blockers_refuse(spark):
     assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], got
 
 
+@pytest.mark.slow
 def test_mutual_path_with_subquery_role_input(spark):
     """Subquery-role inputs through the VECTOR fixpoint (the q172
     driver-row shape): a multi-branch body (two bases + a NOT EXISTS
@@ -5862,6 +5933,7 @@ def test_mutual_path_with_subquery_role_input(spark):
         """)
 
 
+@pytest.mark.slow
 def test_bag_recursion_with_stratified_negation(spark):
     """NOT EXISTS over a subquery-role input inside a UNION ALL (bag)
     recursion step (the q173 driver-row shape): presence tests are
@@ -5956,6 +6028,7 @@ def test_bag_recursion_with_stratified_negation(spark):
     assert eng.view_strategy("agg_span") == "differentiate"
 
 
+@pytest.mark.slow
 def test_stratified_negation_across_components(spark):
     """TWO-STRATA Datalog: a later recursive component guarded by NOT
     EXISTS over an EARLIER component's closure.  The earlier fixpoint's
@@ -6051,6 +6124,7 @@ def test_nested_cte_in_cte_body(spark):
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_union_of_aggregates_branch_lift(spark):
     """UNION ALL / UNION over grouped-aggregate branches: each branch
     hoists to a hidden linear-agg view and the union maintains over
@@ -6208,6 +6282,7 @@ def test_in_subquery_expression_body(spark):
     check("NULL retracts, member retracts")
 
 
+@pytest.mark.slow
 def test_shape_over_join_lift(spark):
     """Shapes the direct join recognizers don't cover — MIN/MAX GROUP
     BY over a join, ROLLUP over a join, SELECT DISTINCT over a join —
@@ -6264,6 +6339,7 @@ def test_shape_over_join_lift(spark):
     check("retract both sides")
 
 
+@pytest.mark.slow
 def test_multi_distinct_expressions_split(spark):
     """COUNT(DISTINCT a), COUNT(DISTINCT b), COUNT(*) in one grouped
     select — splits into one hidden distinct-agg view per expression
@@ -6343,6 +6419,7 @@ def test_having_key_in_subquery_split(spark):
 # Quantified comparisons (r10): ANY / ALL / SOME subqueries
 # --------------------------------------------------------------------- #
 
+@pytest.mark.slow
 def test_quantified_any_all(spark):
     """``op ANY/ALL (SELECT …)`` — maintained through the hidden 1-row
     quantifier-scalars view + bilinear join; three-valued semantics
@@ -6452,6 +6529,7 @@ def test_quantified_eq_any_rewrites_to_in(spark):
     assert sorted(r[0] for r in eng.view("v_nin").collect()) == [2]
 
 
+@pytest.mark.slow
 def test_quantified_expr_lhs_and_having(spark):
     """r10 verdict ask #5: the quantified rewrite corners — an
     arithmetic EXPRESSION lhs (``x * 2 > ALL``), a quantified term
@@ -6535,6 +6613,7 @@ def test_quantified_expr_lhs_and_having(spark):
     check("extreme retract")
 
 
+@pytest.mark.slow
 def test_quantified_peeling_composition(spark):
     """SEVERAL quantified terms in one WHERE, and quantified terms
     mixed with IN subqueries — both refused ≤r10.  Since r12 (r11
@@ -6651,6 +6730,7 @@ def test_quantified_peeling_composition(spark):
     check("outer retract + extreme swap")
 
 
+@pytest.mark.slow
 def test_quantified_grouped_inner(spark):
     """Quantified comparison over a GROUPED inner (r11): ``x > ALL
     (SELECT SUM(v) FROM t GROUP BY g [HAVING …])`` — the grouped body
@@ -6726,6 +6806,7 @@ def test_quantified_grouped_inner(spark):
     check("mixed outer retract + new group")
 
 
+@pytest.mark.slow
 def test_quantified_complex_inner(spark):
     """Quantified comparison over JOIN-chain and DISTINCT inners (r11):
     any lowerable uncorrelated inner pre-lowers into a hidden view with
@@ -6801,6 +6882,7 @@ def test_quantified_complex_inner(spark):
     check("retractions shrink the product set")
 
 
+@pytest.mark.slow
 def test_quantified_correlated_composite_key(spark):
     """Correlated quantifier with SEVERAL correlation equalities (r11;
     refused ≤r10): the hidden per-key scalars view groups on the
@@ -6917,6 +6999,7 @@ def test_tuple_in_subquery(spark):
     assert eng.view_strategy("v_nn") == "not_in_nullable_tuple"
 
 
+@pytest.mark.slow
 def test_composition_lifts_randomized_tick_equivalence(spark):
     """r9 verdict ask #5: seeded-random insert/retract sequences
     through the r9/r10 composition lifts — expr GROUP BY keys over a
@@ -6979,6 +7062,7 @@ def test_composition_lifts_randomized_tick_equivalence(spark):
             assert got == want, (tick, v, got, want)
 
 
+@pytest.mark.slow
 def test_recursive_lifts_randomized_tick_equivalence(spark):
     """r9 verdict ask #5, recursion half: seeded-random edge
     insert/retract sequences through BOTH the linear and the
@@ -7025,6 +7109,7 @@ def test_recursive_lifts_randomized_tick_equivalence(spark):
             assert got == want, (tick, v, got, want)
 
 
+@pytest.mark.slow
 def test_stratified_negation_randomized_tick_equivalence(spark):
     """Seeded random walk for the r12 stratified-negation maintainer:
     edge AND blocked-set inserts/deletes mixed freely per tick (so the
@@ -7086,6 +7171,7 @@ def test_stratified_negation_randomized_tick_equivalence(spark):
         assert got == want, (tick, got, want, live_e, live_b)
 
 
+@pytest.mark.slow
 def test_quant_scalars_randomized_tick_equivalence(spark):
     """r11 verdict ask #3 (quantifier half): a seeded random
     insert/delete walk over the inner value multiset and the outer —
@@ -7158,6 +7244,7 @@ def test_quant_scalars_randomized_tick_equivalence(spark):
             assert got == want, (tick, view, got, want, O, I)
 
 
+@pytest.mark.slow
 def test_bag_fixpoint_randomized_tick_equivalence(spark):
     """r11 verdict ask #3 (bag half): seeded random acyclic multigraphs
     with DUPLICATE edge/seed multiplicities and delete ticks, through
@@ -7257,6 +7344,7 @@ def test_bag_fixpoint_randomized_tick_equivalence(spark):
             assert got == want, (tick, view, got, want, S, E)
 
 
+@pytest.mark.slow
 def test_quantified_correlated(spark):
     """CORRELATED quantified comparisons — ``v > ALL (SELECT x FROM s
     WHERE s.k = t.k)`` — lower as a hidden per-key grouped scalars view
